@@ -1,0 +1,116 @@
+package graft.parse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level decoders reproducing the reference's CDC value-decoding rules
+  * (reference: PipeLine.java:292-365 `formatColumns`,
+  * DebeziumPipeLine.java:114-205, MaxwellPipeLine.java:74-84).
+  *
+  * Everything stays a Catalyst expression where Spark has a native function;
+  * the three genuinely bespoke decodings (Debezium bit, Debezium
+  * variable-scale decimal, Debezium epoch time) are Scala UDFs per
+  * SURVEY.md §7.4 — they sit on the parse path only, never in analytic
+  * hot loops.
+  */
+object Decoders {
+
+  /** Field-metadata keys marking SQL types Catalyst has no native form for. */
+  val BitPrecisionKey = "graft.bit.precision"
+  val TimePrecisionKey = "graft.time.precision"
+
+  def bitField(name: String, precision: Int): StructField =
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putLong(BitPrecisionKey, precision.toLong).build())
+
+  def timeField(name: String, precision: Int): StructField =
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putLong(TimePrecisionKey, precision.toLong).build())
+
+  /** Strip NUL characters, which PostgreSQL text COPY cannot carry; the
+    * reference drops them with a warning (reference: PipeLine.java:425-427).
+    */
+  def stripNul(c: Column): Column = regexp_replace(c, "\\x00", "")
+
+  /** Maxwell BIT: integer literal → zero-padded binary string of `precision`
+    * bits (reference: MaxwellPipeLine.java:81-84).
+    */
+  def maxwellBit(c: Column, precision: Int): Column =
+    lpad(conv(c, 10, 2), precision, "0")
+
+  /** Debezium BIT: "true"/"false" → "1"/"0"; otherwise Base64 bytes in
+    * little-endian order → concatenated bit string, truncated to the low
+    * `precision` bits (reference: DebeziumPipeLine.java:121-143).
+    */
+  private val debeziumBitUdf = udf { (data: String, precision: Int) =>
+    if (data == null) null
+    else data match {
+      case "true" => "1"
+      case "false" => "0"
+      case _ =>
+        val bytes = java.util.Base64.getDecoder.decode(data).reverse
+        val bits = bytes.map(b => f"${(b & 0xff).toBinaryString.toInt}%08d").mkString
+        // lpad in case the payload carries fewer bits than the column width
+        val padded = if (bits.length < precision) ("0" * (precision - bits.length)) + bits else bits
+        padded.substring(padded.length - precision)
+    }
+  }
+  def debeziumBit(c: Column, precision: Int): Column = debeziumBitUdf(c, lit(precision))
+
+  /** Debezium DECIMAL/NUMERIC: Base64-encoded big-endian unscaled bytes +
+    * declared scale → decimal (reference: DebeziumPipeLine.java:200-205).
+    */
+  private val debeziumDecimalUdf = udf { (data: String, scale: Int) =>
+    if (data == null) null
+    else {
+      val unscaled = new java.math.BigInteger(java.util.Base64.getDecoder.decode(data))
+      new java.math.BigDecimal(unscaled, scale)
+    }
+  }
+  def debeziumDecimal(c: Column, dt: DecimalType): Column =
+    debeziumDecimalUdf(c, lit(dt.scale)).cast(dt)
+
+  /** Debezium DATE: epoch-day count → date (reference:
+    * DebeziumPipeLine.java:176-190).
+    */
+  def debeziumDate(c: Column): Column =
+    date_add(to_date(lit("1970-01-01")), c.cast(IntegerType))
+
+  /** Debezium TIMESTAMP: epoch seconds concatenated with a 9-digit nano
+    * fraction, rendered in GMT with the fraction truncated to the column
+    * precision (reference: DebeziumPipeLine.java:146-174). Values already
+    * carrying a zone (`Z` suffix) pass through unchanged.
+    */
+  private val debeziumTimestampUdf = udf { (data: String, precision: Int) =>
+    if (data == null) null else DecoderRuntime.epochNanosToString(data, precision, withDate = true)
+  }
+  def debeziumTimestamp(c: Column, precision: Int): Column =
+    when(c.contains("Z"), c.cast(TimestampType))
+      .otherwise(to_timestamp(debeziumTimestampUdf(c, lit(precision))))
+
+  /** Debezium TIME: same epoch+nanos encoding, formatted HH:mm:ss.fraction
+    * (kept as a string column — Catalyst has no time-of-day type).
+    */
+  private val debeziumTimeUdf = udf { (data: String, precision: Int) =>
+    if (data == null) null
+    else if (data.contains("Z")) data
+    else DecoderRuntime.epochNanosToString(data, precision, withDate = false)
+  }
+  def debeziumTime(c: Column, precision: Int): Column = debeziumTimeUdf(c, lit(precision))
+}
+
+/** Plain-JVM decode helpers shared by UDFs and unit tests. */
+object DecoderRuntime {
+  /** `data` = "<epoch seconds><9-digit nanos>"; format in GMT, fraction
+    * truncated to `precision` digits (0 → no fraction).
+    */
+  def epochNanosToString(data: String, precision: Int, withDate: Boolean): String = {
+    val sec = data.substring(0, data.length - 9).toLong
+    val fraction = data.substring(data.length - 9, data.length - 9 + precision)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(
+      if (withDate) "yyyy-MM-dd HH:mm:ss" else "HH:mm:ss")
+    val base = java.time.Instant.ofEpochSecond(sec).atZone(java.time.ZoneOffset.UTC).format(fmt)
+    if (precision > 0) s"$base.$fraction" else base
+  }
+}

@@ -1,0 +1,191 @@
+package graft.parse
+
+import graft.model.{CdcOp, TableRegistry, TableSpec}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Normalized CDC event columns produced by both envelope parsers.
+  *
+  * `data`/`old` are maps with LOWERCASED keys carrying the raw string form of
+  * every field — the reference resolves CDC JSON fields case-insensitively
+  * (reference: BiremeUtility.java:40-64) and renders every value from its
+  * string form (reference: PipeLine.java:292-365). Typed decoding to the
+  * target schema happens later in [[Projection]], driven by [[TableSpec]].
+  *
+  * Column contract: op, sourceTable, mappedTable, ts (ms), seq (long, total
+  * order per key), data (map<string,string>), old (map<string,string>, null
+  * unless update).
+  */
+object CdcEvents {
+  val columns: Seq[String] = Seq("op", "sourceTable", "mappedTable", "ts", "seq", "data", "old")
+
+  /** Lowercase map keys so later lookups are case-insensitive. */
+  private[parse] def lowerKeys(m: Column): Column =
+    transform_keys(m, (k, _) => lower(k))
+
+  /** Route source tables to targets and drop unmapped ones (operators F1+F2,
+    * reference: MaxwellPipeLine.java:55-71, Config.java:242-272).
+    */
+  private[parse] def route(df: DataFrame, registry: TableRegistry): DataFrame = {
+    val mapping = typedLit(registry.tableMap)
+    df.withColumn("mappedTable", element_at(mapping, col("sourceTable")))
+      .filter(col("mappedTable").isNotNull)
+  }
+}
+
+/** Maxwell envelope → normalized events
+  * (reference: MaxwellPipeLine.java:127-154).
+  *
+  * Envelope: `{"database","table","type","ts","data":{...},"old":{...}}`;
+  * `type ∈ insert|update|delete`; `old` holds pre-image values of changed
+  * fields on update only; `produceTime = ts * 1000`.
+  */
+object MaxwellParser {
+  // data/old parsed as map<string,string>: Spark's JSON reader renders
+  // non-string scalars to their literal text for StringType, matching the
+  // reference's treat-everything-as-string decode model (SURVEY.md §1.2).
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("ts", LongType),
+    StructField("data", MapType(StringType, StringType)),
+    StructField("old", MapType(StringType, StringType))))
+
+  /** Parse a DataFrame of raw JSON strings (column `valueCol`) into the
+    * normalized event columns. `seqCol` must give a per-key total order —
+    * Kafka `(partition, offset)` folded to a long, or a file line number.
+    */
+  def events(raw: DataFrame, registry: TableRegistry, seqCol: Column,
+             valueCol: String = "value"): DataFrame = {
+    val parsed = raw
+      .withColumn("seq", seqCol)
+      .withColumn("env", from_json(col(valueCol), envelopeSchema))
+      .select(
+        col("env.type").as("op"),
+        concat_ws(".", col("env.database"), col("env.table")).as("sourceTable"),
+        (col("env.ts") * 1000).as("ts"),
+        col("seq"),
+        CdcEvents.lowerKeys(col("env.data")).as("data"),
+        CdcEvents.lowerKeys(col("env.old")).as("old"))
+      .filter(col("op").isin(CdcOp.all: _*))
+    CdcEvents.route(parsed, registry).select(CdcEvents.columns.map(col): _*)
+  }
+}
+
+/** Debezium envelope → normalized events
+  * (reference: DebeziumPipeLine.java:86-111, 213-238).
+  *
+  * Envelope: `{"payload":{"op","ts_ms","before":{...},"after":{...}}}`;
+  * `op r|c → insert(after)`, `u → update(after)`, `d → delete(before)`;
+  * events with a missing/null payload are skipped. The source table comes
+  * from the Kafka topic name `<namespace>.<schema>.<table>` — callers pass
+  * it via `topicCol` (reference: DebeziumPipeLine.java:75-83).
+  */
+object DebeziumParser {
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("before", MapType(StringType, StringType)),
+      StructField("after", MapType(StringType, StringType)))))))
+
+  def events(raw: DataFrame, registry: TableRegistry, seqCol: Column,
+             topicCol: Column, valueCol: String = "value"): DataFrame = {
+    val parsed = raw
+      .withColumn("seq", seqCol)
+      .withColumn("env", from_json(col(valueCol), envelopeSchema))
+      .filter(col("env.payload").isNotNull)
+      .select(
+        when(col("env.payload.op").isin("r", "c"), CdcOp.Insert)
+          .when(col("env.payload.op") === "u", CdcOp.Update)
+          .when(col("env.payload.op") === "d", CdcOp.Delete)
+          .as("op"),
+        // topic "ns.schema.table" → source key "schema.table"
+        regexp_extract(topicCol, "^[^.]+\\.(.+)$", 1).as("sourceTable"),
+        col("env.payload.ts_ms").as("ts"),
+        col("seq"),
+        CdcEvents.lowerKeys(
+          when(col("env.payload.op") === "d", col("env.payload.before"))
+            .otherwise(col("env.payload.after"))).as("data"),
+        lit(null).cast(MapType(StringType, StringType)).as("old"))
+      .filter(col("op").isNotNull)
+    CdcEvents.route(parsed, registry).select(CdcEvents.columns.map(col): _*)
+  }
+}
+
+/** Decode normalized events into the target table's types: key / oldKey
+  * structs and a typed data struct (operators P3+P4,
+  * reference: PipeLine.java:292-365, MaxwellPipeLine.java:87-116).
+  */
+object Projection {
+  sealed trait Flavor
+  case object Maxwell extends Flavor
+  case object Debezium extends Flavor
+
+  /** Decode one raw string field to its Catalyst type per SURVEY.md §1.3. */
+  private def decode(raw: Column, field: StructField, flavor: Flavor): Column = {
+    val md = field.metadata
+    field.dataType match {
+      case StringType if md.contains(Decoders.BitPrecisionKey) =>
+        val p = md.getLong(Decoders.BitPrecisionKey).toInt
+        flavor match {
+          case Maxwell => Decoders.maxwellBit(raw, p)
+          case Debezium => Decoders.debeziumBit(raw, p)
+        }
+      case StringType if md.contains(Decoders.TimePrecisionKey) =>
+        val p = md.getLong(Decoders.TimePrecisionKey).toInt
+        flavor match {
+          case Maxwell => raw // Maxwell sends time-of-day as-is (PipeLine.java:395-397)
+          case Debezium => Decoders.debeziumTime(raw, p)
+        }
+      case StringType => Decoders.stripNul(raw)
+      case BinaryType => unbase64(raw)
+      case dt: DecimalType => flavor match {
+        case Maxwell => raw.cast(dt)
+        case Debezium => Decoders.debeziumDecimal(raw, dt)
+      }
+      case DateType => flavor match {
+        case Maxwell => raw.cast(DateType)
+        case Debezium => Decoders.debeziumDate(raw)
+      }
+      case TimestampType => flavor match {
+        case Maxwell => raw.cast(TimestampType)
+        case Debezium => Decoders.debeziumTimestamp(raw, 6)
+      }
+      case dt => raw.cast(dt)
+    }
+  }
+
+  private def field(m: Column, name: String): Column = element_at(m, name.toLowerCase)
+
+  /** Typed event rows for one target table: (op, ts, seq, key, oldKey, data).
+    *
+    * `oldKey` is non-null only for updates that move the primary key: each PK
+    * field resolves from `old` with fallback to `data` (the Maxwell `old`
+    * object carries only changed fields, reference:
+    * MaxwellPipeLine.java:156-169) and the struct is nulled when it equals
+    * the new key (M5, reference: MaxwellPipeLine.java:110-112).
+    */
+  def typed(events: DataFrame, spec: TableSpec, flavor: Flavor = Maxwell): DataFrame = {
+    val data = col("data")
+    val old = col("old")
+    val keyStruct = struct(spec.pkCols.map(k =>
+      decode(field(data, k), spec.schema(spec.schema.fieldIndex(k)), flavor).as(k)): _*)
+    val oldKeyStruct = struct(spec.pkCols.map(k =>
+      decode(coalesce(field(old, k), field(data, k)),
+        spec.schema(spec.schema.fieldIndex(k)), flavor).as(k)): _*)
+    val dataStruct = struct(spec.schema.fields.toSeq.map(f =>
+      decode(field(data, f.name), f, flavor).as(f.name)): _*)
+
+    events
+      .filter(col("mappedTable") === spec.name)
+      .select(
+        col("op"), col("ts"), col("seq"),
+        keyStruct.as("key"),
+        when(col("op") === CdcOp.Update && old.isNotNull && !(oldKeyStruct <=> keyStruct),
+          oldKeyStruct).as("oldKey"),
+        when(col("op") =!= CdcOp.Delete, dataStruct).as("data"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.model.TableRegistry
+import graft.operators.Compaction
+import graft.parse.{MaxwellParser, DebeziumParser, Projection}
+import graft.sources.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** End-to-end CDC sync wiring — the Spark-native equivalent of the
+  * reference's poll → transform → dispatch → merge → load pipeline
+  * (reference: PipeLine.java:99-117, Scheduler.java:44-91). Thread pools,
+  * bounded queues, back-pressure and offset bookkeeping all collapse into
+  * Structured Streaming: micro-batch trigger ≙ `merge.interval`,
+  * `maxOffsetsPerTrigger` ≙ `merge.batch.size` back-pressure, the checkpoint
+  * WAL + idempotent merge ≙ the in-order barrier-gated offset commit C1
+  * (reference: KafkaPipeLine.java:69-83,146-189) — replaying a batch after a
+  * crash re-applies the same delete+upsert, which is idempotent, giving the
+  * same effectively-once guarantee.
+  */
+object CdcPipeline {
+
+  /** Apply one micro-batch of normalized events to every mapped table:
+    * typed projection → per-PK compaction → merge. The groupBy inside
+    * compaction shuffles each table's slice independently; tables are
+    * processed sequentially per batch like the reference's per-table loaders.
+    */
+  def applyBatch(
+      events: DataFrame,
+      registry: TableRegistry,
+      stores: Map[String, TableStore],
+      flavor: Projection.Flavor = Projection.Maxwell): Unit = {
+    // One pass over the (possibly Kafka-backed) batch feeds every table.
+    events.persist()
+    try {
+      registry.targets.foreach { target =>
+        val typed = Projection.typed(events, stores(target).spec, flavor)
+        stores(target).merge(Compaction.compact(typed))
+      }
+    } finally events.unpersist()
+  }
+
+  /** Maxwell-over-Kafka sync, the reference's primary deployment
+    * (reference: Bireme.java:188-218). `seq = offset` gives per-key total
+    * order provided the producer partitions by table/key — the same
+    * assumption the reference's per-partition FIFO relies on
+    * (SURVEY.md §7.3). Requires the spark-sql-kafka connector on the
+    * classpath.
+    */
+  def kafkaMaxwellStream(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      registry: TableRegistry,
+      stores: Map[String, TableStore],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // reference: KafkaPipeLine.java:198-208
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .select(col("value").cast("string").as("value"), col("offset"))
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores)
+      }
+      .start()
+  }
+
+  /** File-backed Maxwell sync: JSON-lines dropped into `inputDir` are merged
+    * continuously. Used by tests (no broker in CI) and as a bulk-replay path.
+    * `seq` is `batchId * 2^40 + monotonically_increasing_id()`: total across
+    * batches, partition-ordered within one — the same per-carrier ordering
+    * granularity the reference gets from one Kafka partition.
+    */
+  def fileMaxwellStream(
+      spark: SparkSession,
+      inputDir: String,
+      registry: TableRegistry,
+      stores: Map[String, TableStore],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val raw = spark.readStream.text(inputDir)
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val seq = lit(batchId) * lit(1L << 40) + monotonically_increasing_id()
+        applyBatch(MaxwellParser.events(batch, registry, seq), registry, stores)
+      }
+      .start()
+  }
+
+  /** Debezium-over-Kafka sync: one topic per table
+    * (reference: Bireme.java:206-212); topic name supplies the routing key.
+    */
+  def kafkaDebeziumStream(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topicPattern: String,
+      registry: TableRegistry,
+      stores: Map[String, TableStore],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("value"), col("offset"), col("topic"))
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(
+          DebeziumParser.events(batch, registry, col("offset"), col("topic")),
+          registry, stores, Projection.Debezium)
+      }
+      .start()
+  }
+}

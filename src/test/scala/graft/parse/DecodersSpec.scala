@@ -1,0 +1,65 @@
+package graft.parse
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DecodersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).head().get(0)
+
+  test("stripNul drops 0x00 but keeps everything else") {
+    assert(one(Decoders.stripNul(lit("a\u0000b c"))) == "ab c")
+  }
+
+  test("maxwell bit: int literal to zero-padded bit string") {
+    assert(one(Decoders.maxwellBit(lit("5"), 15)) == "000000000000101")
+    assert(one(Decoders.maxwellBit(lit("0"), 4)) == "0000")
+  }
+
+  test("debezium bit: true/false and base64 reversed bytes") {
+    assert(one(Decoders.debeziumBit(lit("true"), 1)) == "1")
+    assert(one(Decoders.debeziumBit(lit("false"), 1)) == "0")
+    // 5 → single byte 0x05 → "00000101" → low 3 bits "101"
+    val b5 = java.util.Base64.getEncoder.encodeToString(Array[Byte](5))
+    assert(one(Decoders.debeziumBit(lit(b5), 3)) == "101")
+    // 0x0102 little-endian payload [0x02, 0x01] reversed → 0x01,0x02
+    val b = java.util.Base64.getEncoder.encodeToString(Array[Byte](2, 1))
+    assert(one(Decoders.debeziumBit(lit(b), 15)) == "000000100000010")
+  }
+
+  test("debezium decimal: base64 unscaled + scale") {
+    // 12345 unscaled, scale 2 → 123.45
+    val enc = java.util.Base64.getEncoder.encodeToString(
+      java.math.BigInteger.valueOf(12345).toByteArray)
+    val got = one(Decoders.debeziumDecimal(lit(enc), DecimalType(5, 2)))
+    assert(got.toString == "123.45")
+    // negative: -1.50
+    val neg = java.util.Base64.getEncoder.encodeToString(
+      java.math.BigInteger.valueOf(-150).toByteArray)
+    assert(one(Decoders.debeziumDecimal(lit(neg), DecimalType(5, 2))).toString == "-1.50")
+  }
+
+  test("debezium date: epoch days") {
+    assert(one(Decoders.debeziumDate(lit("0"))).toString == "1970-01-01")
+    assert(one(Decoders.debeziumDate(lit("17436"))).toString == "2017-09-27")
+  }
+
+  test("debezium timestamp: epoch seconds + 9-digit nanos, GMT") {
+    // 1505886758 = 2017-09-20T05:52:38Z
+    val got = one(Decoders.debeziumTimestamp(lit("1505886758123456789"), 6))
+    assert(got.toString == "2017-09-20 05:52:38.123456")
+  }
+
+  test("debezium timestamp: Z-suffixed passes through") {
+    val got = one(Decoders.debeziumTimestamp(lit("2017-09-20T05:52:38.5Z"), 6))
+    assert(got.toString == "2017-09-20 05:52:38.5")
+  }
+
+  test("debezium time: epoch seconds + nanos → HH:mm:ss.f") {
+    assert(one(Decoders.debeziumTime(lit("1505886758123456789"), 3)) == "05:52:38.123")
+    assert(one(Decoders.debeziumTime(lit("1505886758123456789"), 0)) == "05:52:38")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.model.{TableRegistry, TableSpec}
+import graft.sources.ParquetTableStore
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+class CdcPipelineSpec extends SparkTestBase {
+
+  private val spec = TableSpec(
+    "public.test",
+    StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))),
+    Seq("id"))
+  private val registry = TableRegistry(
+    Map("demo.test" -> "public.test"), Map("public.test" -> spec))
+
+  test("file-backed maxwell stream syncs inserts/updates/deletes end-to-end") {
+    val in = tmpDir("cdc-in")
+    val ckpt = tmpDir("cdc-ckpt")
+    val storeRoot = tmpDir("cdc-store")
+    val store = new ParquetTableStore(spark, storeRoot, spec, 4)
+
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes,
+        StandardOpenOption.CREATE)
+
+    writeBatch("b0.json", Seq(
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"a"}}""",
+      """{"database":"demo","table":"test","type":"insert","ts":2,"data":{"id":2,"name":"b"}}""",
+      """{"database":"other","table":"x","type":"insert","ts":2,"data":{"id":9}}"""))
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(1 -> "a", 2 -> "b"))
+
+      writeBatch("b1.json", Seq(
+        """{"database":"demo","table":"test","type":"update","ts":3,"data":{"id":2,"name":"b2"},"old":{"name":"b"}}""",
+        """{"database":"demo","table":"test","type":"delete","ts":4,"data":{"id":1,"name":"a"}}""",
+        """{"database":"demo","table":"test","type":"insert","ts":5,"data":{"id":3,"name":"c"}}"""))
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(2 -> "b2", 3 -> "c"))
+    } finally q.stop()
+  }
+}
