@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational capability inventory (SURVEY.md §2.3) — the query
+  * surface the reference delegates to Greenplum over synced tables
+  * (reference: README.md:9,15), provided here by Catalyst over the same
+  * Parquet tables.
+  *
+  * Every query reads `sfDir` parquet and has an equivalent DuckDB oracle in
+  * [[RelationalQueries.oracles]]. Numeric aggregates are computed over exact
+  * decimals and cast to double at the end so both engines produce
+  * bit-identical values regardless of floating-point summation order — a sum
+  * of doubles is order-dependent and would flake under Spark's parallel
+  * partial aggregation.
+  *
+  * Scale notes (100 TB posture) live per-query below: filters stay pushed to
+  * the scan, small dimensions are broadcast, and nothing collects to the
+  * driver.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects; read the raw int64 nanos and truncate to Catalyst's
+    * microsecond timestamps (integer div — ns values exceed double's exact
+    * range, so no float math here).
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** sum(x) as exact decimal, emitted as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Scan + projection + filter: both predicates and the 4-column
+    // projection must reach the parquet reader (PushedFilters/ReadSchema).
+    "q01_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))
+    }),
+
+    // ── Hash aggregate: sum/avg/min/max/count/count-distinct with partial
+    // aggregation before the shuffle (one row per group per map task).
+    "q02_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("distinct_parts"))
+    }),
+
+    // ── Broadcast join: nation (25 rows) and region (5) broadcast to every
+    // task; no shuffle of the 100 TB fact side for the dimension joins.
+    "q03_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // ── Large shuffle join orders⋈lineitem on the natural key: both sides
+    // hash-partition on l_orderkey/o_orderkey; AQE handles skew at scale.
+    "q04_join_large" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("order_cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+    }),
+
+    // ── Left-semi join (EXISTS): the shape of the reference's delete apply L1
+    // (reference: ChangeLoader.java:346-369).
+    "q05_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // ── Left-anti join (NOT EXISTS).
+    "q06_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // ── Grouping sets: rollup.
+    "q07_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ── Grouping sets: cube.
+    "q08_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ── Ranking window: top-3 orders per customer. Deterministic via the
+    // unique o_orderkey tiebreak.
+    "q09_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // ── Frame aggregate: per-customer running total ordered by date+key.
+    "q10_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+    }),
+
+    // ── Global top-k: orderBy+limit plans as TakeOrderedAndProject — each
+    // partition keeps k rows, no full sort/shuffle of the table.
+    "q11_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
+    "q12_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val pos = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("o_custkey"))
+      f.union(p).distinct().except(oo).intersect(pos)
+        .select(col("o_custkey").as("custkey"))
+    }),
+
+    // ── Scalar string/math functions (codegen'd column expressions, no UDFs).
+    "q13_string_math" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_brand"), "#", "-").as("brand_dash"),
+        (col("p_size") % 7).as("size_mod7"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        abs(col("p_size") - 25).as("size_dist"))
+    }),
+
+    // ── Scalar date functions.
+    "q14_datetime" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since"))
+    }),
+
+    // ── Semi-structured: JSON field extraction from the events table.
+    "q15_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k_val")).as("sum_k"),
+          max(col("k_val")).as("max_k"))
+    }),
+
+    // ── Tumbling event-time window (same window() op Structured Streaming
+    // uses; here in batch so the driver can oracle-check it).
+    "q16_window_tumbling" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    }),
+
+    // ── Sliding window: 2h window, 1h slide → each event lands in 2 windows.
+    "q17_window_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("window.start")).as("win_start"), col("cnt"))
+    }),
+
+    // ── Session window (10-minute gap) per user — the batch form of
+    // session_window; the streaming variant is exercised in the test suite.
+    "q18_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("cnt"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05""".stripMargin,
+
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(*) AS cnt, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_join_large" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS order_cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q07_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q08_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q10_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q11_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q12_setops" ->
+      """SELECT o_custkey AS custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   UNION
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q13_string_math" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 10)) AS name10,
+        |  length(p_name) AS name_len, replace(p_brand, '#', '-') AS brand_dash,
+        |  p_size % 7 AS size_mod7, CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  abs(p_size - 25) AS size_dist
+        |FROM part""".stripMargin,
+
+    "q14_datetime" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders""".stripMargin,
+
+    "q15_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q16_window_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q17_window_sliding" ->
+      """SELECT CAST(epoch(win_start) AS BIGINT) AS win_start, count(*) AS cnt FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        |  FROM events) GROUP BY 1""".stripMargin,
+
+    "q18_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS cnt
+        |FROM sessions GROUP BY user_id, sess_id""".stripMargin
+  )
+}
