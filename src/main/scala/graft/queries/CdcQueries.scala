@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.model.{TableRegistry, TableSpec}
+import graft.operators.Compaction
+import graft.parse.{DebeziumParser, MaxwellParser, Projection}
+import graft.sources.ParquetTableStore
+import graft.streaming.CdcPipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-verifiable CDC queries: a deterministic change stream is derived
+  * from the `orders`/`customer` testdata tables, pushed through the real
+  * parse → compact → merge pipeline, and the final state is compared against
+  * a DuckDB oracle that computes the same replay declaratively — the Spark
+  * rendering of the reference's own golden test ("dump source and target,
+  * require exact equality", reference:
+  * integration_test/maxwell/check_result.py:26-37).
+  *
+  * The synthetic stream per order key k (seq gives per-key total order):
+  *  - every row: INSERT at seq 10k (M1)
+  *  - k%10 ∈ {0,1,2}: UPDATE priority→'RUSH' at 10k+1 (M4)
+  *  - k%10 = 1: second UPDATE status→'X' at 10k+2 (last-write-wins)
+  *  - k%10 = 3: DELETE at 10k+3 (M2)
+  *  - k%10 = 4: PK-change UPDATE key→k+10⁸ at 10k+1 (M3/M5)
+  *  - k%10 = 7: DELETE at 10k+1 then re-INSERT with custkey+1 at 10k+2 (M7)
+  */
+object CdcQueries {
+
+  private val mod = col("o_orderkey") % 10
+
+  // ── q20: the compaction operator alone, on typed events ──────────────────
+
+  private def typedEvents(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val dataT = o.schema
+    def key(k: Column) = struct(k.as("o_orderkey"))
+    def nullKey = lit(null).cast(StructType(Seq(StructField("o_orderkey", LongType))))
+    def ev(op: String, seqOff: Int, k: Column, oldK: Column, data: Column) =
+      Seq(lit(op).as("op"), (col("o_orderkey") * 10 + seqOff).as("seq"),
+        key(k).as("key"), oldK.as("oldKey"), data.as("data"))
+
+    val full = struct(o.columns.map(col): _*)
+    val rush = struct(o.columns.map {
+      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
+      case c => col(c)
+    }: _*)
+    val rushX = struct(o.columns.map {
+      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
+      case "o_orderstatus" => lit("X").as("o_orderstatus")
+      case c => col(c)
+    }: _*)
+    val moved = struct(o.columns.map {
+      case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey")
+      case c => col(c)
+    }: _*)
+    val reinserted = struct(o.columns.map {
+      case "o_custkey" => (col("o_custkey") + 1).as("o_custkey")
+      case c => col(c)
+    }: _*)
+
+    val inserts = o.select(ev("insert", 0, col("o_orderkey"), nullKey, full): _*)
+    val updates = o.filter(mod.isin(0, 1, 2))
+      .select(ev("update", 1, col("o_orderkey"), nullKey, rush): _*)
+    val updates2 = o.filter(mod === 1)
+      .select(ev("update", 2, col("o_orderkey"), nullKey, rushX): _*)
+    val deletes = o.filter(mod === 3)
+      .select(ev("delete", 3, col("o_orderkey"), nullKey, lit(null).cast(dataT)): _*)
+    val pkchange = o.filter(mod === 4)
+      .select(ev("update", 1, col("o_orderkey") + 100000000L, key(col("o_orderkey")), moved): _*)
+    val del7 = o.filter(mod === 7)
+      .select(ev("delete", 1, col("o_orderkey"), nullKey, lit(null).cast(dataT)): _*)
+    val reins7 = o.filter(mod === 7)
+      .select(ev("insert", 2, col("o_orderkey"), nullKey, reinserted): _*)
+
+    Seq(updates, updates2, deletes, pkchange, del7, reins7)
+      .foldLeft(inserts)(_ unionByName _)
+  }
+
+  // ── q21: Maxwell JSON envelopes derived from the same stream ─────────────
+
+  private def maxwellJson(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    def env(typ: String, seqOff: Int, data: Column, old: Column) =
+      Seq(to_json(struct(
+        lit("demo").as("database"), lit("orders").as("table"),
+        lit(typ).as("type"), lit(1700000000L).as("ts"),
+        data.as("data"), old.as("old"))).as("value"),
+        (col("o_orderkey") * 10 + seqOff).as("seq0"))
+
+    val full = struct(o.columns.map(col): _*)
+    val rush = struct(o.columns.map {
+      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
+      case c => col(c)
+    }: _*)
+    val rushX = struct(o.columns.map {
+      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
+      case "o_orderstatus" => lit("X").as("o_orderstatus")
+      case c => col(c)
+    }: _*)
+    val moved = struct(o.columns.map {
+      case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey")
+      case c => col(c)
+    }: _*)
+    val reinserted = struct(o.columns.map {
+      case "o_custkey" => (col("o_custkey") + 1).as("o_custkey")
+      case c => col(c)
+    }: _*)
+    val noOld = lit(null).cast(StructType(Seq(StructField("o_orderkey", LongType))))
+
+    val inserts = o.select(env("insert", 0, full, noOld): _*)
+    // Maxwell `old` carries only the changed fields' pre-images — for the
+    // non-PK updates that exercises the M5 oldKey-nulling fallback path.
+    val updates = o.filter(mod.isin(0, 1, 2))
+      .select(env("update", 1, rush, struct(col("o_orderpriority"))): _*)
+    val updates2 = o.filter(mod === 1)
+      .select(env("update", 2, rushX, struct(col("o_orderstatus"))): _*)
+    val deletes = o.filter(mod === 3).select(env("delete", 3, full, noOld): _*)
+    val pkchange = o.filter(mod === 4)
+      .select(env("update", 1, moved, struct(col("o_orderkey"))): _*)
+    val del7 = o.filter(mod === 7).select(env("delete", 1, full, noOld): _*)
+    val reins7 = o.filter(mod === 7).select(env("insert", 2, reinserted, noOld): _*)
+
+    Seq(updates, updates2, deletes, pkchange, del7, reins7)
+      .foldLeft(inserts)(_ unionByName _)
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  // ── q22: Debezium envelopes over customer ────────────────────────────────
+
+  private def debeziumJson(s: SparkSession, dir: String): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val cmod = col("c_custkey") % 10
+    def env(op: String, seqOff: Int, before: Column, after: Column) =
+      Seq(to_json(struct(struct(
+        lit(op).as("op"), lit(1700000000000L).as("ts_ms"),
+        before.as("before"), after.as("after")).as("payload"))).as("value"),
+        (col("c_custkey") * 10 + seqOff).as("seq0"),
+        lit("dbserver.public.customer").as("topic0"))
+
+    val full = struct(c.columns.map(col): _*)
+    val movedSeg = struct(c.columns.map {
+      case "c_mktsegment" => lit("MOVED").as("c_mktsegment")
+      case cc => col(cc)
+    }: _*)
+    val noRow = lit(null).cast(c.schema)
+
+    val snapshots = c.select(env("r", 0, noRow, full): _*)
+    val updates = c.filter(cmod === 5).select(env("u", 1, full, movedSeg): _*)
+    val deletes = c.filter(cmod === 6).select(env("d", 2, full, noRow): _*)
+    Seq(updates, deletes).foldLeft(snapshots)(_ unionByName _)
+  }
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def tempRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Compaction M1–M8 in isolation: the final action list per key.
+    "q20_cdc_compact" -> ((s, dir) => {
+      val batch = Compaction.compact(typedEvents(s, dir))
+      val dels = batch.deletes.select(
+        lit("delete").as("action"), col("o_orderkey"),
+        lit(null).cast(StringType).as("o_orderpriority"))
+      val ups = batch.upserts.select(
+        lit("upsert").as("action"), col("o_orderkey"), col("o_orderpriority"))
+      dels.unionByName(ups)
+    }),
+
+    // Full Maxwell path: JSON envelope parse → typed projection → compaction
+    // → bucketed Parquet merge → snapshot.
+    "q21_cdc_maxwell_e2e" -> ((s, dir) => {
+      val registry = TableRegistry(
+        Map("demo.orders" -> "public.orders"),
+        Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
+      val store = new ParquetTableStore(s, tempRoot(), registry.specFor("public.orders"), 16)
+      val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
+      CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
+      store.snapshot().withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    }),
+
+    // Full Debezium path over customer (snapshot reads + updates + deletes).
+    "q22_cdc_debezium_e2e" -> ((s, dir) => {
+      val registry = TableRegistry(
+        Map("public.customer" -> "public.customer_t"),
+        Map("public.customer_t" -> TableSpec("public.customer_t", customerSchema, Seq("c_custkey"))))
+      val store = new ParquetTableStore(s, tempRoot(), registry.specFor("public.customer_t"), 16)
+      val events = DebeziumParser.events(
+        debeziumJson(s, dir), registry, col("seq0"), col("topic0"))
+      CdcPipeline.applyBatch(events, registry, Map("public.customer_t" -> store),
+        Projection.Debezium)
+      store.snapshot()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_cdc_compact" ->
+      """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 IN (3, 4)
+        |UNION ALL
+        |SELECT 'upsert' AS action,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END,
+        |  CASE WHEN o_orderkey % 10 IN (0, 1, 2) THEN 'RUSH' ELSE o_orderpriority END
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    "q21_cdc_maxwell_e2e" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CASE WHEN o_orderkey % 10 IN (0, 1, 2) THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    "q22_cdc_debezium_e2e" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |  CASE WHEN c_custkey % 10 = 5 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 6""".stripMargin
+  )
+}
