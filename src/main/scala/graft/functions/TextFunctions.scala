@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, all as
+  * pure (codegen-friendly) column expressions — no UDFs, so every operator
+  * here runs inside whole-stage codegen and scales with the scan.
+  *
+  * These extend the engine beyond the reference's CDC surface (driver
+  * mandate, SURVEY.md §7.1.8): language ID, quality scoring, token counting,
+  * fingerprinting, SimHash/MinHash signatures for near-dedup.
+  *
+  * Determinism contract: everything derives from the input string via md5 /
+  * xxhash64 / integer arithmetic, so results are reproducible across runs and
+  * (for the md5-based ops) recomputable by other engines for verification.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empty strings filtered out. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are not lowercase-alphanumeric or space. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", "")) /
+      nullif(length(text), lit(0))
+
+  /** Fraction of tokens found in `stopwords` (duplicates counted). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    val toks = tokens(text)
+    aggregate(toks, lit(0),
+      (acc, t) => acc + when(array_contains(stops, t), 1).otherwise(0)) /
+      nullif(size(toks), lit(0))
+  }
+
+  /** Mean token length (null for token-less docs). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)) /
+      nullif(size(toks), lit(0))
+  }
+
+  /** Deterministic document-quality heuristic in [0,1]: rewards length (up
+    * to 50 tokens), low punctuation noise, and stopword presence — the
+    * standard cheap pre-filter shape for web-scale corpus cleaning.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    lit(0.4) * least(tokenCount(text) / lit(50.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(1.0))) +
+      lit(0.3) * coalesce(stopwordRatio(text, stopwords), lit(0.0))
+
+  /** Tiny per-language function-word lists for the n-gram/stopword language
+    * heuristic. Deliberately small and fixed: the point is a deterministic,
+    * cheap, vectorizable scorer, not linguistic accuracy.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "se", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men"))
+
+  /** Language ID: argmax of marker-word hit counts; ties resolve to the
+    * earlier list ('und' = no hits anywhere).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column = {
+      val ws = array(words.map(lit): _*)
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(array_contains(ws, t), 1).otherwise(0))
+    }
+    val scored = langMarkers.map { case (lang, ws) => (lang, score(ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Shared deterministic 60-bit word hash both Spark and DuckDB can compute:
+    * first 15 hex chars of md5, as a long. Used where an external oracle must
+    * reproduce the value; xxhash64 is faster but Spark-only.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Rolling polynomial document fingerprint over tokens (order-sensitive,
+    * whitespace-insensitive): fold acc = (acc*31 + md5Hash60(token)) mod 2^40.
+    * The modulus keeps the fold inside exact int64 range in any engine.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + md5Hash60(t)) % lit(1L << 40))
+
+  /** 63-bit SimHash over tokens (xxhash64 feature hashing): bit i is set iff
+    * the sum of ±1 votes from each token's hash bit i is positive. Near-dup
+    * docs differ in few bits; bucket by 16-bit bands to find them without
+    * all-pairs comparison.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    // One ±1 vote tally per bit position, unrolled statically (shift amounts
+    // must be literals); each tally is a codegen'd fold over the tokens.
+    (0 until 63).map { i =>
+      when(aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      ) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space); documents with
+    * fewer than k tokens contribute their whole token sequence as one
+    * shingle, so every non-empty doc has ≥1 shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)), j =>
+        concat_ws(" ", (0 until k).map(d => element_at(toks, j + d)): _*)))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** MinHash signature: k independent permutations simulated by seeded
+    * xxhash64; sig[i] = min over shingles of xxhash64(i, shingle). Two docs'
+    * signatures agree per position with probability = Jaccard similarity of
+    * their shingle sets.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(shingleCol, lit(Long.MaxValue), (acc, s) =>
+        least(acc, xxhash64(i, s))))
+}

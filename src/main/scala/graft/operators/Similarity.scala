@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast, so the big side streams through one scan
+  *    with no shuffle of the corpus; per-query top-k is a windowed rank.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Corpus and
+  *    queries hash to sign-pattern buckets; only same-bucket candidates get
+  *    exact rescoring. Bucket count 2^planes bounds each probe to
+  *    corpus/2^planes expected candidates.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions in double
+  * precision — codegen-friendly, no UDFs, deterministic.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param corpus  (idCol, vecCol) rows to search
+    * @param queries (idCol, vecCol) rows to search for — assumed small
+    *                enough to broadcast (the driver of per-query fan-out)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
+    * the sign of a bit of xxhash64 — reproducible with no RNG state (RNG
+    * would break resume/retry determinism in a distributed run).
+    */
+  private def planeSign(p: Int, j: Column): Column =
+    when(xxhash64(lit(p), j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-pattern bucket id of a vector under `planes` random hyperplanes
+    * with ±1 components: bit p = [Σⱼ signₚⱼ·vⱼ > 0].
+    */
+  def lshBucket(vec: Column, planes: Int = 8): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, j) => v.cast("double") * planeSign(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates are corpus vectors sharing the query's
+    * hyperplane bucket; exact cosine rescoring within the bucket. Recall is
+    * tuned by `planes` (fewer planes → bigger buckets → higher recall,
+    * more rescoring).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}
