@@ -1,0 +1,135 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Locale
+import java.util.regex.Pattern
+
+/** Compiled (plain-JVM) twins of the md5-based column hashes in
+  * [[TextFunctions]], for the per-document signature passes of
+  * [[graft.operators.Dedup]].
+  *
+  * Why these exist: higher-order-function column expressions
+  * (`transform`/`aggregate`) are interpreted, not codegen'd, and projection
+  * collapse re-inlines their subtrees — a k-position MinHash expressed that
+  * way re-evaluates the shingle pipeline k×bands times per row. A single
+  * compiled pass per document is linear and runs at memory bandwidth, which
+  * is the shape a 100 TB corpus needs (the per-doc work distributes with the
+  * scan; nothing here shuffles).
+  *
+  * Determinism contract: every hash bottoms out in md5 over UTF-8 bytes plus
+  * integer arithmetic kept inside int64 (no overflow, no platform variance),
+  * so an external engine (the DuckDB oracle) can recompute byte-identical
+  * signatures from the same SQL-expressible formulas.
+  */
+object TextHash {
+
+  /** Token split must match TextFunctions.tokens / the DuckDB oracle:
+    * lowercase, split on runs of non-[a-z0-9], drop empties.
+    */
+  private val TokenPattern: Pattern = Pattern.compile("[^a-z0-9]+")
+
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else TokenPattern.split(text.toLowerCase(Locale.ROOT), -1).filter(_.nonEmpty)
+
+  /** First 15 hex chars of md5(UTF-8) as a long — the compiled twin of
+    * [[TextFunctions.md5Hash60]] (= top 60 bits of the first 8 digest bytes).
+    */
+  def md5Hash60(md: MessageDigest, s: String): Long =
+    ByteBuffer.wrap(md.digest(s.getBytes(UTF_8)), 0, 8).getLong >>> 4
+
+  def md5Hash60(s: String): Long = md5Hash60(MessageDigest.getInstance("MD5"), s)
+
+  /** Word k-shingles; documents with fewer than k tokens contribute their
+    * whole token sequence as one shingle (so every doc has ≥1 shingle, the
+    * empty doc's being ""). Matches the DuckDB oracle's list_transform form.
+    */
+  def shingles(toks: Array[String], k: Int = 3): Array[String] =
+    if (toks.length >= k)
+      Array.tabulate(toks.length - k + 1)(j => toks.slice(j, j + k).mkString(" "))
+    else Array(toks.mkString(" "))
+
+  /** Largest prime below 2^30. Shingle hashes are reduced mod this so the
+    * affine permutations below stay inside int64: a < P, h < P ⇒ a·h+b < 2^60.
+    */
+  val MinhashPrime: Long = 1073741789L
+
+  /** Modulus of the band-key fold; 2^40 keeps acc·31+sig < 2^46. */
+  val BandFoldMod: Long = 1L << 40
+
+  /** Deterministic affine coefficients for the k MinHash permutations,
+    * derived from md5 so the oracle can rebuild them in SQL:
+    * a_i = md5Hash60("a:i") mod (P-1) + 1 (nonzero), b_i = md5Hash60("b:i") mod P.
+    */
+  def minhashCoeffs(k: Int): (Array[Long], Array[Long]) = {
+    val md = MessageDigest.getInstance("MD5")
+    val a = Array.tabulate(k)(i => md5Hash60(md, s"a:$i") % (MinhashPrime - 1) + 1)
+    val b = Array.tabulate(k)(i => md5Hash60(md, s"b:$i") % MinhashPrime)
+    (a, b)
+  }
+
+  /** MinHash signature of a shingle set: one md5 per shingle, then k affine
+    * permutations — O(|sh|·k) integer ops, not O(|sh|·k) digests.
+    * sig_i = min over shingles of (a_i · (md5Hash60(s) mod P) + b_i) mod P.
+    */
+  def minhashSignature(sh: Array[String], a: Array[Long], b: Array[Long],
+      md: MessageDigest): Array[Long] = {
+    val k = a.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val h = md5Hash60(md, sh(s)) % MinhashPrime
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * h + b(i)) % MinhashPrime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: fold each r-wide signature slice (seeded with the band
+    * index) as acc = (acc·31 + sig_p) mod 2^40 — the same fold the oracle
+    * writes as list_reduce(list_prepend(band, slice)).
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    Array.tabulate(bands) { bnd =>
+      var acc = bnd.toLong
+      var p = bnd * r
+      val end = p + r
+      while (p < end) { acc = (acc * 31 + sig(p)) % BandFoldMod; p += 1 }
+      acc
+    }
+  }
+
+  /** 60-bit SimHash over tokens (duplicates counted): bit i is set iff the
+    * sum of ±1 votes from bit i of each token's md5Hash60 is positive.
+    * Returns None for token-less documents.
+    */
+  def simhash60(md: MessageDigest, text: String): Option[Long] = {
+    val toks = tokens(text)
+    if (toks.isEmpty) None
+    else {
+      val votes = new Array[Int](60)
+      var t = 0
+      while (t < toks.length) {
+        val h = md5Hash60(md, toks(t))
+        var i = 0
+        while (i < 60) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        t += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 60) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      Some(fp)
+    }
+  }
+}
