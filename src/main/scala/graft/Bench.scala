@@ -12,7 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Materialize the query's own physical plan in full (every output
+      // column, every row) — a count() on top would let Catalyst prune the
+      // computed columns and under-measure projection-heavy queries.
+      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -70,17 +70,24 @@ object TextHash {
     (a, b)
   }
 
-  /** MinHash signature of a shingle set: one md5 per shingle, then k affine
-    * permutations — O(|sh|·k) integer ops, not O(|sh|·k) digests.
-    * sig_i = min over shingles of (a_i · (md5Hash60(s) mod P) + b_i) mod P.
+  /** Distinct hashed shingles of a token sequence: md5Hash60 mod P per
+    * shingle, deduped and sorted. Dedup happens AFTER hashing (two shingles
+    * colliding mod P count once) so the DuckDB oracle's
+    * `list_distinct(list_transform(sh, md5…))` computes the identical set —
+    * Jaccard verification runs over these longs, never over the strings.
     */
-  def minhashSignature(sh: Array[String], a: Array[Long], b: Array[Long],
-      md: MessageDigest): Array[Long] = {
+  def hashedShingles(toks: Array[String], md: MessageDigest, k: Int = 3): Array[Long] =
+    shingles(toks, k).map(s => md5Hash60(md, s) % MinhashPrime).distinct.sorted
+
+  /** MinHash signature over pre-hashed shingles — O(|hs|·k) integer ops,
+    * zero digests. sig_i = min over hs of (a_i · h + b_i) mod P.
+    */
+  def minhashFromHashes(hs: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
     val k = a.length
     val sig = Array.fill(k)(Long.MaxValue)
     var s = 0
-    while (s < sh.length) {
-      val h = md5Hash60(md, sh(s)) % MinhashPrime
+    while (s < hs.length) {
+      val h = hs(s)
       var i = 0
       while (i < k) {
         val v = (a(i) * h + b(i)) % MinhashPrime
@@ -92,11 +99,22 @@ object TextHash {
     sig
   }
 
+  /** MinHash signature of a shingle set: one md5 per shingle, then k affine
+    * permutations — O(|sh|·k) integer ops, not O(|sh|·k) digests.
+    * sig_i = min over shingles of (a_i · (md5Hash60(s) mod P) + b_i) mod P.
+    */
+  def minhashSignature(sh: Array[String], a: Array[Long], b: Array[Long],
+      md: MessageDigest): Array[Long] =
+    minhashFromHashes(sh.map(s => md5Hash60(md, s) % MinhashPrime), a, b)
+
   /** LSH band keys: fold each r-wide signature slice (seeded with the band
-    * index) as acc = (acc·31 + sig_p) mod 2^40 — the same fold the oracle
-    * writes as list_reduce(list_prepend(band, slice)).
+    * index) as acc = (acc·31 + sig_p) mod 2^40 — since the fold fits int64,
+    * this equals the polynomial (band·31^r + Σ sig_p·31^(r-1-p)) mod 2^40 the
+    * oracle writes as a grouped sum.
     */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    require(bands > 0 && sig.length % bands == 0,
+      s"bands=$bands must evenly divide signature width ${sig.length}")
     val r = sig.length / bands
     Array.tabulate(bands) { bnd =>
       var acc = bnd.toLong

@@ -1,12 +1,27 @@
 package graft.operators
 
-import graft.functions.TextFunctions._
+import java.security.MessageDigest
+
+import graft.functions.TextHash
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora, designed for the
   * 100 TB shape: every variant is a hash-bucketed shuffle (groupBy on a
   * digest or an LSH band key), never an all-pairs comparison.
+  *
+  * Signature computation (shingling, MinHash, SimHash) runs as ONE compiled
+  * `mapPartitions` pass per document via [[graft.functions.TextHash]] — one
+  * `MessageDigest` per partition, linear in corpus bytes, distributing with
+  * the scan. Higher-order-function column expressions are deliberately NOT
+  * used here: they are interpreted and projection collapse re-inlines their
+  * subtrees, re-running the shingle pipeline k×bands times per row (the
+  * round-3 q31 pathology: 1558 s for 6k docs).
+  *
+  * Every hash bottoms out in md5 (see TextHash's determinism contract), so a
+  * DuckDB oracle recomputes identical signatures; Jaccard verification is
+  * emitted as exact integers (intersection, union) — no float compare hazard.
   */
 object Dedup {
 
@@ -19,21 +34,50 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Per-document MinHash artifacts: (id, hs: distinct hashed shingles,
+    * bkeys: LSH band keys). Token-less documents are dropped.
+    */
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (a, b) = TextHash.minhashCoeffs(k)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = TextHash.tokens(text)
+          if (toks.isEmpty) None
+          else {
+            val hs = TextHash.hashedShingles(toks, md)
+            val sig = TextHash.minhashFromHashes(hs, a, b)
+            Some((id, hs, TextHash.bandKeys(sig, bands)))
+          }
+        }
+      }
+      .toDF("id", "hs", "bkeys")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
-    * Pipeline: word-3-gram shingles → k-wide MinHash signature → split into
-    * `bands` bands of `rowsPerBand` positions → explode to (band, bandKey)
-    * and shuffle-join on the band key (candidate generation is linear in
-    * corpus size, not quadratic) → verify candidates with exact Jaccard over
-    * distinct shingles → keep pairs ≥ `threshold`.
+    * Pipeline: word-3-gram shingles → k-wide MinHash signature → `bands` LSH
+    * band keys (all in one compiled pass, see [[minhashSigs]]) → explode to
+    * (band, bkey, id) — ids only, the shingle arrays never enter the band
+    * shuffle → self-join on the band key (candidate generation linear in
+    * corpus size, not quadratic) → dedup id pairs → re-attach the hashed
+    * shingle sets → exact Jaccard ≥ thresholdNum/thresholdDen.
     *
     * Band math: P(candidate) = 1 - (1 - j^r)^b — with 16×4 the s-curve
     * midpoint sits near j ≈ 0.5, standard for 0.6-0.8 thresholds.
     *
-    * Scale note: the band join's key cardinality ≈ corpus size × bands; a
-    * pathological bucket (many docs sharing a band key) is quadratic within
-    * the bucket only — cap it upstream with a `bucketCap` skew guard if the
-    * corpus has boilerplate floods.
+    * `bucketCap` is the skew guard: a band bucket holding > cap documents
+    * (boilerplate floods — empty pages, license headers) would go quadratic
+    * within the bucket, so it is dropped wholesale before the self-join. The
+    * cap bounds per-bucket join work at cap² regardless of corpus size.
+    *
+    * Output: (id_a, id_b, inter, uni) with jaccard = inter/uni — exact
+    * integers so an external oracle matches bit-for-bit.
     */
   def minhashPairs(
       df: DataFrame,
@@ -41,59 +85,67 @@ object Dedup {
       textCol: String,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5,
+      bucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
 
-    val sigs = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(col(textCol))).as("sh"),
-      minhashSignature(shingles(col(textCol)), k).as("sig"))
-      .filter(size(col("sh")) > 0)
+    val sigs = minhashSigs(df, idCol, textCol, k, bands)
 
-    val banded = sigs.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bkey")))).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bkey"))
+    val banded = sigs.select(col("id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val capped = banded
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsize") <= bucketCap)
+      .select("band", "bkey", "id")
 
-    val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = l.join(r, Seq("band", "bkey"))
+    val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
-  /** SimHash near-dup candidate pairs: docs whose 63-bit SimHash matches on
-    * at least one of four 16-bit bands (Hamming-distance blocking — two docs
-    * within Hamming distance 3 of each other share a band by pigeonhole).
-    * Verified by full-fingerprint Hamming distance ≤ `maxHamming`.
+  /** SimHash near-dup pairs: docs whose 60-bit SimHash
+    * ([[TextHash.simhash60]], one compiled pass) matches on at least one of
+    * four 15-bit bands (Hamming-distance blocking — two docs within Hamming
+    * distance 3 share a band by pigeonhole), verified by full-fingerprint
+    * Hamming distance ≤ `maxHamming`. The fingerprint is a single long, so
+    * carrying it through the band join costs nothing.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .filter(tokenCount(col(textCol)) > 0)
-    val banded = fp.select(col("id"), col("sh"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) => TextHash.simhash60(md, text).map(fp => (id, fp)) }
+      }
+      .toDF("id", "fp")
+
+    val banded = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bkey"))
-    val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+          shiftright(col("fp"), b * 15).bitwiseAND(0x7FFFL).as("bkey"))): _*)).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
+
+    val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

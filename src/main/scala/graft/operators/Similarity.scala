@@ -52,11 +52,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * the sign of a bit of xxhash64 — reproducible with no RNG state (RNG
-    * would break resume/retry determinism in a distributed run).
+    * bit 0 of md5Hash60("p:j") — reproducible with no RNG state (RNG would
+    * break resume/retry determinism in a distributed run) and md5-based so an
+    * external oracle (DuckDB) derives the identical hyperplanes.
     */
   private def planeSign(p: Int, j: Column): Column =
-    when(xxhash64(lit(p), j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+    when(graft.functions.TextFunctions.md5Hash60(concat(lit(s"$p:"), j.cast("string")))
+      .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-pattern bucket id of a vector under `planes` random hyperplanes
     * with ±1 components: bit p = [Σⱼ signₚⱼ·vⱼ > 0].

@@ -40,11 +40,10 @@ object PipelineQueries {
       Dedup.exactGroups(withExactDups(docs(s, dir)), "doc_id", "text")
     }),
 
-    // ── MinHash-LSH near-dedup: banded signature join, no all-pairs.
+    // ── MinHash-LSH near-dedup: one compiled signature pass, banded id-only
+    // join, exact integer Jaccard output (inter/uni) — no all-pairs, no float.
     "q31_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(withNearDups(docs(s, dir)), "doc_id", "text")
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 4).as("jaccard"))
     }),
 
     // ── SimHash near-dedup: Hamming-band blocking.
@@ -104,7 +103,115 @@ object PipelineQueries {
     })
   )
 
+  /** Shared oracle fragment: the near-dup corpus (must mirror withNearDups —
+    * `//` floor-division matches Spark's cast-to-int truncation of the
+    * positive double `n_chars*4/5`) and the tokenizer.
+    */
+  private val nearDupTok: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, CAST(n_chars * 4 // 5 AS INT))
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM corpus)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q31_dedup_minhash" ->
+      s"""WITH $nearDupTok,
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM tok WHERE len(toks) > 0),
+        |hsh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(sh,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS hs
+        |  FROM shing),
+        |dochash AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+        |coeffs AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('a:' || i), 1, 15)) AS BIGINT) % 1073741788 + 1 AS a,
+        |    CAST(('0x' || substr(md5('b:' || i), 1, 15)) AS BIGINT) % 1073741789 AS b
+        |  FROM range(64) t(i)),
+        |sig AS (
+        |  SELECT doc_id, i, min((a * h + b) % 1073741789) AS s
+        |  FROM dochash CROSS JOIN coeffs GROUP BY doc_id, i),
+        |bkeys AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    CAST(((i // 4) * 923521 + sum(s *
+        |      CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END))
+        |      % 1099511627776 AS BIGINT) AS bkey
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |capped AS (
+        |  SELECT doc_id, band, bkey FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+        |    FROM bkeys)
+        |  WHERE bsize <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |verified AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS inter,
+        |    CAST(len(ha.hs) + len(hb.hs) AS BIGINT) AS tot
+        |  FROM cand c
+        |  JOIN hsh ha ON ha.doc_id = c.id_a
+        |  JOIN hsh hb ON hb.doc_id = c.id_b)
+        |SELECT id_a, id_b, inter, tot - inter AS uni
+        |FROM verified WHERE inter * 5 >= (tot - inter) * 3""".stripMargin,
+
+    "q32_dedup_simhash" ->
+      s"""WITH $nearDupTok,
+        |tkn AS (SELECT doc_id, unnest(toks) AS tk FROM tok WHERE len(toks) > 0),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tkn),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN range(60) b(bit)
+        |  GROUP BY doc_id, b.bit),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS bkey
+        |  FROM fp CROSS JOIN range(4) b(band))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
+    "q37_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p.p,
+        |    list_sum(list_transform(range(1, len(v) + 1), j -> v[j] *
+        |      CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || (j - 1)), 1, 15)) AS BIGINT) & 1 = 1
+        |        THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM e CROSS JOIN range(8) p(p)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
+        |      FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        |q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c WHERE neighbor_id < 8)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+        |WHERE rank <= 10""".stripMargin,
+
     "q30_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Planted-corpus tests for the dedup operators: exact copies must collapse,
+  * near-copies must pair, unrelated docs must not, and the bucketCap skew
+  * guard must drop boilerplate floods.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Distinct long-ish sentences so unrelated docs share no shingles.
+  private def doc(i: Int): String =
+    s"document number $i talks about topic$i and subject$i with extra words " +
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+
+  test("exactGroups collapses exact copies to one keeper") {
+    val df = ((1 to 20).map(i => (i.toLong, doc(i))) :+ (100L, doc(7)))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length === 20)
+    val dup = groups.find(_.getAs[Long]("copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 7L)
+  }
+
+  test("minhashPairs finds planted near-dups and only those") {
+    val base = (1 to 30).map(i => (i.toLong, doc(i)))
+    // near-copy of doc 5: one word changed out of ~20
+    val near = (105L, doc(5).replace("alpha5", "ALTERED"))
+    val pairs = Dedup.minhashPairs((base :+ near).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((5L, 105L)))
+    val (_, _, inter, uni) = pairs.head
+    assert(inter > 0 && uni >= inter && inter * 5 >= uni * 3)
+  }
+
+  test("minhashPairs: identical docs have jaccard exactly 1") {
+    val df = Seq((1L, doc(1)), (2L, doc(1))).toDF("doc_id", "text")
+    val Array((inter, uni)) = Dedup.minhashPairs(df, "doc_id", "text")
+      .select("inter", "uni").as[(Long, Long)].collect()
+    assert(inter === uni)
+  }
+
+  test("minhashPairs bucketCap drops flooded buckets") {
+    val flood = (1 to 10).map(i => (i.toLong, doc(0))).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(flood, "doc_id", "text", bucketCap = 5).count() === 0)
+    assert(Dedup.minhashPairs(flood, "doc_id", "text", bucketCap = 10).count() === 45)
+  }
+
+  test("simhashPairs finds planted near-dups within the Hamming budget") {
+    val base = (1 to 30).map(i => (i.toLong, doc(i)))
+    val near = (105L, doc(5).replace("alpha5", "ALTERED"))
+    val pairs = Dedup.simhashPairs((base :+ near).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 105L && p._3 <= 3))
+    // identical docs sit at Hamming 0
+    val same = Dedup.simhashPairs(
+      Seq((1L, doc(1)), (2L, doc(1))).toDF("doc_id", "text"), "doc_id", "text")
+      .select("hamming").as[Int].collect()
+    assert(same.toSeq === Seq(0))
+  }
+
+  test("token-less documents are dropped, not paired") {
+    val df = Seq((1L, "!!!"), (2L, "???"), (3L, doc(3))).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(df, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashPairs(df, "doc_id", "text").count() === 0)
+  }
+}

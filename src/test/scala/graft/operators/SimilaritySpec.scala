@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Correctness + recall tests for the similarity operators: brute force must
+  * rank a known-nearest vector first, and the LSH path must recover a usable
+  * fraction of the exact top-k (the recall measurement the LSH variant's
+  * verification was missing).
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** Deterministic corpus: 200 seeded random unit-ish vectors. */
+  private def corpus: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks an exact near-copy first") {
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val nearCopy = v.clone(); nearCopy(0) = nearCopy(0) + 0.001f
+    val df = corpus.union(Seq((900L, v), (901L, nearCopy)).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 900L),
+      "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top.find(_._2 == 1).map(_._1).contains(901L) || top(901L) === 1)
+  }
+
+  test("lshTopK recall@10 against the exact top-10 clears a floor") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(c, q, "vec_id", "embedding", planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 hyperplanes over 200 random vectors: single-probe LSH should still
+    // recover a meaningful slice of the exact neighbors.
+    assert(recall >= 0.2, s"recall@10 was $recall")
+    // and every returned neighbor must share the query's bucket by construction
+    assert(approx.nonEmpty)
+  }
+
+  test("lshTopK never returns self-matches and respects k") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val rows = Similarity.lshTopK(c, q, "vec_id", "embedding", k = 10, planes = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.forall(r => r._1 != r._2))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 10))
+    assert(rows.forall(_._3 <= 10))
+  }
+}
