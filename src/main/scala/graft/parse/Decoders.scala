@@ -28,6 +28,14 @@ object Decoders {
     StructField(name, StringType, nullable = true,
       new MetadataBuilder().putLong(TimePrecisionKey, precision.toLong).build())
 
+  /** TIMESTAMP(p) column: fraction truncated to the declared scale on the
+    * Debezium path (reference: DebeziumPipeLine.java:146-174). Without this
+    * metadata a TimestampType field decodes at full microsecond scale.
+    */
+  def timestampField(name: String, precision: Int): StructField =
+    StructField(name, TimestampType, nullable = true,
+      new MetadataBuilder().putLong(TimePrecisionKey, precision.toLong).build())
+
   /** Strip NUL characters, which PostgreSQL text COPY cannot carry; the
     * reference drops them with a warning (reference: PipeLine.java:425-427).
     */

@@ -152,7 +152,12 @@ object Projection {
       }
       case TimestampType => flavor match {
         case Maxwell => raw.cast(TimestampType)
-        case Debezium => Decoders.debeziumTimestamp(raw, 6)
+        case Debezium =>
+          // Truncate the fraction to the column's declared scale, like the
+          // reference (DebeziumPipeLine.java:146-174); default TIMESTAMP(6).
+          val p = if (md.contains(Decoders.TimePrecisionKey))
+            md.getLong(Decoders.TimePrecisionKey).toInt else 6
+          Decoders.debeziumTimestamp(raw, p)
       }
       case dt => raw.cast(dt)
     }

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model.TableSpec
 import graft.operators.CompactedBatch
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * `DELETE … WHERE EXISTS (keys)` + bulk `COPY` in one transaction
   * (operators L1/L2/L4, reference: ChangeLoader.java:211-344); here the same
   * semantics are an anti-join plus union over a primary-key-bucketed Parquet
-  * layout.
+  * layout with a snapshot-manifest commit.
   */
 trait TableStore {
   def spec: TableSpec
@@ -19,22 +19,36 @@ trait TableStore {
   def merge(batch: CompactedBatch): Unit
 }
 
-/** Parquet-backed store, hash-bucketed by primary key.
+/** Parquet-backed store, hash-bucketed by primary key, committed via an
+  * atomic manifest pointer (the reference's single-transaction apply, L4).
   *
-  * Layout: `root/<table>/_bucket=N/part-*.parquet` where
-  * `N = pmod(hash(pk…), numBuckets)`. A merge only ever touches the buckets
-  * that contain a changed key:
+  * Layout:
+  * {{{
+  *   root/<table>/_current           — the manifest: "bucket<TAB>dirName" lines
+  *   root/<table>/data/<dir>/ (parquet files) — one immutable dir per bucket version
+  * }}}
+  *
+  * A merge only ever touches the buckets that contain a changed key:
   *
   *  1. compute the distinct affected bucket ids from the batch's keys (at
   *     most `numBuckets` values — safe to collect at any data scale);
-  *  2. read ONLY those buckets (Catalyst prunes the untouched partition
-  *     directories — at 100 TB with well-spread keys a 50k-row batch touches
-  *     a bounded subset of buckets, not the whole table);
+  *  2. read ONLY those buckets' current directories (at 100 TB with
+  *     well-spread keys a 50k-row batch touches a bounded subset of buckets,
+  *     not the whole table);
   *  3. anti-join out every changed key (deletes AND upsert keys — the
   *     reference's delete-before-insert M6), union the upsert rows;
-  *  4. write the rebuilt buckets to a staging dir and atomically swap the
-  *     bucket directories in (the transactional commit L4 — readers see old
-  *     or new bucket, never a half-written one).
+  *  4. write the rebuilt buckets as NEW immutable directories, then publish
+  *     them with ONE atomic rename of the manifest pointer.
+  *
+  * Readers resolve the manifest first, so they see the entire batch or none
+  * of it — there is no window where a bucket is missing or half-applied (the
+  * round-1..3 torn-commit finding). A crash at any point leaves either the
+  * old manifest (staged dirs become garbage, collected at the next merge) or
+  * the new one (replaced dirs become garbage, ditto).
+  *
+  * Concurrency contract: single writer per table (the reference pins one
+  * loader per table, ChangeLoader.java; Structured Streaming gives one
+  * foreachBatch at a time), any number of readers.
   *
   * Deleting a key that was never present is a no-op via the anti-join (M7).
   *
@@ -50,7 +64,10 @@ final class ParquetTableStore(
   extends TableStore {
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
-  private def fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val dataPath = new Path(tablePath, "data")
+  private val manifestPath = new Path(tablePath, "_current")
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fs = tablePath.getFileSystem(hadoopConf)
 
   private def bucketOf(keyCols: Seq[Column]): Column =
     pmod(hash(keyCols: _*), lit(numBuckets))
@@ -58,24 +75,83 @@ final class ParquetTableStore(
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("_bucket", bucketOf(spec.pkCols.map(df(_))))
 
-  def exists: Boolean = fs.exists(tablePath)
+  def exists: Boolean = fs.exists(manifestPath)
 
-  /** Initial (full) load. */
-  def init(df: DataFrame): Unit =
-    withBucket(df.select(spec.dataCols.map(col): _*))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(tablePath.toString)
+  // ── manifest: bucket -> immutable dir name under data/ ──────────────────
 
-  def snapshot(): DataFrame =
-    if (!exists) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
-    } else {
-      spark.read.schema(spec.schema.add("_bucket", "int")).parquet(tablePath.toString)
-        .select(spec.dataCols.map(col): _*)
+  private def readManifest(): Map[Int, String] =
+    if (!exists) Map.empty
+    else {
+      val in = fs.open(manifestPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line => val Array(b, d) = line.split('\t'); b.toInt -> d }
+        .toMap
+      finally in.close()
     }
 
+  /** Publish a new manifest with one atomic rename — the commit point. */
+  private def commitManifest(manifest: Map[Int, String]): Unit = {
+    val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(tmp.toUri, hadoopConf)
+      .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+  }
+
+  /** Drop data/ directories no manifest references: leftovers of crashed
+    * merges (staged-but-never-published) or of published merges that crashed
+    * before cleanup. Safe under the single-writer contract.
+    */
+  private def gcUnreferenced(manifest: Map[Int, String]): Unit =
+    if (fs.exists(dataPath)) {
+      val live = manifest.values.toSet
+      fs.listStatus(dataPath).foreach { st =>
+        if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      }
+    }
+
+  /** Write `df` bucketed under data/ as fresh immutable dirs named
+    * `<bucket>-<token>`; returns bucket -> dirName for buckets that got rows.
+    */
+  private def writeBucketDirs(df: DataFrame): Map[Int, String] = {
+    val token = System.nanoTime()
+    val staging = new Path(tablePath, s".staging_$token")
+    withBucket(df).write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    fs.mkdirs(dataPath)
+    val written = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix("_bucket=").toInt
+        val dir = s"$b-$token"
+        fs.rename(st.getPath, new Path(dataPath, dir))
+        b -> dir
+      }.toMap
+    fs.delete(staging, true)
+    written
+  }
+
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
+    else
+      spark.read.schema(spec.schema)
+        .parquet(dirs.map(d => new Path(dataPath, d).toString): _*)
+        .select(spec.dataCols.map(col): _*)
+
+  /** Initial (full) load — same commit protocol as a merge. */
+  def init(df: DataFrame): Unit = {
+    gcUnreferenced(readManifest())
+    commitManifest(writeBucketDirs(df.select(spec.dataCols.map(col): _*)))
+  }
+
+  def snapshot(): DataFrame = readDirs(readManifest().values.toSeq)
+
   def merge(batch: CompactedBatch): Unit = {
-    if (!exists)
-      init(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema))
+    val manifest = readManifest()
+    gcUnreferenced(manifest)
 
     val pk = spec.pkCols
     val changedKeys = batch.deletes.select(pk.map(col): _*)
@@ -84,31 +160,22 @@ final class ParquetTableStore(
     // Bounded by numBuckets — this collect never scales with data volume.
     val affected = changedKeys
       .select(bucketOf(pk.map(col)).as("_bucket")).distinct()
-      .collect().map(_.getInt(0))
+      .collect().map(_.getInt(0)).toSet
     if (affected.isEmpty) return
 
-    val current = spark.read
-      .schema(spec.schema.add("_bucket", "int"))
-      .parquet(tablePath.toString)
-      .filter(col("_bucket").isin(affected.map(Integer.valueOf): _*))
-      .select(spec.dataCols.map(col): _*)
-
+    val current = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
     val merged = current
       .join(changedKeys.hint("broadcast"), pk, "left_anti")
       .unionByName(batch.upserts.select(spec.dataCols.map(col): _*))
 
-    // Stage the rebuilt buckets, then swap directories: per-bucket atomic
-    // commit in the spirit of the reference's single-transaction apply (L4).
-    val staging = new Path(tablePath.getParent, s".staging_${tablePath.getName}_${System.nanoTime()}")
-    try {
-      withBucket(merged).write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
-      affected.foreach { b =>
-        val src = new Path(staging, s"_bucket=$b")
-        val dst = new Path(tablePath, s"_bucket=$b")
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
-        // a bucket whose rows were all deleted simply disappears
-      }
-    } finally fs.delete(staging, true)
+    val rebuilt = writeBucketDirs(merged)
+    // A bucket whose rows were all deleted simply leaves the manifest.
+    val next = (manifest -- affected) ++ rebuilt
+    commitManifest(next)
+
+    // Post-commit cleanup of the replaced dirs; a crash here only leaves
+    // garbage for the next merge's gc, never an inconsistent table.
+    manifest.filter(e => affected(e._1)).values
+      .foreach(d => fs.delete(new Path(dataPath, d), true))
   }
 }

@@ -75,9 +75,19 @@ object CdcPipeline {
 
   /** File-backed Maxwell sync: JSON-lines dropped into `inputDir` are merged
     * continuously. Used by tests (no broker in CI) and as a bulk-replay path.
-    * `seq` is `batchId * 2^40 + monotonically_increasing_id()`: total across
-    * batches, partition-ordered within one — the same per-carrier ordering
-    * granularity the reference gets from one Kafka partition.
+    *
+    * `seq` must give last-write-wins its per-key total order, mirroring the
+    * reference's single-partition FIFO (RowCache.java:36). Within a batch the
+    * ordinal is a `row_number` over (file name, intra-split position) —
+    * `monotonically_increasing_id` alone is NOT usable directly: it encodes
+    * `partitionId << 33 | row`, so a batch with ≥128 partitions would bleed
+    * into the next batch's `batchId * 2^40` range, and same-key events in
+    * different partitions of a multi-file batch would order by partition
+    * layout rather than file order. The dense row_number stays below 2^40
+    * for any real micro-batch. The global sort is a deliberate single-task
+    * stage: a file replay is one ordered log, exactly like the reference's
+    * one-partition carrier; the scale path is [[kafkaMaxwellStream]], whose
+    * order comes from Kafka offsets with no sort at all.
     */
   def fileMaxwellStream(
       spark: SparkSession,
@@ -91,8 +101,11 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val seq = lit(batchId) * lit(1L << 40) + monotonically_increasing_id()
-        applyBatch(MaxwellParser.events(batch, registry, seq), registry, stores)
+        import org.apache.spark.sql.expressions.Window
+        val arrival = Window.orderBy(input_file_name(), monotonically_increasing_id())
+        val ordered = batch.withColumn("_seq",
+          lit(batchId) * lit(1L << 40) + row_number().over(arrival))
+        applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores)
       }
       .start()
   }

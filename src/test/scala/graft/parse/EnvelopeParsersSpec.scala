@@ -127,4 +127,24 @@ class EnvelopeParsersSpec extends SparkTestBase {
     assert(data.getAs[String]("bits") == "101")
     assert(data.getAs[String]("t") == "05:52:38.123")
   }
+
+  test("debezium TIMESTAMP(p) truncates the fraction to the declared scale") {
+    val spec = TableSpec("public.tsp",
+      StructType(Seq(StructField("id", IntegerType))
+        :+ Decoders.timestampField("ts3", 3)
+        :+ StructField("ts6", TimestampType)),
+      Seq("id"))
+    val reg = TableRegistry(Map("public.tsp" -> "public.tsp"), Map("public.tsp" -> spec))
+    val raw = Seq((
+      """{"payload":{"op":"c","ts_ms":1,"after":{"id":1,"ts3":"1505886758123456789","ts6":"1505886758123456789"}}}""",
+      "db.public.tsp")).toDF("value", "topic")
+    val data = Projection.typed(
+      DebeziumParser.events(raw, reg, lit(1L), col("topic")), spec, Projection.Debezium)
+      .head().getAs[org.apache.spark.sql.Row]("data")
+    // declared TIMESTAMP(3): fraction cut to milliseconds (reference
+    // truncates to column scale, DebeziumPipeLine.java:146-174)
+    assert(data.getAs[java.sql.Timestamp]("ts3").toString == "2017-09-20 05:52:38.123")
+    // undeclared precision keeps the default microsecond scale
+    assert(data.getAs[java.sql.Timestamp]("ts6").toString == "2017-09-20 05:52:38.123456")
+  }
 }

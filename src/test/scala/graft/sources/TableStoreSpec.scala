@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkTestBase
 import graft.model.TableSpec
 import graft.operators.CompactedBatch
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 class TableStoreSpec extends SparkTestBase {
@@ -56,5 +57,38 @@ class TableStoreSpec extends SparkTestBase {
     val once = state(s)
     s.merge(batch)
     assert(state(s) == once && once == Map(2 -> "b2", 5 -> "e"))
+  }
+
+  test("crash leftovers before the pointer flip never surface to readers") {
+    val rootDir = tmpDir("store")
+    val s = new ParquetTableStore(spark, rootDir, spec, 8)
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val before = state(s)
+
+    // Simulate a merge that staged new bucket dirs and died before the
+    // atomic manifest rename: unreferenced dirs + a stale manifest temp.
+    val data = new java.io.File(rootDir, "public_t/data")
+    val orphan = new java.io.File(data, "3-999999999")
+    orphan.mkdirs()
+    val leftoverParquet = Seq((99, "GHOST")).toDF("id", "v")
+    leftoverParquet.write.mode("overwrite").parquet(orphan.toString + "/inner")
+    java.nio.file.Files.writeString(
+      new java.io.File(rootDir, "public_t/_current.tmp.123").toPath, "3\t3-999999999")
+
+    // Readers still see exactly the committed state.
+    assert(state(s) == before)
+
+    // The next merge garbage-collects the orphan and commits atomically.
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((4, "d")).toDF("id", "v")))
+    assert(state(s) == Map(2 -> "b", 4 -> "d"))
+    assert(!orphan.exists())
+  }
+
+  test("a batch deleting a whole bucket removes it from the manifest") {
+    val s = newStore(buckets = 2)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"),
+      spark.emptyDataFrame.select(lit(0).as("id"), lit("").as("v")).limit(0)))
+    assert(state(s) == Map.empty)
   }
 }

@@ -48,4 +48,31 @@ class CdcPipelineSpec extends SparkTestBase {
         Map(2 -> "b2", 3 -> "c"))
     } finally q.stop()
   }
+
+  test("same-key events split across files of ONE batch resolve in file order") {
+    val in = tmpDir("cdc-in2")
+    val ckpt = tmpDir("cdc-ckpt2")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-store2"), spec, 4)
+
+    // Both files exist before the stream starts → a single micro-batch with
+    // multiple splits; last-write-wins must follow file order, not the
+    // partition layout (the round-3 seq-ordering finding).
+    Files.write(Paths.get(in, "a0.json"), String.join("\n",
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"first"}}""",
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":2,"name":"x"}}""").getBytes,
+      StandardOpenOption.CREATE)
+    Files.write(Paths.get(in, "a1.json"), String.join("\n",
+      """{"database":"demo","table":"test","type":"update","ts":2,"data":{"id":1,"name":"last"},"old":{"name":"first"}}""",
+      """{"database":"demo","table":"test","type":"delete","ts":2,"data":{"id":2,"name":"x"}}""").getBytes,
+      StandardOpenOption.CREATE)
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(1 -> "last"))
+    } finally q.stop()
+  }
 }
