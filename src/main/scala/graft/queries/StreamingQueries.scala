@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared streaming queries (SURVEY.md §2.3: "streaming … windows with
+  * watermark"): real Structured Streaming executions made driver-verifiable
+  * by replaying a DETERMINISTIC three-file arrival schedule into a memory
+  * sink.
+  *
+  * q19 arrival schedule over the `events` table:
+  *  - a0 (batch 0): the on-time bulk — ts before the cutoff, id not %7;
+  *  - a1 (batch 1): the watermark pusher — every event from the cutoff to
+  *    the end of the month (including the global max ts);
+  *  - a2 (batch 2): the stragglers — the id%7 rows spread across the whole
+  *    month, now arriving two batches late.
+  *
+  * Spark's watermark split (late-event filtering uses the PREVIOUS batch's
+  * watermark; state eviction uses the current one — verified empirically on
+  * this engine with a minimal repro) means batch 2's filter runs at
+  * wm1 = max(a0.ts) - delay: a2 rows in windows ending before wm1 are
+  * DROPPED, a2 rows in still-open windows merge, and append mode emits
+  * exactly the windows ending before the final watermark. The oracle
+  * reproduces that arithmetic declaratively; an engine that failed to drop
+  * late rows (or emitted open windows) produces different counts.
+  */
+object StreamingQueries {
+
+  private val LateCut = "2024-01-29 00:00:00"
+
+  /** Write `df` as ONE json file at `dir/name` with the given mtime rank —
+    * the file source lists oldest-first, which fixes the arrival order.
+    */
+  private def dumpArrivalFile(df: DataFrame, dir: Path, name: String, mtimeMs: Long): Unit = {
+    val tmp = dir.resolve(s"tmp_$name")
+    df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-")
+      && p.getFileName.toString.endsWith(".json")).findFirst().get()
+    val target = dir.resolve(name)
+    Files.move(part, target)
+    Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    // remove the spark output dir scaffolding (_SUCCESS etc.)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  def watermarkTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val events = RelationalQueries.events(spark, dir) // ns→µs ts normalization
+    val cut = lit(LateCut).cast("timestamp")
+    val straggler = col("event_id") % 7 === 0 && col("ts") < cut
+
+    val in = Files.createTempDirectory("q19_in")
+    val ckpt = Files.createTempDirectory("q19_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(events.filter(!straggler && col("ts") < cut), in, "a0.json", now - 120000)
+    dumpArrivalFile(events.filter(col("ts") >= cut), in, "a1.json", now - 60000)
+    dumpArrivalFile(events.filter(straggler), in, "a2.json", now)
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(in.toString)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("cnt"), col("sum_value"), col("max_id"))
+
+    val sink = s"q19_sink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)))
+
+  /** The watermark replay, declaratively: wm1 = the watermark established by
+    * batch 0 (the late-event filter in effect when the stragglers arrive in
+    * batch 2); wmF = the final watermark. a0/a1 rows are never late; a2 rows
+    * count only into windows still open at wm1; append mode emits exactly
+    * the windows closed at wmF.
+    */
+  val oracles: Map[String, String] = Map(
+    "q19_stream_watermark" ->
+      s"""WITH a0 AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_id % 7 = 0) AND ts < TIMESTAMP '$LateCut'),
+        |a2 AS (
+        |  SELECT * FROM events
+        |  WHERE event_id % 7 = 0 AND ts < TIMESTAMP '$LateCut'),
+        |wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a0),
+        |wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        |inc AS (
+        |  SELECT date_trunc('hour', ts) AS ws, value, event_id FROM a0
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts), value, event_id FROM events
+        |  WHERE ts >= TIMESTAMP '$LateCut'
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts), value, event_id FROM a2
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1))
+        |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM inc
+        |WHERE ws + INTERVAL 1 HOUR < (SELECT w FROM wmf)
+        |GROUP BY ws""".stripMargin)
+}
