@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.model.{TableRegistry, TableSpec}
+import graft.obs.{PipelineMetrics, StateServer}
 import graft.sources.ParquetTableStore
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.SparkSession
@@ -37,6 +38,12 @@ object CdcDemo {
     val in = Files.createDirectory(work.resolve("in"))
     val store = new ParquetTableStore(spark, work.resolve("tables").toString, spec, 8)
 
+    // X1/X2: per-pipeline metrics + the reference's state JSON endpoint
+    val metrics = new PipelineMetrics("demo-source")
+    spark.streams.addListener(metrics)
+    val stateServer = new StateServer(metrics, requestedPort = 0)
+    stateServer.start()
+
     Files.write(in.resolve("batch0.json"), java.util.Arrays.asList(
       """{"database":"demo","table":"accounts","type":"insert","ts":1,"data":{"id":1,"owner":"ada","balance":"10.00"}}""",
       """{"database":"demo","table":"accounts","type":"insert","ts":2,"data":{"id":2,"owner":"bob","balance":"20.00"}}""",
@@ -68,6 +75,10 @@ object CdcDemo {
     store.snapshot().createOrReplaceTempView("accounts")
     spark.sql("SELECT * FROM accounts ORDER BY id").show()
     spark.sql("SELECT count(*) AS n, sum(balance) AS total FROM accounts").show()
+
+    println(s"== pipeline state (also served at http://localhost:${stateServer.port}/) ==")
+    println(metrics.stateJson(pretty = true))
+    stateServer.stop()
     spark.stop()
   }
 }

@@ -1,0 +1,66 @@
+package graft.obs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Listener + state endpoint over a real (file-backed) streaming query. */
+class PipelineMetricsSpec extends SparkTestBase {
+
+  test("listener tracks progress, state transitions, and renders state JSON") {
+    val metrics = new PipelineMetrics("test-source")
+    spark.streams.addListener(metrics)
+    try {
+      val in = tmpDir("obs-in")
+      Files.write(Paths.get(in, "f0.json"),
+        """{"ts":"2024-01-01T10:00:00.000Z","v":1}
+          |{"ts":"2024-01-01T11:00:00.000Z","v":2}""".stripMargin.getBytes)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType)))
+      val q = spark.readStream.schema(schema).json(in)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .writeStream.format("memory").queryName("obs_sink")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("obs-ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are delivered asynchronously — poll for the terminal state
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !metrics.pipelines.exists(p => p.rows == 2 && p.state == "FINISHED"))
+        Thread.sleep(100)
+
+      val ps = metrics.pipelines
+      assert(ps.exists(p => p.rows == 2 && p.batches >= 1),
+        s"expected a pipeline with 2 input rows, got $ps")
+      val done = ps.find(_.rows == 2).get
+      assert(done.state == "FINISHED")
+      assert(done.delayMs >= 0, "watermark-based delay should be known")
+
+      val json = metrics.stateJson()
+      assert(json.contains(""""source_name": "test-source""""))
+      assert(json.contains(""""state": "FINISHED""""))
+      // valid JSON: the driver-side python would parse this; cheap sanity here
+      assert(json.count(_ == '{') == json.count(_ == '}'))
+    } finally spark.streams.removeListener(metrics)
+  }
+
+  test("state HTTP endpoint serves the JSON (X2)") {
+    val metrics = new PipelineMetrics("http-source")
+    val server = new StateServer(metrics, requestedPort = 0)
+    server.start()
+    try {
+      val url = java.net.URI.create(s"http://localhost:${server.port}/?pretty").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains(""""source_name": "http-source""""))
+      assert(body.contains(""""pipelines""""))
+    } finally server.stop()
+  }
+}

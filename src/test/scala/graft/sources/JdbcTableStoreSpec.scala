@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.TableSpec
+import graft.operators.CompactedBatch
+import org.apache.spark.sql.types._
+
+/** The TableStore contract exercised on the JDBC sink (embedded Derby):
+  * same merge scenarios TableStoreSpec runs on the Parquet store, plus the
+  * single-transaction rollback the reference's loader guarantees.
+  */
+class JdbcTableStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = TableSpec(
+    "public.t",
+    StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+    Seq("id"))
+
+  private def newStore() = new JdbcTableStore(
+    spark, s"jdbc:derby:memory:db${System.nanoTime()};create=true", spec)
+
+  // Derby uppercases unquoted identifiers; read positionally.
+  private def state(s: TableStore): Map[Int, String] =
+    s.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("init + snapshot round-trips") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(state(s) == Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("merge applies deletes then upserts (M6) in one transaction") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    s.merge(CompactedBatch(
+      deletes = Seq(2).toDF("id"),
+      upserts = Seq((1, "a2"), (4, "d")).toDF("id", "v")))
+    assert(state(s) == Map(1 -> "a2", 3 -> "c", 4 -> "d"))
+  }
+
+  test("merge into a missing table creates it; deleting absent keys is a no-op (M7)") {
+    val s = newStore()
+    s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
+    assert(state(s) == Map(1 -> "a"))
+  }
+
+  test("idempotent re-apply of the same batch (crash-replay safety)") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val batch = CompactedBatch(Seq(1).toDF("id"), Seq((2, "b2"), (5, "e")).toDF("id", "v"))
+    s.merge(batch)
+    val once = state(s)
+    s.merge(batch)
+    assert(state(s) == once && once == Map(2 -> "b2", 5 -> "e"))
+  }
+
+  test("a failing merge rolls back atomically — deletes are not left applied") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // the oversized tuple fails the insert stage AFTER the deletes ran;
+    // the single transaction must roll both back (reference: 128-138)
+    val tooLong = "x" * 5000
+    val bad = CompactedBatch(Seq(1).toDF("id"), Seq((2, tooLong)).toDF("id", "v"))
+    intercept[Exception](s.merge(bad))
+    assert(state(s) == Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("parquet and jdbc stores agree on an identical merge sequence") {
+    val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
+    val j = newStore()
+    val initial = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val batches = Seq(
+      CompactedBatch(Seq(2).toDF("id"), Seq((1, "a2"), (4, "d")).toDF("id", "v")),
+      CompactedBatch(Seq(4, 9).toDF("id"), Seq((5, "e")).toDF("id", "v")))
+    p.init(initial); j.init(initial)
+    batches.foreach { b => p.merge(b); j.merge(b) }
+    assert(state(p) == state(j))
+  }
+}
