@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
+
+/** O2: the pipeline state machine / restart policy. The reference marks a
+  * pipeline ERROR on any stage exception and drops it from the scheduler's
+  * rotation (reference: PipeLine.java:40,84-97, Scheduler.java:49-88 — an
+  * ERROR pipeline is never resubmitted); restarting is left to the operator.
+  * Here a supervisor thread watches the query, restarts it up to
+  * `maxRestarts` times on failure (the checkpoint makes the replay safe —
+  * the merge is idempotent), and poisons it to ERROR when the budget is
+  * exhausted.
+  *
+  * States: NORMAL (running, possibly after restarts) → STOPPED (clean
+  * [[stop]]) | ERROR (failed `maxRestarts`+1 times).
+  */
+final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3) {
+
+  @volatile private var current: StreamingQuery = _
+  @volatile private var _restarts = 0
+  @volatile private var _state = "NORMAL"
+  @volatile private var _lastError: Option[String] = None
+  private val stopping = new AtomicBoolean(false)
+  private val monitor = new Thread(() => loop(), "graft-query-supervisor")
+
+  def start(): this.type = {
+    current = startFn()
+    monitor.setDaemon(true)
+    monitor.start()
+    this
+  }
+
+  private def loop(): Unit = {
+    var done = false
+    while (!done) {
+      val error: Option[String] =
+        try { current.awaitTermination(); None }
+        catch { case e: StreamingQueryException => Some(e.getMessage) }
+      error match {
+        case None =>
+          if (!stopping.get()) _state = "STOPPED"
+          done = true
+        case Some(msg) =>
+          _lastError = Some(msg)
+          if (stopping.get()) { done = true }
+          else if (_restarts < maxRestarts) {
+            _restarts += 1
+            current = startFn()
+          } else {
+            _state = "ERROR" // poisoned — dropped from rotation, like the reference
+            done = true
+          }
+      }
+    }
+  }
+
+  def state: String = _state
+  def restarts: Int = _restarts
+  def lastError: Option[String] = _lastError
+  def query: StreamingQuery = current
+
+  /** Block until the underlying query has processed all available input —
+    * retries across supervised restarts.
+    */
+  def processAllAvailable(deadlineMs: Long = 60000): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    var ok = false
+    while (!ok && System.currentTimeMillis() < end && _state == "NORMAL") {
+      try { current.processAllAvailable(); ok = true }
+      catch { case _: Exception => Thread.sleep(100) } // query mid-restart
+    }
+  }
+
+  def stop(): Unit = {
+    stopping.set(true)
+    _state = "STOPPED"
+    try current.stop() catch { case _: Exception => () }
+    monitor.join(10000)
+  }
+}
