@@ -72,19 +72,27 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates are corpus vectors sharing the query's
-    * hyperplane bucket; exact cosine rescoring within the bucket. Recall is
-    * tuned by `planes` (fewer planes → bigger buckets → higher recall,
-    * more rescoring).
+  /** Approximate top-k with multi-probe: candidates are corpus vectors in
+    * the query's hyperplane bucket OR any bucket at Hamming distance 1 from
+    * it (each probe flips one hyperplane's sign bit — the buckets most
+    * likely to hold near neighbors that landed just across a plane). Exact
+    * cosine rescoring within the probed buckets. Recall is tuned by `planes`
+    * (fewer → bigger buckets) and multi-probe (×(planes+1) candidates);
+    * each corpus vector sits in exactly one bucket, so probes never produce
+    * duplicate candidate pairs and the scan stays a single bucket join.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, planes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket")))
-    val scored = q.join(c, Seq("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val probed = broadcast(q.select(col("query_id"), col("qv"),
+      explode(array(col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket")))
+    val scored = probed.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     import org.apache.spark.sql.expressions.Window

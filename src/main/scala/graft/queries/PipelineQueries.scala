@@ -83,10 +83,14 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
     }),
 
-    // ── LSH-bucketed ANN: the 100 TB path (bucket join + exact rescoring).
+    // ── LSH-bucketed ANN: the 100 TB path (multi-probe bucket join + exact
+    // rescoring). planes sizes the bucket count to the corpus: 2^4 buckets
+    // for the 10³-vector test corpora; a web-scale corpus raises it so the
+    // per-probe candidate set stays bounded.
     "q37_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        planes = 4)
     }),
 
     // ── Multimodal plumbing: binary payload + partition-batched decode stub
@@ -197,19 +201,24 @@ object PipelineQueries {
         |    list_sum(list_transform(range(1, len(v) + 1), j -> v[j] *
         |      CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || (j - 1)), 1, 15)) AS BIGINT) & 1 = 1
         |        THEN 1.0 ELSE -1.0 END)) AS pr
-        |  FROM e CROSS JOIN range(8) p(p)),
+        |  FROM e CROSS JOIN range(4) p(p)),
         |bkt AS (
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
         |  FROM proj GROUP BY vec_id),
         |c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
         |      FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
-        |q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c WHERE neighbor_id < 8)
+        |q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c WHERE neighbor_id < 8),
+        |probed AS (
+        |  SELECT query_id, qv, bucket FROM q
+        |  UNION ALL
+        |  SELECT query_id, qv, CAST(xor(bucket, CAST(1 AS BIGINT) << p.p) AS BIGINT)
+        |  FROM q CROSS JOIN range(4) p(p))
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
-        |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+        |  FROM probed JOIN c USING (bucket) WHERE query_id <> neighbor_id)
         |WHERE rank <= 10""".stripMargin,
 
     "q30_dedup_exact" ->
