@@ -36,6 +36,11 @@ object Dedup {
 
   /** Per-document MinHash artifacts: (id, hs: distinct hashed shingles,
     * bkeys: LSH band keys). Token-less documents are dropped.
+    *
+    * Persisted: the plan below consumes this four times (both band-join
+    * sides + both shingle re-attachments); without the cache each use
+    * rescans the corpus and recomputes every signature. Spark's
+    * ContextCleaner unpersists it once the returned plan is unreferenced.
     */
   private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
@@ -57,6 +62,7 @@ object Dedup {
         }
       }
       .toDF("id", "hs", "bkeys")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash-LSH near-duplicate pairs.
@@ -133,6 +139,8 @@ object Dedup {
         it.flatMap { case (id, text) => TextHash.simhash60(md, text).map(fp => (id, fp)) }
       }
       .toDF("id", "fp")
+      // consumed by both band-join sides — cache one fingerprint pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>
