@@ -49,6 +49,35 @@ class CdcPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes where the stream left off (C1 effectively-once)") {
+    val in = tmpDir("cdc-in3")
+    val ckpt = tmpDir("cdc-ckpt3")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-store3"), spec, 4)
+    def start() = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+
+    Files.write(Paths.get(in, "r0.json"), String.join("\n",
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"a"}}""",
+      """{"database":"demo","table":"test","type":"insert","ts":2,"data":{"id":2,"name":"b"}}""").getBytes,
+      StandardOpenOption.CREATE)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // the stream is DOWN while new events land — a crash/redeploy window
+    Files.write(Paths.get(in, "r1.json"), String.join("\n",
+      """{"database":"demo","table":"test","type":"update","ts":3,"data":{"id":1,"name":"a2"},"old":{"name":"a"}}""",
+      """{"database":"demo","table":"test","type":"delete","ts":4,"data":{"id":2,"name":"b"}}""").getBytes,
+      StandardOpenOption.CREATE)
+
+    // a fresh query on the same checkpoint must process ONLY r1 (the WAL
+    // already recorded r0) and land on the exact replay result
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a2"))
+  }
+
   test("same-key events split across files of ONE batch resolve in file order") {
     val in = tmpDir("cdc-in2")
     val ckpt = tmpDir("cdc-ckpt2")
