@@ -121,6 +121,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index — the exact counterpart of [[minhashPairs]] (no signature
+    * approximation, so recall is 1 by construction for any pair sharing a
+    * discriminative shingle).
+    *
+    * Pipeline: one compiled pass produces each doc's distinct hashed
+    * 3-gram set → explode to (shingle, id) postings → drop shingles whose
+    * document frequency exceeds `maxShingleDf` (ubiquitous boilerplate
+    * n-grams generate quadratic candidate floods while discriminating
+    * nothing — the df-cap twin of minhash's bucketCap) → self-join postings
+    * on the shingle (candidates = pairs sharing ≥1 surviving shingle) →
+    * verify with exact Jaccard over the FULL shingle sets.
+    *
+    * Output: (id_a, id_b, inter, uni) — same exact-integer contract as
+    * [[minhashPairs]].
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = TextHash.tokens(text)
+          if (toks.isEmpty) None else Some((id, TextHash.hashedShingles(toks, md)))
+        }
+      }
+      .toDF("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val postings = docs.select(col("id"), explode(col("hs")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxShingleDf)
+      .select("h", "id")
+
+    val pairs = postings.select(col("h"), col("id").as("id_a"))
+      .join(postings.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   /** SimHash near-dup pairs: docs whose 60-bit SimHash
     * ([[TextHash.simhash60]], one compiled pass) matches on at least one of
     * four 15-bit bands (Hamming-distance blocking — two docs within Hamming

@@ -72,6 +72,36 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of the
+    * dedup family: pairs of corpus vectors with cosine ≥ threshold.
+    * Candidate generation is the same multi-probe hyperplane bucketing as
+    * [[lshTopK]] (near-identical vectors share a bucket or sit one flipped
+    * plane apart), so the scan is one bucket join, never all-pairs; exact
+    * cosine verifies each candidate. `threshold` should sit far from the
+    * cosine values of unrelated vectors (random high-dim pairs concentrate
+    * near 0) so the float compare is unambiguous across engines.
+    */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, planes: Int = 6): DataFrame = {
+    // norms precomputed per VECTOR so the per-PAIR check is one dot fold:
+    // dot(a,b) ≥ θ·|a|·|b|  ⇔  cosine ≥ θ (norms are positive)
+    val c = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"),
+      l2Norm(col(vecCol)).as("n"))
+    val probed = c.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+      explode(array(col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket"))
+    probed
+      .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(dot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Approximate top-k with multi-probe: candidates are corpus vectors in
     * the query's hyperplane bucket OR any bucket at Hamming distance 1 from
     * it (each probe flips one hyperplane's sign bit — the buckets most

@@ -34,6 +34,17 @@ object PipelineQueries {
 
   private val stops = TextFunctions.langMarkers.head._2 // the "en" list
 
+  /** embeddings ∪ perturbed copies (×0.9 + 0.01 per component, exact double
+    * math both engines reproduce) of every 5th vector (id+10⁶). Cast to
+    * double FIRST so Spark and the oracle compute identical values.
+    */
+  private def withNearVecs(e: DataFrame): DataFrame = {
+    val d = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    d.unionByName(d.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Exact dedup: hash aggregate on content digest.
     "q30_dedup_exact" -> ((s, dir) => {
@@ -49,6 +60,18 @@ object PipelineQueries {
     // ── SimHash near-dedup: Hamming-band blocking.
     "q32_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
+    // ── Exact n-gram Jaccard near-dedup: inverted shingle index with a
+    // document-frequency skew cap; same integer (inter, uni) contract.
+    "q39_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
+    // ── Embedding-cosine near-dedup: multi-probe hyperplane buckets + exact
+    // cosine ≥ 0.9 over a corpus with planted perturbed copies.
+    "q40_dedup_embed" -> ((s, dir) => {
+      Similarity.cosinePairs(withNearVecs(emb(s, dir)), "vec_id", "embedding")
     }),
 
     // ── Per-document text statistics (all codegen column expressions).
@@ -123,20 +146,40 @@ object PipelineQueries {
       |                t -> t <> '') AS toks
       |  FROM corpus)""".stripMargin
 
+  /** Shared oracle fragment: distinct hashed 3-gram shingle sets per doc
+    * (the front of both Jaccard-family oracles).
+    */
+  private val shingleCtes: String =
+    s"""$nearDupTok,
+      |shing AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])
+      |      ELSE [array_to_string(toks, ' ')] END AS sh
+      |  FROM tok WHERE len(toks) > 0),
+      |hsh AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(sh,
+      |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS hs
+      |  FROM shing)""".stripMargin
+
+  /** Shared oracle tail: verify a `cand(id_a, id_b)` CTE with exact Jaccard
+    * over the full shingle sets; integer (inter, uni) output, threshold 3/5.
+    */
+  private val jaccardTail: String =
+    """verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS inter,
+      |    CAST(len(ha.hs) + len(hb.hs) AS BIGINT) AS tot
+      |  FROM cand c
+      |  JOIN hsh ha ON ha.doc_id = c.id_a
+      |  JOIN hsh hb ON hb.doc_id = c.id_b)
+      |SELECT id_a, id_b, inter, tot - inter AS uni
+      |FROM verified WHERE inter * 5 >= (tot - inter) * 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q31_dedup_minhash" ->
-      s"""WITH $nearDupTok,
-        |shing AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |             j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])
-        |      ELSE [array_to_string(toks, ' ')] END AS sh
-        |  FROM tok WHERE len(toks) > 0),
-        |hsh AS (
-        |  SELECT doc_id, list_sort(list_distinct(list_transform(sh,
-        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS hs
-        |  FROM shing),
+      s"""WITH $shingleCtes,
         |dochash AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
         |coeffs AS (
         |  SELECT i,
@@ -162,15 +205,46 @@ object PipelineQueries {
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM capped a JOIN capped b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |verified AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS inter,
-        |    CAST(len(ha.hs) + len(hb.hs) AS BIGINT) AS tot
-        |  FROM cand c
-        |  JOIN hsh ha ON ha.doc_id = c.id_a
-        |  JOIN hsh hb ON hb.doc_id = c.id_b)
-        |SELECT id_a, id_b, inter, tot - inter AS uni
-        |FROM verified WHERE inter * 5 >= (tot - inter) * 3""".stripMargin,
+        |$jaccardTail""".stripMargin,
+
+    "q39_dedup_ngram" ->
+      s"""WITH $shingleCtes,
+        |post AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfreq
+        |    FROM (SELECT doc_id, unnest(hs) AS h FROM hsh))
+        |  WHERE dfreq <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |$jaccardTail""".stripMargin,
+
+    "q40_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |proj AS (
+        |  SELECT vec_id, p.p,
+        |    list_sum(list_transform(range(1, len(v) + 1), j -> v[j] *
+        |      CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || (j - 1)), 1, 15)) AS BIGINT) & 1 = 1
+        |        THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM e CROSS JOIN range(6) p(p)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |c AS (SELECT e.vec_id AS id, v, bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        |probed AS (
+        |  SELECT id, v, bucket FROM c
+        |  UNION ALL
+        |  SELECT id, v, CAST(xor(bucket, CAST(1 AS BIGINT) << p.p) AS BIGINT)
+        |  FROM c CROSS JOIN range(6) p(p))
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM probed a JOIN c b USING (bucket)
+        |WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     "q32_dedup_simhash" ->
       s"""WITH $nearDupTok,

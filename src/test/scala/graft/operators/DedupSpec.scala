@@ -49,6 +49,23 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(flood, "doc_id", "text", bucketCap = 10).count() === 45)
   }
 
+  test("ngramJaccardPairs finds planted near-dups exactly, df-cap drops floods") {
+    val base = (1 to 30).map(i => (i.toLong, doc(i)))
+    val near = (105L, doc(5).replace("alpha5", "ALTERED"))
+    val pairs = Dedup.ngramJaccardPairs((base :+ near).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((5L, 105L)))
+    // exact: must agree with minhash's verification on the same pair
+    val mh = Dedup.minhashPairs((base :+ near).toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b", "inter", "uni").as[(Long, Long, Long, Long)].collect()
+    assert(pairs.toSet === mh.toSet)
+    // a df-cap of 1 drops every shared shingle → no candidates at all
+    val capped = Dedup.ngramJaccardPairs((base :+ near).toDF("doc_id", "text"),
+      "doc_id", "text", maxShingleDf = 1)
+    assert(capped.count() === 0)
+  }
+
   test("simhashPairs finds planted near-dups within the Hamming budget") {
     val base = (1 to 30).map(i => (i.toLong, doc(i)))
     val near = (105L, doc(5).replace("alpha5", "ALTERED"))

@@ -47,6 +47,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("cosinePairs finds planted perturbed copies and nothing else") {
+    import org.apache.spark.sql.functions._
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // planted near-copy of vector 7: scaled + small offset, cosine ≈ 1
+    val planted = c.filter($"vec_id" === 7L).select(
+      lit(907L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding"))
+    val pairs = Similarity.cosinePairs(c.unionByName(planted), "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 907L)), s"expected planted pair, got $pairs")
+    // random 16-dim pairs can brush the 0.9 threshold, but the planted pair
+    // must dominate: nothing else may involve vector 907
+    assert(pairs.filter(p => p._1 == 907L || p._2 == 907L) == Set((7L, 907L)))
+  }
+
   test("lshTopK never returns self-matches and respects k") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
