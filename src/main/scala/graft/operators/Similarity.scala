@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-to-right double fold (deterministic order). */
+  /** Σ aᵢ·bᵢ as a left-to-right double loop — a native codegen'd
+    * [[graft.functions.DotProduct]] expression (same summation order as the
+    * interpreted HOF fold it replaced, so values are bit-identical; the HOF
+    * version walked a lambda evaluator per element and allocated a products
+    * array per pair — the dominant cost of candidate verification).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -51,26 +55,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * bit 0 of md5Hash60("p:j") — reproducible with no RNG state (RNG would
-    * break resume/retry determinism in a distributed run) and md5-based so an
-    * external oracle (DuckDB) derives the identical hyperplanes.
+  /** Sign-pattern bucket id of a vector under `planes` deterministic
+    * hyperplanes with ±1 components: bit p = [Σⱼ signₚⱼ·vⱼ > 0].
+    *
+    * The component sign for (plane p, dim j) is bit 0 of md5Hash60("p:j") —
+    * no RNG state (RNG would break resume/retry determinism in a
+    * distributed run) and md5-based so an external oracle (DuckDB) derives
+    * the identical hyperplanes. The sign matrix depends only on (p, j), so
+    * it is materialized ONCE on the driver (TextHash.md5Hash60 is the
+    * byte-identical JVM twin of the column formula, pinned by
+    * TextHashSpec's differential test) and shipped as literal vectors: each
+    * projection is then one codegen'd [[dot]] instead of an interpreted
+    * per-element lambda computing an md5 per row. Literal planes are padded
+    * to `maxDim`; the dot's min-length loop ignores the excess.
     */
-  private def planeSign(p: Int, j: Column): Column =
-    when(graft.functions.TextFunctions.md5Hash60(concat(lit(s"$p:"), j.cast("string")))
-      .bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-pattern bucket id of a vector under `planes` random hyperplanes
-    * with ±1 components: bit p = [Σⱼ signₚⱼ·vⱼ > 0].
-    */
-  def lshBucket(vec: Column, planes: Int = 8): Column =
+  def lshBucket(vec: Column, planes: Int = 8, maxDim: Int = 1024): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, j) => v.cast("double") * planeSign(p, j)),
-        lit(0.0), (acc, v) => acc + v)
+      val signs = Array.tabulate(maxDim) { j =>
+        if ((graft.functions.TextHash.md5Hash60(md, s"$p:$j") & 1L) == 1L) 1.0 else -1.0
+      }
+      val proj = dot(vec, typedlit(signs.toSeq))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member of the
     * dedup family: pairs of corpus vectors with cosine ≥ threshold.
