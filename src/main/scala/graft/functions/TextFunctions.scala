@@ -98,22 +98,6 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31 + md5Hash60(t)) % lit(1L << 40))
 
-  /** 63-bit SimHash over tokens (xxhash64 feature hashing): bit i is set iff
-    * the sum of ±1 votes from each token's hash bit i is positive. Near-dup
-    * docs differ in few bits; bucket by 16-bit bands to find them without
-    * all-pairs comparison.
-    */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    // One ±1 vote tally per bit position, unrolled statically (shift amounts
-    // must be literals); each tally is a codegen'd fold over the tokens.
-    (0 until 63).map { i =>
-      when(aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      ) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   /** Word k-shingles (k consecutive tokens joined by a space); documents with
     * fewer than k tokens contribute their whole token sequence as one
     * shingle, so every non-empty doc has ≥1 shingle.
@@ -125,14 +109,10 @@ object TextFunctions {
         concat_ws(" ", (0 until k).map(d => element_at(toks, j + d)): _*)))
       .otherwise(array(array_join(toks, " ")))
   }
-
-  /** MinHash signature: k independent permutations simulated by seeded
-    * xxhash64; sig[i] = min over shingles of xxhash64(i, shingle). Two docs'
-    * signatures agree per position with probability = Jaccard similarity of
-    * their shingle sets.
-    */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(shingleCol, lit(Long.MaxValue), (acc, s) =>
-        least(acc, xxhash64(i, s))))
+  // NOTE: per-document SimHash/MinHash signatures deliberately have NO
+  // column-expression form here — higher-order-function columns are
+  // interpreted and re-inlined by projection collapse (the round-3 q31
+  // pathology). Signature passes live in [[TextHash]] (compiled) and are
+  // driven from graft.operators.Dedup via mapPartitions; `shingles` above
+  // stays as the column-semantics anchor for TextHash's differential tests.
 }
