@@ -61,19 +61,22 @@ final class JdbcTableStore(
     try f(conn) finally conn.close()
   }
 
-  private def tableExists(conn: Connection): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table, null)
+  private def tableExists(conn: Connection, name: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, name, null)
     try rs.next() finally rs.close()
   }
 
-  /** Create the target table (and its key-staging twin) if missing — the
-    * reference instead probes pre-existing warehouse DDL (Table.java:30-88);
-    * self-creation keeps the embedded-target tests hermetic.
+  /** Create the target table and/or its key-staging twin if missing — each
+    * independently, so a target pre-created by the warehouse side (the
+    * reference's normal deployment: it probes pre-existing DDL,
+    * Table.java:30-88) still gets its staging table.
     */
   def ensureTable(): Unit = withConnection { conn =>
-    if (!tableExists(conn)) {
+    if (!tableExists(conn, table)) {
       val cols = spec.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
       conn.createStatement().execute(s"CREATE TABLE $table ($cols)")
+    }
+    if (!tableExists(conn, stage)) {
       val keyCols = pkFields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
       conn.createStatement().execute(s"CREATE TABLE $stage ($keyCols)")
     }

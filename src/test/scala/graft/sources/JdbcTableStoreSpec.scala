@@ -66,6 +66,17 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("a target pre-created by the warehouse side still gets its staging table") {
+    val url = s"jdbc:derby:memory:db${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE PUBLIC_T (id INTEGER, v VARCHAR(4000))")
+    finally conn.close()
+    val s = new JdbcTableStore(spark, url, spec)
+    s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
+    assert(state(s) == Map(1 -> "a"))
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
