@@ -115,11 +115,18 @@ final class ParquetTableStore(
 
   /** Write `df` bucketed under data/ as fresh immutable dirs named
     * `<bucket>-<token>`; returns bucket -> dirName for buckets that got rows.
+    *
+    * The pre-write `repartition(_bucket)` makes each bucket ONE task's
+    * output (one file), instead of `partitionBy` fanning every shuffle
+    * partition across every bucket — without it a merge at P shuffle
+    * partitions writes up to P tiny files per bucket, and at 10⁴⁺ buckets
+    * the file count explodes quadratically with cluster size.
     */
   private def writeBucketDirs(df: DataFrame): Map[Int, String] = {
     val token = System.nanoTime()
     val staging = new Path(tablePath, s".staging_$token")
-    withBucket(df).write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+    withBucket(df).repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
     fs.mkdirs(dataPath)
     val written = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("_bucket="))
