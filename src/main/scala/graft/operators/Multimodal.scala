@@ -87,4 +87,19 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1,
           greatest(lit(1), (col("n_frames") / lit(every)).cast("int"))))
         .otherwise(array(lit(0))))
+
+  /** Fit-within-`maxSide` resize plan: target dimensions preserving aspect
+    * ratio, integer math only (floor division in both engines) so an
+    * external oracle reproduces them exactly. The pixel transform itself is
+    * the codec seam's job; the engine's part is the metadata arithmetic and
+    * the partition-batched pass shape, like [[decode]].
+    */
+  def resizeMeta(meta: DataFrame, maxSide: Int = 224): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    def fit(c: org.apache.spark.sql.Column) =
+      when(longest <= maxSide, c)
+        .otherwise((c * maxSide / longest).cast("int"))
+    meta.withColumn("resized_w", fit(col("width")))
+      .withColumn("resized_h", fit(col("height")))
+  }
 }

@@ -127,6 +127,23 @@ object PipelineQueries {
       val meta = Multimodal.decode(assets).toDF()
       val feats = Multimodal.features(assets)
       meta.join(feats, "asset_id")
+    }),
+
+    // ── Multimodal prep transforms: fit-within resize metadata + evenly
+    // spaced frame sampling (the keyframe step before per-frame features).
+    "q41_multimodal_prep" -> ((s, dir) => {
+      val assets = docs(s, dir).select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.resizeMeta(
+        Multimodal.frameSampleIndices(Multimodal.decode(assets)))
+        .select(col("asset_id"), col("modality"), col("n_frames"),
+          col("resized_w"), col("resized_h"),
+          // csv-join the index array: list-vs-ndarray renderings differ
+          // between engines, strings compare exactly
+          array_join(col("sample_frames").cast("array<string>"), ",").as("frames_csv"))
     })
   )
 
@@ -375,6 +392,28 @@ object PipelineQueries {
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
         |  FROM q, c WHERE query_id <> neighbor_id)
         |WHERE rank <= 10""".stripMargin,
+
+    "q41_multimodal_prep" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS modality,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT asset_id, modality,
+        |    n % 512 + 32 AS width,
+        |    n // 7 % 512 + 32 AS height,
+        |    CASE WHEN modality = 'image' THEN 1 ELSE n * 3 // 1000 + 1 END AS n_frames
+        |  FROM a)
+        |SELECT asset_id, modality, n_frames,
+        |  CASE WHEN greatest(width, height) <= 224 THEN width
+        |       ELSE width * 224 // greatest(width, height) END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 224 THEN height
+        |       ELSE height * 224 // greatest(width, height) END AS resized_h,
+        |  CASE WHEN n_frames > 1
+        |       THEN array_to_string(range(0, n_frames, greatest(1, n_frames // 10)), ',')
+        |       ELSE '0' END AS frames_csv
+        |FROM m""".stripMargin,
 
     "q38_multimodal" ->
       """WITH a AS (
