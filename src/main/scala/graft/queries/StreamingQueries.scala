@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path}
 import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
