@@ -52,3 +52,83 @@ final case class TableRegistry(tableMap: Map[String, String], specs: Map[String,
   def specFor(target: String): TableSpec = specs(target)
   def targets: Seq[String] = tableMap.values.toSeq.distinct
 }
+
+object TableRegistry {
+
+  /** §1.4 parity: build the registry from the TARGET database's own metadata
+    * at startup, exactly like the reference — a zero-row probe per mapped
+    * table for column names/types/precision/scale (reference: Table.java:67-78,
+    * `select * from <t> where 1=2`) and a primary-key lookup that fails fast
+    * when a mapped table is missing or has no PK (reference:
+    * GetPrimaryKeys.java:39-83, "All tables must have primary keys",
+    * README.md:20). The PK query is the portable JDBC
+    * `DatabaseMetaData.getPrimaryKeys` instead of the reference's
+    * Greenplum-specific `pg_index` SQL; the fail-fast contract is identical.
+    *
+    * @param ident how a target name maps to a DB identifier — the default
+    *              mirrors [[graft.sources.JdbcTableStore]]
+    *              (`public.orders → PUBLIC_ORDERS`); a real PostgreSQL target
+    *              would pass `identity`.
+    */
+  def fromJdbc(
+      url: String,
+      tableMap: Map[String, String],
+      ident: String => String = _.replace('.', '_').toUpperCase): TableRegistry = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val specs = tableMap.values.toSeq.distinct.map { target =>
+        val t = ident(target)
+        val st = conn.createStatement()
+        val fields = try {
+          val rs = st.executeQuery(s"SELECT * FROM $t WHERE 1=0")
+          try {
+            val md = rs.getMetaData
+            (1 to md.getColumnCount).map { i =>
+              StructField(
+                md.getColumnName(i).toLowerCase,
+                catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i),
+                  target, md.getColumnName(i)))
+            }
+          } finally rs.close()
+        } finally st.close()
+
+        val pkCols = {
+          val rs = conn.getMetaData.getPrimaryKeys(null, null, t)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+          try while (rs.next()) buf += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME").toLowerCase
+          finally rs.close()
+          buf.sortBy(_._1).map(_._2).toSeq
+        }
+        require(pkCols.nonEmpty,
+          s"table $target ($t) has no primary key — startup fails fast like the " +
+            "reference (GetPrimaryKeys.java:71-83)")
+        target -> TableSpec(target, StructType(fields), pkCols)
+      }.toMap
+      TableRegistry(tableMap, specs)
+    } finally conn.close()
+  }
+
+  /** java.sql.Types → Catalyst, the inverse of SURVEY.md §1.3's target-type
+    * dispatch (reference switches on these same codes, PipeLine.java:298-356).
+    */
+  private def catalystType(
+      sqlType: Int, precision: Int, scale: Int,
+      table: String, column: String): DataType = {
+    import java.sql.Types._
+    sqlType match {
+      case TINYINT | SMALLINT | INTEGER => IntegerType
+      case BIGINT => LongType
+      case DOUBLE | FLOAT => DoubleType
+      case REAL => FloatType
+      case BOOLEAN | BIT => BooleanType
+      case DATE => DateType
+      case TIMESTAMP => TimestampType
+      case DECIMAL | NUMERIC => DecimalType(precision, scale)
+      case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR | CLOB | NCLOB =>
+        StringType
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB => BinaryType
+      case other =>
+        throw new IllegalArgumentException(s"$table.$column: unsupported JDBC type code $other")
+    }
+  }
+}

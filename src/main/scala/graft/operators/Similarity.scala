@@ -67,15 +67,22 @@ object Similarity {
     * TextHashSpec's differential test) and shipped as literal vectors: each
     * projection is then one codegen'd [[dot]] instead of an interpreted
     * per-element lambda computing an md5 per row. Literal planes are padded
-    * to `maxDim`; the dot's min-length loop ignores the excess.
+    * to `maxDim` for vectors shorter than it; a vector LONGER than `maxDim`
+    * fails the plan loudly (`raise_error`) — silently bucketing on a
+    * truncated prefix would degrade recall and diverge from the full-vector
+    * oracle with no signal. Callers with wider embeddings raise `maxDim`.
     */
   def lshBucket(vec: Column, planes: Int = 8, maxDim: Int = 1024): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val checked = when(size(vec) <= maxDim, vec).otherwise(raise_error(concat(
+      lit("lshBucket: embedding dimension "), size(vec).cast("string"),
+      lit(s" exceeds maxDim=$maxDim; pass a larger maxDim"))))
     (0 until planes).map { p =>
       val signs = Array.tabulate(maxDim) { j =>
         if ((graft.functions.TextHash.md5Hash60(md, s"$p:$j") & 1L) == 1L) 1.0 else -1.0
       }
-      val proj = dot(vec, typedlit(signs.toSeq))
+      // the guard rides plane 0 only — one O(1) size check per row
+      val proj = dot(if (p == 0) checked else vec, typedlit(signs.toSeq))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -92,20 +99,29 @@ object Similarity {
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, planes: Int = 6): DataFrame = {
-    // norms precomputed per VECTOR so the per-PAIR check is one dot fold:
-    // dot(a,b) ≥ θ·|a|·|b|  ⇔  cosine ≥ θ (norms are positive)
-    val c = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"),
-      l2Norm(col(vecCol)).as("n"))
-    val probed = c.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+    // Candidate generation shuffles ONLY (id, bucket) through the
+    // ×(planes+1) probe explode and the pair dedup; vectors are re-attached
+    // afterwards, once per surviving candidate (the minhashPairs pattern —
+    // carrying the vectors through the explode multiplied the candidate-join
+    // shuffle volume by the probe count for rows that mostly dedup away).
+    val ids = df.select(col(idCol).cast("long").as("id"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val probed = ids.select(col("id").as("id_a"),
       explode(array(col("bucket") +:
         (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
         .as("bucket"))
-    probed
-      .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"),
-        col("bucket")), Seq("bucket"))
+    val cand = probed
+      .join(ids.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // norms precomputed per VECTOR so the per-PAIR check is one dot fold:
+    // dot(a,b) ≥ θ·|a|·|b|  ⇔  cosine ≥ θ (norms are positive)
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("n"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
       .filter(dot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
       .select(col("id_a"), col("id_b"))
   }

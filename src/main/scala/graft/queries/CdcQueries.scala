@@ -3,7 +3,7 @@ package graft.queries
 import graft.model.{TableRegistry, TableSpec}
 import graft.operators.Compaction
 import graft.parse.{DebeziumParser, MaxwellParser, Projection}
-import graft.sources.ParquetTableStore
+import graft.sources.{JdbcTableStore, ParquetTableStore}
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -192,6 +192,27 @@ object CdcQueries {
       store.snapshot().withColumn("o_orderdate", col("o_orderdate").cast("date"))
     }),
 
+    // The same Maxwell stream merged through the JDBC warehouse sink
+    // (embedded Derby): parse → compact → executor-parallel staging →
+    // DELETE WHERE EXISTS + INSERT-SELECT in one transaction → snapshot read
+    // back over JDBC. Same oracle as q21 — the two sinks must converge.
+    "q23_cdc_jdbc_e2e" -> ((s, dir) => {
+      val registry = TableRegistry(
+        Map("demo.orders" -> "public.orders"),
+        Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
+      val store = new JdbcTableStore(
+        s, s"jdbc:derby:memory:graft_q23_${System.nanoTime()};create=true",
+        registry.specFor("public.orders"))
+      val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
+      CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
+      // Derby metadata uppercases identifiers; re-select under spec names
+      // (resolution is case-insensitive) so the driver's column-sorted
+      // compare lines up with the oracle.
+      store.snapshot()
+        .select(ordersSchema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    }),
+
     // Full Debezium path over customer (snapshot reads + updates + deletes).
     "q22_cdc_debezium_e2e" -> ((s, dir) => {
       val registry = TableRegistry(
@@ -217,6 +238,16 @@ object CdcQueries {
         |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
 
     "q21_cdc_maxwell_e2e" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CASE WHEN o_orderkey % 10 IN (0, 1, 2) THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    "q23_cdc_jdbc_e2e" ->
       """SELECT
         |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,

@@ -48,7 +48,13 @@ trait TableStore {
   *
   * Concurrency contract: single writer per table (the reference pins one
   * loader per table, ChangeLoader.java; Structured Streaming gives one
-  * foreachBatch at a time), any number of readers.
+  * foreachBatch at a time), any number of readers. Reader retention: a
+  * snapshot resolves the manifest when [[snapshot]] is CALLED, but evaluates
+  * its bucket files lazily — replaced directories are therefore retained for
+  * one manifest generation (deleted by the NEXT merge's gc, not by the merge
+  * that replaced them), so a snapshot stays evaluable across one subsequent
+  * merge. A reader that must outlive more than one merge should materialize
+  * (collect/write/cache) before the second one commits.
   *
   * Deleting a key that was never present is a no-op via the anti-join (M7).
   *
@@ -133,7 +139,11 @@ final class ParquetTableStore(
       .map { st =>
         val b = st.getPath.getName.stripPrefix("_bucket=").toInt
         val dir = s"$b-$token"
-        fs.rename(st.getPath, new Path(dataPath, dir))
+        // A failed rename must abort the merge BEFORE the manifest commit:
+        // publishing a manifest entry for a directory that never moved into
+        // data/ would make every later snapshot of this bucket fail.
+        require(fs.rename(st.getPath, new Path(dataPath, dir)),
+          s"staging rename failed for bucket $b (${st.getPath} -> $dir)")
         b -> dir
       }.toMap
     fs.delete(staging, true)
@@ -179,10 +189,9 @@ final class ParquetTableStore(
     // A bucket whose rows were all deleted simply leaves the manifest.
     val next = (manifest -- affected) ++ rebuilt
     commitManifest(next)
-
-    // Post-commit cleanup of the replaced dirs; a crash here only leaves
-    // garbage for the next merge's gc, never an inconsistent table.
-    manifest.filter(e => affected(e._1)).values
-      .foreach(d => fs.delete(new Path(dataPath, d), true))
+    // Replaced dirs are NOT deleted here: they stay on disk until the NEXT
+    // merge's gcUnreferenced pass, so a snapshot DataFrame resolved against
+    // the pre-merge manifest stays evaluable across this commit (readers
+    // resolve lazily; see the retention contract in the class doc).
   }
 }

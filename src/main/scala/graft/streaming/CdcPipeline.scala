@@ -25,20 +25,45 @@ object CdcPipeline {
     * typed projection → per-PK compaction → merge. The groupBy inside
     * compaction shuffles each table's slice independently; tables are
     * processed sequentially per batch like the reference's per-table loaders.
+    *
+    * Few tables (< `stagingThreshold`): the batch is persisted once and each
+    * table filters the cached rows. Many tables (bireme-scale maps run
+    * hundreds, Config.java:242-272): per-table filters would launch hundreds
+    * of jobs over the full batch, so instead ONE pass writes the batch to a
+    * `mappedTable`-partitioned staging dir and every table's merge reads only
+    * its own partition directory (Catalyst prunes the scan to
+    * `mappedTable=<target>`).
     */
   def applyBatch(
       events: DataFrame,
       registry: TableRegistry,
       stores: Map[String, TableStore],
-      flavor: Projection.Flavor = Projection.Maxwell): Unit = {
-    // One pass over the (possibly Kafka-backed) batch feeds every table.
-    events.persist()
-    try {
-      registry.targets.foreach { target =>
-        val typed = Projection.typed(events, stores(target).spec, flavor)
-        stores(target).merge(Compaction.compact(typed))
+      flavor: Projection.Flavor = Projection.Maxwell,
+      stagingThreshold: Int = 8): Unit = {
+    val targets = registry.targets
+    def applyTo(df: DataFrame, target: String): Unit =
+      stores(target).merge(
+        Compaction.compact(Projection.typed(df, stores(target).spec, flavor)))
+
+    if (targets.size < stagingThreshold) {
+      // One pass over the (possibly Kafka-backed) batch feeds every table.
+      events.persist()
+      try targets.foreach(applyTo(events, _))
+      finally events.unpersist()
+    } else {
+      val spark = events.sparkSession
+      val staging = java.nio.file.Files.createTempDirectory("graft_batch_").toString
+      events.write.mode("overwrite").partitionBy("mappedTable").parquet(staging)
+      try {
+        // Explicit schema: keeps an all-empty batch readable and pins the
+        // partition column's type.
+        val staged = spark.read.schema(events.schema).parquet(staging)
+        targets.foreach(applyTo(staged, _))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-    } finally events.unpersist()
+    }
   }
 
   /** Maxwell-over-Kafka sync, the reference's primary deployment
@@ -78,7 +103,13 @@ object CdcPipeline {
     *
     * `seq` must give last-write-wins its per-key total order, mirroring the
     * reference's single-partition FIFO (RowCache.java:36). Within a batch the
-    * ordinal is a `row_number` over (file name, intra-split position) —
+    * ordinal is a `row_number` over (file MODIFICATION time, file name,
+    * intra-split position): mtime is the arrival order — name order alone
+    * would flip last-write-wins whenever a later-written file sorts earlier
+    * lexicographically (e.g. `b0.json` written before `a1.json`, both picked
+    * up in one batch); the name breaks mtime ties deterministically. The
+    * mtime map is listed per batch on the driver — bounded by the file count
+    * of a replay dir, which is the test/bulk path, not the scale path.
     * `monotonically_increasing_id` alone is NOT usable directly: it encodes
     * `partitionId << 33 | row`, so a batch with ≥128 partitions would bleed
     * into the next batch's `batchId * 2^40` range, and same-key events in
@@ -102,7 +133,14 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
-        val arrival = Window.orderBy(input_file_name(), monotonically_increasing_id())
+        val dir = new org.apache.hadoop.fs.Path(inputDir)
+        val mtimes = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listStatus(dir).filter(_.isFile)
+          .map(st => st.getPath.getName -> st.getModificationTime).toMap
+        val fname = element_at(split(input_file_name(), "/"), -1)
+        val arrival = Window.orderBy(
+          coalesce(element_at(typedLit(mtimes), fname), lit(Long.MaxValue)),
+          fname, monotonically_increasing_id())
         val ordered = batch.withColumn("_seq",
           lit(batchId) * lit(1L << 40) + row_number().over(arrival))
         applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores)

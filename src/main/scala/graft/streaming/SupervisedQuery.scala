@@ -23,6 +23,10 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
   @volatile private var _state = "NORMAL"
   @volatile private var _lastError: Option[String] = None
   private val stopping = new AtomicBoolean(false)
+  // Serializes the restart path against stop(): a restart re-checks
+  // `stopping` INSIDE this lock before launching, so stop() can never
+  // interleave between the check and `startFn()` and leak a fresh query.
+  private val restartLock = new Object
   private val monitor = new Thread(() => loop(), "graft-query-supervisor")
 
   def start(): this.type = {
@@ -44,12 +48,16 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
           done = true
         case Some(msg) =>
           _lastError = Some(msg)
-          if (stopping.get()) { done = true }
-          else if (_restarts < maxRestarts) {
-            _restarts += 1
-            current = startFn()
-          } else {
-            _state = "ERROR" // poisoned — dropped from rotation, like the reference
+          val restarted = restartLock.synchronized {
+            if (!stopping.get() && _restarts < maxRestarts) {
+              _restarts += 1
+              current = startFn()
+              true
+            } else false
+          }
+          if (!restarted) {
+            if (!stopping.get())
+              _state = "ERROR" // poisoned — dropped from rotation, like the reference
             done = true
           }
       }
@@ -76,7 +84,10 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
   def stop(): Unit = {
     stopping.set(true)
     _state = "STOPPED"
-    try current.stop() catch { case _: Exception => () }
+    restartLock.synchronized { try current.stop() catch { case _: Exception => () } }
     monitor.join(10000)
+    // If a restart won the race before `stopping` was visible, `current` now
+    // points at that fresh query — stop whatever the monitor left behind.
+    try current.stop() catch { case _: Exception => () }
   }
 }

@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.filter(p => p._1 == 907L || p._2 == 907L) == Set((7L, 907L)))
   }
 
+  test("lshBucket fails loudly when a vector exceeds maxDim instead of silently truncating") {
+    import org.apache.spark.sql.functions._
+    val wide = Seq((1L, Array.fill(1100)(0.5))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](
+      wide.select(Similarity.lshBucket(col("embedding"), planes = 2)).collect())
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("exceeds maxDim"),
+      s"expected the dimension guard to fire, got: $chain")
+    // and a raised maxDim accepts the same vector
+    assert(wide.select(Similarity.lshBucket(col("embedding"), planes = 2, maxDim = 2048))
+      .collect().length == 1)
+  }
+
   test("lshTopK never returns self-matches and respects k") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkTestBase
-import graft.model.TableSpec
+import graft.model.{TableRegistry, TableSpec}
 import graft.operators.CompactedBatch
 import org.apache.spark.sql.types._
 
@@ -75,6 +75,45 @@ class JdbcTableStoreSpec extends SparkTestBase {
     val s = new JdbcTableStore(spark, url, spec)
     s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
     assert(state(s) == Map(1 -> "a"))
+  }
+
+  test("TableRegistry.fromJdbc probes target metadata and fails fast on a missing PK (§1.4)") {
+    val url = s"jdbc:derby:memory:meta${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE PUBLIC_ORDERS (o_id BIGINT NOT NULL, amount DECIMAL(10,2), " +
+          "note VARCHAR(100), created TIMESTAMP, PRIMARY KEY (o_id))")
+      conn.createStatement().execute("CREATE TABLE PUBLIC_NOPK (x INTEGER)")
+    } finally conn.close()
+
+    val reg = TableRegistry.fromJdbc(url, Map("demo.orders" -> "public.orders"))
+    val probed = reg.specFor("public.orders")
+    assert(probed.pkCols == Seq("o_id"))
+    assert(probed.schema == StructType(Seq(
+      StructField("o_id", LongType), StructField("amount", DecimalType(10, 2)),
+      StructField("note", StringType), StructField("created", TimestampType))))
+
+    // reference: GetPrimaryKeys.java:71-83 — startup must fail, not sync
+    val noPk = intercept[IllegalArgumentException](
+      TableRegistry.fromJdbc(url, Map("demo.nopk" -> "public.nopk")))
+    assert(noPk.getMessage.contains("primary key"))
+    // a mapped table absent from the target also fails at startup
+    intercept[Exception](
+      TableRegistry.fromJdbc(url, Map("demo.ghost" -> "public.ghost")))
+  }
+
+  test("a registry probed from the target drives a real merge (metadata round-trip)") {
+    val url = s"jdbc:derby:memory:rt${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE PUBLIC_T (id INTEGER NOT NULL, v VARCHAR(4000), PRIMARY KEY (id))")
+    finally conn.close()
+    val reg = TableRegistry.fromJdbc(url, Map("demo.t" -> "public.t"))
+    val s = new JdbcTableStore(spark, url, reg.specFor("public.t"))
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b")).toDF("id", "v")))
+    assert(state(s) == Map(2 -> "b"))
   }
 
   test("parquet and jdbc stores agree on an identical merge sequence") {

@@ -84,6 +84,18 @@ class TableStoreSpec extends SparkTestBase {
     assert(!orphan.exists())
   }
 
+  test("a snapshot resolved before a merge stays readable across that merge (1-generation retention)") {
+    val s = newStore(buckets = 4)
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val before = s.snapshot() // resolves the pre-merge manifest; evaluates lazily
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b2")).toDF("id", "v")))
+    // Replaced bucket dirs are retained until the NEXT merge's gc, so the
+    // in-flight reader still evaluates against its own consistent manifest.
+    assert(before.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a", 2 -> "b"))
+    assert(state(s) == Map(2 -> "b2"))
+  }
+
   test("a batch deleting a whole bucket removes it from the manifest") {
     val s = newStore(buckets = 2)
     s.init(Seq((1, "a")).toDF("id", "v"))

@@ -2,10 +2,13 @@ package graft.streaming
 
 import graft.SparkTestBase
 import graft.model.{TableRegistry, TableSpec}
+import graft.parse.MaxwellParser
 import graft.sources.ParquetTableStore
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.attribute.FileTime
 
 class CdcPipelineSpec extends SparkTestBase {
 
@@ -76,6 +79,72 @@ class CdcPipelineSpec extends SparkTestBase {
     try q2.processAllAvailable() finally q2.stop()
     assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
       Map(1 -> "a2"))
+  }
+
+  test("intra-batch arrival order follows file MODIFICATION time, not lexicographic name") {
+    val in = tmpDir("cdc-in4")
+    val ckpt = tmpDir("cdc-ckpt4")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-store4"), spec, 4)
+
+    // 'b0.json' is written FIRST (older mtime) but sorts lexicographically
+    // AFTER 'a1.json': name order would replay the update before the insert
+    // and resurrect the stale value; arrival (mtime) order must win.
+    val now = System.currentTimeMillis()
+    def write(name: String, mtime: Long, lines: String*): Unit = {
+      val p = Paths.get(in, name)
+      Files.write(p, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+    }
+    write("b0.json", now - 60000,
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"stale"}}""")
+    write("a1.json", now,
+      """{"database":"demo","table":"test","type":"update","ts":2,"data":{"id":1,"name":"fresh"},"old":{"name":"stale"}}""")
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(1 -> "fresh"))
+    } finally q.stop()
+  }
+
+  test("a many-table registry routes the batch with ONE pass over the source") {
+    import spark.implicits._
+    val n = 20
+    val specs = (0 until n).map { i =>
+      s"public.t$i" -> TableSpec(s"public.t$i",
+        StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))),
+        Seq("id"))
+    }.toMap
+    val wideRegistry = TableRegistry(
+      (0 until n).map(i => s"demo.t$i" -> s"public.t$i").toMap, specs)
+    val stores = specs.map { case (t, sp) =>
+      t -> (new ParquetTableStore(spark, tmpDir("mt"), sp, 2): graft.sources.TableStore)
+    }
+
+    // An accumulator on the source proves the batch is computed exactly once
+    // (the partitioned-staging write), not once per target table.
+    val scans = spark.sparkContext.longAccumulator("sourceRows")
+    val lines = (0 until 100).map { k =>
+      s"""{"database":"demo","table":"t${k % n}","type":"insert","ts":1,"data":{"id":$k,"name":"v$k"}}"""
+    }
+    val counted = spark.createDataset(lines)
+      .mapPartitions { it => it.map { s => scans.add(1); s } }
+      .toDF("value")
+      .withColumn("seq0", monotonically_increasing_id())
+    val events = MaxwellParser.events(counted, wideRegistry, col("seq0"))
+
+    CdcPipeline.applyBatch(events, wideRegistry, stores) // 20 ≥ stagingThreshold
+    assert(scans.value == 100L,
+      s"batch source computed ${scans.value} rows; 20 per-table filter passes would read 2000")
+    (0 until n).foreach { i =>
+      val st = stores(s"public.t$i").snapshot()
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(st == (0 until 100).filter(_ % n == i).map(k => k -> s"v$k").toMap,
+        s"table t$i diverged")
+    }
   }
 
   test("same-key events split across files of ONE batch resolve in file order") {
