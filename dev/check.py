@@ -18,7 +18,7 @@ if os.environ.get("SKIP_VERIFY") != "1":
     cmd = ["java"] + [f"--add-opens={p}=ALL-UNNAMED" for p in opens] + [
         "-Xmx8g","-Duser.timezone=UTC","-Dspark.ui.enabled=false",
         "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
-        "graft.Verify", SF, OUT]
+        "graft.Verify", SF, OUT] + ([",".join(ONLY)] if ONLY else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     for line in r.stderr.splitlines():

@@ -83,6 +83,20 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish token-count estimate — the budgeting number an LLM-data
+    * pipeline actually wants (whitespace words under-count code/punctuation
+    * heavy text badly). Every alphanumeric word costs ceil(len/6) subword
+    * pieces (long words split like BPE merges run out) and every
+    * non-alphanumeric, non-space character is its own token (the GPT-2-style
+    * pattern's punctuation runs, simplified to per-char). Pure integer
+    * arithmetic over md5-free primitives, so an external engine reproduces
+    * it exactly.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + floor((length(t) + lit(5)) / lit(6.0)).cast("long")) +
+      length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("long")
+
   /** Shared deterministic 60-bit word hash both Spark and DuckDB can compute:
     * first 15 hex chars of md5, as a long. Used where an external oracle must
     * reproduce the value; xxhash64 is faster but Spark-only.

@@ -179,6 +179,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Connected components over a near-duplicate pair list: labels every
+    * document that appears in a pair with the smallest id reachable through
+    * the pair graph. This is the step that turns pairwise near-dup output
+    * into actionable dedup GROUPS — keep `cluster_id` (the minimum member),
+    * drop the rest — without which transitive duplicates (a≈b, b≈c but a, c
+    * never a candidate pair) survive pairwise filtering.
+    *
+    * Implementation: iterative min-label propagation. Each round joins the
+    * current labels across the bidirectional edge list and takes the min of
+    * (own label, neighbors' labels); a fixpoint is reached in O(component
+    * diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques and
+    * short chains, so a handful of rounds; every round is one shuffle join +
+    * one map-side-combined min aggregate, nothing driver-side except the
+    * O(1) convergence check. Labels are `localCheckpoint`ed per round so the
+    * plan (and its task-retry lineage) doesn't grow with iteration count.
+    *
+    * Output: (doc_id, cluster_id) for every node of the pair graph.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    val bidir = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = bidir.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
+      val heard = bidir.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(heard)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    bidir.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIterations rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs: docs whose 60-bit SimHash
     * ([[TextHash.simhash60]], one compiled pass) matches on at least one of
     * four 15-bit bands (Hamming-distance blocking — two docs within Hamming

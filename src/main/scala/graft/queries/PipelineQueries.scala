@@ -74,6 +74,29 @@ object PipelineQueries {
       Similarity.cosinePairs(withNearVecs(emb(s, dir)), "vec_id", "embedding")
     }),
 
+    // ── Near-dup clusters: pairwise MinHash output closed under
+    // transitivity (min-label propagation) — the keep-one-per-group step.
+    "q42_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(withNearDups(docs(s, dir)), "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+    }),
+
+    // ── BPE-ish token budget estimate next to the whitespace word count.
+    "q43_token_estimate" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("n_tokens_est"))
+    }),
+
+    // ── Deterministic stratified sampling (corpus mixing): keep 'en' at
+    // 50%, everything else at 20%, by md5 key-hash bucket.
+    "q44_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.sampleByHash(
+        docs(s, dir), "doc_id", "lang", Map("en" -> 50), defaultRate = 20)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ── Per-document text statistics (all codegen column expressions).
     "q33_text_stats" -> ((s, dir) => {
       val text = col("text")
@@ -180,49 +203,95 @@ object PipelineQueries {
       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS hs
       |  FROM shing)""".stripMargin
 
-  /** Shared oracle tail: verify a `cand(id_a, id_b)` CTE with exact Jaccard
-    * over the full shingle sets; integer (inter, uni) output, threshold 3/5.
+  /** Shared oracle fragment: exact-Jaccard verification of a
+    * `cand(id_a, id_b)` CTE over the full shingle sets.
     */
-  private val jaccardTail: String =
+  private val jaccardVerified: String =
     """verified AS (
       |  SELECT c.id_a, c.id_b,
       |    CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h))) AS BIGINT) AS inter,
       |    CAST(len(ha.hs) + len(hb.hs) AS BIGINT) AS tot
       |  FROM cand c
       |  JOIN hsh ha ON ha.doc_id = c.id_a
-      |  JOIN hsh hb ON hb.doc_id = c.id_b)
+      |  JOIN hsh hb ON hb.doc_id = c.id_b)""".stripMargin
+
+  /** Shared oracle tail: integer (inter, uni) output, threshold 3/5. */
+  private val jaccardTail: String =
+    s"""$jaccardVerified
       |SELECT id_a, id_b, inter, tot - inter AS uni
       |FROM verified WHERE inter * 5 >= (tot - inter) * 3""".stripMargin
+
+  /** Shared oracle fragment: MinHash-LSH candidate generation (the body of
+    * the q31 oracle between the shingle CTEs and the Jaccard verification).
+    */
+  private val minhashCand: String =
+    """dochash AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+      |coeffs AS (
+      |  SELECT i,
+      |    CAST(('0x' || substr(md5('a:' || i), 1, 15)) AS BIGINT) % 1073741788 + 1 AS a,
+      |    CAST(('0x' || substr(md5('b:' || i), 1, 15)) AS BIGINT) % 1073741789 AS b
+      |  FROM range(64) t(i)),
+      |sig AS (
+      |  SELECT doc_id, i, min((a * h + b) % 1073741789) AS s
+      |  FROM dochash CROSS JOIN coeffs GROUP BY doc_id, i),
+      |bkeys AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    CAST(((i // 4) * 923521 + sum(s *
+      |      CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END))
+      |      % 1099511627776 AS BIGINT) AS bkey
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |capped AS (
+      |  SELECT doc_id, band, bkey FROM (
+      |    SELECT doc_id, band, bkey,
+      |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+      |    FROM bkeys)
+      |  WHERE bsize <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q31_dedup_minhash" ->
       s"""WITH $shingleCtes,
-        |dochash AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-        |coeffs AS (
-        |  SELECT i,
-        |    CAST(('0x' || substr(md5('a:' || i), 1, 15)) AS BIGINT) % 1073741788 + 1 AS a,
-        |    CAST(('0x' || substr(md5('b:' || i), 1, 15)) AS BIGINT) % 1073741789 AS b
-        |  FROM range(64) t(i)),
-        |sig AS (
-        |  SELECT doc_id, i, min((a * h + b) % 1073741789) AS s
-        |  FROM dochash CROSS JOIN coeffs GROUP BY doc_id, i),
-        |bkeys AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |    CAST(((i // 4) * 923521 + sum(s *
-        |      CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END))
-        |      % 1099511627776 AS BIGINT) AS bkey
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |capped AS (
-        |  SELECT doc_id, band, bkey FROM (
-        |    SELECT doc_id, band, bkey,
-        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
-        |    FROM bkeys)
-        |  WHERE bsize <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM capped a JOIN capped b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |$minhashCand,
         |$jaccardTail""".stripMargin,
+
+    "q42_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashCand,
+        |$jaccardVerified,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM verified WHERE inter * 5 >= (tot - inter) * 3),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q43_token_estimate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(toks, t -> (length(t) + 5) // 6)), 0)
+        |    + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
+        |    AS n_tokens_est
+        |FROM tok""".stripMargin,
+
+    "q44_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
 
     "q39_dedup_ngram" ->
       s"""WITH $shingleCtes,

@@ -66,6 +66,28 @@ object CdcPipeline {
     }
   }
 
+  /** The exact per-micro-batch body the Maxwell Kafka stream runs
+    * (parse with the Kafka offset as seq, then apply) — factored out so
+    * tests drive it directly with a Kafka-shaped batch (value/offset
+    * columns, overlapping offsets across partitions): everything of the
+    * Kafka path except the broker connection itself is then exercised
+    * without a broker.
+    */
+  private[graft] def applyMaxwellKafkaBatch(
+      batch: DataFrame,
+      registry: TableRegistry,
+      stores: Map[String, TableStore]): Unit =
+    applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores)
+
+  /** Debezium twin of [[applyMaxwellKafkaBatch]]: topic supplies routing. */
+  private[graft] def applyDebeziumKafkaBatch(
+      batch: DataFrame,
+      registry: TableRegistry,
+      stores: Map[String, TableStore]): Unit =
+    applyBatch(
+      DebeziumParser.events(batch, registry, col("offset"), col("topic")),
+      registry, stores, Projection.Debezium)
+
   /** Maxwell-over-Kafka sync, the reference's primary deployment
     * (reference: Bireme.java:188-218). `seq = offset` gives per-key total
     * order provided the producer partitions by table/key — the same
@@ -93,7 +115,7 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores)
+        applyMaxwellKafkaBatch(batch, registry, stores)
       }
       .start()
   }
@@ -169,9 +191,7 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(
-          DebeziumParser.events(batch, registry, col("offset"), col("topic")),
-          registry, stores, Projection.Debezium)
+        applyDebeziumKafkaBatch(batch, registry, stores)
       }
       .start()
   }

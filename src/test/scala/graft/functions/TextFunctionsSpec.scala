@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** Hand-computed fixtures for the scalar text metrics that feed the
+  * pipeline queries; the md5/minhash/simhash primitives have their own
+  * differential suite in [[TextHashSpec]].
+  */
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def estimates(rows: Seq[(Long, String)]): Map[Long, Long] =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.bpeTokenEstimate(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+  test("bpeTokenEstimate: ceil(len/6) per word plus one per punctuation char") {
+    val got = estimates(Seq(
+      (1L, "Hello, world!"),        // hello + world (1 piece each) + ", !" → 4
+      (2L, "internationalization"), // one 20-char word → ceil(20/6) = 4 pieces
+      (3L, ""),                     // nothing at all
+      (4L, "a b c"),                // three 1-char words, spaces are free
+      (5L, "x+y=z")))               // three words + two operator chars
+    assert(got === Map(1L -> 4L, 2L -> 4L, 3L -> 0L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("bpeTokenEstimate grows sublinearly in word length but linearly in punctuation") {
+    val got = estimates(Seq(
+      (1L, "aaaaaa"),        // 6 chars → 1 piece
+      (2L, "aaaaaaa"),       // 7 chars → 2 pieces
+      (3L, "......")))       // 6 punctuation chars → 6 tokens
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 6L))
+  }
+}

@@ -85,4 +85,35 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(df, "doc_id", "text").count() === 0)
     assert(Dedup.simhashPairs(df, "doc_id", "text").count() === 0)
   }
+
+  test("connectedComponents labels each component with its minimum id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain (multi-round propagation)") {
+    // a 12-node path: the min label needs ~11 rounds to reach the far end
+    val pairs = (1 until 12).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(labels.length === 12)
+    assert(labels.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents turns pairwise minhash output into transitive groups") {
+    // a ≈ b and b ≈ c by one-word edits in DIFFERENT positions: a and c
+    // differ in two words and may or may not pair directly — the component
+    // must contain all three either way.
+    val base = (1 to 10).map(i => (i.toLong, doc(i)))
+    val b = (101L, doc(5).replace("alpha5", "ALTERED"))
+    val c = (102L, doc(5).replace("alpha5", "ALTERED").replace("zeta5", "CHANGED"))
+    val pairs = Dedup.minhashPairs((base ++ Seq(b, c)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val clusters = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(5L) === 5L && clusters(101L) === 5L && clusters(102L) === 5L)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextHash
+
+/** Deterministic-sampling tests: membership is exactly the md5-bucket rule
+  * (recomputed on the JVM), the sample is stable under corpus growth, and
+  * rate edge cases behave.
+  */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+
+  private def jvmExpected(n: Int): Set[(Long, String)] =
+    corpus(n).filter { case (id, lang) =>
+      val bucket = math.floorMod(TextHash.md5Hash60(id.toString), 100L)
+      bucket < (if (lang == "en") 50 else 20)
+    }.toSet
+
+  test("sampleByHash keeps exactly the rows whose md5 bucket clears the stratum rate") {
+    val kept = Sampling.sampleByHash(
+        corpus(1000).toDF("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 50), defaultRate = 20)
+      .as[(Long, String)].collect().toSet
+    assert(kept === jvmExpected(1000))
+    assert(kept.nonEmpty && kept.size < 1000)
+  }
+
+  test("sample is stable under corpus growth: surviving keys keep surviving") {
+    def sample(n: Int) = Sampling.sampleByHash(
+        corpus(n).toDF("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 50), defaultRate = 20)
+      .as[(Long, String)].collect().toSet
+    val small = sample(500)
+    val grown = sample(1000)
+    assert(grown.filter(_._1 <= 500) === small)
+  }
+
+  test("rate 0 drops a stratum entirely; rate 100 keeps one entirely") {
+    val kept = Sampling.sampleByHash(
+        corpus(300).toDF("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0), defaultRate = 100)
+      .as[(Long, String)].collect()
+    assert(!kept.exists(_._2 == "en"))
+    assert(kept.count(_._2 == "de") === corpus(300).count(_._2 == "de"))
+  }
+
+  test("rates outside [0, 100] are rejected") {
+    val df = corpus(10).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByHash(df, "doc_id", "lang", Map("en" -> 101), 20)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByHash(df, "doc_id", "lang", Map.empty, -1)
+    }
+  }
+}

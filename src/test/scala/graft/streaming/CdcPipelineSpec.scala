@@ -173,4 +173,39 @@ class CdcPipelineSpec extends SparkTestBase {
         Map(1 -> "last"))
     } finally q.stop()
   }
+
+  test("Kafka-shaped maxwell batch applies with offset-as-seq (broker-free S1 body)") {
+    import spark.implicits._
+    val store = new ParquetTableStore(spark, tmpDir("kafka-m"), spec, 4)
+    // Two Kafka partitions with OVERLAPPING offsets — legal because the
+    // producer keys by PK, so a given key never straddles partitions.
+    val batch = Seq(
+      ("""{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"a"}}""", 0L, 0),
+      ("""{"database":"demo","table":"test","type":"update","ts":2,"data":{"id":1,"name":"a2"},"old":{"name":"a"}}""", 1L, 0),
+      ("""{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":2,"name":"b"}}""", 0L, 1),
+      ("""{"database":"demo","table":"test","type":"delete","ts":3,"data":{"id":2,"name":"b"}}""", 1L, 1),
+      ("""{"database":"other","table":"x","type":"insert","ts":9,"data":{"id":9}}""", 2L, 0)
+    ).toDF("value", "offset", "partition")
+    CdcPipeline.applyMaxwellKafkaBatch(batch, registry, Map("public.test" -> store))
+    assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a2"))
+  }
+
+  test("Kafka-shaped debezium batch routes by topic (broker-free S1 body)") {
+    import spark.implicits._
+    val reg = TableRegistry(
+      Map("public.test" -> "public.test"), Map("public.test" -> spec))
+    val store = new ParquetTableStore(spark, tmpDir("kafka-d"), spec, 4)
+    val batch = Seq(
+      ("""{"payload":{"op":"c","ts_ms":1,"after":{"id":1,"name":"a"}}}""", 0L, "db.public.test"),
+      ("""{"payload":{"op":"u","ts_ms":2,"after":{"id":1,"name":"a2"}}}""", 1L, "db.public.test"),
+      ("""{"payload":{"op":"c","ts_ms":1,"after":{"id":2,"name":"b"}}}""", 0L, "db.public.test"),
+      ("""{"payload":{"op":"d","ts_ms":3,"before":{"id":2,"name":"b"}}}""", 1L, "db.public.test"),
+      // unmapped topic must be ignored, not crash the batch
+      ("""{"payload":{"op":"c","ts_ms":1,"after":{"id":9}}}""", 0L, "db.public.other")
+    ).toDF("value", "offset", "topic")
+    CdcPipeline.applyDebeziumKafkaBatch(batch, reg, Map("public.test" -> store))
+    assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a2"))
+  }
 }
