@@ -83,6 +83,53 @@ object TextFunctions {
     }
   }
 
+  /** Adjacent token pairs ("w1 w2") — the unit for repetition scoring. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of tokens that repeat an earlier token (0 for token-less
+    * docs) — the word-level half of the Gopher-style repetition filter.
+    * Exact integer-ratio division so an external oracle reproduces the
+    * double bit-for-bit.
+    */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise((size(toks) - size(array_distinct(toks))) / size(toks))
+  }
+
+  /** Longest run of equal adjacent elements in a SORTED array = the highest
+    * multiplicity of any element — a per-row mode count with zero shuffle
+    * (sort + one linear fold inside the row; the explode/groupBy alternative
+    * shuffles every n-gram of the corpus).
+    */
+  private def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev").isNotNull && (x === st.getField("prev")),
+          st.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Share of all bigrams taken by the single most frequent bigram (0 when
+    * the doc has no bigram) — boilerplate and spam text score high, prose
+    * scores near 1/n. The other half of the repetition filter.
+    */
+  def topBigramFraction(text: Column): Column = {
+    val b = bigrams(text)
+    when(size(b) === 0, lit(0.0))
+      .otherwise(maxRunLength(array_sort(b)) / size(b))
+  }
+
   /** BPE-ish token-count estimate — the budgeting number an LLM-data
     * pipeline actually wants (whitespace words under-count code/punctuation
     * heavy text badly). Every alphanumeric word costs ceil(len/6) subword

@@ -126,6 +126,69 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** IVF (inverted-file) ANN — the codebook-quantized scale path next to
+    * [[lshTopK]]'s hyperplane buckets: corpus vectors are assigned to the
+    * nearest of `cells` coarse centroids (the inverted lists); each query
+    * rescans only its `probes` closest cells.
+    *
+    * The codebook is the `cells` corpus vectors with the smallest md5
+    * key-hash — a deterministic "random" sample (no RNG, no k-means state),
+    * so an external oracle derives the identical codebook and every stage
+    * stays reproducible under task retry. Centroids are L2-normalized ON THE
+    * DRIVER (bounded: cells × dim doubles) and shipped as literals: cell
+    * assignment is then `cells` codegen'd dots per row riding the corpus
+    * scan (argmax of dot against a unit vector == argmax of cosine, |v|
+    * being constant per row), one shuffle total for the candidate join.
+    * First-index tie-break on equal scores matches the oracle's
+    * `ORDER BY s DESC, ci`.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, cells: Int = 16, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val picked = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("h",
+        graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(cells)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(picked.nonEmpty, "ivfTopK: empty corpus")
+    val codebook = picked.map { c =>
+      // left-to-right sum of squares: bit-identical to the oracle's
+      // list_dot_product(v, v)
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      c.map(_ / n).toSeq
+    }
+    def cellScores(vec: Column): Column =
+      array(codebook.map(c => dot(vec, typedlit(c))): _*)
+    val cd = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("sc", cellScores(col("cv")))
+      .withColumn("cell",
+        (array_position(col("sc"), array_max(col("sc"))) - 1).cast("int"))
+      .drop("sc")
+    val qs = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(cellScores(col("qv"))).as(Seq("cell", "s")))
+    val wq = Window.partitionBy("query_id").orderBy(col("s").desc, col("cell"))
+    val probed = broadcast(qs.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("qv"), col("cell")))
+    val scored = probed.join(cd, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Approximate top-k with multi-probe: candidates are corpus vectors in
     * the query's hyperplane bucket OR any bucket at Hamming distance 1 from
     * it (each probe flips one hyperplane's sign bit — the buckets most

@@ -97,6 +97,42 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ── Gopher-style repetition signals: duplicate-word fraction + share of
+    // the most frequent bigram. Per-row sort+fold — zero shuffle, rides the
+    // scan (the explode/groupBy alternative shuffles every bigram).
+    "q45_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.dupTokenFraction(col("text")).as("dup_word_frac"),
+        TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"))
+    }),
+
+    // ── Exact per-stratum token-count percentiles via the histogram method:
+    // the shuffle carries (lang, n_tokens) partial counts, never documents,
+    // so the window below runs over a tiny value histogram — the exact-
+    // percentile shape that survives 100 TB (a global per-group sort would
+    // not; truly unbounded value domains would switch to approx_percentile).
+    "q46_token_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+      val hist = t.groupBy("lang", "n").agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("n")))
+        .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+      cum.groupBy("lang").agg(
+        min(when(col("cum") >= ceil(col("tot") * 0.5), col("n"))).as("p50"),
+        min(when(col("cum") >= ceil(col("tot") * 0.9), col("n"))).as("p90"),
+        min(when(col("cum") >= ceil(col("tot") * 0.99), col("n"))).as("p99"))
+    }),
+
+    // ── Token-budget shard packing: distributed two-phase prefix sum over
+    // the deterministic hash order; 4000-token shards.
+    "q48_pack_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("w"))
+      graft.operators.Sharding.packByBudget(d, "doc_id", "w", budget = 4000L)
+    }),
+
     // ── Per-document text statistics (all codegen column expressions).
     "q33_text_stats" -> ((s, dir) => {
       val text = col("text")
@@ -127,6 +163,14 @@ object PipelineQueries {
     "q36_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+    }),
+
+    // ── IVF ANN: deterministic md5-sampled codebook, inverted-list cell
+    // assignment riding the scan, 4-of-16 cell probing + exact rescore.
+    "q47_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cells = 16, probes = 4)
     }),
 
     // ── LSH-bucketed ANN: the 100 TB path (multi-probe bucket join + exact
@@ -292,6 +336,98 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+
+    "q45_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END AS bgs
+        |  FROM tok),
+        |cnt AS (
+        |  SELECT doc_id, max(c) AS maxc, sum(c) AS totc FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bgs) AS g FROM big)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE (len(toks) - len(list_distinct(toks))) / len(toks) END AS dup_word_frac,
+        |  coalesce(maxc / totc, 0.0) AS top_bigram_frac
+        |FROM tok t LEFT JOIN cnt ON t.doc_id = cnt.doc_id""".stripMargin,
+
+    "q46_token_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                               s -> s <> '')) AS n
+        |  FROM documents),
+        |h AS (SELECT lang, n, count(*) AS c FROM t GROUP BY lang, n),
+        |cum AS (
+        |  SELECT lang, n,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h)
+        |SELECT lang,
+        |  min(CASE WHEN cum >= ceil(tot * 0.5) THEN n END) AS p50,
+        |  min(CASE WHEN cum >= ceil(tot * 0.9) THEN n END) AS p90,
+        |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN n END) AS p99
+        |FROM cum GROUP BY lang""".stripMargin,
+
+    "q47_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ranked AS (
+        |  SELECT vec_id, v, row_number() OVER (
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |             vec_id) AS rn
+        |  FROM e),
+        |cent AS (
+        |  SELECT CAST(rn - 1 AS INT) AS ci,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        |  FROM ranked WHERE rn <= 16),
+        |sc AS (SELECT e.vec_id, ci, list_dot_product(e.v, cent.cv) AS s
+        |       FROM e CROSS JOIN cent),
+        |assign AS (
+        |  SELECT vec_id, ci AS cell FROM (
+        |    SELECT vec_id, ci,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+        |    FROM sc) WHERE r = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, ci AS cell FROM (
+        |    SELECT vec_id, ci,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS r
+        |    FROM sc WHERE vec_id < 8) WHERE r <= 4),
+        |cand AS (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN assign a ON q.cell = a.cell
+        |  WHERE q.query_id <> a.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, c.neighbor_id) AS rank
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.query_id
+        |  JOIN e ne ON ne.vec_id = c.neighbor_id)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q48_pack_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM tok)
+        |SELECT doc_id, w,
+        |  CAST((sum(w) OVER (ORDER BY h, doc_id) - w) // 4000 AS BIGINT) AS shard
+        |FROM t""".stripMargin,
 
     "q39_dedup_ngram" ->
       s"""WITH $shingleCtes,

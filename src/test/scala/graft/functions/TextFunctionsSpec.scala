@@ -32,4 +32,24 @@ class TextFunctionsSpec extends SparkTestBase {
       (3L, "......")))       // 6 punctuation chars → 6 tokens
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 6L))
   }
+
+  test("repetition signals: hand-computed duplicate-word and top-bigram fractions") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),      // 6 words, "the" twice → dup 1/6; bigrams all distinct → 1/5
+      (2L, "buy now buy now buy now"),     // dup 4/6; "buy now" 3 of 5 bigrams
+      (3L, "alpha beta gamma"),            // no repetition
+      (4L, "word"),                        // no bigram at all
+      (5L, ""))                            // empty
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextFunctions.dupTokenFraction(col("text")).as("dw"),
+        TextFunctions.topBigramFraction(col("text")).as("tb"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1.0 / 6.0, 1.0 / 5.0)))
+    assert(got(2L) === ((4.0 / 6.0, 3.0 / 5.0)))
+    assert(got(3L) === ((0.0, 1.0 / 2.0)))
+    assert(got(4L) === ((0.0, 0.0)))
+    assert(got(5L) === ((0.0, 0.0)))
+  }
 }

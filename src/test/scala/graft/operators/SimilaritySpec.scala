@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkTestBase {
       .collect().length == 1)
   }
 
+  test("ivfTopK with all cells probed equals the exact brute force") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(c, q, "vec_id", "embedding", cells = 8, probes = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === exact)
+  }
+
+  test("ivfTopK recall@10 with partial probing clears a floor") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(c, q, "vec_id", "embedding", cells = 8, probes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 was $recall")
+  }
+
   test("lshTopK never returns self-matches and respects k") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
