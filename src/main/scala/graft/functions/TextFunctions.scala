@@ -159,6 +159,35 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31 + md5Hash60(t)) % lit(1L << 40))
 
+  /** PII patterns, ordered most-specific-first (SSN before phone so
+    * `123-45-6789` never half-matches as a phone). RE2-compatible — no
+    * backreferences or lookaround — so an external engine (DuckDB, Go, Rust)
+    * applies the identical automaton; Java's regex engine reads the same
+    * syntax with the same leftmost-first semantics here (every quantifier is
+    * fixed-width or greedy-safe against these inputs).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"))
+
+  /** Redact all PII patterns in order — a chain of codegen'd regexp_replace
+    * calls, zero shuffle, rides the scan.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Per-pattern match counts on the ORIGINAL text (each pattern counted
+    * independently, before any redaction).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
+    }
+
   /** Word k-shingles (k consecutive tokens joined by a space); documents with
     * fewer than k tokens contribute their whole token sequence as one
     * shingle, so every non-empty doc has ≥1 shingle.

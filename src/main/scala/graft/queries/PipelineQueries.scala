@@ -133,6 +133,26 @@ object PipelineQueries {
       graft.operators.Sharding.packByBudget(d, "doc_id", "w", budget = 4000L)
     }),
 
+    // ── PII redaction: the corpus has no natural PII, so both engines build
+    // the SAME deterministic PII-bearing string from (text, doc_id) and the
+    // operator under test is the redaction chain + per-pattern counts
+    // (codegen'd regexp_replace / regexp_count — zero shuffle).
+    "q50_pii_redact" -> ((s, dir) => {
+      val raw = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" or admin@mail.example.org from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val d = docs(s, dir).select(col("doc_id"), raw.as("raw"))
+      d.select(col("doc_id") +:
+        TextFunctions.redactPii(col("raw")).as("redacted") +:
+        TextFunctions.piiCounts(col("raw")).map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // ── Per-document text statistics (all codegen column expressions).
     "q33_text_stats" -> ((s, dir) => {
       val text = col("text")
@@ -295,7 +315,33 @@ object PipelineQueries {
       |  FROM capped a JOIN capped b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** q50 oracle assembled from [[TextFunctions.piiPatterns]] so the regexes
+    * are character-identical in both engines (DuckDB single-quoted strings
+    * pass backslashes through literally; the patterns contain no quotes).
+    */
+  private val piiOracle: String = {
+    val redacted = TextFunctions.piiPatterns.foldLeft("raw") {
+      case (acc, (_, pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+    }
+    val counts = TextFunctions.piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(raw, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    s"""WITH r AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@example.com or admin@mail.example.org from 10.'
+      |    || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents)
+      |SELECT doc_id, $redacted AS redacted,
+      |  $counts
+      |FROM r""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q50_pii_redact" -> piiOracle,
     "q31_dedup_minhash" ->
       s"""WITH $shingleCtes,
         |$minhashCand,

@@ -222,6 +222,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), unix_timestamp(col("session_window.start")).as("sess_start"),
           col("cnt"))
+    }),
+
+    // ── As-of join: every event gets the id of the same user's most recent
+    // purchase at or before its timestamp (inclusive; equal-time purchases
+    // resolve to the max id). Union-tag + carry-forward window — one shuffle
+    // on user_id, no range-join explosion (see [[graft.operators.AsOfJoin]]).
+    "q51_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.AsOfJoin.asOf(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValue = "event_id", asName = "last_purchase_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("last_purchase_id"))
     })
   )
 
@@ -347,6 +363,25 @@ object RelationalQueries {
         |  FROM marked)
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS cnt
-        |FROM sessions GROUP BY user_id, sess_id""".stripMargin
+        |FROM sessions GROUP BY user_id, sess_id""".stripMargin,
+
+    // q51: same union-tag carry-forward formulation as the Spark plan —
+    // anchors (tag 0) sort before probes (tag 1) at equal ts, equal-time
+    // anchors in id order so the carried value is the max id.
+    "q51_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, NULL AS probe_id, NULL AS probe_type,
+        |    event_id AS aid, 0 AS tag
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_type, NULL, 1 FROM events),
+        |w AS (
+        |  SELECT *, last_value(aid IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, tag, aid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+        |  FROM u)
+        |SELECT probe_id AS event_id, user_id, probe_type AS event_type,
+        |  last_purchase_id
+        |FROM w WHERE tag = 1""".stripMargin
   )
 }

@@ -81,8 +81,52 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** q49: streaming deduplication across micro-batches.
+    *
+    * Arrival schedule replays the `events` table with REAL cross-batch
+    * duplicates — a0 = the even ids, a1 = every event (evens now duplicate),
+    * a2 = the ids %3 (a third arrival for ids ≡ 0 mod 6) — through
+    * `dropDuplicatesWithinWatermark`, the bounded-state streaming dedup (at
+    * 100 TB the watermark caps keyed state; plain dropDuplicates would grow
+    * state forever). The 60-day delay exceeds the table's one-month span, so
+    * no state is evicted and no row is late within the replay: the emitted
+    * set is EXACTLY the distinct events, which the oracle states
+    * declaratively. An engine that lost dedup state between batches would
+    * double-count every even id.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val events = RelationalQueries.events(spark, dir)
+    val in = Files.createTempDirectory("q49_in")
+    val ckpt = Files.createTempDirectory("q49_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(events.filter(col("event_id") % 2 === 0), in, "a0.json", now - 120000)
+    dumpArrivalFile(events, in, "a1.json", now - 60000)
+    dumpArrivalFile(events.filter(col("event_id") % 3 === 0), in, "a2.json", now)
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(in.toString)
+    val deduped = stream
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val sink = s"q49_sink_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)))
+    "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
+    "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -113,5 +157,14 @@ object StreamingQueries {
         |  max(event_id) AS max_id
         |FROM inc
         |WHERE ws + INTERVAL 1 HOUR < (SELECT w FROM wmf)
-        |GROUP BY ws""".stripMargin)
+        |GROUP BY ws""".stripMargin,
+
+    // q49: the emitted set is exactly the distinct events (see streamDedup's
+    // scaladoc for why the replay guarantees that), so the oracle is the
+    // direct aggregate over the source table.
+    "q49_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -52,4 +52,30 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got(4L) === ((0.0, 0.0)))
     assert(got(5L) === ((0.0, 0.0)))
   }
+
+  test("redactPii masks email/ssn/phone/ip and counts each pattern") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk now"),
+      (2L, "ssn 123-45-6789 then call 555-123-4567"),
+      (3L, "host 192.168.0.1 and 10.0.0.255"),
+      (4L, "nothing sensitive here 12345"),
+      (5L, "a@b.io c@d.org"))
+      .toDF("doc_id", "text")
+    val cols = Seq(col("doc_id"), TextFunctions.redactPii(col("text")).as("red")) ++
+      TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = rows.select(cols: _*)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(got(1L)._2 === "mail <EMAIL> now")
+    assert(got(2L)._2 === "ssn <SSN> then call <PHONE>")
+    assert(got(3L)._2 === "host <IP> and <IP>")
+    assert(got(4L)._2 === "nothing sensitive here 12345")
+    assert(got(5L)._2 === "<EMAIL> <EMAIL>")
+    // (n_email, n_ssn, n_phone, n_ip)
+    assert(got(1L).productIterator.drop(2).toSeq === Seq(1L, 0L, 0L, 0L))
+    assert(got(2L).productIterator.drop(2).toSeq === Seq(0L, 1L, 1L, 0L))
+    assert(got(3L).productIterator.drop(2).toSeq === Seq(0L, 0L, 0L, 2L))
+    assert(got(5L).productIterator.drop(2).toSeq === Seq(2L, 0L, 0L, 0L))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** As-of join semantics on a hand-computed frame: latest-at-or-before match,
+  * inclusive equal-time boundary, max-id tie-break among equal-time anchors,
+  * null when no anchor precedes, and key isolation.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("asOf picks the latest anchor at-or-before each probe, per key") {
+    // anchors: user 1 at minute 10 (id 100) and 30 (id 101); user 2 at 20 (id 200)
+    val anchors = Seq(
+      (1L, ts(10), 100L), (1L, ts(30), 101L), (2L, ts(20), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq(
+      (10L, 1L, ts(5)),   // before any anchor -> null
+      (11L, 1L, ts(10)),  // equal-time -> inclusive match 100
+      (12L, 1L, ts(25)),  // between -> 100
+      (13L, 1L, ts(40)),  // after both -> 101
+      (14L, 2L, ts(25)),  // other key -> 200, never user 1's anchors
+      (15L, 3L, ts(50)))  // key with no anchors -> null
+      .toDF("event_id", "user_id", "ts")
+
+    val out = AsOfJoin.asOf(probes, anchors, Seq("user_id"), "ts", "ts",
+        "event_id", "last_purchase_id")
+      .select(col("event_id"), col("last_purchase_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(out === Map(
+      10L -> None, 11L -> Some(100L), 12L -> Some(100L), 13L -> Some(101L),
+      14L -> Some(200L), 15L -> None))
+  }
+
+  test("equal-time anchors tie-break to the max value") {
+    val anchors = Seq((1L, ts(10), 7L), (1L, ts(10), 9L), (1L, ts(10), 8L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(probes, anchors, Seq("user_id"), "ts", "ts",
+        "event_id", "a").select("a").as[Long].collect()
+    assert(out.toSeq === Seq(9L))
+  }
+
+  test("plan shuffles once on the key (no range-join explosion)") {
+    val anchors = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
+    val probes = Seq((10L, 1L, ts(5))).toDF("event_id", "user_id", "ts")
+    val plan = AsOfJoin.asOf(probes, anchors, Seq("user_id"), "ts", "ts",
+      "event_id", "a").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // one exchange for the window partitioning (plus AQE reads), no join node
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
