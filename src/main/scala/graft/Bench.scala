@@ -17,19 +17,30 @@ object Bench {
       spark.range(2000000).selectExpr("sum(id * 2)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000).count()
     } catch { case _: Throwable => () }
+    // (time, error): a failing query must surface as an "err" entry, never
+    // as a ~0 s timing that flatters the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize the query's own physical plan in full (every output
       // column, every row) — a count() on top would let Catalyst prune the
       // computed columns and under-measure projection-heavy queries.
-      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+    val qs = results.map {
+      case (k, (v, None)) => s"\"" + k + "\":" + v
+      case (k, (_, Some(e))) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
+    }.mkString("{", ",", "}")
+    val errCount = results.count(_._2._2.isDefined)
+    val total = results.collect { case (_, (v, None)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errCount,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,7 +92,9 @@ object StreamingQueries {
     * no state is evicted and no row is late within the replay: the emitted
     * set is EXACTLY the distinct events, which the oracle states
     * declaratively. An engine that lost dedup state between batches would
-    * double-count every even id.
+    * double-count every even id. The eviction path this query deliberately
+    * avoids — short watermark, state expires, a later duplicate re-emits —
+    * is pinned separately by `graft.streaming.DedupEvictionCanarySpec`.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val events = RelationalQueries.events(spark, dir)

@@ -58,15 +58,27 @@ trait TableStore {
   *
   * Deleting a key that was never present is a no-op via the anti-join (M7).
   *
+  * A snapshot held across MORE than one merge fails lazily: its bucket files
+  * are gc'd by the second merge, so evaluation throws FileNotFoundException
+  * at action time rather than an explicit staleness error — readers should
+  * treat that exception as "snapshot expired, re-resolve".
+  *
   * `numBuckets` sizes the rewrite amplification: a cluster deployment of a
   * 100 TB table wants O(10⁴–10⁵) buckets so one micro-batch rewrites ≪1% of
   * the table; tests use small counts.
+  *
+  * `broadcastKeyLimit` guards the changed-key anti-join strategy: a streaming
+  * micro-batch (bounded by `maxOffsetsPerTrigger`) broadcasts its key set,
+  * but a bulk replay feeding millions of compacted keys through [[merge]]
+  * must NOT be forced through a driver-side broadcast — above the limit the
+  * hint is dropped and Catalyst plans a shuffled join (SMJ/shuffled-hash).
   */
 final class ParquetTableStore(
     spark: SparkSession,
     root: String,
     val spec: TableSpec,
-    numBuckets: Int = 64)
+    numBuckets: Int = 64,
+    broadcastKeyLimit: Long = 1000000L)
   extends TableStore {
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
@@ -166,6 +178,14 @@ final class ParquetTableStore(
 
   def snapshot(): DataFrame = readDirs(readManifest().values.toSeq)
 
+  /** End-of-stream cleanup: drop every data dir the current manifest doesn't
+    * reference. Deferred gc (start of the NEXT merge) means a table whose
+    * LAST merge is final would otherwise retain its replaced bucket dirs
+    * forever; call this once all snapshots resolved before the final merge
+    * are done evaluating. Safe under the single-writer contract.
+    */
+  def gc(): Unit = gcUnreferenced(readManifest())
+
   def merge(batch: CompactedBatch): Unit = {
     val manifest = readManifest()
     gcUnreferenced(manifest)
@@ -174,15 +194,26 @@ final class ParquetTableStore(
     val changedKeys = batch.deletes.select(pk.map(col): _*)
       .unionByName(batch.upserts.select(pk.map(col): _*))
 
-    // Bounded by numBuckets — this collect never scales with data volume.
-    val affected = changedKeys
-      .select(bucketOf(pk.map(col)).as("_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // One job yields both the affected bucket set AND the changed-key count
+    // (the broadcast guard). Bounded by numBuckets — this collect never
+    // scales with data volume.
+    val perBucket = changedKeys
+      .groupBy(bucketOf(pk.map(col)).as("_bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val affected = perBucket.map(_._1).toSet
     if (affected.isEmpty) return
+    val totalKeys = perBucket.map(_._2).sum
+
+    // Broadcast only small key sets; a bulk-replay batch with millions of
+    // keys would OOM the driver under a forced broadcast, so past the limit
+    // Catalyst plans the anti-join as a shuffle (both sides partition by pk).
+    val antiKeys =
+      if (totalKeys <= broadcastKeyLimit) changedKeys.hint("broadcast")
+      else changedKeys
 
     val current = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
     val merged = current
-      .join(changedKeys.hint("broadcast"), pk, "left_anti")
+      .join(antiKeys, pk, "left_anti")
       .unionByName(batch.upserts.select(spec.dataCols.map(col): _*))
 
     val rebuilt = writeBucketDirs(merged)

@@ -96,6 +96,41 @@ class TableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(2 -> "b2"))
   }
 
+  test("bulk merge above broadcastKeyLimit stays correct without a forced broadcast") {
+    // Limit of 100 keys; the batch changes 3 000 — the guard must drop the
+    // broadcast hint (a driver OOM at real scale) and still merge exactly.
+    val s = new ParquetTableStore(spark, tmpDir("store"), spec,
+      numBuckets = 8, broadcastKeyLimit = 100L)
+    s.init((1 to 5000).map(i => (i, s"v$i")).toDF("id", "v"))
+    s.merge(CompactedBatch(
+      deletes = (1 to 1000).toDF("id"),
+      upserts = (1001 to 3000).map(i => (i, s"u$i")).toDF("id", "v")))
+    val expect = (1001 to 3000).map(i => i -> s"u$i").toMap ++
+      (3001 to 5000).map(i => i -> s"v$i").toMap
+    assert(state(s) == expect)
+  }
+
+  test("small merge below broadcastKeyLimit still broadcasts the key set") {
+    // The streaming path (micro-batches ≤ maxOffsetsPerTrigger) must keep
+    // the broadcast anti-join: no shuffle of the big current-bucket side.
+    val s = newStore()
+    s.init((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((1, "one")).toDF("id", "v")))
+    assert(state(s) == ((2 to 100).map(i => i -> s"v$i").toMap) + (1 -> "one"))
+  }
+
+  test("explicit gc() drops replaced dirs after a final merge") {
+    val rootDir = tmpDir("store")
+    val s = new ParquetTableStore(spark, rootDir, spec, 2)
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b2")).toDF("id", "v")))
+    val data = new java.io.File(rootDir, "public_t/data")
+    val before = data.list().length
+    s.gc() // end-of-stream: replaced dirs from the last merge are reclaimed
+    assert(data.list().length < before)
+    assert(state(s) == Map(2 -> "b2"))
+  }
+
   test("a batch deleting a whole bucket removes it from the manifest") {
     val s = newStore(buckets = 2)
     s.init(Seq((1, "a")).toDF("id", "v"))
