@@ -73,8 +73,13 @@ object TableRegistry {
   def fromJdbc(
       url: String,
       tableMap: Map[String, String],
-      ident: String => String = _.replace('.', '_').toUpperCase): TableRegistry = {
-    val conn = java.sql.DriverManager.getConnection(url)
+      ident: String => String = _.replace('.', '_').toUpperCase,
+      user: Option[String] = None,
+      passwd: Option[String] = None): TableRegistry = {
+    val conn = user match {
+      case Some(u) => java.sql.DriverManager.getConnection(url, u, passwd.orNull)
+      case None => java.sql.DriverManager.getConnection(url)
+    }
     try {
       val specs = tableMap.values.toSeq.distinct.map { target =>
         val t = ident(target)
