@@ -200,17 +200,23 @@ object CdcQueries {
       val registry = TableRegistry(
         Map("demo.orders" -> "public.orders"),
         Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
+      val dbUrl = s"jdbc:derby:memory:graft_q23_${System.nanoTime()}"
       val store = new JdbcTableStore(
-        s, s"jdbc:derby:memory:graft_q23_${System.nanoTime()};create=true",
-        registry.specFor("public.orders"))
+        s, dbUrl + ";create=true", registry.specFor("public.orders"))
       val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
       CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
       // Derby metadata uppercases identifiers; re-select under spec names
       // (resolution is case-insensitive) so the driver's column-sorted
       // compare lines up with the oracle.
-      store.snapshot()
+      val out = store.snapshot()
         .select(ordersSchema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
         .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .localCheckpoint() // eager: detach from the DB before it is dropped
+      // Free the per-invocation in-memory database — repeated bench runs
+      // would otherwise accumulate whole Derby DBs on the heap.
+      try { java.sql.DriverManager.getConnection(dbUrl + ";drop=true"); () }
+      catch { case _: java.sql.SQLException => () } // 08006 signals success
+      out
     }),
 
     // Full Debezium path over customer (snapshot reads + updates + deletes).

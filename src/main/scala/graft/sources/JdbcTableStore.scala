@@ -16,37 +16,53 @@ import org.apache.spark.sql.types._
   * rollback-and-drop-connection on failure at 128-138).
   *
   * Scale shape: the row volume moves EXECUTOR-parallel — every partition
-  * opens its own connection and batch-inserts into the staging tables, which
-  * have no transactional-visibility requirement (they are cleared and rebuilt
-  * per merge). The driver's single transaction then only runs three
-  * statements inside the database — semi-join DELETE, `INSERT INTO target
-  * SELECT DISTINCT FROM stage`, COMMIT — so no tuple ever streams through the
+  * opens its own connection and loads into the staging tables, which have no
+  * transactional-visibility requirement (they exist only for the span of one
+  * merge). The driver's single transaction then only runs three statements
+  * inside the database — semi-join DELETE, `INSERT INTO target SELECT
+  * DISTINCT FROM stage`, COMMIT — so no tuple ever streams through the
   * driver. The `DISTINCT` absorbs Spark task retries re-inserting a staged
   * partition, and is the reference's own insert dedup (M8,
   * ChangeLoader.java:227-229). The one-transaction visibility point per table
   * matches the reference's one COPY session per table.
   *
-  * PostgreSQL `COPY FROM STDIN` becomes `addBatch`/`executeBatch` so any JDBC
-  * target works (tests run on embedded Derby; against Greenplum the partition
-  * writer can be swapped for CopyManager without touching the merge
-  * protocol).
+  * Staging tables are named with a PER-MERGE token and dropped when the
+  * merge completes (or fails), so two concurrent merges — two store
+  * instances, or a stream racing a bulk load — can never interleave staged
+  * rows. The single-writer convention still governs the TARGET table (the
+  * reference pins one loader per table); the token only removes the silent
+  * stage-level corruption mode. A JVM that dies mid-merge leaves its orphan
+  * stage tables behind (`<TABLE>_SK_<hex>` / `<TABLE>_SR_<hex>`); they are
+  * invisible to the protocol (every merge uses a fresh token) and can be
+  * dropped out-of-band.
+  *
+  * The partition writer is selected by URL scheme: PostgreSQL-family targets
+  * (the reference's Greenplum deployment) stream `COPY FROM STDIN` through
+  * the pg driver's CopyManager — bound reflectively, so the class compiles
+  * and tests without the driver jar — while every other JDBC target uses
+  * portable `addBatch`/`executeBatch` (tests run embedded Derby). Both
+  * writers stream partition iterators; neither materializes a partition.
   *
   * Upsert = delete-then-insert in one transaction (M6); deleting a key never
   * present is a no-op (M7); re-applying a batch after a crash-before-commit
-  * is idempotent (the stages are cleared at the start of every merge), giving
+  * is idempotent (each attempt stages into fresh per-merge tables), giving
   * the same effectively-once story as the reference's commit-after-load
   * offset handling (KafkaPipeLine.java:160-179).
+  *
+  * @param snapshotPartitions number of parallel JDBC range partitions for
+  *   [[snapshot]] when the leading PK column is integral (0 = the session's
+  *   default parallelism). A warehouse-scale readback must not funnel
+  *   through one connection.
   */
 final class JdbcTableStore(
     spark: SparkSession,
     url: String,
     val spec: TableSpec,
-    insertBatchSize: Int = 1000)
+    insertBatchSize: Int = 1000,
+    snapshotPartitions: Int = 0)
   extends TableStore {
 
   private val table = spec.name.replace('.', '_').toUpperCase
-  private val stageKeys = s"${table}_STAGE_KEYS"
-  private val stageRows = s"${table}_STAGE_ROWS"
   private val pk = spec.pkCols
   private val pkFields = pk.map(c => spec.schema(spec.schema.fieldIndex(c)))
   private val colList = spec.schema.fieldNames.mkString(", ")
@@ -74,92 +90,147 @@ final class JdbcTableStore(
     try rs.next() finally rs.close()
   }
 
-  /** Create the target table and/or its staging twins if missing — each
-    * independently, so a target pre-created by the warehouse side (the
-    * reference's normal deployment: it probes pre-existing DDL,
-    * Table.java:30-88) still gets its staging tables.
+  /** Create the target table if missing. The reference's normal deployment
+    * probes pre-existing warehouse DDL instead (Table.java:30-88); this is
+    * the test/bootstrap convenience.
     */
   def ensureTable(): Unit = withConnection { conn =>
     val allCols = spec.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    val keyCols = pkFields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    Seq(table -> allCols, stageKeys -> keyCols, stageRows -> allCols).foreach {
-      case (name, cols) =>
-        if (!tableExists(conn, name))
-          conn.createStatement().execute(s"CREATE TABLE $name ($cols)")
+    if (!tableExists(conn, table))
+      conn.createStatement().execute(s"CREATE TABLE $table ($allCols)")
+  }
+
+  /** Create fresh per-merge staging tables, run `f` with their names, drop
+    * them. The token isolates concurrent merges from each other — fixed
+    * stage names would silently interleave two writers' rows.
+    */
+  private def withStages[A](f: (String, String) => A): A = {
+    val token = java.lang.Long.toHexString(System.nanoTime())
+    val sk = s"${table}_SK_$token"
+    val sr = s"${table}_SR_$token"
+    val keyCols = pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
+    val allCols = spec.schema.fields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
+    withConnection { conn =>
+      conn.createStatement().execute(s"CREATE TABLE $sk ($keyCols)")
+      conn.createStatement().execute(s"CREATE TABLE $sr ($allCols)")
+    }
+    try f(sk, sr)
+    finally withConnection { conn =>
+      Seq(sk, sr).foreach { t =>
+        try conn.createStatement().execute(s"DROP TABLE $t")
+        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+      }
     }
   }
 
-  private def clearStages(): Unit = withConnection { conn =>
-    conn.createStatement().execute(s"DELETE FROM $stageKeys")
-    conn.createStatement().execute(s"DELETE FROM $stageRows")
-  }
-
   /** Stage `df` into `stageTable` partition-parallel: each partition opens
-    * its own connection and commits independently, so staging bandwidth
-    * scales with the cluster, not the driver.
+    * its own connection, so staging bandwidth scales with the cluster, not
+    * the driver. PostgreSQL-family URLs stream COPY; others batch-insert.
     */
   private def stage(df: DataFrame, stageTable: String, fields: Seq[StructField]): Unit = {
     val u = url
     val bs = insertBatchSize
-    val sql = s"INSERT INTO $stageTable (${fields.map(_.name).mkString(", ")}) " +
-      s"VALUES (${fields.map(_ => "?").mkString(", ")})"
-    val n = fields.size
-    df.foreachPartition((rows: Iterator[Row]) =>
-      JdbcTableStore.writePartition(u, sql, bs, n, rows))
+    val names = fields.map(_.name)
+    val dts = fields.map(_.dataType)
+    if (JdbcTableStore.isPostgres(u)) {
+      df.foreachPartition((rows: Iterator[Row]) =>
+        JdbcTableStore.writePartitionCopy(u, stageTable, names, dts, rows))
+    } else {
+      val sql = s"INSERT INTO $stageTable (${names.mkString(", ")}) " +
+        s"VALUES (${names.map(_ => "?").mkString(", ")})"
+      df.foreachPartition((rows: Iterator[Row]) =>
+        JdbcTableStore.writePartition(u, sql, bs, names.size, rows))
+    }
   }
 
   def init(df: DataFrame): Unit = {
     ensureTable()
-    clearStages()
-    stage(df.select(spec.dataCols.map(col): _*), stageRows, spec.schema.fields.toSeq)
-    withConnection { conn =>
-      conn.setAutoCommit(false)
-      try {
-        conn.createStatement().execute(s"DELETE FROM $table")
-        conn.createStatement().execute(
-          s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $stageRows")
-        conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
+    withStages { (_, sr) =>
+      stage(df.select(spec.dataCols.map(col): _*), sr, spec.schema.fields.toSeq)
+      withConnection { conn =>
+        conn.setAutoCommit(false)
+        try {
+          conn.createStatement().execute(s"DELETE FROM $table")
+          conn.createStatement().execute(
+            s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $sr")
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
     }
   }
 
-  def snapshot(): DataFrame =
-    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+  /** Parallel readback: when the leading PK column is integral, one probe
+    * query fetches its min/max and the scan splits into range partitions
+    * across executors (`partitionColumn` bounds); otherwise — or for an
+    * empty/single-key table — the read is a single connection, which is the
+    * correct shape only at verification scale.
+    */
+  def snapshot(): DataFrame = {
+    val reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    val lead = pkFields.head
+    val integral = lead.dataType == IntegerType || lead.dataType == LongType
+    val bounds = if (!integral) None else withConnection { conn =>
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT MIN(${lead.name}), MAX(${lead.name}) FROM $table")
+      try {
+        rs.next()
+        val lo = rs.getLong(1)
+        if (rs.wasNull()) None else Some((lo, rs.getLong(2)))
+      } finally rs.close()
+    }
+    bounds match {
+      case Some((lo, hi)) if hi > lo =>
+        val n = if (snapshotPartitions > 0) snapshotPartitions
+                else spark.sparkContext.defaultParallelism
+        reader.option("partitionColumn", lead.name)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n).load()
+      case _ => reader.load()
+    }
+  }
 
   def merge(batch: CompactedBatch): Unit = {
     ensureTable()
-    clearStages()
     val keyDf = batch.deletes.select(pk.map(col): _*)
       .unionByName(batch.upserts.select(pk.map(col): _*))
       .dropDuplicates(pk)
-    // 1. stage changed keys + upsert tuples, executor-parallel
-    //    (reference: temp-table COPY, ChangeLoader.java:454-468)
-    stage(keyDf, stageKeys, pkFields)
-    stage(batch.upserts.select(spec.dataCols.map(col): _*), stageRows,
-      spec.schema.fields.toSeq)
+    withStages { (sk, sr) =>
+      // 1. stage changed keys + upsert tuples, executor-parallel
+      //    (reference: temp-table COPY, ChangeLoader.java:454-468)
+      stage(keyDf, sk, pkFields)
+      stage(batch.upserts.select(spec.dataCols.map(col): _*), sr,
+        spec.schema.fields.toSeq)
 
-    withConnection { conn =>
-      conn.setAutoCommit(false)
-      try {
-        // 2. semi-join delete (reference: DELETE WHERE EXISTS, 346-369);
-        //    covers both tombstones and the delete-before-insert of upserts
-        val cond = pk.map(c => s"$table.$c = $stageKeys.$c").mkString(" AND ")
-        conn.createStatement().execute(
-          s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stageKeys WHERE $cond)")
+      withConnection { conn =>
+        conn.setAutoCommit(false)
+        try {
+          // 2. semi-join delete (reference: DELETE WHERE EXISTS, 346-369);
+          //    covers both tombstones and the delete-before-insert of upserts
+          val cond = pk.map(c => s"$table.$c = $sk.$c").mkString(" AND ")
+          conn.createStatement().execute(
+            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $sk WHERE $cond)")
 
-        // 3. bulk insert the staged upsert tuples (reference: COPY, 294-332);
-        //    DISTINCT = the reference's HashSet tuple dedup (M8)
-        conn.createStatement().execute(
-          s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $stageRows")
+          // 3. bulk insert the staged upsert tuples (reference: COPY, 294-332);
+          //    DISTINCT = the reference's HashSet tuple dedup (M8)
+          conn.createStatement().execute(
+            s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $sr")
 
-        // 4. one commit for the whole task (reference: 211-242)
-        conn.commit()
-      } catch { case e: Throwable => conn.rollback(); throw e }
+          // 4. one commit for the whole task (reference: 211-242)
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
     }
   }
 }
 
 object JdbcTableStore {
+
+  /** PostgreSQL-family URL → the COPY fast path applies (Greenplum, the
+    * reference's target, speaks the pg wire protocol).
+    */
+  private[sources] def isPostgres(url: String): Boolean =
+    url.startsWith("jdbc:postgresql:")
+
   /** Executor-side staging writer: one connection per partition, batched
     * `PreparedStatement` inserts, one commit per partition. Deliberately a
     * static method so the `foreachPartition` closure captures only strings
@@ -188,6 +259,130 @@ object JdbcTableStore {
         if (n % batchSize != 0) ps.executeBatch()
       } finally ps.close()
       conn.commit()
+    } finally conn.close()
+  }
+
+  // ── PostgreSQL COPY fast path ─────────────────────────────────────────────
+  // The reference streams each tuple set through `COPY … FROM STDIN WITH
+  // DELIMITER '|' NULL '' CSV QUOTE '"' ESCAPE E'\'` on a dedicated thread
+  // (ChangeLoader.java:294-344). Here the executor partition iterator IS the
+  // stream: `copyLines` encodes rows lazily and `LinesReader` adapts the
+  // iterator to the java.io.Reader CopyManager consumes — constant memory per
+  // partition. CopyManager is bound via reflection so this compiles and unit-
+  // tests without the pg driver jar; only `writePartitionCopy` needs it live.
+
+  /** The reference's COPY statement, byte-for-byte (ChangeLoader.java:334-344). */
+  private[sources] def copySql(table: String, cols: Seq[String]): String =
+    s"COPY $table (${cols.mkString(",")}) FROM STDIN WITH DELIMITER '|' NULL '' CSV QUOTE '\"' ESCAPE E'\\\\';"
+
+  /** CSV field escaping, matching the reference exactly (PipeLine.java:418-437):
+    * NUL bytes are deleted (PostgreSQL text cannot carry them — same rule as
+    * `Decoders.sanitizeText`), quote and escape characters get the backslash
+    * escape. The caller wraps the result in quotes.
+    */
+  private[sources] def escapeCsvString(data: String): String = {
+    val sb = new java.lang.StringBuilder(data.length)
+    var i = 0
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (c != 0x00.toChar) {
+        if (c == '"' || c == '\\') sb.append('\\')
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Bytea encoding for COPY, matching the reference (PipeLine.java:445-468):
+    * printable ASCII as-is, backslash doubled, everything else as `\ooo`
+    * octal escapes.
+    */
+  private[sources] def escapeBinary(data: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (b == '\\') sb.append("\\\\")
+      else if (b < 0x20 || b > 0x7e) {
+        sb.append('\\')
+        sb.append((((b >> 6) & 0x3) + '0').toChar)
+        sb.append((((b >> 3) & 0x7) + '0').toChar)
+        sb.append(((b & 0x7) + '0').toChar)
+      } else sb.append(b.toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One COPY CSV line per row, encoded lazily off the partition iterator:
+    * NULL → empty field, strings quoted+escaped, binary as octal bytea,
+    * temporal/numeric/boolean via their JDBC text forms (the reference's
+    * type dispatch, PipeLine.java:295-356).
+    */
+  private[sources] def copyLines(
+      fields: Seq[DataType], rows: Iterator[Row]): Iterator[String] = {
+    val dts = fields.toArray
+    rows.map { row =>
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < dts.length) {
+        if (i > 0) sb.append('|')
+        if (!row.isNullAt(i)) dts(i) match {
+          case StringType =>
+            sb.append('"').append(escapeCsvString(row.getString(i))).append('"')
+          case BinaryType =>
+            sb.append(escapeBinary(row.getAs[Array[Byte]](i)))
+          case _ => sb.append(String.valueOf(row.get(i)))
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Adapts a line iterator to the `java.io.Reader` CopyManager consumes,
+    * inserting newlines between lines — the partition streams through
+    * without ever materializing.
+    */
+  private[sources] final class LinesReader(lines: Iterator[String]) extends java.io.Reader {
+    private var current: String = ""
+    private var pos = 0
+    private var first = true
+    override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+      if (pos >= current.length) {
+        if (!lines.hasNext) return -1
+        current = (if (first) "" else "\n") + lines.next()
+        first = false
+        pos = 0
+        if (current.isEmpty) return read(cbuf, off, len) // empty first line
+      }
+      val n = math.min(len, current.length - pos)
+      current.getChars(pos, pos + n, cbuf, off)
+      pos += n
+      n
+    }
+    override def close(): Unit = ()
+  }
+
+  /** Executor-side COPY writer: binds `org.postgresql.copy.CopyManager`
+    * reflectively (`copyIn(sql, reader)`) over the partition's unwrapped
+    * connection. Compiles and is selected by URL scheme without the driver
+    * jar; executing it requires the jar on the executor classpath, which a
+    * Greenplum/PostgreSQL deployment has by construction.
+    */
+  private[sources] def writePartitionCopy(
+      url: String, table: String, colNames: Seq[String], fields: Seq[DataType],
+      rows: Iterator[Row]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val baseConn = Class.forName("org.postgresql.core.BaseConnection")
+      val cmClass = Class.forName("org.postgresql.copy.CopyManager")
+      val cm = cmClass.getConstructor(baseConn)
+        .newInstance(conn.unwrap(baseConn.asInstanceOf[Class[AnyRef]]))
+      val copyIn = cmClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+      copyIn.invoke(cm, copySql(table, colNames), new LinesReader(copyLines(fields, rows)))
+      ()
     } finally conn.close()
   }
 }

@@ -116,6 +116,46 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(2 -> "b"))
   }
 
+  test("snapshot splits into range partitions on the integral PK (no single-connection funnel)") {
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:part${System.nanoTime()};create=true", spec,
+      snapshotPartitions = 4)
+    s.init((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    val snap = s.snapshot()
+    assert(snap.rdd.getNumPartitions == 4,
+      "a warehouse readback must scan partition-parallel when the leading PK is integral")
+    assert(snap.collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      (1 to 100).map(i => i -> s"v$i").toMap)
+  }
+
+  test("snapshot of an empty or single-key table falls back to one partition") {
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:part1${System.nanoTime()};create=true", spec,
+      snapshotPartitions = 4)
+    s.ensureTable()
+    assert(s.snapshot().collect().isEmpty) // empty: min/max are NULL
+    s.init(Seq((7, "x")).toDF("id", "v"))
+    assert(state(s) == Map(7 -> "x")) // lo == hi: no range to split
+  }
+
+  test("per-merge staging tables are dropped on completion and on failure") {
+    val url = s"jdbc:derby:memory:stage${System.nanoTime()};create=true"
+    val s = new JdbcTableStore(spark, url, spec)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b")).toDF("id", "v")))
+    intercept[Exception](s.merge(
+      CompactedBatch(Seq(1).toDF("id"), Seq((2, "x" * 5000)).toDF("id", "v"))))
+    val conn = java.sql.DriverManager.getConnection(url)
+    val leftover = try {
+      val rs = conn.getMetaData.getTables(null, null, "PUBLIC_T_S%", null)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      try while (rs.next()) names += rs.getString("TABLE_NAME") finally rs.close()
+      names.toSeq
+    } finally conn.close()
+    assert(leftover.isEmpty,
+      s"stage tables must be per-merge and dropped in finally; found $leftover")
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
