@@ -31,7 +31,8 @@ object Sharding {
     */
   def packByBudget(
       df: DataFrame, idCol: String, weightCol: String,
-      budget: Long, partitions: Int = 0): DataFrame = {
+      budget: Long, partitions: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -43,12 +44,18 @@ object Sharding {
         TextFunctions.md5Hash60(col(idCol).cast("string")).as("h"))
       .repartitionByRange(p, col("h"), col("id"))
       .sortWithinPartitions(col("h"), col("id"))
-    val cums = keyed.as[(Long, Long, Long)].mapPartitions { it =>
+    val cums = scope.own(keyed.as[(Long, Long, Long)].mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var cum = 0L
-      it.map { case (id, w, _) => cum += w; (pid, id, w, cum) }
+      it.map { case (id, w, _) =>
+        // a negative weight would silently make the prefix sum non-monotone
+        // (out-of-order / negative shard ids) — fail the job loudly instead
+        require(w >= 0, s"packByBudget: weight must be non-negative, got $w for id $id")
+        cum += w
+        (pid, id, w, cum)
+      }
     }.toDF("pid", "id", "w", "cum")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val totals = cums.groupBy("pid").agg(max("cum").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))

@@ -129,9 +129,15 @@ object CdcPipeline {
     * intra-split position): mtime is the arrival order — name order alone
     * would flip last-write-wins whenever a later-written file sorts earlier
     * lexicographically (e.g. `b0.json` written before `a1.json`, both picked
-    * up in one batch); the name breaks mtime ties deterministically. The
-    * mtime map is listed per batch on the driver — bounded by the file count
-    * of a replay dir, which is the test/bulk path, not the scale path.
+    * up in one batch); the name breaks mtime ties deterministically.
+    * GRANULARITY CONTRACT: on filesystems with coarse mtime resolution
+    * (1-2 s), two files written within one tick tie on mtime and order by
+    * NAME — a producer emitting multiple files per tick must embed a
+    * monotonic sequence in its file names (as every producer in this repo
+    * does); the Kafka path has no such ambiguity. The mtime map covers only
+    * THIS batch's files (one distinct-scan of the batch, one getFileStatus
+    * per file) — a literal listing the replay dir's full history would grow
+    * with every batch.
     * `monotonically_increasing_id` alone is NOT usable directly: it encodes
     * `partitionId << 33 | row`, so a batch with ≥128 partitions would bleed
     * into the next batch's `batchId * 2^40` range, and same-key events in
@@ -155,10 +161,14 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
-        val dir = new org.apache.hadoop.fs.Path(inputDir)
-        val mtimes = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .listStatus(dir).filter(_.isFile)
-          .map(st => st.getPath.getName -> st.getModificationTime).toMap
+        val fs = new org.apache.hadoop.fs.Path(inputDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mtimes = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+          .map { f =>
+            val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+            p.getName -> fs.getFileStatus(p).getModificationTime
+          }.toMap
         val fname = element_at(split(input_file_name(), "/"), -1)
         val arrival = Window.orderBy(
           coalesce(element_at(typedLit(mtimes), fname), lit(Long.MaxValue)),

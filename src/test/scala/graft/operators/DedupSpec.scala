@@ -86,6 +86,20 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(df, "doc_id", "text").count() === 0)
   }
 
+  test("CacheScope.release frees the signature caches deterministically") {
+    val docs = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    Dedup.minhashPairs(docs, "doc_id", "text", scope = scope).count()
+    val acquired = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(acquired.nonEmpty, "the signature pass must be cached while the plan runs")
+    scope.release()
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet.intersect(acquired)
+    assert(leftover.isEmpty,
+      s"release() must drop every scope-owned MEMORY_AND_DISK block now, not " +
+        s"when the ContextCleaner eventually notices; still cached: $leftover")
+  }
+
   test("connectedComponents labels each component with its minimum id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")

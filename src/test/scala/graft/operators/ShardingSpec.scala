@@ -40,6 +40,14 @@ class ShardingSpec extends SparkTestBase {
     assert(got.map(_._3).distinct.length > 1, "expected multiple shards")
   }
 
+  test("negative weights fail loudly instead of corrupting the prefix sum") {
+    val rows = Seq((1L, 10L), (2L, -3L), (3L, 5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[org.apache.spark.SparkException](
+      Sharding.packByBudget(rows, "doc_id", "n_tokens", budget = 8L).collect())
+    assert(e.getMessage.contains("non-negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-negative")))
+  }
+
   test("budget must be positive") {
     intercept[IllegalArgumentException] {
       Sharding.packByBudget(Seq((1L, 1L)).toDF("doc_id", "w"), "doc_id", "w", 0)
