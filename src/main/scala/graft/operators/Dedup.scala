@@ -250,6 +250,54 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least one word n-gram with a benchmark/eval set — the leakage check a
+    * training pipeline runs before assembly (n = 8 by default, the window
+    * length commonly used so that natural phrase reuse doesn't flag).
+    *
+    * Both sides get ONE compiled pass producing distinct hashed n-gram sets
+    * (documents shorter than n tokens carry no full n-gram and are skipped —
+    * on either side). The benchmark's distinct shingles form the SMALL join
+    * side: corpus postings (id, shingle-hash) inner-join it on the hash and
+    * aggregate to |S_doc ∩ S_bench| per flagged doc. At scale the postings
+    * explode is linear in corpus tokens (unavoidable — the op inspects every
+    * n-gram once) and the join broadcasts whenever the benchmark fits under
+    * the broadcast threshold (AQE decides; a benchmark suite is MBs, not
+    * TBs), so no corpus-sized shuffle.
+    *
+    * Output: (doc_id, n_shared) for contaminated corpus docs only.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    def shingleSets(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val toks = TextHash.tokens(text)
+            if (toks.length < n) None
+            else Some((id, TextHash.hashedShingles(toks, md, n)))
+          }
+        }
+        .toDF("id", "hs")
+    }
+    val benchShingles = shingleSets(benchmark)
+      .select(explode(col("hs")).as("h")).distinct()
+    shingleSets(corpus)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .join(benchShingles, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("n_shared"))
+  }
+
   /** SimHash near-dup pairs: docs whose 60-bit SimHash
     * ([[TextHash.simhash60]], one compiled pass) matches on at least one of
     * four 15-bit bands (Hamming-distance blocking — two docs within Hamming

@@ -153,6 +153,48 @@ object PipelineQueries {
         TextFunctions.piiCounts(col("raw")).map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // ── Benchmark decontamination: the benchmark is every 7th doc; the
+    // corpus is everything else plus PLANTED leaks (60%-prefix excerpts of
+    // benchmark docs at id+2·10⁶). Any corpus doc sharing an 8-gram with the
+    // benchmark is flagged with its shared-shingle count.
+    "q52_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 7 === 0)
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+        .unionByName(bench
+          .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 3 / 5).cast("int")))
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      Dedup.decontaminate(corpus, bench, "doc_id", "text")
+    }),
+
+    // ── Mixture balancing: every language downsampled to ≈ the smallest
+    // stratum by deterministic key-hash rates (one tiny count job, then a
+    // pure map-side filter).
+    "q54_balance_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.balanceStrata(docs(s, dir), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ── Per-document keywords: top-3 tokens by (tf DESC, df ASC, token ASC)
+    // — the integer-exact tf-idf ranking (rarest-but-frequent terms first;
+    // no float idf, so both engines agree bit-for-bit). Shuffle shape at
+    // scale: tf is a map-side-combined (doc, token) aggregate; df aggregates
+    // tf's (much smaller) output; the tf⋈df join is token-keyed with the df
+    // side orders of magnitude smaller (AQE broadcasts when it fits); the
+    // final top-3 is one window per doc partition.
+    "q55_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "tok")
+        .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("tok").asc)).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("rnk"))
+    }),
+
     // ── Per-document text statistics (all codegen column expressions).
     "q33_text_stats" -> ((s, dir) => {
       val text = col("text")
@@ -340,8 +382,69 @@ object PipelineQueries {
       |FROM r""".stripMargin
   }
 
+  /** q52 oracle: 8-token window join expression, generated so the window
+    * width is stated once.
+    */
+  private val eightGram: String =
+    (0 until 8).map(o => s"toks[j + $o]").mkString(" || ' ' || ")
+
   val oracles: Map[String, String] = Map(
     "q50_pii_redact" -> piiOracle,
+
+    "q52_decontaminate" ->
+      s"""WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(text, 1, CAST(n_chars * 3 // 5 AS INT))
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |btok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS toks
+        |  FROM bench),
+        |ctok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |bsh AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789 AS h
+        |  FROM (SELECT unnest(list_transform(range(1, len(toks) - 6),
+        |                j -> $eightGram)) AS s
+        |        FROM btok WHERE len(toks) >= 8)),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks) - 6), j -> $eightGram),
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS h
+        |  FROM ctok WHERE len(toks) >= 8)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM csh c JOIN bsh b ON c.h = b.h
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q54_balance_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT min(n) AS t FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c ON d.lang = c.lang
+        |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       % 1000000) * c.n < (SELECT t FROM t) * 1000000""".stripMargin,
+
+    "q55_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |r AS (
+        |  SELECT t.doc_id, t.tok AS keyword, t.tf, d.df,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rnk
+        |  FROM tf t JOIN dfreq d ON t.tok = d.tok)
+        |SELECT doc_id, keyword, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "q31_dedup_minhash" ->
       s"""WITH $shingleCtes,
         |$minhashCand,

@@ -86,6 +86,23 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.simhashPairs(df, "doc_id", "text").count() === 0)
   }
 
+  test("decontaminate flags docs sharing an 8-gram with the benchmark, and only those") {
+    val bench = Seq((100L, doc(1)), (101L, doc(2))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, doc(3)),                                  // clean
+      (2L, "intro words here " + doc(1)),            // embeds benchmark doc 100
+      (3L, doc(2).split(" ").take(10).mkString(" ")), // 10-token prefix of doc 101
+      (4L, "one two three four five six seven")       // 7 tokens: no full 8-gram
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(2L, 3L),
+      "exactly the embedded-excerpt docs must flag; short and clean docs must not")
+    // doc 3 has 10 tokens → 3 sliding 8-grams, all inside doc(2)'s prefix
+    assert(flagged(3L) == 3L)
+    assert(flagged(2L) > 0L)
+  }
+
   test("CacheScope.release frees the signature caches deterministically") {
     val docs = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet

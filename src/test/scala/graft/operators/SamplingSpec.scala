@@ -56,4 +56,21 @@ class SamplingSpec extends SparkTestBase {
       Sampling.sampleByHash(df, "doc_id", "lang", Map.empty, -1)
     }
   }
+
+  test("balanceStrata downsamples every stratum toward the smallest one, keeping it whole") {
+    // 900 'de' vs 100 'en': the floor is 100, so 'en' survives entirely
+    // (bucket·100 < 100·10⁶ always) and 'de' keeps ≈ 1/9 of its rows.
+    val skewed = ((1 to 900).map(i => (i.toLong, "de")) ++
+      (1001 to 1100).map(i => (i.toLong, "en"))).toDF("doc_id", "lang")
+    val kept = Sampling.balanceStrata(skewed, "doc_id", "lang")
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == 100, "the smallest stratum must survive whole")
+    assert(byLang("de") > 50 && byLang("de") < 200,
+      s"900 'de' rows at rate 100/900 must land near 100, got ${byLang("de")}")
+    // determinism: the exact same rows survive on a second evaluation
+    val again = Sampling.balanceStrata(skewed, "doc_id", "lang")
+      .as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
 }
