@@ -195,6 +195,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("rnk"))
     }),
 
+    // ── C4/Gopher-style composite quality filter: the keep/drop decision a
+    // cleaning pipeline applies before assembly — length window, repetition
+    // cap, and language-consistency check composed into one verdict. Every
+    // signal is a codegen column expression; the whole filter rides the scan
+    // with zero shuffle.
+    "q56_quality_filter" -> ((s, dir) => {
+      val text = col("text")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(text).as("n_tokens"),
+          TextFunctions.dupTokenFraction(text).as("dup_frac"),
+          TextFunctions.langId(text).as("lang_pred"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+          (col("lang_pred") === col("lang")).cast("int").as("lang_ok"),
+          (col("n_tokens").between(30, 90) && col("dup_frac") <= 0.65 &&
+            col("lang_pred") === col("lang")).cast("int").as("keep"))
+    }),
+
     // ── Per-document text statistics (all codegen column expressions).
     "q33_text_stats" -> ((s, dir) => {
       val text = col("text")
@@ -388,6 +406,28 @@ object PipelineQueries {
   private val eightGram: String =
     (0 until 8).map(o => s"toks[j + $o]").mkString(" || ' ' || ")
 
+  /** Shared oracle fragment (q34, q56): per-language marker scores over a
+    * `tok(doc_id, lang, toks)` CTE, and the argmax CASE mirroring
+    * [[TextFunctions.langId]]'s tie-break order.
+    */
+  private val langScoredCte: String =
+    """scored AS (
+      |  SELECT *,
+      |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS s_en,
+      |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','se','un'], t))) AS s_es,
+      |    len(list_filter(toks, t -> list_contains(['le','la','de','et','un','les','des','en'], t))) AS s_fr,
+      |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von','den','ein'], t))) AS s_de,
+      |    len(list_filter(toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men'], t))) AS s_zh
+      |  FROM tok)""".stripMargin
+
+  private val langPredExpr: String =
+    """CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+      |     WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+      |     WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+      |     WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+      |     WHEN s_zh > 0 AND s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+      |     ELSE 'und' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_pii_redact" -> piiOracle,
 
@@ -430,6 +470,24 @@ object PipelineQueries {
         |FROM documents d JOIN c ON d.lang = c.lang
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |       % 1000000) * c.n < (SELECT t FROM t) * 1000000""".stripMargin,
+
+    "q56_quality_filter" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |$langScoredCte,
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE (len(toks) - len(list_distinct(toks))) / len(toks) END AS dup_frac,
+        |    CAST($langPredExpr = lang AS INT) AS lang_ok
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, dup_frac, lang_ok,
+        |  CAST((n_tokens BETWEEN 30 AND 90) AND dup_frac <= 0.65 AND lang_ok = 1
+        |    AS INT) AS keep
+        |FROM m""".stripMargin,
 
     "q55_tfidf_keywords" ->
       """WITH tok AS (
@@ -699,26 +757,13 @@ object PipelineQueries {
         |FROM tok""".stripMargin,
 
     "q34_lang_id" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                t -> t <> '') AS toks
         |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS s_en,
-        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','se','un'], t))) AS s_es,
-        |    len(list_filter(toks, t -> list_contains(['le','la','de','et','un','les','des','en'], t))) AS s_fr,
-        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','von','den','ein'], t))) AS s_de,
-        |    len(list_filter(toks, t -> list_contains(['de','shi','le','zai','you','wo','ta','men'], t))) AS s_zh
-        |  FROM tok)
-        |SELECT doc_id, lang,
-        |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-        |       WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-        |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-        |       WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
-        |       WHEN s_zh > 0 AND s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
-        |       ELSE 'und' END AS lang_pred
+        |$langScoredCte
+        |SELECT doc_id, lang, $langPredExpr AS lang_pred
         |FROM scored""".stripMargin,
 
     "q35_fingerprint" ->
