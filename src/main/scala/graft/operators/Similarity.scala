@@ -189,6 +189,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Corpus-wide kNN GRAPH: the top-k nearest neighbors of EVERY vector —
+    * the all-to-all sibling of [[lshTopK]] (whose query side is a small
+    * broadcast set). Used for graph-based curation: semantic dedup beyond
+    * near-identical, cluster discovery, diversity-aware selection.
+    *
+    * Shape: the corpus self-joins on hyperplane buckets with multi-probe on
+    * the query side only — each vector sits in exactly ONE bucket, so the
+    * (probes+1) distinct probe buckets can never match the same neighbor
+    * twice and the candidate set needs no dedup shuffle. Like
+    * [[cosinePairs]], only (id, bucket) flows through the probe explode and
+    * the candidate join; vectors re-attach once per candidate for the exact
+    * rescore, and per-query top-k is a windowed rank over candidates
+    * (bounded by (planes+1)·corpus/2^planes per query — `planes` scales the
+    * bucket count with the corpus so that stays a constant).
+    */
+  def knnGraph(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, planes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).cast("long").as("id"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val probed = ids.select(col("id").as("query_id"),
+      explode(array(col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket"))
+    val cand = probed
+      .join(ids.select(col("id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val scored = cand
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Approximate top-k with multi-probe: candidates are corpus vectors in
     * the query's hyperplane bucket OR any bucket at Hamming distance 1 from
     * it (each probe flips one hyperplane's sign bit — the buckets most

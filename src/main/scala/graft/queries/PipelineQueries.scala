@@ -253,6 +253,13 @@ object PipelineQueries {
         cells = 16, probes = 4)
     }),
 
+    // ── Corpus-wide kNN graph: top-5 neighbors of EVERY vector via the
+    // bucket self-join (multi-probe on the query side, id-only candidate
+    // shuffle, exact cosine rescore).
+    "q53_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(emb(s, dir), "vec_id", "embedding", k = 5, planes = 6)
+    }),
+
     // ── LSH-bucketed ANN: the 100 TB path (multi-probe bucket join + exact
     // rescoring). planes sizes the bucket count to the corpus: 2^4 buckets
     // for the 10³-vector test corpora; a web-scale corpus raises it so the
@@ -723,6 +730,33 @@ object PipelineQueries {
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
         |  FROM probed JOIN c USING (bucket) WHERE query_id <> neighbor_id)
         |WHERE rank <= 10""".stripMargin,
+
+    "q53_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p.p,
+        |    list_sum(list_transform(range(1, len(v) + 1), j -> v[j] *
+        |      CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || (j - 1)), 1, 15)) AS BIGINT) & 1 = 1
+        |        THEN 1.0 ELSE -1.0 END)) AS pr
+        |  FROM e CROSS JOIN range(6) p(p)),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
+        |      FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        |q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c),
+        |probed AS (
+        |  SELECT query_id, qv, bucket FROM q
+        |  UNION ALL
+        |  SELECT query_id, qv, CAST(xor(bucket, CAST(1 AS BIGINT) << p.p) AS BIGINT)
+        |  FROM q CROSS JOIN range(6) p(p))
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM probed JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+        |WHERE rank <= 5""".stripMargin,
 
     "q30_dedup_exact" ->
       """WITH corpus AS (

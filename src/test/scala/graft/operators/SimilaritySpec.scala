@@ -32,6 +32,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.find(_._2 == 1).map(_._1).contains(901L) || top(901L) === 1)
   }
 
+  test("knnGraph covers every vector and finds planted copies as rank-1") {
+    // plant a near-copy of every 10th vector; its top neighbor must be its
+    // source (and vice versa), and every corpus vector must get k rows.
+    val rnd = new scala.util.Random(13)
+    val planted = (0 until 200 by 10).map { i =>
+      val base = corpus.filter($"vec_id" === i.toLong)
+        .select("embedding").as[Array[Float]].head()
+      val copy = base.clone(); copy(0) = copy(0) + 0.001f
+      (1000L + i, copy)
+    }
+    val df = corpus.union(planted.toDF("vec_id", "embedding"))
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 3, planes = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQuery = g.groupBy(_._1)
+    assert(byQuery.size == 220, "every vector must appear as a query")
+    assert(byQuery.values.forall(_.length == 3), "each query gets exactly k neighbors")
+    planted.foreach { case (pid, _) =>
+      val top1 = byQuery(pid).find(_._3 == 1).get._2
+      assert(top1 == pid - 1000L,
+        s"planted near-copy $pid must rank its source first, got $top1")
+    }
+    // probe-uniqueness invariant: no (query, neighbor) appears twice
+    assert(g.map(r => (r._1, r._2)).distinct.length == g.length)
+  }
+
   test("lshTopK recall@10 against the exact top-10 clears a floor") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
