@@ -31,6 +31,22 @@ object StreamingQueries {
 
   private val LateCut = "2024-01-29 00:00:00"
 
+  /** Run `body` with the session's shuffle-partition count scoped down for a
+    * stateful streaming query: the state store materializes (and
+    * checkpoints) one partition PER shuffle partition PER operator PER
+    * micro-batch, so the batch-analytics default (32 on the bench session)
+    * multiplies state I/O ×32 for micro-batches whose keyed state would fit
+    * in a handful of partitions. A production stream sizes this to its key
+    * cardinality at startup (the partition count is baked into the
+    * checkpoint on first run); results are partition-count-invariant.
+    */
+  private def withStreamingShuffle[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Write `df` as ONE json file at `dir/name` with the given mtime rank —
     * the file source lists oldest-first, which fixes the arrival order.
     */
@@ -47,7 +63,8 @@ object StreamingQueries {
       .forEach(p => Files.deleteIfExists(p))
   }
 
-  def watermarkTumbling(spark: SparkSession, dir: String): DataFrame = {
+  def watermarkTumbling(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
     val events = RelationalQueries.events(spark, dir) // ns→µs ts normalization
     val cut = lit(LateCut).cast("timestamp")
     val straggler = col("event_id") % 7 === 0 && col("ts") < cut
@@ -79,7 +96,7 @@ object StreamingQueries {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(sink)
-  }
+    }
 
   /** q49: streaming deduplication across micro-batches.
     *
@@ -96,7 +113,8 @@ object StreamingQueries {
     * avoids — short watermark, state expires, a later duplicate re-emits —
     * is pinned separately by `graft.streaming.DedupEvictionCanarySpec`.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
     val events = RelationalQueries.events(spark, dir)
     val in = Files.createTempDirectory("q49_in")
     val ckpt = Files.createTempDirectory("q49_ckpt")
@@ -124,7 +142,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
         max(col("event_id")).as("max_id"))
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
