@@ -191,38 +191,44 @@ final class ParquetTableStore(
     gcUnreferenced(manifest)
 
     val pk = spec.pkCols
+    // Cached for the span of this merge only: the key set is consumed by TWO
+    // jobs (the bucket/count probe below and the anti-join inside the bucket
+    // rewrite), and without the cache each job re-runs the upstream
+    // compaction aggregate. One row per changed key — small by construction.
     val changedKeys = batch.deletes.select(pk.map(col): _*)
       .unionByName(batch.upserts.select(pk.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // One job yields both the affected bucket set AND the changed-key count
+      // (the broadcast guard). Bounded by numBuckets — this collect never
+      // scales with data volume.
+      val perBucket = changedKeys
+        .groupBy(bucketOf(pk.map(col)).as("_bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      val affected = perBucket.map(_._1).toSet
+      if (affected.isEmpty) return
+      val totalKeys = perBucket.map(_._2).sum
 
-    // One job yields both the affected bucket set AND the changed-key count
-    // (the broadcast guard). Bounded by numBuckets — this collect never
-    // scales with data volume.
-    val perBucket = changedKeys
-      .groupBy(bucketOf(pk.map(col)).as("_bucket")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-    val affected = perBucket.map(_._1).toSet
-    if (affected.isEmpty) return
-    val totalKeys = perBucket.map(_._2).sum
+      // Broadcast only small key sets; a bulk-replay batch with millions of
+      // keys would OOM the driver under a forced broadcast, so past the limit
+      // Catalyst plans the anti-join as a shuffle (both sides partition by pk).
+      val antiKeys =
+        if (totalKeys <= broadcastKeyLimit) changedKeys.hint("broadcast")
+        else changedKeys
 
-    // Broadcast only small key sets; a bulk-replay batch with millions of
-    // keys would OOM the driver under a forced broadcast, so past the limit
-    // Catalyst plans the anti-join as a shuffle (both sides partition by pk).
-    val antiKeys =
-      if (totalKeys <= broadcastKeyLimit) changedKeys.hint("broadcast")
-      else changedKeys
+      val current = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
+      val merged = current
+        .join(antiKeys, pk, "left_anti")
+        .unionByName(batch.upserts.select(spec.dataCols.map(col): _*))
 
-    val current = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
-    val merged = current
-      .join(antiKeys, pk, "left_anti")
-      .unionByName(batch.upserts.select(spec.dataCols.map(col): _*))
-
-    val rebuilt = writeBucketDirs(merged)
-    // A bucket whose rows were all deleted simply leaves the manifest.
-    val next = (manifest -- affected) ++ rebuilt
-    commitManifest(next)
-    // Replaced dirs are NOT deleted here: they stay on disk until the NEXT
-    // merge's gcUnreferenced pass, so a snapshot DataFrame resolved against
-    // the pre-merge manifest stays evaluable across this commit (readers
-    // resolve lazily; see the retention contract in the class doc).
+      val rebuilt = writeBucketDirs(merged)
+      // A bucket whose rows were all deleted simply leaves the manifest.
+      val next = (manifest -- affected) ++ rebuilt
+      commitManifest(next)
+      // Replaced dirs are NOT deleted here: they stay on disk until the NEXT
+      // merge's gcUnreferenced pass, so a snapshot DataFrame resolved against
+      // the pre-merge manifest stays evaluable across this commit (readers
+      // resolve lazily; see the retention contract in the class doc).
+    } finally changedKeys.unpersist(blocking = false)
   }
 }
