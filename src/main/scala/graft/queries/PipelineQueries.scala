@@ -195,6 +195,30 @@ object PipelineQueries {
         .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("rnk"))
     }),
 
+    // ── Context-window chunking: each document split into ≤64-token windows
+    // with 16-token overlap (stride 48) — the step that shapes documents to
+    // a model's context length before packing. Chunk count and slicing are
+    // integer-exact; the whole transform is generate+project riding the scan
+    // (zero shuffle), which is the only shape that survives a 100 TB corpus.
+    "q57_chunk_windows" -> ((s, dir) => {
+      val C = 64; val stride = 48 // overlap 16
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks)
+      // extra chunks beyond the first: ceil(max(n-C,0) / stride), computed
+      // as an exact integer floor((x + stride-1) / stride)
+      val extra = floor((greatest(n - C, lit(0)) + lit(stride - 1)) / lit(stride)).cast("int")
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"), n.as("n"), extra.as("extra"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), col("extra")),
+          i => struct(
+            array_join(slice(col("toks"), i * stride + 1, lit(C)), " ").as("chunk_text"),
+            size(slice(col("toks"), i * stride + 1, lit(C))).as("n_toks")))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.chunk_text"), col("col.n_toks").cast("long").as("n_toks"))
+    }),
+
     // ── C4/Gopher-style composite quality filter: the keep/drop decision a
     // cleaning pipeline applies before assembly — length window, repetition
     // cap, and language-consistency check composed into one verdict. Every
@@ -477,6 +501,21 @@ object PipelineQueries {
         |FROM documents d JOIN c ON d.lang = c.lang
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |       % 1000000) * c.n < (SELECT t FROM t) * 1000000""".stripMargin,
+
+    "q57_chunk_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |    (greatest(len(toks) - 64, 0) + 47) // 48 AS extra
+        |  FROM tok WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+        |  CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_toks
+        |FROM p, unnest(range(extra + 1)) AS u(i)""".stripMargin,
 
     "q56_quality_filter" ->
       s"""WITH tok AS (

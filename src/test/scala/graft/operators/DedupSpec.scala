@@ -103,6 +103,32 @@ class DedupSpec extends SparkTestBase {
     assert(flagged(2L) > 0L)
   }
 
+  test("decontaminate matches a brute-force 8-gram intersection on random corpora") {
+    // Seeded-random differential: the distributed shingle-join must produce
+    // exactly the per-doc count of distinct 8-grams shared with the
+    // benchmark, as computed by a plain in-memory set intersection.
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def randDoc() = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def grams(t: String): Set[Seq[String]] = {
+      val toks = t.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 8) Set.empty else toks.sliding(8).map(_.toSeq).toSet
+    }
+    (1 to 3).foreach { round =>
+      val bench = (1 to 5).map(i => (100L + i, randDoc()))
+      val corpus = (1 to 40).map(i => (i.toLong, randDoc()))
+      val benchSet = bench.flatMap(b => grams(b._2)).toSet
+      val expected = corpus
+        .map { case (id, t) => id -> grams(t).count(benchSet.contains).toLong }
+        .filter(_._2 > 0).toMap
+      val got = Dedup.decontaminate(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"round $round diverged from the in-memory model")
+    }
+  }
+
   test("CacheScope.release frees the signature caches deterministically") {
     val docs = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
