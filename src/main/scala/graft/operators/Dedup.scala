@@ -34,20 +34,22 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Per-document MinHash artifacts: (id, hs: distinct hashed shingles,
-    * bkeys: LSH band keys). Token-less documents are dropped.
+  /** Per-document MinHash signature artifacts: (id, hs: distinct hashed
+    * shingles, bkeys: LSH band keys). Token-less documents are dropped.
     *
-    * Persisted: the plan below consumes this four times (both band-join
-    * sides + both shingle re-attachments); without the cache each use
-    * rescans the corpus and recomputes every signature. The cache is owned
-    * by the caller's [[CacheScope]] (default: ContextCleaner).
+    * PUBLIC as the persistable dedup INDEX for incremental pipelines: write
+    * this table once per corpus snapshot, and each incoming batch only
+    * hashes itself ([[minhashPairsAgainstIndex]]) instead of re-signing the
+    * full corpus per run — the only dedup cadence that works when the corpus
+    * is 100 TB and the daily delta is 0.1 TB.
     */
-  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, scope: CacheScope): DataFrame = {
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val spark = df.sparkSession
     import spark.implicits._
     val (a, b) = TextHash.minhashCoeffs(k)
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
@@ -62,8 +64,55 @@ object Dedup {
         }
       }
       .toDF("id", "hs", "bkeys")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scope.own(sigs)
+  }
+
+  /** [[minhashSignatures]] persisted under the caller's [[CacheScope]] — the
+    * within-plan cache for the self-join operators below, which consume the
+    * signatures four times (both band-join sides + both shingle
+    * re-attachments).
+    */
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, scope: CacheScope): DataFrame =
+    scope.own(minhashSignatures(df, idCol, textCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Incremental near-dedup: pairs between a NEW batch's signatures and an
+    * EXISTING index ([[minhashSignatures]] output, typically read back from
+    * storage) — cross-set pairs only; new-vs-new pairs come from
+    * [[minhashPairs]] over the batch itself.
+    *
+    * The band join explodes ids only; the skew cap applies to the INDEX side
+    * (boilerplate floods live in the corpus; a cap there bounds per-bucket
+    * fan-out at cap candidates per new-doc band). Exact Jaccard verification
+    * re-attaches the shingle sets once per surviving pair, same
+    * integer (inter, uni) contract as [[minhashPairs]].
+    */
+  def minhashPairsAgainstIndex(
+      newSigs: DataFrame,
+      index: DataFrame,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5,
+      bucketCap: Int = 1000): DataFrame = {
+    val nb = newSigs.select(col("id").as("id_a"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val ib = index.select(col("id").as("id_b"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val cappedIx = ib
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bsize") <= bucketCap)
+      .select("band", "bkey", "id_b")
+    val pairs = nb.join(cappedIx, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(newSigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
   /** MinHash-LSH near-duplicate pairs.

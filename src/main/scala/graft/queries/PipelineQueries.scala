@@ -74,6 +74,20 @@ object PipelineQueries {
       Similarity.cosinePairs(withNearVecs(emb(s, dir)), "vec_id", "embedding")
     }),
 
+    // ── Incremental near-dedup: the 80%-prefix copies arrive as a NEW batch
+    // and are checked against the ORIGINAL corpus's persisted signature
+    // index — only the batch is hashed, only cross-set pairs emitted (the
+    // daily-delta cadence; a 100 TB corpus is never re-signed per run).
+    "q58_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val index = Dedup.minhashSignatures(d, "doc_id", "text")
+      val newBatch = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 4 / 5).cast("int")))
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashPairsAgainstIndex(
+        Dedup.minhashSignatures(newBatch, "doc_id", "text"), index)
+    }),
+
     // ── Near-dup clusters: pairwise MinHash output closed under
     // transitivity (min-label propagation) — the keep-one-per-group step.
     "q42_dedup_clusters" -> ((s, dir) => {
@@ -376,10 +390,10 @@ object PipelineQueries {
       |SELECT id_a, id_b, inter, tot - inter AS uni
       |FROM verified WHERE inter * 5 >= (tot - inter) * 3""".stripMargin
 
-  /** Shared oracle fragment: MinHash-LSH candidate generation (the body of
-    * the q31 oracle between the shingle CTEs and the Jaccard verification).
+  /** Shared oracle fragment: MinHash signatures → LSH band keys (the index
+    * every minhash-family oracle builds on).
     */
-  private val minhashCand: String =
+  private val minhashBkeys: String =
     """dochash AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
       |coeffs AS (
       |  SELECT i,
@@ -394,7 +408,13 @@ object PipelineQueries {
       |    CAST(((i // 4) * 923521 + sum(s *
       |      CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END))
       |      % 1099511627776 AS BIGINT) AS bkey
-      |  FROM sig GROUP BY doc_id, i // 4),
+      |  FROM sig GROUP BY doc_id, i // 4)""".stripMargin
+
+  /** Shared oracle fragment: MinHash-LSH candidate generation (the body of
+    * the q31 oracle between the shingle CTEs and the Jaccard verification).
+    */
+  private val minhashCand: String =
+    s"""$minhashBkeys,
       |capped AS (
       |  SELECT doc_id, band, bkey FROM (
       |    SELECT doc_id, band, bkey,
@@ -552,6 +572,21 @@ object PipelineQueries {
     "q31_dedup_minhash" ->
       s"""WITH $shingleCtes,
         |$minhashCand,
+        |$jaccardTail""".stripMargin,
+
+    "q58_dedup_incremental" ->
+      s"""WITH $shingleCtes,
+        |$minhashBkeys,
+        |cappedix AS (
+        |  SELECT doc_id, band, bkey FROM (
+        |    SELECT doc_id, band, bkey,
+        |      count(*) OVER (PARTITION BY band, bkey) AS bsize
+        |    FROM bkeys WHERE doc_id < 1000000)
+        |  WHERE bsize <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM bkeys n JOIN cappedix x ON n.band = x.band AND n.bkey = x.bkey
+        |  WHERE n.doc_id >= 1000000),
         |$jaccardTail""".stripMargin,
 
     "q42_dedup_clusters" ->

@@ -103,6 +103,27 @@ class DedupSpec extends SparkTestBase {
     assert(flagged(2L) > 0L)
   }
 
+  test("minhashPairsAgainstIndex finds a new near-copy against the index, cross-set only") {
+    val index = Dedup.minhashSignatures(
+      (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), "doc_id", "text")
+    // new batch: a near-copy of doc 4 and a fresh unrelated doc — PLUS an
+    // internal duplicate pair (both ≈ doc 4) that must NOT be emitted
+    // (new-vs-new is minhashPairs' job on the batch itself)
+    val newBatch = Seq(
+      (201L, doc(4).replace("alpha4", "ALTERED")),
+      (202L, doc(4).replace("beta4", "CHANGED")),
+      (203L, doc(99))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAgainstIndex(
+        Dedup.minhashSignatures(newBatch, "doc_id", "text"), index)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains(201L -> 4L) && pairs.contains(202L -> 4L),
+      "both near-copies must pair with their indexed source")
+    assert(pairs.forall { case (a, b) => a >= 200L && b <= 10L },
+      s"only cross-set (new, indexed) pairs may be emitted; got $pairs")
+    assert(!pairs.exists(p => p._1 == 203L),
+      "the unrelated new doc must not pair with anything")
+  }
+
   test("decontaminate matches a brute-force 8-gram intersection on random corpora") {
     // Seeded-random differential: the distributed shingle-join must produce
     // exactly the per-doc count of distinct 8-grams shared with the
