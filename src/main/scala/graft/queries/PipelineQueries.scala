@@ -96,6 +96,27 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs)
     }),
 
+    // ── Keep-best-per-cluster: the final dedup DECISION — near-dup clusters
+    // closed under transitivity, with the keeper chosen by quality score
+    // (highest quality wins, doc_id breaks ties) instead of "lowest id".
+    // One window over the clustered docs; everything upstream reuses the
+    // pair/cluster machinery.
+    "q59_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = withNearDups(docs(s, dir))
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text").select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(pairs)
+      val qual = d.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stops).as("quality"))
+      val w = Window.partitionBy("cluster_id")
+      clusters.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("quality").desc, col("doc_id").desc)))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
+    }),
+
     // ── BPE-ish token budget estimate next to the whitespace word count.
     "q43_token_estimate" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -607,6 +628,41 @@ object PipelineQueries {
         |  UNION
         |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q59_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        |$minhashCand,
+        |$jaccardVerified,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM verified WHERE inter * 5 >= (tot - inter) * 3),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+        |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |qual AS (
+        |  SELECT c.doc_id,
+        |    0.4 * least(len(t.toks) / 50.0, 1.0)
+        |      + 0.3 * (1.0 - coalesce(length(regexp_replace(lower(c.text), '[a-z0-9 ]', '', 'g'))
+        |                                / nullif(length(c.text), 0), 1.0))
+        |      + 0.3 * coalesce(len(list_filter(t.toks, x -> list_contains(
+        |            ['the','and','of','to','a','in','is','it'], x)))
+        |          / nullif(len(t.toks), 0), 0.0) AS quality
+        |  FROM corpus c JOIN tok t ON c.doc_id = t.doc_id),
+        |m AS (
+        |  SELECT cc.cluster_id, cc.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY cc.cluster_id
+        |      ORDER BY q.quality DESC, cc.doc_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+        |  FROM cc JOIN qual q ON cc.doc_id = q.doc_id)
+        |SELECT cluster_id, doc_id AS keep_id, n_members FROM m WHERE rn = 1""".stripMargin,
 
     "q43_token_estimate" ->
       """WITH tok AS (
