@@ -1,19 +1,20 @@
 package graft.tools
 
-import graft.model.{TableRegistry, TableSpec}
+import graft.config.{GraftBoot, GraftConfig}
 import graft.obs.{PipelineMetrics, StateServer}
 import graft.sources.ParquetTableStore
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 
-/** Runnable end-to-end example: a Maxwell CDC event file continuously synced
-  * into a queryable bucketed Parquet table, then queried with plain Spark
-  * SQL — the whole point of the engine in ~50 lines. Mirrors the reference's
-  * quickstart flow (reference: docs/bireme_guide.md:32-37) without needing
-  * MySQL/Maxwell/Kafka.
+/** Runnable end-to-end example booted the way the reference deploys: a
+  * `config.properties` + `<source>.properties` table map name the source and
+  * target, the target database's own DDL supplies schemas and primary keys
+  * (the §1.4 metadata probe), and a Maxwell CDC event file is continuously
+  * synced into a queryable bucketed Parquet table, then queried with plain
+  * Spark SQL — the whole point of the engine in ~60 lines. Mirrors the
+  * reference's quickstart flow (reference: docs/bireme_guide.md:32-37,
+  * README.md:99-105) without needing MySQL/Maxwell/Kafka.
   */
 object CdcDemo {
   def main(args: Array[String]): Unit = {
@@ -25,17 +26,32 @@ object CdcDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val spec = TableSpec("public.accounts",
-      StructType(Seq(
-        StructField("id", IntegerType),
-        StructField("owner", StringType),
-        StructField("balance", DecimalType(10, 2)))),
-      Seq("id"))
-    val registry = TableRegistry(Map("demo.accounts" -> "public.accounts"),
-      Map("public.accounts" -> spec))
-
     val work = Files.createTempDirectory("graft-demo")
     val in = Files.createDirectory(work.resolve("in"))
+
+    // ── reference-style startup: properties files + target-DDL probe ──────
+    val dbUrl = s"jdbc:derby:memory:demo${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(dbUrl)
+    try conn.createStatement().execute(
+      "CREATE TABLE PUBLIC_ACCOUNTS (id INTEGER NOT NULL, owner VARCHAR(100), " +
+        "balance DECIMAL(10,2), PRIMARY KEY (id))")
+    finally conn.close()
+    Files.write(work.resolve("config.properties"),
+      s"""target.url = $dbUrl
+         |data_source = maxwell1
+         |maxwell1.type = maxwell
+         |maxwell1.kafka.server = 127.0.0.1:9092
+         |maxwell1.kafka.topic = demo_topic
+         |merge.interval = 1000
+         |""".stripMargin.getBytes("UTF-8"))
+    Files.write(work.resolve("maxwell1.properties"),
+      "demo.accounts = public.accounts\n".getBytes("UTF-8"))
+
+    val cfg = GraftConfig.load(work.resolve("config.properties").toString)
+    val registry = GraftBoot.registryFor(cfg, cfg.sources.head)
+    val spec = registry.specFor("public.accounts")
+    println(s"== booted from config.properties: probed $spec ==")
+
     val store = new ParquetTableStore(spark, work.resolve("tables").toString, spec, 8)
 
     // X1/X2: per-pipeline metrics + the reference's state JSON endpoint
@@ -52,9 +68,10 @@ object CdcDemo {
       """{"database":"demo","table":"accounts","type":"delete","ts":5,"data":{"id":1,"owner":"ada","balance":"10.00"}}""",
       """{"database":"ignored","table":"junk","type":"insert","ts":6,"data":{"id":9}}"""))
 
+    // cfg.trigger carries merge.interval from the properties file (T1)
     val q = CdcPipeline.fileMaxwellStream(
       spark, in.toString, registry, Map("public.accounts" -> store),
-      work.resolve("ckpt").toString, Trigger.ProcessingTime("1 second"))
+      work.resolve("ckpt").toString, cfg.trigger)
     q.processAllAvailable()
 
     println("== after batch 0 (3 inserts, 1 update, 1 delete, 1 unmapped) ==")

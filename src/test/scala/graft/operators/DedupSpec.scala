@@ -103,6 +103,21 @@ class DedupSpec extends SparkTestBase {
     assert(flagged(2L) > 0L)
   }
 
+  test("decontaminate and incremental dedup plan equi-joins only") {
+    val corpus = (1 to 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val bench = Seq((9L, doc(1))).toDF("doc_id", "text")
+    val p1 = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val p2 = Dedup.minhashPairsAgainstIndex(
+        Dedup.minhashSignatures(bench, "doc_id", "text"),
+        Dedup.minhashSignatures(corpus, "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    Seq("decontaminate" -> p1, "minhashPairsAgainstIndex" -> p2).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must join on the shingle/band hash, never all-pairs")
+    }
+  }
+
   test("minhashPairsAgainstIndex finds a new near-copy against the index, cross-set only") {
     val index = Dedup.minhashSignatures(
       (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"), "doc_id", "text")

@@ -57,6 +57,14 @@ class SimilaritySpec extends SparkTestBase {
     assert(g.map(r => (r._1, r._2)).distinct.length == g.length)
   }
 
+  test("knnGraph plans equi-joins only (no all-pairs fallback)") {
+    val plan = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 3, planes = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the candidate self-join must stay a bucket equi-join — an all-pairs plan " +
+        "is the exact failure mode the LSH bucketing exists to avoid")
+  }
+
   test("lshTopK recall@10 against the exact top-10 clears a floor") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
