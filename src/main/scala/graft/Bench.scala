@@ -31,9 +31,11 @@ object Bench {
         }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
+    // truncate BEFORE escaping: cutting afterwards could split an escape
+    // pair and emit invalid JSON
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+      "\"" + s.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map {
       case (k, (v, None)) => s"\"" + k + "\":" + v
       case (k, (_, Some(e))) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"

@@ -110,12 +110,15 @@ final class JdbcTableStore(
     val sr = s"${table}_SR_$token"
     val keyCols = pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
     val allCols = spec.schema.fields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
-    withConnection { conn =>
-      conn.createStatement().execute(s"CREATE TABLE $sk ($keyCols)")
-      conn.createStatement().execute(s"CREATE TABLE $sr ($allCols)")
-    }
-    try f(sk, sr)
-    finally withConnection { conn =>
+    // creation sits INSIDE the try: if the second CREATE fails, the finally
+    // still drops the first instead of leaking it
+    try {
+      withConnection { conn =>
+        conn.createStatement().execute(s"CREATE TABLE $sk ($keyCols)")
+        conn.createStatement().execute(s"CREATE TABLE $sr ($allCols)")
+      }
+      f(sk, sr)
+    } finally withConnection { conn =>
       Seq(sk, sr).foreach { t =>
         try conn.createStatement().execute(s"DROP TABLE $t")
         catch { case _: java.sql.SQLException => () } // best-effort cleanup
