@@ -54,10 +54,20 @@ object Compaction {
     base.unionByName(derivedDeletes)
   }
 
-  def compact(events: DataFrame): CompactedBatch = {
-    val last = explodePkChange(events)
+  /** @param scope owns the cache of the compacted per-key aggregate. The
+    *   returned deletes/upserts both derive from it, and a sink consumes
+    *   them across several jobs (stage keys, stage rows, rewrite buckets) —
+    *   uncached, EVERY job re-runs the parse + shuffle + aggregate. Callers
+    *   that fully consume the batch in one call (e.g.
+    *   [[graft.streaming.CdcPipeline.applyBatch]]) pass a scope and release
+    *   it after the merge; the default defers to the ContextCleaner.
+    */
+  def compact(events: DataFrame,
+      scope: CacheScope = CacheScope.unmanaged): CompactedBatch = {
+    val last = scope.own(explodePkChange(events)
       .groupBy(col("key"))
       .agg(max_by(struct(col("op"), col("data")), col("seq")).as("fin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deletes = last.filter(col("fin.op") === CdcOp.Delete).select(col("key.*"))
     val upserts = last.filter(col("fin.op") =!= CdcOp.Delete).select(col("fin.data.*"))
     CompactedBatch(deletes, upserts)

@@ -41,9 +41,14 @@ object CdcPipeline {
       flavor: Projection.Flavor = Projection.Maxwell,
       stagingThreshold: Int = 8): Unit = {
     val targets = registry.targets
-    def applyTo(df: DataFrame, target: String): Unit =
-      stores(target).merge(
-        Compaction.compact(Projection.typed(df, stores(target).spec, flavor)))
+    def applyTo(df: DataFrame, target: String): Unit = {
+      // the merge consumes the compacted batch in several jobs; cache the
+      // per-key aggregate for the span of this table's merge
+      val scope = new graft.operators.CacheScope
+      try stores(target).merge(
+        Compaction.compact(Projection.typed(df, stores(target).spec, flavor), scope))
+      finally scope.release()
+    }
 
     if (targets.size < stagingThreshold) {
       // One pass over the (possibly Kafka-backed) batch feeds every table.
