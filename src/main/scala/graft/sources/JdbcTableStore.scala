@@ -82,8 +82,27 @@ final class JdbcTableStore(
 
   private def withConnection[A](f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    try { sessionForcing(conn); f(conn) } finally conn.close()
   }
+
+  /** Reference parity (Bireme.java:155-160): the loader forces the
+    * warehouse session's planner so the semi-join DELETE picks index
+    * nest-loops instead of seqscan/hash plans, and disables Greenplum
+    * auto-stats during load. pg-family targets only; each SET is
+    * best-effort (plain PostgreSQL lacks `gp_autostats_mode`).
+    */
+  private def sessionForcing(conn: Connection): Unit =
+    if (JdbcTableStore.isPostgres(url)) {
+      Seq(
+        "SET enable_nestloop = on",
+        "SET enable_seqscan = off",
+        "SET enable_hashjoin = off",
+        "SET gp_autostats_mode = none"
+      ).foreach { sql =>
+        try conn.createStatement().execute(sql)
+        catch { case _: java.sql.SQLException => () }
+      }
+    }
 
   private def tableExists(conn: Connection, name: String): Boolean = {
     val rs = conn.getMetaData.getTables(null, null, name, null)
@@ -379,6 +398,11 @@ object JdbcTableStore {
       rows: Iterator[Row]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
+      // best-effort session forcing, like the driver-side connections
+      // (reference: Bireme.java:155-160) — Greenplum skips auto-stats on
+      // the staging COPY; plain PostgreSQL lacks the GUC and ignores it
+      try conn.createStatement().execute("SET gp_autostats_mode = none")
+      catch { case _: java.sql.SQLException => () }
       val baseConn = Class.forName("org.postgresql.core.BaseConnection")
       val cmClass = Class.forName("org.postgresql.copy.CopyManager")
       val cm = cmClass.getConstructor(baseConn)
