@@ -57,6 +57,15 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("balanceStrata treats NULL as its own stratum instead of dropping or crashing") {
+    val withNulls = ((1 to 50).map(i => (i.toLong, Option("en"))) ++
+      (101 to 110).map(i => (i.toLong, Option.empty[String]))).toDF("doc_id", "lang")
+    val kept = Sampling.balanceStrata(withNulls, "doc_id", "lang")
+      .as[(Long, Option[String])].collect()
+    assert(kept.count(_._2.isEmpty) == 10, "the smallest (null) stratum survives whole")
+    assert(kept.count(_._2.contains("en")) < 50, "'en' is downsampled toward 10")
+  }
+
   test("balanceStrata downsamples every stratum toward the smallest one, keeping it whole") {
     // 900 'de' vs 100 'en': the floor is 100, so 'en' survives entirely
     // (bucket·100 < 100·10⁶ always) and 'de' keeps ≈ 1/9 of its rows.
