@@ -100,7 +100,7 @@ object GraftConfig {
       get("target.user"), get("target.passwd"))
 
     val sourceNames = get("data_source")
-      .map(_.split(",").map(_.replaceAll("[ \\f\\n\\r\\t]", "")).filter(_.nonEmpty).toSeq)
+      .map(_.split(",").map(_.replaceAll("[ \\f\\n\\r\\t]", "")).filter(_.nonEmpty).toSeq.distinct)
       .getOrElse(Seq.empty)
     if (sourceNames.isEmpty) fail("please designate at least one data source (data_source)")
 
