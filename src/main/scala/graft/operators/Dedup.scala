@@ -83,9 +83,14 @@ object Dedup {
     *
     * The band join explodes ids only; the skew cap applies to the INDEX side
     * (boilerplate floods live in the corpus; a cap there bounds per-bucket
-    * fan-out at cap candidates per new-doc band). Exact Jaccard verification
-    * re-attaches the shingle sets once per surviving pair, same
-    * integer (inter, uni) contract as [[minhashPairs]].
+    * fan-out at cap candidates per new-doc band). The index postings are
+    * FIRST semi-joined to the batch's bucket set: a daily batch touches a
+    * vanishing fraction of a 100 TB index's buckets, and since the
+    * semi-join keeps whole buckets, per-bucket counts (and therefore the
+    * cap) are unchanged — without it the cap's count window would shuffle
+    * the ENTIRE index every run. Exact Jaccard verification re-attaches the
+    * shingle sets once per surviving pair, same integer (inter, uni)
+    * contract as [[minhashPairs]].
     */
   def minhashPairsAgainstIndex(
       newSigs: DataFrame,
@@ -97,7 +102,9 @@ object Dedup {
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val ib = index.select(col("id").as("id_b"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val touched = nb.select("band", "bkey").distinct()
     val cappedIx = ib
+      .join(touched, Seq("band", "bkey"), "left_semi")
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bsize") <= bucketCap)
       .select("band", "bkey", "id_b")
