@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON string literal for per-query error entries: truncate FIRST
+    * (cutting after escaping could split an escape pair in half), then
+    * escape quote, backslash, and every control character — an unescaped
+    * \b or \f from an exception message would make the driver's JSON parse
+    * fail and void the round's bench.
+    */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.take(200).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,11 +46,6 @@ object Bench {
         }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    // truncate BEFORE escaping: cutting afterwards could split an escape
-    // pair and emit invalid JSON
-    def jstr(s: String): String =
-      "\"" + s.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map {
       case (k, (v, None)) => s"\"" + k + "\":" + v
       case (k, (_, Some(e))) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
