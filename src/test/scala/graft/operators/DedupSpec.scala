@@ -196,6 +196,31 @@ class DedupSpec extends SparkTestBase {
     assert(labels.forall(_._2 == 1L))
   }
 
+  test("connectedComponents matches an in-memory union-find on random graphs") {
+    // The pointer-jumping rewrite changed the iteration structure; guard it
+    // against dense random graphs (cycles, multi-edges, overlapping
+    // components), not just chains and cliques.
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      val n = 60
+      val edges = (1 to 80)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(id => find(id.toInt)).values
+        .flatMap { grp => val m = grp.min; grp.map(_ -> m) }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"round $round diverged from union-find")
+    }
+  }
+
   test("connectedComponents turns pairwise minhash output into transitive groups") {
     // a ≈ b and b ≈ c by one-word edits in DIFFERENT positions: a and c
     // differ in two words and may or may not pair directly — the component
