@@ -117,6 +117,21 @@ object PipelineQueries {
         .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
     }),
 
+    // ── Dataset-version delta report: what did this release add / remove /
+    // change? The "new" snapshot drops every 7th doc, rewrites every 11th,
+    // and re-adds every 13th under a new id; the diff must emit exactly
+    // those keys with the right classification (one full-outer shuffle join
+    // — see [[graft.operators.SnapshotDiff]]).
+    "q66_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val next = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+      graft.operators.SnapshotDiff.diff(d, next, Seq("doc_id"))
+    }),
+
     // ── BPE-ish token budget estimate next to the whitespace word count.
     "q43_token_estimate" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -502,6 +517,25 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q50_pii_redact" -> piiOracle,
+
+    "q66_snapshot_diff" ->
+      """WITH nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN (o.text, o.lang, o.source, o.n_chars) IS DISTINCT FROM
+        |              (n.text, n.lang, n.source, n.n_chars) THEN 'changed'
+        |    END AS change
+        |  FROM documents o FULL JOIN nxt n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
 
     "q52_decontaminate" ->
       s"""WITH bench AS (

@@ -224,6 +224,107 @@ object RelationalQueries {
           col("cnt"))
     }),
 
+    // ── Full outer join: per-customer aggregates of two disjoint order
+    // statuses stitched key-complete (USING-join coalesces the key). One
+    // shuffle per aggregate + one on the join key; both sides pre-aggregated
+    // so the outer join carries one row per customer, not per order.
+    "q60_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("f_cnt"), dsum(col("o_totalprice")).as("f_total"))
+      val open = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("o_cnt"))
+      f.join(open, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey").as("custkey"),
+          coalesce(col("f_cnt"), lit(0L)).as("f_cnt"),
+          coalesce(col("f_total"), lit(0d)).as("f_total"),
+          coalesce(col("o_cnt"), lit(0L)).as("o_cnt"),
+          (col("f_cnt").isNotNull && col("o_cnt").isNotNull).cast("int").as("in_both"))
+    }),
+
+    // ── Pivot (cross-tab): per-cohort spend by event type. The pivot list is
+    // explicit, so the plan is ONE pass — a single hash aggregate whose
+    // grouping key is the cohort and whose values are 5 conditional sums (no
+    // per-value scan, no distinct-values pre-job a dynamic pivot would need).
+    "q61_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+    }),
+
+    // ── GROUPING SETS with grouping() marker columns — the general form
+    // underlying q07/q08's rollup/cube, through the SQL facade (synced tables
+    // are first-class spark.sql views; SURVEY §7.1.6). Single shuffle: Spark
+    // expands the 4 sets map-side, partials combine before the exchange.
+    "q62_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q62_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |  count(*) AS cnt,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM q62_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // ── Array construction + higher-order functions (transform / filter /
+    // aggregate / sort) — all codegen column expressions riding the scan,
+    // zero shuffle, no UDFs.
+    "q63_array_funcs" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        size(words).as("n_words"),
+        array_join(array_sort(words), ",").as("sorted_words"),
+        array_contains(words, "green").cast("int").as("has_green"),
+        element_at(words, 1).as("first_word"),
+        aggregate(transform(words, w => length(w)), lit(0), (a, b) => a + b)
+          .as("sum_word_len"),
+        size(filter(words, w => length(w) > 4)).as("n_long"))
+    }),
+
+    // ── Theta/range join: band the fact rows by a tiny interval dimension.
+    // The dimension is broadcast, so the plan is BroadcastNestedLoopJoin —
+    // each task scans its fact partition once against 4 in-memory intervals;
+    // nothing shuffles until the final 4-group aggregate. The scale-correct
+    // shape for interval lookup (a shuffled range join would be a cross
+    // product per partition pair).
+    "q64_range_join" -> ((s, dir) => {
+      val bins = s.createDataFrame(Seq(
+        (0d, 10d, "xs"), (10d, 20d, "s"), (20d, 35d, "m"), (35d, 100d, "l")))
+        .toDF("lo", "hi", "band")
+      t(s, dir, "lineitem")
+        .join(broadcast(bins),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ── Subqueries through the SQL facade: correlated scalar (per-row order
+    // count — Catalyst de-correlates it to an outer join + aggregate, NOT a
+    // per-row probe), uncorrelated scalar (global decimal total — computed
+    // once, broadcast as a literal), and IN (planned as a semi-join). The
+    // threshold compare is exact decimal·count integer math so both engines
+    // agree bit-for-bit (a float avg would be summation-order-dependent).
+    "q65_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q65_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q65_orders")
+      t(s, dir, "nation").createOrReplaceTempView("q65_nation")
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  (SELECT count(*) FROM q65_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM q65_customer c
+          |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+          |        (SELECT count(*) FROM q65_customer) >
+          |      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM q65_customer)
+          |  AND c_nationkey IN (SELECT n_nationkey FROM q65_nation
+          |                      WHERE n_regionkey <= 1)""".stripMargin)
+    }),
+
     // ── As-of join: every event gets the id of the same user's most recent
     // purchase at or before its timestamp (inclusive; equal-time purchases
     // resolve to the max id). Union-tag + carry-forward window — one shuffle
@@ -364,6 +465,70 @@ object RelationalQueries {
         |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS cnt
         |FROM sessions GROUP BY user_id, sess_id""".stripMargin,
+
+    "q60_outer_join" ->
+      """WITH f AS (
+        |  SELECT o_custkey, count(*) AS f_cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS f_total
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |o AS (
+        |  SELECT o_custkey, count(*) AS o_cnt
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+        |  coalesce(f_cnt, 0) AS f_cnt, coalesce(f_total, 0) AS f_total,
+        |  coalesce(o_cnt, 0) AS o_cnt,
+        |  CAST(f.o_custkey IS NOT NULL AND o.o_custkey IS NOT NULL AS INT) AS in_both
+        |FROM f FULL JOIN o ON f.o_custkey = o.o_custkey""".stripMargin,
+
+    "q61_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q62_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q63_array_funcs" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+        |  CAST(list_contains(string_split(p_name, ' '), 'green') AS INT) AS has_green,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(list_sum(list_transform(string_split(p_name, ' '),
+        |    w -> length(w))) AS INT) AS sum_word_len,
+        |  len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS n_long
+        |FROM part""".stripMargin,
+
+    "q64_range_join" ->
+      """SELECT band, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES (0, 10, 'xs'), (10, 20, 's'), (20, 35, 'm'), (35, 100, 'l'))
+        |  b(lo, hi, band)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band""".stripMargin,
+
+    "q65_subqueries" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |        (SELECT count(*) FROM customer) >
+        |      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey <= 1)""".stripMargin,
 
     // q51: same union-tag carry-forward formulation as the Spark plan —
     // anchors (tag 0) sort before probes (tag 1) at equal ts, equal-time

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** SnapshotDiff classification on hand-computed frames: added / removed /
+  * changed, null-safe value compare, unchanged rows suppressed, composite
+  * keys, and schema-drift tolerance (only shared non-key columns compared).
+  */
+class SnapshotDiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("classifies added, removed, changed; drops unchanged") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "s", "n")
+    val next = Seq((2L, "b", 20), (3L, "C", 30), (4L, "d", 40))
+      .toDF("id", "s", "n")
+    val out = SnapshotDiff.diff(old, next, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("null-safe compare: null==null is unchanged, null vs value is changed") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x")), (3L, Option.empty[String]))
+      .toDF("id", "s")
+    val next = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("y")))
+      .toDF("id", "s")
+    val out = SnapshotDiff.diff(old, next, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(2L -> "changed", 3L -> "changed"))
+  }
+
+  test("composite keys survive to the output columns") {
+    val old = Seq(("a", 1L, 10), ("a", 2L, 20)).toDF("part", "id", "n")
+    val next = Seq(("a", 1L, 11), ("b", 2L, 20)).toDF("part", "id", "n")
+    val out = SnapshotDiff.diff(old, next, Seq("part", "id"))
+      .orderBy(col("part"), col("id"))
+      .as[(String, Long, String)].collect().toSeq
+    assert(out === Seq(("a", 1L, "changed"), ("a", 2L, "removed"), ("b", 2L, "added")))
+  }
+
+  test("a column present on only one side is ignored, not compared") {
+    val old = Seq((1L, "a", 99)).toDF("id", "s", "old_only")
+    val next = Seq((1L, "a")).toDF("id", "s")
+    assert(SnapshotDiff.diff(old, next, Seq("id")).count() === 0L)
+  }
+
+  test("requires a key column") {
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(Seq((1, 2)).toDF("a", "b"), Seq((1, 2)).toDF("a", "b"), Nil)
+    }
+  }
+}
