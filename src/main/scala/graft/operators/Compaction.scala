@@ -44,14 +44,25 @@ final case class CompactedBatch(deletes: DataFrame, upserts: DataFrame)
   */
 object Compaction {
 
-  /** Flatten PK-change updates into two single-key actions (M3). */
+  /** Flatten PK-change updates into two single-key actions (M3).
+    *
+    * Single scan: each event becomes a 1- or 2-element action array that is
+    * exploded in place. A union of (base, filtered-derived) subplans would
+    * evaluate the upstream parse/decode chain twice per batch — measured 2×
+    * the whole-pipeline cost at sf0.1 — because the two branches cannot
+    * share one scan.
+    */
   private[operators] def explodePkChange(events: DataFrame): DataFrame = {
-    val moved = events.filter(col("oldKey").isNotNull)
-    val derivedDeletes = moved.select(
+    val dataT = events.schema("data").dataType
+    val base = struct(col("op"), col("seq"), col("key"), col("data"))
+    val derivedDelete = struct(
       lit(CdcOp.Delete).as("op"), col("seq"), col("oldKey").as("key"),
-      lit(null).cast(moved.schema("data").dataType).as("data"))
-    val base = events.select(col("op"), col("seq"), col("key"), col("data"))
-    base.unionByName(derivedDeletes)
+      lit(null).cast(dataT).as("data"))
+    events
+      .select(explode(when(col("oldKey").isNotNull, array(base, derivedDelete))
+        .otherwise(array(base))).as("a"))
+      .select(col("a.op").as("op"), col("a.seq").as("seq"),
+        col("a.key").as("key"), col("a.data").as("data"))
   }
 
   /** @param scope owns the cache of the compacted per-key aggregate. The

@@ -269,8 +269,14 @@ object Dedup {
       idBCol: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    // Single scan: exploding each edge into both directions in place keeps
+    // the (possibly expensive) upstream pair computation to ONE evaluation;
+    // a union of (edges, edges.swapped) would run it twice to fill the cache.
     val bidir = edges
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = bidir.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin"))

@@ -213,9 +213,11 @@ final class JdbcTableStore(
 
   def merge(batch: CompactedBatch): Unit = {
     ensureTable()
+    // No dedup needed: compaction emits at most one action per key, and the
+    // DELETE WHERE EXISTS below is insensitive to duplicate stage keys — a
+    // dropDuplicates here would only add a shuffle.
     val keyDf = batch.deletes.select(pk.map(col): _*)
       .unionByName(batch.upserts.select(pk.map(col): _*))
-      .dropDuplicates(pk)
     withStages { (sk, sr) =>
       // 1. stage changed keys + upsert tuples, executor-parallel
       //    (reference: temp-table COPY, ChangeLoader.java:454-468)
