@@ -132,6 +132,23 @@ object PipelineQueries {
       graft.operators.SnapshotDiff.diff(d, next, Seq("doc_id"))
     }),
 
+    // ── Typed-Aggregator UDAF: top-3 longest documents per language via a
+    // bounded mergeable buffer ([[graft.functions.TopKAggregator]]) instead
+    // of a full per-group sort — the shuffle carries ≤3 rows per (lang,
+    // map task). posexplode re-flattens the per-group array into graded
+    // rows; n_chars < 2^53 so the double round-trip through the score is
+    // exact.
+    "q70_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(topk(col("doc_id"), col("n_chars").cast("double")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").cast("bigint").as("n_chars"))
+    }),
+
     // ── BPE-ish token budget estimate next to the whitespace word count.
     "q43_token_estimate" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -536,6 +553,15 @@ object PipelineQueries {
         |    END AS change
         |  FROM documents o FULL JOIN nxt n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    // q70: the aggregator's (score desc, id asc) order restated as a window.
+    "q70_topk_agg" ->
+      """SELECT lang, rn AS rank, doc_id, n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3""".stripMargin,
 
     "q52_decontaminate" ->
       s"""WITH bench AS (

@@ -339,6 +339,64 @@ object RelationalQueries {
         rightValue = "event_id", asName = "last_purchase_id")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("last_purchase_id"))
+    }),
+
+    // ── Analytic window family (lead/lag/ntile/percent_rank/cume_dist/
+    // first_value/last_value) — complements q09's ranking and q10's frame
+    // aggregates. One shuffle on the partition key, then every function
+    // evaluates in the same sorted pass (a single Window physical operator —
+    // all seven share one (partition, ordering) spec by construction).
+    // lag/lead/first/last copy o_totalprice bit-for-bit (no arithmetic), so
+    // the double column hash-compares exactly; the ordering
+    // (o_orderdate, o_orderkey) is total because o_orderkey is unique.
+    "q67_analytic_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_orderkey")).over(wFull).as("last_key"))
+    }),
+
+    // ── Bloom-pruned semi-join: orders of high-balance BUILDING customers.
+    // The bloom built over the filtered customer keys probes the orders scan
+    // (codegen'd might_contain, no UDF) so non-matching orders drop BEFORE
+    // the semi-join shuffle; the exact left_semi closes the false positives.
+    // See [[graft.operators.BloomPrune]] for the 100 TB rationale.
+    "q68_bloom_prune" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 4000)
+      graft.operators.BloomPrune.semiJoin(
+        t(s, dir, "orders"), "o_custkey", cust, "c_custkey",
+        expectedItems = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ── Salted two-stage aggregation over a skewed key: event_type has ~5
+    // distinct values, so a direct groupBy converges each type's entire row
+    // set on one reducer — the straggler/OOM shape at 100 TB. The salted
+    // fold aggregates (type, salt) first (every reducer gets ~1/16 of a hot
+    // key), then combines ≤16 partial rows per type. Decimal partials merge
+    // exactly, so the result is bit-identical to the direct aggregate.
+    "q69_salted_skew" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+        events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        keys = Seq("event_type"), salt = 16,
+        partials = Seq(
+          count(lit(1)).as("_cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("_sum"),
+          max(col("event_id")).as("_max")),
+        combine = Seq(
+          sum(col("_cnt")).as("n_events"),
+          sum(col("_sum")).cast("double").as("sum_value"),
+          max(col("_max")).as("max_id")))
     })
   )
 
@@ -547,6 +605,34 @@ object RelationalQueries {
         |  FROM u)
         |SELECT probe_id AS event_id, user_id, probe_type AS event_type,
         |  last_purchase_id
-        |FROM w WHERE tag = 1""".stripMargin
+        |FROM w WHERE tag = 1""".stripMargin,
+
+    "q67_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q68_bloom_prune" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 4000)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q69_salted_skew" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

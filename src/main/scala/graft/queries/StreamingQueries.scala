@@ -144,9 +144,69 @@ object StreamingQueries {
         max(col("event_id")).as("max_id"))
     }
 
+  /** q71: stream-stream interval join — every click joined to the same
+    * user's purchases within the following hour, across two INDEPENDENT
+    * streams arriving in two micro-batches each.
+    *
+    * The arrival schedule plants cross-batch matches deliberately: clicks
+    * split even/odd by event_id, purchases split odd/even (opposite parity
+    * order), so roughly half the joined pairs can only form after both
+    * sides' second batch — an engine that didn't keep join state across
+    * batches would lose them. Both sides carry a watermark + the time-range
+    * condition, which is what lets Spark BOUND the join state at scale
+    * (rows older than watermark − interval are evicted); the 60-day delay
+    * exceeds the table's one-month span so no state expires within THIS
+    * replay and the emitted set is exactly the batch join, which the oracle
+    * states declaratively.
+    *
+    * The memory sink holds raw pairs; the driver-graded result is the
+    * per-user aggregate computed in batch on top (append-mode streams
+    * cannot chain an aggregate after a stream-stream join in one query
+    * without a second watermark pass — out of scope here).
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val ev = RelationalQueries.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+
+    val cIn = Files.createTempDirectory("q71_c")
+    val pIn = Files.createTempDirectory("q71_p")
+    val ckpt = Files.createTempDirectory("q71_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(clicks.filter(col("c_id") % 2 === 0), cIn, "c0.json", now - 60000)
+    dumpArrivalFile(clicks.filter(col("c_id") % 2 === 1), cIn, "c1.json", now)
+    dumpArrivalFile(purchases.filter(col("p_id") % 2 === 1), pIn, "p0.json", now - 60000)
+    dumpArrivalFile(purchases.filter(col("p_id") % 2 === 0), pIn, "p1.json", now)
+
+    def src(dir: Path, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(dir.toString)
+    val joined = src(cIn, clicks.schema).withWatermark("c_ts", "60 days")
+      .join(src(pIn, purchases.schema).withWatermark("p_ts", "60 days"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+
+    val sink = s"q71_sink_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_id")).as("n_clicks"),
+        max(col("p_id")).as("max_purchase_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
-    "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)))
+    "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
+    "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -186,5 +246,17 @@ object StreamingQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(event_id) AS max_id
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // q71: no state evicts within the replay (see streamIntervalJoin's
+    // scaladoc), so the emitted pairs are exactly the batch interval join.
+    "q71_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT c.event_id) AS n_clicks,
+        |  max(p.event_id) AS max_purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id""".stripMargin)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // A skewed fact: key 0 owns 90% of the rows.
+  private def skewedFact = (0 until 2000).map { i =>
+    (if (i < 1800) 0L else (i % 10).toLong, i.toLong)
+  }.toDF("k", "v")
+
+  private def dim = (0L until 10L).map(k => (k, s"name$k")).toDF("k", "name")
+
+  test("saltedJoin equals the plain join, including duplicate dim keys") {
+    val dupDim = dim.unionByName(dim.filter(col("k") === 3L)) // key 3 twice
+    val plain = skewedFact.join(dupDim, Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val salted = Skew.saltedJoin(skewedFact, dupDim, Seq("k"), salt = 8)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("saltedJoin scatters a hot key across salt partitions") {
+    // With broadcast off (force a shuffled join) and AQE off (it would
+    // coalesce this tiny shuffle back into one partition), the join
+    // partitions by (k, salt): the hot key's rows must land in >1 partition.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Skew.saltedJoin(skewedFact, dim, Seq("k"), salt = 8)
+      val parts = joined.filter(col("k") === 0L)
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(parts > 1, s"hot key stayed in $parts partition(s)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("saltedAgg equals the direct aggregate") {
+    val direct = skewedFact.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("v")).as("mx"))
+    val salted = Skew.saltedAgg(skewedFact, Seq("k"), salt = 8,
+      partials = Seq(count(lit(1)).as("_n"), sum(col("v")).as("_sv"),
+        max(col("v")).as("_mx")),
+      combine = Seq(sum(col("_n")).as("n"), sum(col("_sv")).as("sv"),
+        max(col("_mx")).as("mx")))
+    assert(salted.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+  }
+
+  test("salt must be positive") {
+    intercept[IllegalArgumentException](Skew.saltedJoin(dim, dim, Seq("k"), 0))
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(dim, Seq("k"), -1, Seq(count(lit(1))), Seq(count(lit(1)))))
+  }
+}
