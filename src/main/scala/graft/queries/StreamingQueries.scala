@@ -203,10 +203,76 @@ object StreamingQueries {
         max(col("p_id")).as("max_purchase_id"))
     }
 
+  /** Per-user running state carried by [[streamStateful]] (q72): how many
+    * batches the user appeared in, cumulative event count, max event id.
+    */
+  case class UserRunning(batches: Long, n: Long, maxId: Long)
+
+  /** q72: CUSTOM streaming state via `flatMapGroupsWithState` — the
+    * `KeyValueGroupedDataset` escape hatch for stateful logic the built-in
+    * operators can't express (SURVEY §2.2's UDF/UDAF/custom-state surface;
+    * the reference's analogue is the per-table mutable merge buffer,
+    * RowCache.java:165-216, which our Compaction replaces declaratively —
+    * this query pins the imperative-state path for semantics beyond it).
+    *
+    * Each user's state folds commutatively over the batch's rows (count,
+    * max), so the emission per (user, batch) is deterministic even though
+    * rows within a batch arrive unordered. The arrival schedule routes
+    * event_id % 3 = 0/1/2 to batches 0/1/2, so "the k-th update for user u"
+    * (upd_seq) is a pure function of the data — the oracle reconstructs the
+    * per-batch cumulative emissions with a window over the batch tag.
+    *
+    * Scale posture: state is one tiny struct PER KEY (not per row) sharded
+    * across the state store by the groupBy key; each micro-batch touches
+    * only the keys present in the batch. NoTimeout keeps the replay
+    * deterministic; a production stream would use event-time timeout to
+    * bound key cardinality.
+    */
+  def streamStateful(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    val in = Files.createTempDirectory("q72_in")
+    val ckpt = Files.createTempDirectory("q72_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 0), in, "a0.json", now - 120000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 1), in, "a1.json", now - 60000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 2), in, "a2.json", now)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .as[(Long, Long)] // (event_id, user_id)
+
+    val updates = stream.groupByKey(_._2)
+      .flatMapGroupsWithState[UserRunning, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0L, Long.MinValue))
+          var n = prev.n
+          var mx = prev.maxId
+          rows.foreach { case (id, _) => n += 1; mx = math.max(mx, id) }
+          val cur = UserRunning(prev.batches + 1, n, mx)
+          state.update(cur)
+          Iterator.single((user, cur.batches, cur.n, cur.maxId))
+      }
+      .toDF("user_id", "upd_seq", "n_events", "max_id")
+
+    val sink = s"q72_sink_${System.nanoTime()}"
+    val q = updates.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
-    "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)))
+    "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
+    "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -258,5 +324,19 @@ object StreamingQueries {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |GROUP BY c.user_id""".stripMargin)
+        |GROUP BY c.user_id""".stripMargin,
+
+    // q72: one emission per (user, batch) where batch = event_id % 3; the
+    // cumulative count/max per user through each batch, restated with
+    // windows over the batch tag. upd_seq renumbers the user's batches
+    // 1..k (a user absent from a batch emits nothing that batch).
+    "q72_stream_stateful" ->
+      """WITH per AS (
+        |  SELECT user_id, event_id % 3 AS b, count(*) AS c, max(event_id) AS m
+        |  FROM events GROUP BY user_id, event_id % 3)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY b) AS upd_seq,
+        |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
+        |  max(m) OVER (PARTITION BY user_id ORDER BY b) AS max_id
+        |FROM per""".stripMargin)
 }
