@@ -397,6 +397,33 @@ object RelationalQueries {
           sum(col("_cnt")).as("n_events"),
           sum(col("_sum")).cast("double").as("sum_value"),
           max(col("_max")).as("max_id")))
+    }),
+
+    // ── Star join (TPC-H Q5 shape): regional supplier revenue through a
+    // six-table join graph with a cross-dimension constraint (customer and
+    // supplier in the SAME nation). Declared as plain joins so Catalyst
+    // orders them and broadcasts the dimension chain
+    // (region→nation→supplier, customer) — only lineitem⋈orders shuffles at
+    // scale. Revenue is exact decimal arithmetic: both factors cast to
+    // decimal BEFORE multiplying (the doubles are 2-decimal values, so the
+    // cast is unambiguous in both engines) and the sum folds integers.
+    "q73_star_join" -> ((s, dir) => {
+      val one = lit(1).cast("decimal(4,2)")
+      val revenue = sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (one - col("l_discount").cast("decimal(4,2)")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(revenue.cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -633,6 +660,23 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(event_id) AS max_id
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q73_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin
   )
 }
