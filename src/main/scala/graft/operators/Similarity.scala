@@ -261,4 +261,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Element-wise mean embedding per group — cluster representatives for a
+    * deduped/labeled corpus (e.g. one vector per dedup cluster or topic).
+    *
+    * Shape for 100 TB: posexplode fans each vector into (group, pos, value)
+    * rows, but the hash aggregate's MAP-SIDE partials combine them to at
+    * most groups×dim rows per task before the exchange — the shuffle
+    * carries partial sums, never vectors (same exact-histogram shape as the
+    * token-percentile query). A `collect_list`-of-vectors-then-average
+    * alternative would move every vector to one reducer per group and cap
+    * group size by executor memory.
+    *
+    * Determinism: each value is quantized to an INTEGER number of 1e-9
+    * units (`round(v × 1e9)` — both the multiply and the tie-away-from-zero
+    * rounding are identical IEEE ops in any engine), the units sum exactly
+    * as longs in any order, and the mean is fixed-order double arithmetic
+    * at the end. 1e-9 sits below a float's own ulp (~6e-8 near 1), so no
+    * embedding precision is lost. Decimal sums were rejected deliberately:
+    * cast-to-decimal rounding is engine-specific on exact ties (half-up vs
+    * half-even — dyadic floats DO tie), which breaks cross-engine
+    * verification. Assembly back to an array is `array_sort` over
+    * (pos, mean) structs — struct ordering is lexicographic, pos first.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(col("_g"), col("_pos"))
+      .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")).as("_sum"),
+        count(lit(1)).as("_n"))
+      .select(col("_g"), col("_pos"),
+        (col("_sum").cast("double") / lit(1e9) / col("_n")).as("_mean"))
+      .groupBy(col("_g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_mean")))),
+        e => e.getField("_mean")).as("centroid"))
+      .withColumnRenamed("_g", groupCol)
 }

@@ -149,6 +149,16 @@ object PipelineQueries {
           col("col.id").as("doc_id"), col("col.score").cast("bigint").as("n_chars"))
     }),
 
+    // ── Grouped embedding centroids (cluster representatives): exact
+    // decimal elementwise mean per label, shuffle carries (label, pos)
+    // partial sums — never vectors. Exploded back to (label, pos, mean) so
+    // the oracle compares scalars. See [[graft.operators.Similarity.groupCentroids]].
+    "q74_centroids" -> ((s, dir) => {
+      graft.operators.Similarity.groupCentroids(emb(s, dir), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "mean_val")))
+        .select(col("label"), col("pos").cast("bigint").as("pos"), col("mean_val"))
+    }),
+
     // ── BPE-ish token budget estimate next to the whitespace word count.
     "q43_token_estimate" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -553,6 +563,18 @@ object PipelineQueries {
         |    END AS change
         |  FROM documents o FULL JOIN nxt n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    // q74: the same integer quantization (round(v×1e9), ties away from zero
+    // in both engines), exact bigint sums, identical fixed-order double
+    // arithmetic for the mean — see groupCentroids' scaladoc for why
+    // decimal sums were rejected (engine-specific tie rounding).
+    "q74_centroids" ->
+      """SELECT t.label, u.i AS pos,
+        |  CAST(sum(CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e9)
+        |                AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_val
+        |FROM embeddings t,
+        |  LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u
+        |GROUP BY t.label, u.i""".stripMargin,
 
     // q70: the aggregator's (score desc, id asc) order restated as a window.
     "q70_topk_agg" ->

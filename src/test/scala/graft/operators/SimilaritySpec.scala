@@ -139,4 +139,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.groupBy(_._1).values.forall(_.length <= 10))
     assert(rows.forall(_._3 <= 10))
   }
+
+  test("groupCentroids computes per-position means in position order") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -4.0f)),
+      (1L, Seq(3.0f, 6.0f, 0.0f)),
+      (2L, Seq(10.0f, 0.5f, 0.25f))).toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(2.0, 4.0, -2.0))
+    assert(got(2L) == Seq(10.0, 0.5, 0.25))
+  }
+
+  test("groupCentroids is partition-count invariant") {
+    val base = corpus.withColumn("label",
+      org.apache.spark.sql.functions.col("vec_id") % 3)
+    val a = Similarity.groupCentroids(base.repartition(1), "label", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.groupCentroids(base.repartition(13), "label", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(a == b, "sums must be order-insensitive (integer units)")
+  }
 }
