@@ -34,6 +34,21 @@ class BloomPruneSpec extends SparkTestBase {
     assert(BloomPrune.mightMatch(large, col("k"), small, col("j")).count() == 0)
   }
 
+  test("property: semiJoin == plain left_semi (seeded random, 25 rounds)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 25) {
+      val largeN = 1 + rnd.nextInt(400)
+      val keySpace = 1 + rnd.nextInt(50)
+      val large = Seq.fill(largeN)(rnd.nextInt(keySpace).toLong).toDF("k")
+      val small = Seq.fill(rnd.nextInt(20))(rnd.nextInt(keySpace).toLong).toDF("j")
+      val got = BloomPrune.semiJoin(large, "k", small, "j", expectedItems = 64)
+        .as[Long].collect().sorted.toSeq
+      val want = large.join(small, large("k") === small("j"), "left_semi")
+        .as[Long].collect().sorted.toSeq
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("probe rides the scan: no shuffle before the bloom filter") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // the probe at optimization time and leave a bare LocalTableScan.

@@ -54,6 +54,22 @@ class SkewSpec extends SparkTestBase {
       direct.orderBy("k").collect().toSeq)
   }
 
+  test("property: saltedJoin == plain join (seeded random, 20 rounds)") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 0 until 20) {
+      val fact = Seq.fill(1 + rnd.nextInt(300))(
+        (rnd.nextInt(20).toLong, rnd.nextLong())).toDF("k", "v")
+      val d = Seq.fill(rnd.nextInt(30))(
+        (rnd.nextInt(20).toLong, rnd.nextInt(5))).toDF("k", "attr")
+      val salt = 1 + rnd.nextInt(8)
+      val got = Skew.saltedJoin(fact, d, Seq("k"), salt)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val want = fact.join(d, Seq("k")).as[(Long, Long, Int)]
+        .collect().sorted.toSeq
+      assert(got == want, s"round $round salt=$salt")
+    }
+  }
+
   test("salt must be positive") {
     intercept[IllegalArgumentException](Skew.saltedJoin(dim, dim, Seq("k"), 0))
     intercept[IllegalArgumentException](
