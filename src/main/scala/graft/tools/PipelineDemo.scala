@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *
   *   quality filter → exact dedup → near-dup clusters → keep-best-per-
   *   cluster → mixture balancing → context-window chunking → token-budget
-  *   shard packing
+  *   shard packing → per-language top-k exemplars → label centroids
   *
   * Every stage is the oracle-verified operator behind one of the registered
-  * queries (q56, q30, q31/q42, q59, q54, q57, q48); this main strings them
-  * together over `documents.parquet` and prints the funnel counts — the
-  * "what the engine is FOR" twin of [[CdcDemo]].
+  * queries (q56, q30, q31/q42, q59, q54, q57, q48, q70, q74); this main
+  * strings them together over `documents.parquet`/`embeddings.parquet` and
+  * prints the funnel counts — the "what the engine is FOR" twin of
+  * [[CdcDemo]].
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -91,6 +92,24 @@ object PipelineDemo {
       .agg(count(lit(1)).as("n_shards"), max("tokens").as("max_tokens")).head()
     println(f"shards:          ${shardStats.getLong(0)}%6d shards " +
       f"(max ${shardStats.getLong(1)} tokens vs 4000 budget + largest chunk)")
+
+    // 7. per-language exemplars (q70): longest surviving doc per lang via
+    //    the bounded top-k aggregator (no per-group sort)
+    val topk = udaf(new graft.functions.TopKAggregator(1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+    val exemplars = balanced.groupBy(col("lang"))
+      .agg(topk(col("doc_id"), col("n_chars").cast("double")).as("top"))
+      .select(col("lang"), element_at(col("top"), 1).getField("id").as("doc_id"))
+      .orderBy("lang").collect()
+    println("exemplars:       " + exemplars.map(r =>
+      s"${r.getString(0)}=#${r.getLong(1)}").mkString(" "))
+
+    // 8. label centroids over the embedding table (q74): one representative
+    //    vector per label, partial sums only across the shuffle
+    val centroids = graft.operators.Similarity.groupCentroids(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "label", "embedding")
+    val cStats = centroids.select(col("label"), size(col("centroid")).as("d")).collect()
+    println(f"centroids:       ${cStats.length}%6d labels × dim ${cStats.head.getInt(1)}")
 
     scope.release()
     spark.stop()
