@@ -424,6 +424,31 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(revenue.cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ── Map-typed columns and their function family (construction, keys/
+    // values, lookup, filter, transform) — completes §2.2's scalar
+    // inventory next to q63's arrays. The map is built per user from the
+    // aggregate (array_sort fixes entry order → deterministic key order),
+    // then every map op is flattened back to scalars the oracle can state
+    // without map types. All column expressions after the one aggregate —
+    // no extra shuffle.
+    "q75_map_funcs" -> ((s, dir) => {
+      val m = col("m")
+      events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          array_join(map_keys(m), ",").as("keys"),
+          size(m).cast("bigint").as("n_types"),
+          coalesce(element_at(m, "click"), lit(0L)).as("clicks"),
+          size(map_filter(m, (_, v) => v >= 3)).cast("bigint").as("n_frequent"),
+          aggregate(map_values(m), lit(0L), (a, b) => a + b).as("n_events"),
+          aggregate(map_values(transform_values(m, (_, v) => v * v)),
+            lit(0L), (a, b) => a + b).as("sq_events"))
     })
   )
 
@@ -677,6 +702,21 @@ object RelationalQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    // q75: the map ops restated as per-group conditional aggregates.
+    "q75_map_funcs" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS keys,
+        |  count(*) AS n_types,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+        |       AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(sum(c * c) AS BIGINT) AS sq_events
+        |FROM per GROUP BY user_id""".stripMargin
   )
 }
