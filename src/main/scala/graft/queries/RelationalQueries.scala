@@ -449,6 +449,25 @@ object RelationalQueries {
           aggregate(map_values(m), lit(0L), (a, b) => a + b).as("n_events"),
           aggregate(map_values(transform_values(m, (_, v) => v * v)),
             lit(0L), (a, b) => a + b).as("sq_events"))
+    }),
+
+    // ── RANGE window frame: per-customer trailing-30-day order total — the
+    // time-based moving aggregate q10's ROWS frame can't express (a ROWS
+    // frame counts rows, not elapsed time; with multiple orders per day the
+    // two differ). Ordered by epoch seconds so the frame bound is numeric
+    // and identical in both engines; peers (same timestamp) are included in
+    // each other's frames by RANGE semantics, which also makes the result
+    // well-defined under ordering ties.
+    "q76_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts"))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("ts", unix_timestamp(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("trailing_30d"),
+          count(lit(1)).over(w).as("n_trailing"))
     })
   )
 
@@ -717,6 +736,16 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
         |  CAST(sum(c) AS BIGINT) AS n_events,
         |  CAST(sum(c * c) AS BIGINT) AS sq_events
-        |FROM per GROUP BY user_id""".stripMargin
+        |FROM per GROUP BY user_id""".stripMargin,
+
+    "q76_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS trailing_30d,
+        |  count(*) OVER w AS n_trailing
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }
