@@ -149,6 +149,15 @@ object PipelineQueries {
           col("col.id").as("doc_id"), col("col.score").cast("bigint").as("n_chars"))
     }),
 
+    // ── Per-source document cap (q77): at most 25 docs per source, kept by
+    // smallest key hash — deterministic and growth-stable (see
+    // [[graft.operators.Sampling.capPerGroup]]); bounded top-k per group,
+    // no per-group sort.
+    "q77_cap_per_source" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(docs(s, dir), "doc_id", "source", 25)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ── Grouped embedding centroids (cluster representatives): exact
     // decimal elementwise mean per label, shuffle carries (label, pos)
     // partial sums — never vectors. Exploded back to (label, pos, mean) so
@@ -563,6 +572,17 @@ object PipelineQueries {
         |    END AS change
         |  FROM documents o FULL JOIN nxt n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    // q77: the cap restated as a ranking window over the same md5-derived
+    // hash (mod 2^50, ties by doc_id — identical to the aggregator order).
+    "q77_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |               AS BIGINT) % 1125899906842624, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25""".stripMargin,
 
     // q74: the same integer quantization (round(v×1e9), ties away from zero
     // in both engines), exact bigint sums, identical fixed-order double

@@ -82,4 +82,31 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, String)].collect()
     assert(kept.toSet == again.toSet)
   }
+
+  test("capPerGroup enforces the cap, keeps small groups whole, equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // group 'big': 200 rows, group 'tiny': 3 rows
+    val df = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (501 to 503).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(df, "doc_id", "source", 10)
+      .as[(Long, String)].collect()
+    val bySrc = capped.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size == 10)
+    assert(bySrc("tiny") == Set(501L, 502L, 503L), "groups under the cap survive whole")
+    // identical keep-set to the row_number-over-hash formulation
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashBucketMod(col("doc_id"), 1L << 50), col("doc_id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect()
+    assert(capped.toSet == windowed.toSet)
+    // growth stability: adding rows never evicts a kept key in favor of a
+    // larger-hash one — the kept set of the union is the top-10 of the union
+    val grown = df.unionByName(Seq((1000L, "big")).toDF("doc_id", "source"))
+    val keptGrown = Sampling.capPerGroup(grown, "doc_id", "source", 10)
+      .as[(Long, String)].collect().filter(_._2 == "big").map(_._1).toSet
+    assert((bySrc("big") intersect keptGrown).size >= 9,
+      "at most one key displaced by one newcomer")
+  }
 }
