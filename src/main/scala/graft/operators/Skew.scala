@@ -34,6 +34,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    require(!(fact.columns ++ dim.columns).contains("_graft_salt"),
+      "input already has a _graft_salt column")
     val saltCol = pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt))
     val factS = fact.withColumn("_graft_salt", saltCol)
     val dimS = dim.withColumn("_graft_salt",
@@ -53,6 +55,8 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partials: Seq[Column], combine: Seq[Column]): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    require(!df.columns.contains("_graft_salt"),
+      "input already has a _graft_salt column")
     val saltCol = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt))
     df.withColumn("_graft_salt", saltCol)
       .groupBy((keys.map(col) :+ col("_graft_salt")): _*)

@@ -468,6 +468,26 @@ object RelationalQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
             .cast("double").as("trailing_30d"),
           count(lit(1)).over(w).as("n_trailing"))
+    }),
+
+    // ── Fuzzy matching (entity-resolution primitive): which part-name words
+    // are within edit distance 2 of each other, with each word's row count.
+    // The scale-correct shape: REDUCE to the distinct vocabulary first (one
+    // hash aggregate — vocabulary, unlike the table, doesn't grow 100× with
+    // the data), then fuzzy self-join the tiny vocabulary broadcast-side.
+    // A levenshtein join on the raw rows would be an all-pairs scan of the
+    // table against itself.
+    "q78_fuzzy_match" -> ((s, dir) => {
+      val words = t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val a = words.select(col("w").as("w_a"), col("n").as("n_a"))
+      val b = words.select(col("w").as("w_b"), col("n").as("n_b"))
+      a.join(broadcast(b), col("w_a") < col("w_b"))
+        .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+        .filter(col("dist") <= 2)
+        .select(col("w_a"), col("w_b"), col("dist").cast("bigint").as("dist"),
+          col("n_a"), col("n_b"))
     })
   )
 
@@ -746,6 +766,17 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q78_fuzzy_match" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |  GROUP BY w)
+        |SELECT a.w AS w_a, b.w AS w_b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM words a JOIN words b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin
   )
 }
