@@ -109,4 +109,14 @@ class SamplingSpec extends SparkTestBase {
     assert((bySrc("big") intersect keptGrown).size >= 9,
       "at most one key displaced by one newcomer")
   }
+
+  test("capPerGroup rejects non-integral key columns and bad k") {
+    val df = Seq(("a", "s")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException](
+      Sampling.capPerGroup(df, "doc_id", "source", 5))
+    assert(e.getMessage.contains("integral key"))
+    val num = Seq((1L, "s")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException](
+      Sampling.capPerGroup(num, "doc_id", "source", 0))
+  }
 }
