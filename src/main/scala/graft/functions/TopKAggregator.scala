@@ -29,8 +29,11 @@ class TopKAggregator(k: Int)
 
   override def zero: List[ScoredId] = Nil
 
+  // NaN scores are dropped: better() is false in BOTH directions for NaN,
+  // which would break the sorted invariant differently in reduce vs merge
+  // and make the result depend on partitioning.
   override def reduce(buf: List[ScoredId], in: ScoredId): List[ScoredId] =
-    if (buf.sizeIs >= k && better(buf.last, in)) buf
+    if (in.score.isNaN || (buf.sizeIs >= k && better(buf.last, in))) buf
     else {
       val (keep, rest) = buf.span(better(_, in))
       (keep ::: in :: rest).take(k)

@@ -27,21 +27,32 @@ object Skew {
   /** Inner-join `fact` with `dim` on `keys`, scattering each fact key across
     * `salt` reducer partitions and replicating `dim` `salt` ways.
     *
-    * The salt is a deterministic hash of the fact row's non-key identity
-    * (all columns), so repeated runs produce identical plans and the salt is
-    * uncorrelated with the join key.
+    * The salt mixes a row-position component (`monotonically_increasing_id`,
+    * stable for a deterministic input) into the column hash so that even
+    * FULLY IDENTICAL fact rows scatter — a hot key whose rows are exact
+    * duplicates is the common worst case (keys-only fact tables, repeated
+    * measurements), and a purely value-derived salt would send all of them
+    * to one reducer, silently reintroducing the straggler this operator
+    * exists to remove. The salt value never affects the join RESULT (every
+    * (key, salt) replica carries the full dim row set for the key), only
+    * the partitioning.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     require(!(fact.columns ++ dim.columns).contains("_graft_salt"),
       "input already has a _graft_salt column")
-    val saltCol = pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt))
-    val factS = fact.withColumn("_graft_salt", saltCol)
+    val factS = fact.withColumn("_graft_salt", rowSalt(fact, salt))
     val dimS = dim.withColumn("_graft_salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     factS.join(dimS, keys :+ "_graft_salt").drop("_graft_salt")
   }
+
+  /** Per-row salt in [0, salt): column hash mixed with the row's position
+    * so identical rows still spread. */
+  private def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id())
+      .toIndexedSeq: _*), lit(salt))
 
   /** Two-stage aggregation under key skew: fold each (key, salt) group
     * map-side and in a first reduce, then combine the `salt` partials per
@@ -57,8 +68,7 @@ object Skew {
     require(salt > 0, s"salt must be positive, got $salt")
     require(!df.columns.contains("_graft_salt"),
       "input already has a _graft_salt column")
-    val saltCol = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt))
-    df.withColumn("_graft_salt", saltCol)
+    df.withColumn("_graft_salt", rowSalt(df, salt))
       .groupBy((keys.map(col) :+ col("_graft_salt")): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)

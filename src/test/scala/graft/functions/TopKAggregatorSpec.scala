@@ -47,4 +47,12 @@ class TopKAggregatorSpec extends SparkTestBase {
   test("k must be positive") {
     intercept[IllegalArgumentException](new TopKAggregator(0))
   }
+
+  test("NaN scores are dropped, not allowed to evict real entries") {
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, Double.NaN), (1L, 3L, 7.0),
+      (1L, 4L, Double.NaN)).toDF("g", "id", "score").repartition(3)
+    val got = df.groupBy(col("g")).agg(topkCol(2)(col("id"), col("score")).as("top"))
+      .select(col("top")).as[Seq[(Long, Double)]].head()
+    assert(got == Seq((3L, 7.0), (1L, 5.0)))
+  }
 }

@@ -110,6 +110,20 @@ class SamplingSpec extends SparkTestBase {
       "at most one key displaced by one newcomer")
   }
 
+  test("capPerGroup caps per (group, key): a key shared across groups cannot leak") {
+    // key 1..30 in group 'a'; key 1 ALSO in group 'b' alongside 2 others.
+    // Whatever group a's top-5 is, group b must keep exactly its own 3 rows
+    // capped at 5 — never gain or lose rows because key 1 was kept/dropped
+    // in group a.
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      Seq((1L, "b"), (100L, "b"), (101L, "b"))).toDF("doc_id", "source")
+    val kept = Sampling.capPerGroup(df, "doc_id", "source", 5)
+      .as[(Long, String)].collect()
+    assert(kept.count(_._2 == "a") == 5)
+    assert(kept.filter(_._2 == "b").map(_._1).toSet == Set(1L, 100L, 101L),
+      "group b is under the cap and must survive whole, independent of group a")
+  }
+
   test("capPerGroup rejects non-integral key columns and bad k") {
     val df = Seq(("a", "s")).toDF("doc_id", "source")
     val e = intercept[IllegalArgumentException](

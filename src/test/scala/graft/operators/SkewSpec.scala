@@ -36,6 +36,12 @@ class SkewSpec extends SparkTestBase {
       val parts = joined.filter(col("k") === 0L)
         .select(spark_partition_id().as("p")).distinct().count()
       assert(parts > 1, s"hot key stayed in $parts partition(s)")
+      // the worst case: the hot key's rows are FULL duplicates — a purely
+      // value-derived salt would give them all one salt value
+      val dupFact = (0 until 1000).map(_ => (0L, 7L)).toDF("k", "v")
+      val dupSalts = Skew.saltedJoin(dupFact, dim, Seq("k"), salt = 8)
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(dupSalts > 1, s"identical hot rows stayed in $dupSalts partition(s)")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
