@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation: Lloyd k-means with
+  * deterministic seeding and a FIXED iteration count, plus the SemDeDup
+  * composition (cluster to bound the candidate space, then exact-cosine
+  * near-duplicate pairs WITHIN clusters only).
+  *
+  * Shape for 100 TB (the same loop Spark MLlib's KMeans runs):
+  *  - centroids live on the DRIVER — k×dim doubles, bounded by structure,
+  *    never by data volume — and ship to executors as literal arrays;
+  *  - each assignment pass is k codegen'd [[Similarity.dot]] products
+  *    riding ONE scan of the corpus (no shuffle, no UDF);
+  *  - each centroid update is the exact integer-quantized elementwise mean
+  *    of [[Similarity.groupCentroids]]: the shuffle carries (cluster, pos)
+  *    partial sums — never vectors — and the driver collect is k×dim rows.
+  *
+  * Determinism (an external engine must replay every iteration exactly):
+  *  - seeds are the k corpus vectors with the smallest md5(id) — the same
+  *    selection as [[Similarity.ivfTopK]]'s codebook, no RNG state;
+  *  - the squared-distance argmin is computed as s = −2·(v·c) + (c·c)
+  *    (the ‖v‖² term is constant per row and cannot change the argmin);
+  *    both dots are fixed left-to-right folds, so DuckDB's
+  *    `list_dot_product` replays them bit-identically;
+  *  - ties break on the smallest cluster id (`array_position` returns the
+  *    FIRST index of the array minimum);
+  *  - updated means use the q74 quantization contract — `round(x·1e9)`
+  *    (ties away from zero in both engines) summed exactly as longs, one
+  *    fixed-order double division chain at the end;
+  *  - a cluster that loses all members keeps its previous centroid.
+  */
+object Clustering {
+
+  /** (idCol, cluster) after `iters` Lloyd iterations from md5-sampled seeds.
+    *
+    * `iters` counts UPDATE steps: assign→update, repeated, then one final
+    * assignment against the last centroids. `iters = 0` is pure seed
+    * assignment (the IVF cell map).
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0, s"kmeans: k must be positive, got $k")
+    require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    val seeds = vecs
+      .withColumn("h",
+        graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "kmeans: empty input")
+
+    def assign(cent: Array[Array[Double]]): DataFrame = {
+      val scores: Column = array(cent.map { cv =>
+        // (c·c) folds left-to-right on the driver — the identical sequential
+        // sum an oracle's list_dot_product(cv, cv) computes.
+        val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        lit(-2.0) * Similarity.dot(col("v"), typedlit(cv.toSeq)) + lit(c2)
+      }: _*)
+      vecs.withColumn("s", scores)
+        .withColumn("cluster",
+          (array_position(col("s"), array_min(col("s"))) - 1).cast("int"))
+        .select(col("id"), col("v"), col("cluster"))
+    }
+
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      val upd = assign(cent)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("su"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          (col("su").cast("double") / lit(1e9) / col("n")).as("m"))
+        .collect()
+      // empty clusters keep their previous centroid (next starts as a copy)
+      val next = cent.map(_.clone())
+      upd.groupBy(_.getInt(0)).foreach { case (ci, rows) =>
+        val arr = new Array[Double](cent(ci).length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        next(ci) = arr
+      }
+      cent = next
+    }
+    assign(cent).select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: [[kmeans]] bounds the
+    * candidate space to within-cluster pairs, exact cosine ≥ `threshold`
+    * verifies each one. Output is (id_a, id_b) with id_a < id_b — the same
+    * composable pair contract as the other dedup operators (feed it to
+    * [[Dedup.connectedComponents]] / keep-best).
+    *
+    * Clusters larger than `clusterCap` are SKIPPED — the O(size²) pair
+    * explosion guard, same role as `bucketCap` in MinHash-LSH. A corpus
+    * whose clusters trip the cap needs a larger k (more, smaller cells),
+    * not a bigger cap.
+    *
+    * Candidates never shuffle vectors: only (cluster, id) flows through the
+    * self-join; vectors re-attach once per surviving candidate pair for the
+    * exact rescore (the q40 id-only-shuffle lesson).
+    *
+    * Near-identical vectors land in the same cluster with near-certainty
+    * (identical vectors with certainty — equal score arrays pick the same
+    * argmin), but a pair straddling a Voronoi boundary is missed; that
+    * recall trade is the SemDeDup design point, and the deterministic
+    * assignment means an external oracle misses exactly the same pairs.
+    */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1, threshold: Double = 0.9,
+      clusterCap: Long = 100000L): DataFrame = {
+    require(clusterCap > 0, s"semanticPairs: clusterCap must be positive, got $clusterCap")
+    val labels = kmeans(df, idCol, vecCol, k, iters)
+    val kept = labels.join(
+      broadcast(labels.groupBy(col("cluster")).count()
+        .filter(col("count") <= clusterCap).select(col("cluster"))),
+      Seq("cluster"))
+    val pairs = kept.select(col("cluster"), col(idCol).as("id_a"))
+      .join(kept.select(col("cluster"), col(idCol).as("id_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_a"), col("id_b"))
+  }
+}

@@ -408,6 +408,25 @@ object PipelineQueries {
           // csv-join the index array: list-vs-ndarray renderings differ
           // between engines, strings compare exactly
           array_join(col("sample_frames").cast("array<string>"), ",").as("frames_csv"))
+    }),
+
+    // ── Embedding k-means (Lloyd, deterministic seeds, 2 update steps):
+    // the clustering primitive for corpus curation. Centroids are driver
+    // state (k×dim), every assignment rides one scan, every update shuffles
+    // only (cluster, pos) partial sums. See [[graft.operators.Clustering]].
+    "q79_kmeans" -> ((s, dir) => {
+      graft.operators.Clustering.kmeans(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+    }),
+
+    // ── SemDeDup: k-means bounds the candidate space, exact cosine ≥ 0.9
+    // verifies within-cluster pairs only — the cluster-then-pair shape that
+    // replaces all-pairs at 100 TB. Planted perturbed copies (same corpus
+    // as q40) are found when co-clustered; the deterministic assignment
+    // means the oracle misses boundary-straddling pairs identically.
+    "q80_semdedup" -> ((s, dir) => {
+      graft.operators.Clustering.semanticPairs(withNearVecs(emb(s, dir)),
+        "vec_id", "embedding", k = 8, iters = 1, threshold = 0.9)
     })
   )
 
@@ -551,8 +570,77 @@ object PipelineQueries {
       |     WHEN s_zh > 0 AND s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
       |     ELSE 'und' END""".stripMargin
 
+  /** q79/q80 oracle: the k-means CTE chain, generated per (k, iters) so
+    * every iteration is stated once. Mirrors [[graft.operators.Clustering]]
+    * exactly: md5-ranked seeds (ci = rank − 1), argmin of
+    * −2·(v·c) + (c·c) with smallest-ci tie-break, q74-quantized exact
+    * means rebuilt into lists with `list(m ORDER BY pos)` (so iteration
+    * i+1's dot products replay the SAME sequential fold Spark's codegen'd
+    * DotProduct runs), empty clusters carried forward by the LEFT JOIN
+    * coalesce. Requires an `e(id, v DOUBLE[])` CTE from the caller; the
+    * final assignment lands in CTE `a<iters>`.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assign(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT id, v, ci AS cluster FROM (
+         |    SELECT e.id, e.v, c.ci, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY -2 * list_dot_product(e.v, c.cv)
+         |               + list_dot_product(c.cv, c.cv) ASC, c.ci) AS r
+         |    FROM e CROSS JOIN $cent c) WHERE r = 1)""".stripMargin
+    val seeds =
+      s"""ranked AS (
+         |  SELECT id, v, row_number() OVER (
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |             id) AS rn
+         |  FROM e),
+         |c0 AS (SELECT CAST(rn - 1 AS INT) AS ci, v AS cv FROM ranked WHERE rn <= $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""u$i AS (
+         |  SELECT cluster AS ci, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cluster, u.i AS pos,
+         |      CAST(sum(CAST(round(v[u.i + 1] * 1e9) AS BIGINT)) AS DOUBLE)
+         |        / 1e9 / count(*) AS m
+         |    FROM a${i - 1}, LATERAL (SELECT unnest(range(len(v))) AS i) u
+         |    GROUP BY cluster, u.i)
+         |  GROUP BY cluster),
+         |c$i AS (SELECT p.ci, coalesce(u.cv, p.cv) AS cv
+         |        FROM c${i - 1} p LEFT JOIN u$i u USING (ci))""".stripMargin
+    }
+    val assigns = (0 to iters).map(i => assign(s"a$i", s"c$i"))
+    (Seq(seeds) ++ assigns.init.zip(steps).flatMap { case (a, u) => Seq(a, u) }
+      :+ assigns.last).mkString(",\n")
+  }
+
+  /** q80's corpus CTE — must mirror [[withNearVecs]] (same as q40). */
+  private val nearVecsE: String =
+    """e AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q50_pii_redact" -> piiOracle,
+
+    "q79_kmeans" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2)}
+         |SELECT id AS vec_id, cluster FROM a2""".stripMargin,
+
+    "q80_semdedup" ->
+      s"""WITH $nearVecsE,
+         |${kmeansCtes(k = 8, iters = 1)},
+         |sized AS (SELECT cluster FROM a1 GROUP BY cluster
+         |          HAVING count(*) <= 100000),
+         |kept AS (SELECT a1.id, a1.cluster FROM a1 JOIN sized USING (cluster))
+         |SELECT a.id AS id_a, b.id AS id_b
+         |FROM kept a JOIN kept b ON a.cluster = b.cluster AND a.id < b.id
+         |JOIN e ea ON ea.id = a.id
+         |JOIN e eb ON eb.id = b.id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9""".stripMargin,
 
     "q66_snapshot_diff" ->
       """WITH nxt AS (
