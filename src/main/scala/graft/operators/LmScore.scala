@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language-model-flavored quality scoring without a language model: score
+  * each document by how much of it is made of the reference corpus's most
+  * common bigrams (the CCNet/Gopher idea — fluent prose reuses the
+  * reference distribution's mass; gibberish, boilerplate, and wrong-language
+  * text do not). Deliberately transcendental-free: a log-prob perplexity
+  * score would hang cross-engine verification on libm's last ulp, so the
+  * signal is integer counts — callers derive whatever ratio they filter on.
+  */
+object LmScore {
+
+  /** Per-document dictionary hit statistics against the top-`vocab` bigram
+    * dictionary of `ref`:
+    *
+    *  - `n_bigrams` — the document's bigram count (its token count − 1);
+    *  - `hits` — how many of those bigrams are dictionary members,
+    *    multiplicity counted;
+    *  - `freq_sum` — the sum of the dictionary's GLOBAL counts over the
+    *    matched bigrams (weights common bigrams above rare ones — the
+    *    integer stand-in for Σ log p).
+    *
+    * Shape for 100 TB: pass 1 is the textbook wordcount (map-side partial
+    * counts, one shuffle keyed by bigram) closed by a top-`vocab`
+    * TakeOrdered — the dictionary is bounded by structure, ties at the
+    * cutoff break lexicographically so the boundary is deterministic.
+    * Pass 2 broadcasts the dictionary; scoring is a broadcast left join on
+    * the exploded bigrams and a per-document aggregate whose map-side
+    * partials collapse each document's bigrams (colocated by the explode)
+    * to one row before the exchange. No vector of corpus size ever reaches
+    * the driver; no UDFs.
+    */
+  def bigramDictScore(
+      df: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, vocab: Int = 1000): DataFrame = {
+    require(vocab > 0, s"bigramDictScore: vocab must be positive, got $vocab")
+    val dict = ref
+      .select(explode(TextFunctions.bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(vocab)
+    df.select(col(idCol),
+        explode_outer(TextFunctions.bigrams(col(textCol))).as("bg"))
+      .join(broadcast(dict), Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("bg")).as("n_bigrams"),
+        count(col("cnt")).as("hits"),
+        coalesce(sum(col("cnt")), lit(0L)).as("freq_sum"))
+  }
+}

@@ -427,6 +427,15 @@ object PipelineQueries {
     "q80_semdedup" -> ((s, dir) => {
       graft.operators.Clustering.semanticPairs(withNearVecs(emb(s, dir)),
         "vec_id", "embedding", k = 8, iters = 1, threshold = 0.9)
+    }),
+
+    // ── LM-dictionary quality signal: score every doc by its overlap with
+    // the corpus's top-200 bigrams — integer counts only (a log-prob score
+    // would hang verification on libm ulps). See [[graft.operators.LmScore]].
+    "q81_lm_dict_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.LmScore.bigramDictScore(
+        d, d, "doc_id", "text", vocab = 200)
     })
   )
 
@@ -641,6 +650,36 @@ object PipelineQueries {
          |JOIN e ea ON ea.id = a.id
          |JOIN e eb ON eb.id = b.id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9""".stripMargin,
+
+    // q81: same tokenizer/bigram forms as q45; the dictionary cutoff
+    // restates Spark's orderBy(cnt DESC, bg).limit(200) as a row_number.
+    // Counts CAST to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    "q81_lm_dict_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END AS bgs
+        |  FROM tok),
+        |bg AS (SELECT doc_id, unnest(bgs) AS bg FROM big),
+        |dict AS (
+        |  SELECT bg, cnt FROM (
+        |    SELECT bg, count(*) AS cnt,
+        |      row_number() OVER (ORDER BY count(*) DESC, bg) AS rn
+        |    FROM bg GROUP BY bg) WHERE rn <= 200),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams, count(d.cnt) AS hits,
+        |    coalesce(sum(d.cnt), 0) AS freq_sum
+        |  FROM bg b LEFT JOIN dict d USING (bg) GROUP BY b.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+        |  CAST(coalesce(freq_sum, 0) AS BIGINT) AS freq_sum
+        |FROM tok t LEFT JOIN scored USING (doc_id)""".stripMargin,
 
     "q66_snapshot_diff" ->
       """WITH nxt AS (

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Hand-computed pins for the bigram-dictionary scorer: exact counts,
+  * cutoff tie-break, zero-bigram documents, and partition invariance.
+  */
+class LmScoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Bigram inventory:
+  //   "the cat sat"      → "the cat", "cat sat"
+  //   "the cat ran"      → "the cat", "cat ran"
+  //   "a dog sat"        → "a dog",  "dog sat"
+  // Global counts: "the cat"×2; "a dog","cat ran","cat sat","dog sat" ×1.
+  private val ref = Seq(
+    (1L, "the cat sat"), (2L, "the cat ran"), (3L, "a dog sat"))
+
+  test("scores are the exact hand-computed counts") {
+    val got = LmScore.bigramDictScore(
+        ref.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        "doc_id", "text", vocab = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every bigram is in the (uncut) dictionary; freq_sum adds global counts
+    assert(got(1L) === ((2L, 2L, 3L))) // "the cat"(2) + "cat sat"(1)
+    assert(got(2L) === ((2L, 2L, 3L))) // "the cat"(2) + "cat ran"(1)
+    assert(got(3L) === ((2L, 2L, 2L))) // "a dog"(1) + "dog sat"(1)
+  }
+
+  test("vocab cutoff keeps top-count bigrams, ties broken lexicographically") {
+    // vocab=2 keeps "the cat"(2) and then the lexicographically smallest
+    // count-1 bigram: "a dog". "cat sat"/"cat ran"/"dog sat" fall out.
+    val got = LmScore.bigramDictScore(
+        ref.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        "doc_id", "text", vocab = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 2L)))
+    assert(got(2L) === ((2L, 1L, 2L)))
+    assert(got(3L) === ((2L, 1L, 1L)))
+  }
+
+  test("documents with fewer than two tokens score (0, 0, 0) but stay present") {
+    val df = (ref :+ (9L, "solo") :+ (10L, "")).toDF("doc_id", "text")
+    val got = LmScore.bigramDictScore(df, ref.toDF("doc_id", "text"),
+        "doc_id", "text", vocab = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 9L, 10L))
+    assert(got(9L) === ((0L, 0L, 0L)))
+    assert(got(10L) === ((0L, 0L, 0L)))
+  }
+
+  test("scores are partition-count invariant") {
+    val big = (1L to 200L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
+    val a = LmScore.bigramDictScore(big.toDF("doc_id", "text"),
+        big.toDF("doc_id", "text"), "doc_id", "text", vocab = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = LmScore.bigramDictScore(big.toDF("doc_id", "text").repartition(13),
+        big.toDF("doc_id", "text").repartition(3), "doc_id", "text", vocab = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assertThrows[IllegalArgumentException] {
+      LmScore.bigramDictScore(ref.toDF("doc_id", "text"),
+        ref.toDF("doc_id", "text"), "doc_id", "text", vocab = 0)
+    }
+  }
+}
