@@ -26,14 +26,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Sharding {
 
-  /** @return (idCol, weightCol, shard) — shard = floor(global exclusive
-    *         prefix sum of weight / budget) under the deterministic order.
+  /** (id, w, start): each row's EXCLUSIVE global prefix sum of weight under
+    * the deterministic (md5 key-hash, id) order — the two-phase scan both
+    * packers share.
     */
-  def packByBudget(
+  private def globalStarts(
       df: DataFrame, idCol: String, weightCol: String,
-      budget: Long, partitions: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    require(budget > 0, "budget must be positive")
+      partitions: Int, scope: CacheScope): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions
@@ -60,9 +59,56 @@ object Sharding {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val off = element_at(typedlit(offsets.toSeq), col("pid") + 1)
-    cums
-      .withColumn("start", col("cum") - col("w") + off)
+    cums.withColumn("start", col("cum") - col("w") + off)
+  }
+
+  /** @return (idCol, weightCol, shard) — shard = floor(global exclusive
+    *         prefix sum of weight / budget) under the deterministic order.
+    */
+  def packByBudget(
+      df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, partitions: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    globalStarts(df, idCol, weightCol, partitions, scope)
       .select(col("id").as(idCol), col("w").as(weightCol),
         expr(s"CAST(start DIV ${budget}L AS BIGINT)").as("shard"))
+  }
+
+  /** Token-stream sequence packing — the final pretraining assembly step:
+    * concatenate every document (in the same deterministic (md5, id) order
+    * as [[packByBudget]]) into one global token stream and cut it into
+    * fixed-length training sequences of `seqLen` tokens, documents
+    * SPLITTING across sequence boundaries (GPT-style packing, no padding
+    * waste). One output row per (document, sequence) slice:
+    *
+    *  - `seq` — the training sequence this slice lands in;
+    *  - `doc_from` / `doc_to` — the doc-local token span [from, to) of the
+    *    slice (a doc shorter than its remaining sequence emits one row
+    *    covering [0, w));
+    *  - `off_in_seq` — where in the sequence the slice begins.
+    *
+    * Everything is integer arithmetic on the [[globalStarts]] prefix sums;
+    * a document of weight w emits ⌈w/seqLen⌉+1 rows at most, so the
+    * explode is output-linear. Zero-weight documents occupy no tokens and
+    * emit nothing. Downstream writers group by `seq` and concatenate
+    * slices in `off_in_seq` order.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long, partitions: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    globalStarts(df, idCol, weightCol, partitions, scope)
+      .filter(col("w") > 0)
+      .withColumn("seq", explode(expr(
+        s"sequence(start DIV ${seqLen}L, (start + w - 1) DIV ${seqLen}L)")))
+      .select(col("id").as(idCol), col("seq"),
+        (greatest(col("start"), col("seq") * seqLen) - col("start"))
+          .as("doc_from"),
+        (least(col("start") + col("w"), (col("seq") + 1) * seqLen) - col("start"))
+          .as("doc_to"),
+        (greatest(col("start"), col("seq") * seqLen) - col("seq") * seqLen)
+          .as("off_in_seq"))
   }
 }

@@ -429,6 +429,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 1, threshold = 0.9)
     }),
 
+    // ── Token-stream sequence packing: concatenate the corpus in the
+    // deterministic (md5, id) order and cut fixed 512-token training
+    // sequences, docs splitting across boundaries — one (doc, seq) slice
+    // row each. Same two-phase prefix scan as q48; the explode is
+    // output-linear. See [[graft.operators.Sharding.packSequences]].
+    "q82_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("w"))
+      graft.operators.Sharding.packSequences(d, "doc_id", "w", seqLen = 512L)
+    }),
+
     // ── LM-dictionary quality signal: score every doc by its overlap with
     // the corpus's top-200 bigrams — integer counts only (a log-prob score
     // would hang verification on libm ulps). See [[graft.operators.LmScore]].
@@ -985,6 +996,35 @@ object PipelineQueries {
         |  JOIN e qe ON qe.vec_id = c.query_id
         |  JOIN e ne ON ne.vec_id = c.neighbor_id)
         |WHERE rank <= 10""".stripMargin,
+
+    // q82: q48's weight + order, then each doc's [start, start+w) token
+    // interval is cut at multiples of 512 — `//` floor-division matches
+    // Spark DIV on the non-negative prefix sums.
+    "q82_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    CAST(sum(w) OVER (ORDER BY h, doc_id) - w AS BIGINT) AS start
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, w, start,
+        |    unnest(range(start // 512, (start + w - 1) // 512 + 1)) AS seq
+        |  FROM st WHERE w > 0)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+        |  CAST(greatest(start, seq * 512) - start AS BIGINT) AS doc_from,
+        |  CAST(least(start + w, (seq + 1) * 512) - start AS BIGINT) AS doc_to,
+        |  CAST(greatest(start, seq * 512) - seq * 512 AS BIGINT) AS off_in_seq
+        |FROM sp""".stripMargin,
 
     "q48_pack_shards" ->
       """WITH tok AS (

@@ -52,5 +52,60 @@ class ShardingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Sharding.packByBudget(Seq((1L, 1L)).toDF("doc_id", "w"), "doc_id", "w", 0)
     }
+    intercept[IllegalArgumentException] {
+      Sharding.packSequences(Seq((1L, 1L)).toDF("doc_id", "w"), "doc_id", "w", 0)
+    }
+  }
+
+  /** Single-threaded reference for packSequences slices. */
+  private def expectedSlices(
+      rows: Seq[(Long, Long)], seqLen: Long): Set[(Long, Long, Long, Long, Long)] = {
+    val ordered = rows.sortBy { case (id, _) => (TextHash.md5Hash60(id.toString), id) }
+    var cum = 0L
+    ordered.flatMap { case (id, w) =>
+      val start = cum; cum += w
+      if (w == 0) Seq.empty
+      else (start / seqLen to (start + w - 1) / seqLen).map { s =>
+        val from = math.max(start, s * seqLen)
+        val to = math.min(start + w, (s + 1) * seqLen)
+        (id, s, from - start, to - start, from - s * seqLen)
+      }
+    }.toSet
+  }
+
+  test("packSequences matches a single-threaded slicer for any partition count") {
+    val rows = (1 to 200).map(i => (i.toLong, (i % 23).toLong)) // includes w=0
+    val df = rows.toDF("doc_id", "w")
+    for (p <- Seq(1, 4, 9)) {
+      val got = Sharding.packSequences(df, "doc_id", "w", seqLen = 16, partitions = p)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expectedSlices(rows, 16), s"partitions=$p")
+    }
+  }
+
+  test("packSequences slices tile every sequence exactly: no gaps, no overlap, full coverage") {
+    val rows = (1 to 120).map(i => (i.toLong, (i % 40 + 1).toLong))
+    val total = rows.map(_._2).sum
+    val got = Sharding.packSequences(rows.toDF("doc_id", "w"), "doc_id", "w",
+      seqLen = 32, partitions = 5).as[(Long, Long, Long, Long, Long)].collect()
+    // per-doc slices cover [0, w) contiguously
+    got.groupBy(_._1).foreach { case (id, slices) =>
+      val spans = slices.sortBy(_._3).map(s => (s._3, s._4))
+      assert(spans.head._1 === 0L, s"doc $id first slice starts at ${spans.head._1}")
+      spans.sliding(2).foreach {
+        case Array((_, aTo), (bFrom, _)) => assert(aTo === bFrom, s"doc $id gap at $aTo")
+        case _ => ()
+      }
+      assert(spans.last._2 === rows(id.toInt - 1)._2, s"doc $id not fully covered")
+    }
+    // per-sequence slices tile [0, 32) except the final partial sequence
+    val lastSeq = (total - 1) / 32
+    got.groupBy(_._2).foreach { case (seq, slices) =>
+      val lens = slices.map(s => s._4 - s._3).sum
+      val want = if (seq == lastSeq) total - seq * 32 else 32L
+      assert(lens === want, s"seq $seq holds $lens of $want tokens")
+      val offs = slices.sortBy(_._5)
+      assert(offs.head._5 === 0L, s"seq $seq starts at ${offs.head._5}")
+    }
   }
 }
