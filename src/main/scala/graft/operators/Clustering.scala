@@ -33,15 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** (idCol, cluster) after `iters` Lloyd iterations from md5-sampled seeds.
-    *
-    * `iters` counts UPDATE steps: assign→update, repeated, then one final
-    * assignment against the last centroids. `iters = 0` is pure seed
-    * assignment (the IVF cell map).
+  /** The Lloyd loop: final (id, v, cluster, smin) where smin is the chosen
+    * centroid's score −2·(v·c) + (c·c) — kept so callers can derive the
+    * exact squared distance as (v·v) + smin without a second pass.
     */
-  def kmeans(
+  private def lloyd(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 2): DataFrame = {
+      k: Int, iters: Int): DataFrame = {
     require(k > 0, s"kmeans: k must be positive, got $k")
     require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
     val vecs = df.select(col(idCol).cast("long").as("id"),
@@ -63,9 +61,10 @@ object Clustering {
         lit(-2.0) * Similarity.dot(col("v"), typedlit(cv.toSeq)) + lit(c2)
       }: _*)
       vecs.withColumn("s", scores)
+        .withColumn("smin", array_min(col("s")))
         .withColumn("cluster",
-          (array_position(col("s"), array_min(col("s"))) - 1).cast("int"))
-        .select(col("id"), col("v"), col("cluster"))
+          (array_position(col("s"), col("smin")) - 1).cast("int"))
+        .select(col("id"), col("v"), col("cluster"), col("smin"))
     }
 
     var cent = seeds
@@ -87,7 +86,39 @@ object Clustering {
       }
       cent = next
     }
-    assign(cent).select(col("id").as(idCol), col("cluster"))
+    assign(cent)
+  }
+
+  /** (idCol, cluster) after `iters` Lloyd iterations from md5-sampled seeds.
+    *
+    * `iters` counts UPDATE steps: assign→update, repeated, then one final
+    * assignment against the last centroids. `iters = 0` is pure seed
+    * assignment (the IVF cell map).
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame =
+    lloyd(df, idCol, vecCol, k, iters)
+      .select(col("id").as(idCol), col("cluster"))
+
+  /** One representative per cluster — the member CLOSEST to its centroid
+    * (squared distance, ties on the smallest id): the diversity-selection /
+    * eval-set-seeding primitive. The distance needs no second centroid
+    * pass: d² = (v·v) + smin, with smin = −2·(v·c) + (c·c) already carried
+    * by the assignment, so this is [[kmeans]] plus one per-cluster
+    * windowed rank over k groups.
+    */
+  def clusterExemplars(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2").asc, col("id"))
+    lloyd(df, idCol, vecCol, k, iters)
+      .withColumn("d2", Similarity.dot(col("v"), col("v")) + col("smin"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("cluster"), col("id").as("exemplar_id"))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: [[kmeans]] bounds the

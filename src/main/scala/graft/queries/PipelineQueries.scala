@@ -429,6 +429,14 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 1, threshold = 0.9)
     }),
 
+    // ── Cluster exemplars: the member closest to each k-means centroid
+    // (d² = v·v + the assignment's carried score — no second centroid
+    // pass), ties on id — diversity selection / eval-set seeding.
+    "q83_cluster_exemplars" -> ((s, dir) => {
+      graft.operators.Clustering.clusterExemplars(emb(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }),
+
     // ── Token-stream sequence packing: concatenate the corpus in the
     // deterministic (md5, id) order and cut fixed 512-token training
     // sequences, docs splitting across boundaries — one (doc, seq) slice
@@ -603,8 +611,10 @@ object PipelineQueries {
   private def kmeansCtes(k: Int, iters: Int): String = {
     def assign(name: String, cent: String): String =
       s"""$name AS (
-         |  SELECT id, v, ci AS cluster FROM (
-         |    SELECT e.id, e.v, c.ci, row_number() OVER (PARTITION BY e.id
+         |  SELECT id, v, ci AS cluster, s FROM (
+         |    SELECT e.id, e.v, c.ci,
+         |      -2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS s,
+         |      row_number() OVER (PARTITION BY e.id
          |      ORDER BY -2 * list_dot_product(e.v, c.cv)
          |               + list_dot_product(c.cv, c.cv) ASC, c.ci) AS r
          |    FROM e CROSS JOIN $cent c) WHERE r = 1)""".stripMargin
@@ -649,6 +659,16 @@ object PipelineQueries {
          |           FROM embeddings),
          |${kmeansCtes(k = 8, iters = 2)}
          |SELECT id AS vec_id, cluster FROM a2""".stripMargin,
+
+    "q83_cluster_exemplars" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2)},
+         |d AS (SELECT id, cluster, list_dot_product(v, v) + s AS d2 FROM a2)
+         |SELECT cluster, exemplar_id FROM (
+         |  SELECT cluster, id AS exemplar_id,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY d2 ASC, id) AS r
+         |  FROM d) WHERE r = 1""".stripMargin,
 
     "q80_semdedup" ->
       s"""WITH $nearVecsE,

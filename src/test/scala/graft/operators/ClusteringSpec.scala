@@ -82,6 +82,23 @@ class ClusteringSpec extends SparkTestBase {
     }
   }
 
+  test("clusterExemplars picks the member closest to its centroid") {
+    // Quadratic offsets oᵢ = (i%10)²/1000 have mean 0.0285; the unique
+    // closest member is i%10 == 5 (|0.025 − 0.0285| = 0.0035, next best
+    // 0.0075) — a margin orders of magnitude above quantization noise, so
+    // the argmin is unambiguous in both engines.
+    val pts = (0 until 30).map { i =>
+      val c = i / 10
+      val base = Array(0.0, 0.0, 0.0); base(c) = 10.0
+      val off = (i % 10) * (i % 10) / 1000.0
+      (i.toLong, Seq(base(0) + off, base(1) - off, base(2) + off))
+    }.toDF("id", "vec")
+    val got = Clustering.clusterExemplars(pts, "id", "vec", k = 3, iters = 4)
+      .as[(Int, Long)].collect()
+    assert(got.length === 3)
+    assert(got.map(_._2).toSet === Set(5L, 15L, 25L))
+  }
+
   test("clusterCap skips oversized clusters entirely") {
     val base = blobs()
     val none = Clustering.semanticPairs(
