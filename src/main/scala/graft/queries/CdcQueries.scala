@@ -201,8 +201,12 @@ object CdcQueries {
         Map("demo.orders" -> "public.orders"),
         Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
       val dbUrl = s"jdbc:derby:memory:graft_q23_${System.nanoTime()}"
+      // snapshotPartitions = 4: embedded Derby is ONE in-page-cache engine —
+      // defaultParallelism (32 on the bench box) range readers just contend
+      // on its page latches; a real warehouse sizes this to its executors.
       val store = new JdbcTableStore(
-        s, dbUrl + ";create=true", registry.specFor("public.orders"))
+        s, dbUrl + ";create=true", registry.specFor("public.orders"),
+        snapshotPartitions = 4)
       val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
       CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
       // Derby metadata uppercases identifiers; re-select under spec names

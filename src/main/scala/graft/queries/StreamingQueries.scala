@@ -268,11 +268,56 @@ object StreamingQueries {
     spark.table(sink)
     }
 
+  /** q84: stream-STATIC join — the standing enrichment shape: each
+    * micro-batch of the event stream joins a batch dimension table
+    * (customer, broadcast — the static side is planned once and re-executed
+    * per batch without any stream state), then a watermarked daily tumbling
+    * count/sum per nation. Two arrival files split at the q19 cutoff with
+    * no stragglers, so nothing is ever late: append emits exactly the
+    * windows closed by the final watermark (max ts − 1 h), which the
+    * oracle restates declaratively — the last open day is withheld by BOTH
+    * engines. An engine that re-planned the join statefully (or dropped
+    * batch-1 matches) would change every count.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val events = RelationalQueries.events(spark, dir)
+    val cut = lit(LateCut).cast("timestamp")
+    val in = Files.createTempDirectory("q84_in")
+    val ckpt = Files.createTempDirectory("q84_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(events.filter(col("ts") < cut), in, "a0.json", now - 60000)
+    dumpArrivalFile(events.filter(col("ts") >= cut), in, "a1.json", now)
+
+    val customers = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey")))
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("c_nationkey"), col("cnt"), col("sum_value"))
+
+    val sink = s"q84_sink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
-    "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)))
+    "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
+    "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -338,5 +383,17 @@ object StreamingQueries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY b) AS upd_seq,
         |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
         |  max(m) OVER (PARTITION BY user_id ORDER BY b) AS max_id
-        |FROM per""".stripMargin)
+        |FROM per""".stripMargin,
+
+    // q84: nothing is late (two ts-ordered arrivals), so the emitted set is
+    // the plain join+aggregate over the windows the final watermark
+    // (max ts − 1 h) has closed; the last open day is withheld identically.
+    "q84_stream_static" ->
+      """SELECT CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS win_start,
+        |  c.c_nationkey, count(*) AS cnt,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY
+        |      < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2""".stripMargin)
 }
