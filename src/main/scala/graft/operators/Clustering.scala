@@ -33,18 +33,40 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** The Lloyd loop: final (id, v, cluster, smin) where smin is the chosen
+  private def toVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+  /** (id, v, cluster, smin) against fixed centroids; smin is the chosen
     * centroid's score −2·(v·c) + (c·c) — kept so callers can derive the
     * exact squared distance as (v·v) + smin without a second pass.
     */
-  private def lloyd(
+  private def assignVecs(vecs: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val scores: Column = array(cent.map { cv =>
+      // (c·c) folds left-to-right on the driver — the identical sequential
+      // sum an oracle's list_dot_product(cv, cv) computes.
+      val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      lit(-2.0) * Similarity.dot(col("v"), typedlit(cv.toSeq)) + lit(c2)
+    }: _*)
+    vecs.withColumn("s", scores)
+      .withColumn("smin", array_min(col("s")))
+      .withColumn("cluster",
+        (array_position(col("s"), col("smin")) - 1).cast("int"))
+      .select(col("id"), col("v"), col("cluster"), col("smin"))
+  }
+
+  /** The trained centroids after `iters` Lloyd iterations — k×dim doubles,
+    * the PERSISTABLE model: a daily pipeline trains once on the corpus and
+    * [[assign]]s each new batch against the stored centroids (the same
+    * incremental cadence as the minhash signature index), never re-training
+    * per delta.
+    */
+  def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int = 2): Array[Array[Double]] = {
     require(k > 0, s"kmeans: k must be positive, got $k")
     require(iters >= 0, s"kmeans: iters must be >= 0, got $iters")
-    val vecs = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-
+    val vecs = toVecs(df, idCol, vecCol)
     val seeds = vecs
       .withColumn("h",
         graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
@@ -53,23 +75,9 @@ object Clustering {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "kmeans: empty input")
 
-    def assign(cent: Array[Array[Double]]): DataFrame = {
-      val scores: Column = array(cent.map { cv =>
-        // (c·c) folds left-to-right on the driver — the identical sequential
-        // sum an oracle's list_dot_product(cv, cv) computes.
-        val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-        lit(-2.0) * Similarity.dot(col("v"), typedlit(cv.toSeq)) + lit(c2)
-      }: _*)
-      vecs.withColumn("s", scores)
-        .withColumn("smin", array_min(col("s")))
-        .withColumn("cluster",
-          (array_position(col("s"), col("smin")) - 1).cast("int"))
-        .select(col("id"), col("v"), col("cluster"), col("smin"))
-    }
-
     var cent = seeds
     for (_ <- 1 to iters) {
-      val upd = assign(cent)
+      val upd = assignVecs(vecs, cent)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("su"),
@@ -86,8 +94,25 @@ object Clustering {
       }
       cent = next
     }
-    assign(cent)
+    cent
   }
+
+  /** (idCol, cluster) for `df` against FIXED `centroids` — the incremental
+    * assignment pass: one scan, k codegen'd dots per row, no training jobs.
+    */
+  def assign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assign: centroids must be non-empty")
+    assignVecs(toVecs(df, idCol, vecCol), centroids)
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  private def lloyd(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    assignVecs(toVecs(df, idCol, vecCol),
+      kmeansCentroids(df, idCol, vecCol, k, iters))
 
   /** (idCol, cluster) after `iters` Lloyd iterations from md5-sampled seeds.
     *

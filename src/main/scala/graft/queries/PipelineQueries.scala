@@ -448,6 +448,21 @@ object PipelineQueries {
       graft.operators.Sharding.packSequences(d, "doc_id", "w", seqLen = 512L)
     }),
 
+    // ── Incremental k-means assignment: centroids trained ONCE on the
+    // corpus, the perturbed delta batch assigned against them with one
+    // scan — the daily cadence (train never re-runs per delta), mirroring
+    // q58's signature-index pattern in vector space.
+    "q85_kmeans_incremental" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cent = graft.operators.Clustering.kmeansCentroids(
+        base, "vec_id", "embedding", k = 8, iters = 1)
+      val batch = base.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding"))
+      graft.operators.Clustering.assign(batch, "vec_id", "embedding", cent)
+    }),
+
     // ── LM-dictionary quality signal: score every doc by its overlap with
     // the corpus's top-200 bigrams — integer counts only (a log-prob score
     // would hang verification on libm ulps). See [[graft.operators.LmScore]].
@@ -659,6 +674,23 @@ object PipelineQueries {
          |           FROM embeddings),
          |${kmeansCtes(k = 8, iters = 2)}
          |SELECT id AS vec_id, cluster FROM a2""".stripMargin,
+
+    // q85: the training chain's c1 centroids, then one assignment of the
+    // delta batch (the final a1 CTE of the chain goes unreferenced).
+    "q85_kmeans_incremental" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 1)},
+         |nb AS (
+         |  SELECT vec_id + 1000000 AS id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01) AS v
+         |  FROM embeddings WHERE vec_id % 5 = 0)
+         |SELECT id AS vec_id, cluster FROM (
+         |  SELECT nb.id, c.ci AS cluster,
+         |    row_number() OVER (PARTITION BY nb.id
+         |      ORDER BY -2 * list_dot_product(nb.v, c.cv)
+         |               + list_dot_product(c.cv, c.cv) ASC, c.ci) AS r
+         |  FROM nb CROSS JOIN c1 c) WHERE r = 1""".stripMargin,
 
     "q83_cluster_exemplars" ->
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

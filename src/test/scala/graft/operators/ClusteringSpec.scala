@@ -99,6 +99,25 @@ class ClusteringSpec extends SparkTestBase {
     assert(got.map(_._2).toSet === Set(5L, 15L, 25L))
   }
 
+  test("assign routes new points to the trained centroid of their blob") {
+    val cent = Clustering.kmeansCentroids(blobs(), "id", "vec", k = 3, iters = 4)
+    val trained = Clustering.assign(blobs(), "id", "vec", cent)
+      .as[(Long, Int)].collect().toMap
+    // new points sit right at each blob's corner — they must land in the
+    // cluster that blob's training members occupy
+    val fresh = Seq(
+      (100L, Seq(10.0, 0.05, 0.0)), (101L, Seq(0.05, 10.0, -0.05)),
+      (102L, Seq(0.0, -0.05, 10.0))).toDF("id", "vec")
+    val got = Clustering.assign(fresh, "id", "vec", cent)
+      .as[(Long, Int)].collect().toMap
+    assert(got(100L) === trained(0L))
+    assert(got(101L) === trained(10L))
+    assert(got(102L) === trained(20L))
+    assertThrows[IllegalArgumentException] {
+      Clustering.assign(fresh, "id", "vec", Array.empty[Array[Double]])
+    }
+  }
+
   test("clusterCap skips oversized clusters entirely") {
     val base = blobs()
     val none = Clustering.semanticPairs(
