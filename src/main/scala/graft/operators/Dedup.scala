@@ -398,4 +398,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Corpus-wide block-level exact dedup with reassembly — the CCNet /
+    * RefinedWeb "remove duplicated lines across the corpus" pass. The test
+    * corpus is single-line, so fixed non-overlapping `blockWords`-token
+    * blocks stand in for lines; the operator is line-granular when fed a
+    * corpus where blocks ARE lines.
+    *
+    * Only the FIRST occurrence of each distinct block survives, ordered by
+    * (document id, block position); every document is then reassembled from
+    * its surviving blocks in position order. Output is one row per input
+    * document: `(doc_id, n_blocks, n_kept, text_kept)` — a fully-duplicated
+    * document comes back with `n_kept = 0` and empty text, the usual signal
+    * for a downstream drop.
+    *
+    * Scale shape: the first-occurrence winner is one hash aggregate on the
+    * block digest (map-side-combined `min(struct(id, pos))`, shuffle carries
+    * one row per DISTINCT block); winners join back to occurrences on the
+    * digest (plain shuffled hash join — both sides are block-granular, no
+    * broadcast assumption); reassembly is one aggregate on id. No windows
+    * over the corpus, no all-pairs, driver state zero.
+    */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockWords: Int = 25): DataFrame = {
+    require(blockWords > 0, s"blockWords=$blockWords must be positive")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .withColumn("n_blocks",
+        floor((size(col("toks")) + lit(blockWords - 1)) / lit(blockWords)).cast("long"))
+
+    val blocks = base.filter(col("n_blocks") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), (col("n_blocks") - 1).cast("int")),
+        i => array_join(slice(col("toks"), i * blockWords + 1, lit(blockWords)), " "))))
+      .select(col("id"), col("pos"), md5(col("col").cast("binary")).as("digest"),
+        col("col").as("block"))
+
+    val winners = blocks.groupBy("digest")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val kept = blocks.join(winners, "digest")
+      .filter(struct(col("id"), col("pos")) === col("w"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("block")))),
+          s => s.getField("block")), " ").as("text_kept"))
+
+    base.join(kept, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

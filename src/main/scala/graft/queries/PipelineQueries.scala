@@ -470,6 +470,81 @@ object PipelineQueries {
       val d = docs(s, dir)
       graft.operators.LmScore.bigramDictScore(
         d, d, "doc_id", "text", vocab = 200)
+    }),
+
+    // ── Corpus-wide duplicated-block removal WITH reassembly (the CCNet
+    // "dedup lines across the corpus" pass): only the first occurrence of
+    // each 25-token block survives; documents are rebuilt from their
+    // surviving blocks. The near-dup corpus plants prefix copies whose
+    // leading blocks are exact duplicates of the originals' — those blocks
+    // vanish from the copies, and the report shows how much of each doc
+    // remains. See [[graft.operators.Dedup.dedupBlocks]].
+    "q86_block_dedup" -> ((s, dir) => {
+      Dedup.dedupBlocks(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
+    // ── One-pass corpus card: the per-(lang, source) report a pipeline runs
+    // after every build — doc/char/token totals, extrema, short-doc count,
+    // distinct-content count — as ONE hash aggregate (the count-distinct
+    // expands to a two-phase aggregate on (group, digest); nothing else
+    // shuffles more than the group keys).
+    "q87_corpus_report" -> ((s, dir) => {
+      val nt = TextFunctions.tokenCount(col("text")).cast("long")
+      docs(s, dir).groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(nt).as("sum_tokens"),
+        max(nt).as("max_tokens"),
+        min(nt).as("min_tokens"),
+        sum(when(nt < 40, 1L).otherwise(0L)).as("short_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("distinct_texts"))
+    }),
+
+    // ── Symmetric int8 embedding quantization (the 4× storage shrink an
+    // embedding store applies before ANN indexing): per-vector max-abs
+    // scale, codes = floor(x·127/scale + ½) ∈ [−127, 127], plus the exact
+    // reconstruction-error bound. Pure map-side column math — zero shuffle;
+    // every arithmetic step is IEEE-double so the oracle reproduces codes
+    // AND error bit-for-bit.
+    "q88_embed_quantize" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("codes",
+          when(col("scale") === 0, transform(col("v"), _ => lit(0)))
+            .otherwise(transform(col("v"),
+              x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("int"))))
+        .withColumn("max_abs_err",
+          when(col("scale") === 0, lit(0.0)).otherwise(
+            array_max(zip_with(col("v"), col("codes"),
+              (x, c) => abs(x - c * col("scale") / lit(127.0))))))
+        // joined to a string for the hash-compare (array cells don't sort)
+        .select(col("vec_id"), col("scale"),
+          array_join(col("codes"), ",").as("codes"), col("max_abs_err"))
+    }),
+
+    // ── Interchange-format round-trip: the corpus written to JSONL and
+    // CSV (quoted/escaped) sinks, read back with the explicit schema, and
+    // summarized per (format, lang) with an order-independent xor checksum
+    // over every field of every row — a checksum mismatch means the sink
+    // or source mangled a value. Exercises the text source/sink surface
+    // (Spark's JSON/CSV readers scale with input splits like parquet).
+    "q89_text_formats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toFile.getAbsolutePath
+      d.write.mode("overwrite").json(s"$tmp/json")
+      d.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      def report(df: DataFrame, fmt: String): DataFrame =
+        df.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          bit_xor(TextFunctions.md5Hash60(concat_ws("|",
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")))).as("checksum"))
+          .withColumn("format", lit(fmt))
+      report(s.read.schema(d.schema).json(s"$tmp/json"), "json")
+        .unionByName(report(
+          s.read.schema(d.schema).option("header", "true").csv(s"$tmp/csv"), "csv"))
     })
   )
 
@@ -1316,6 +1391,83 @@ object PipelineQueries {
         |  CAST(('0x' || substr(digest, 9, 8)) AS BIGINT) / 4294967295.0 AS feat_1,
         |  CAST(('0x' || substr(digest, 17, 8)) AS BIGINT) / 4294967295.0 AS feat_2,
         |  CAST(('0x' || substr(digest, 25, 8)) AS BIGINT) / 4294967295.0 AS feat_3
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // q86: first occurrence restated as row_number over (doc_id, pos) within
+    // each block digest; reassembly as an ordered string_agg. `//` matches
+    // Spark's floor(+(B-1)/B) block count; slice bounds are 1-based
+    // inclusive in both engines.
+    "q86_block_dedup" ->
+      s"""WITH $nearDupTok,
+         |p AS (SELECT doc_id, toks, (len(toks) + 24) // 25 AS nb FROM tok),
+         |b AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i * 25 + 1 : i * 25 + 25], ' ') AS block
+         |  FROM p, unnest(range(nb)) AS u(i)),
+         |k AS (
+         |  SELECT doc_id, pos, block,
+         |    row_number() OVER (PARTITION BY md5(block)
+         |                       ORDER BY doc_id, pos) AS rn
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(block, ' ' ORDER BY pos) AS text_kept
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(p.nb AS BIGINT) AS n_blocks,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(r.text_kept, '') AS text_kept
+         |FROM p LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    "q87_corpus_report" ->
+      """WITH t AS (
+        |  SELECT lang, source, len(text) AS nc,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                    t -> t <> '')) AS nt,
+        |    md5(text) AS dg
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(max(nt) AS BIGINT) AS max_tokens,
+        |  CAST(min(nt) AS BIGINT) AS min_tokens,
+        |  CAST(sum(CASE WHEN nt < 40 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  CAST(count(DISTINCT dg) AS BIGINT) AS distinct_texts
+        |FROM t GROUP BY lang, source""".stripMargin,
+
+    // q88: every arithmetic step mirrors the Spark expression order
+    // ((x*127.0)/scale)+0.5 etc. so doubles are bit-identical; DuckDB CAST
+    // rounds, but floor() first makes the value integral so the cast is
+    // exact.
+    "q88_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |c AS (SELECT vec_id, v, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v,
+        |               x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) END AS codes
+        |      FROM s)
+        |SELECT vec_id, scale, array_to_string(codes, ',') AS codes,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE list_max(list_transform(range(1, len(v) + 1),
+        |              i -> abs(v[i] - codes[i] * scale / 127.0))) END AS max_abs_err
+        |FROM c""".stripMargin,
+
+    // q89: the oracle computes the expected per-(format, lang) report from
+    // the parquet truth — a lossless round-trip must reproduce it for both
+    // formats. The checksum is the same md5-60-bit fold over the same
+    // '|'-joined row rendering.
+    "q89_text_formats" ->
+      """WITH t AS (
+        |  SELECT lang, len(text) AS nc,
+        |    CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang,
+        |      source, n_chars)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT f.format, t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  bit_xor(h) AS checksum
+        |FROM t CROSS JOIN (SELECT unnest(['json', 'csv']) AS format) f
+        |GROUP BY f.format, t.lang""".stripMargin
   )
 }

@@ -234,4 +234,35 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(clusters(5L) === 5L && clusters(101L) === 5L && clusters(102L) === 5L)
   }
+
+  test("dedupBlocks keeps first occurrences and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d e f"),    // blocks (B=2): "a b" "c d" "e f"
+      (2L, "a b x y"),        // "a b" duplicates doc 1's first block
+      (3L, "c d e f"),        // both blocks duplicate doc 1's
+      (4L, "p q a b r s")     // middle block duplicates; ends survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocks(df, "doc_id", "text", blockWords = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, "a b c d e f")))
+    assert(out(2L) === ((2L, 2L, 1L, "x y")))
+    assert(out(3L) === ((3L, 2L, 0L, "")))
+    assert(out(4L) === ((4L, 3L, 2L, "p q r s")))
+  }
+
+  test("dedupBlocks: within-doc repeats collapse; ragged tail is a block") {
+    val df = Seq((7L, "a b a b z")).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocks(df, "doc_id", "text", blockWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+    // blocks: "a b" (kept), "a b" (within-doc dup, dropped), tail "z" (kept)
+    assert(out === Array((7L, 3L, 2L, "a b z")))
+  }
+
+  test("dedupBlocks: token-less docs report zero blocks") {
+    val df = Seq((1L, "hello world"), (2L, "!!! ...")).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocks(df, "doc_id", "text", blockWords = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) === ((2L, 0L, 0L, "")))
+    assert(out(1L) === ((1L, 1L, 1L, "hello world")))
+  }
 }
