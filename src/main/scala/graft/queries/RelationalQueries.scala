@@ -488,6 +488,27 @@ object RelationalQueries {
         .filter(col("dist") <= 2)
         .select(col("w_a"), col("w_b"), col("dist").cast("bigint").as("dist"),
           col("n_a"), col("n_b"))
+    }),
+
+    // ── Unpivot/melt: wide per-row measures to long (metric, value) form —
+    // the missing inverse of q61's pivot. Catalyst plans the unpivot as an
+    // Expand (4 output rows per input row, map-side, zero shuffle); the
+    // only exchange is the final partial-aggregated group-by. Sums are
+    // exact decimals emitted as double (the dsum contract).
+    "q90_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("extendedprice"),
+          col("l_discount").cast("decimal(18,2)").as("discount"),
+          col("l_tax").cast("decimal(18,2)").as("tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(sum(col("value")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -777,6 +798,23 @@ object RelationalQueries {
         |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
         |  a.n AS n_a, b.n AS n_b
         |FROM words a JOIN words b ON a.w < b.w
-        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin
+        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
+
+    // q90: the melt restated as UNION ALL (engine-agnostic UNPIVOT); sums
+    // over exact decimals, cast to double at the end like every dsum query.
+    "q90_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice',
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount',
+        |         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax',
+        |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT l_returnflag, metric,
+        |  CAST(sum(value) AS DOUBLE) AS sum_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM m GROUP BY l_returnflag, metric""".stripMargin
   )
 }
