@@ -412,12 +412,18 @@ object Dedup {
     * document comes back with `n_kept = 0` and empty text, the usual signal
     * for a downstream drop.
     *
-    * Scale shape: the first-occurrence winner is one hash aggregate on the
-    * block digest (map-side-combined `min(struct(id, pos))`, shuffle carries
-    * one row per DISTINCT block); winners join back to occurrences on the
-    * digest (plain shuffled hash join — both sides are block-granular, no
-    * broadcast assumption); reassembly is one aggregate on id. No windows
-    * over the corpus, no all-pairs, driver state zero.
+    * Scale shape — block TEXT crosses exactly ONE shuffle. The winner
+    * election runs over a text-FREE projection (id, pos, digest): one hash
+    * aggregate on the digest (map-side-combined `min(struct(id, pos))`, one
+    * row per DISTINCT block crosses), one digest join back to the 16-byte
+    * occurrence rows, and a per-doc `collect_set(pos)` of surviving
+    * positions (bounded by a single document's block count). Only THEN do
+    * the text-bearing blocks shuffle — once, by id — to meet their doc's
+    * kept-position set, and the final reassembly aggregate reuses that id
+    * partitioning (no second text exchange). At 100 TB the corpus bytes
+    * move once; everything that moves twice is fixed-width ids. No windows
+    * over the corpus, no all-pairs, no broadcast assumption, driver state
+    * zero.
     */
   def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
       blockWords: Int = 25): DataFrame = {
@@ -434,10 +440,15 @@ object Dedup {
       .select(col("id"), col("pos"), md5(col("col").cast("binary")).as("digest"),
         col("col").as("block"))
 
-    val winners = blocks.groupBy("digest")
+    val occ = blocks.select("id", "pos", "digest")
+    val winners = occ.groupBy("digest")
       .agg(min(struct(col("id"), col("pos"))).as("w"))
-    val kept = blocks.join(winners, "digest")
+    val keptPos = occ.join(winners, "digest")
       .filter(struct(col("id"), col("pos")) === col("w"))
+      .groupBy("id").agg(collect_set(col("pos")).as("keep"))
+
+    val kept = blocks.join(keptPos, "id")
+      .filter(array_contains(col("keep"), col("pos")))
       .groupBy("id").agg(
         count(lit(1)).as("n_kept"),
         array_join(transform(sort_array(collect_list(struct(col("pos"), col("block")))),
