@@ -32,9 +32,14 @@ object Bench {
       spark.range(2000000).selectExpr("sum(id * 2)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000).count()
     } catch { case _: Throwable => () }
+    // Optional arg: comma-separated query subset (dev iteration only; the
+    // driver passes no args → full run).
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     // (time, error): a failing query must surface as an "err" entry, never
     // as a ~0 s timing that flatters the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize the query's own physical plan in full (every output
       // column, every row) — a count() on top would let Catalyst prune the
@@ -44,6 +49,12 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
+      // Isolate measurements: drop the query's unmanaged per-plan caches
+      // (dedup signature persists etc.) so one query's pinned blocks don't
+      // squeeze memory under the next — an 80-query session otherwise
+      // accumulates every MEMORY_AND_DISK intermediate at once, a state no
+      // per-job cluster run ever sees.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map {

@@ -265,4 +265,23 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L) === ((2L, 0L, 0L, "")))
     assert(out(1L) === ((1L, 1L, 1L, "hello world")))
   }
+
+  test("dedupBlocks is partition-count invariant") {
+    // 40 docs built from a tiny 6-word pool at blockWords=2 → plenty of
+    // cross-doc duplicate blocks; the winner/reassembly result must not
+    // depend on how the input is split across tasks.
+    val words = Array("red", "blue", "green", "ash", "oak", "elm")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (0 until 8).map(j => words((i * 7 + j * 3) % 6)).mkString(" "))
+    }
+    def run(parts: Int): Set[(Long, Long, Long, String)] =
+      Dedup.dedupBlocks(docs.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", blockWords = 2)
+        .as[(Long, Long, Long, String)].collect().toSet
+    val one = run(1)
+    assert(run(7) === one)
+    assert(run(32) === one)
+    // sanity: duplication actually occurred (pool is tiny, blocks repeat)
+    assert(one.exists(_._3 < 4), "expected at least one doc to lose blocks")
+  }
 }
