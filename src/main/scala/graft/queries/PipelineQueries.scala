@@ -545,6 +545,16 @@ object PipelineQueries {
       report(s.read.schema(d.schema).json(s"$tmp/json"), "json")
         .unionByName(report(
           s.read.schema(d.schema).option("header", "true").csv(s"$tmp/csv"), "csv"))
+    }),
+
+    // ── Temperature mixture (α = ½): keep volume ∝ count^α per language —
+    // the multilingual upsampling step between balancing (α→0, q54) and
+    // the raw mix (α=1). Rates stay in-plan (broadcast), decided per-key
+    // by hash bucket. See [[graft.operators.Sampling.temperatureMix]].
+    "q91_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling
+        .temperatureMix(docs(s, dir), "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang")
     })
   )
 
@@ -1468,6 +1478,22 @@ object PipelineQueries {
         |  CAST(sum(nc) AS BIGINT) AS sum_chars,
         |  bit_xor(h) AS checksum
         |FROM t CROSS JOIN (SELECT unnest(['json', 'csv']) AS format) f
-        |GROUP BY f.format, t.lang""".stripMargin
+        |GROUP BY f.format, t.lang""".stripMargin,
+
+    // q91: same per-mille formula — 1000.0 * sqrt(min/cnt) floored (sqrt is
+    // IEEE-exact, so the cut reproduces bit-for-bit) — and the same
+    // md5-60-bit key bucket as every sampling oracle.
+    "q91_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |mn AS (SELECT min(cnt) AS min_cnt FROM c),
+        |r AS (SELECT lang,
+        |        CAST(floor(1000.0 * sqrt(CAST(min_cnt AS DOUBLE) /
+        |                                 CAST(cnt AS DOUBLE))) AS BIGINT)
+        |          AS permille
+        |      FROM c, mn)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 1000 < permille""".stripMargin
   )
 }

@@ -509,6 +509,31 @@ object RelationalQueries {
         .groupBy("l_returnflag", "metric")
         .agg(sum(col("value")).cast("double").as("sum_value"),
           count(lit(1)).as("n"))
+    }),
+
+    // ── Bucketed-table co-located join: both sides written `bucketBy` on
+    // the join key (the Spark-native form of pre-partitioning a warehouse
+    // keeps on disk), so the SortMergeJoin consumes bucket files DIRECTLY —
+    // zero Exchange before the join; the only shuffle in the plan is the
+    // 3-group final aggregate. THE technique for a fact-fact join that
+    // recurs at 100 TB: pay the partitioning once at write time, never
+    // again per query (`BucketedJoinPlanSpec` pins the no-shuffle plan).
+    "q93_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_buck").toFile.getAbsolutePath
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").saveAsTable("graft_li_b")
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").saveAsTable("graft_ord_b")
+      s.table("graft_li_b").hint("merge")
+        .join(s.table("graft_ord_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"), count(lit(1)).as("n"))
     })
   )
 
@@ -815,6 +840,16 @@ object RelationalQueries {
         |SELECT l_returnflag, metric,
         |  CAST(sum(value) AS DOUBLE) AS sum_value,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM m GROUP BY l_returnflag, metric""".stripMargin
+        |FROM m GROUP BY l_returnflag, metric""".stripMargin,
+
+    // q93: bucketing only changes the physical plan; the logical result is
+    // a plain join + aggregate over the base tables.
+    "q93_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin
   )
 }

@@ -133,4 +133,37 @@ class SamplingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.capPerGroup(num, "doc_id", "source", 0))
   }
+
+  test("temperatureMix keeps the smallest stratum whole and flattens the head") {
+    // strata sizes 100 / 400 / 1600: at α = ½ the kept volumes should be
+    // ∝ sqrt-compressed — 100 kept whole, 400 at ~50%, 1600 at ~25%.
+    val rows = (1 to 100).map(i => (i.toLong, "small")) ++
+      (1001 to 1400).map(i => (i.toLong, "mid")) ++
+      (2001 to 3600).map(i => (i.toLong, "big"))
+    val kept = Sampling.temperatureMix(rows.toDF("doc_id", "lang"), "doc_id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 100L, "smallest stratum must survive whole")
+    // hash buckets are uniform-ish, not exact: allow ±8 percentage points
+    assert(kept("mid") >= 400 * 42 / 100 && kept("mid") <= 400 * 58 / 100, kept)
+    assert(kept("big") >= 1600 * 17 / 100 && kept("big") <= 1600 * 33 / 100, kept)
+    // α = 1 is the raw mix: every stratum keeps everything
+    val raw = Sampling.temperatureMix(
+      rows.toDF("doc_id", "lang"), "doc_id", "lang", alpha = 1.0)
+    assert(raw.count() === rows.size.toLong)
+  }
+
+  test("temperatureMix is reproducible and growth-stable like sampleByHash") {
+    val rows = (1 to 500).map(i => (i.toLong, if (i % 5 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept1 = Sampling.temperatureMix(df, "doc_id", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    // adding rows to the LARGE stratum can only shrink its rate — survivors
+    // of the small stratum must keep surviving (their rate stays 1000‰)
+    val grown = (rows ++ (1001 to 1200).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "lang")
+    val kept2 = Sampling.temperatureMix(grown, "doc_id", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    val smallIds = rows.collect { case (id, "a") => id }.toSet
+    assert((kept1 & smallIds) === (kept2 & smallIds))
+  }
 }
