@@ -547,6 +547,40 @@ object PipelineQueries {
           s.read.schema(d.schema).option("header", "true").csv(s"$tmp/csv"), "csv"))
     }),
 
+    // ── Schema evolution: a corpus written in two generations — v1 lacks
+    // the source/n_chars columns a later pipeline added — read as ONE
+    // dataset via mergeSchema, legacy rows null-filled. The report counts
+    // legacy rows and sums the new column where present. This is how a
+    // 100 TB corpus actually evolves: old shards are never rewritten.
+    "q92_schema_evolution" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toFile.getAbsolutePath
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(col("n_chars")).as("sum_chars_v2"))
+    }),
+
+    // ── Partitioned layout + partition pruning: the corpus written
+    // `partitionBy(lang)` (the physical layout a multilingual corpus store
+    // uses), then a single-language query whose filter must prune at the
+    // DIRECTORY level — the scan never opens the other languages' files
+    // (`PartitionPruneSpec` pins `PartitionFilters` in the plan).
+    "q94_partition_pruning" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+      docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp).filter(col("lang") === "en")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ── Temperature mixture (α = ½): keep volume ∝ count^α per language —
     // the multilingual upsampling step between balancing (α→0, q54) and
     // the raw mix (α=1). Rates stay in-plan (broadcast), decided per-key
@@ -1479,6 +1513,28 @@ object PipelineQueries {
         |  bit_xor(h) AS checksum
         |FROM t CROSS JOIN (SELECT unnest(['json', 'csv']) AS format) f
         |GROUP BY f.format, t.lang""".stripMargin,
+
+    // q92: the two generations restated as a UNION with nulls for the
+    // columns v1 lacked.
+    "q92_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, NULL AS source, NULL AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars_v2
+        |FROM u GROUP BY lang""".stripMargin,
+
+    // q94: pruning only changes which files the scan opens; the logical
+    // result is a plain filtered aggregate.
+    "q94_partition_pruning" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
 
     // q91: same per-mille formula — 1000.0 * sqrt(min/cnt) floored (sqrt is
     // IEEE-exact, so the cut reproduces bit-for-bit) — and the same
