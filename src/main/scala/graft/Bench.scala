@@ -53,8 +53,9 @@ object Bench {
       // (dedup signature persists etc.) so one query's pinned blocks don't
       // squeeze memory under the next — an 80-query session otherwise
       // accumulates every MEMORY_AND_DISK intermediate at once, a state no
-      // per-job cluster run ever sees.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // per-job cluster run ever sees. Via the CacheManager so the plan
+      // cache can't hand a later query a gutted InMemoryRelation.
+      spark.sharedState.cacheManager.clearCache()
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map {

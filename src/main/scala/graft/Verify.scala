@@ -28,7 +28,11 @@ object Verify {
       }
       // Free unmanaged per-plan caches between queries (see Bench) — the
       // 80-query sweep otherwise pins every dedup signature cache at once.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Through the CacheManager, not raw RDD unpersist: later queries
+      // plan-match registered InMemoryRelations, and an entry whose blocks
+      // were yanked out from under it silently recomputes (or worse — this
+      // is how the TaskContext partition-id bug in Sharding surfaced).
+      spark.sharedState.cacheManager.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

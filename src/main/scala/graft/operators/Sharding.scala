@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -14,51 +14,61 @@ import org.apache.spark.storage.StorageLevel
   * The global order is (md5 key-hash, id): content-independent, reproducible
   * across runs and engines, and uniformly shuffled so shards mix sources.
   *
-  * The prefix sum is the textbook two-phase distributed scan — NOT a global
+  * The prefix sum is a SEGMENTED two-phase scan — NOT a global
   * `Window.orderBy` (which Spark executes in ONE partition, the classic
   * 100 TB killer):
-  *   1. range-repartition on the hash key + sort within partitions
-  *      (one shuffle, the same one any global ordering pays);
-  *   2. one linear pass per partition for local cumulative sums;
-  *   3. per-partition totals (one tiny job, ≤ one row per partition) are
-  *      prefix-summed on the driver and added back as a broadcast literal.
-  * Driver state is O(partitions), never O(rows).
+  *   1. each row lands in a deterministic segment = the high bits of its
+  *      md5 key-hash (`segments` of them, uniformly filled because the hash
+  *      is uniform);
+  *   2. a running-sum window per segment (one shuffle on the segment key,
+  *      sort + linear pass within) yields segment-local prefix sums;
+  *   3. per-segment totals (one tiny aggregate, ≤ `segments` rows) are
+  *      prefix-summed on the driver and added back as a literal lookup.
+  * Driver state is O(segments), never O(rows).
+  *
+  * DETERMINISM CONTRACT: every value above is a pure function of the DATA —
+  * the segment comes from the key hash, never from a task/partition id. An
+  * earlier formulation stamped `TaskContext.getPartitionId()` inside a
+  * `mapPartitions` over a range-shuffled cache; that id is an EXECUTION
+  * artifact, and a cache-miss recompute under a coalescing consumer (or an
+  * executor loss at scale) replayed every range partition inside one task —
+  * pid 0 for all rows, silently corrupting every offset. Here a recompute
+  * of any stage reproduces identical rows, so the `scope` cache is purely a
+  * performance lever, never a correctness dependency.
   */
 object Sharding {
 
   /** (id, w, start): each row's EXCLUSIVE global prefix sum of weight under
-    * the deterministic (md5 key-hash, id) order — the two-phase scan both
+    * the deterministic (md5 key-hash, id) order — the segmented scan both
     * packers share.
     */
   private def globalStarts(
       df: DataFrame, idCol: String, weightCol: String,
-      partitions: Int, scope: CacheScope): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
+      segments: Int, scope: CacheScope): DataFrame = {
+    require(segments >= 0 && segments <= 65536,
+      s"segments=$segments out of range (driver offset state is O(segments))")
+    val segs = if (segments > 0) segments else 1024
+    val span = 1L << 60 // md5Hash60 < 2^60
+    val segWidth = (span + segs - 1) / segs
+    // a negative weight would silently make the prefix sum non-monotone
+    // (out-of-order / negative shard ids) — fail the job loudly instead
+    val guarded = when(col("w") >= 0, col("w")).otherwise(raise_error(concat(
+      lit("packByBudget: weight must be non-negative, got "),
+      col("w").cast("string"), lit(" for id "), col("id").cast("string"))))
     val keyed = df.select(
         col(idCol).cast("long").as("id"),
         col(weightCol).cast("long").as("w"),
         TextFunctions.md5Hash60(col(idCol).cast("string")).as("h"))
-      .repartitionByRange(p, col("h"), col("id"))
-      .sortWithinPartitions(col("h"), col("id"))
-    val cums = scope.own(keyed.as[(Long, Long, Long)].mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var cum = 0L
-      it.map { case (id, w, _) =>
-        // a negative weight would silently make the prefix sum non-monotone
-        // (out-of-order / negative shard ids) — fail the job loudly instead
-        require(w >= 0, s"packByBudget: weight must be non-negative, got $w for id $id")
-        cum += w
-        (pid, id, w, cum)
-      }
-    }.toDF("pid", "id", "w", "cum")
+      .select(col("id"), guarded.as("w"), col("h"),
+        expr(s"CAST(h DIV ${segWidth}L AS INT)").as("seg"))
+    val win = Window.partitionBy("seg").orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = scope.own(keyed.withColumn("cum", sum(col("w")).over(win))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val totals = cums.groupBy("pid").agg(max("cum").as("tot"))
+    val totals = cums.groupBy("seg").agg(sum("w").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
-    val off = element_at(typedlit(offsets.toSeq), col("pid") + 1)
+    val offsets = (0 until segs).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val off = element_at(typedlit(offsets.toSeq), col("seg") + 1)
     cums.withColumn("start", col("cum") - col("w") + off)
   }
 
@@ -67,10 +77,10 @@ object Sharding {
     */
   def packByBudget(
       df: DataFrame, idCol: String, weightCol: String,
-      budget: Long, partitions: Int = 0,
+      budget: Long, segments: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(budget > 0, "budget must be positive")
-    globalStarts(df, idCol, weightCol, partitions, scope)
+    globalStarts(df, idCol, weightCol, segments, scope)
       .select(col("id").as(idCol), col("w").as(weightCol),
         expr(s"CAST(start DIV ${budget}L AS BIGINT)").as("shard"))
   }
@@ -96,10 +106,10 @@ object Sharding {
     */
   def packSequences(
       df: DataFrame, idCol: String, weightCol: String,
-      seqLen: Long, partitions: Int = 0,
+      seqLen: Long, segments: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    globalStarts(df, idCol, weightCol, partitions, scope)
+    globalStarts(df, idCol, weightCol, segments, scope)
       .filter(col("w") > 0)
       .withColumn("seq", explode(expr(
         s"sequence(start DIV ${seqLen}L, (start + w - 1) DIV ${seqLen}L)")))

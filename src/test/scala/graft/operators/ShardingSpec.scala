@@ -22,16 +22,32 @@ class ShardingSpec extends SparkTestBase {
     val rows = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong))
     val df = rows.toDF("doc_id", "w")
     for (p <- Seq(1, 3, 7)) {
-      val got = Sharding.packByBudget(df, "doc_id", "w", budget = 100, partitions = p)
+      val got = Sharding.packByBudget(df, "doc_id", "w", budget = 100, segments = p)
         .select("doc_id", "shard").as[(Long, Long)].collect().toMap
-      assert(got === expected(rows, 100), s"partitions=$p")
+      assert(got === expected(rows, 100), s"segments=$p")
     }
+  }
+
+  test("prefix sums survive cache loss under a coalescing consumer") {
+    // Regression: the old formulation stamped TaskContext.getPartitionId()
+    // into the cached scan; dropping the cache (cross-query unpersist,
+    // executor loss) and consuming through coalesce(1) replayed every
+    // partition inside ONE task — pid 0 everywhere, all offsets collapsed,
+    // every row in shard 0. The segmented scan derives everything from the
+    // data, so the same abuse must change nothing.
+    val rows = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong))
+    val got = Sharding.packByBudget(rows.toDF("doc_id", "w"), "doc_id", "w",
+      budget = 100, segments = 7)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val out = got.coalesce(1).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    assert(out === expected(rows, 100))
   }
 
   test("every shard's total weight stays within budget + its largest row") {
     val rows = (1 to 300).map(i => (i.toLong, (i % 29 + 1).toLong))
     val got = Sharding.packByBudget(rows.toDF("doc_id", "w"), "doc_id", "w",
-      budget = 64, partitions = 5).as[(Long, Long, Long)].collect()
+      budget = 64, segments = 5).as[(Long, Long, Long)].collect()
     got.groupBy(_._3).foreach { case (shard, rs) =>
       val tot = rs.map(_._2).sum
       // a row that STARTS inside a shard may overhang its end
@@ -42,7 +58,9 @@ class ShardingSpec extends SparkTestBase {
 
   test("negative weights fail loudly instead of corrupting the prefix sum") {
     val rows = Seq((1L, 10L), (2L, -3L), (3L, 5L)).toDF("doc_id", "n_tokens")
-    val e = intercept[org.apache.spark.SparkException](
+    // raise_error surfaces as SparkRuntimeException (local) or wrapped in a
+    // SparkException task failure (cluster) — accept either carrier
+    val e = intercept[Exception](
       Sharding.packByBudget(rows, "doc_id", "n_tokens", budget = 8L).collect())
     assert(e.getMessage.contains("non-negative") ||
       Option(e.getCause).exists(_.getMessage.contains("non-negative")))
@@ -77,9 +95,9 @@ class ShardingSpec extends SparkTestBase {
     val rows = (1 to 200).map(i => (i.toLong, (i % 23).toLong)) // includes w=0
     val df = rows.toDF("doc_id", "w")
     for (p <- Seq(1, 4, 9)) {
-      val got = Sharding.packSequences(df, "doc_id", "w", seqLen = 16, partitions = p)
+      val got = Sharding.packSequences(df, "doc_id", "w", seqLen = 16, segments = p)
         .as[(Long, Long, Long, Long, Long)].collect().toSet
-      assert(got === expectedSlices(rows, 16), s"partitions=$p")
+      assert(got === expectedSlices(rows, 16), s"segments=$p")
     }
   }
 
@@ -87,7 +105,7 @@ class ShardingSpec extends SparkTestBase {
     val rows = (1 to 120).map(i => (i.toLong, (i % 40 + 1).toLong))
     val total = rows.map(_._2).sum
     val got = Sharding.packSequences(rows.toDF("doc_id", "w"), "doc_id", "w",
-      seqLen = 32, partitions = 5).as[(Long, Long, Long, Long, Long)].collect()
+      seqLen = 32, segments = 5).as[(Long, Long, Long, Long, Long)].collect()
     // per-doc slices cover [0, w) contiguously
     got.groupBy(_._1).foreach { case (id, slices) =>
       val spans = slices.sortBy(_._3).map(s => (s._3, s._4))
