@@ -266,6 +266,30 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) === ((1L, 1L, 1L, "hello world")))
   }
 
+  test("dedupBlocks differential: matches a single-threaded reference on random corpora") {
+    val rnd = new scala.util.Random(4242)
+    val pool = Array("sun", "moon", "tide", "ash", "fern", "mill", "kiln", "vane")
+    for (_ <- 1 to 3) {
+      val B = 1 + rnd.nextInt(3)
+      val corpus = (1 to 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(10))(pool(rnd.nextInt(pool.length))).mkString(" "))
+      }
+      // single-threaded reference: first occurrence in (id, pos) order wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = corpus.map { case (id, text) =>
+        val blocks = text.split(" ").filter(_.nonEmpty).grouped(B).map(_.mkString(" ")).toSeq
+        val kept = blocks.filter(b => seen.add(b))
+        (id, blocks.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      val got = Dedup.dedupBlocks(corpus.toDF("doc_id", "text"), "doc_id", "text", B)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got === want, s"blockWords=$B")
+      // global invariant: every distinct block survives exactly once
+      val survivors = got.toSeq.flatMap(_._4.split(" ").filter(_.nonEmpty).grouped(B).map(_.mkString(" ")))
+      assert(survivors.distinct.size === survivors.size)
+    }
+  }
+
   test("dedupBlocks is partition-count invariant") {
     // 40 docs built from a tiny 6-word pool at blockWords=2 → plenty of
     // cross-doc duplicate blocks; the winner/reassembly result must not
