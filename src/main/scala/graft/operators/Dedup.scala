@@ -429,14 +429,34 @@ object Dedup {
       blockWords: Int = 25): DataFrame = {
     require(blockWords > 0, s"blockWords=$blockWords must be positive")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val base = df.select(col(idCol).cast("long").as("id"), toks.as("toks"))
-      .withColumn("n_blocks",
-        floor((size(col("toks")) + lit(blockWords - 1)) / lit(blockWords)).cast("long"))
+    val nb = floor((size(toks) + lit(blockWords - 1)) / lit(blockWords)).cast("int")
+    // guard the empty case: sequence(0, -1) counts DOWN in Spark
+    val blockArr = when(nb > 0, transform(sequence(lit(0), nb - 1),
+        i => array_join(slice(toks, i * blockWords + 1, lit(blockWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    dedupBlockArray(df, idCol, blockArr, " ")
+  }
+
+  /** [[dedupBlocks]] at true LINE granularity — blocks are the text's
+    * non-empty lines (or `sep`-separated units), the exact CCNet/RefinedWeb
+    * formulation for multi-line corpora. Same semantics, scale shape and
+    * output schema; surviving lines rejoin with `sep`.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val lines = filter(
+      split(col(textCol), java.util.regex.Pattern.quote(sep)), l => l =!= "")
+    dedupBlockArray(df, idCol, lines, sep)
+  }
+
+  private def dedupBlockArray(df: DataFrame, idCol: String,
+      blockArr: org.apache.spark.sql.Column, joinSep: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), blockArr.as("blocks"))
+      .withColumn("n_blocks", size(col("blocks")).cast("long"))
 
     val blocks = base.filter(col("n_blocks") > 0)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), (col("n_blocks") - 1).cast("int")),
-        i => array_join(slice(col("toks"), i * blockWords + 1, lit(blockWords)), " "))))
+      .select(col("id"), posexplode(col("blocks")))
       .select(col("id"), col("pos"), md5(col("col").cast("binary")).as("digest"),
         col("col").as("block"))
 
@@ -452,7 +472,7 @@ object Dedup {
       .groupBy("id").agg(
         count(lit(1)).as("n_kept"),
         array_join(transform(sort_array(collect_list(struct(col("pos"), col("block")))),
-          s => s.getField("block")), " ").as("text_kept"))
+          s => s.getField("block")), joinSep).as("text_kept"))
 
     base.join(kept, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("n_blocks"),

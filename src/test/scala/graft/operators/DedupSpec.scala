@@ -266,6 +266,21 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) === ((1L, 1L, 1L, "hello world")))
   }
 
+  test("dedupLines removes duplicate lines corpus-wide and rejoins with the separator") {
+    val df = Seq(
+      (1L, "alpha beta\ncommon footer\ngamma"),
+      (2L, "delta\ncommon footer"),          // footer seen in doc 1 → dropped
+      (3L, "common footer"),                 // only line is a dup → emptied
+      (4L, "epsilon\n\nepsilon")             // empty line skipped; self-dup dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, "alpha beta\ncommon footer\ngamma")))
+    assert(out(2L) === ((2L, 2L, 1L, "delta")))
+    assert(out(3L) === ((3L, 1L, 0L, "")))
+    assert(out(4L) === ((4L, 2L, 1L, "epsilon")))
+  }
+
   test("dedupBlocks differential: matches a single-threaded reference on random corpora") {
     val rnd = new scala.util.Random(4242)
     val pool = Array("sun", "moon", "tide", "ash", "fern", "mill", "kiln", "vane")
