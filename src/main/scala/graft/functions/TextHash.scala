@@ -150,4 +150,32 @@ object TextHash {
       Some(fp)
     }
   }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * hash every POSITIONAL k-gram (order preserved, duplicates kept — unlike
+    * [[hashedShingles]]' set), slide a w-window over the hash sequence and
+    * keep each window's minimum; the document fingerprint is the distinct
+    * sorted set of picks. The winnowing guarantee: every run of w
+    * consecutive k-grams contributes ≥1 pick, so two documents sharing any
+    * token run of length ≥ w+k−1 always share a fingerprint — the
+    * density/recall trade-off is tunable and the selection is
+    * position-robust (unlike every-nth sampling). Documents shorter than k
+    * tokens contribute their whole token join as one gram, mirroring
+    * [[shingles]].
+    */
+  def winnow(toks: Array[String], md: MessageDigest, k: Int = 3, w: Int = 4): Array[Long] = {
+    val grams: Array[Long] =
+      if (toks.length >= k)
+        Array.tabulate(toks.length - k + 1)(j => md5Hash60(md, toks.slice(j, j + k).mkString(" ")))
+      else Array(md5Hash60(md, toks.mkString(" ")))
+    val nw = math.max(grams.length - w + 1, 1)
+    val picks = Array.tabulate(nw) { j =>
+      var m = Long.MaxValue
+      var i = j
+      val end = math.min(j + w, grams.length)
+      while (i < end) { if (grams(i) < m) m = grams(i); i += 1 }
+      m
+    }
+    picks.distinct.sorted
+  }
 }

@@ -450,6 +450,29 @@ object Dedup {
     dedupBlockArray(df, idCol, lines, sep)
   }
 
+  /** Per-document winnowing fingerprints ([[TextHash.winnow]]): (id, fps).
+    * Like [[minhashSignatures]] this is a persistable INDEX — fingerprints
+    * are exact-match keys, so near-dup candidates are pairs sharing any fp
+    * (one explode + hash join, never all-pairs), with the winnowing
+    * guarantee that any shared token run of ≥ w+k−1 tokens IS caught. One
+    * compiled pass per document, distributing with the scan.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k=$k and w=$w must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          (id, TextHash.winnow(TextHash.tokens(text), md, k, w))
+        }
+      }
+      .toDF("id", "fps")
+  }
+
   private def dedupBlockArray(df: DataFrame, idCol: String,
       blockArr: org.apache.spark.sql.Column, joinSep: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), blockArr.as("blocks"))

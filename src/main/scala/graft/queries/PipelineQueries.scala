@@ -581,6 +581,19 @@ object PipelineQueries {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ── Winnowing fingerprints (SIGMOD'03): positional k-gram hashes,
+    // per-window minima, distinct sorted picks — the position-robust
+    // fingerprint index whose guarantee is that any shared token run of
+    // ≥ w+k−1 tokens yields a shared fingerprint. One compiled pass per
+    // doc; see [[graft.operators.Dedup.winnowFingerprints]].
+    "q95_winnow" -> ((s, dir) => {
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("array_join(transform(fps, x -> cast(x as string)), ',')")
+            .as("fps"))
+    }),
+
     // ── Temperature mixture (α = ½): keep volume ∝ count^α per language —
     // the multilingual upsampling step between balancing (α→0, q54) and
     // the raw mix (α=1). Rates stay in-plan (broadcast), decided per-key
@@ -1535,6 +1548,39 @@ object PipelineQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+
+    // q95: positional 3-gram hashes (duplicates KEPT, order preserved —
+    // unlike the shingle-set fragment), per-4-window minima via 1-based
+    // inclusive list slices, distinct sorted picks.
+    "q95_winnow" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             j -> CAST(('0x' || substr(md5(
+        |                    toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]),
+        |                  1, 15)) AS BIGINT))
+        |      ELSE [CAST(('0x' || substr(md5(array_to_string(toks, ' ')),
+        |                  1, 15)) AS BIGINT)]
+        |    END AS grams
+        |  FROM tok),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4
+        |      THEN list_transform(range(1, len(grams) - 2),
+        |             j -> list_min(grams[j : j + 3]))
+        |      ELSE [list_min(grams)]
+        |    END AS picks
+        |  FROM g),
+        |f AS (SELECT doc_id, list_sort(list_distinct(picks)) AS fps FROM p)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  array_to_string(fps, ',') AS fps
+        |FROM f""".stripMargin,
 
     // q91: same per-mille formula — 1000.0 * sqrt(min/cnt) floored (sqrt is
     // IEEE-exact, so the cut reproduces bit-for-bit) — and the same

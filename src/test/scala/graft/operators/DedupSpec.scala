@@ -266,6 +266,27 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) === ((1L, 1L, 1L, "hello world")))
   }
 
+  test("winnowFingerprints: a shared token run of >= w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4 → the winnowing guarantee covers any shared run of 6 tokens
+    val shared = "omega kappa sigma lambda theta iota"
+    val df = Seq(
+      (1L, s"one two three $shared four five"),
+      (2L, s"alpha beta $shared gamma delta"),
+      (3L, "totally different words everywhere here now")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guaranteed shared fp missing")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "unrelated docs should not collide")
+    // fingerprints are sparse: never more picks than k-grams
+    assert(fps(1L).size <= 11)
+    // short doc: one gram, one fingerprint; deterministic across runs
+    val tiny = Dedup.winnowFingerprints(
+      Seq((9L, "hello")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Array[Long])].collect()
+    assert(tiny.head._2.length === 1)
+  }
+
   test("dedupLines removes duplicate lines corpus-wide and rejoins with the separator") {
     val df = Seq(
       (1L, "alpha beta\ncommon footer\ngamma"),
