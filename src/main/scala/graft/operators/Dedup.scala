@@ -473,6 +473,26 @@ object Dedup {
       .toDF("id", "fps")
   }
 
+  /** Near-dup candidate pairs from a [[winnowFingerprints]] index: pairs
+    * sharing ≥1 fingerprint, with the shared count as evidence. Fingerprints
+    * more frequent than `maxFpDf` are dropped first (the boilerplate guard —
+    * a site-wide footer fingerprint would otherwise pair quadratically),
+    * mirroring [[ngramJaccardPairs]]' document-frequency cap. One explode +
+    * one hash join on the fingerprint, never all-pairs.
+    */
+  def winnowPairs(fps: DataFrame, maxFpDf: Int = 1000): DataFrame = {
+    require(maxFpDf > 0, s"maxFpDf=$maxFpDf must be positive")
+    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val keep = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxFpDf)
+      .select("fp", "id")
+    keep.select(col("fp"), col("id").as("id_a"))
+      .join(keep.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+  }
+
   private def dedupBlockArray(df: DataFrame, idCol: String,
       blockArr: org.apache.spark.sql.Column, joinSep: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), blockArr.as("blocks"))

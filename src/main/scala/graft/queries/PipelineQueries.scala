@@ -594,6 +594,15 @@ object PipelineQueries {
             .as("fps"))
     }),
 
+    // ── Winnow-index candidate pairs: docs sharing ≥1 fingerprint over the
+    // near-dup corpus, boilerplate fingerprints df-capped first — the
+    // second stage of the winnowing dedup cadence (q95 builds the index,
+    // this joins it). See [[graft.operators.Dedup.winnowPairs]].
+    "q96_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(
+        Dedup.winnowFingerprints(withNearDups(docs(s, dir)), "doc_id", "text"))
+    }),
+
     // ── Temperature mixture (α = ½): keep volume ∝ count^α per language —
     // the multilingual upsampling step between balancing (α→0, q54) and
     // the raw mix (α=1). Rates stay in-plan (broadcast), decided per-key
@@ -620,6 +629,32 @@ object PipelineQueries {
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |                t -> t <> '') AS toks
       |  FROM corpus)""".stripMargin
+
+  /** Shared oracle fragment: the winnowing chain (k=3, w=4) — positional
+    * 3-gram hashes, per-4-window minima, distinct sorted picks. Assumes a
+    * `tok(doc_id, toks)` CTE in scope; yields `f(doc_id, fps)`.
+    */
+  private val winnowChain: String =
+    """g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             j -> CAST(('0x' || substr(md5(
+      |                    toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]),
+      |                  1, 15)) AS BIGINT))
+      |      ELSE [CAST(('0x' || substr(md5(array_to_string(toks, ' ')),
+      |                  1, 15)) AS BIGINT)]
+      |    END AS grams
+      |  FROM tok),
+      |p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) >= 4
+      |      THEN list_transform(range(1, len(grams) - 2),
+      |             j -> list_min(grams[j : j + 3]))
+      |      ELSE [list_min(grams)]
+      |    END AS picks
+      |  FROM g),
+      |f AS (SELECT doc_id, list_sort(list_distinct(picks)) AS fps FROM p)""".stripMargin
 
   /** Shared oracle fragment: distinct hashed 3-gram shingle sets per doc
     * (the front of both Jaccard-family oracles).
@@ -1553,34 +1588,28 @@ object PipelineQueries {
     // unlike the shingle-set fragment), per-4-window minima via 1-based
     // inclusive list slices, distinct sorted picks.
     "q95_winnow" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |             j -> CAST(('0x' || substr(md5(
-        |                    toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]),
-        |                  1, 15)) AS BIGINT))
-        |      ELSE [CAST(('0x' || substr(md5(array_to_string(toks, ' ')),
-        |                  1, 15)) AS BIGINT)]
-        |    END AS grams
-        |  FROM tok),
-        |p AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(grams) >= 4
-        |      THEN list_transform(range(1, len(grams) - 2),
-        |             j -> list_min(grams[j : j + 3]))
-        |      ELSE [list_min(grams)]
-        |    END AS picks
-        |  FROM g),
-        |f AS (SELECT doc_id, list_sort(list_distinct(picks)) AS fps FROM p)
-        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
-        |  array_to_string(fps, ',') AS fps
-        |FROM f""".stripMargin,
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                t -> t <> '') AS toks
+         |  FROM documents),
+         |$winnowChain
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  array_to_string(fps, ',') AS fps
+         |FROM f""".stripMargin,
+
+    // q96: the winnow index over the near-dup corpus, exploded and
+    // self-joined on the fingerprint after the df cap.
+    "q96_winnow_pairs" ->
+      s"""WITH $nearDupTok,
+         |$winnowChain,
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |d AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+         |ke AS (SELECT e.doc_id, e.fp FROM e JOIN d USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id""".stripMargin,
 
     // q91: same per-mille formula — 1000.0 * sqrt(min/cnt) floored (sqrt is
     // IEEE-exact, so the cut reproduces bit-for-bit) — and the same

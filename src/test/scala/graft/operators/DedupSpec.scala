@@ -287,6 +287,35 @@ class DedupSpec extends SparkTestBase {
     assert(tiny.head._2.length === 1)
   }
 
+  test("winnowPairs finds the planted near-dup and drops boilerplate fingerprints") {
+    val base = (1 to 20).map(i => (i.toLong, doc(i)))
+    val near = (105L, doc(5).replace("alpha5", "ALTERED"))
+    val fps = Dedup.winnowFingerprints((base :+ near).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // winnowing is a high-RECALL candidate generator: one shared 3-gram
+    // (the template's "with extra words") can pair unrelated docs with
+    // shared_fps = 1 — consumers threshold on the evidence count. The
+    // planted copy shares long runs, so it dominates.
+    val pairs = Dedup.winnowPairs(fps)
+      .as[(Long, Long, Long)].collect()
+    val strong = pairs.filter(_._3 >= 2).map(p => (p._1, p._2)).toSet
+    assert(strong === Set((5L, 105L)), s"thresholded pairs: $strong")
+    val best = pairs.maxBy(_._3)
+    assert((best._1, best._2) === ((5L, 105L)), s"strongest pair: $best")
+
+    // a footer shared by every doc must not pair the corpus quadratically:
+    // the df cap prunes shared fingerprints (cap 1 = drop anything shared
+    // at all → zero pairs; a loose cap keeps the quadratic blow-up)
+    val footer = "common footer words repeated across the entire corpus here"
+    val boiler = (1 to 12).map(i => (i.toLong, doc(i) + " " + footer))
+    val boilerFps = Dedup.winnowFingerprints(boiler.toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Dedup.winnowPairs(boilerFps, maxFpDf = 1).count() === 0L)
+    val capped = Dedup.winnowPairs(boilerFps, maxFpDf = 6).count()
+    val loose = Dedup.winnowPairs(boilerFps).count()
+    assert(capped < loose, s"cap did not prune: capped=$capped loose=$loose")
+  }
+
   test("dedupLines removes duplicate lines corpus-wide and rejoins with the separator") {
     val df = Seq(
       (1L, "alpha beta\ncommon footer\ngamma"),
