@@ -594,6 +594,17 @@ object PipelineQueries {
             .as("fps"))
     }),
 
+    // ── Train/val/test split: per-mille hash ranges over the doc key —
+    // reproducible, leak-free (a key can never change split), growth-
+    // stable, zero shuffle. See [[graft.operators.Sampling.splitByHash]].
+    "q97_dataset_split" -> ((s, dir) => {
+      graft.operators.Sampling.splitByHash(docs(s, dir), "doc_id",
+          Seq(("train", 900), ("val", 50), ("test", 50)))
+        .groupBy("split", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ── Winnow-index candidate pairs: docs sharing ≥1 fingerprint over the
     // near-dup corpus, boilerplate fingerprints df-capped first — the
     // second stage of the winnowing dedup cadence (q95 builds the index,
@@ -1597,6 +1608,20 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
          |  array_to_string(fps, ',') AS fps
          |FROM f""".stripMargin,
+
+    // q97: the same md5-60-bit per-mille bucket, CASE over cumulative cuts.
+    "q97_dataset_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 900 THEN 'train'
+        |            WHEN bucket < 950 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // q96: the winnow index over the near-dup corpus, exploded and
     // self-joined on the fingerprint after the df cap.

@@ -134,6 +134,25 @@ class SamplingSpec extends SparkTestBase {
       Sampling.capPerGroup(num, "doc_id", "source", 0))
   }
 
+  test("splitByHash covers every row exactly once and is growth-stable") {
+    val df = (1 to 1000).map(i => (i.toLong, "x")).toDF("doc_id", "lang")
+    val splits = Seq(("train", 900), ("val", 50), ("test", 50))
+    val out = Sampling.splitByHash(df, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size === 1000)
+    assert(out.values.toSet === Set("train", "val", "test"))
+    val byName = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // growth stability: adding rows never reassigns an existing key
+    val grown = (1 to 1500).map(i => (i.toLong, "x")).toDF("doc_id", "lang")
+    val out2 = Sampling.splitByHash(grown, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall { case (k, v) => out2(k) == v })
+    // shares must sum to 1000
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(df, "doc_id", Seq(("a", 500), ("b", 400))))
+  }
+
   test("temperatureMix keeps the smallest stratum whole and flattens the head") {
     // strata sizes 100 / 400 / 1600: at α = ½ the kept volumes should be
     // ∝ sqrt-compressed — 100 kept whole, 400 at ~50%, 1600 at ~25%.
