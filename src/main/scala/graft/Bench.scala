@@ -49,6 +49,7 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // stop the clock BEFORE teardown
       // Isolate measurements: drop the query's unmanaged per-plan caches
       // (dedup signature persists etc.) so one query's pinned blocks don't
       // squeeze memory under the next — an 80-query session otherwise
@@ -56,7 +57,7 @@ object Bench {
       // per-job cluster run ever sees. Via the CacheManager so the plan
       // cache can't hand a later query a gutted InMemoryRelation.
       spark.sharedState.cacheManager.clearCache()
-      name -> ((System.nanoTime() - t0) / 1e9, err)
+      name -> (elapsed, err)
     }
     val qs = results.map {
       case (k, (v, None)) => s"\"" + k + "\":" + v

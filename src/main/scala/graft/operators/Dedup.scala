@@ -480,13 +480,17 @@ object Dedup {
     * mirroring [[ngramJaccardPairs]]' document-frequency cap. One explode +
     * one hash join on the fingerprint, never all-pairs.
     */
-  def winnowPairs(fps: DataFrame, maxFpDf: Int = 1000): DataFrame = {
+  def winnowPairs(fps: DataFrame, maxFpDf: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxFpDf > 0, s"maxFpDf=$maxFpDf must be positive")
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val keep = ex
+    // persisted: both join sides consume it — without the cache the
+    // explode + window df-count would execute once per side
+    val keep = scope.own(ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= maxFpDf)
       .select("fp", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     keep.select(col("fp"), col("id").as("id_a"))
       .join(keep.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))

@@ -21,6 +21,16 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fixed scratch dir per purpose: every write below uses mode(overwrite),
+    * so reuse is safe and repeated Bench/Verify rounds don't accumulate
+    * fresh temp copies of the corpus until the disk fills.
+    */
+  private def scratchDir(tag: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scratch_$tag")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** documents ∪ exact copies of every 10th doc (id+10⁶). */
   private def withExactDups(d: DataFrame): DataFrame =
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
@@ -531,7 +541,7 @@ object PipelineQueries {
     // (Spark's JSON/CSV readers scale with input splits like parquet).
     "q89_text_formats" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toFile.getAbsolutePath
+      val tmp = scratchDir("fmt")
       d.write.mode("overwrite").json(s"$tmp/json")
       d.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       def report(df: DataFrame, fmt: String): DataFrame =
@@ -554,7 +564,7 @@ object PipelineQueries {
     // 100 TB corpus actually evolves: old shards are never rewritten.
     "q92_schema_evolution" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toFile.getAbsolutePath
+      val tmp = scratchDir("evo")
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
         .write.mode("overwrite").parquet(s"$tmp/v1")
       d.filter(col("doc_id") % 2 === 1)
@@ -573,7 +583,7 @@ object PipelineQueries {
     // DIRECTORY level — the scan never opens the other languages' files
     // (`PartitionPruneSpec` pins `PartitionFilters` in the plan).
     "q94_partition_pruning" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+      val tmp = scratchDir("part")
       docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp).filter(col("lang") === "en")
         .groupBy("source").agg(

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import graft.functions.TextHash
+import org.apache.spark.sql.functions.col
 
 /** Deterministic-sampling tests: membership is exactly the md5-bucket rule
   * (recomputed on the JVM), the sample is stable under corpus growth, and
@@ -169,6 +170,15 @@ class SamplingSpec extends SparkTestBase {
     val raw = Sampling.temperatureMix(
       rows.toDF("doc_id", "lang"), "doc_id", "lang", alpha = 1.0)
     assert(raw.count() === rows.size.toLong)
+  }
+
+  test("temperatureMix treats NULL as its own stratum instead of dropping rows") {
+    val rows = Seq((1L, null: String), (2L, null: String), (3L, "en"), (4L, "en"))
+    val raw = Sampling.temperatureMix(rows.toDF("doc_id", "lang"),
+      "doc_id", "lang", alpha = 1.0)
+    // α = 1 is the raw mix — nothing may vanish, null strata included
+    assert(raw.count() === 4L)
+    assert(raw.filter(col("lang").isNull).count() === 2L)
   }
 
   test("temperatureMix is reproducible and growth-stable like sampleByHash") {
