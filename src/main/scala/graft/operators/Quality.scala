@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality validation — the post-merge integrity check a CDC
+  * sink wants after every load (is the PK still unique? did a decode land
+  * NULLs or out-of-range values?), and the pre-training gate a corpus
+  * pipeline runs before shipping a dataset. In the reference deployment
+  * this role is played by ad-hoc SQL against Greenplum after bireme syncs
+  * (reference: README.md:9,15 — the warehouse owns all querying); here it
+  * is a first-class operator over any DataFrame.
+  *
+  * ALL rules evaluate in ONE aggregate job: each rule contributes a
+  * violation-count expression to a single `agg` (map-side partials, one
+  * row crosses the shuffle; `Unique` rides the same pass as a
+  * count-distinct), and the per-rule report rows are exploded from that
+  * single aggregated row. Adding rules never adds passes over the data.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** Violations: rows where `column` IS NULL. */
+  final case class NotNull(column: String) extends Rule {
+    def name = s"not_null($column)"
+  }
+
+  /** Violations: surplus duplicate rows = total − distinct key count.
+    * NULL keys are skipped by the distinct count (SQL semantics), so rows
+    * with a NULL key all count as violations — pair with [[NotNull]].
+    */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    require(columns.nonEmpty, "Unique needs at least one column")
+    def name = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Violations: non-NULL values outside [lo, hi] (NULLs are [[NotNull]]'s
+    * business, not a range violation).
+    */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    require(lo <= hi, s"lo=$lo must be <= hi=$hi")
+    def name = s"in_range($column)"
+  }
+
+  /** Violations: non-NULL values outside the accepted set. */
+  final case class InSet(column: String, values: Seq[String]) extends Rule {
+    require(values.nonEmpty, "InSet needs at least one accepted value")
+    def name = s"in_set($column)"
+  }
+
+  private def violations(r: Rule): Column = r match {
+    case NotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
+    case Unique(cs) =>
+      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+    case InRange(c, lo, hi) =>
+      sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+    case InSet(c, vs) =>
+      sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+  }
+
+  /** @return one row per rule: (rule, violations, n_rows, pass). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = violations(rules.head).cast("long").as("_v0") +:
+      rules.tail.zipWithIndex.map { case (r, i) =>
+        violations(r).cast("long").as(s"_v${i + 1}")
+      }
+    val one = df.agg(count(lit(1)).cast("long").as("_total"), aggs: _*)
+    one.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"_v$i").as("violations"),
+          col("_total").as("n_rows"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.violations"), col("r.n_rows"),
+        (col("r.violations") === 0L).as("pass"))
+  }
+}

@@ -511,6 +511,32 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ── Forward-fill (gap repair): last non-NULL value carried forward per
+    // user in event order — `last(ignoreNulls)` over a running frame, the
+    // IGNORE NULLS window surface. NULLs are planted deterministically so
+    // both engines repair the same gaps. One shuffle on the partition key.
+    "q98_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+    }),
+
+    // ── One-pass data-quality report (the post-merge integrity gate a CDC
+    // sink runs): PK uniqueness, null checks, range and accepted-value
+    // checks — every rule a violation-count expression in ONE aggregate.
+    // See [[graft.operators.Quality]].
+    "q99_data_quality" -> ((s, dir) => {
+      import graft.operators.Quality._
+      check(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 200000.0),
+        InSet("o_orderstatus", Seq("F", "O", "P"))))
+    }),
+
     // ── Bucketed-table co-located join: both sides written `bucketBy` on
     // the join key (the Spark-native form of pre-partitioning a warehouse
     // keeps on disk), so the SortMergeJoin consumes bucket files DIRECTLY —
@@ -844,6 +870,37 @@ object RelationalQueries {
         |  CAST(sum(value) AS DOUBLE) AS sum_value,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY l_returnflag, metric""".stripMargin,
+
+    // q98: same planted NULLs, same IGNORE NULLS running window; the value
+    // passes through unchanged (no arithmetic), so doubles compare exact.
+    "q98_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin,
+
+    // q99: each rule restated as a count over the same predicate; rule
+    // names must match Quality.Rule.name character-for-character.
+    "q99_data_quality" ->
+      """WITH t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                   AND (o_totalprice < 0 OR o_totalprice > 200000)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                   AND o_orderstatus NOT IN ('F', 'O', 'P')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM orders)
+        |SELECT r.rule, r.violations, t.n_rows, r.violations = 0 AS pass
+        |FROM t, (
+        |  SELECT 'not_null(o_custkey)' AS rule, v0 AS violations FROM t
+        |  UNION ALL SELECT 'unique(o_orderkey)', v1 FROM t
+        |  UNION ALL SELECT 'in_range(o_totalprice)', v2 FROM t
+        |  UNION ALL SELECT 'in_set(o_orderstatus)', v3 FROM t) r""".stripMargin,
 
     // q93: bucketing only changes the physical plan; the logical result is
     // a plain join + aggregate over the base tables.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Planted-violation tests for the one-pass data-quality checker. */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+  import Quality._
+
+  private val rows = Seq(
+    (1L, Option(5.0), "ok"),
+    (1L, Option(6.0), "ok"),   // duplicate key
+    (2L, None, "ok"),          // null value
+    (3L, Option(99.0), "bad"), // out of range AND bad status
+    (4L, Option(-1.0), "ok")   // below range
+  ).toDF("id", "value", "status")
+
+  test("check counts planted violations per rule in one pass") {
+    val got = check(rows, Seq(
+      Unique(Seq("id")),
+      NotNull("value"),
+      InRange("value", 0.0, 50.0),
+      InSet("status", Seq("ok"))))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("unique(id)") === ((1L, 5L, false)))
+    assert(got("not_null(value)") === ((1L, 5L, false)))
+    assert(got("in_range(value)") === ((2L, 5L, false))) // NULL is not a range violation
+    assert(got("in_set(status)") === ((1L, 5L, false)))
+  }
+
+  test("a clean table passes every rule") {
+    val clean = Seq((1L, Option(1.0), "ok"), (2L, Option(2.0), "ok"))
+      .toDF("id", "value", "status")
+    val got = check(clean, Seq(
+      Unique(Seq("id")), NotNull("value"),
+      InRange("value", 0.0, 50.0), InSet("status", Seq("ok"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.forall(_._4), got.mkString(", "))
+    assert(got.forall(_._3 == 2L))
+  }
+
+  test("rule arguments are validated") {
+    intercept[IllegalArgumentException](check(rows, Seq.empty))
+    intercept[IllegalArgumentException](InRange("v", 5.0, 1.0))
+    intercept[IllegalArgumentException](Unique(Seq.empty))
+    intercept[IllegalArgumentException](InSet("s", Seq.empty))
+  }
+}
