@@ -93,6 +93,13 @@ object CdcDemo {
     spark.sql("SELECT * FROM accounts ORDER BY id").show()
     spark.sql("SELECT count(*) AS n, sum(balance) AS total FROM accounts").show()
 
+    // post-merge integrity gate: the synced table must keep its PK unique
+    // and non-null (the invariant the whole merge protocol exists to hold)
+    println("== post-merge quality report ==")
+    graft.operators.Quality.check(spark.table("accounts"), Seq(
+      graft.operators.Quality.Unique(Seq("id")),
+      graft.operators.Quality.NotNull("id"))).show(truncate = false)
+
     println(s"== pipeline state (also served at http://localhost:${stateServer.port}/) ==")
     println(metrics.stateJson(pretty = true))
     stateServer.stop()
