@@ -604,6 +604,26 @@ object PipelineQueries {
             .as("fps"))
     }),
 
+    // ── Capstone funnel: quality filter → exact dedup → train/val/test
+    // split → per-split corpus report, composed from the same verified
+    // operators — one oracled query proving the COMPOSITION is
+    // deterministic end-to-end (what PipelineDemo narrates, hash-checked).
+    "q100_pipeline_e2e" -> ((s, dir) => {
+      val text = col("text")
+      val kept = docs(s, dir).filter(
+        TextFunctions.tokenCount(text).between(30, 90) &&
+          TextFunctions.dupTokenFraction(text) <= 0.65 &&
+          TextFunctions.langId(text) === col("lang"))
+      val winners = kept.groupBy(md5(text.cast("binary")).as("dg"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = kept.join(winners.select("doc_id"), "doc_id")
+      graft.operators.Sampling.splitByHash(deduped, "doc_id",
+          Seq(("train", 900), ("val", 50), ("test", 50)))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(text).cast("long")).as("sum_tokens"))
+    }),
+
     // ── Train/val/test split: per-mille hash ranges over the doc key —
     // reproducible, leak-free (a key can never change split), growth-
     // stable, zero shuffle. See [[graft.operators.Sampling.splitByHash]].
@@ -1618,6 +1638,40 @@ object PipelineQueries {
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
          |  array_to_string(fps, ',') AS fps
          |FROM f""".stripMargin,
+
+    // q100: q56's filter CTEs + digest dedup + q97's split buckets + the
+    // final report, one chain.
+    "q100_pipeline_e2e" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                t -> t <> '') AS toks
+         |  FROM documents),
+         |$langScoredCte,
+         |kept AS (
+         |  SELECT doc_id, lang, text, len(toks) AS n_tokens
+         |  FROM scored
+         |  WHERE len(toks) BETWEEN 30 AND 90
+         |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE (len(toks) - len(list_distinct(toks))) / len(toks) END)
+         |        <= 0.65
+         |    AND ($langPredExpr) = lang),
+         |ded AS (
+         |  SELECT k.doc_id, k.lang, k.n_tokens
+         |  FROM kept k
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) w
+         |    USING (doc_id)),
+         |sp AS (
+         |  SELECT lang, n_tokens,
+         |    CASE WHEN b < 900 THEN 'train'
+         |         WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |            AS BIGINT) % 1000 AS b
+         |        FROM ded))
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY split, lang""".stripMargin,
 
     // q97: the same md5-60-bit per-mille bucket, CASE over cumulative cuts.
     "q97_dataset_split" ->
