@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * is a first-class operator over any DataFrame.
   *
   * ALL rules evaluate in ONE aggregate job: each rule contributes a
-  * violation-count expression to a single `agg` (map-side partials, one
-  * row crosses the shuffle; `Unique` rides the same pass as a
-  * count-distinct), and the per-rule report rows are exploded from that
-  * single aggregated row. Adding rules never adds passes over the data.
+  * violation-count expression to a single `agg`, and the per-rule report
+  * rows are exploded from that single aggregated row. Adding rules never
+  * adds passes over the data. Cost note: sum-based rules are pure map-side
+  * partials (one row per task crosses), but any [[Unique]] rule makes the
+  * aggregate a mixed-distinct plan — the first shuffle carries one row per
+  * DISTINCT key (up to table cardinality for a PK check), the standard
+  * price of an exact distinct count.
   */
 object Quality {
 
@@ -50,22 +53,27 @@ object Quality {
   }
 
   private def violations(r: Rule): Column = r match {
-    case NotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
+    // sums coalesce to 0 so an EMPTY table reports 0/pass, not NULL/NULL
+    case NotNull(c) => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
     case Unique(cs) =>
-      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+      // bare columns, NOT struct(...): SQL's count(DISTINCT a, b) skips
+      // rows with any NULL key, so NULL-key rows all count as violations
+      // (a struct would wrap NULL into one distinct value and undercount)
+      count(lit(1)) - countDistinct(col(cs.head), cs.tail.map(col): _*)
     case InRange(c, lo, hi) =>
-      sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+        .otherwise(0L)), lit(0L))
     case InSet(c, vs) =>
-      sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L)
+        .otherwise(0L)), lit(0L))
   }
 
   /** @return one row per rule: (rule, violations, n_rows, pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val aggs = violations(rules.head).cast("long").as("_v0") +:
-      rules.tail.zipWithIndex.map { case (r, i) =>
-        violations(r).cast("long").as(s"_v${i + 1}")
-      }
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      violations(r).cast("long").as(s"_v$i")
+    }
     val one = df.agg(count(lit(1)).cast("long").as("_total"), aggs: _*)
     one.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
         struct(lit(r.name).as("rule"), col(s"_v$i").as("violations"),

@@ -610,13 +610,17 @@ object PipelineQueries {
     // deterministic end-to-end (what PipelineDemo narrates, hash-checked).
     "q100_pipeline_e2e" -> ((s, dir) => {
       val text = col("text")
+      // persisted: both the dedup winner election and the join probe read
+      // it — without the cache the whole filter (tokenize + lang argmax)
+      // would evaluate twice (Bench/Verify clear caches between queries)
       val kept = docs(s, dir).filter(
         TextFunctions.tokenCount(text).between(30, 90) &&
           TextFunctions.dupTokenFraction(text) <= 0.65 &&
           TextFunctions.langId(text) === col("lang"))
-      val winners = kept.groupBy(md5(text.cast("binary")).as("dg"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = kept.join(winners.select("doc_id"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val winners = Dedup.exactGroups(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = kept.join(winners, "doc_id")
       graft.operators.Sampling.splitByHash(deduped, "doc_id",
           Seq(("train", 900), ("val", 50), ("test", 50)))
         .groupBy("split", "lang")

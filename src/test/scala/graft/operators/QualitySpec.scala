@@ -40,6 +40,25 @@ class QualitySpec extends SparkTestBase {
     assert(got.forall(_._3 == 2L))
   }
 
+  test("NULL keys all count as uniqueness violations (SQL distinct semantics)") {
+    val df = Seq(Option(1L), None, None).toDF("id")
+    val got = check(df, Seq(Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect().head
+    // count(*) - count(DISTINCT id) = 3 - 1: both NULL-key rows violate
+    assert(got === (("unique(id)", 2L, 3L, false)))
+  }
+
+  test("an empty table reports zero violations and passes, never NULLs") {
+    val empty = Seq.empty[(Long, Option[Double], String)]
+      .toDF("id", "value", "status")
+    val got = check(empty, Seq(
+      Unique(Seq("id")), NotNull("value"),
+      InRange("value", 0.0, 50.0), InSet("status", Seq("ok"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length === 4)
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L && r._4))
+  }
+
   test("rule arguments are validated") {
     intercept[IllegalArgumentException](check(rows, Seq.empty))
     intercept[IllegalArgumentException](InRange("v", 5.0, 1.0))
