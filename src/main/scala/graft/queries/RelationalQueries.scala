@@ -511,6 +511,21 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ── Modern aggregate family: ordered LISTAGG (string concatenation
+    // aggregate, deterministic via WITHIN GROUP ordering), boolean
+    // all/any aggregates, and predicate counting — the ANSI-2016-ish
+    // surface both engines added recently. All partial-aggregable.
+    "q101_agg_family" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+            .as("statuses"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_totalprice > 400000)").as("any_jumbo"),
+          expr("count_if(o_orderstatus = 'F')").as("n_finished"))
+    }),
+
     // ── Forward-fill (gap repair): last non-NULL value carried forward per
     // user in event order — `last(ignoreNulls)` over a running frame, the
     // IGNORE NULLS window surface. NULLs are planted deterministically so
@@ -870,6 +885,16 @@ object RelationalQueries {
         |  CAST(sum(value) AS DOUBLE) AS sum_value,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY l_returnflag, metric""".stripMargin,
+
+    // q101: string_agg is DuckDB's listagg; same DISTINCT + ordering.
+    "q101_agg_family" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_totalprice > 400000) AS any_jumbo,
+        |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // q98: same planted NULLs, same IGNORE NULLS running window; the value
     // passes through unchanged (no arithmetic), so doubles compare exact.
