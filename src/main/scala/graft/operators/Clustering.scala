@@ -42,13 +42,22 @@ object Clustering {
     * exact squared distance as (v·v) + smin without a second pass.
     */
   private def assignVecs(vecs: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val dim = cent.head.length
+    // shape guard riding the scan: a NULL or ragged vector would otherwise
+    // NPE (null), crash the update loop (longer), or silently truncate the
+    // dot product (shorter) — one size comparison per row, loud failure
+    val guarded = when(col("v").isNotNull && size(col("v")) === dim, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"kmeans: embedding must be non-null with dim $dim, got size "),
+        coalesce(size(col("v")).cast("string"), lit("null")),
+        lit(" for id "), col("id").cast("string"))))
     val scores: Column = array(cent.map { cv =>
       // (c·c) folds left-to-right on the driver — the identical sequential
       // sum an oracle's list_dot_product(cv, cv) computes.
       val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
       lit(-2.0) * Similarity.dot(col("v"), typedlit(cv.toSeq)) + lit(c2)
     }: _*)
-    vecs.withColumn("s", scores)
+    vecs.withColumn("v", guarded).withColumn("s", scores)
       .withColumn("smin", array_min(col("s")))
       .withColumn("cluster",
         (array_position(col("s"), col("smin")) - 1).cast("int"))
@@ -74,23 +83,20 @@ object Clustering {
       .limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "kmeans: empty input")
+    require(seeds.forall(s => s != null && s.length == seeds.head.length),
+      "kmeans: seed embeddings must be non-null and share one dimension")
 
     var cent = seeds
     for (_ <- 1 to iters) {
-      val upd = assignVecs(vecs, cent)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(round(col("x") * lit(1e9)).cast("long")).as("su"),
-          count(lit(1)).as("n"))
-        .select(col("cluster"), col("pos"),
-          (col("su").cast("double") / lit(1e9) / col("n")).as("m"))
-        .collect()
+      // centroid update IS Similarity.groupCentroids — one shared
+      // quantization contract (q74), not a second copy of it
+      val upd = Similarity.groupCentroids(
+        assignVecs(vecs, cent).select(col("cluster"), col("v")),
+        "cluster", "v").collect()
       // empty clusters keep their previous centroid (next starts as a copy)
       val next = cent.map(_.clone())
-      upd.groupBy(_.getInt(0)).foreach { case (ci, rows) =>
-        val arr = new Array[Double](cent(ci).length)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        next(ci) = arr
+      upd.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
       cent = next
     }
@@ -130,20 +136,22 @@ object Clustering {
     * (squared distance, ties on the smallest id): the diversity-selection /
     * eval-set-seeding primitive. The distance needs no second centroid
     * pass: d² = (v·v) + smin, with smin = −2·(v·c) + (c·c) already carried
-    * by the assignment, so this is [[kmeans]] plus one per-cluster
-    * windowed rank over k groups.
+    * by the assignment.
+    *
+    * The winner is a map-side-combined `min(struct(d2, id))` aggregate —
+    * NOT a window partitioned by cluster, which would funnel the whole
+    * corpus into at most k reducer tasks each sorting corpus/k rows (the
+    * straggler shape [[Skew]] exists to avoid). The shuffle carries one
+    * (d2, id) candidate per cluster per map task.
     */
   def clusterExemplars(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("d2").asc, col("id"))
     lloyd(df, idCol, vecCol, k, iters)
       .withColumn("d2", Similarity.dot(col("v"), col("v")) + col("smin"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("cluster"), col("id").as("exemplar_id"))
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("d2"), col("id"))).as("w"))
+      .select(col("cluster"), col("w.id").as("exemplar_id"))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: [[kmeans]] bounds the
@@ -170,9 +178,14 @@ object Clustering {
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, threshold: Double = 0.9,
-      clusterCap: Long = 100000L): DataFrame = {
+      clusterCap: Long = 100000L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(clusterCap > 0, s"semanticPairs: clusterCap must be positive, got $clusterCap")
-    val labels = kmeans(df, idCol, vecCol, k, iters)
+    // persisted: the (id, cluster) labels feed the cap filter AND both
+    // pair-join sides — uncached, each reference would re-run the full
+    // k-dot-products assignment scan
+    val labels = scope.own(kmeans(df, idCol, vecCol, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val kept = labels.join(
       broadcast(labels.groupBy(col("cluster")).count()
         .filter(col("count") <= clusterCap).select(col("cluster"))),
@@ -181,8 +194,7 @@ object Clustering {
       .join(kept.select(col("cluster"), col(idCol).as("id_b")), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val vecs = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val vecs = toVecs(df, idCol, vecCol)
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))

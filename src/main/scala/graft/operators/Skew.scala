@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Key-salting for skewed shuffles — the manual counterpart to AQE's
   * skew-join splitting, for when the skew is KNOWN up front (a handful of
@@ -17,6 +18,21 @@ import org.apache.spark.sql.functions._
   * each fact row carries exactly one salt value and meets exactly one
   * replica of each matching dimension row — the join multiset is unchanged.
   *
+  * SALT DETERMINISM (correctness under task retry): by default the salt is
+  * derived ONLY from row content, so a re-executed map task reproduces the
+  * identical salt for every row — safe even when the salted frame sits on
+  * top of a shuffle whose intra-partition row order varies across attempts
+  * (the SPARK-23207 corruption shape: a position-derived key plus a fetch
+  * failure re-buckets rows between attempts, double-counting some and
+  * dropping others). The cost: rows that are EXACT duplicates across every
+  * hashed column share one salt and do not spread. If the hot key's rows
+  * really are full duplicates (keys-only fact tables), either pre-aggregate
+  * them first (the better pipeline anyway) or pass
+  * `spreadDuplicates = true`, which mixes the row position
+  * (`monotonically_increasing_id`) into the salt — deterministic ONLY over
+  * deterministic inputs (a file scan with fixed splits), so reserve it for
+  * frames read directly from storage.
+  *
   * AQE's skew handling (enabled by default in this engine) covers
   * sort-merge-join skew adaptively; salting remains the right tool for
   * skewed AGGREGATIONS (two-stage fold) and for joins whose skew AQE cannot
@@ -25,34 +41,41 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner-join `fact` with `dim` on `keys`, scattering each fact key across
-    * `salt` reducer partitions and replicating `dim` `salt` ways.
-    *
-    * The salt mixes a row-position component (`monotonically_increasing_id`,
-    * stable for a deterministic input) into the column hash so that even
-    * FULLY IDENTICAL fact rows scatter — a hot key whose rows are exact
-    * duplicates is the common worst case (keys-only fact tables, repeated
-    * measurements), and a purely value-derived salt would send all of them
-    * to one reducer, silently reintroducing the straggler this operator
-    * exists to remove. The salt value never affects the join RESULT (every
-    * (key, salt) replica carries the full dim row set for the key), only
-    * the partitioning.
+    * `salt` reducer partitions and replicating `dim` `salt` ways. The salt
+    * value never affects the join RESULT (every (key, salt) replica carries
+    * the full dim row set for the key), only the partitioning.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-                 salt: Int): DataFrame = {
+                 salt: Int, spreadDuplicates: Boolean = false): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     require(!(fact.columns ++ dim.columns).contains("_graft_salt"),
       "input already has a _graft_salt column")
-    val factS = fact.withColumn("_graft_salt", rowSalt(fact, salt))
+    val factS = fact.withColumn("_graft_salt", rowSalt(fact, salt, spreadDuplicates))
     val dimS = dim.withColumn("_graft_salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     factS.join(dimS, keys :+ "_graft_salt").drop("_graft_salt")
   }
 
-  /** Per-row salt in [0, salt): column hash mixed with the row's position
-    * so identical rows still spread. */
-  private def rowSalt(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id())
-      .toIndexedSeq: _*), lit(salt))
+  /** xxhash64 rejects MapType anywhere in a column's type — skip such
+    * columns when deriving the content salt. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /** Per-row salt in [0, salt) — see the determinism contract above. */
+  private def rowSalt(df: DataFrame, salt: Int, spreadDuplicates: Boolean): Column = {
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val parts =
+      if (spreadDuplicates) cols :+ monotonically_increasing_id()
+      else if (cols.nonEmpty) cols
+      // every column is a map: position is the only distinguisher left
+      else IndexedSeq(monotonically_increasing_id())
+    pmod(xxhash64(parts: _*), lit(salt.toLong))
+  }
 
   /** Two-stage aggregation under key skew: fold each (key, salt) group
     * map-side and in a first reduce, then combine the `salt` partials per
@@ -64,11 +87,12 @@ object Skew {
     * row count — the hot key's data never converges on one reducer.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
-                partials: Seq[Column], combine: Seq[Column]): DataFrame = {
+                partials: Seq[Column], combine: Seq[Column],
+                spreadDuplicates: Boolean = false): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     require(!df.columns.contains("_graft_salt"),
       "input already has a _graft_salt column")
-    df.withColumn("_graft_salt", rowSalt(df, salt))
+    df.withColumn("_graft_salt", rowSalt(df, salt, spreadDuplicates))
       .groupBy((keys.map(col) :+ col("_graft_salt")): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -25,16 +25,20 @@ object SnapshotDiff {
     * order per `newDf`) → `changed`. Unchanged keys are not emitted. Both
     * inputs must share the key columns; non-key columns are compared by
     * name over the intersection of the two schemas, so an added/dropped
-    * column never throws — it simply isn't compared.
+    * column never throws — it simply isn't compared. Shared columns whose
+    * TYPE drifted between snapshots (ordinary schema widening: int →
+    * bigint) are compared in the NEW snapshot's type — the old side casts
+    * up, instead of the struct equality throwing an analysis error.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
     val shared = newDf.columns.filter(c => !keys.contains(c) && oldDf.columns.contains(c)).toSeq
+    val newTypes = newDf.schema.fields.map(f => f.name -> f.dataType).toMap
     // Null-safe struct compare: <=> treats null==null as equal, so a null
     // field never misclassifies a row as changed.
     val o = oldDf.select(
       struct(keys.map(col): _*).as("_k"),
-      struct(shared.map(col): _*).as("_vo"),
+      struct(shared.map(c => col(c).cast(newTypes(c)).as(c)): _*).as("_vo"),
       lit(1).as("_po"))
     val n = newDf.select(
       struct(keys.map(col): _*).as("_k"),

@@ -118,6 +118,14 @@ class ClusteringSpec extends SparkTestBase {
     }
   }
 
+  test("null or ragged embeddings fail loudly instead of corrupting assignment") {
+    val base = (1 to 12).map(i => (i.toLong, Seq(i.toDouble, 2.0, 3.0)))
+    val ragged = base :+ (99L, Seq(1.0, 2.0)) // one short vector
+    val e = intercept[Exception](
+      Clustering.kmeans(ragged.toDF("id", "vec"), "id", "vec", k = 2).collect())
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("clusterCap skips oversized clusters entirely") {
     val base = blobs()
     val none = Clustering.semanticPairs(

@@ -36,12 +36,18 @@ class SkewSpec extends SparkTestBase {
       val parts = joined.filter(col("k") === 0L)
         .select(spark_partition_id().as("p")).distinct().count()
       assert(parts > 1, s"hot key stayed in $parts partition(s)")
-      // the worst case: the hot key's rows are FULL duplicates — a purely
-      // value-derived salt would give them all one salt value
+      // FULL-duplicate rows share one content salt by default (the
+      // retry-deterministic contract); spreadDuplicates opts into
+      // position-mixing for scan-deterministic inputs and must scatter them
       val dupFact = (0 until 1000).map(_ => (0L, 7L)).toDF("k", "v")
-      val dupSalts = Skew.saltedJoin(dupFact, dim, Seq("k"), salt = 8)
+      val dupDefault = Skew.saltedJoin(dupFact, dim, Seq("k"), salt = 8)
         .select(spark_partition_id().as("p")).distinct().count()
-      assert(dupSalts > 1, s"identical hot rows stayed in $dupSalts partition(s)")
+      assert(dupDefault === 1L,
+        s"content salt must be duplicate-invariant, got $dupDefault partitions")
+      val dupSpread = Skew.saltedJoin(dupFact, dim, Seq("k"), salt = 8,
+          spreadDuplicates = true)
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(dupSpread > 1, s"identical hot rows stayed in $dupSpread partition(s)")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
@@ -80,5 +86,23 @@ class SkewSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Skew.saltedJoin(dim, dim, Seq("k"), 0))
     intercept[IllegalArgumentException](
       Skew.saltedAgg(dim, Seq("k"), -1, Seq(count(lit(1))), Seq(count(lit(1)))))
+  }
+
+  test("content salt tolerates map columns and stays partition-invariant") {
+    // xxhash64 rejects MapType — the content salt must skip such columns
+    val fact = (0 until 100).map(i => ((i % 10).toLong, Map("a" -> s"v$i")))
+      .toDF("k", "attrs")
+    val joined = Skew.saltedJoin(fact, dim, Seq("k"), salt = 4)
+    assert(joined.count() === 100L)
+    // the salt is a pure function of row content: any input partitioning
+    // yields the identical aggregate result
+    val a = Skew.saltedAgg(skewedFact.repartition(3), Seq("k"), 8,
+      Seq(count(lit(1)).as("c")), Seq(sum("c").as("n")))
+      .as[(Long, Long)].collect().toMap
+    val b = Skew.saltedAgg(skewedFact.repartition(11), Seq("k"), 8,
+      Seq(count(lit(1)).as("c")), Seq(sum("c").as("n")))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a(0L) === 1820L) // 1800 head rows + the tail's i % 10 == 0 rows
   }
 }

@@ -45,6 +45,15 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(SnapshotDiff.diff(old, next, Seq("id")).count() === 0L)
   }
 
+  test("type drift in a shared column compares in the new type instead of throwing") {
+    // ordinary schema widening between releases: int -> bigint
+    val old = Seq((1L, 5), (2L, 7)).toDF("id", "n")
+    val next = Seq((1L, 5L), (2L, 8L)).toDF("id", "n")
+    val out = SnapshotDiff.diff(old, next, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((2L, "changed")))
+  }
+
   test("requires a key column") {
     intercept[IllegalArgumentException] {
       SnapshotDiff.diff(Seq((1, 2)).toDF("a", "b"), Seq((1, 2)).toDF("a", "b"), Nil)
