@@ -32,7 +32,10 @@ object AsOfJoin {
       .withColumn("_t", col(leftTime))
       .withColumn("_tag", lit(1))
       .withColumn("_v", lit(null).cast(valueType))
-    val anchors = right.select(
+    // a NULL event time has no place on a timeline: an unfiltered null-time
+    // anchor would sort NULLS FIRST — "before all time" — and fabricate a
+    // match for probes that should have none
+    val anchors = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_tag"),
         col(rightValue).cast(valueType).as("_v")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -97,8 +97,14 @@ object Dedup {
       index: DataFrame,
       thresholdNum: Int = 3,
       thresholdDen: Int = 5,
-      bucketCap: Int = 1000): DataFrame = {
-    val nb = newSigs.select(col("id").as("id_a"),
+      bucketCap: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // persisted: the batch signatures feed the band explode AND the final
+    // hs re-attach — uncached, the per-doc md5 signing pass (the dominant
+    // cost of the daily-delta cadence) would run three times
+    val sigs = scope.own(newSigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nb = sigs.select(col("id").as("id_a"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val ib = index.select(col("id").as("id_b"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
@@ -113,7 +119,7 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     pairs
-      .join(newSigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(index.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("uni",
@@ -445,8 +451,11 @@ object Dedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
+    // coalesce: a NULL text must report n_blocks = 0 like dedupBlocks, not
+    // a NULL count that poisons downstream three-valued comparisons
     val lines = filter(
-      split(col(textCol), java.util.regex.Pattern.quote(sep)), l => l =!= "")
+      split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep)),
+      l => l =!= "")
     dedupBlockArray(df, idCol, lines, sep)
   }
 

@@ -70,6 +70,10 @@ object Multimodal {
     * model forward pass here; the batch shape is what matters).
     */
   def features(assets: DataFrame, dims: Int = 4): DataFrame = {
+    // md5 hex is 32 chars = 4 × 8-char slices; a 5th slice would read an
+    // empty substring and conv('') yields NULL features with no error
+    require(dims >= 1 && dims <= 4,
+      s"features: dims must be in [1, 4] (md5 yields 4 exact 8-hex slices), got $dims")
     val digest = md5(col("payload"))
     val feats = (0 until dims).map { i =>
       (conv(substring(digest, i * 8 + 1, 8), 16, 10).cast("long") /

@@ -30,7 +30,16 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity, defined as 0 when either norm is 0: a zero (dead /
+    * padded) embedding is similar to nothing. Without the guard the
+    * division is 0/0 — under Spark's default ANSI mode that ABORTS the job
+    * (DIVIDE_BY_ZERO); with ANSI off it yields NaN, which sorts FIRST under
+    * `desc`, crowning the zero vector rank-1 neighbor of every query.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val np = l2Norm(a) * l2Norm(b)
+    when(np > 0, dot(a, b) / np).otherwise(lit(0.0))
+  }
 
   /** Exact top-k neighbors for each query row.
     *
@@ -116,13 +125,16 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // norms precomputed per VECTOR so the per-PAIR check is one dot fold:
-    // dot(a,b) ≥ θ·|a|·|b|  ⇔  cosine ≥ θ (norms are positive)
+    // dot(a,b) ≥ θ·|a|·|b| ⇔ cosine ≥ θ — PROVIDED both norms are positive.
+    // A zero-norm vector would degenerate the inequality to 0 ≥ 0 (true)
+    // and pair with everything it buckets with, so it is excluded outright.
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("n"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
-      .filter(dot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0 &&
+        dot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
       .select(col("id_a"), col("id_b"))
   }
 
@@ -288,7 +300,11 @@ object Similarity {
     df.select(col(groupCol).as("_g"),
         posexplode(col(vecCol)).as(Seq("_pos", "_v")))
       .groupBy(col("_g"), col("_pos"))
-      .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")).as("_sum"),
+      // decimal(38,0) sum: a long sum of 1e9-scaled units overflows int64
+      // past ~9.2e9 rows per group (ANSI aborts; non-ANSI silently wraps);
+      // decimal stays exact to 38 digits like the oracle's 128-bit HUGEINT
+      .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")
+        .cast("decimal(38,0)")).as("_sum"),
         count(lit(1)).as("_n"))
       .select(col("_g"), col("_pos"),
         (col("_sum").cast("double") / lit(1e9) / col("_n")).as("_mean"))

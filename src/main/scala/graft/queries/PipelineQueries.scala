@@ -981,7 +981,7 @@ object PipelineQueries {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ORDER BY CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))
         |               AS BIGINT) % 1125899906842624, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 25""".stripMargin,
@@ -1044,7 +1044,7 @@ object PipelineQueries {
         |t AS (SELECT min(n) AS t FROM c)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN c ON d.lang = c.lang
-        |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |WHERE (CAST(('0x' || substr(md5('balance:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |       % 1000000) * c.n < (SELECT t FROM t) * 1000000""".stripMargin,
 
     "q57_chunk_windows" ->
@@ -1182,7 +1182,7 @@ object PipelineQueries {
 
     "q44_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
 
     "q45_repetition" ->
@@ -1670,7 +1670,7 @@ object PipelineQueries {
          |    CASE WHEN b < 900 THEN 'train'
          |         WHEN b < 950 THEN 'val' ELSE 'test' END AS split
          |  FROM (SELECT *,
-         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
          |            AS BIGINT) % 1000 AS b
          |        FROM ded))
          |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1681,7 +1681,7 @@ object PipelineQueries {
     "q97_dataset_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) % 1000 AS bucket
         |  FROM documents)
         |SELECT CASE WHEN bucket < 900 THEN 'train'
@@ -1704,20 +1704,20 @@ object PipelineQueries {
          |FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id""".stripMargin,
 
-    // q91: same per-mille formula — 1000.0 * sqrt(min/cnt) floored (sqrt is
-    // IEEE-exact, so the cut reproduces bit-for-bit) — and the same
-    // md5-60-bit key bucket as every sampling oracle.
+    // q91: same ppm formula — 1000000.0 * sqrt(min/cnt) floored, min 1
+    // (sqrt is IEEE-exact, so the cut reproduces bit-for-bit) — and the
+    // domain-prefixed md5-60-bit key bucket ("temp:").
     "q91_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
         |mn AS (SELECT min(cnt) AS min_cnt FROM c),
         |r AS (SELECT lang,
-        |        CAST(floor(1000.0 * sqrt(CAST(min_cnt AS DOUBLE) /
-        |                                 CAST(cnt AS DOUBLE))) AS BIGINT)
-        |          AS permille
+        |        greatest(CAST(floor(1000000.0 * sqrt(CAST(min_cnt AS DOUBLE) /
+        |                                             CAST(cnt AS DOUBLE))) AS BIGINT),
+        |                 1) AS ppm
         |      FROM c, mn)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 1000 < permille""".stripMargin
+        |WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 1000000 < ppm""".stripMargin
   )
 }

@@ -16,7 +16,7 @@ class SamplingSpec extends SparkTestBase {
 
   private def jvmExpected(n: Int): Set[(Long, String)] =
     corpus(n).filter { case (id, lang) =>
-      val bucket = math.floorMod(TextHash.md5Hash60(id.toString), 100L)
+      val bucket = math.floorMod(TextHash.md5Hash60("sample:" + id), 100L)
       bucket < (if (lang == "en") 50 else 20)
     }.toSet
 
@@ -97,7 +97,9 @@ class SamplingSpec extends SparkTestBase {
     assert(bySrc("tiny") == Set(501L, 502L, 503L), "groups under the cap survive whole")
     // identical keep-set to the row_number-over-hash formulation
     val w = Window.partitionBy(col("source"))
-      .orderBy(Sampling.hashBucketMod(col("doc_id"), 1L << 50), col("doc_id"))
+      .orderBy(pmod(graft.functions.TextFunctions.md5Hash60(
+        concat(lit("cap:"), col("doc_id").cast("string"))), lit(1L << 50)),
+        col("doc_id"))
     val windowed = df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10).select(col("doc_id"), col("source"))
       .as[(Long, String)].collect()
@@ -152,6 +154,21 @@ class SamplingSpec extends SparkTestBase {
     // shares must sum to 1000
     intercept[IllegalArgumentException](
       Sampling.splitByHash(df, "doc_id", Seq(("a", 500), ("b", 400))))
+  }
+
+  test("sampling and split decisions are independent (domain separation)") {
+    // Regression: with one shared bare-key hash, a 50% sampler keeps
+    // bucket%100 < 50 while the test split needs bucket%1000 in [950,1000)
+    // — whose %100 values are all >= 50 — so the test split came out EMPTY.
+    // Domain-prefixed hashes decorrelate the two decisions.
+    val df = (1 to 2000).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val sampled = Sampling.sampleByHash(df, "doc_id", "lang", Map.empty, 50)
+    val split = Sampling.splitByHash(sampled, "doc_id",
+      Seq(("train", 950), ("test", 50)))
+    val nTest = split.filter(col("split") === "test").count()
+    val nAll = split.count()
+    assert(nTest > 0, "test split emptied by sampler correlation")
+    assert(nTest < nAll / 5, s"test split implausibly large: $nTest of $nAll")
   }
 
   test("temperatureMix keeps the smallest stratum whole and flattens the head") {
