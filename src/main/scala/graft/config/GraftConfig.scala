@@ -179,7 +179,8 @@ object GraftBoot {
   def registryFor(
       cfg: GraftConfig,
       source: SourceConfig,
-      ident: String => String = _.replace('.', '_').toUpperCase): TableRegistry =
+      ident: String => String =
+        _.replace('.', '_').toUpperCase(java.util.Locale.ROOT)): TableRegistry =
     TableRegistry.fromJdbc(cfg.target.url, source.tableMap, ident,
       cfg.target.user, cfg.target.passwd)
 

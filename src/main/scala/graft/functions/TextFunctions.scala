@@ -192,6 +192,14 @@ object TextFunctions {
     * fewer than k tokens contribute their whole token sequence as one
     * shingle, so every non-empty doc has ≥1 shingle.
     */
+  /** Word k-shingles. CAUTION: a TOKEN-LESS document (non-Latin script or
+    * pure punctuation under the [a-z0-9] tokenizer) yields the single
+    * shingle [""], which is shingle-identical to every other token-less
+    * document — a Jaccard pass fed such docs directly would collapse them
+    * into one. The dedup operators guard this by DROPPING token-less docs
+    * before signing ([[graft.functions.TextHash]] callers); do the same in
+    * any new consumer.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)
     when(size(toks) >= k,

@@ -42,10 +42,16 @@ object Decoders {
   def stripNul(c: Column): Column = regexp_replace(c, "\\x00", "")
 
   /** Maxwell BIT: integer literal → zero-padded binary string of `precision`
-    * bits (reference: MaxwellPipeLine.java:81-84).
+    * bits (reference: MaxwellPipeLine.java:81-84). An over-wide value keeps
+    * its LOW-order bits — the same truncation rule as [[debeziumBit]], so
+    * the two producer flavors agree on out-of-range payloads (a bare lpad
+    * would truncate to the HIGH bits).
     */
-  def maxwellBit(c: Column, precision: Int): Column =
-    lpad(conv(c, 10, 2), precision, "0")
+  def maxwellBit(c: Column, precision: Int): Column = {
+    val b = conv(c, 10, 2)
+    lpad(when(length(b) > precision, substring(b, -precision, precision))
+      .otherwise(b), precision, "0")
+  }
 
   /** Debezium BIT: "true"/"false" → "1"/"0"; otherwise Base64 bytes in
     * little-endian order → concatenated bit string, truncated to the low
@@ -95,7 +101,11 @@ object Decoders {
   }
   def debeziumTimestamp(c: Column, precision: Int): Column =
     when(c.contains("Z"), c.cast(TimestampType))
-      .otherwise(to_timestamp(debeziumTimestampUdf(c, lit(precision))))
+      // explicit Z suffix: the rendered wall-clock string IS UTC — a bare
+      // to_timestamp would re-parse it in the session time zone, shifting
+      // every decoded value by the session's UTC offset
+      .otherwise(concat(debeziumTimestampUdf(c, lit(precision)), lit("Z"))
+        .cast(TimestampType))
 
   /** Debezium TIME: same epoch+nanos encoding, formatted HH:mm:ss.fraction
     * (kept as a string column — Catalyst has no time-of-day type).
@@ -114,8 +124,13 @@ object DecoderRuntime {
     * truncated to `precision` digits (0 → no fraction).
     */
   def epochNanosToString(data: String, precision: Int, withDate: Boolean): String = {
-    val sec = data.substring(0, data.length - 9).toLong
-    val fraction = data.substring(data.length - 9, data.length - 9 + precision)
+    // floor-divide the NUMERIC value, never split the decimal string: a
+    // sub-second value ("123456789" = 0.123s) has no seconds prefix to
+    // substring, and a negative value's two's-complement floor disagrees
+    // with string truncation by one full second
+    val ns = data.trim.toLong
+    val sec = java.lang.Math.floorDiv(ns, 1000000000L)
+    val fraction = f"${java.lang.Math.floorMod(ns, 1000000000L)}%09d".substring(0, precision)
     val fmt = java.time.format.DateTimeFormatter.ofPattern(
       if (withDate) "yyyy-MM-dd HH:mm:ss" else "HH:mm:ss")
     val base = java.time.Instant.ofEpochSecond(sec).atZone(java.time.ZoneOffset.UTC).format(fmt)

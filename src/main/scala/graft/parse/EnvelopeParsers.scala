@@ -163,7 +163,11 @@ object Projection {
     }
   }
 
-  private def field(m: Column, name: String): Column = element_at(m, name.toLowerCase)
+  // Locale.ROOT: the map keys were folded by Spark's locale-independent
+  // lower(); a tr-TR JVM default locale would fold "ID" to dotless-i and
+  // miss every key
+  private def field(m: Column, name: String): Column =
+    element_at(m, name.toLowerCase(java.util.Locale.ROOT))
 
   /** Typed event rows for one target table: (op, ts, seq, key, oldKey, data).
     *

@@ -62,7 +62,7 @@ final class JdbcTableStore(
     snapshotPartitions: Int = 0)
   extends TableStore {
 
-  private val table = spec.name.replace('.', '_').toUpperCase
+  private val table = spec.name.replace('.', '_').toUpperCase(java.util.Locale.ROOT)
   private val pk = spec.pkCols
   private val pkFields = pk.map(c => spec.schema(spec.schema.fieldIndex(c)))
   private val colList = spec.schema.fieldNames.mkString(", ")
@@ -77,6 +77,9 @@ final class JdbcTableStore(
     case TimestampType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case StringType => "VARCHAR(4000)"
+    // pg-family stores bytes as BYTEA; BLOB elsewhere (Derby, ANSI)
+    case BinaryType =>
+      if (JdbcTableStore.isPostgres(url)) "BYTEA" else "BLOB"
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
@@ -105,8 +108,15 @@ final class JdbcTableStore(
     }
 
   private def tableExists(conn: Connection, name: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, name, null)
-    try rs.next() finally rs.close()
+    // probe every identifier fold: Derby stores unquoted names upper-cased,
+    // pg/Greenplum lower-cased — a single-case probe misses the other
+    // family's catalog entry, and the re-issued CREATE TABLE then fails
+    // every merge after the first
+    val lr = java.util.Locale.ROOT
+    Seq(name, name.toLowerCase(lr), name.toUpperCase(lr)).distinct.exists { n =>
+      val rs = conn.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
   }
 
   /** Create the target table if missing. The reference's normal deployment
@@ -328,7 +338,10 @@ object JdbcTableStore {
     while (i < data.length) {
       val b = data(i)
       if (b == '\\') sb.append("\\\\")
-      else if (b < 0x20 || b > 0x7e) {
+      // '|' and '"' are printable but structural to the '|'-delimited CSV
+      // COPY line — octal-escape them (valid bytea escape-format for any
+      // byte) so the unquoted field can never break the framing
+      else if (b < 0x20 || b > 0x7e || b == '|' || b == '"') {
         sb.append('\\')
         sb.append((((b >> 6) & 0x3) + '0').toChar)
         sb.append((((b >> 3) & 0x7) + '0').toChar)

@@ -123,13 +123,23 @@ final class ParquetTableStore(
     * merges (staged-but-never-published) or of published merges that crashed
     * before cleanup. Safe under the single-writer contract.
     */
-  private def gcUnreferenced(manifest: Map[Int, String]): Unit =
+  private def gcUnreferenced(manifest: Map[Int, String]): Unit = {
+    // stale .staging_* dirs: a merge killed between its parquet write and
+    // its own cleanup leaves a full staged copy behind, and the data/ scan
+    // below never sees it. Under the single-writer contract any staging
+    // dir present when gc runs is dead (this merge hasn't created its own).
+    if (fs.exists(tablePath)) {
+      fs.listStatus(tablePath).foreach { st =>
+        if (st.getPath.getName.startsWith(".staging_")) fs.delete(st.getPath, true)
+      }
+    }
     if (fs.exists(dataPath)) {
       val live = manifest.values.toSet
       fs.listStatus(dataPath).foreach { st =>
         if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
       }
     }
+  }
 
   /** Write `df` bucketed under data/ as fresh immutable dirs named
     * `<bucket>-<token>`; returns bucket -> dirName for buckets that got rows.

@@ -39,7 +39,8 @@ object CdcPipeline {
       registry: TableRegistry,
       stores: Map[String, TableStore],
       flavor: Projection.Flavor = Projection.Maxwell,
-      stagingThreshold: Int = 8): Unit = {
+      stagingThreshold: Int = 8,
+      stagingDir: Option[String] = None): Unit = {
     val targets = registry.targets
     def applyTo(df: DataFrame, target: String): Unit = {
       // the merge consumes the compacted batch in several jobs; cache the
@@ -57,7 +58,14 @@ object CdcPipeline {
       finally events.unpersist()
     } else {
       val spark = events.sparkSession
-      val staging = java.nio.file.Files.createTempDirectory("graft_batch_").toString
+      // Staging must live on a SHARED filesystem: a driver-local java.io
+      // temp dir only works single-node (executors would each write their
+      // own node-local copy and the read-back would silently see a partial
+      // batch). Streaming callers pass a checkpoint-adjacent dir — shared
+      // by definition; the local default serves local[*] and tests.
+      val staging = stagingDir
+        .map(d => s"$d/batch_${System.nanoTime()}")
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft_batch_").toString)
       events.write.mode("overwrite").partitionBy("mappedTable").parquet(staging)
       try {
         // Explicit schema: keeps an all-empty batch readable and pins the
@@ -81,17 +89,20 @@ object CdcPipeline {
   private[graft] def applyMaxwellKafkaBatch(
       batch: DataFrame,
       registry: TableRegistry,
-      stores: Map[String, TableStore]): Unit =
-    applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores)
+      stores: Map[String, TableStore],
+      stagingDir: Option[String] = None): Unit =
+    applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores,
+      stagingDir = stagingDir)
 
   /** Debezium twin of [[applyMaxwellKafkaBatch]]: topic supplies routing. */
   private[graft] def applyDebeziumKafkaBatch(
       batch: DataFrame,
       registry: TableRegistry,
-      stores: Map[String, TableStore]): Unit =
+      stores: Map[String, TableStore],
+      stagingDir: Option[String] = None): Unit =
     applyBatch(
       DebeziumParser.events(batch, registry, col("offset"), col("topic")),
-      registry, stores, Projection.Debezium)
+      registry, stores, Projection.Debezium, stagingDir = stagingDir)
 
   /** Maxwell-over-Kafka sync, the reference's primary deployment
     * (reference: Bireme.java:188-218). `seq = offset` gives per-key total
@@ -120,7 +131,8 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyMaxwellKafkaBatch(batch, registry, stores)
+        applyMaxwellKafkaBatch(batch, registry, stores,
+          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
       }
       .start()
   }
@@ -171,8 +183,15 @@ object CdcPipeline {
         val mtimes = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
           .map { f =>
+            // key by the RAW basename of the input_file_name string — the
+            // SAME derivation as the lookup's split(, "/") below; Path
+            // .getName would URI-DECODE (a%20b.json -> "a b.json") and the
+            // lookup would miss, mis-ordering that file to Long.MaxValue.
+            // The replay dir is FLAT (readStream.text is non-recursive), so
+            // basenames are unique within a batch.
             val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-            p.getName -> fs.getFileStatus(p).getModificationTime
+            f.substring(f.lastIndexOf('/') + 1) ->
+              fs.getFileStatus(p).getModificationTime
           }.toMap
         val fname = element_at(split(input_file_name(), "/"), -1)
         val arrival = Window.orderBy(
@@ -180,7 +199,8 @@ object CdcPipeline {
           fname, monotonically_increasing_id())
         val ordered = batch.withColumn("_seq",
           lit(batchId) * lit(1L << 40) + row_number().over(arrival))
-        applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores)
+        applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
+          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
       }
       .start()
   }
@@ -206,7 +226,8 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyDebeziumKafkaBatch(batch, registry, stores)
+        applyDebeziumKafkaBatch(batch, registry, stores,
+          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
       }
       .start()
   }

@@ -62,4 +62,37 @@ class DecodersSpec extends SparkTestBase {
     assert(one(Decoders.debeziumTime(lit("1505886758123456789"), 3)) == "05:52:38.123")
     assert(one(Decoders.debeziumTime(lit("1505886758123456789"), 0)) == "05:52:38")
   }
+
+  test("epoch nanos: sub-second and negative values floor correctly") {
+    // 0.123456789 s after epoch: no seconds prefix exists to substring
+    assert(DecoderRuntime.epochNanosToString("123456789", 3, withDate = false)
+      == "00:00:00.123")
+    // 1.5 s BEFORE epoch: floor to 23:59:58.5, not the off-by-one 59.5 a
+    // decimal-string split would produce
+    assert(DecoderRuntime.epochNanosToString("-1500000000", 1, withDate = true)
+      == "1969-12-31 23:59:58.5")
+    assert(DecoderRuntime.epochNanosToString("-1500000000", 0, withDate = true)
+      == "1969-12-31 23:59:58")
+  }
+
+  test("debezium timestamp decodes the same instant in any session time zone") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = spark.range(1)
+        .select(Decoders.debeziumTimestamp(lit("1505886758500000000"), 1).as("ts"))
+        .select(col("ts").cast("long")).collect().head.getLong(0)
+      // the instant itself, independent of the session's rendering zone
+      assert(got == 1505886758L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("maxwell bit keeps the LOW-order bits on overflow, like debezium bit") {
+    // 255 into BIT(4): low nibble 1111 on both producer paths
+    assert(one(Decoders.maxwellBit(lit("255"), 4)) == "1111")
+    assert(one(Decoders.maxwellBit(lit("5"), 4)) == "0101")
+    val viaDebezium = one(Decoders.debeziumBit(
+      lit(java.util.Base64.getEncoder.encodeToString(Array(255.toByte))), 4))
+    assert(viaDebezium == "1111")
+  }
 }
