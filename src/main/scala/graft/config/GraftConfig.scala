@@ -204,6 +204,6 @@ object GraftBoot {
     case SourceType.Debezium =>
       graft.streaming.CdcPipeline.kafkaDebeziumStream(
         spark, source.kafkaServer, s"${java.util.regex.Pattern.quote(source.topic)}\\..+",
-        registry, stores, checkpointDir, cfg.trigger)
+        registry, stores, checkpointDir, cfg.trigger, cfg.batchSize.toLong)
   }
 }

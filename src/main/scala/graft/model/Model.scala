@@ -73,7 +73,8 @@ object TableRegistry {
   def fromJdbc(
       url: String,
       tableMap: Map[String, String],
-      ident: String => String = _.replace('.', '_').toUpperCase,
+      ident: String => String =
+        _.replace('.', '_').toUpperCase(java.util.Locale.ROOT),
       user: Option[String] = None,
       passwd: Option[String] = None): TableRegistry = {
     val conn = user match {
@@ -98,11 +99,33 @@ object TableRegistry {
         } finally st.close()
 
         val pkCols = {
-          val rs = conn.getMetaData.getPrimaryKeys(null, null, t)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
-          try while (rs.next()) buf += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME").toLowerCase
-          finally rs.close()
-          buf.sortBy(_._1).map(_._2).toSeq
+          // a schema-qualified ident ("public.orders", the pg identity
+          // path) must split into getPrimaryKeys' schema + table arguments:
+          // no table is literally NAMED "public.orders", so the one-string
+          // form would return no rows and fail startup spuriously. Probe
+          // each identifier fold (Derby upper-cases, pg lower-cases).
+          val lr = java.util.Locale.ROOT
+          val (schemaPart, tablePart) = t.lastIndexOf('.') match {
+            case -1 => (null: String, t)
+            case i => (t.substring(0, i), t.substring(i + 1))
+          }
+          def probe(sch: String, tb: String): Seq[(Short, String)] = {
+            val rs = conn.getMetaData.getPrimaryKeys(null, sch, tb)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+            try while (rs.next())
+              buf += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME").toLowerCase(lr)
+            finally rs.close()
+            buf.toSeq
+          }
+          val candidates = for {
+            sch <- Seq(schemaPart,
+              Option(schemaPart).map(_.toLowerCase(lr)).orNull,
+              Option(schemaPart).map(_.toUpperCase(lr)).orNull).distinct
+            tb <- Seq(tablePart, tablePart.toLowerCase(lr), tablePart.toUpperCase(lr)).distinct
+          } yield (sch, tb)
+          candidates.iterator.map { case (sch, tb) => probe(sch, tb) }
+            .find(_.nonEmpty).getOrElse(Seq.empty)
+            .sortBy(_._1).map(_._2)
         }
         require(pkCols.nonEmpty,
           s"table $target ($t) has no primary key — startup fails fast like the " +

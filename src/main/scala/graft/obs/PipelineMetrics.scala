@@ -84,12 +84,16 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
   * (zero extra dependencies). `GET /` (optionally `?pretty`) returns the
   * state JSON. Pass port 0 for an ephemeral port; read it back from [[port]].
   */
-final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080) {
+final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080,
+    bindAddr: String = "0.0.0.0") {
   private var server: com.sun.net.httpserver.HttpServer = _
 
   def start(): Unit = {
     server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(requestedPort), 0)
+      // honor state.server.addr: an operator binding 127.0.0.1 keeps the
+      // unauthenticated endpoint off the network
+      new java.net.InetSocketAddress(java.net.InetAddress.getByName(bindAddr),
+        requestedPort), 0)
     server.createContext("/", { exchange =>
       val pretty = Option(exchange.getRequestURI.getQuery).exists(_.contains("pretty"))
       val body = metrics.stateJson(pretty).getBytes("UTF-8")

@@ -53,14 +53,32 @@ object StreamingQueries {
   private def dumpArrivalFile(df: DataFrame, dir: Path, name: String, mtimeMs: Long): Unit = {
     val tmp = dir.resolve(s"tmp_$name")
     df.coalesce(1).write.mode("overwrite").json(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.startsWith("part-")
-      && p.getFileName.toString.endsWith(".json")).findFirst().get()
+    // Files.list/walk streams hold a directory handle until closed —
+    // Using(...) releases them deterministically instead of leaking an fd
+    // per call until GC
+    val part = scala.util.Using.resource(Files.list(tmp)) { st =>
+      st.filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".json")).findFirst().get()
+    }
     val target = dir.resolve(name)
     Files.move(part, target)
     Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
     // remove the spark output dir scaffolding (_SUCCESS etc.)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(tmp)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Recursively delete a replay/checkpoint scratch dir once its streaming
+    * query has fully terminated — every run otherwise leaves a JSON copy of
+    * the events table plus checkpoint state behind.
+    */
+  private def cleanup(dirs: Path*): Unit = dirs.foreach { d =>
+    try scala.util.Using.resource(Files.walk(d)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () } // best-effort
   }
 
   def watermarkTumbling(spark: SparkSession, dir: String): DataFrame =
@@ -94,7 +112,7 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
     spark.table(sink)
     }
 
@@ -136,7 +154,7 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
     spark.table(sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -195,7 +213,7 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cleanup(cIn, pIn, ckpt) }
     spark.table(sink)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -264,7 +282,7 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
     spark.table(sink)
     }
 
@@ -308,7 +326,7 @@ object StreamingQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
     spark.table(sink)
     }
 

@@ -215,11 +215,15 @@ object CdcPipeline {
       registry: TableRegistry,
       stores: Map[String, TableStore],
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topicPattern)
       .option("startingOffsets", "earliest")
+      // same merge.batch.size back-pressure as the Maxwell path — without
+      // it an existing topic backlog arrives as ONE giant first batch
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
       .load()
       .select(col("value").cast("string").as("value"), col("offset"), col("topic"))
     raw.writeStream

@@ -48,12 +48,22 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
           done = true
         case Some(msg) =>
           _lastError = Some(msg)
+          // startFn() itself can throw (broker still down, checkpoint FS
+          // hiccup — the very conditions that killed the query): an
+          // uncaught throw here would kill THIS supervisor thread and
+          // strand the pipeline in a healthy-looking NORMAL state with a
+          // dead query. A failed launch burns a restart and retries.
           val restarted = restartLock.synchronized {
-            if (!stopping.get() && _restarts < maxRestarts) {
+            var launched = false
+            while (!launched && !stopping.get() && _restarts < maxRestarts) {
               _restarts += 1
-              current = startFn()
-              true
-            } else false
+              try { current = startFn(); launched = true }
+              catch {
+                case e: Exception =>
+                  _lastError = Some(s"restart failed: ${e.getMessage}")
+              }
+            }
+            launched
           }
           if (!restarted) {
             if (!stopping.get())
@@ -70,7 +80,9 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
   def query: StreamingQuery = current
 
   /** Block until the underlying query has processed all available input —
-    * retries across supervised restarts.
+    * retries across supervised restarts. Throws if the deadline expires or
+    * the pipeline leaves NORMAL first: returning silently would let a
+    * caller read a sink believing it complete when it is not.
     */
   def processAllAvailable(deadlineMs: Long = 60000): Unit = {
     val end = System.currentTimeMillis() + deadlineMs
@@ -79,6 +91,9 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
       try { current.processAllAvailable(); ok = true }
       catch { case _: Exception => Thread.sleep(100) } // query mid-restart
     }
+    if (!ok) throw new IllegalStateException(
+      s"processAllAvailable did not complete: state=${_state}" +
+        _lastError.map(e => s", lastError=$e").getOrElse(""))
   }
 
   def stop(): Unit = {

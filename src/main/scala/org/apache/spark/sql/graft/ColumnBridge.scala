@@ -28,7 +28,12 @@ object ColumnBridge {
   * multiply-add loop inside whole-stage codegen; the summation order
   * (index 0 → n-1, multiply then add) is IDENTICAL to the HOF fold it
   * replaces, so results are bit-for-bit unchanged and the DuckDB oracles
-  * keep matching.
+  * keep matching — for EQUAL-LENGTH inputs, the only shape this library
+  * produces (callers guard dimensions: kmeans raise_errors on ragged
+  * vectors, lshBucket on over-wide ones). CONTRACT for ragged inputs: the
+  * product truncates to the shorter array (DuckDB's list_dot_product
+  * errors, the zip_with HOF yields NULL) — never feed mismatched
+  * dimensions expecting cross-engine agreement.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
