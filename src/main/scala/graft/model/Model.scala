@@ -91,7 +91,7 @@ object TableRegistry {
             val md = rs.getMetaData
             (1 to md.getColumnCount).map { i =>
               StructField(
-                md.getColumnName(i).toLowerCase,
+                md.getColumnName(i).toLowerCase(java.util.Locale.ROOT),
                 catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i),
                   target, md.getColumnName(i)))
             }

@@ -38,17 +38,19 @@ object LmScore {
       df: DataFrame, ref: DataFrame,
       idCol: String, textCol: String, vocab: Int = 1000): DataFrame = {
     require(vocab > 0, s"bigramDictScore: vocab must be positive, got $vocab")
+    // underscore-prefixed internals: an idCol named "bg"/"cnt" would
+    // otherwise collide into an ambiguous-reference AnalysisException
     val dict = ref
-      .select(explode(TextFunctions.bigrams(col(textCol))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("bg"))
+      .select(explode(TextFunctions.bigrams(col(textCol))).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_bg"))
       .limit(vocab)
     df.select(col(idCol),
-        explode_outer(TextFunctions.bigrams(col(textCol))).as("bg"))
-      .join(broadcast(dict), Seq("bg"), "left")
+        explode_outer(TextFunctions.bigrams(col(textCol))).as("_bg"))
+      .join(broadcast(dict), Seq("_bg"), "left")
       .groupBy(col(idCol))
-      .agg(count(col("bg")).as("n_bigrams"),
-        count(col("cnt")).as("hits"),
-        coalesce(sum(col("cnt")), lit(0L)).as("freq_sum"))
+      .agg(count(col("_bg")).as("n_bigrams"),
+        count(col("_cnt")).as("hits"),
+        coalesce(sum(col("_cnt")), lit(0L)).as("freq_sum"))
   }
 }

@@ -168,6 +168,12 @@ object CdcQueries {
   private def tempRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_cdc_").toString
 
+  /** Drop a per-invocation store dir once its snapshot is detached. */
+  private def deleteDir(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Compaction M1–M8 in isolation: the final action list per key.
     "q20_cdc_compact" -> ((s, dir) => {
@@ -186,10 +192,18 @@ object CdcQueries {
       val registry = TableRegistry(
         Map("demo.orders" -> "public.orders"),
         Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
-      val store = new ParquetTableStore(s, tempRoot(), registry.specFor("public.orders"), 16)
+      val rootDir = tempRoot()
+      val store = new ParquetTableStore(s, rootDir, registry.specFor("public.orders"), 16)
       val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
       CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
-      store.snapshot().withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      // detach eagerly, then delete the per-invocation table dir (mirrors
+      // q23's Derby drop — repeated bench runs would otherwise accumulate
+      // one full bucketed table copy per run)
+      val out = store.snapshot()
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .localCheckpoint()
+      deleteDir(s, rootDir)
+      out
     }),
 
     // The same Maxwell stream merged through the JDBC warehouse sink
@@ -228,12 +242,15 @@ object CdcQueries {
       val registry = TableRegistry(
         Map("public.customer" -> "public.customer_t"),
         Map("public.customer_t" -> TableSpec("public.customer_t", customerSchema, Seq("c_custkey"))))
-      val store = new ParquetTableStore(s, tempRoot(), registry.specFor("public.customer_t"), 16)
+      val rootDir = tempRoot()
+      val store = new ParquetTableStore(s, rootDir, registry.specFor("public.customer_t"), 16)
       val events = DebeziumParser.events(
         debeziumJson(s, dir), registry, col("seq0"), col("topic0"))
       CdcPipeline.applyBatch(events, registry, Map("public.customer_t" -> store),
         Projection.Debezium)
-      store.snapshot()
+      val out = store.snapshot().localCheckpoint() // detach, then drop the dir
+      deleteDir(s, rootDir)
+      out
     })
   )
 

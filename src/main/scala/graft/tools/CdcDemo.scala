@@ -78,13 +78,19 @@ object CdcDemo {
     store.snapshot().createOrReplaceTempView("accounts")
     spark.sql("SELECT * FROM accounts ORDER BY id").show()
 
-    // a second live batch, including a PK-change update (id 3 → 30)
-    Files.write(in.resolve("batch1.json"), java.util.Arrays.asList(
+    // a second live batch, including a PK-change update (id 3 → 30).
+    // Written OUTSIDE the watched dir and atomically moved in: the file
+    // source reads each file exactly once, so a trigger listing a
+    // half-written file would silently lose the unwritten tail.
+    val staged1 = work.resolve("batch1.json.tmp")
+    Files.write(staged1, java.util.Arrays.asList(
       """{"database":"demo","table":"accounts","type":"update","ts":7,"data":{"id":30,"owner":"cyd","balance":"31.00"},"old":{"id":3}}""",
       """{"database":"demo","table":"accounts","type":"insert","ts":8,"data":{"id":4,"owner":"dee","balance":"40.00"}}""",
       // malformed line and a partial row: dropped / null-filled, never fatal
       """this is not json {{{""",
       """{"database":"demo","table":"accounts","type":"insert","ts":9,"data":{"id":5,"owner":"eve"}}"""))
+    Files.move(staged1, in.resolve("batch1.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     q.processAllAvailable()
     q.stop()
 

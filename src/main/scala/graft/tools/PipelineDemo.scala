@@ -65,8 +65,12 @@ object PipelineDemo {
       .unionByName(exact.join(bestPerCluster, "doc_id")) // + one best per cluster
     println(f"near-deduped:    ${nearDeduped.count()}%6d docs")
 
-    // 4. mixture balancing (q54): every language down to the smallest stratum
+    // 4. mixture balancing (q54): every language down to the smallest
+    // stratum. Persisted under the scope: four downstream consumers (count,
+    // per-lang breakdown, chunking, exemplars) would otherwise re-run the
+    // whole quality→dedup chain each.
     val balanced = Sampling.balanceStrata(nearDeduped, "doc_id", "lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(f"balanced mix:    ${balanced.count()}%6d docs")
     balanced.groupBy("lang").count().orderBy("lang").collect()
       .foreach(r => println(f"   ${r.getString(0)}%-4s ${r.getLong(1)}%5d"))
@@ -90,8 +94,11 @@ object PipelineDemo {
       budget = 4000L, scope = scope)
     val shardStats = sharded.groupBy("shard").agg(sum("w").as("tokens"))
       .agg(count(lit(1)).as("n_shards"), max("tokens").as("max_tokens")).head()
+    // max over zero shards is NULL — a corpus that empties the funnel must
+    // print "0 shards", not NPE
+    val maxTok = if (shardStats.isNullAt(1)) 0L else shardStats.getLong(1)
     println(f"shards:          ${shardStats.getLong(0)}%6d shards " +
-      f"(max ${shardStats.getLong(1)} tokens vs 4000 budget + largest chunk)")
+      f"(max $maxTok tokens vs 4000 budget + largest chunk)")
 
     // 7. per-language exemplars (q70): longest surviving doc per lang via
     //    the bounded top-k aggregator (no per-group sort)
@@ -109,7 +116,8 @@ object PipelineDemo {
     val centroids = graft.operators.Similarity.groupCentroids(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "label", "embedding")
     val cStats = centroids.select(col("label"), size(col("centroid")).as("d")).collect()
-    println(f"centroids:       ${cStats.length}%6d labels × dim ${cStats.head.getInt(1)}")
+    val dim = cStats.headOption.map(_.getInt(1)).getOrElse(0)
+    println(f"centroids:       ${cStats.length}%6d labels × dim $dim")
 
     scope.release()
     spark.stop()
