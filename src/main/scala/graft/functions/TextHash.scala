@@ -27,6 +27,16 @@ object TextHash {
 
   /** Token split must match TextFunctions.tokens / the DuckDB oracle:
     * lowercase, split on runs of non-[a-z0-9], drop empties.
+    *
+    * Lowercasing parity note: this uses Locale.ROOT. Spark's `lower()`
+    * takes a locale-independent fast path for all-ASCII strings but its
+    * non-ASCII slow path lowercases with the JVM DEFAULT locale — so on a
+    * tr/az-default-locale JVM a document containing both 'I' and any
+    * non-ASCII character can tokenize differently here ('I'→'i', kept)
+    * than in the column twin ('I'→dotless 'ı', dropped by [a-z0-9]).
+    * Parity holds for ASCII corpora on any locale and for all corpora on
+    * non-Turkic locales; pin the executor locale (-Duser.language=en) when
+    * feeding mixed-script text through both paths.
     */
   private val TokenPattern: Pattern = Pattern.compile("[^a-z0-9]+")
 
@@ -164,10 +174,8 @@ object TextHash {
     * [[shingles]].
     */
   def winnow(toks: Array[String], md: MessageDigest, k: Int = 3, w: Int = 4): Array[Long] = {
-    val grams: Array[Long] =
-      if (toks.length >= k)
-        Array.tabulate(toks.length - k + 1)(j => md5Hash60(md, toks.slice(j, j + k).mkString(" ")))
-      else Array(md5Hash60(md, toks.mkString(" ")))
+    // gram construction IS shingles(toks, k) — one definition, not a copy
+    val grams: Array[Long] = shingles(toks, k).map(md5Hash60(md, _))
     val nw = math.max(grams.length - w + 1, 1)
     val picks = Array.tabulate(nw) { j =>
       var m = Long.MaxValue

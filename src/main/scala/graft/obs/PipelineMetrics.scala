@@ -31,31 +31,54 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
 
   private val states = TrieMap.empty[UUID, PipelineState]
 
+  /** Terminal (FINISHED/ERROR) entries kept before the oldest are evicted —
+    * a session launching short-lived queries in a loop (per-table backfills)
+    * would otherwise grow the map and the state payload without bound.
+    */
+  private val maxTerminal = 100
+
   override def onQueryStarted(e: QueryStartedEvent): Unit =
-    states.put(e.id, PipelineState(
-      Option(e.name).getOrElse(e.id.toString), "NORMAL", -1L, -1L, 0L, 0L, None))
+    states.updateWith(e.id) {
+      // a RESTART reuses the query id: keep the cumulative counters and the
+      // prior error evidence instead of silently wiping them back to zero
+      case Some(s) => Some(s.copy(state = "NORMAL"))
+      case None => Some(PipelineState(
+        Option(e.name).getOrElse(e.id.toString), "NORMAL", -1L, -1L, 0L, 0L, None))
+    }
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
-    val now = System.currentTimeMillis()
+    // the batch's own trigger timestamp, not listener-delivery time: the
+    // async listener bus can lag seconds behind under driver load, which
+    // would inflate both `latest` and the watermark delay
+    val batchMs =
+      try java.time.Instant.parse(p.timestamp).toEpochMilli
+      catch { case _: Exception => System.currentTimeMillis() }
     val delay = Option(p.eventTime.get("watermark"))
       .filter(_ != "1970-01-01T00:00:00.000Z") // no event-time data yet
-      .map(w => now - java.time.Instant.parse(w).toEpochMilli)
+      .map(w => batchMs - java.time.Instant.parse(w).toEpochMilli)
       .getOrElse(-1L)
     states.updateWith(p.id) {
       case Some(s) => Some(s.copy(
-        latestMs = now, delayMs = delay,
+        latestMs = batchMs, delayMs = delay,
         batches = s.batches + 1, rows = s.rows + p.numInputRows))
       case None => Some(PipelineState(
-        Option(p.name).getOrElse(p.id.toString), "NORMAL", now, delay, 1L, p.numInputRows, None))
+        Option(p.name).getOrElse(p.id.toString), "NORMAL", batchMs, delay, 1L, p.numInputRows, None))
     }
   }
 
-  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     states.updateWith(e.id)(_.map(s => e.exception match {
       case Some(err) => s.copy(state = "ERROR", error = Some(err))
       case None => s.copy(state = "FINISHED")
     }))
+    // bound the terminal backlog, evicting oldest-completed first
+    val terminal = states.toSeq.filter(t => t._2.state != "NORMAL")
+    if (terminal.size > maxTerminal)
+      terminal.sortBy(_._2.latestMs)
+        .take(terminal.size - maxTerminal)
+        .foreach { case (id, _) => states.remove(id) }
+  }
 
   def pipelines: Seq[PipelineState] = states.values.toSeq.sortBy(_.name)
 
@@ -95,12 +118,26 @@ final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080,
       new java.net.InetSocketAddress(java.net.InetAddress.getByName(bindAddr),
         requestedPort), 0)
     server.createContext("/", { exchange =>
-      val pretty = Option(exchange.getRequestURI.getQuery).exists(_.contains("pretty"))
-      val body = metrics.stateJson(pretty).getBytes("UTF-8")
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
-      exchange.sendResponseHeaders(200, body.length.toLong)
-      val os = exchange.getResponseBody
-      try os.write(body) finally os.close()
+      try {
+        val path = exchange.getRequestURI.getPath
+        val isHead = exchange.getRequestMethod.equalsIgnoreCase("HEAD")
+        if (path != "/") {
+          exchange.sendResponseHeaders(404, -1L)
+        } else {
+          val pretty = Option(exchange.getRequestURI.getQuery).exists(_.contains("pretty"))
+          val body = metrics.stateJson(pretty).getBytes("UTF-8")
+          exchange.getResponseHeaders.set("Content-Type", "application/json")
+          if (isHead) exchange.sendResponseHeaders(200, -1L)
+          else {
+            exchange.sendResponseHeaders(200, body.length.toLong)
+            val os = exchange.getResponseBody
+            try os.write(body) finally os.close()
+          }
+        }
+      } catch {
+        case _: Exception =>
+          try exchange.sendResponseHeaders(500, -1L) catch { case _: Exception => () }
+      } finally exchange.close()
     })
     server.start()
   }

@@ -38,6 +38,16 @@ object BloomPrune {
   def mightMatch(large: DataFrame, largeKey: Column,
                  small: DataFrame, smallKey: Column,
                  expectedItems: Long = 1000000L): DataFrame = {
+    // XxHash64 finalizes IntegerType and LongType (etc.) DIFFERENTLY: a
+    // type-mismatched key pair would build the bloom from one hash family
+    // and probe with another, silently dropping virtually every true match
+    // at the scan while the closing semi-join's implicit cast still
+    // "works" — near-empty results with no error. Fail loudly instead.
+    val (lt, rt) = (ColumnBridge.expression(largeKey).dataType,
+      ColumnBridge.expression(smallKey).dataType)
+    require(lt == rt,
+      s"bloom prune keys must share one data type (hash families differ): " +
+        s"large is $lt, small is $rt — cast one side first")
     val build = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(smallKey))), expectedItems)
       .toAggregateExpression()
@@ -52,12 +62,20 @@ object BloomPrune {
 
   /** Exact semi-join with bloom pre-pruning: prune `large` at the scan, then
     * close the false positives with a real `left_semi` on the reduced input.
+    *
+    * The small side's key projection is persisted under `scope` across its
+    * two consumers (the eager bloom-build job inside [[mightMatch]] — note
+    * that job runs at CONSTRUCTION time, not first action — and the closing
+    * semi-join); an expensive filtered build subquery would otherwise
+    * execute twice.
     */
   def semiJoin(large: DataFrame, largeKey: String,
                small: DataFrame, smallKey: String,
-               expectedItems: Long = 1000000L): DataFrame = {
-    val pruned = mightMatch(large, large(largeKey), small, small(smallKey), expectedItems)
-    pruned.join(small.select(small(smallKey)),
-      pruned(largeKey) === small(smallKey), "left_semi")
+               expectedItems: Long = 1000000L,
+               scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val keys = scope.own(small.select(small(smallKey))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pruned = mightMatch(large, large(largeKey), keys, keys(smallKey), expectedItems)
+    pruned.join(keys, pruned(largeKey) === keys(smallKey), "left_semi")
   }
 }
