@@ -543,7 +543,11 @@ object PipelineQueries {
       val d = docs(s, dir)
       val tmp = scratchDir("fmt")
       d.write.mode("overwrite").json(s"$tmp/json")
-      d.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      // nullValue sentinel keeps empty strings distinguishable from NULL on
+      // the way back; multiLine lets quoted embedded newlines round-trip —
+      // the quoted/escaped surface this query claims to exercise
+      d.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N").csv(s"$tmp/csv")
       def report(df: DataFrame, fmt: String): DataFrame =
         df.groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
@@ -554,7 +558,9 @@ object PipelineQueries {
           .withColumn("format", lit(fmt))
       report(s.read.schema(d.schema).json(s"$tmp/json"), "json")
         .unionByName(report(
-          s.read.schema(d.schema).option("header", "true").csv(s"$tmp/csv"), "csv"))
+          s.read.schema(d.schema).option("header", "true")
+            .option("nullValue", "\\N").option("multiLine", "true")
+            .csv(s"$tmp/csv"), "csv"))
     }),
 
     // ── Schema evolution: a corpus written in two generations — v1 lacks

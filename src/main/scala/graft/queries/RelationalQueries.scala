@@ -694,7 +694,7 @@ object RelationalQueries {
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+        |              < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts,
@@ -855,7 +855,7 @@ object RelationalQueries {
         |  count(*) OVER w AS n_trailing
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q78_fuzzy_match" ->
