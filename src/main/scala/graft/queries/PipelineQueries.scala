@@ -36,23 +36,46 @@ object PipelineQueries {
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L))
 
+  /** The 80%-prefix near-copies of every 5th doc (id+10⁶) — the planted
+    * delta batch shared by the batch union AND the incremental query.
+    */
+  private def nearDupBatch(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 4 / 5).cast("int")))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+
   /** documents ∪ 80%-prefix near-copies of every 5th doc (id+10⁶). */
   private def withNearDups(d: DataFrame): DataFrame =
-    d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 4 / 5).cast("int")))
-      .withColumn("doc_id", col("doc_id") + 1000000L))
+    d.unionByName(nearDupBatch(d))
 
   private val stops = TextFunctions.langMarkers.head._2 // the "en" list
+
+  /** Synthetic multimodal asset table over documents (q38/q41): a modality
+    * from doc_id mod 3 and the text bytes as the opaque payload.
+    */
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"))
 
   /** embeddings ∪ perturbed copies (×0.9 + 0.01 per component, exact double
     * math both engines reproduce) of every 5th vector (id+10⁶). Cast to
     * double FIRST so Spark and the oracle compute identical values.
     */
+  /** The perturbed delta batch (×0.9 + 0.01, every 5th vector, id+10⁶) —
+    * shared by the batch union and the incremental assignment query.
+    * Expects an ALREADY double-cast embedding column.
+    */
+  private def nearVecBatch(d: DataFrame): DataFrame =
+    d.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding"))
+
   private def withNearVecs(e: DataFrame): DataFrame = {
     val d = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    d.unionByName(d.filter(col("vec_id") % 5 === 0).select(
-      (col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding")))
+    d.unionByName(nearVecBatch(d))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,11 +114,8 @@ object PipelineQueries {
     "q58_dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val index = Dedup.minhashSignatures(d, "doc_id", "text")
-      val newBatch = d.filter(col("doc_id") % 5 === 0)
-        .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 4 / 5).cast("int")))
-        .withColumn("doc_id", col("doc_id") + 1000000L)
       Dedup.minhashPairsAgainstIndex(
-        Dedup.minhashSignatures(newBatch, "doc_id", "text"), index)
+        Dedup.minhashSignatures(nearDupBatch(d), "doc_id", "text"), index)
     }),
 
     // ── Near-dup clusters: pairwise MinHash output closed under
@@ -393,24 +413,16 @@ object PipelineQueries {
     // ── Multimodal plumbing: binary payload + partition-batched decode stub
     // + digest-derived feature vector.
     "q38_multimodal" -> ((s, dir) => {
-      val assets = docs(s, dir).select(
-        col("doc_id").as("asset_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        col("text").cast("binary").as("payload"))
-      val meta = Multimodal.decode(assets).toDF()
-      val feats = Multimodal.features(assets)
+      val a = assets(s, dir)
+      val meta = Multimodal.decode(a).toDF()
+      val feats = Multimodal.features(a)
       meta.join(feats, "asset_id")
     }),
 
     // ── Multimodal prep transforms: fit-within resize metadata + evenly
     // spaced frame sampling (the keyframe step before per-frame features).
     "q41_multimodal_prep" -> ((s, dir) => {
-      val assets = docs(s, dir).select(
-        col("doc_id").as("asset_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        col("text").cast("binary").as("payload"))
+      val assets = PipelineQueries.assets(s, dir)
       Multimodal.resizeMeta(
         Multimodal.frameSampleIndices(Multimodal.decode(assets)))
         .select(col("asset_id"), col("modality"), col("n_frames"),
@@ -467,10 +479,7 @@ object PipelineQueries {
         col("embedding").cast("array<double>").as("embedding"))
       val cent = graft.operators.Clustering.kmeansCentroids(
         base, "vec_id", "embedding", k = 8, iters = 1)
-      val batch = base.filter(col("vec_id") % 5 === 0).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(0.9) + lit(0.01)).as("embedding"))
-      graft.operators.Clustering.assign(batch, "vec_id", "embedding", cent)
+      graft.operators.Clustering.assign(nearVecBatch(base), "vec_id", "embedding", cent)
     }),
 
     // ── LM-dictionary quality signal: score every doc by its overlap with
