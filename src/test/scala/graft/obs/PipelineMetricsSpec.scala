@@ -63,4 +63,36 @@ class PipelineMetricsSpec extends SparkTestBase {
       assert(body.contains(""""pipelines""""))
     } finally server.stop()
   }
+
+  test("state endpoint answers HEAD cleanly and 404s unknown paths") {
+    val metrics = new graft.obs.PipelineMetrics("http-source2")
+    val server = new graft.obs.StateServer(metrics, requestedPort = 0)
+    server.start()
+    try {
+      val head = new java.net.URL(s"http://127.0.0.1:${server.port}/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      head.setRequestMethod("HEAD")
+      assert(head.getResponseCode === 200)
+      val notFound = new java.net.URL(s"http://127.0.0.1:${server.port}/nope")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(notFound.getResponseCode === 404)
+    } finally server.stop()
+  }
+
+  test("a restart with the same query id preserves cumulative counters") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val m = new graft.obs.PipelineMetrics("restart-source")
+    val id = java.util.UUID.randomUUID()
+    m.onQueryStarted(new QueryStartedEvent(id, java.util.UUID.randomUUID(),
+      "q", "2026-01-01T00:00:00.000Z"))
+    // no progress events needed: terminate with an error, then restart
+    m.onQueryTerminated(new QueryTerminatedEvent(id, java.util.UUID.randomUUID(),
+      Some("boom")))
+    assert(m.pipelines.head.state === "ERROR")
+    m.onQueryStarted(new QueryStartedEvent(id, java.util.UUID.randomUUID(),
+      "q", "2026-01-01T00:01:00.000Z"))
+    val s = m.pipelines.head
+    assert(s.state === "NORMAL")
+    assert(s.error === Some("boom"), "prior error evidence must survive a restart")
+  }
 }

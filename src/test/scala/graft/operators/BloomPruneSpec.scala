@@ -27,6 +27,15 @@ class BloomPruneSpec extends SparkTestBase {
     assert(got.toSeq == Seq((3L, 3L), (14L, 0L), (4999L, 1L)))
   }
 
+  test("type-mismatched keys are rejected instead of silently dropping matches") {
+    import spark.implicits._
+    val large = (1 to 10).map(i => (i.toLong, i)).toDF("k", "v")     // k: bigint
+    val small = (1 to 5).map(i => i).toDF("k")                        // k: int
+    val e = intercept[IllegalArgumentException](
+      BloomPrune.semiJoin(large, "k", small, "k"))
+    assert(e.getMessage.contains("data type"), e.getMessage)
+  }
+
   test("empty build side prunes everything") {
     val large = (0L until 100L).toDF("k")
     val small = Seq.empty[Long].toDF("j")
