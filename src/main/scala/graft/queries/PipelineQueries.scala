@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   * then validates that the operator finds exactly the planted pairs plus
   * whatever true near-dups exist.
   */
+/** Query scratch space (q89/q92/q93/q94): every write into it uses
+  * mode(overwrite), so reuse WITHIN a JVM is safe and one run never
+  * accumulates multiple corpus copies. The base dir carries a per-JVM token
+  * — two concurrent sessions on one machine would otherwise overwrite each
+  * other's scratch mid-read — and a shutdown hook removes it, so repeated
+  * Bench/Verify runs don't accumulate either. `GRAFT_SCRATCH_DIR` overrides
+  * the base; the `java.io.tmpdir` default is DRIVER-LOCAL and therefore
+  * correct only on local[*] (the same shared-filesystem contract
+  * [[graft.streaming.CdcPipeline.applyBatch]] documents for its staging
+  * dir) — a multi-node deployment must point this at shared storage.
+  */
+private[queries] object QueryScratch {
+  private lazy val base: java.io.File = {
+    val root = sys.env.get("GRAFT_SCRATCH_DIR").map(new java.io.File(_))
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir")))
+    val d = new java.io.File(root, s"graft_scratch_${java.util.UUID.randomUUID()}")
+    d.mkdirs()
+    sys.addShutdownHook(delete(d))
+    d
+  }
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(); ()
+  }
+  def dir(tag: String): String = {
+    val d = new java.io.File(base, tag)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+}
+
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -21,15 +52,7 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Fixed scratch dir per purpose: every write below uses mode(overwrite),
-    * so reuse is safe and repeated Bench/Verify rounds don't accumulate
-    * fresh temp copies of the corpus until the disk fills.
-    */
-  private def scratchDir(tag: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft_scratch_$tag")
-    d.mkdirs()
-    d.getAbsolutePath
-  }
+  private def scratchDir(tag: String): String = QueryScratch.dir(tag)
 
   /** documents ∪ exact copies of every 10th doc (id+10⁶). */
   private def withExactDups(d: DataFrame): DataFrame =

@@ -560,10 +560,7 @@ object RelationalQueries {
     // recurs at 100 TB: pay the partitioning once at write time, never
     // again per query (`BucketedJoinPlanSpec` pins the no-shuffle plan).
     "q93_bucketed_join" -> ((s, dir) => {
-      val tmp = { // fixed scratch (overwrite-mode writes): no temp accumulation
-        val d = new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch_buck")
-        d.mkdirs(); d.getAbsolutePath
-      }
+      val tmp = QueryScratch.dir("buck") // per-JVM scratch, swept on exit
       t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")

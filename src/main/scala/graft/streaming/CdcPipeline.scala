@@ -79,6 +79,19 @@ object CdcPipeline {
     }
   }
 
+  /** Sweep staging left by a driver crash mid-batch: `batch_<nanoTime>` dirs
+    * under the checkpoint-adjacent staging root are deleted in a `finally`
+    * on the happy path, but a crash between write and delete orphans them
+    * forever (no other GC pass covers this root). Called once per stream
+    * START — safe under the single-writer-per-checkpoint contract: no other
+    * query can be mid-batch against the same checkpoint's staging root.
+    */
+  private def sweepStaging(spark: SparkSession, checkpointDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_batch_staging")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) { fs.delete(root, true); () }
+  }
+
   /** The exact per-micro-batch body the Maxwell Kafka stream runs
     * (parse with the Kafka offset as seq, then apply) — factored out so
     * tests drive it directly with a Kafka-shaped batch (value/offset
@@ -120,6 +133,7 @@ object CdcPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
+    sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
@@ -160,10 +174,24 @@ object CdcPipeline {
     * into the next batch's `batchId * 2^40` range, and same-key events in
     * different partitions of a multi-file batch would order by partition
     * layout rather than file order. The dense row_number stays below 2^40
-    * for any real micro-batch. The global sort is a deliberate single-task
-    * stage: a file replay is one ordered log, exactly like the reference's
-    * one-partition carrier; the scale path is [[kafkaMaxwellStream]], whose
-    * order comes from Kafka offsets with no sort at all.
+    * for any real micro-batch.
+    *
+    * SCALE SHAPE — no global sort. Sequencing is two-phase, the
+    * [[graft.operators.Sharding]] segmented-scan pattern: (1) one tiny
+    * per-file count aggregate (rows collected to the driver are one per
+    * FILE, bounded like the mtime map it shares a pass with) yields each
+    * file's BASE offset = rows in all files before it in (mtime, name)
+    * order; (2) a `row_number` windowed PER FILE orders rows within their
+    * file. A replay batch therefore sequences with per-file parallelism —
+    * the earlier formulation was one partition-less Window, i.e. every
+    * micro-batch funneled through a single task. Within-file order across
+    * a file's splits rides `monotonically_increasing_id`: Spark packs a
+    * file's equal-size splits into partitions in offset order (stable
+    * size-descending sort over splits), so (partitionId, rowInPartition)
+    * is monotone in file offset — and the window consumes the ids in the
+    * SAME job that computes them, so no cache-recompute can reshuffle
+    * them. The scale path remains [[kafkaMaxwellStream]], whose order
+    * comes from Kafka offsets with no sequencing work at all.
     */
   def fileMaxwellStream(
       spark: SparkSession,
@@ -172,37 +200,80 @@ object CdcPipeline {
       stores: Map[String, TableStore],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.text(inputDir)
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val fs = new org.apache.hadoop.fs.Path(inputDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val mtimes = batch.select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).filter(_.nonEmpty)
-          .map { f =>
-            // key by the RAW basename of the input_file_name string — the
-            // SAME derivation as the lookup's split(, "/") below; Path
-            // .getName would URI-DECODE (a%20b.json -> "a b.json") and the
-            // lookup would miss, mis-ordering that file to Long.MaxValue.
-            // The replay dir is FLAT (readStream.text is non-recursive), so
-            // basenames are unique within a batch.
-            val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-            f.substring(f.lastIndexOf('/') + 1) ->
-              fs.getFileStatus(p).getModificationTime
-          }.toMap
-        val fname = element_at(split(input_file_name(), "/"), -1)
-        val arrival = Window.orderBy(
-          coalesce(element_at(typedLit(mtimes), fname), lit(Long.MaxValue)),
-          fname, monotonically_increasing_id())
-        val ordered = batch.withColumn("_seq",
-          lit(batchId) * lit(1L << 40) + row_number().over(arrival))
+        val ordered = sequenceReplayBatch(batch, batchId)
         applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
           stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
       }
       .start()
+  }
+
+  /** Stamp a replay micro-batch with its `_seq` ordinal (see
+    * [[fileMaxwellStream]]'s sequencing contract) — factored out so tests
+    * pin both the ordering semantics and the plan shape (a per-FILE window,
+    * never a partition-less one).
+    */
+  private[graft] def sequenceReplayBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val fname = element_at(split(input_file_name(), "/"), -1)
+    // ONE aggregate job over the batch: per-file row counts (for the
+    // base offsets) keyed by the RAW basename of the input_file_name
+    // string — the SAME derivation as the window's fname above; Path
+    // .getName would URI-DECODE (a%20b.json -> "a b.json") and the
+    // lookup would miss. The replay dir is FLAT (readStream.text is
+    // non-recursive), so basenames are unique within a batch. Driver
+    // state is one (name, mtime, count) triple per FILE, not per row.
+    val perFile = batch.groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._1.nonEmpty)
+      .map { case (f, n) =>
+        // mtime probe takes the FULL URI string (decodes %20 etc.); the
+        // window key stays the raw basename substring of that string
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (f.substring(f.lastIndexOf('/') + 1),
+          fs.getFileStatus(p).getModificationTime, n)
+      }
+    // GRANULARITY CONTRACT enforcement: two files in one batch sharing
+    // an mtime tick fall back to NAME order — correct only when the
+    // producer embeds a monotonic sequence in its file names. That is a
+    // silent wrong-final-state hazard (a stale value can win last-write-
+    // wins), so make the fallback LOUD.
+    val ties = perFile.groupBy(_._2).filter(_._2.size > 1)
+    if (ties.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "file replay batch {} has {} mtime tie group(s) (e.g. {}); " +
+          "ordering falls back to file NAME within a tie — the producer " +
+          "must embed a monotonic sequence in file names (see " +
+          "fileMaxwellStream's granularity contract)",
+        batchId.toString, ties.size.toString,
+        ties.head._2.map(_._1).sorted.mkString(", "))
+    // arrival order: (mtime, name); base offset = rows before the file
+    val bases = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var acc = 0L
+    perFile.sortBy { case (f, m, _) => (m, f) }.foreach { case (f, _, n) =>
+      bases += f -> acc; acc += n
+    }
+    // Materialize the file name, base offset and intra-split ordinal as
+    // COLUMNS below the window: `input_file_name()` only has a value inside
+    // the scan stage — referenced above the window (post-shuffle) it
+    // evaluates to "" and every base lookup would miss.
+    val withId = batch
+      .withColumn("_f", fname)
+      .withColumn("_base",
+        coalesce(element_at(typedLit(bases.toMap), col("_f")), lit(0L)))
+      .withColumn("_mono", monotonically_increasing_id())
+    val withinFile = Window.partitionBy(col("_f")).orderBy(col("_mono"))
+    withId.withColumn("_seq",
+      lit(batchId) * lit(1L << 40) + col("_base") +
+        row_number().over(withinFile))
+      .drop("_f", "_base", "_mono")
   }
 
   /** Debezium-over-Kafka sync: one topic per table
@@ -217,6 +288,7 @@ object CdcPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
+    sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", topicPattern)

@@ -55,12 +55,24 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
           // dead query. A failed launch burns a restart and retries.
           val restarted = restartLock.synchronized {
             var launched = false
+            var backoffMs = 200L
             while (!launched && !stopping.get() && _restarts < maxRestarts) {
               _restarts += 1
               try { current = startFn(); launched = true }
               catch {
                 case e: Exception =>
                   _lastError = Some(s"restart failed: ${e.getMessage}")
+                  // Exponential backoff before the next attempt: an
+                  // immediate retry against a still-down broker burns the
+                  // whole restart budget in milliseconds and lands in ERROR
+                  // on what was a transient outage. `wait` (not sleep)
+                  // releases the lock so stop() is never blocked by the
+                  // backoff — it notifies to end the wait early.
+                  if (_restarts < maxRestarts && !stopping.get()) {
+                    try restartLock.wait(backoffMs)
+                    catch { case _: InterruptedException => () }
+                    backoffMs = math.min(backoffMs * 2, 30000L)
+                  }
               }
             }
             launched
@@ -99,7 +111,10 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
   def stop(): Unit = {
     stopping.set(true)
     _state = "STOPPED"
-    restartLock.synchronized { try current.stop() catch { case _: Exception => () } }
+    restartLock.synchronized {
+      restartLock.notifyAll() // wake a supervisor sleeping in restart backoff
+      try current.stop() catch { case _: Exception => () }
+    }
     monitor.join(10000)
     // If a restart won the race before `stopping` was visible, `current` now
     // points at that fresh query — stop whatever the monitor left behind.

@@ -196,6 +196,27 @@ class DedupSpec extends SparkTestBase {
     assert(labels.forall(_._2 == 1L))
   }
 
+  test("connectedComponents converges on a 200-node chain in O(log diameter) rounds") {
+    // The templated-document pathology: a chain of 200 near-dup docs whose
+    // diameter (199) far exceeds the 50-round cap. Plain label propagation
+    // needs one round per hop and ABORTS at the cap after paying for all 50
+    // rounds; the pointer-jumping implementation must converge in ~log2(200)
+    // rounds — pin that by capping at 10.
+    val pairs = (1 until 200).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, maxIterations = 10)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents converges on a 2000-node chain (diameter 40x the old cap)") {
+    val pairs = (1 until 2000).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, maxIterations = 14)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 2000)
+    assert(labels.forall(_._2 == 1L))
+  }
+
   test("connectedComponents matches an in-memory union-find on random graphs") {
     // The pointer-jumping rewrite changed the iteration structure; guard it
     // against dense random graphs (cycles, multi-edges, overlapping

@@ -174,6 +174,72 @@ class CdcPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("two files sharing an mtime tick replay in produced (name-sequence) order") {
+    val in = tmpDir("cdc-in5")
+    val ckpt = tmpDir("cdc-ckpt5")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-store5"), spec, 4)
+
+    // The producer contract: same-mtime files carry a monotonic sequence in
+    // their NAMES. Pin both files to the SAME mtime (a coarse-resolution
+    // filesystem tick) and require the name sequence to decide — the stale
+    // value must not resurrect.
+    val tick = (System.currentTimeMillis() / 1000) * 1000 - 30000
+    def write(name: String, lines: String*): Unit = {
+      val p = Paths.get(in, name)
+      Files.write(p, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+      Files.setLastModifiedTime(p, FileTime.fromMillis(tick))
+    }
+    write("seq-000001.json",
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"stale"}}""")
+    write("seq-000002.json",
+      """{"database":"demo","table":"test","type":"update","ts":2,"data":{"id":1,"name":"fresh"},"old":{"name":"stale"}}""")
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(1 -> "fresh"))
+    } finally q.stop()
+  }
+
+  test("replay sequencing is per-file distributed: no partition-less Window in the plan") {
+    val in = tmpDir("cdc-in6")
+    val now = System.currentTimeMillis()
+    def write(name: String, mtime: Long, lines: String*): Unit = {
+      val p = Paths.get(in, name)
+      Files.write(p, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+    }
+    // three files; z is OLDEST by mtime so (mtime, name) order is z, a, b
+    write("z0.json", now - 20000, "z1", "z2", "z3")
+    write("a1.json", now - 10000, "a1", "a2")
+    write("b2.json", now, "b1")
+
+    val batch = spark.read.text(in)
+    val ordered = CdcPipeline.sequenceReplayBatch(batch, batchId = 7L)
+
+    // plan shape: every Window operator must be partitioned (the per-file
+    // window) — a partition-less Window is the single-task funnel this
+    // rewrite removed (checked on the optimized logical plan: AQE wraps the
+    // physical plan and hides WindowExec from a pre-execution collect)
+    val windows = ordered.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-file row_number window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a partition-less Window — global single-task sort is back")
+
+    // semantics: _seq follows (mtime, name, position-in-file) and is dense
+    // within the batch, offset by batchId * 2^40
+    val got = ordered.orderBy("_seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val base = 7L * (1L << 40)
+    assert(got.map(_._1).toSeq == Seq("z1", "z2", "z3", "a1", "a2", "b1"))
+    assert(got.map(_._2).toSeq == (1L to 6L).map(base + _).toSeq)
+  }
+
   test("Kafka-shaped maxwell batch applies with offset-as-seq (broker-free S1 body)") {
     import spark.implicits._
     val store = new ParquetTableStore(spark, tmpDir("kafka-m"), spec, 4)
