@@ -20,6 +20,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class PipelineMetrics(source: String = "graft") extends StreamingQueryListener {
   import StreamingQueryListener._
 
+  /** The source this listener reports as — the state server's route key. */
+  def sourceName: String = source
+
   final case class PipelineState(
       name: String,
       state: String, // NORMAL | ERROR | FINISHED
@@ -102,14 +105,30 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
   }
 }
 
-/** Minimal state HTTP endpoint over [[PipelineMetrics]] — the reference's
-  * Jetty server (StateServer.java:35-225) on the JDK's built-in HttpServer
-  * (zero extra dependencies). `GET /` (optionally `?pretty`) returns the
-  * state JSON. Pass port 0 for an ephemeral port; read it back from [[port]].
+/** Minimal state HTTP endpoint over one or more [[PipelineMetrics]] — the
+  * reference's Jetty server (StateServer.java:35-225) on the JDK's built-in
+  * HttpServer (zero extra dependencies). Routes, mirroring the reference's
+  * per-source handlers (StateServer.java:117-137):
+  *  - `GET /` (optionally `?pretty`): every source's state — one object for
+  *    a single source (the common deployment), a JSON array for several;
+  *  - `GET /<source_name>`: that source's state alone;
+  *  - unknown source: 404 with `{"message": "the datasource is not found"}`
+  *    (the reference's exact message).
+  * Pass port 0 for an ephemeral port; read it back from [[port]].
   */
-final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080,
-    bindAddr: String = "0.0.0.0") {
+final class StateServer(metricsList: Seq[PipelineMetrics],
+    requestedPort: Int, bindAddr: String) {
+
+  def this(metrics: PipelineMetrics, requestedPort: Int = 8080,
+      bindAddr: String = "0.0.0.0") = this(Seq(metrics), requestedPort, bindAddr)
+
+  def this(metricsList: Seq[PipelineMetrics], requestedPort: Int) =
+    this(metricsList, requestedPort, "0.0.0.0")
+
   private var server: com.sun.net.httpserver.HttpServer = _
+
+  private def bySource: Map[String, PipelineMetrics] =
+    metricsList.map(m => m.sourceName -> m).toMap
 
   def start(): Unit = {
     server = com.sun.net.httpserver.HttpServer.create(
@@ -121,18 +140,28 @@ final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080,
       try {
         val path = exchange.getRequestURI.getPath
         val isHead = exchange.getRequestMethod.equalsIgnoreCase("HEAD")
-        if (path != "/") {
-          exchange.sendResponseHeaders(404, -1L)
-        } else {
-          val pretty = Option(exchange.getRequestURI.getQuery).exists(_.contains("pretty"))
-          val body = metrics.stateJson(pretty).getBytes("UTF-8")
+        val pretty = Option(exchange.getRequestURI.getQuery).exists(_.contains("pretty"))
+        def respond(status: Int, json: String): Unit = {
+          val body = json.getBytes("UTF-8")
           exchange.getResponseHeaders.set("Content-Type", "application/json")
-          if (isHead) exchange.sendResponseHeaders(200, -1L)
+          if (isHead) exchange.sendResponseHeaders(status, -1L)
           else {
-            exchange.sendResponseHeaders(200, body.length.toLong)
+            exchange.sendResponseHeaders(status, body.length.toLong)
             val os = exchange.getResponseBody
             try os.write(body) finally os.close()
           }
+        }
+        if (path == "/") {
+          val json = metricsList match {
+            case Seq(only) => only.stateJson(pretty)
+            case ms => ms.map(_.stateJson(pretty)).mkString("[", ",\n", "]")
+          }
+          respond(200, json)
+        } else bySource.get(path.stripPrefix("/")) match {
+          case Some(m) => respond(200, m.stateJson(pretty))
+          case None =>
+            // reference parity: StateServer.java:121-127
+            respond(404, """{"message": "the datasource is not found"}""")
         }
       } catch {
         case _: Exception =>
@@ -145,4 +174,59 @@ final class StateServer(metrics: PipelineMetrics, requestedPort: Int = 8080,
   def port: Int = server.getAddress.getPort
 
   def stop(): Unit = if (server != null) server.stop(0)
+}
+
+/** Periodic metrics reporter — the Spark-native form of the reference's
+  * Dropwizard console reporter (Bireme.java:249-265, `metrics.reporter =
+  * console` + `metrics.reporter.console.interval` in its config): every
+  * `intervalSec` seconds each source's pipeline counters print as one
+  * compact block. `out` is injectable so tests capture the output; the
+  * thread is a daemon like the reference's reporter, and [[report]] is
+  * callable one-shot (the JMX analogue is Spark's own metrics sink config,
+  * not re-implemented here).
+  */
+final class ConsoleReporter(metricsList: Seq[PipelineMetrics],
+    intervalSec: Int = 10, out: java.io.PrintStream = System.out) {
+
+  def this(metrics: PipelineMetrics, intervalSec: Int) =
+    this(Seq(metrics), intervalSec)
+
+  require(intervalSec > 0, s"report interval must be positive, got $intervalSec")
+
+  @volatile private var running = false
+  private val thread = new Thread(() => {
+    while (running) {
+      try Thread.sleep(intervalSec * 1000L)
+      catch { case _: InterruptedException => () }
+      if (running) report()
+    }
+  }, "graft-console-reporter")
+
+  /** One report block per source, Dropwizard-console-like. */
+  def report(): Unit = {
+    val now = java.time.Instant.ofEpochMilli(System.currentTimeMillis())
+    metricsList.foreach { m =>
+      val ps = m.pipelines
+      out.println(s"-- pipeline state: source=${m.sourceName} " +
+        s"pipelines=${ps.size} @ $now --")
+      ps.foreach { p =>
+        out.println(f"   ${p.name}%s state=${p.state}%s batches=${p.batches}%d " +
+          f"rows=${p.rows}%d latest=${p.latestMs}%d delay=${p.delayMs}%dms" +
+          p.error.map(e => s" error=$e").getOrElse(""))
+      }
+    }
+  }
+
+  def start(): this.type = {
+    running = true
+    thread.setDaemon(true)
+    thread.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    thread.interrupt()
+    thread.join(2000)
+  }
 }

@@ -4,7 +4,6 @@ import java.security.MessageDigest
 
 import graft.functions.TextHash
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora, designed for the
@@ -109,10 +108,16 @@ object Dedup {
     val ib = index.select(col("id").as("id_b"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val touched = nb.select("band", "bkey").distinct()
-    val cappedIx = ib
-      .join(touched, Seq("band", "bkey"), "left_semi")
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+    val touchedIx = ib.join(touched, Seq("band", "bkey"), "left_semi")
+    // bucketCap via pre-aggregate + join over the TOUCHED postings only
+    // (whole buckets survive the semi-join, so counts — and the cap —
+    // are identical to a full-index count; see ngramJaccardPairs for why
+    // an aggregate beats a window here)
+    val smallIxBuckets = touchedIx.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= bucketCap)
+      .select("band", "bkey")
+    val cappedIx = touchedIx.join(smallIxBuckets, Seq("band", "bkey"))
       .select("band", "bkey", "id_b")
     val pairs = nb.join(cappedIx, Seq("band", "bkey"))
       .filter(col("id_a") =!= col("id_b"))
@@ -163,9 +168,14 @@ object Dedup {
     val sigs = minhashSigs(df, idCol, textCol, k, bands, scope)
 
     val banded = sigs.select(col("id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
-    val capped = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+    // bucketCap via pre-aggregate + join (see ngramJaccardPairs): one row
+    // per distinct bucket crosses the count shuffle, and the flood bucket's
+    // rows are dropped by a hash-join probe instead of all sorting into a
+    // single window partition first
+    val smallBuckets = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= bucketCap)
+      .select("band", "bkey")
+    val capped = banded.join(smallBuckets, Seq("band", "bkey"))
       .select("band", "bkey", "id")
 
     val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
@@ -224,10 +234,16 @@ object Dedup {
         .toDF("id", "hs")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val postings = docs.select(col("id"), explode(col("hs")).as("h"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    // df guard via PRE-AGGREGATE, not a window over the posting list: the
+    // aggregate map-side-combines to one row per DISTINCT shingle before
+    // any shuffle, and the join back probes a hash table — a window would
+    // carry (and sort) every posting row of the hottest shingle through
+    // one partition, exactly the boilerplate flood the cap exists to guard.
+    val ex = docs.select(col("id"), explode(col("hs")).as("h"))
+    val keepH = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-      .select("h", "id")
+      .select("h")
+    val postings = ex.join(keepH, Seq("h")).select("h", "id")
 
     val pairs = postings.select(col("h"), col("id").as("id_a"))
       .join(postings.select(col("h"), col("id").as("id_b")), Seq("h"))
@@ -493,11 +509,14 @@ object Dedup {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxFpDf > 0, s"maxFpDf=$maxFpDf must be positive")
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
-    // persisted: both join sides consume it — without the cache the
-    // explode + window df-count would execute once per side
-    val keep = scope.own(ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+    // df guard via pre-aggregate + join (see ngramJaccardPairs: the window
+    // formulation funnels the hottest fingerprint's postings through one
+    // sorted partition). Persisted: both join sides consume it — without
+    // the cache the explode + df filter would execute once per side.
+    val keepFp = ex.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxFpDf)
+      .select("fp")
+    val keep = scope.own(ex.join(keepFp, Seq("fp"))
       .select("fp", "id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     keep.select(col("fp"), col("id").as("id_a"))

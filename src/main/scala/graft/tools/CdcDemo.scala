@@ -59,6 +59,12 @@ object CdcDemo {
     spark.streams.addListener(metrics)
     val stateServer = new StateServer(metrics, requestedPort = 0)
     stateServer.start()
+    // metrics.reporter=console from config.properties (reference:
+    // Bireme.java:249-265) — periodic counter blocks on stdout
+    val reporter =
+      if (cfg.reporter == "console")
+        Some(new graft.obs.ConsoleReporter(Seq(metrics), cfg.reportIntervalSec).start())
+      else None
 
     Files.write(in.resolve("batch0.json"), java.util.Arrays.asList(
       """{"database":"demo","table":"accounts","type":"insert","ts":1,"data":{"id":1,"owner":"ada","balance":"10.00"}}""",
@@ -106,8 +112,11 @@ object CdcDemo {
       graft.operators.Quality.Unique(Seq("id")),
       graft.operators.Quality.NotNull("id"))).show(truncate = false)
 
-    println(s"== pipeline state (also served at http://localhost:${stateServer.port}/) ==")
+    println(s"== pipeline state (also served at http://localhost:${stateServer.port}/" +
+      s" and /${metrics.sourceName}) ==")
     println(metrics.stateJson(pretty = true))
+    println("== console reporter (one-shot) ==")
+    reporter.foreach { r => r.report(); r.stop() }
     stateServer.stop()
     spark.stop()
   }

@@ -79,6 +79,62 @@ class PipelineMetricsSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("per-source GET /<source> serves that source; unknown source gets the reference 404 body") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val a = new PipelineMetrics("source-a")
+    val b = new PipelineMetrics("source-b")
+    // give source-b one pipeline so the routed payloads differ observably
+    b.onQueryStarted(new QueryStartedEvent(java.util.UUID.randomUUID(),
+      java.util.UUID.randomUUID(), "b-pipe", "2026-01-01T00:00:00.000Z"))
+    val server = new StateServer(Seq(a, b), requestedPort = 0)
+    server.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = java.net.URI.create(s"http://127.0.0.1:${server.port}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      val (cb, bodyB) = get("/source-b")
+      assert(cb == 200)
+      assert(bodyB.contains(""""source_name": "source-b""""))
+      assert(bodyB.contains("b-pipe"))
+      assert(!bodyB.contains("source-a"))
+      val (ca, bodyA) = get("/source-a")
+      assert(ca == 200 && bodyA.contains(""""source_name": "source-a""""))
+      // aggregate route renders BOTH sources as a JSON array
+      val (cr, bodyRoot) = get("/")
+      assert(cr == 200)
+      assert(bodyRoot.contains("source-a") && bodyRoot.contains("source-b"))
+      assert(bodyRoot.trim.startsWith("[") && bodyRoot.trim.endsWith("]"))
+      // reference parity: StateServer.java:121-127 message
+      val (cn, bodyN) = get("/nope")
+      assert(cn == 404)
+      assert(bodyN.contains("the datasource is not found"))
+    } finally server.stop()
+  }
+
+  test("console reporter prints one block per source with the pipeline counters") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val m = new PipelineMetrics("report-source")
+    val id = java.util.UUID.randomUUID()
+    m.onQueryStarted(new QueryStartedEvent(id, java.util.UUID.randomUUID(),
+      "rpt-pipe", "2026-01-01T00:00:00.000Z"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val rep = new ConsoleReporter(Seq(m), intervalSec = 3600,
+      new java.io.PrintStream(buf, true, "UTF-8"))
+    rep.report() // one-shot: don't wait for the interval
+    val outStr = buf.toString("UTF-8")
+    assert(outStr.contains("source=report-source"))
+    assert(outStr.contains("rpt-pipe"))
+    assert(outStr.contains("state=NORMAL"))
+    assert(outStr.contains("batches=0") && outStr.contains("rows=0"))
+    // the periodic thread starts and stops cleanly without reaching a tick
+    rep.start()
+    rep.stop()
+  }
+
   test("a restart with the same query id preserves cumulative counters") {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val m = new graft.obs.PipelineMetrics("restart-source")
