@@ -119,6 +119,11 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
 final class StateServer(metricsList: Seq[PipelineMetrics],
     requestedPort: Int, bindAddr: String) {
 
+  // a duplicate name would silently shadow one source on its /<name> route
+  // while GET / still lists both — fail loudly at construction instead
+  require(metricsList.map(_.sourceName).distinct.size == metricsList.size,
+    s"duplicate source names: ${metricsList.map(_.sourceName).mkString(", ")}")
+
   def this(metrics: PipelineMetrics, requestedPort: Int = 8080,
       bindAddr: String = "0.0.0.0") = this(Seq(metrics), requestedPort, bindAddr)
 

@@ -16,7 +16,7 @@ final class CacheScope private (tracking: Boolean) {
   def this() = this(true)
   private val owned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private[operators] def own(df: DataFrame): DataFrame = {
+  private[graft] def own(df: DataFrame): DataFrame = {
     if (tracking) synchronized { owned += df }
     df
   }

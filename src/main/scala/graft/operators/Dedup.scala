@@ -108,7 +108,12 @@ object Dedup {
     val ib = index.select(col("id").as("id_b"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val touched = nb.select("band", "bkey").distinct()
-    val touchedIx = ib.join(touched, Seq("band", "bkey"), "left_semi")
+    // Persisted: the semi-joined index postings (bounded by the batch's
+    // touched buckets, a vanishing fraction of the 100 TB index) feed BOTH
+    // the bucket-count aggregate and the cap join — uncached, the full
+    // index explode + semi-join would run twice per daily batch.
+    val touchedIx = scope.own(ib.join(touched, Seq("band", "bkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bucketCap via pre-aggregate + join over the TOUCHED postings only
     // (whole buckets survive the semi-join, so counts — and the cap —
     // are identical to a full-index count; see ngramJaccardPairs for why
@@ -508,11 +513,14 @@ object Dedup {
   def winnowPairs(fps: DataFrame, maxFpDf: Int = 1000,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(maxFpDf > 0, s"maxFpDf=$maxFpDf must be positive")
-    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    // Persisted: the exploded index feeds BOTH the df aggregate and the
+    // probe join — uncached, the (typically storage-backed) index explode
+    // would run twice.
+    val ex = scope.own(fps.select(col("id"), explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // df guard via pre-aggregate + join (see ngramJaccardPairs: the window
     // formulation funnels the hottest fingerprint's postings through one
-    // sorted partition). Persisted: both join sides consume it — without
-    // the cache the explode + df filter would execute once per side.
+    // sorted partition). Persisted: both pair-join sides consume it.
     val keepFp = ex.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxFpDf)
       .select("fp")

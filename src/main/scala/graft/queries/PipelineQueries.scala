@@ -5,22 +5,18 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** LLM-training-data pipeline operators as driver-verifiable queries over
-  * `documents.parquet` / `embeddings.parquet` (driver mandate, SURVEY.md
-  * §7.1.8). The corpus has no natural duplicates, so dedup queries first
-  * union in deterministic synthetic copies (exact copies for md5 dedup,
-  * 80%-prefix copies for near-dedup) — the oracle, or the rows-only check,
-  * then validates that the operator finds exactly the planted pairs plus
-  * whatever true near-dups exist.
-  */
 /** Query scratch space (q89/q92/q93/q94): every write into it uses
   * mode(overwrite), so reuse WITHIN a JVM is safe and one run never
   * accumulates multiple corpus copies. The base dir carries a per-JVM token
   * — two concurrent sessions on one machine would otherwise overwrite each
   * other's scratch mid-read — and a shutdown hook removes it, so repeated
-  * Bench/Verify runs don't accumulate either. `GRAFT_SCRATCH_DIR` overrides
-  * the base; the `java.io.tmpdir` default is DRIVER-LOCAL and therefore
-  * correct only on local[*] (the same shared-filesystem contract
+  * Bench/Verify runs don't accumulate either. A CRASHED JVM (OOM, kill -9)
+  * never runs its hook, so base creation also sweeps sibling
+  * `graft_scratch_*` dirs older than 24 h: dead sessions' scratch is
+  * reclaimed, while any plausibly-live concurrent session (younger than a
+  * day) is left alone. `GRAFT_SCRATCH_DIR` overrides the base; the
+  * `java.io.tmpdir` default is DRIVER-LOCAL and therefore correct only on
+  * local[*] (the same shared-filesystem contract
   * [[graft.streaming.CdcPipeline.applyBatch]] documents for its staging
   * dir) — a multi-node deployment must point this at shared storage.
   */
@@ -28,6 +24,12 @@ private[queries] object QueryScratch {
   private lazy val base: java.io.File = {
     val root = sys.env.get("GRAFT_SCRATCH_DIR").map(new java.io.File(_))
       .getOrElse(new java.io.File(sys.props("java.io.tmpdir")))
+    // reclaim crash-orphaned scratch from dead sessions (see scaladoc)
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_scratch_") && f.lastModified() < cutoff)
+        delete(f)
+    })
     val d = new java.io.File(root, s"graft_scratch_${java.util.UUID.randomUUID()}")
     d.mkdirs()
     sys.addShutdownHook(delete(d))
@@ -44,6 +46,14 @@ private[queries] object QueryScratch {
   }
 }
 
+/** LLM-training-data pipeline operators as driver-verifiable queries over
+  * `documents.parquet` / `embeddings.parquet` (driver mandate, SURVEY.md
+  * §7.1.8). The corpus has no natural duplicates, so dedup queries first
+  * union in deterministic synthetic copies (exact copies for md5 dedup,
+  * 80%-prefix copies for near-dedup) — the oracle, or the rows-only check,
+  * then validates that the operator finds exactly the planted pairs plus
+  * whatever true near-dups exist.
+  */
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -206,9 +206,12 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ordered = sequenceReplayBatch(batch, batchId)
-        applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
-          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
+        val scope = new graft.operators.CacheScope
+        try {
+          val ordered = sequenceReplayBatch(batch, batchId, scope)
+          applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
+            stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
+        } finally scope.release()
       }
       .start()
   }
@@ -218,18 +221,31 @@ object CdcPipeline {
     * pin both the ordering semantics and the plan shape (a per-FILE window,
     * never a partition-less one).
     */
-  private[graft] def sequenceReplayBatch(batch: DataFrame, batchId: Long): DataFrame = {
+  private[graft] def sequenceReplayBatch(batch: DataFrame, batchId: Long,
+      scope: graft.operators.CacheScope =
+        graft.operators.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    val fname = element_at(split(input_file_name(), "/"), -1)
-    // ONE aggregate job over the batch: per-file row counts (for the
-    // base offsets) keyed by the RAW basename of the input_file_name
-    // string — the SAME derivation as the window's fname above; Path
-    // .getName would URI-DECODE (a%20b.json -> "a b.json") and the
-    // lookup would miss. The replay dir is FLAT (readStream.text is
-    // non-recursive), so basenames are unique within a batch. Driver
+    // Pin (row, file, intra-split ordinal) ONCE: the count job and the
+    // window job would otherwise scan the files at different times, and a
+    // file that GREW in between (an appending producer — already a
+    // contract violation for any Spark file source, which reads each file
+    // once) would make row_number overrun its counted base and collide
+    // with the next file's _seq range. `input_file_name()` and
+    // `monotonically_increasing_id()` are stamped BELOW the cache: both
+    // only carry a value inside the scan stage — over cached (or
+    // post-shuffle) rows input_file_name() evaluates to "".
+    val tagged = scope.own(batch
+      .withColumn("_file", input_file_name())
+      .withColumn("_mono", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ONE aggregate job over the pinned batch: per-file row counts (for
+    // the base offsets) keyed by the RAW input_file_name string — Path
+    // .getName would URI-DECODE (a%20b.json -> "a b.json") and the window
+    // key lookup below would miss. The replay dir is FLAT (readStream.text
+    // is non-recursive), so basenames are unique within a batch. Driver
     // state is one (name, mtime, count) triple per FILE, not per row.
-    val perFile = batch.groupBy(input_file_name().as("f")).count()
+    val perFile = tagged.groupBy(col("_file").as("f")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .filter(_._1.nonEmpty)
       .map { case (f, n) =>
@@ -260,20 +276,18 @@ object CdcPipeline {
     perFile.sortBy { case (f, m, _) => (m, f) }.foreach { case (f, _, n) =>
       bases += f -> acc; acc += n
     }
-    // Materialize the file name, base offset and intra-split ordinal as
-    // COLUMNS below the window: `input_file_name()` only has a value inside
-    // the scan stage — referenced above the window (post-shuffle) it
-    // evaluates to "" and every base lookup would miss.
-    val withId = batch
-      .withColumn("_f", fname)
+    val withId = tagged
+      .withColumn("_f", element_at(split(col("_file"), "/"), -1))
+      // A file the count job never saw (unreachable: both jobs read the
+      // pinned `tagged` rows) orders LAST, after every known file's range,
+      // mirroring the old Long.MaxValue mtime fallback.
       .withColumn("_base",
-        coalesce(element_at(typedLit(bases.toMap), col("_f")), lit(0L)))
-      .withColumn("_mono", monotonically_increasing_id())
+        coalesce(element_at(typedLit(bases.toMap), col("_f")), lit(1L << 39)))
     val withinFile = Window.partitionBy(col("_f")).orderBy(col("_mono"))
     withId.withColumn("_seq",
       lit(batchId) * lit(1L << 40) + col("_base") +
         row_number().over(withinFile))
-      .drop("_f", "_base", "_mono")
+      .drop("_file", "_f", "_base", "_mono")
   }
 
   /** Debezium-over-Kafka sync: one topic per table

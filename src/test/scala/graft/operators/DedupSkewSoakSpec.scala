@@ -55,9 +55,15 @@ class DedupSkewSoakSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // 20 tokens → 18 3-gram shingles: one replaced mid-doc token changes 3
+  // shingles, giving inter=15 / uni=21 ≈ 0.714 — safely INSIDE the 3/5
+  // acceptance region (a 14-token doc would land exactly ON the 9/15 = 3/5
+  // boundary, making every planted-pair assertion hostage to tokenizer or
+  // comparison-strictness changes)
   private def uniqueDoc(i: Int): String =
     s"article $i covers story$i event$i place$i person$i detail$i " +
-      s"aspect$i angle$i summary$i outcome$i followup$i remark$i"
+      s"aspect$i angle$i summary$i outcome$i followup$i remark$i " +
+      s"context$i source$i region$i season$i impact$i verdict$i"
 
   test("boilerplate shingle flood: df cap bounds per-task input; planted pair survives; drop volume logged") {
     val floodN = 2000
