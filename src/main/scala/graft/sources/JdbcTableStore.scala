@@ -76,7 +76,13 @@ final class JdbcTableStore(
     case DateType => "DATE"
     case TimestampType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case StringType => "VARCHAR(4000)"
+    // pg-family: TEXT is unbounded and DISTINCT-comparable — a bounded
+    // VARCHAR would make any longer CDC value a POISON BATCH (staging
+    // fails, the stream retries the same batch forever). Derby/ANSI test
+    // targets get Derby's max VARCHAR; CLOB/LONG VARCHAR are unbounded but
+    // not DISTINCT-comparable there, which the merge's insert dedup needs.
+    case StringType =>
+      if (JdbcTableStore.isPostgres(url)) "TEXT" else "VARCHAR(32672)"
     // pg-family stores bytes as BYTEA; BLOB elsewhere (Derby, ANSI)
     case BinaryType =>
       if (JdbcTableStore.isPostgres(url)) "BYTEA" else "BLOB"
@@ -111,29 +117,48 @@ final class JdbcTableStore(
     // probe every identifier fold: Derby stores unquoted names upper-cased,
     // pg/Greenplum lower-cased — a single-case probe misses the other
     // family's catalog entry, and the re-issued CREATE TABLE then fails
-    // every merge after the first
+    // every merge after the first. Scope the probe to the connection's
+    // CURRENT schema and to real tables: unscoped, a same-named table in
+    // any OTHER schema (another user's, a backup schema off search_path)
+    // is a false positive — CREATE is skipped and every merge then fails
+    // with "relation does not exist".
+    val schema = try Option(conn.getSchema).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
     val lr = java.util.Locale.ROOT
     Seq(name, name.toLowerCase(lr), name.toUpperCase(lr)).distinct.exists { n =>
-      val rs = conn.getMetaData.getTables(null, null, n, null)
+      val rs = conn.getMetaData.getTables(null, schema.orNull, n, Array("TABLE"))
       try rs.next() finally rs.close()
     }
   }
+
+  // ensureTable() succeeded once → the target exists for the lifetime of
+  // this store; re-probing the catalog (a connection + up to three
+  // getTables round-trips) every micro-batch for every table is pure
+  // overhead at bireme-scale table maps
+  @volatile private var ensured = false
 
   /** Create the target table if missing. The reference's normal deployment
     * probes pre-existing warehouse DDL instead (Table.java:30-88); this is
     * the test/bootstrap convenience.
     */
-  def ensureTable(): Unit = withConnection { conn =>
-    val allCols = spec.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    if (!tableExists(conn, table))
-      conn.createStatement().execute(s"CREATE TABLE $table ($allCols)")
+  def ensureTable(): Unit = if (!ensured) {
+    withConnection { conn =>
+      val allCols = spec.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      if (!tableExists(conn, table))
+        conn.createStatement().execute(s"CREATE TABLE $table ($allCols)")
+    }
+    ensured = true
   }
 
-  /** Create fresh per-merge staging tables, run `f` with their names, drop
-    * them. The token isolates concurrent merges from each other — fixed
-    * stage names would silently interleave two writers' rows.
+  /** Create fresh per-merge staging tables ON `conn` (auto-commit DDL, so
+    * the executor staging connections see them), run `f` with their names,
+    * drop them on the same connection. The token isolates concurrent merges
+    * from each other — fixed stage names would silently interleave two
+    * writers' rows. Sharing the caller's connection keeps a merge at ONE
+    * driver connection (create + transaction + drop) instead of three —
+    * at bireme-scale table maps the per-trigger handshake count matters.
     */
-  private def withStages[A](f: (String, String) => A): A = {
+  private def withStages[A](conn: Connection)(f: (String, String) => A): A = {
     val token = java.lang.Long.toHexString(System.nanoTime())
     val sk = s"${table}_SK_$token"
     val sr = s"${table}_SR_$token"
@@ -142,17 +167,24 @@ final class JdbcTableStore(
     // creation sits INSIDE the try: if the second CREATE fails, the finally
     // still drops the first instead of leaking it
     try {
-      withConnection { conn =>
-        conn.createStatement().execute(s"CREATE TABLE $sk ($keyCols)")
-        conn.createStatement().execute(s"CREATE TABLE $sr ($allCols)")
-      }
+      conn.createStatement().execute(s"CREATE TABLE $sk ($keyCols)")
+      conn.createStatement().execute(s"CREATE TABLE $sr ($allCols)")
       f(sk, sr)
-    } finally withConnection { conn =>
+    } finally
       Seq(sk, sr).foreach { t =>
         try conn.createStatement().execute(s"DROP TABLE $t")
         catch { case _: java.sql.SQLException => () } // best-effort cleanup
       }
-    }
+  }
+
+  /** Run `body` as the merge's single transaction on `conn`, restoring
+    * auto-commit afterwards so [[withStages]]' cleanup DDL commits.
+    */
+  private def inTransaction(conn: Connection)(body: => Unit): Unit = {
+    conn.setAutoCommit(false)
+    try { body; conn.commit() }
+    catch { case e: Throwable => conn.rollback(); throw e }
+    finally conn.setAutoCommit(true)
   }
 
   /** Stage `df` into `stageTable` partition-parallel: each partition opens
@@ -177,16 +209,14 @@ final class JdbcTableStore(
 
   def init(df: DataFrame): Unit = {
     ensureTable()
-    withStages { (_, sr) =>
-      stage(df.select(spec.dataCols.map(col): _*), sr, spec.schema.fields.toSeq)
-      withConnection { conn =>
-        conn.setAutoCommit(false)
-        try {
+    withConnection { conn =>
+      withStages(conn) { (_, sr) =>
+        stage(df.select(spec.dataCols.map(col): _*), sr, spec.schema.fields.toSeq)
+        inTransaction(conn) {
           conn.createStatement().execute(s"DELETE FROM $table")
           conn.createStatement().execute(
             s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $sr")
-          conn.commit()
-        } catch { case e: Throwable => conn.rollback(); throw e }
+        }
       }
     }
   }
@@ -196,6 +226,17 @@ final class JdbcTableStore(
     * across executors (`partitionColumn` bounds); otherwise — or for an
     * empty/single-key table — the read is a single connection, which is the
     * correct shape only at verification scale.
+    *
+    * CONSISTENCY CAVEAT (unlike [[ParquetTableStore]]'s manifest-atomic
+    * snapshots): each range partition is an independent connection and
+    * transaction, so a merge COMMITTING between two partitions' reads
+    * yields a torn snapshot — pre-batch rows in one range, post-batch in
+    * another (a PK-change update could appear under both keys). Read
+    * consistently by quiescing the writer across the read (the
+    * single-writer deployment already serializes merges), or accept the
+    * single-connection shape: a non-integral PK, or an explicit wrapping
+    * query, reads in ONE statement and is statement-consistent even at
+    * READ COMMITTED.
     */
   def snapshot(): DataFrame = {
     val reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
@@ -228,16 +269,15 @@ final class JdbcTableStore(
     // dropDuplicates here would only add a shuffle.
     val keyDf = batch.deletes.select(pk.map(col): _*)
       .unionByName(batch.upserts.select(pk.map(col): _*))
-    withStages { (sk, sr) =>
-      // 1. stage changed keys + upsert tuples, executor-parallel
-      //    (reference: temp-table COPY, ChangeLoader.java:454-468)
-      stage(keyDf, sk, pkFields)
-      stage(batch.upserts.select(spec.dataCols.map(col): _*), sr,
-        spec.schema.fields.toSeq)
+    withConnection { conn =>
+      withStages(conn) { (sk, sr) =>
+        // 1. stage changed keys + upsert tuples, executor-parallel
+        //    (reference: temp-table COPY, ChangeLoader.java:454-468)
+        stage(keyDf, sk, pkFields)
+        stage(batch.upserts.select(spec.dataCols.map(col): _*), sr,
+          spec.schema.fields.toSeq)
 
-      withConnection { conn =>
-        conn.setAutoCommit(false)
-        try {
+        inTransaction(conn) {
           // 2. semi-join delete (reference: DELETE WHERE EXISTS, 346-369);
           //    covers both tombstones and the delete-before-insert of upserts
           val cond = pk.map(c => s"$table.$c = $sk.$c").mkString(" AND ")
@@ -248,10 +288,9 @@ final class JdbcTableStore(
           //    DISTINCT = the reference's HashSet tuple dedup (M8)
           conn.createStatement().execute(
             s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $sr")
-
-          // 4. one commit for the whole task (reference: 211-242)
-          conn.commit()
-        } catch { case e: Throwable => conn.rollback(); throw e }
+          // 4. one commit for the whole task (reference: 211-242) — by
+          //    inTransaction on this same connection
+        }
       }
     }
   }
@@ -385,14 +424,15 @@ object JdbcTableStore {
   private[sources] final class LinesReader(lines: Iterator[String]) extends java.io.Reader {
     private var current: String = ""
     private var pos = 0
-    private var first = true
     override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
       if (pos >= current.length) {
         if (!lines.hasNext) return -1
-        current = (if (first) "" else "\n") + lines.next()
-        first = false
+        // newline AFTER every record (COPY text accepts a trailing one):
+        // the prefix-newline formulation dropped an EMPTY record at stream
+        // edges — a single-column NULL row as the partition's only/last
+        // line rendered "" and vanished (only/last-record silent data loss)
+        current = lines.next() + "\n"
         pos = 0
-        if (current.isEmpty) return read(cbuf, off, len) // empty first line
       }
       val n = math.min(len, current.length - pos)
       current.getChars(pos, pos + n, cbuf, off)

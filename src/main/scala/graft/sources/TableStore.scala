@@ -97,22 +97,36 @@ final class ParquetTableStore(
 
   // ── manifest: bucket -> immutable dir name under data/ ──────────────────
 
-  private def readManifest(): Map[Int, String] =
-    if (!exists) Map.empty
+  /** Manifest lines: an optional `#buckets=<n>` header (atomic with the
+    * layout it describes — a side file could desynchronize from the
+    * manifest on crash) followed by `bucket<TAB>dirName` entries. Returns
+    * (entries, header bucket count); pre-header manifests parse with
+    * `None` and adopt the header at their next commit.
+    */
+  private def readManifestFull(): (Map[Int, String], Option[Int]) =
+    if (!exists) (Map.empty, None)
     else {
       val in = fs.open(manifestPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line => val Array(b, d) = line.split('\t'); b.toInt -> d }
-        .toMap
-      finally in.close()
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toSeq
+        val buckets = lines.find(_.startsWith("#buckets="))
+          .map(_.stripPrefix("#buckets=").toInt)
+        val entries = lines.filterNot(_.startsWith("#"))
+          .map { line => val Array(b, d) = line.split('\t'); b.toInt -> d }
+          .toMap
+        (entries, buckets)
+      } finally in.close()
     }
+
+  private def readManifest(): Map[Int, String] = readManifestFull()._1
 
   /** Publish a new manifest with one atomic rename — the commit point. */
   private def commitManifest(manifest: Map[Int, String]): Unit = {
     val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write(manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" }
+    try out.write((s"#buckets=$numBuckets" +:
+      manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     FileContext.getFileContext(tmp.toUri, hadoopConf)
@@ -130,7 +144,12 @@ final class ParquetTableStore(
     // dir present when gc runs is dead (this merge hasn't created its own).
     if (fs.exists(tablePath)) {
       fs.listStatus(tablePath).foreach { st =>
-        if (st.getPath.getName.startsWith(".staging_")) fs.delete(st.getPath, true)
+        val n = st.getPath.getName
+        // .staging_*: a merge killed between its parquet write and cleanup;
+        // _current.tmp.*: a commit killed between manifest write and rename
+        // — neither is ever referenced again, and nothing else sweeps them
+        if (n.startsWith(".staging_") || n.startsWith("_current.tmp."))
+          fs.delete(st.getPath, true)
       }
     }
     if (fs.exists(dataPath)) {
@@ -197,7 +216,19 @@ final class ParquetTableStore(
   def gc(): Unit = gcUnreferenced(readManifest())
 
   def merge(batch: CompactedBatch): Unit = {
-    val manifest = readManifest()
+    val (manifest, manifestBuckets) = readManifestFull()
+    // A store reopened with a DIFFERENT bucket count maps keys to different
+    // bucket ids than the layout on disk: the anti-join would miss the key's
+    // true bucket and the merge would silently DUPLICATE updated rows (and
+    // strand deleted ones). Fail loudly instead. Pre-header manifests (no
+    // recorded count) can't be validated and adopt this count on commit.
+    manifestBuckets.foreach { b =>
+      require(b == numBuckets,
+        s"table ${spec.name} was written with $b buckets but this store " +
+          s"was constructed with $numBuckets — reopening with a different " +
+          "bucket count would corrupt the merge; use the original count " +
+          "(or rewrite the table via init)")
+    }
     gcUnreferenced(manifest)
 
     val pk = spec.pkCols

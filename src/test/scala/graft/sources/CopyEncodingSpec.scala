@@ -64,10 +64,15 @@ class CopyEncodingSpec extends AnyFunSuite {
       while (n >= 0) { sb.appendAll(buf, 0, n); n = r.read(buf, 0, bufSize) }
       sb.toString
     }
-    assert(readAll(Seq("one", "two", "three"), 4096) == "one\ntwo\nthree")
-    assert(readAll(Seq("one", "two", "three"), 2) == "one\ntwo\nthree",
+    assert(readAll(Seq("one", "two", "three"), 4096) == "one\ntwo\nthree\n")
+    assert(readAll(Seq("one", "two", "three"), 2) == "one\ntwo\nthree\n",
       "tiny read buffers must not drop or duplicate characters")
     assert(readAll(Seq.empty, 8) == "")
-    assert(readAll(Seq("", "x"), 8) == "\nx", "empty lines survive")
+    assert(readAll(Seq("", "x"), 8) == "\nx\n", "empty lines survive")
+    // stream-edge empty records: a single-column NULL row encodes to "" —
+    // the old prefix-newline formulation silently DROPPED it when it was
+    // the only or the last record of a partition
+    assert(readAll(Seq(""), 8) == "\n", "an only-empty record must emit")
+    assert(readAll(Seq("x", ""), 8) == "x\n\n", "a last-empty record must emit")
   }
 }

@@ -58,9 +58,10 @@ class JdbcTableStoreSpec extends SparkTestBase {
   test("a failing merge rolls back atomically — deletes are not left applied") {
     val s = newStore()
     s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
-    // the oversized tuple fails the insert stage AFTER the deletes ran;
-    // the single transaction must roll both back (reference: 128-138)
-    val tooLong = "x" * 5000
+    // the oversized tuple (beyond Derby's VARCHAR(32672) stage bound)
+    // fails the insert stage AFTER the deletes ran; the single transaction
+    // must roll both back (reference: 128-138)
+    val tooLong = "x" * 40000
     val bad = CompactedBatch(Seq(1).toDF("id"), Seq((2, tooLong)).toDF("id", "v"))
     intercept[Exception](s.merge(bad))
     assert(state(s) == Map(1 -> "a", 2 -> "b"))
@@ -144,7 +145,7 @@ class JdbcTableStoreSpec extends SparkTestBase {
     s.init(Seq((1, "a")).toDF("id", "v"))
     s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b")).toDF("id", "v")))
     intercept[Exception](s.merge(
-      CompactedBatch(Seq(1).toDF("id"), Seq((2, "x" * 5000)).toDF("id", "v"))))
+      CompactedBatch(Seq(1).toDF("id"), Seq((2, "x" * 40000)).toDF("id", "v"))))
     val conn = java.sql.DriverManager.getConnection(url)
     val leftover = try {
       val rs = conn.getMetaData.getTables(null, null, "PUBLIC_T_S%", null)

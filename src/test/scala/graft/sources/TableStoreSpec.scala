@@ -35,6 +35,28 @@ class TableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(1 -> "a2", 3 -> "c", 4 -> "d"))
   }
 
+  test("reopening with a different bucket count fails loudly, not silently corrupting") {
+    val root = tmpDir("store-buckets")
+    val s8 = new ParquetTableStore(spark, root, spec, 8)
+    s8.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // a different bucket count maps keys to different bucket ids than the
+    // on-disk layout: the anti-join would miss the key's true bucket and
+    // duplicate updated rows — the manifest's #buckets header must reject it
+    val s16 = new ParquetTableStore(spark, root, spec, 16)
+    val e = intercept[IllegalArgumentException] {
+      s16.merge(CompactedBatch(
+        deletes = Seq.empty[Int].toDF("id"),
+        upserts = Seq((1, "a2")).toDF("id", "v")))
+    }
+    assert(e.getMessage.contains("bucket count"))
+    // the ORIGINAL count still merges fine and state is uncorrupted
+    val again = new ParquetTableStore(spark, root, spec, 8)
+    again.merge(CompactedBatch(
+      deletes = Seq.empty[Int].toDF("id"),
+      upserts = Seq((1, "a2")).toDF("id", "v")))
+    assert(state(again) == Map(1 -> "a2", 2 -> "b"))
+  }
+
   test("merge into empty/nonexistent table creates it") {
     val s = newStore()
     s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
