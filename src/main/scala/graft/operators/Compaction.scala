@@ -29,7 +29,16 @@ final case class CompactedBatch(deletes: DataFrame, upserts: DataFrame)
   *    key; op=delete → delete-set, else upsert-set".
   *  - M3/M5 PK-change updates are exploded first into (delete oldKey, upsert
   *    newKey) at the same seq — the two derived events target different keys
-  *    so sharing a seq is safe.
+  *    so sharing a seq is safe BETWEEN the pair. The derived delete competes
+  *    against the OLD key's other events by that seq, which is only a total
+  *    order if the producer put both keys' events on one comparable sequence
+  *    — true for the file replay (one global seq) and for Kafka topics
+  *    partitioned by TABLE, but NOT for Kafka partitioned by primary key,
+  *    where the A→B update's offset lives on B's partition and is
+  *    incomparable with A's own offsets (the reference inherits the same
+  *    limitation from its per-partition FIFO, RowCache.java:36 — an
+  *    operator deploying PK-change-heavy workloads must partition by table;
+  *    see [[graft.streaming.CdcPipeline.kafkaMaxwellStream]]).
   *  - M6 deletes-before-inserts ordering is the sink's job
   *    ([[graft.sources.TableStore]]); M7 (delete of absent key is a no-op)
   *    falls out of the anti-join there; M8 (insert dedup) falls out of

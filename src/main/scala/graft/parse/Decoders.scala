@@ -20,21 +20,35 @@ object Decoders {
   val BitPrecisionKey = "graft.bit.precision"
   val TimePrecisionKey = "graft.time.precision"
 
-  def bitField(name: String, precision: Int): StructField =
+  def bitField(name: String, precision: Int): StructField = {
+    require(precision > 0, s"bitField($name): precision must be positive, got $precision")
     StructField(name, StringType, nullable = true,
       new MetadataBuilder().putLong(BitPrecisionKey, precision.toLong).build())
+  }
 
-  def timeField(name: String, precision: Int): StructField =
+  // fail at FIELD construction, not inside a UDF rows later: the 9-digit
+  // nano fraction can only be truncated to 0..9 digits, and a bad precision
+  // would otherwise surface as a StringIndexOutOfBounds mid-batch, far from
+  // the misconfigured declaration
+  private def requireTimePrecision(name: String, precision: Int): Unit =
+    require(precision >= 0 && precision <= 9,
+      s"$name: time precision must be in [0, 9], got $precision")
+
+  def timeField(name: String, precision: Int): StructField = {
+    requireTimePrecision(s"timeField($name)", precision)
     StructField(name, StringType, nullable = true,
       new MetadataBuilder().putLong(TimePrecisionKey, precision.toLong).build())
+  }
 
   /** TIMESTAMP(p) column: fraction truncated to the declared scale on the
     * Debezium path (reference: DebeziumPipeLine.java:146-174). Without this
     * metadata a TimestampType field decodes at full microsecond scale.
     */
-  def timestampField(name: String, precision: Int): StructField =
+  def timestampField(name: String, precision: Int): StructField = {
+    requireTimePrecision(s"timestampField($name)", precision)
     StructField(name, TimestampType, nullable = true,
       new MetadataBuilder().putLong(TimePrecisionKey, precision.toLong).build())
+  }
 
   /** Strip NUL characters, which PostgreSQL text COPY cannot carry; the
     * reference drops them with a warning (reference: PipeLine.java:425-427).
@@ -74,12 +88,17 @@ object Decoders {
 
   /** Debezium DECIMAL/NUMERIC: Base64-encoded big-endian unscaled bytes +
     * declared scale → decimal (reference: DebeziumPipeLine.java:200-205).
+    * The UDF returns the decimal's plain STRING form, not a BigDecimal: a
+    * BigDecimal return would be typed as the system default Decimal(38,18)
+    * at the UDF boundary, silently rounding scales beyond 18 (and nulling
+    * integer parts beyond 20 digits) before the cast to the declared type
+    * could see the value. String → cast is exact for every in-range value.
     */
   private val debeziumDecimalUdf = udf { (data: String, scale: Int) =>
     if (data == null) null
     else {
       val unscaled = new java.math.BigInteger(java.util.Base64.getDecoder.decode(data))
-      new java.math.BigDecimal(unscaled, scale)
+      new java.math.BigDecimal(unscaled, scale).toPlainString
     }
   }
   def debeziumDecimal(c: Column, dt: DecimalType): Column =
@@ -99,23 +118,38 @@ object Decoders {
   private val debeziumTimestampUdf = udf { (data: String, precision: Int) =>
     if (data == null) null else DecoderRuntime.epochNanosToString(data, precision, withDate = true)
   }
-  def debeziumTimestamp(c: Column, precision: Int): Column =
-    when(c.contains("Z"), c.cast(TimestampType))
-      // explicit Z suffix: the rendered wall-clock string IS UTC — a bare
-      // to_timestamp would re-parse it in the session time zone, shifting
-      // every decoded value by the session's UTC offset
-      .otherwise(concat(debeziumTimestampUdf(c, lit(precision)), lit("Z"))
+
+  /** A bare (optionally negative) integer — Debezium's epoch encoding. The
+    * OLD routing tested `contains("Z")`, so a zoned ISO string rendered
+    * with a numeric offset ("…+02:00" from a non-UTC server's timestamptz)
+    * fell into the epoch path and crashed the batch on `toLong`.
+    */
+  private def isEpochLiteral(c: Column): Column = c.rlike("^\\s*-?\\d+\\s*$")
+
+  def debeziumTimestamp(c: Column, precision: Int): Column = {
+    requireTimePrecision("debeziumTimestamp", precision)
+    when(isEpochLiteral(c),
+      // the rendered wall-clock string IS UTC, so pin it with an explicit
+      // Z — a bare to_timestamp would re-parse it in the session time
+      // zone, shifting every decoded value by the session's UTC offset
+      concat(debeziumTimestampUdf(c, lit(precision)), lit("Z"))
         .cast(TimestampType))
+      // ISO strings carry their zone (Z or numeric offset); cast honors it
+      .otherwise(c.cast(TimestampType))
+  }
 
   /** Debezium TIME: same epoch+nanos encoding, formatted HH:mm:ss.fraction
     * (kept as a string column — Catalyst has no time-of-day type).
     */
   private val debeziumTimeUdf = udf { (data: String, precision: Int) =>
     if (data == null) null
-    else if (data.contains("Z")) data
     else DecoderRuntime.epochNanosToString(data, precision, withDate = false)
   }
-  def debeziumTime(c: Column, precision: Int): Column = debeziumTimeUdf(c, lit(precision))
+  def debeziumTime(c: Column, precision: Int): Column = {
+    requireTimePrecision("debeziumTime", precision)
+    // non-numeric forms (already-rendered "HH:mm:ss…" strings) pass through
+    when(isEpochLiteral(c), debeziumTimeUdf(c, lit(precision))).otherwise(c)
+  }
 }
 
 /** Plain-JVM decode helpers shared by UDFs and unit tests. */

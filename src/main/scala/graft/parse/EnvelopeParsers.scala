@@ -20,9 +20,22 @@ import org.apache.spark.sql.types._
 object CdcEvents {
   val columns: Seq[String] = Seq("op", "sourceTable", "mappedTable", "ts", "seq", "data", "old")
 
-  /** Lowercase map keys so later lookups are case-insensitive. */
-  private[parse] def lowerKeys(m: Column): Column =
-    transform_keys(m, (k, _) => lower(k))
+  /** Lowercase map keys so later lookups are case-insensitive, FIRST match
+    * winning on a fold collision — the reference's resolution order
+    * (BiremeUtility.java:40-64 returns the first case-insensitive hit). A
+    * plain `transform_keys(lower)` would throw Spark's duplicate-map-key
+    * exception when a payload carries keys differing only in case (legal
+    * with quoted pg columns "ID" and "id"), killing the whole batch.
+    */
+  private[parse] def lowerKeys(m: Column): Column = {
+    val empty = map_from_arrays(
+      array().cast("array<string>"), array().cast("array<string>"))
+    aggregate(map_entries(m), empty, (acc, e) =>
+      when(map_contains_key(acc, lower(e.getField("key"))), acc)
+        .otherwise(map_concat(acc,
+          map_from_arrays(array(lower(e.getField("key"))),
+            array(e.getField("value"))))))
+  }
 
   /** Route source tables to targets and drop unmapped ones (operators F1+F2,
     * reference: MaxwellPipeLine.java:55-71, Config.java:242-272).
@@ -177,14 +190,26 @@ object Projection {
     * MaxwellPipeLine.java:156-169) and the struct is nulled when it equals
     * the new key (M5, reference: MaxwellPipeLine.java:110-112).
     */
+  /** Case-insensitive schema-field lookup: [[graft.model.TableSpec]]
+    * validates pkCols case-insensitively, so resolution here must match —
+    * a case-sensitive `fieldIndex` would accept the spec at construction
+    * and then throw on the first processed batch.
+    */
+  private def fieldSpec(schema: StructType, name: String): StructField = {
+    val lr = java.util.Locale.ROOT
+    schema.fields.find(_.name.toLowerCase(lr) == name.toLowerCase(lr))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not found in schema [${schema.fieldNames.mkString(", ")}]"))
+  }
+
   def typed(events: DataFrame, spec: TableSpec, flavor: Flavor = Maxwell): DataFrame = {
     val data = col("data")
     val old = col("old")
     val keyStruct = struct(spec.pkCols.map(k =>
-      decode(field(data, k), spec.schema(spec.schema.fieldIndex(k)), flavor).as(k)): _*)
+      decode(field(data, k), fieldSpec(spec.schema, k), flavor).as(k)): _*)
     val oldKeyStruct = struct(spec.pkCols.map(k =>
       decode(coalesce(field(old, k), field(data, k)),
-        spec.schema(spec.schema.fieldIndex(k)), flavor).as(k)): _*)
+        fieldSpec(spec.schema, k), flavor).as(k)): _*)
     val dataStruct = struct(spec.schema.fields.toSeq.map(f =>
       decode(field(data, f.name), f, flavor).as(f.name)): _*)
 

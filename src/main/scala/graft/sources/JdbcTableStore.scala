@@ -207,6 +207,33 @@ final class JdbcTableStore(
     }
   }
 
+  /** Drop orphan staging tables (`<TABLE>_SK_*` / `<TABLE>_SR_*`) left by a
+    * JVM that died mid-merge — the JDBC twin of [[ParquetTableStore]]'s
+    * `gc()`. Orphans are invisible to the merge protocol (every merge uses
+    * a fresh token) but hold warehouse storage forever. ONLY safe when no
+    * merge on this table is in flight anywhere: a concurrent merge's live
+    * stages match the same pattern and dropping them aborts it — call from
+    * the single writer before it starts streaming, not from a cron.
+    */
+  def gcStages(): Unit = withConnection { conn =>
+    val schema = try Option(conn.getSchema).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
+    val lr = java.util.Locale.ROOT
+    val orphans = Seq(s"${table}_SK_%", s"${table}_SR_%")
+      .flatMap(p => Seq(p, p.toLowerCase(lr)))
+      .distinct
+      .flatMap { pattern =>
+        val rs = conn.getMetaData.getTables(null, schema.orNull, pattern, Array("TABLE"))
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (rs.next()) names += rs.getString("TABLE_NAME") } finally rs.close()
+        names
+      }.distinct
+    orphans.foreach { t =>
+      try conn.createStatement().execute(s"DROP TABLE $t")
+      catch { case _: java.sql.SQLException => () } // best-effort
+    }
+  }
+
   def init(df: DataFrame): Unit = {
     ensureTable()
     withConnection { conn =>

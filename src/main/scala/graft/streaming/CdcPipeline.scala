@@ -121,8 +121,15 @@ object CdcPipeline {
     * (reference: Bireme.java:188-218). `seq = offset` gives per-key total
     * order provided the producer partitions by table/key — the same
     * assumption the reference's per-partition FIFO relies on
-    * (SURVEY.md §7.3). Requires the spark-sql-kafka connector on the
-    * classpath.
+    * (SURVEY.md §7.3). PK-CHANGE CAVEAT: with partition-by-primary-key
+    * producers, an A→B key change arrives on B's partition, so its derived
+    * delete of A carries an offset incomparable with A's own partition's
+    * offsets — last-write-wins for A can then resolve wrongly (the
+    * reference's per-partition FIFO has the identical hazard). Workloads
+    * with PK-changing updates must configure the producer to partition by
+    * TABLE (Maxwell `producer_partition_by=table`), which makes each
+    * table's offsets one comparable sequence. Requires the spark-sql-kafka
+    * connector on the classpath.
     */
   def kafkaMaxwellStream(
       spark: SparkSession,

@@ -42,6 +42,35 @@ class DecodersSpec extends SparkTestBase {
     assert(one(Decoders.debeziumDecimal(lit(neg), DecimalType(5, 2))).toString == "-1.50")
   }
 
+  test("debezium decimal survives scales beyond Decimal(38,18) exactly") {
+    // a BigDecimal-returning UDF would be typed (38,18) at the boundary and
+    // silently round the 30-digit scale before the declared-type cast
+    val unscaled = new java.math.BigInteger("123456789012345678901234567890")
+    val b64 = java.util.Base64.getEncoder.encodeToString(unscaled.toByteArray)
+    val got = one(Decoders.debeziumDecimal(lit(b64), DecimalType(38, 30)))
+    assert(got.toString == "0.123456789012345678901234567890")
+    // and a large integer part beyond 20 digits is not nulled
+    val bigInt = new java.math.BigInteger("123456789012345678901234567")
+    val b64i = java.util.Base64.getEncoder.encodeToString(bigInt.toByteArray)
+    val gotInt = one(Decoders.debeziumDecimal(lit(b64i), DecimalType(38, 0)))
+    assert(gotInt.toString == "123456789012345678901234567")
+  }
+
+  test("debezium timestamp: numeric-offset zoned form decodes, not crashes") {
+    // rendered by a non-UTC server's timestamptz: no 'Z', but an explicit
+    // offset — the old contains("Z") routing sent this into the epoch UDF
+    // where toLong threw and killed the batch
+    val got = one(Decoders.debeziumTimestamp(lit("2024-03-01 10:00:00+02:00"), 6))
+    assert(got.toString == "2024-03-01 08:00:00.0")
+  }
+
+  test("time precision outside [0, 9] fails at declaration, not mid-batch") {
+    intercept[IllegalArgumentException](Decoders.timestampField("ts", 12))
+    intercept[IllegalArgumentException](Decoders.timeField("t", -1))
+    intercept[IllegalArgumentException](Decoders.bitField("b", 0))
+    intercept[IllegalArgumentException](Decoders.debeziumTimestamp(lit("0"), 10))
+  }
+
   test("debezium date: epoch days") {
     assert(one(Decoders.debeziumDate(lit("0"))).toString == "1970-01-01")
     assert(one(Decoders.debeziumDate(lit("17436"))).toString == "2017-09-27")

@@ -81,6 +81,34 @@ class EnvelopeParsersSpec extends SparkTestBase {
     assert(data.getInt(0) == 3 && data.getString(1) == "v")
   }
 
+  test("payload keys differing only in case fold first-match, not crash") {
+    // legal with quoted pg columns "ID" and "id": a plain transform_keys
+    // lower() hits Spark's duplicate-map-key EXCEPTION policy and kills
+    // the batch; the reference resolves first-match (BiremeUtility.java:40-64)
+    val raw = Seq(
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"ID":7,"id":8,"name":"x"}}""")
+      .toDF("value")
+    val ev = MaxwellParser.events(raw, registry, lit(1L)).head()
+    val data = ev.getAs[Map[String, String]]("data")
+    assert(data("id") == "7", "first occurrence must win the fold")
+    assert(data("name") == "x")
+  }
+
+  test("pk declared in a different case than the schema field resolves (not crashes)") {
+    // TableSpec validates pkCols case-insensitively; typed() must resolve
+    // the same way — a case-sensitive fieldIndex accepted this spec at
+    // construction and then threw on the first batch
+    val spec = TableSpec("public.t3",
+      StructType(Seq(StructField("Id", IntegerType), StructField("v", StringType))),
+      Seq("id"))
+    val reg = TableRegistry(Map("demo.t3" -> "public.t3"), Map("public.t3" -> spec))
+    val raw = Seq(
+      """{"database":"demo","table":"t3","type":"insert","ts":1,"data":{"id":4,"v":"a"}}""")
+      .toDF("value")
+    val typed = Projection.typed(MaxwellParser.events(raw, reg, lit(1L)), spec).head()
+    assert(typed.getAs[org.apache.spark.sql.Row]("key").getInt(0) == 4)
+  }
+
   // FIXTURES.md §2 Debezium fixture
   test("debezium envelope: u/c/d op mapping and before/after selection") {
     val reg = TableRegistry(Map("public.test" -> "public.test"), Map("public.test" -> testSpec))

@@ -157,6 +157,30 @@ class JdbcTableStoreSpec extends SparkTestBase {
       s"stage tables must be per-merge and dropped in finally; found $leftover")
   }
 
+  test("gcStages drops orphan staging tables but never the target") {
+    val url = s"jdbc:derby:memory:gcstage${System.nanoTime()};create=true"
+    val s = new JdbcTableStore(spark, url, spec)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    // simulate a JVM that died mid-merge: stage tables exist, merge never
+    // completed (created out-of-band with the same naming scheme)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute("CREATE TABLE PUBLIC_T_SK_DEAD1 (id INTEGER)")
+      conn.createStatement().execute(
+        "CREATE TABLE PUBLIC_T_SR_DEAD1 (id INTEGER, v VARCHAR(100))")
+    } finally conn.close()
+    s.gcStages()
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val remaining = try {
+      val rs = c2.getMetaData.getTables(null, null, "PUBLIC_T%", null)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      try { while (rs.next()) names += rs.getString("TABLE_NAME") } finally rs.close()
+      names.toSeq
+    } finally c2.close()
+    assert(remaining == Seq("PUBLIC_T"), s"expected only the target, got $remaining")
+    assert(state(s) == Map(1 -> "a"), "target data must survive the sweep")
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
