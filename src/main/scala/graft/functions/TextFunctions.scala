@@ -68,20 +68,32 @@ object TextFunctions {
 
   /** Language ID: argmax of marker-word hit counts; ties resolve to the
     * earlier list ('und' = no hits anywhere).
+    *
+    * Shape: every subexpression is evaluated ONCE per row by binding it to
+    * a lambda variable (`transform` over a 1-element array). Higher-order-
+    * function columns are interpreted with no codegen subexpression
+    * elimination, so the naive when-chain over `greatest(scores)` re-ran
+    * the tokenizer and every language's aggregate once per REFERENCE —
+    * ~30 interpreted passes per row for 5 languages (the same re-inlining
+    * pathology the NOTE at the bottom of this file documents). Here:
+    * 1 tokenization + 5 score aggregates + 1 array_max per row.
+    * Tie-break parity with the original when-chain: array_max compares the
+    * (score, -index) struct lexicographically, so equal scores resolve to
+    * the EARLIEST declared language.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    def score(words: Seq[String]): Column = {
-      val ws = array(words.map(lit): _*)
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(array_contains(ws, t), 1).otherwise(0))
-    }
-    val scored = langMarkers.map { case (lang, ws) => (lang, score(ws)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und")) { case ((lang, sc), els) =>
-      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
-    }
-  }
+  def langId(text: Column): Column =
+    element_at(transform(array(tokens(text)), toks => {
+      def score(words: Seq[String]): Column = {
+        val ws = array(words.map(lit): _*)
+        aggregate(toks, lit(0),
+          (acc, t) => acc + when(array_contains(ws, t), 1).otherwise(0))
+      }
+      val entries = array(langMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+        struct(score(ws).as("s"), lit(-i).as("negIdx"), lit(lang).as("lang"))
+      }: _*)
+      element_at(transform(array(array_max(entries)), top =>
+        when(top.getField("s") > 0, top.getField("lang")).otherwise(lit("und"))), 1)
+    }), 1)
 
   /** Adjacent token pairs ("w1 w2") — the unit for repetition scoring. */
   def bigrams(text: Column): Column = {
@@ -188,20 +200,22 @@ object TextFunctions {
       (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
     }
 
-  /** Word k-shingles (k consecutive tokens joined by a space); documents with
-    * fewer than k tokens contribute their whole token sequence as one
-    * shingle, so every non-empty doc has ≥1 shingle.
-    */
-  /** Word k-shingles. CAUTION: a TOKEN-LESS document (non-Latin script or
-    * pure punctuation under the [a-z0-9] tokenizer) yields the single
-    * shingle [""], which is shingle-identical to every other token-less
-    * document — a Jaccard pass fed such docs directly would collapse them
-    * into one. The dedup operators guard this by DROPPING token-less docs
-    * before signing ([[graft.functions.TextHash]] callers); do the same in
-    * any new consumer.
+  /** Word k-shingles (k consecutive tokens joined by a space); documents
+    * with fewer than k tokens contribute their whole token sequence as one
+    * shingle, so every non-empty doc has ≥1 shingle. NULL text behaves as
+    * empty (the coalesce below), matching the compiled twin
+    * `TextHash.shingles` — without it the column form yields [NULL] where
+    * the JVM form yields [""], breaking the differential anchor.
+    * CAUTION: a TOKEN-LESS document (non-Latin script or pure punctuation
+    * under the [a-z0-9] tokenizer) yields the single shingle [""], which
+    * is shingle-identical to every other token-less document — a Jaccard
+    * pass fed such docs directly would collapse them into one. The dedup
+    * operators guard this by DROPPING token-less docs before signing
+    * ([[graft.functions.TextHash]] callers); do the same in any new
+    * consumer.
     */
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+    val toks = coalesce(tokens(text), array().cast("array<string>"))
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)), j =>
         concat_ws(" ", (0 until k).map(d => element_at(toks, j + d)): _*)))

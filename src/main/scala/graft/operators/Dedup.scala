@@ -497,7 +497,16 @@ object Dedup {
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          (id, TextHash.winnow(TextHash.tokens(text), md, k, w))
+          val toks = TextHash.tokens(text)
+          // token-less docs (non-Latin script, pure punctuation, NULL text)
+          // get an EMPTY fingerprint set, not the degenerate hash of "" —
+          // which is identical across all such docs and would collapse
+          // every unrelated token-less page into one near-dup cluster in
+          // [[winnowPairs]] (the same guard minhashSignatures applies by
+          // dropping; here the row survives so the index stays one row
+          // per document)
+          if (toks.isEmpty) (id, Array.empty[Long])
+          else (id, TextHash.winnow(toks, md, k, w))
         }
       }
       .toDF("id", "fps")

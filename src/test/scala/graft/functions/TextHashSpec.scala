@@ -47,6 +47,16 @@ class TextHashSpec extends SparkTestBase {
     assert(fromCol.toSeq === fromJvm)
   }
 
+  test("shingles: column and JVM twins agree on NULL text") {
+    // the column form null-propagated to [NULL] before the coalesce guard;
+    // the JVM twin has always produced [""] for empty tokens
+    val fromCol = Seq[String](null).toDF("s")
+      .select(TextFunctions.shingles(col("s")).as("t"))
+      .as[Seq[String]].collect().head
+    assert(fromCol === TextHash.shingles(TextHash.tokens(null)).toSeq)
+    assert(fromCol === Seq(""))
+  }
+
   test("hashedShingles are distinct, sorted, and reduced mod P") {
     val md = MessageDigest.getInstance("MD5")
     val hs = TextHash.hashedShingles(TextHash.tokens(samples.head), md)

@@ -179,6 +179,22 @@ class DedupSpec extends SparkTestBase {
         s"when the ContextCleaner eventually notices; still cached: $leftover")
   }
 
+  test("winnowFingerprints: token-less docs get EMPTY fps, never pair with each other") {
+    // two pure-punctuation docs and a NULL-text doc share zero tokens; the
+    // degenerate hash-of-"" fingerprint would pair all three as near-dups
+    val df = Seq(
+      (1L, doc(1)), (2L, doc(1)), // genuine near-dup pair
+      (10L, "!!! ??? ..."), (11L, "§§§ ***"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text")
+    val byId = fps.as[(Long, Seq[Long])].collect().toMap
+    assert(byId.keySet === Set(1L, 2L, 10L, 11L, 12L), "one row per doc survives")
+    assert(byId(10L).isEmpty && byId(11L).isEmpty && byId(12L).isEmpty)
+    val pairs = Dedup.winnowPairs(fps)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"token-less docs must not pair: $pairs")
+  }
+
   test("connectedComponents labels each component with its minimum id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
