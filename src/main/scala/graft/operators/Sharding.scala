@@ -50,18 +50,34 @@ object Sharding {
     val segs = if (segments > 0) segments else 1024
     val span = 1L << 60 // md5Hash60 < 2^60
     val segWidth = (span + segs - 1) / segs
+    // a NULL (or non-castable, with ANSI off) id would hash to a NULL
+    // segment and NPE the driver-side totals collect far from the bad row —
+    // violate the total-assignment contract loudly instead (the splitByHash
+    // rule). coalesce in the message: a null-propagated concat would raise
+    // a MESSAGE-LESS error.
+    val idGuard = when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"Sharding: id column $idCol is null or not castable to long: "),
+        coalesce(col(idCol).cast("string"), lit("null")))))
     // a negative weight would silently make the prefix sum non-monotone
-    // (out-of-order / negative shard ids) — fail the job loudly instead
+    // (out-of-order / negative shard ids); a NULL weight would null the
+    // cumulative sum — fail the job loudly instead
     val guarded = when(col("w") >= 0, col("w")).otherwise(raise_error(concat(
       lit("packByBudget: weight must be non-negative, got "),
-      col("w").cast("string"), lit(" for id "), col("id").cast("string"))))
+      coalesce(col("w").cast("string"), lit("null")),
+      lit(" for id "), coalesce(col("id").cast("string"), lit("null")))))
     val keyed = df.select(
-        col(idCol).cast("long").as("id"),
+        idGuard.as("id"),
         col(weightCol).cast("long").as("w"),
         TextFunctions.md5Hash60(col(idCol).cast("string")).as("h"))
       .select(col("id"), guarded.as("w"), col("h"),
         expr(s"CAST(h DIV ${segWidth}L AS INT)").as("seg"))
-    val win = Window.partitionBy("seg").orderBy(col("h"), col("id"))
+    // w joins the sort key so DUPLICATE ids stay deterministic: two rows
+    // sharing an id tie on (h, id), and the running sum's order between
+    // them would otherwise be whatever the shuffle produced — their start
+    // values could swap between runs. With equal (id, w) the swap is
+    // value-identical, so the order is total in every observable way.
+    val win = Window.partitionBy("seg").orderBy(col("h"), col("id"), col("w"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cums = scope.own(keyed.withColumn("cum", sum(col("w")).over(win))
       .persist(StorageLevel.MEMORY_AND_DISK))

@@ -35,11 +35,33 @@ object Similarity {
     * division is 0/0 — under Spark's default ANSI mode that ABORTS the job
     * (DIVIDE_BY_ZERO); with ANSI off it yields NaN, which sorts FIRST under
     * `desc`, crowning the zero vector rank-1 neighbor of every query.
+    * Mismatched dimensions fail LOUDLY: [[graft.functions.DotProduct]]
+    * truncates to the shorter array, so a corpus mixing two embedding
+    * models would otherwise produce systematically deflated cosines with
+    * no signal.
     */
   def cosine(a: Column, b: Column): Column = {
     val np = l2Norm(a) * l2Norm(b)
-    when(np > 0, dot(a, b) / np).otherwise(lit(0.0))
+    when(np > 0, checkedDot(a, b) / np).otherwise(lit(0.0))
   }
+
+  /** [[dot]] with a dimension-equality guard (see [[cosine]]'s contract). */
+  private def checkedDot(a: Column, b: Column): Column =
+    when(size(a) === size(b), dot(a, b)).otherwise(raise_error(concat(
+      lit("cosine: mismatched embedding dimensions "),
+      coalesce(size(a).cast("string"), lit("null")), lit(" vs "),
+      coalesce(size(b).cast("string"), lit("null")))))
+
+  /** The multi-probe bucket set: the vector's own bucket plus each bucket
+    * one flipped hyperplane away (Hamming distance 1). The probes are
+    * pairwise DISTINCT and each vector sits in exactly one bucket, so a
+    * probe join can never match the same candidate twice — shared by
+    * [[cosinePairs]], [[knnGraph]] and [[lshTopK]] so the probe scheme
+    * cannot silently diverge between them.
+    */
+  private def probeBuckets(bucket: Column, planes: Int): Column =
+    explode(array(bucket +:
+      (0 until planes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*))
 
   /** Exact top-k neighbors for each query row.
     *
@@ -82,9 +104,15 @@ object Similarity {
     * oracle with no signal. Callers with wider embeddings raise `maxDim`.
     */
   def lshBucket(vec: Column, planes: Int = 8, maxDim: Int = 1024): Column = {
+    require(planes > 0 && planes < 63,
+      s"lshBucket: planes must be in [1, 62], got $planes")
+    require(maxDim > 0, s"lshBucket: maxDim must be positive, got $maxDim")
     val md = java.security.MessageDigest.getInstance("MD5")
+    // coalesce: a NULL embedding also lands here (size(NULL) fails the
+    // when), and a null-propagated concat would raise a MESSAGE-LESS error
     val checked = when(size(vec) <= maxDim, vec).otherwise(raise_error(concat(
-      lit("lshBucket: embedding dimension "), size(vec).cast("string"),
+      lit("lshBucket: embedding dimension "),
+      coalesce(size(vec).cast("string"), lit("null")),
       lit(s" exceeds maxDim=$maxDim; pass a larger maxDim"))))
     (0 until planes).map { p =>
       val signs = Array.tabulate(maxDim) { j =>
@@ -107,23 +135,23 @@ object Similarity {
     */
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.9, planes: Int = 6): DataFrame = {
+      threshold: Double = 0.9, planes: Int = 6,
+      maxDim: Int = 1024): DataFrame = {
     // Candidate generation shuffles ONLY (id, bucket) through the
-    // ×(planes+1) probe explode and the pair dedup; vectors are re-attached
-    // afterwards, once per surviving candidate (the minhashPairs pattern —
-    // carrying the vectors through the explode multiplied the candidate-join
-    // shuffle volume by the probe count for rows that mostly dedup away).
+    // ×(planes+1) probe explode; vectors are re-attached afterwards, once
+    // per candidate (the minhashPairs pattern — carrying the vectors
+    // through the explode would multiply the candidate-join shuffle volume
+    // by the probe count). No pair-dedup shuffle: the probes are distinct
+    // and each id_b sits in one bucket, so a (id_a, id_b) pair can match
+    // at most once (see [[probeBuckets]]).
     val ids = df.select(col(idCol).cast("long").as("id"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, maxDim).as("bucket"))
     val probed = ids.select(col("id").as("id_a"),
-      explode(array(col("bucket") +:
-        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-        .as("bucket"))
+      probeBuckets(col("bucket"), planes).as("bucket"))
     val cand = probed
       .join(ids.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     // norms precomputed per VECTOR so the per-PAIR check is one dot fold:
     // dot(a,b) ≥ θ·|a|·|b| ⇔ cosine ≥ θ — PROVIDED both norms are positive.
     // A zero-norm vector would degenerate the inequality to 0 ≥ 0 (true)
@@ -134,7 +162,7 @@ object Similarity {
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
       .filter(col("n_a") > 0 && col("n_b") > 0 &&
-        dot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
+        checkedDot(col("v_a"), col("v_b")) >= lit(threshold) * col("n_a") * col("n_b"))
       .select(col("id_a"), col("id_b"))
   }
 
@@ -158,16 +186,26 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       k: Int = 10, cells: Int = 16, probes: Int = 4): DataFrame = {
+    require(k > 0 && cells > 0 && probes > 0,
+      s"ivfTopK: k=$k, cells=$cells, probes=$probes must all be positive")
     import org.apache.spark.sql.expressions.Window
+    // codebook candidates must be usable centroids: a NULL vector would NPE
+    // the driver collect, and a zero-norm one would normalize to all-NaN —
+    // and since NaN sorts greatest and NaN==NaN, the NaN cell would win
+    // argmax for EVERY row, silently collapsing IVF into brute force
     val picked = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && dot(col("v"), col("v")) > 0)
       .withColumn("h",
         graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
       .orderBy(col("h"), col("id"))
       .limit(cells)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
-    require(picked.nonEmpty, "ivfTopK: empty corpus")
+    require(picked.nonEmpty, "ivfTopK: no non-null, non-zero corpus vectors")
+    require(picked.map(_.length).distinct.length == 1,
+      s"ivfTopK: mixed embedding dimensions in codebook sample: " +
+        picked.map(_.length).distinct.sorted.mkString(", "))
     val codebook = picked.map { c =>
       // left-to-right sum of squares: bit-identical to the oracle's
       // list_dot_product(v, v)
@@ -218,14 +256,13 @@ object Similarity {
     */
   def knnGraph(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, planes: Int = 6): DataFrame = {
+      k: Int = 5, planes: Int = 6, maxDim: Int = 1024): DataFrame = {
+    require(k > 0, s"knnGraph: k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val ids = df.select(col(idCol).cast("long").as("id"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, maxDim).as("bucket"))
     val probed = ids.select(col("id").as("query_id"),
-      explode(array(col("bucket") +:
-        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-        .as("bucket"))
+      probeBuckets(col("bucket"), planes).as("bucket"))
     val cand = probed
       .join(ids.select(col("id").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -254,15 +291,15 @@ object Similarity {
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10, planes: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 10, planes: Int = 8,
+      maxDim: Int = 1024): DataFrame = {
+    require(k > 0, s"lshTopK: k must be positive, got $k")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, maxDim).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes, maxDim).as("bucket"))
     val probed = broadcast(q.select(col("query_id"), col("qv"),
-      explode(array(col("bucket") +:
-        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-        .as("bucket")))
+      probeBuckets(col("bucket"), planes).as("bucket")))
     val scored = probed.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -302,7 +339,10 @@ object Similarity {
       .groupBy(col("_g"), col("_pos"))
       // decimal(38,0) sum: a long sum of 1e9-scaled units overflows int64
       // past ~9.2e9 rows per group (ANSI aborts; non-ANSI silently wraps);
-      // decimal stays exact to 38 digits like the oracle's 128-bit HUGEINT
+      // decimal stays exact to 38 digits like the oracle's 128-bit HUGEINT.
+      // INPUT RANGE contract: the per-ELEMENT cast bounds |v| ≤ ~9.2e9
+      // (long range / 1e9) — fine for any normalized or near-normalized
+      // embedding; raw feature vectors beyond that abort under ANSI
       .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")
         .cast("decimal(38,0)")).as("_sum"),
         count(lit(1)).as("_n"))

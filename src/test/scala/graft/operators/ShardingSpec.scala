@@ -66,6 +66,29 @@ class ShardingSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("non-negative")))
   }
 
+  test("null ids fail loudly instead of NPEing the driver totals") {
+    val rows = Seq((java.lang.Long.valueOf(1L), 10L),
+      (null.asInstanceOf[java.lang.Long], 5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception](
+      Sharding.packByBudget(rows, "doc_id", "n_tokens", budget = 8L).collect())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("null or not castable"),
+      s"expected the id guard to fire, got: $chain")
+  }
+
+  test("duplicate ids assign deterministically (weight joins the sort key)") {
+    // two rows share id 7 with different weights: (h, id) ties, so without
+    // the weight tie-break their start values could swap between runs
+    val rows = Seq((7L, 100L), (7L, 900L), (1L, 50L)).toDF("doc_id", "n_tokens")
+    val runs = (1 to 3).map { _ =>
+      Sharding.packByBudget(rows.repartition(4), "doc_id", "n_tokens", budget = 500L)
+        .orderBy("doc_id", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic assignment: $runs")
+  }
+
   test("budget must be positive") {
     intercept[IllegalArgumentException] {
       Sharding.packByBudget(Seq((1L, 1L)).toDF("doc_id", "w"), "doc_id", "w", 0)

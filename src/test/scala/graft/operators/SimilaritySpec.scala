@@ -109,6 +109,49 @@ class SimilaritySpec extends SparkTestBase {
       .collect().length == 1)
   }
 
+  test("mixed embedding dimensions fail loudly instead of truncated cosines") {
+    import org.apache.spark.sql.functions._
+    // a 4-dim and an 8-dim vector landing in the same bucket: DotProduct
+    // truncates to the shorter array, so an unguarded verify would emit a
+    // systematically deflated cosine with no signal
+    val mixed = Seq(
+      (1L, Array.fill(8)(0.5)), (2L, Array.fill(8)(0.5)),
+      (3L, Array.fill(4)(0.5)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception](
+      Similarity.cosinePairs(mixed, "vec_id", "embedding", threshold = 0.1,
+        planes = 1).collect())
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("mismatched embedding dimensions"),
+      s"expected the dimension guard to fire, got: $chain")
+  }
+
+  test("ivfTopK skips null and zero-norm vectors when building its codebook") {
+    import org.apache.spark.sql.functions._
+    // null vector would NPE the driver collect; a zero-norm one would
+    // normalize to an all-NaN centroid that wins argmax for every row
+    val corpus = (Seq(
+      (100L, null.asInstanceOf[Array[Double]]),
+      (101L, Array.fill(4)(0.0))) ++
+      (1L to 20L).map(i => (i, Array.tabulate(4)(d => (i % 5 + d).toDouble))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1000L, Array.tabulate(4)(d => (1 + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, cells = 4, probes = 4).collect()
+    assert(got.length == 3, s"expected 3 neighbors, got ${got.toSeq}")
+  }
+
+  test("invalid planes and k fail at construction with a clear message") {
+    import org.apache.spark.sql.functions._
+    intercept[IllegalArgumentException](Similarity.lshBucket(col("v"), planes = 0))
+    intercept[IllegalArgumentException](Similarity.lshBucket(col("v"), planes = 63))
+    intercept[IllegalArgumentException](
+      Similarity.knnGraph(Seq((1L, Array(1.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 0))
+  }
+
   test("ivfTopK with all cells probed equals the exact brute force") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
