@@ -53,4 +53,38 @@ object LmScore {
         count(col("_cnt")).as("hits"),
         coalesce(sum(col("_cnt")), lit(0L)).as("freq_sum"))
   }
+
+  /** Hashed-feature linear scorer — the fastText-shaped quality classifier
+    * at serving time: each token hashes into one of `buckets` feature
+    * slots, the document's score is the sum of the matched slot weights.
+    * Here the weight table is derived deterministically from `seed`
+    * (md5-folded into [−8, 8] integers) so verification is seed-stable; a
+    * real deployment swaps in learned weights with the same shape. Scores
+    * are INTEGER sums — transcendental-free like [[bigramDictScore]], so
+    * the sigmoid/threshold stays caller-side and cross-engine checks are
+    * exact.
+    *
+    * Shape for 100 TB: the weight table is `buckets` rows built from a
+    * driver `range` and BROADCAST — scoring is one map-side hash join on
+    * the exploded tokens plus a per-document aggregate whose map-side
+    * partials collapse each document (colocated by the explode) before the
+    * exchange. No per-token shuffle of text, no UDFs, no driver loop.
+    */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, seed: String = "w"): DataFrame = {
+    require(buckets > 0, s"hashedLinearScore: buckets must be positive, got $buckets")
+    val weights = df.sparkSession.range(buckets.toLong).select(
+      col("id").as("_b"),
+      (TextFunctions.md5Hash60(
+        concat(lit(seed + "_"), col("id").cast("string"))) % 17 - 8).as("_w"))
+    df.select(col(idCol),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("_t"))
+      .withColumn("_b",
+        when(col("_t").isNotNull, TextFunctions.md5Hash60(col("_t")) % buckets))
+      .join(broadcast(weights), Seq("_b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_t")).as("n_tokens"),
+        coalesce(sum(col("_w")), lit(0L)).as("score"))
+  }
 }

@@ -353,4 +353,122 @@ object Similarity {
         array_sort(collect_list(struct(col("_pos"), col("_mean")))),
         e => e.getField("_mean")).as("centroid"))
       .withColumnRenamed("_g", groupCol)
+
+  /** Deterministic ±1 Achlioptas/JL projection matrix: `outDim` rows of
+    * `inDim` signs, sign(i,j) = parity of the first md5 byte of
+    * "seed:i:j". Pure function of (seed, shape) — the driver materializes
+    * the whole matrix (outDim×inDim doubles, e.g. 16×64 = 1 KB) and ships
+    * it as plan literals, so executors never exchange it and an oracle can
+    * restate the identical matrix.
+    */
+  def projectionMatrix(seed: String, inDim: Int, outDim: Int): Array[Array[Double]] = {
+    require(inDim > 0 && outDim > 0,
+      s"projectionMatrix: dims must be positive, got $inDim x $outDim")
+    Array.tabulate(outDim, inDim) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `matrix.length` dimensions — the dimensionality-reduction front end
+    * for ANN / clustering at 100 TB (project once, then run the bucketed
+    * family on vectors 4× smaller). Each output component is a signed sum
+    * against a literal ±1 row, scaled by 1/√k so expected pairwise
+    * distances are preserved (JL lemma); the plan is map-only — zero
+    * exchanges, the projection rides whatever scan feeds it.
+    *
+    * Exactness: components are computed over 1e9-quantized INTEGER vector
+    * elements (the [[groupCentroids]] device) — the signed sum is exact
+    * int64 arithmetic, so it is independent of summation order and an
+    * external oracle reproduces the final double bit-for-bit (a double
+    * fold would pin the verifier to this engine's accumulation order, and
+    * ±signed zeros diverge between fold directions). The ±1 restriction is
+    * what keeps products exact; [[projectionMatrix]] only emits ±1
+    * (Achlioptas sparse JL works too but would need its own grid).
+    * Quantization costs ~1e-9 per element — noise-level against the JL
+    * distortion itself. Overflow bound: |v|·1e9·inDim must fit int64,
+    * i.e. |v| ≤ ~9.2e9/inDim — any normalized embedding is orders of
+    * magnitude inside it.
+    *
+    * Output is exploded (id, pos, val) — one row per component, the q74
+    * shape that keeps cross-engine comparison exact. Rows whose vector
+    * length differs from the matrix width fail LOUDLY (see [[cosine]]'s
+    * contract — a silent truncation would project garbage).
+    */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String,
+      matrix: Array[Array[Double]]): DataFrame = {
+    require(matrix.nonEmpty && matrix.head.nonEmpty,
+      "randomProjection: empty projection matrix")
+    val inDim = matrix.head.length
+    require(matrix.forall(_.length == inDim),
+      "randomProjection: ragged projection matrix")
+    require(matrix.forall(_.forall(w => w == 1.0 || w == -1.0)),
+      "randomProjection: matrix entries must be ±1 (see projectionMatrix)")
+    val scale = lit(math.sqrt(matrix.length.toDouble))
+    val v = col(vecCol).cast("array<double>")
+    val guarded = when(size(v) === lit(inDim), v).otherwise(raise_error(concat(
+      lit(s"randomProjection: expected dimension $inDim, got "),
+      coalesce(size(v).cast("string"), lit("null")))))
+    // one quantization pass per row, shared by every component below
+    val quantized = df.select(col(idCol),
+      transform(guarded, x => round(x * lit(1e9)).cast("long")).as("_qv"))
+    val comps = matrix.toSeq.map { row =>
+      val signs = typedLit(row.map(_.toLong).toSeq)
+      aggregate(zip_with(col("_qv"), signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit(1e9) / scale
+    }
+    quantized.select(col(idCol),
+        posexplode(array(comps: _*)).as(Seq("pos", "val")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"), col("val"))
+  }
+
+  /** Per-label embedding outliers: the `topK` members FARTHEST from their
+    * label's centroid — the mislabeled/corrupt-embedding sweep a curation
+    * pipeline runs before training.
+    *
+    * Distance² is computed on a 1e6 integer grid: both the vector and its
+    * label's [[groupCentroids]] mean are quantized (`round(x·1e6)`, exact
+    * int64), and `d2q = Σ (qvⱼ − qcⱼ)²` is summed in decimal(38,0) — every
+    * step is exact integer arithmetic an external engine replays
+    * bit-for-bit, and rank ties are decided on EQUAL integers, never on
+    * float ulps (a double v·v − 2v·c + c·c expansion would make the
+    * near-boundary ranks engine-dependent). The decimal accumulator keeps
+    * the sum exact for any dimension/magnitude int64 quantization admits
+    * (per-element bound |v| ≤ ~9.2e12 at the 1e6 grid); the grid costs
+    * 1e-6 per element — far below any real embedding's inter-point
+    * distances.
+    *
+    * Shape for 100 TB: centroids are one tiny aggregate (labels × dim)
+    * broadcast back; the rank is a per-label top-k window Spark executes
+    * as WindowGroupLimit — each task keeps k rows per label, the corpus
+    * never sorts globally. Null labels are dropped (no centroid to
+    * measure against).
+    */
+  def labelOutliers(
+      df: DataFrame, idCol: String, labelCol: String, vecCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"labelOutliers: topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cent = groupCentroids(base, labelCol, "_v")
+      .withColumnRenamed("centroid", "_c")
+    val quant = (c: Column) => transform(c, x => round(x * lit(1e6)).cast("long"))
+    // exact: longs cast to decimal losslessly; (19,0)×(19,0) capped at 38
+    val d2 = aggregate(
+      zip_with(quant(col("_v")), quant(col("_c")), (a, b) => a - b),
+      lit(new java.math.BigDecimal(0)).cast("decimal(38,0)"),
+      (acc, d) => acc +
+        (d.cast("decimal(19,0)") * d.cast("decimal(19,0)")).cast("decimal(38,0)"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("_d2").desc, col(idCol))
+    base.join(broadcast(cent), Seq(labelCol))
+      .withColumn("_d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(labelCol), col(idCol), col("_d2").as("d2q"), col("rank"))
+  }
 }

@@ -704,6 +704,33 @@ object PipelineQueries {
       graft.operators.Sampling
         .temperatureMix(docs(s, dir), "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang")
+    }),
+
+    // ── Hashed-feature linear scorer (fastText-shaped serving path): each
+    // token hashes into one of 1024 weight slots, doc score = Σ matched
+    // weights. Weight table broadcast; integer sums only. See
+    // [[graft.operators.LmScore.hashedLinearScore]].
+    "q102_hashed_linear_score" -> ((s, dir) => {
+      graft.operators.LmScore.hashedLinearScore(
+        docs(s, dir), "doc_id", "text")
+    }),
+
+    // ── JL random projection to 16 dims over the embedding corpus — the
+    // project-once front end that shrinks every downstream ANN/cluster
+    // shuffle 4×. Map-only plan; exact quantized component sums. See
+    // [[graft.operators.Similarity.randomProjection]].
+    "q103_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(emb(s, dir), "vec_id", "embedding",
+        Similarity.projectionMatrix("jl", inDim = 64, outDim = 16))
+    }),
+
+    // ── Per-label embedding outliers: the 5 members farthest from their
+    // label centroid — the mislabel/corrupt-vector sweep before training.
+    // Exact integer-grid distances; WindowGroupLimit rank. See
+    // [[graft.operators.Similarity.labelOutliers]].
+    "q104_label_outliers" -> ((s, dir) => {
+      Similarity.labelOutliers(emb(s, dir), "vec_id", "label", "embedding",
+        topK = 5)
     })
   )
 
@@ -1766,6 +1793,85 @@ object PipelineQueries {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
         |WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 1000000 < ppm""".stripMargin
+        |        AS BIGINT) % 1000000 < ppm""".stripMargin,
+
+    // q102: same tokenizer as q81; bucket = md5-60-bit(token) % 1024,
+    // weight(b) = md5-60-bit('w_' || b) % 17 − 8. explode_outer semantics
+    // restated as a LEFT JOIN from documents (token-less docs keep one row
+    // with zero counts). Counts cast BIGINT (DuckDB sums into HUGEINT).
+    "q102_hashed_linear_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT r.range AS b,
+        |    CAST(('0x' || substr(md5('w_' || CAST(r.range AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 17 - 8 AS wt
+        |  FROM range(1024) r),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM tok),
+        |s AS (
+        |  SELECT h.doc_id, count(*) AS n_tokens, sum(w.wt) AS score
+        |  FROM h JOIN w USING (b) GROUP BY h.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // q103: the ±1 matrix restated from the same md5 parity (first md5
+    // byte of 'jl:i:j' even → +1); components as exact BIGINT sums of
+    // 1e9-quantized elements, then the identical double division chain
+    // (/1e9, /sqrt(16)) — bit-for-bit against Spark's integer fold.
+    "q103_random_projection" ->
+      """WITH m AS (
+        |  SELECT i.range AS i, j.range AS j,
+        |    CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(i.range AS VARCHAR)
+        |           || ':' || CAST(j.range AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(16) i, range(64) j),
+        |q AS (
+        |  SELECT t.vec_id, u.i AS j,
+        |    CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e9) AS BIGINT) AS qv
+        |  FROM embeddings t,
+        |    LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u)
+        |SELECT q.vec_id, CAST(m.i AS BIGINT) AS pos,
+        |  CAST(sum(m.s * q.qv) AS DOUBLE) / 1e9 / sqrt(16.0) AS val
+        |FROM q JOIN m ON m.j = q.j
+        |GROUP BY q.vec_id, m.i""".stripMargin,
+
+    // q104: centroid means via the q74 CTE, then both sides quantized to
+    // the 1e6 grid and d2q summed in DECIMAL(38,0) exactly as the Spark
+    // fold does; rank restated as the same (d2q DESC, vec_id) window.
+    "q104_label_outliers" ->
+      """WITH cent AS (
+        |  SELECT t.label, u.i AS pos,
+        |    CAST(sum(CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e9)
+        |                  AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_val
+        |  FROM embeddings t,
+        |    LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u
+        |  GROUP BY t.label, u.i),
+        |qc AS (
+        |  SELECT label, pos,
+        |    CAST(round(mean_val * 1e6) AS BIGINT) AS qc FROM cent),
+        |qv AS (
+        |  SELECT t.vec_id, t.label, u.i AS pos,
+        |    CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        |  FROM embeddings t,
+        |    LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u),
+        |d AS (
+        |  SELECT qv.vec_id, qv.label,
+        |    CAST(sum(CAST(qv.qv - qc.qc AS DECIMAL(19,0)) *
+        |             CAST(qv.qv - qc.qc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d2q
+        |  FROM qv JOIN qc ON qv.label = qc.label AND qv.pos = qc.pos
+        |  GROUP BY qv.vec_id, qv.label)
+        |SELECT label, vec_id, d2q, CAST(rn AS INT) AS rank FROM (
+        |  SELECT label, vec_id, d2q,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY d2q DESC, vec_id) AS rn
+        |  FROM d)
+        |WHERE rn <= 5""".stripMargin
   )
 }

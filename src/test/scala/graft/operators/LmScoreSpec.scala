@@ -66,4 +66,37 @@ class LmScoreSpec extends SparkTestBase {
         ref.toDF("doc_id", "text"), "doc_id", "text", vocab = 0)
     }
   }
+
+  /** The same md5-60-bit hash the operator's column expression computes. */
+  private def md5h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("hashedLinearScore matches weights recomputed from the seed") {
+    val docs = Seq((1L, "The cat SAT"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = LmScore.hashedLinearScore(docs, "doc_id", "text", buckets = 64)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def w(tok: String): Long = md5h60("w_" + (md5h60(tok) % 64)) % 17 - 8
+    assert(got(1L) === ((3L, w("the") + w("cat") + w("sat"))))
+    assert(got(2L) === ((0L, 0L)), "token-less doc keeps a zero row")
+    assert(got(3L) === ((0L, 0L)), "null-text doc keeps a zero row")
+  }
+
+  test("hashedLinearScore is partition-count invariant and validates buckets") {
+    val big = (1L to 150L).map(i => (i, s"tok${i % 11} tok${i % 7} shared"))
+    val a = LmScore.hashedLinearScore(big.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = LmScore.hashedLinearScore(big.toDF("doc_id", "text").repartition(13),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assertThrows[IllegalArgumentException] {
+      LmScore.hashedLinearScore(big.toDF("doc_id", "text"), "doc_id", "text",
+        buckets = 0)
+    }
+  }
 }

@@ -203,4 +203,96 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Seq[Double])].collect().toMap
     assert(a == b, "sums must be order-insensitive (integer units)")
   }
+
+  test("projectionMatrix is deterministic, ±1-valued, seed-sensitive") {
+    val a = Similarity.projectionMatrix("jl", 8, 4)
+    val b = Similarity.projectionMatrix("jl", 8, 4)
+    val c = Similarity.projectionMatrix("other", 8, 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(w => w == 1.0 || w == -1.0))
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+    // not degenerate: both signs appear
+    assert(a.flatten.distinct.length == 2)
+  }
+
+  test("randomProjection matches the hand-computed quantized signed sum") {
+    val m = Array(Array(1.0, -1.0, 1.0), Array(-1.0, -1.0, 1.0))
+    val df = Seq((1L, Seq(0.5f, -0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "vec_id", "embedding", m)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val q = Seq(0.5, -0.25, 0.125).map(x => math.round(x * 1e9))
+    val s = math.sqrt(2.0)
+    assert(got(0) == ((1L, 0L, (q(0) - q(1) + q(2)).toDouble / 1e9 / s)))
+    assert(got(1) == ((1L, 1L, (-q(0) - q(1) + q(2)).toDouble / 1e9 / s)))
+  }
+
+  test("randomProjection roughly preserves pairwise distance (JL contract)") {
+    // deterministic given the fixed seed: 64 → 32 dims on two seeded
+    // vectors; relative distance distortion must stay inside a loose band
+    val rnd = new scala.util.Random(5)
+    val va = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val vb = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val df = Seq((0L, va.toSeq), (1L, vb.toSeq)).toDF("vec_id", "embedding")
+    val m = Similarity.projectionMatrix("jl", 64, 32)
+    val proj = Similarity.randomProjection(df, "vec_id", "embedding", m)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = d2(va.map(_.toDouble).toSeq, vb.map(_.toDouble).toSeq)
+    val got = d2(proj(0L).toSeq, proj(1L).toSeq)
+    assert(got > orig * 0.4 && got < orig * 2.5,
+      s"projected distance $got vs original $orig outside the JL band")
+  }
+
+  test("randomProjection fails loudly on dimension mismatch and bad matrix") {
+    val m = Array(Array(1.0, -1.0, 1.0))
+    val bad = Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(bad, "vec_id", "embedding", m).collect()
+    }
+    assert(e.getMessage.contains("expected dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected dimension")))
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(bad, "vec_id", "embedding",
+        Array(Array(1.0, 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(bad, "vec_id", "embedding",
+        Array(Array(1.0), Array(1.0, -1.0)))
+    }
+  }
+
+  test("labelOutliers ranks a planted far vector first, exact grid distance") {
+    // label 0: four near-origin vectors + one far outlier; label 1: two
+    // symmetric vectors whose centroid is exact — d2q values hand-checked
+    val df = Seq(
+      (1L, 0, Seq(0.1f, 0.0f)), (2L, 0, Seq(-0.1f, 0.0f)),
+      (3L, 0, Seq(0.0f, 0.1f)), (4L, 0, Seq(0.0f, -0.1f)),
+      (5L, 0, Seq(8.0f, 8.0f)),
+      (10L, 1, Seq(0.0f, 0.0f)), (11L, 1, Seq(1.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df, "vec_id", "label", "embedding", 2)
+      .as[(Int, Long, java.math.BigDecimal, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3.longValueExact()))).toMap
+    assert(got((0, 1))._1 == 5L, "the far vector must rank first")
+    // label 1: centroid (0.5, 0.5); each member d2q = 2·(5e5)² = 5e11;
+    // equal distances tie-break on vec_id ascending
+    assert(got((1, 1)) == ((10L, 500000000000L)))
+    assert(got((1, 2)) == ((11L, 500000000000L)))
+    assert(got.size == 4, "topK=2 per label")
+  }
+
+  test("labelOutliers drops null labels and respects topK") {
+    val df = Seq(
+      (1L, Some(0), Seq(0.1f, 0.2f)), (2L, Some(0), Seq(0.3f, 0.1f)),
+      (3L, Some(0), Seq(0.2f, 0.4f)), (4L, None, Seq(9.0f, 9.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df, "vec_id", "label", "embedding", 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!got.contains(4L), "null-label rows have no centroid")
+    assert(got.size == 2)
+  }
 }
