@@ -355,19 +355,22 @@ object Similarity {
       .withColumnRenamed("_g", groupCol)
 
   /** Deterministic ±1 Achlioptas/JL projection matrix: `outDim` rows of
-    * `inDim` signs, sign(i,j) = parity of the first md5 byte of
-    * "seed:i:j". Pure function of (seed, shape) — the driver materializes
-    * the whole matrix (outDim×inDim doubles, e.g. 16×64 = 1 KB) and ships
-    * it as plan literals, so executors never exchange it and an oracle can
-    * restate the identical matrix.
+    * `inDim` signs, sign(i,j) = +1 when bit 0 of md5-60-bit("seed:i:j") is
+    * 0 — the SAME sign-derivation device [[lshBucket]] uses (one reused
+    * MessageDigest, the `TextHash.md5Hash60` compiled twin pinned by its
+    * differential test), so there is exactly one hash-parity formula to
+    * keep in sync with oracles. Pure function of (seed, shape) — the
+    * driver materializes the whole matrix (outDim×inDim doubles, e.g.
+    * 16×64 = 1 KB) and ships it as plan literals, so executors never
+    * exchange it and an oracle can restate the identical matrix.
     */
   def projectionMatrix(seed: String, inDim: Int, outDim: Int): Array[Array[Double]] = {
     require(inDim > 0 && outDim > 0,
       s"projectionMatrix: dims must be positive, got $inDim x $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(outDim, inDim) { (i, j) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
-      if ((h(0) & 1) == 0) 1.0 else -1.0
+      if ((graft.functions.TextHash.md5Hash60(md, s"$seed:$i:$j") & 1L) == 0L)
+        1.0 else -1.0
     }
   }
 
@@ -409,9 +412,17 @@ object Similarity {
       "randomProjection: matrix entries must be ±1 (see projectionMatrix)")
     val scale = lit(math.sqrt(matrix.length.toDouble))
     val v = col(vecCol).cast("array<double>")
-    val guarded = when(size(v) === lit(inDim), v).otherwise(raise_error(concat(
-      lit(s"randomProjection: expected dimension $inDim, got "),
-      coalesce(size(v).cast("string"), lit("null")))))
+    // loud on BOTH corruption modes: wrong length AND null elements — a
+    // null element would otherwise null-propagate through the fold and
+    // silently null every component (while an SQL oracle's sum() would
+    // skip it and return partial numbers: the worst kind of divergence)
+    val guarded = when(
+      size(v) === lit(inDim) && !exists(v, _.isNull), v)
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: expected $inDim non-null elements, got "),
+        coalesce(size(v).cast("string"), lit("null")), lit(" with "),
+        coalesce(size(filter(v, _.isNull)).cast("string"), lit("?")),
+        lit(" null(s)"))))
     // one quantization pass per row, shared by every component below
     val quantized = df.select(col(idCol),
       transform(guarded, x => round(x * lit(1e9)).cast("long")).as("_qv"))
@@ -437,16 +448,22 @@ object Similarity {
     * bit-for-bit, and rank ties are decided on EQUAL integers, never on
     * float ulps (a double v·v − 2v·c + c·c expansion would make the
     * near-boundary ranks engine-dependent). The decimal accumulator keeps
-    * the sum exact for any dimension/magnitude int64 quantization admits
-    * (per-element bound |v| ≤ ~9.2e12 at the 1e6 grid); the grid costs
-    * 1e-6 per element — far below any real embedding's inter-point
-    * distances.
+    * the sum exact up to the per-element bound |v| ≤ ~4.6e12 at the 1e6
+    * grid (so the int64 DIFFERENCE of two quantized elements cannot wrap
+    * before its lossless decimal cast); the grid costs 1e-6 per element —
+    * far below any real embedding's inter-point distances.
+    *
+    * Corrupt rows fail LOUDLY: a null vector, a null element, or a length
+    * differing from the label's centroid raises instead of
+    * null-propagating into a d2q that would sort the very rows this sweep
+    * exists to surface to the BOTTOM of the ranking (NULLS LAST under
+    * desc) — same contract as [[randomProjection]] and [[cosine]].
     *
     * Shape for 100 TB: centroids are one tiny aggregate (labels × dim)
-    * broadcast back; the rank is a per-label top-k window Spark executes
-    * as WindowGroupLimit — each task keeps k rows per label, the corpus
-    * never sorts globally. Null labels are dropped (no centroid to
-    * measure against).
+    * quantized once per label and broadcast back; the rank is a per-label
+    * top-k window Spark executes as WindowGroupLimit — each task keeps k
+    * rows per label, the corpus never sorts globally. Null labels are
+    * dropped (no centroid to measure against).
     */
   def labelOutliers(
       df: DataFrame, idCol: String, labelCol: String, vecCol: String,
@@ -455,12 +472,22 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), col(labelCol),
       col(vecCol).cast("array<double>").as("_v"))
-    val cent = groupCentroids(base, labelCol, "_v")
-      .withColumnRenamed("centroid", "_c")
     val quant = (c: Column) => transform(c, x => round(x * lit(1e6)).cast("long"))
+    // centroid quantized ONCE per label before the broadcast — not per
+    // probe row inside the hot d2 expression
+    val cent = groupCentroids(base, labelCol, "_v")
+      .select(col(labelCol), quant(col("centroid")).as("_qc"))
+    val guarded = when(
+      size(col("_v")) === size(col("_qc")) && !exists(col("_v"), _.isNull),
+      quant(col("_v")))
+      .otherwise(raise_error(concat(
+        lit("labelOutliers: corrupt embedding for id-column value "),
+        coalesce(col(idCol).cast("string"), lit("null")), lit(": size "),
+        coalesce(size(col("_v")).cast("string"), lit("null")),
+        lit(" vs centroid "), size(col("_qc")).cast("string"))))
     // exact: longs cast to decimal losslessly; (19,0)×(19,0) capped at 38
     val d2 = aggregate(
-      zip_with(quant(col("_v")), quant(col("_c")), (a, b) => a - b),
+      zip_with(guarded, col("_qc"), (a, b) => a - b),
       lit(new java.math.BigDecimal(0)).cast("decimal(38,0)"),
       (acc, d) => acc +
         (d.cast("decimal(19,0)") * d.cast("decimal(19,0)")).cast("decimal(38,0)"))

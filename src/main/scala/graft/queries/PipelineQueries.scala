@@ -1821,15 +1821,16 @@ object PipelineQueries {
         |  CAST(coalesce(s.score, 0) AS BIGINT) AS score
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
 
-    // q103: the ±1 matrix restated from the same md5 parity (first md5
-    // byte of 'jl:i:j' even → +1); components as exact BIGINT sums of
+    // q103: the ±1 matrix restated from the repo-wide md5-60-bit parity
+    // (bit 0 of the first-15-hex-chars value of 'jl:i:j'; even → +1 — the
+    // same device as lshBucket); components as exact BIGINT sums of
     // 1e9-quantized elements, then the identical double division chain
     // (/1e9, /sqrt(16)) — bit-for-bit against Spark's integer fold.
     "q103_random_projection" ->
       """WITH m AS (
         |  SELECT i.range AS i, j.range AS j,
         |    CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(i.range AS VARCHAR)
-        |           || ':' || CAST(j.range AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+        |           || ':' || CAST(j.range AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
         |      THEN 1 ELSE -1 END AS s
         |  FROM range(16) i, range(64) j),
         |q AS (

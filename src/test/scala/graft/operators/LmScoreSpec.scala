@@ -67,12 +67,10 @@ class LmScoreSpec extends SparkTestBase {
     }
   }
 
-  /** The same md5-60-bit hash the operator's column expression computes. */
-  private def md5h60(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  /** The compiled twin of the operator's md5-60-bit column expression,
+    * itself pinned by TextHashSpec's differential test.
+    */
+  private def md5h60(s: String): Long = graft.functions.TextHash.md5Hash60(s)
 
   test("hashedLinearScore matches weights recomputed from the seed") {
     val docs = Seq((1L, "The cat SAT"), (2L, ""), (3L, null.asInstanceOf[String]))

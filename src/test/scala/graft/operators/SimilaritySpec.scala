@@ -253,8 +253,8 @@ class SimilaritySpec extends SparkTestBase {
     val e = intercept[Exception] {
       Similarity.randomProjection(bad, "vec_id", "embedding", m).collect()
     }
-    assert(e.getMessage.contains("expected dimension") ||
-      Option(e.getCause).exists(_.getMessage.contains("expected dimension")))
+    assert(e.getMessage.contains("expected 3 non-null elements") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected 3 non-null elements")))
     intercept[IllegalArgumentException] {
       Similarity.randomProjection(bad, "vec_id", "embedding",
         Array(Array(1.0, 0.5)))
@@ -294,5 +294,35 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(!got.contains(4L), "null-label rows have no centroid")
     assert(got.size == 2)
+  }
+
+  test("randomProjection and labelOutliers raise on null elements / ragged rows") {
+    // a null ELEMENT must not null-propagate into silently-null output
+    val m = Array(Array(1.0, -1.0))
+    val withNullElem = Seq((1L, Seq(Some(0.5f), None)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.randomProjection(withNullElem, "vec_id", "embedding", m).collect()
+    }
+    assert(e1.getMessage.contains("non-null") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-null")))
+    val e2 = intercept[Exception] {
+      Similarity.labelOutliers(
+        withNullElem.withColumn("label",
+          org.apache.spark.sql.functions.lit(0)),
+        "vec_id", "label", "embedding", 1).collect()
+    }
+    assert(e2.getMessage.contains("corrupt embedding") ||
+      Option(e2.getCause).exists(_.getMessage.contains("corrupt embedding")))
+    // a corpus mixing embedding models (ragged lengths) must fail loudly,
+    // not bury the short row at the bottom of the ranking
+    val ragged = Seq(
+      (1L, 0, Seq(0.1f, 0.2f)), (2L, 0, Seq(0.3f, 0.1f, 0.7f))
+    ).toDF("vec_id", "label", "embedding")
+    val e3 = intercept[Exception] {
+      Similarity.labelOutliers(ragged, "vec_id", "label", "embedding", 1).collect()
+    }
+    assert(e3.getMessage.contains("corrupt embedding") ||
+      Option(e3.getCause).exists(_.getMessage.contains("corrupt embedding")))
   }
 }
