@@ -48,8 +48,13 @@ object RelationalQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** sum(x) as exact decimal, emitted as double. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** sum(x) as exact decimal, emitted as double — the oracle-critical
+    * numeric canonicalization shared by BOTH query packs (StreamingQueries
+    * reuses it); a precision change here must stay in lockstep with the
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` form in every oracle.
+    */
+  private[queries] def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Scan + projection + filter: both predicates and the 4-column

@@ -47,12 +47,21 @@ object StreamingQueries {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** JSON timestamp format for the replay files: Spark's default writes a
+    * 3-digit (ms) fraction, silently flooring the real microsecond values
+    * the batch `events()` read carries — watermark and interval-join
+    * arithmetic would then run at ms precision in the stream but µs in the
+    * oracle. Six fraction digits round-trip Catalyst's full precision.
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** Write `df` as ONE json file at `dir/name` with the given mtime rank —
     * the file source lists oldest-first, which fixes the arrival order.
     */
   private def dumpArrivalFile(df: DataFrame, dir: Path, name: String, mtimeMs: Long): Unit = {
     val tmp = dir.resolve(s"tmp_$name")
-    df.coalesce(1).write.mode("overwrite").json(tmp.toString)
+    df.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", TsFormat).json(tmp.toString)
     // Files.list/walk streams hold a directory handle until closed —
     // Using(...) releases them deterministically instead of leaking an fd
     // per call until GC
@@ -63,11 +72,10 @@ object StreamingQueries {
     val target = dir.resolve(name)
     Files.move(part, target)
     Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
-    // remove the spark output dir scaffolding (_SUCCESS etc.)
-    scala.util.Using.resource(Files.walk(tmp)) { st =>
-      st.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    // remove the spark output dir scaffolding (_SUCCESS etc.) — cleanup's
+    // best-effort guard also keeps a transient delete failure from
+    // aborting a run whose arrival file is already in place
+    cleanup(tmp)
   }
 
   /** Recursively delete a replay/checkpoint scratch dir once its streaming
@@ -97,17 +105,22 @@ object StreamingQueries {
     val stream = spark.readStream
       .schema(events.schema)
       .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat)
       .json(in.toString)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        RelationalQueries.dsum(col("value")).as("sum_value"),
         max(col("event_id")).as("max_id"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("cnt"), col("sum_value"), col("max_id"))
 
-    val sink = s"q19_sink_${System.nanoTime()}"
+    // fixed name + drop: a nanoTime-suffixed view per invocation would
+    // pin a fresh copy of the full sink contents in driver memory for
+    // the session lifetime; re-invocation replaces the previous view
+    val sink = "q19_sink"
+    spark.catalog.dropTempView(sink)
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -144,12 +157,17 @@ object StreamingQueries {
     val stream = spark.readStream
       .schema(events.schema)
       .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat)
       .json(in.toString)
     val deduped = stream
       .withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("event_id")
 
-    val sink = s"q49_sink_${System.nanoTime()}"
+    // fixed name + drop: a nanoTime-suffixed view per invocation would
+    // pin a fresh copy of the full sink contents in driver memory for
+    // the session lifetime; re-invocation replaces the previous view
+    val sink = "q49_sink"
+    spark.catalog.dropTempView(sink)
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -158,7 +176,7 @@ object StreamingQueries {
     spark.table(sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        RelationalQueries.dsum(col("value")).as("sum_value"),
         max(col("event_id")).as("max_id"))
     }
 
@@ -203,12 +221,17 @@ object StreamingQueries {
 
     def src(dir: Path, schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat)
         .json(dir.toString)
     val joined = src(cIn, clicks.schema).withWatermark("c_ts", "60 days")
       .join(src(pIn, purchases.schema).withWatermark("p_ts", "60 days"),
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
 
-    val sink = s"q71_sink_${System.nanoTime()}"
+    // fixed name + drop: a nanoTime-suffixed view per invocation would
+    // pin a fresh copy of the full sink contents in driver memory for
+    // the session lifetime; re-invocation replaces the previous view
+    val sink = "q71_sink"
+    spark.catalog.dropTempView(sink)
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -260,7 +283,8 @@ object StreamingQueries {
     dumpArrivalFile(ev.filter(col("event_id") % 3 === 2), in, "a2.json", now)
 
     val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat).json(in.toString)
       .as[(Long, Long)] // (event_id, user_id)
 
     val updates = stream.groupByKey(_._2)
@@ -277,7 +301,11 @@ object StreamingQueries {
       }
       .toDF("user_id", "upd_seq", "n_events", "max_id")
 
-    val sink = s"q72_sink_${System.nanoTime()}"
+    // fixed name + drop: a nanoTime-suffixed view per invocation would
+    // pin a fresh copy of the full sink contents in driver memory for
+    // the session lifetime; re-invocation replaces the previous view
+    val sink = "q72_sink"
+    spark.catalog.dropTempView(sink)
     val q = updates.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -311,17 +339,22 @@ object StreamingQueries {
       spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey")))
     val stream = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", 1).json(in.toString)
+      .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat).json(in.toString)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .join(customers, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 day"), col("c_nationkey"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        RelationalQueries.dsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("c_nationkey"), col("cnt"), col("sum_value"))
 
-    val sink = s"q84_sink_${System.nanoTime()}"
+    // fixed name + drop: a nanoTime-suffixed view per invocation would
+    // pin a fresh copy of the full sink contents in driver memory for
+    // the session lifetime; re-invocation replaces the previous view
+    val sink = "q84_sink"
+    spark.catalog.dropTempView(sink)
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
@@ -341,7 +374,12 @@ object StreamingQueries {
     * batch 0 (the late-event filter in effect when the stragglers arrive in
     * batch 2); wmF = the final watermark. a0/a1 rows are never late; a2 rows
     * count only into windows still open at wm1; append mode emits exactly
-    * the windows closed at wmF.
+    * the windows closed at wmF. Emission is `window.end <= watermark` —
+    * Spark's actual eviction predicate (WatermarkSupport) — NOT strict `<`:
+    * at an exact boundary Spark emits the window, and floor-truncation
+    * (ns → µs → the ms watermark) commutes with the hour-aligned window
+    * ends, so `<=`/`>` agree across the engines' precisions where strict
+    * `<` would not.
     */
   val oracles: Map[String, String] = Map(
     "q19_stream_watermark" ->
@@ -365,7 +403,7 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(event_id) AS max_id
         |FROM inc
-        |WHERE ws + INTERVAL 1 HOUR < (SELECT w FROM wmf)
+        |WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
         |GROUP BY ws""".stripMargin,
 
     // q49: the emitted set is exactly the distinct events (see streamDedup's
@@ -379,11 +417,18 @@ object StreamingQueries {
 
     // q71: no state evicts within the replay (see streamIntervalJoin's
     // scaladoc), so the emitted pairs are exactly the batch interval join.
+    // ev truncates ns → µs like the Spark reader (see events()): the
+    // interval bounds are closed comparisons, so a pair within 1 µs of
+    // exactly 0 or 1 h would otherwise flip between the engines.
     "q71_stream_join" ->
-      """SELECT c.user_id, count(*) AS n_pairs,
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    event_id, event_type
+        |  FROM events)
+        |SELECT c.user_id, count(*) AS n_pairs,
         |  count(DISTINCT c.event_id) AS n_clicks,
         |  max(p.event_id) AS max_purchase_id
-        |FROM events c JOIN events p
+        |FROM ev c JOIN ev p
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
@@ -406,12 +451,14 @@ object StreamingQueries {
     // q84: nothing is late (two ts-ordered arrivals), so the emitted set is
     // the plain join+aggregate over the windows the final watermark
     // (max ts − 1 h) has closed; the last open day is withheld identically.
+    // `<=`, not `<`: Spark emits at window.end <= watermark (see the q19
+    // oracle header).
     "q84_stream_static" ->
       """SELECT CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS win_start,
         |  c.c_nationkey, count(*) AS cnt,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY
-        |      < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |      <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         |GROUP BY 1, 2""".stripMargin)
 }
