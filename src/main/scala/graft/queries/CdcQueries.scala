@@ -29,6 +29,30 @@ object CdcQueries {
 
   private val mod = col("o_orderkey") % 10
 
+  /** The five orders-row mutation shapes of the synthetic stream, defined
+    * ONCE for both the typed-event rendering (q20) and the Maxwell envelope
+    * rendering (q21/q23) — the "same stream, two encodings" invariant those
+    * queries rely on is structural, not edit-in-lockstep.
+    */
+  private case class Mutations(full: Column, rush: Column, rushX: Column,
+      moved: Column, reinserted: Column)
+
+  private def orderMutations(o: DataFrame): Mutations = {
+    def variant(f: PartialFunction[String, Column]): Column =
+      struct(o.columns.map(c => f.applyOrElse(c, (n: String) => col(n))).toSeq: _*)
+    Mutations(
+      full = variant(PartialFunction.empty),
+      rush = variant {
+        case "o_orderpriority" => lit("RUSH").as("o_orderpriority") },
+      rushX = variant {
+        case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
+        case "o_orderstatus" => lit("X").as("o_orderstatus") },
+      moved = variant {
+        case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey") },
+      reinserted = variant {
+        case "o_custkey" => (col("o_custkey") + 1).as("o_custkey") })
+  }
+
   // ── q20: the compaction operator alone, on typed events ──────────────────
 
   private def typedEvents(s: SparkSession, dir: String): DataFrame = {
@@ -40,24 +64,7 @@ object CdcQueries {
       Seq(lit(op).as("op"), (col("o_orderkey") * 10 + seqOff).as("seq"),
         key(k).as("key"), oldK.as("oldKey"), data.as("data"))
 
-    val full = struct(o.columns.map(col): _*)
-    val rush = struct(o.columns.map {
-      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
-      case c => col(c)
-    }: _*)
-    val rushX = struct(o.columns.map {
-      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
-      case "o_orderstatus" => lit("X").as("o_orderstatus")
-      case c => col(c)
-    }: _*)
-    val moved = struct(o.columns.map {
-      case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey")
-      case c => col(c)
-    }: _*)
-    val reinserted = struct(o.columns.map {
-      case "o_custkey" => (col("o_custkey") + 1).as("o_custkey")
-      case c => col(c)
-    }: _*)
+    val Mutations(full, rush, rushX, moved, reinserted) = orderMutations(o)
 
     val inserts = o.select(ev("insert", 0, col("o_orderkey"), nullKey, full): _*)
     val updates = o.filter(mod.isin(0, 1, 2))
@@ -88,24 +95,7 @@ object CdcQueries {
         data.as("data"), old.as("old"))).as("value"),
         (col("o_orderkey") * 10 + seqOff).as("seq0"))
 
-    val full = struct(o.columns.map(col): _*)
-    val rush = struct(o.columns.map {
-      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
-      case c => col(c)
-    }: _*)
-    val rushX = struct(o.columns.map {
-      case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
-      case "o_orderstatus" => lit("X").as("o_orderstatus")
-      case c => col(c)
-    }: _*)
-    val moved = struct(o.columns.map {
-      case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey")
-      case c => col(c)
-    }: _*)
-    val reinserted = struct(o.columns.map {
-      case "o_custkey" => (col("o_custkey") + 1).as("o_custkey")
-      case c => col(c)
-    }: _*)
+    val Mutations(full, rush, rushX, moved, reinserted) = orderMutations(o)
     val noOld = lit(null).cast(StructType(Seq(StructField("o_orderkey", LongType))))
 
     val inserts = o.select(env("insert", 0, full, noOld): _*)
@@ -165,14 +155,37 @@ object CdcQueries {
     StructField("c_acctbal", DoubleType),
     StructField("c_mktsegment", StringType)))
 
+  /** Fresh per-invocation store dir under [[QueryScratch]], inheriting its
+    * `GRAFT_SCRATCH_DIR` override, crash-orphan sweep, shutdown hook, and
+    * the documented single-node `java.io.tmpdir` contract (a multi-node
+    * deployment must point the override at shared storage — same contract
+    * as [[graft.streaming.CdcPipeline.applyBatch]]'s staging dir).
+    */
   private def tempRoot(): String =
-    java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    QueryScratch.dir(s"cdc_${java.util.UUID.randomUUID()}")
 
   /** Drop a per-invocation store dir once its snapshot is detached. */
   private def deleteDir(s: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  /** Free a per-invocation in-memory Derby DB — Derby holds `memory:`
+    * databases in a static engine namespace until dropped, so repeated bench
+    * runs would otherwise accumulate whole table copies on the heap. Derby
+    * SIGNALS a successful drop by throwing SQLState 08006; any other
+    * SQLException means the drop genuinely failed and is logged, not thrown
+    * (this runs in a finally — rethrowing would mask the query's own error).
+    */
+  private def dropDerby(dbUrl: String): Unit =
+    try { java.sql.DriverManager.getConnection(dbUrl + ";drop=true"); () }
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+      case e: java.sql.SQLException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"failed to drop per-invocation Derby db $dbUrl " +
+            s"(SQLState=${e.getSQLState}); in-memory tables leak until JVM exit", e)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Compaction M1–M8 in isolation: the final action list per key.
@@ -193,17 +206,21 @@ object CdcQueries {
         Map("demo.orders" -> "public.orders"),
         Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
       val rootDir = tempRoot()
-      val store = new ParquetTableStore(s, rootDir, registry.specFor("public.orders"), 16)
-      val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
-      CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
-      // detach eagerly, then delete the per-invocation table dir (mirrors
-      // q23's Derby drop — repeated bench runs would otherwise accumulate
-      // one full bucketed table copy per run)
-      val out = store.snapshot()
-        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
-        .localCheckpoint()
-      deleteDir(s, rootDir)
-      out
+      // localCheckpoint is EAGER: the result is detached from the table dir
+      // before the finally deletes it — and the finally runs even when a
+      // parse/merge throws, so failed runs don't accumulate bucketed table
+      // copies. The checkpoint blocks live outside the CacheManager (the
+      // harness's clearCache() between queries skips them) and are freed by
+      // the ContextCleaner once the consumer drops the result — bounded at
+      // one result set.
+      try {
+        val store = new ParquetTableStore(s, rootDir, registry.specFor("public.orders"), 16)
+        val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
+        CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
+        store.snapshot()
+          .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+          .localCheckpoint()
+      } finally deleteDir(s, rootDir)
     }),
 
     // The same Maxwell stream merged through the JDBC warehouse sink
@@ -215,26 +232,25 @@ object CdcQueries {
         Map("demo.orders" -> "public.orders"),
         Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
       val dbUrl = s"jdbc:derby:memory:graft_q23_${System.nanoTime()}"
-      // snapshotPartitions = 4: embedded Derby is ONE in-page-cache engine —
-      // defaultParallelism (32 on the bench box) range readers just contend
-      // on its page latches; a real warehouse sizes this to its executors.
-      val store = new JdbcTableStore(
-        s, dbUrl + ";create=true", registry.specFor("public.orders"),
-        snapshotPartitions = 4)
-      val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
-      CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
-      // Derby metadata uppercases identifiers; re-select under spec names
-      // (resolution is case-insensitive) so the driver's column-sorted
-      // compare lines up with the oracle.
-      val out = store.snapshot()
-        .select(ordersSchema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
-        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
-        .localCheckpoint() // eager: detach from the DB before it is dropped
-      // Free the per-invocation in-memory database — repeated bench runs
-      // would otherwise accumulate whole Derby DBs on the heap.
-      try { java.sql.DriverManager.getConnection(dbUrl + ";drop=true"); () }
-      catch { case _: java.sql.SQLException => () } // 08006 signals success
-      out
+      try {
+        // snapshotPartitions = 4: embedded Derby is ONE in-page-cache engine —
+        // defaultParallelism (32 on the bench box) range readers just contend
+        // on its page latches; a real warehouse sizes this to its executors.
+        val store = new JdbcTableStore(
+          s, dbUrl + ";create=true", registry.specFor("public.orders"),
+          snapshotPartitions = 4)
+        val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
+        CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
+        // Derby metadata uppercases identifiers; re-select under spec names
+        // (resolution is case-insensitive) so the driver's column-sorted
+        // compare lines up with the oracle. localCheckpoint is eager: the
+        // result is detached before the finally drops the database — even
+        // when the merge throws mid-way.
+        store.snapshot()
+          .select(ordersSchema.fieldNames.map(n => col(n).as(n)).toSeq: _*)
+          .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+          .localCheckpoint()
+      } finally dropDerby(dbUrl)
     }),
 
     // Full Debezium path over customer (snapshot reads + updates + deletes).
@@ -243,14 +259,14 @@ object CdcQueries {
         Map("public.customer" -> "public.customer_t"),
         Map("public.customer_t" -> TableSpec("public.customer_t", customerSchema, Seq("c_custkey"))))
       val rootDir = tempRoot()
-      val store = new ParquetTableStore(s, rootDir, registry.specFor("public.customer_t"), 16)
-      val events = DebeziumParser.events(
-        debeziumJson(s, dir), registry, col("seq0"), col("topic0"))
-      CdcPipeline.applyBatch(events, registry, Map("public.customer_t" -> store),
-        Projection.Debezium)
-      val out = store.snapshot().localCheckpoint() // detach, then drop the dir
-      deleteDir(s, rootDir)
-      out
+      try {
+        val store = new ParquetTableStore(s, rootDir, registry.specFor("public.customer_t"), 16)
+        val events = DebeziumParser.events(
+          debeziumJson(s, dir), registry, col("seq0"), col("topic0"))
+        CdcPipeline.applyBatch(events, registry, Map("public.customer_t" -> store),
+          Projection.Debezium)
+        store.snapshot().localCheckpoint() // eager: detached before the delete
+      } finally deleteDir(s, rootDir)
     })
   )
 
