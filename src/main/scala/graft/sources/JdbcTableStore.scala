@@ -64,13 +64,26 @@ final class JdbcTableStore(
 
   private val table = spec.name.replace('.', '_').toUpperCase(java.util.Locale.ROOT)
   private val pk = spec.pkCols
-  private val pkFields = pk.map(c => spec.schema(spec.schema.fieldIndex(c)))
+  // case-INSENSITIVE resolution, matching TableSpec's own pkCols validation
+  // (and Spark's resolver): a spec the model accepts must construct a store.
+  // The resolved field carries the schema's canonical casing into the SQL.
+  private val pkFields = pk.map { c =>
+    val lc = c.toLowerCase(java.util.Locale.ROOT)
+    spec.schema.fields.find(_.name.toLowerCase(java.util.Locale.ROOT) == lc)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pk column $c not found in schema of ${spec.name}"))
+  }
   private val colList = spec.schema.fieldNames.mkString(", ")
 
+  // Non-pg mappings below are validated against embedded Derby (the test
+  // target); another warehouse family (MySQL, Oracle, …) may need its own
+  // branch — e.g. MySQL rejects VARCHAR(32672).
   private def sqlType(dt: DataType): String = dt match {
     case IntegerType => "INTEGER"
     case LongType => "BIGINT"
-    case DoubleType => "DOUBLE"
+    // bare DOUBLE is not a PostgreSQL type (only DOUBLE PRECISION/FLOAT8);
+    // Derby accepts both spellings, so the portable form works everywhere
+    case DoubleType => "DOUBLE PRECISION"
     case FloatType => "REAL"
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
@@ -83,9 +96,12 @@ final class JdbcTableStore(
     // not DISTINCT-comparable there, which the merge's insert dedup needs.
     case StringType =>
       if (JdbcTableStore.isPostgres(url)) "TEXT" else "VARCHAR(32672)"
-    // pg-family stores bytes as BYTEA; BLOB elsewhere (Derby, ANSI)
+    // pg-family stores bytes as BYTEA. Derby gets VARCHAR FOR BIT DATA, NOT
+    // BLOB: the merge's INSERT … SELECT DISTINCT needs a comparable type,
+    // and Derby forbids DISTINCT over BLOB — the same comparability rule
+    // the StringType mapping documents.
     case BinaryType =>
-      if (JdbcTableStore.isPostgres(url)) "BYTEA" else "BLOB"
+      if (JdbcTableStore.isPostgres(url)) "BYTEA" else "VARCHAR (32672) FOR BIT DATA"
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
@@ -122,12 +138,24 @@ final class JdbcTableStore(
     // any OTHER schema (another user's, a backup schema off search_path)
     // is a false positive — CREATE is skipped and every merge then fails
     // with "relation does not exist".
+    //
+    // getTables' name argument is a LIKE pattern where the '_' every folded
+    // table name contains matches ANY character ('PUBLIC_T' would match a
+    // live 'PUBLIC2T'), and the pattern CANNOT be escaped portably — Derby's
+    // getSearchStringEscape() is the empty string (no escape support at
+    // all). So the probe over-matches and the exact check runs client-side
+    // on the returned names.
     val schema = try Option(conn.getSchema).filter(_.nonEmpty)
       catch { case _: Throwable => None }
     val lr = java.util.Locale.ROOT
+    val md = conn.getMetaData
     Seq(name, name.toLowerCase(lr), name.toUpperCase(lr)).distinct.exists { n =>
-      val rs = conn.getMetaData.getTables(null, schema.orNull, n, Array("TABLE"))
-      try rs.next() finally rs.close()
+      val rs = md.getTables(null, schema.orNull, n, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString("TABLE_NAME") == n
+        found
+      } finally rs.close()
     }
   }
 
@@ -219,15 +247,25 @@ final class JdbcTableStore(
     val schema = try Option(conn.getSchema).filter(_.nonEmpty)
       catch { case _: Throwable => None }
     val lr = java.util.Locale.ROOT
+    val md = conn.getMetaData
+    // The LIKE probe over-matches: its '_'s match any character and cannot
+    // be escaped portably (Derby has NO metadata escape — see tableExists),
+    // so 'PUBLIC_T_SK_%' also returns a live sibling like 'PUBLIC_T_SKEW'.
+    // A client-side exact-shape check — <TABLE>_SK_/_SR_ plus the hex merge
+    // token and nothing else — decides what is actually an orphan stage;
+    // without it the DROP below could destroy a live target table.
+    val stageShape = ("(?i)" + java.util.regex.Pattern.quote(table) +
+      "_S[KR]_[0-9a-f]+").r
     val orphans = Seq(s"${table}_SK_%", s"${table}_SR_%")
       .flatMap(p => Seq(p, p.toLowerCase(lr)))
       .distinct
       .flatMap { pattern =>
-        val rs = conn.getMetaData.getTables(null, schema.orNull, pattern, Array("TABLE"))
+        val rs = md.getTables(null, schema.orNull, pattern, Array("TABLE"))
         val names = scala.collection.mutable.ArrayBuffer.empty[String]
         try { while (rs.next()) names += rs.getString("TABLE_NAME") } finally rs.close()
         names
       }.distinct
+      .filter(stageShape.matches(_))
     orphans.foreach { t =>
       try conn.createStatement().execute(s"DROP TABLE $t")
       catch { case _: java.sql.SQLException => () } // best-effort
@@ -266,6 +304,13 @@ final class JdbcTableStore(
     * READ COMMITTED.
     */
   def snapshot(): DataFrame = {
+    // TableStore contract parity with ParquetTableStore: a not-yet-created
+    // target reads as EMPTY (spec schema), not an SQLException from the
+    // bounds probe — swapping store implementations must not change
+    // behavior. `ensured` short-circuits the probe on the hot path.
+    if (!ensured && !withConnection(tableExists(_, table)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], spec.schema)
     val reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     val lead = pkFields.head
     val integral = lead.dataType == IntegerType || lead.dataType == LongType
@@ -341,24 +386,36 @@ object JdbcTableStore {
       rows: Iterator[Row]): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      conn.setAutoCommit(false)
-      val ps: PreparedStatement = conn.prepareStatement(sql)
       try {
-        var n = 0
-        rows.foreach { row =>
-          var i = 0
-          while (i < nFields) {
-            if (row.isNullAt(i)) ps.setNull(i + 1, java.sql.Types.NULL)
-            else ps.setObject(i + 1, row.get(i))
-            i += 1
+        conn.setAutoCommit(false)
+        val ps: PreparedStatement = conn.prepareStatement(sql)
+        try {
+          var n = 0
+          rows.foreach { row =>
+            var i = 0
+            while (i < nFields) {
+              // setObject(null), not setNull(Types.NULL): Derby rejects the
+              // generic NULL type code ("data type '0' is not supported")
+              // but infers the column type for an untyped null object
+              if (row.isNullAt(i)) ps.setObject(i + 1, null)
+              else ps.setObject(i + 1, row.get(i))
+              i += 1
+            }
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
           }
-          ps.addBatch()
-          n += 1
-          if (n % batchSize == 0) ps.executeBatch()
-        }
-        if (n % batchSize != 0) ps.executeBatch()
-      } finally ps.close()
-      conn.commit()
+          if (n % batchSize != 0) ps.executeBatch()
+        } finally ps.close()
+        conn.commit()
+      } catch {
+        // roll back before close: closing with an open transaction is an
+        // error on Derby (XJ025-family), and that close failure would MASK
+        // the real staging error in the Spark task report
+        case e: Throwable =>
+          try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+      }
     } finally conn.close()
   }
 
@@ -435,7 +492,15 @@ object JdbcTableStore {
           case StringType =>
             sb.append('"').append(escapeCsvString(row.getString(i))).append('"')
           case BinaryType =>
-            sb.append(escapeBinary(row.getAs[Array[Byte]](i)))
+            // a ZERO-LENGTH byte array must render as a quoted empty field:
+            // unquoted "" is exactly the COPY `NULL ''` sentinel and would
+            // read back as SQL NULL (the batch-insert path stores the empty
+            // array correctly — the two writers must agree). CSV quoting is
+            // field-level syntax, so the otherwise-unquoted octal encoding
+            // is unaffected for non-empty values.
+            val bytes = row.getAs[Array[Byte]](i)
+            if (bytes.isEmpty) sb.append("\"\"")
+            else sb.append(escapeBinary(bytes))
           case _ => sb.append(String.valueOf(row.get(i)))
         }
         i += 1
@@ -490,7 +555,14 @@ object JdbcTableStore {
       val cm = cmClass.getConstructor(baseConn)
         .newInstance(conn.unwrap(baseConn.asInstanceOf[Class[AnyRef]]))
       val copyIn = cmClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
-      copyIn.invoke(cm, copySql(table, colNames), new LinesReader(copyLines(fields, rows)))
+      try copyIn.invoke(cm, copySql(table, colNames), new LinesReader(copyLines(fields, rows)))
+      catch {
+        // unwrap the reflective shell: the task failure must show the COPY's
+        // own SQLException (bad row, overflow), not an InvocationTargetException
+        // with a null message
+        case e: java.lang.reflect.InvocationTargetException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
       ()
     } finally conn.close()
   }

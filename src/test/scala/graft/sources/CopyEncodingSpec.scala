@@ -55,6 +55,15 @@ class CopyEncodingSpec extends AnyFunSuite {
     assert(lines == Seq("\\001k"))
   }
 
+  test("zero-length binary encodes as a QUOTED empty field, distinct from the NULL sentinel") {
+    // unquoted "" is exactly COPY's `NULL ''` marker: an empty byte array
+    // must quote so it reads back as empty bytea, not SQL NULL (the
+    // batch-insert writer stores it correctly — the two must agree)
+    val lines = copyLines(Seq(BinaryType, BinaryType),
+      Iterator(Row(Array.emptyByteArray, null))).toSeq
+    assert(lines == Seq("\"\"|"))
+  }
+
   test("LinesReader streams the iterator with newline separators, no materialization") {
     def readAll(lines: Seq[String], bufSize: Int): String = {
       val r = new LinesReader(lines.iterator)

@@ -181,6 +181,76 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(1 -> "a"), "target data must survive the sweep")
   }
 
+  test("gcStages never drops a live table that matches the stage pattern only via LIKE wildcards") {
+    val url = s"jdbc:derby:memory:gclike${System.nanoTime()};create=true"
+    val s = new JdbcTableStore(spark, url, spec)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // a REAL orphan stage...
+      conn.createStatement().execute("CREATE TABLE PUBLIC_T_SK_DEAD2 (id INTEGER)")
+      // ...and live siblings that match 'PUBLIC_T_SK_%' / 'PUBLIC_T_SR_%'
+      // only because unescaped '_' matches any character ('_' → 'E'/'1')
+      conn.createStatement().execute("CREATE TABLE PUBLIC_T_SKEW (x INTEGER)")
+      conn.createStatement().execute("CREATE TABLE PUBLIC_T_SR1X (x INTEGER)")
+    } finally conn.close()
+    s.gcStages()
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val remaining = try {
+      val rs = c2.getMetaData.getTables(null, null, "PUBLIC_T%", null)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      try { while (rs.next()) names += rs.getString("TABLE_NAME") } finally rs.close()
+      names.toSeq.sorted
+    } finally c2.close()
+    assert(remaining == Seq("PUBLIC_T", "PUBLIC_T_SKEW", "PUBLIC_T_SR1X"),
+      s"the sweep must drop only token-named stages, got $remaining")
+  }
+
+  test("binary and double columns merge through Derby (DISTINCT-comparable types, empty bytes kept)") {
+    val binSpec = TableSpec(
+      "public.bin",
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("payload", BinaryType), StructField("score", DoubleType))),
+      Seq("id"))
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:bin${System.nanoTime()};create=true", binSpec)
+    val rows = Seq(
+      (1, Array[Byte](1, 2, 3), 1.5),
+      (2, Array.emptyByteArray, 2.5), // zero-length must NOT become NULL
+      (3, null.asInstanceOf[Array[Byte]], 3.5))
+    s.init(rows.toDF("id", "payload", "score"))
+    // merge exercises INSERT … SELECT DISTINCT over the binary column —
+    // a BLOB mapping fails here (Derby forbids DISTINCT over BLOB)
+    s.merge(CompactedBatch(
+      deletes = Seq(3).toDF("id"),
+      upserts = Seq((4, Array[Byte](9), 4.5)).toDF("id", "payload", "score")))
+    val got = s.snapshot().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[Array[Byte]](1)).map(_.toSeq)).toMap
+    assert(got == Map(1 -> Some(Seq[Byte](1, 2, 3)), 2 -> Some(Seq.empty[Byte]),
+      4 -> Some(Seq[Byte](9))))
+  }
+
+  test("pk columns resolve case-insensitively, like TableSpec's own validation") {
+    val ciSpec = TableSpec(
+      "public.ci",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+      Seq("ID")) // different case than the schema field
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:ci${System.nanoTime()};create=true", ciSpec)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b")).toDF("id", "v")))
+    assert(s.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(2 -> "b"))
+  }
+
+  test("snapshot of a never-created table reads as empty with the spec schema (Parquet-store parity)") {
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:virgin${System.nanoTime()};create=true", spec)
+    val snap = s.snapshot()
+    assert(snap.schema == spec.schema)
+    assert(snap.collect().isEmpty)
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
