@@ -70,6 +70,11 @@ object Decoders {
   /** Debezium BIT: "true"/"false" → "1"/"0"; otherwise Base64 bytes in
     * little-endian order → concatenated bit string, truncated to the low
     * `precision` bits (reference: DebeziumPipeLine.java:121-143).
+    *
+    * The boolean branch is deliberately NOT zero-padded to `precision`: the
+    * reference returns the bare "1"/"0" (DebeziumPipeLine.java:122-127)
+    * even though its Maxwell twin pads (MaxwellPipeLine.java:81-84) — the
+    * asymmetry is the reference's own behavior, pinned here for parity.
     */
   private val debeziumBitUdf = udf { (data: String, precision: Int) =>
     if (data == null) null
@@ -148,12 +153,22 @@ object Decoders {
   def debeziumTime(c: Column, precision: Int): Column = {
     requireTimePrecision("debeziumTime", precision)
     // non-numeric forms (already-rendered "HH:mm:ss…" strings) pass through
+    // UNCHANGED, fraction and all — the reference returns zoned/rendered
+    // strings verbatim without truncating to the column precision
+    // (DebeziumPipeLine.java:152-156); parity, not an oversight
     when(isEpochLiteral(c), debeziumTimeUdf(c, lit(precision))).otherwise(c)
   }
 }
 
 /** Plain-JVM decode helpers shared by UDFs and unit tests. */
 object DecoderRuntime {
+  // hoisted: ofPattern builds a whole DateTimeFormatterBuilder chain per
+  // call, and this runs once per decoded Debezium time/timestamp value on
+  // the parse hot path; DateTimeFormatter is immutable and thread-safe
+  private val dateTimeFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val timeFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")
+
   /** `data` = "<epoch seconds><9-digit nanos>"; format in GMT, fraction
     * truncated to `precision` digits (0 → no fraction).
     */
@@ -165,8 +180,7 @@ object DecoderRuntime {
     val ns = data.trim.toLong
     val sec = java.lang.Math.floorDiv(ns, 1000000000L)
     val fraction = f"${java.lang.Math.floorMod(ns, 1000000000L)}%09d".substring(0, precision)
-    val fmt = java.time.format.DateTimeFormatter.ofPattern(
-      if (withDate) "yyyy-MM-dd HH:mm:ss" else "HH:mm:ss")
+    val fmt = if (withDate) dateTimeFmt else timeFmt
     val base = java.time.Instant.ofEpochSecond(sec).atZone(java.time.ZoneOffset.UTC).format(fmt)
     if (precision > 0) s"$base.$fraction" else base
   }

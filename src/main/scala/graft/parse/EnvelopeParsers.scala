@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *
   * Column contract: op, sourceTable, mappedTable, ts (ms), seq (long, total
   * order per key), data (map<string,string>), old (map<string,string>, null
-  * unless update).
+  * unless update — Maxwell carries the changed fields' pre-images, Debezium
+  * the full `before` image).
   */
 object CdcEvents {
   val columns: Seq[String] = Seq("op", "sourceTable", "mappedTable", "ts", "seq", "data", "old")
@@ -30,11 +31,21 @@ object CdcEvents {
   private[parse] def lowerKeys(m: Column): Column = {
     val empty = map_from_arrays(
       array().cast("array<string>"), array().cast("array<string>"))
-    aggregate(map_entries(m), empty, (acc, e) =>
+    // first-match-wins fold for the COLLIDING row: O(n²) — the aggregate
+    // copies the accumulator map once per entry
+    val collisionFold = aggregate(map_entries(m), empty, (acc, e) =>
       when(map_contains_key(acc, lower(e.getField("key"))), acc)
         .otherwise(map_concat(acc,
           map_from_arrays(array(lower(e.getField("key"))),
             array(e.getField("value"))))))
+    // …but collisions are the rare exception, so the common collision-free
+    // row takes the one-pass transform_keys (guarded: unguarded it would
+    // hit Spark's duplicate-map-key EXCEPTION policy on the colliding row).
+    // A 200-column table pays 200 map copies per row per map otherwise.
+    val loweredKeys = transform(map_keys(m), k => lower(k))
+    when(size(array_distinct(loweredKeys)) === size(loweredKeys),
+      transform_keys(m, (k, _) => lower(k)))
+      .otherwise(collisionFold)
   }
 
   /** Route source tables to targets and drop unmapped ones (operators F1+F2,
@@ -91,10 +102,19 @@ object MaxwellParser {
   * (reference: DebeziumPipeLine.java:86-111, 213-238).
   *
   * Envelope: `{"payload":{"op","ts_ms","before":{...},"after":{...}}}`;
-  * `op r|c → insert(after)`, `u → update(after)`, `d → delete(before)`;
-  * events with a missing/null payload are skipped. The source table comes
-  * from the Kafka topic name `<namespace>.<schema>.<table>` — callers pass
-  * it via `topicCol` (reference: DebeziumPipeLine.java:75-83).
+  * `op r|c → insert(after)`, `u → update(after, old = before)`,
+  * `d → delete(before)`; events with a missing/null payload are skipped.
+  * The source table comes from the Kafka topic name
+  * `<namespace>.<schema>.<table>` — callers pass it via `topicCol`
+  * (reference: DebeziumPipeLine.java:75-83).
+  *
+  * Surfacing `before` as `old` goes BEYOND the reference (its Debezium
+  * pipeline never produces oldKeys — standard Debezium splits a PK update
+  * into d + c events, so `before`'s key never differs from `after`'s):
+  * [[Projection.typed]] nulls oldKey whenever it equals the new key, so
+  * standard streams are unchanged, while a nonstandard producer emitting a
+  * PK-changing `u` still merges correctly instead of leaving the stale row
+  * under the old key.
   */
 object DebeziumParser {
   val envelopeSchema: StructType = StructType(Seq(
@@ -122,7 +142,11 @@ object DebeziumParser {
         CdcEvents.lowerKeys(
           when(col("env.payload.op") === "d", col("env.payload.before"))
             .otherwise(col("env.payload.after"))).as("data"),
-        lit(null).cast(MapType(StringType, StringType)).as("old"))
+        // the full before image on updates (see object doc: a no-op for
+        // standard Debezium streams, correct PK-change handling beyond them)
+        when(col("env.payload.op") === "u",
+          CdcEvents.lowerKeys(col("env.payload.before")))
+          .otherwise(lit(null).cast(MapType(StringType, StringType))).as("old"))
       .filter(col("op").isNotNull)
     CdcEvents.route(parsed, registry).select(CdcEvents.columns.map(col): _*)
   }

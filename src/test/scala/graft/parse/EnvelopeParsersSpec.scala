@@ -126,6 +126,24 @@ class EnvelopeParsersSpec extends SparkTestBase {
     assert(byOp("delete") == Map("id" -> "3", "name" -> "c"))
   }
 
+  test("debezium: standard update (same PK) keeps oldKey null; PK-changing u deletes the old key") {
+    val reg = TableRegistry(Map("public.test" -> "public.test"), Map("public.test" -> testSpec))
+    val raw = Seq(
+      // standard Debezium: PK unchanged — before must NOT surface an oldKey
+      ("""{"payload":{"op":"u","ts_ms":1,"before":{"id":1,"name":"x"},"after":{"id":1,"name":"y"}}}""", "db.public.test"),
+      // nonstandard producer: PK moves inside one "u" — the before image
+      // must yield oldKey=2 so compaction deletes the stale row
+      ("""{"payload":{"op":"u","ts_ms":2,"before":{"id":2,"name":"a"},"after":{"id":3,"name":"b"}}}""", "db.public.test"))
+      .toDF("value", "topic")
+    val typed = Projection.typed(
+      DebeziumParser.events(raw, reg, lit(1L), col("topic")), testSpec, Projection.Debezium)
+      .collect().sortBy(_.getAs[Long]("ts"))
+    assert(typed(0).isNullAt(typed(0).fieldIndex("oldKey")),
+      "same-PK update must null oldKey (standard streams bit-identical)")
+    assert(typed(1).getAs[org.apache.spark.sql.Row]("oldKey").getInt(0) == 2)
+    assert(typed(1).getAs[org.apache.spark.sql.Row]("key").getInt(0) == 3)
+  }
+
   test("typed projection decodes binary, decimal, date, timestamp, bit (debezium)") {
     val spec = TableSpec("public.typed",
       StructType(Seq(
