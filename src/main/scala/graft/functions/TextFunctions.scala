@@ -163,6 +163,17 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Domain-separated key hash: `md5Hash60("<domain>:" + key)`. THE shared
+    * convention for every operator that makes an independent per-key random
+    * decision (sampling, splits, shuffles) — distinct domains give distinct,
+    * independent hash streams over the same keys, so stacked operators never
+    * correlate (a sampler reusing a split's stream would empty its tail
+    * range). Oracles prepend the same literal prefix. Change the formula
+    * here and nowhere else.
+    */
+  def domainHash(domain: String, key: Column): Column =
+    md5Hash60(concat(lit(domain + ":"), key.cast("string")))
+
   /** Rolling polynomial document fingerprint over tokens (order-sensitive,
     * whitespace-insensitive): fold acc = (acc*31 + md5Hash60(token)) mod 2^40.
     * The modulus keeps the fold inside exact int64 range in any engine.

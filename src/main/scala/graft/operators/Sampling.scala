@@ -29,7 +29,7 @@ object Sampling {
     * growth-stability property. Oracles prepend the same literal prefix.
     */
   private def domainHash(domain: String, key: Column): Column =
-    TextFunctions.md5Hash60(concat(lit(domain + ":"), key.cast("string")))
+    TextFunctions.domainHash(domain, key)
 
   /** Per-key percentage bucket in [0, 100) — md5-derived so any engine can
     * recompute membership. Bare-key primitive; the operators below use

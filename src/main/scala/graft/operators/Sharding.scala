@@ -137,4 +137,37 @@ object Sharding {
         (greatest(col("start"), col("seq") * seqLen) - col("seq") * seqLen)
           .as("off_in_seq"))
   }
+
+  /** Deterministic corpus shuffle — the training-order randomization step:
+    * every row gets a `shard` in [0, shards) and a dense 1-based `pos`
+    * within its shard, both pure functions of the UNIQUE key (md5 under a
+    * `seed`-derived domain), so any engine — and any re-run after an
+    * executor loss — reproduces the identical training order. Trainers
+    * read shard files in `pos` order; cross-shard order is irrelevant by
+    * construction because the hash already mixed sources. A null key fails
+    * the job loudly (a silent NULL shard would misfile the row); rows
+    * sharing a key tie on the sort and may swap `pos` between runs — pass
+    * a unique id, like every packer above.
+    *
+    * Scale: ONE shuffle, on the shard id; the per-shard `row_number` sorts
+    * only that shard's rows inside its partition. `shards` bounds per-task
+    * data — size it like output files (100 TB / target file size), never a
+    * small constant; a handful of shards over a huge corpus funnels the
+    * sort into a handful of tasks.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    Seq("shard", "pos", "_graft_shuffle_h").find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"shuffleShards: input already has a '$c' column — rename it first"))
+    val h = when(col(keyCol).isNull,
+      raise_error(lit(s"shuffleShards: key column $keyCol is null")))
+      .otherwise(TextFunctions.domainHash(s"shuffle:$seed", col(keyCol)))
+    df.withColumn("_graft_shuffle_h", h)
+      .withColumn("shard", pmod(col("_graft_shuffle_h"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_graft_shuffle_h"), col(keyCol))))
+      .drop("_graft_shuffle_h")
+  }
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.operators.{Funnel, IncrementalAgg, Sessionize, Sharding}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics pack — the product-analytics queries the reference's
+  * users run in Greenplum over CDC-synced event tables (reference:
+  * README.md:9,15): sessionization, ordered funnels, cohort retention,
+  * distribution histograms — plus the two training-pipeline assembly steps
+  * that round out the corpus surface (deterministic corpus shuffle,
+  * incremental aggregate maintenance).
+  *
+  * Every query reads `sfDir` parquet and has a DuckDB oracle below. The
+  * events table's ns timestamps ride [[RelationalQueries.events]]'s µs
+  * truncation; oracles restate it (`epoch_ns(ts) // 1000`). Time math is
+  * exact int64 microseconds end-to-end — no interval or float arithmetic,
+  * so session boundaries, funnel orderings, and week offsets replay
+  * bit-identically in any engine.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Gap sessionization (batch): 30-min inactivity gap → per-session
+    // stats. One shuffle on user_id shared by the lag window, the running
+    // sum, and the final aggregate (Sessionize scaladoc).
+    "q105_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(RelationalQueries.events(s, dir),
+        "user_id", "ts", gapSeconds = 1800,
+        extras = Seq(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          RelationalQueries.dsum(col("value")).as("sum_value")))
+    }),
+
+    // ── Ordered funnel signup → view → click → purchase: each stage
+    // counted only when STRICTLY after the actor's previous stage. One
+    // bounded per-actor aggregate per stage, all keyed on user_id.
+    "q106_funnel" -> ((s, dir) => {
+      Funnel.counts(RelationalQueries.events(s, dir),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // ── Weekly cohort retention: cohort = Monday of the user's first-ever
+    // event week; offset = full weeks since the user's first DAY (exact
+    // integer day arithmetic, not week truncation, so a Sunday-join user
+    // counts week 1 on their 8th day, not on the next ISO week).
+    "q107_cohort_retention" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      ev.join(first, "user_id")
+        .select(
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+          expr("CAST(datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) DIV 7 AS INT)")
+            .as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
+    // ── Fixed-width 20-bucket histogram of `value`: bounds from one tiny
+    // broadcast aggregate, bucket arithmetic a fixed IEEE op sequence
+    // ((v-lo), (hi-lo)/20, one division, floor) every engine rounds alike.
+    "q108_value_histogram" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val stats = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(stats))
+        .select(
+          when(col("hi") === col("lo"), 0)
+            .otherwise(least(
+              floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 20.0)),
+              lit(19L)))
+            .cast("int").as("bucket"),
+          col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          RelationalQueries.dsum(col("value")).as("sum_value"))
+    }),
+
+    // ── Deterministic corpus shuffle: seed-keyed md5 order, shard +
+    // in-shard position for training-order assembly (Sharding scaladoc).
+    "q109_corpus_shuffle" -> ((s, dir) => {
+      Sharding.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", shards = 8)
+        .select("doc_id", "shard", "pos")
+    }),
+
+    // ── Incremental aggregate maintenance: per-(event_type, day) state
+    // built separately over a 20-day base and a 10-day delta, merged
+    // state-to-state, rendered from state alone — and verified against the
+    // oracle's ONE-SHOT aggregate over everything, which is the whole
+    // point: the fold must equal the recompute bit-for-bit.
+    "q110_incremental_agg" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+        .withColumn("day", col("ts").cast("date"))
+      val cut = lit("2024-01-21").cast("timestamp")
+      val keys = Seq("event_type", "day")
+      val merged = IncrementalAgg.merge(Seq(
+        IncrementalAgg.state(ev.filter(col("ts") < cut), keys, Seq("value")),
+        IncrementalAgg.state(ev.filter(col("ts") >= cut), keys, Seq("value"))),
+        keys)
+      IncrementalAgg.finish(merged, keys, Seq("value"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q105_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events, max(us) - min(us) AS dur_us,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q106_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(us) AS t4 FROM ev e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t3 GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS actors FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
+
+    "q107_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS first_ts FROM ev GROUP BY 1)
+        |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7
+        |       AS INT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM ev e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q108_value_histogram" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(floor((value - lo) / ((hi - lo) / 20)), 19) END AS INT) AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, st GROUP BY 1""".stripMargin,
+
+    "q109_corpus_shuffle" ->
+      """SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shuffle:42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |       AS BIGINT) AS h FROM documents)""".stripMargin,
+
+    "q110_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day, value
+        |  FROM events)
+        |SELECT event_type, day, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_value
+        |FROM ev GROUP BY 1, 2""".stripMargin)
+}

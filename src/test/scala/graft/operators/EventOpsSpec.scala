@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases + partition invariance for the event-analytics
+  * operators (Sessionize, Funnel, IncrementalAgg) and the deterministic
+  * corpus shuffle.
+  */
+class EventOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+  // ── Sessionize ──────────────────────────────────────────────────────────
+
+  test("sessionize: 30-min gap splits sessions, boundary gap starts a new one") {
+    // user 1: 0, 10, 40 (gap 30 == boundary → NEW), 41
+    // user 2: 5 alone
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(40)), (1L, ts(41)),
+      (2L, ts(5)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.assign(df, "user_id", "ts", gapSeconds = 1800)
+      .select("user_id", "ts", "session_id")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      (1L, ts(0), 1L), (1L, ts(10), 1L), (1L, ts(40), 2L), (1L, ts(41), 2L),
+      (2L, ts(5), 1L)))
+  }
+
+  test("sessionize: session stats aggregate the right members") {
+    val df = Seq(
+      (1L, ts(0), "view", 1.0), (1L, ts(10), "purchase", 2.0),
+      (1L, ts(100), "view", 4.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val rows = Sessionize.sessions(df, "user_id", "ts", gapSeconds = 1800,
+      extras = Seq(count(when(col("event_type") === "purchase", 1)).as("np")))
+      .orderBy("session_id")
+      .select("session_id", "start_us", "end_us", "n_events", "dur_us", "np")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows === Array(
+      (1L, 0L, 10L * 60000000L, 2L, 10L * 60000000L, 1L),
+      (2L, 100L * 60000000L, 100L * 60000000L, 1L, 0L, 0L)))
+  }
+
+  test("sessionize: result is partition-count invariant") {
+    val df = (1 to 400).map(i => ((i % 7).toLong, ts(i * 17 % 500))).toDF("user_id", "ts")
+    val a = Sessionize.assign(df.repartition(1), "user_id", "ts", 600)
+      .select("user_id", "ts", "session_id").collect().toSet
+    val b = Sessionize.assign(df.repartition(13), "user_id", "ts", 600)
+      .select("user_id", "ts", "session_id").collect().toSet
+    assert(a === b)
+  }
+
+  // ── Funnel ──────────────────────────────────────────────────────────────
+
+  private val stages = Seq("signup", "view", "click")
+
+  test("funnel: strictly-ordered stages; out-of-order events never count") {
+    val df = Seq(
+      // A completes everything in order
+      (1L, ts(1), "signup"), (1L, ts(2), "view"), (1L, ts(3), "click"),
+      // B views BEFORE signing up — view must not count; stage 1 only
+      (2L, ts(5), "view"), (2L, ts(6), "signup"),
+      // C never signs up — enters no stage
+      (3L, ts(1), "view"), (3L, ts(2), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.counts(df, "user_id", "ts", "event_type", stages)
+      .select("stage_idx", "stage", "actors")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got === Array((1, "signup", 2L), (2, "view", 1L), (3, "click", 1L)))
+  }
+
+  test("funnel: a simultaneous (same-ts) next stage does not count") {
+    val df = Seq((1L, ts(1), "signup"), (1L, ts(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.counts(df, "user_id", "ts", "event_type", Seq("signup", "view"))
+      .select("stage_idx", "actors").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("funnel: stageTimes picks the EARLIEST valid hit per stage") {
+    val df = Seq(
+      (1L, ts(10), "signup"), (1L, ts(2), "signup"),
+      (1L, ts(5), "view"), (1L, ts(20), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val row = Funnel.stageTimes(df, "user_id", "ts", "event_type", Seq("signup", "view"))
+      .select("t1", "t2").as[(Long, Long)].collect().head
+    // earliest signup is t=2; earliest view after it is t=5 (not 20)
+    assert(row === ((2L * 60000000L, 5L * 60000000L)))
+  }
+
+  test("funnel: duplicate stage names are rejected") {
+    val df = Seq((1L, ts(1), "a")).toDF("user_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException](
+      Funnel.counts(df, "user_id", "ts", "event_type", Seq("a", "a")))
+    assert(e.getMessage.contains("duplicate stage"))
+  }
+
+  // ── IncrementalAgg ──────────────────────────────────────────────────────
+
+  test("incremental state+merge+finish equals a one-shot aggregate, any split") {
+    val rows = (1 to 300).map(i => (s"k${i % 5}", i * 0.17))
+    val df = rows.toDF("k", "v")
+    val oneShot = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(28,2)")).cast("double").as("sum_v"),
+        (sum(col("v").cast("decimal(28,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_v"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    for (splitAt <- Seq(0, 100, 300)) {
+      val (a, b) = rows.splitAt(splitAt)
+      val merged = IncrementalAgg.merge(Seq(
+        IncrementalAgg.state(a.toDF("k", "v"), Seq("k"), Seq("v")),
+        IncrementalAgg.state(b.toDF("k", "v"), Seq("k"), Seq("v"))), Seq("k"))
+      val got = IncrementalAgg.finish(merged, Seq("k"), Seq("v"))
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got === oneShot, s"splitAt=$splitAt")
+    }
+  }
+
+  test("incremental merge keeps keys present in only one state and is associative") {
+    val s1 = IncrementalAgg.state(Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val s2 = IncrementalAgg.state(Seq(("b", 2.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val s3 = IncrementalAgg.state(Seq(("a", 3.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val flat = IncrementalAgg.merge(Seq(s1, s2, s3), Seq("k"))
+    val nested = IncrementalAgg.merge(
+      Seq(IncrementalAgg.merge(Seq(s1, s2), Seq("k")), s3), Seq("k"))
+    val render = (st: org.apache.spark.sql.DataFrame) =>
+      IncrementalAgg.finish(st, Seq("k"), Seq("v"))
+        .as[(String, Long, Double, Double)].collect().toSet
+    assert(render(flat) === Set(("a", 2L, 4.0, 2.0), ("b", 1L, 2.0, 2.0)))
+    assert(render(flat) === render(nested))
+  }
+
+  test("incremental merge rejects frames that are not states") {
+    val notState = Seq(("a", 1.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      IncrementalAgg.merge(Seq(notState), Seq("k")))
+    assert(e.getMessage.contains("not an IncrementalAgg state"))
+  }
+
+  // ── shuffleShards ───────────────────────────────────────────────────────
+
+  test("shuffleShards: dense 1-based pos per shard, deterministic, seed-sensitive") {
+    val df = (1 to 200).map(_.toLong).toDF("doc_id")
+    val a = Sharding.shuffleShards(df, "doc_id", shards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // every shard's positions are exactly 1..n
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.length).toArray, s"shard $shard")
+    }
+    val b = Sharding.shuffleShards(df.repartition(7), "doc_id", shards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.toSet === b.toSet, "partition-count invariant")
+    val other = Sharding.shuffleShards(df, "doc_id", shards = 4, seed = 7L)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.toSet !== other.toSet, "a different seed must reshuffle")
+  }
+
+  test("shuffleShards fails loudly on null keys and reserved column names") {
+    val nullKey = Seq(Some(1L), None).toDF("doc_id")
+    val e = intercept[Exception](
+      Sharding.shuffleShards(nullKey, "doc_id", shards = 2).collect())
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("; ")
+    assert(chain(e).contains("null"), s"expected the null-key guard, got: ${chain(e)}")
+    val collides = Seq((1L, 9)).toDF("doc_id", "pos")
+    val e2 = intercept[IllegalArgumentException](
+      Sharding.shuffleShards(collides, "doc_id", shards = 2))
+    assert(e2.getMessage.contains("'pos'"))
+  }
+
+  test("sessionize fails loudly on a null timestamp") {
+    val df = Seq((1L, Some(ts(0))), (1L, None)).toDF("user_id", "ts")
+    val e = intercept[Exception](
+      Sessionize.assign(df, "user_id", "ts", 1800).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("; ")
+    assert(msgs.contains("null"), s"expected the null-ts guard, got: $msgs")
+  }
+}
