@@ -94,6 +94,16 @@ object GraftConfig {
     def getInt(key: String, dflt: Int): Int = get(key).map { v =>
       try v.toInt catch { case _: NumberFormatException => fail(s"$key must be an integer, got '$v'") }
     }.getOrElse(dflt)
+    // Bounds checked AT LOAD — this layer's whole job is the reference's
+    // fail-fast startup validation: a negative merge.interval otherwise only
+    // throws deep inside Spark's trigger at stream start, a negative batch
+    // size silently misbehaves in the Kafka source, an out-of-range port
+    // errors at server bind — all far from the config that caused them.
+    def getPosInt(key: String, dflt: Int): Int = {
+      val v = getInt(key, dflt)
+      if (v <= 0) fail(s"$key must be positive, got $v")
+      v
+    }
 
     val target = ConnectionConfig(
       get("target.url").getOrElse(fail("please designate url for target database (target.url)")),
@@ -125,17 +135,22 @@ object GraftConfig {
     GraftConfig(
       target = target,
       sources = sources,
-      mergeIntervalMs = getInt("merge.interval", 10000),
-      batchSize = getInt("merge.batch.size", 50000),
-      pipelinePoolSize = getInt("pipeline.thread_pool.size", 5),
-      transformPoolSize = getInt("transform.thread_pool.size", 10),
-      mergePoolSize = getInt("merge.thread_pool.size", 10),
-      loaderConnSize = getInt("loader.conn_pool.size", 10),
-      loaderTaskQueueSize = getInt("loader.task_queue.size", 2),
+      mergeIntervalMs = getPosInt("merge.interval", 10000),
+      batchSize = getPosInt("merge.batch.size", 50000),
+      pipelinePoolSize = getPosInt("pipeline.thread_pool.size", 5),
+      transformPoolSize = getPosInt("transform.thread_pool.size", 10),
+      mergePoolSize = getPosInt("merge.thread_pool.size", 10),
+      loaderConnSize = getPosInt("loader.conn_pool.size", 10),
+      loaderTaskQueueSize = getPosInt("loader.task_queue.size", 2),
       reporter = get("metrics.reporter").getOrElse("console"),
-      reportIntervalSec = getInt("metrics.reporter.console.interval", 15),
+      reportIntervalSec = getPosInt("metrics.reporter.console.interval", 15),
       stateServerAddr = get("state.server.addr").getOrElse("0.0.0.0"),
-      stateServerPort = getInt("state.server.port", 8080))
+      stateServerPort = {
+        val p = getInt("state.server.port", 8080)
+        // 0 stays legal: an ephemeral port, read back from StateServer.port
+        if (p < 0 || p > 65535) fail(s"state.server.port must be 0-65535, got $p")
+        p
+      })
   }
 
   /** `<configDir>/<source>.properties`: `db.table = schema.table` lines
@@ -204,6 +219,9 @@ object GraftBoot {
     case SourceType.Debezium =>
       graft.streaming.CdcPipeline.kafkaDebeziumStream(
         spark, source.kafkaServer, s"${java.util.regex.Pattern.quote(source.topic)}\\..+",
-        registry, stores, checkpointDir, cfg.trigger, cfg.batchSize.toLong)
+        registry, stores, checkpointDir, cfg.trigger, cfg.batchSize.toLong,
+        // the exact namespace, so a dotted topic.prefix still routes (the
+        // parser's default first-segment strip would mis-key every event)
+        namespace = Some(source.topic))
   }
 }

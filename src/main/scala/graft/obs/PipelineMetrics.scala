@@ -59,7 +59,13 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
       catch { case _: Exception => System.currentTimeMillis() }
     val delay = Option(p.eventTime.get("watermark"))
       .filter(_ != "1970-01-01T00:00:00.000Z") // no event-time data yet
-      .map(w => batchMs - java.time.Instant.parse(w).toEpochMilli)
+      // guarded like p.timestamp above: an unparsable watermark string would
+      // throw out of onQueryProgress, and Spark's listener bus swallows the
+      // exception — silently freezing latest/batches/rows for every
+      // subsequent batch of a healthy query
+      .flatMap(w =>
+        try Some(batchMs - java.time.Instant.parse(w).toEpochMilli)
+        catch { case _: Exception => None })
       .getOrElse(-1L)
     states.updateWith(p.id) {
       case Some(s) => Some(s.copy(
@@ -131,6 +137,7 @@ final class StateServer(metricsList: Seq[PipelineMetrics],
     this(metricsList, requestedPort, "0.0.0.0")
 
   private var server: com.sun.net.httpserver.HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   private def bySource: Map[String, PipelineMetrics] =
     metricsList.map(m => m.sourceName -> m).toMap
@@ -141,6 +148,16 @@ final class StateServer(metricsList: Seq[PipelineMetrics],
       // unauthenticated endpoint off the network
       new java.net.InetSocketAddress(java.net.InetAddress.getByName(bindAddr),
         requestedPort), 0)
+    // A handler pool: the JDK server's default executor runs every handler
+    // on its single dispatcher thread, so one slow-reading (or half-dead)
+    // client would stall every other monitor's poll behind it — the
+    // reference's Jetty served from a pool (StateServer.java:35-58).
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-state-server")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.createContext("/", { exchange =>
       try {
         val path = exchange.getRequestURI.getPath
@@ -178,7 +195,10 @@ final class StateServer(metricsList: Seq[PipelineMetrics],
 
   def port: Int = server.getAddress.getPort
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdownNow(); () }
+  }
 }
 
 /** Periodic metrics reporter — the Spark-native form of the reference's

@@ -124,8 +124,24 @@ object DebeziumParser {
       StructField("before", MapType(StringType, StringType)),
       StructField("after", MapType(StringType, StringType)))))))
 
+  /** @param namespace when known (the config's `<source>.namespace`), the
+    *   EXACT topic prefix to strip — Debezium's `topic.prefix` may itself
+    *   contain dots (`prod.mysql`), in which case the default first-segment
+    *   strip would yield a 3-part source name that can never match the
+    *   table map's enforced `db.table` keys and every event would be
+    *   silently dropped. Without it the standard single-segment prefix is
+    *   assumed.
+    */
   def events(raw: DataFrame, registry: TableRegistry, seqCol: Column,
-             topicCol: Column, valueCol: String = "value"): DataFrame = {
+             topicCol: Column, valueCol: String = "value",
+             namespace: Option[String] = None): DataFrame = {
+    // topic "<namespace>.schema.table" → source key "schema.table"; an exact
+    // (possibly dotted) namespace strips verbatim, else first segment
+    val sourceTable = namespace match {
+      case Some(ns) =>
+        regexp_extract(topicCol, "^" + java.util.regex.Pattern.quote(ns) + "\\.(.+)$", 1)
+      case None => regexp_extract(topicCol, "^[^.]+\\.(.+)$", 1)
+    }
     val parsed = raw
       .withColumn("seq", seqCol)
       .withColumn("env", from_json(col(valueCol), envelopeSchema))
@@ -135,8 +151,7 @@ object DebeziumParser {
           .when(col("env.payload.op") === "u", CdcOp.Update)
           .when(col("env.payload.op") === "d", CdcOp.Delete)
           .as("op"),
-        // topic "ns.schema.table" → source key "schema.table"
-        regexp_extract(topicCol, "^[^.]+\\.(.+)$", 1).as("sourceTable"),
+        sourceTable.as("sourceTable"),
         col("env.payload.ts_ms").as("ts"),
         col("seq"),
         CdcEvents.lowerKeys(

@@ -107,14 +107,19 @@ object CdcPipeline {
     applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores,
       stagingDir = stagingDir)
 
-  /** Debezium twin of [[applyMaxwellKafkaBatch]]: topic supplies routing. */
+  /** Debezium twin of [[applyMaxwellKafkaBatch]]: topic supplies routing.
+    * `namespace` (when known) strips the exact — possibly dotted — topic
+    * prefix; see [[DebeziumParser.events]].
+    */
   private[graft] def applyDebeziumKafkaBatch(
       batch: DataFrame,
       registry: TableRegistry,
       stores: Map[String, TableStore],
-      stagingDir: Option[String] = None): Unit =
+      stagingDir: Option[String] = None,
+      namespace: Option[String] = None): Unit =
     applyBatch(
-      DebeziumParser.events(batch, registry, col("offset"), col("topic")),
+      DebeziumParser.events(batch, registry, col("offset"), col("topic"),
+        namespace = namespace),
       registry, stores, Projection.Debezium, stagingDir = stagingDir)
 
   /** Maxwell-over-Kafka sync, the reference's primary deployment
@@ -206,9 +211,17 @@ object CdcPipeline {
       registry: TableRegistry,
       stores: Map[String, TableStore],
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
-    val raw = spark.readStream.text(inputDir)
+    // Back-pressure for the bulk-replay case, the file twin of the Kafka
+    // paths' maxOffsetsPerTrigger: without a cap a replay dir's ENTIRE
+    // history arrives as one giant first micro-batch — one enormous staged
+    // write, a per-file driver array over the full history, and hours of
+    // work whose mid-batch failure restarts from zero.
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputDir)
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -308,7 +321,8 @@ object CdcPipeline {
       stores: Map[String, TableStore],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
+      maxOffsetsPerTrigger: Long = 50000L,
+      namespace: Option[String] = None): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -324,7 +338,8 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyDebeziumKafkaBatch(batch, registry, stores,
-          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
+          stagingDir = Some(s"$checkpointDir/_graft_batch_staging"),
+          namespace = namespace)
       }
       .start()
   }

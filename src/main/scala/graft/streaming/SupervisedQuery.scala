@@ -100,8 +100,29 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
     val end = System.currentTimeMillis() + deadlineMs
     var ok = false
     while (!ok && System.currentTimeMillis() < end && _state == "NORMAL") {
-      try { current.processAllAvailable(); ok = true }
-      catch { case _: Exception => Thread.sleep(100) } // query mid-restart
+      // Each attempt runs on a bounded helper thread: a bare
+      // `current.processAllAvailable()` can block INDEFINITELY (wedged
+      // broker poll, stalled foreachBatch target) and the between-attempt
+      // deadline check would never re-run — the documented deadline has to
+      // hold even when the query is alive-but-stuck. A timed-out helper is
+      // a daemon and is abandoned, not interrupted (interrupting a thread
+      // inside Spark's query lock could wedge the query worse).
+      val q = current
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        try q.processAllAvailable()
+        catch { case e: Throwable => err.set(e) }
+        finally done.countDown()
+      }, "graft-process-all-available")
+      t.setDaemon(true)
+      t.start()
+      val finished = done.await(
+        math.max(1L, end - System.currentTimeMillis()),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (finished && err.get == null) ok = true
+      else if (finished) Thread.sleep(100) // query mid-restart; retry
+      // !finished → deadline expired while blocked; loop condition ends it
     }
     if (!ok) throw new IllegalStateException(
       s"processAllAvailable did not complete: state=${_state}" +
@@ -110,7 +131,11 @@ final class SupervisedQuery(startFn: () => StreamingQuery, maxRestarts: Int = 3)
 
   def stop(): Unit = {
     stopping.set(true)
-    _state = "STOPPED"
+    // ERROR is a TERMINAL poisoned state (the reference never resurrects an
+    // ERROR pipeline) — an unconditional overwrite here would make a
+    // shutdown hook's routine stop() report a failed pipeline as cleanly
+    // stopped to any post-shutdown state read.
+    if (_state == "NORMAL") _state = "STOPPED"
     restartLock.synchronized {
       restartLock.notifyAll() // wake a supervisor sleeping in restart backoff
       try current.stop() catch { case _: Exception => () }

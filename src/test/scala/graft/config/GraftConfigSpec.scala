@@ -115,6 +115,28 @@ class GraftConfigSpec extends SparkTestBase {
       .getMessage.contains("wrong format"))
   }
 
+  test("fails fast on out-of-range numeric knobs instead of erroring deep in Spark") {
+    val base = "target.url = jdbc:x\ndata_source = s1\ns1.type = maxwell\n" +
+      "s1.kafka.server = h:9092\ns1.kafka.topic = t\n"
+    val maps = Map("s1" -> "demo.t = public.t\n")
+    def loadOf(extra: String) = {
+      val d = tmpDir("cfgrange")
+      intercept[IllegalArgumentException](
+        GraftConfig.load(writeFixture(d, base + extra, maps)))
+    }
+    // a negative trigger interval would otherwise only throw at stream start
+    assert(loadOf("merge.interval = -5\n").getMessage.contains("merge.interval"))
+    // a negative cap would flow into maxOffsetsPerTrigger and misbehave there
+    assert(loadOf("merge.batch.size = 0\n").getMessage.contains("merge.batch.size"))
+    assert(loadOf("metrics.reporter.console.interval = -1\n")
+      .getMessage.contains("metrics.reporter.console.interval"))
+    assert(loadOf("state.server.port = 70000\n").getMessage.contains("state.server.port"))
+    // port 0 stays legal — ephemeral bind, read back from StateServer.port
+    val d = tmpDir("cfgrange0")
+    assert(GraftConfig.load(writeFixture(d, base + "state.server.port = 0\n", maps))
+      .stateServerPort == 0)
+  }
+
   test("boots a file-stream pipeline from a .properties fixture, schemas probed from the target (§1.4)") {
     val dir = tmpDir("cfgboot")
     val dbUrl = s"jdbc:derby:memory:cfgboot${System.nanoTime()};create=true"

@@ -126,6 +126,28 @@ class EnvelopeParsersSpec extends SparkTestBase {
     assert(byOp("delete") == Map("id" -> "3", "name" -> "c"))
   }
 
+  test("debezium: dotted namespace routes via exact-prefix strip; default strip loses every event") {
+    val reg = TableRegistry(Map("public.test" -> "public.test"), Map("public.test" -> testSpec))
+    val raw = Seq(
+      ("""{"payload":{"op":"c","ts_ms":1,"before":null,"after":{"id":1,"name":"a"}}}""",
+        "prod.mysql.public.test"))
+      .toDF("value", "topic")
+    // Debezium topic.prefix may be dotted ("prod.mysql"): the default
+    // first-segment strip yields the 3-part "mysql.public.test", which can
+    // never match the table map's enforced db.table keys — SILENT total loss
+    assert(DebeziumParser.events(raw, reg, lit(1L), col("topic")).isEmpty)
+    // the config boot path passes the exact namespace, which routes
+    val ev = DebeziumParser.events(raw, reg, lit(1L), col("topic"),
+      namespace = Some("prod.mysql")).collect()
+    assert(ev.length == 1)
+    assert(ev.head.getAs[String]("sourceTable") == "public.test")
+    assert(ev.head.getAs[String]("mappedTable") == "public.test")
+    // an exact namespace must not strip a topic that merely LOOKS dotted:
+    // "prod" alone is a different prefix and must not route
+    assert(DebeziumParser.events(raw, reg, lit(1L), col("topic"),
+      namespace = Some("prod.mysql.public")).isEmpty)
+  }
+
   test("debezium: standard update (same PK) keeps oldKey null; PK-changing u deletes the old key") {
     val reg = TableRegistry(Map("public.test" -> "public.test"), Map("public.test" -> testSpec))
     val raw = Seq(

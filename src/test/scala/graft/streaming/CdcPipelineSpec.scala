@@ -110,6 +110,39 @@ class CdcPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bulk replay is back-pressured: maxFilesPerTrigger bounds each micro-batch") {
+    val in = tmpDir("cdc-in6")
+    val ckpt = tmpDir("cdc-ckpt6")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-store6"), spec, 4)
+    val now = System.currentTimeMillis()
+    def write(name: String, mtime: Long, lines: String*): Unit = {
+      val p = Paths.get(in, name)
+      Files.write(p, String.join("\n", lines: _*).getBytes, StandardOpenOption.CREATE)
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+    }
+    // a pre-existing backlog (the bulk-replay case): the cap must split it
+    // across micro-batches instead of one giant batch 0, and the per-batch
+    // sequencing must still compose to the same final state
+    write("f0.json", now - 2000,
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"v1"}}""")
+    write("f1.json", now - 1000,
+      """{"database":"demo","table":"test","type":"update","ts":2,"data":{"id":1,"name":"v2"},"old":{"name":"v1"}}""")
+    write("f2.json", now,
+      """{"database":"demo","table":"test","type":"update","ts":3,"data":{"id":1,"name":"v3"},"old":{"name":"v2"}}""",
+      """{"database":"demo","table":"test","type":"insert","ts":4,"data":{"id":2,"name":"b"}}""")
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"), maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(1 -> "v3", 2 -> "b"))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "three files under maxFilesPerTrigger=1 must arrive as three micro-batches")
+    } finally q.stop()
+  }
+
   test("a many-table registry routes the batch with ONE pass over the source") {
     import spark.implicits._
     val n = 20

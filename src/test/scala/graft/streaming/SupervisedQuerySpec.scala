@@ -56,5 +56,28 @@ class SupervisedQuerySpec extends SparkTestBase {
       assert(sup.state == "ERROR")
       assert(sup.restarts == 2)
     } finally sup.stop()
+    // ERROR is terminal: a shutdown hook's routine stop() must not repaint
+    // the poisoned pipeline as cleanly STOPPED for post-shutdown state reads
+    assert(sup.state == "ERROR", "stop() must not overwrite the ERROR state")
+  }
+
+  test("processAllAvailable enforces its deadline even while blocked inside the query") {
+    import SupervisedQuerySpec._
+    failures.set(0)
+    seen.clear()
+    val in = tmpDir("sup-in3")
+    Files.write(Paths.get(in, "f0.txt"), "slow".getBytes)
+    // a foreachBatch that wedges (stalled JDBC target, hung broker poll):
+    // the bare processAllAvailable() call would block forever
+    val sup = new SupervisedQuery(fileStream(in, tmpDir("sup-ckpt3")) { _ =>
+      Thread.sleep(120000)
+    }, maxRestarts = 0).start()
+    try {
+      val t0 = System.currentTimeMillis()
+      val e = intercept[IllegalStateException](sup.processAllAvailable(deadlineMs = 2000))
+      val took = System.currentTimeMillis() - t0
+      assert(e.getMessage.contains("did not complete"))
+      assert(took < 60000, s"deadline must fire while blocked, took ${took}ms")
+    } finally sup.stop()
   }
 }
