@@ -731,6 +731,48 @@ object PipelineQueries {
     "q104_label_outliers" -> ((s, dir) => {
       Similarity.labelOutliers(emb(s, dir), "vec_id", "label", "embedding",
         topK = 5)
+    }),
+
+    // ── ORC round-trip under two codecs: the columnar interchange format
+    // beyond parquet (cold-archive tiers and Hive-era lakes are ORC).
+    // Same order-independent per-field checksum device as q89 — a
+    // mismatch means the ORC writer/reader (or a codec) mangled a value.
+    // ORC scans split and push down like parquet, so the read side scales
+    // identically.
+    "q111_orc_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = scratchDir("orc")
+      d.write.mode("overwrite").option("compression", "zlib").orc(s"$tmp/zlib")
+      d.write.mode("overwrite").option("compression", "snappy").orc(s"$tmp/snappy")
+      def report(df: DataFrame, codecName: String): DataFrame =
+        df.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          bit_xor(TextFunctions.md5Hash60(concat_ws("|",
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")))).as("checksum"))
+          .withColumn("codec", lit(codecName))
+      report(s.read.schema(d.schema).orc(s"$tmp/zlib"), "zlib")
+        .unionByName(report(s.read.schema(d.schema).orc(s"$tmp/snappy"), "snappy"))
+    }),
+
+    // ── Timestamp fidelity through ORC: the events table (µs-truncated ns
+    // timestamps) written to ORC and read back; the per-type checksum
+    // folds the exact microsecond value of every row, so ANY precision or
+    // timezone shift in the ORC timestamp path breaks the hash. (ORC
+    // stores writer-timezone metadata — the session is pinned UTC.)
+    "q112_orc_events_roundtrip" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val tmp = scratchDir("orcts")
+      ev.write.mode("overwrite").orc(tmp)
+      s.read.schema(ev.schema).orc(tmp)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          bit_xor(TextFunctions.md5Hash60(concat_ws("|",
+            col("event_id"), unix_micros(col("ts")), col("user_id"),
+            col("event_type"), col("props")))).as("checksum"))
     })
   )
 
@@ -1873,6 +1915,34 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY label
         |                       ORDER BY d2q DESC, vec_id) AS rn
         |  FROM d)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+
+    // q111: the oracle computes the expected per-(codec, lang) report from
+    // the parquet truth — a lossless ORC round-trip must reproduce it for
+    // both codecs (same device as q89).
+    "q111_orc_roundtrip" ->
+      """WITH t AS (
+        |  SELECT lang, len(text) AS nc,
+        |    CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang,
+        |      source, n_chars)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT c.codec, t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  bit_xor(h) AS checksum
+        |FROM t CROSS JOIN (SELECT unnest(['zlib', 'snappy']) AS codec) c
+        |GROUP BY c.codec, t.lang""".stripMargin,
+
+    // q112: per-type expected report straight from the parquet events —
+    // the µs truncation restated (epoch_ns // 1000) and every row's exact
+    // microsecond folded into the checksum.
+    "q112_orc_events_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, props,
+        |    epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS min_us, max(us) AS max_us,
+        |  bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, us,
+        |    user_id, event_type, props)), 1, 15)) AS BIGINT)) AS checksum
+        |FROM ev GROUP BY event_type""".stripMargin
   )
 }
