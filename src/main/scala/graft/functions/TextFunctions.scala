@@ -51,7 +51,11 @@ object TextFunctions {
     * standard cheap pre-filter shape for web-scale corpus cleaning.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
-    lit(0.4) * least(tokenCount(text) / lit(50.0), lit(1.0)) +
+    // tokenCount(NULL) is NULL (ANSI size-of-null), and least() SKIPS nulls —
+    // unguarded, a NULL document would collect the full 0.4 length reward
+    // while the empty string scores 0, inverting the filter for exactly the
+    // rows it most needs to drop
+    lit(0.4) * least(coalesce(tokenCount(text), lit(0)) / lit(50.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - coalesce(punctRatio(text), lit(1.0))) +
       lit(0.3) * coalesce(stopwordRatio(text, stopwords), lit(0.0))
 
@@ -110,7 +114,11 @@ object TextFunctions {
     * double bit-for-bit.
     */
   def dupTokenFraction(text: Column): Column = {
-    val toks = tokens(text)
+    // NULL text behaves as token-less (documented "0 for token-less docs"):
+    // without the coalesce the null propagates and a `<= threshold` filter
+    // silently drops null-text rows — sibling topBigramFraction already
+    // returns 0.0 for the same input via bigrams()'s otherwise-branch
+    val toks = coalesce(tokens(text), array().cast("array<string>"))
     when(size(toks) === 0, lit(0.0))
       .otherwise((size(toks) - size(array_distinct(toks))) / size(toks))
   }

@@ -106,7 +106,15 @@ object TableRegistry {
           // each identifier fold (Derby upper-cases, pg lower-cases).
           val lr = java.util.Locale.ROOT
           val (schemaPart, tablePart) = t.lastIndexOf('.') match {
-            case -1 => (null: String, t)
+            // An unqualified ident must probe the CONNECTION's current
+            // schema first, not getPrimaryKeys(null, null, t): the null
+            // schema searches EVERY schema, and a same-named table in
+            // another schema (backup, another user's) could supply wrong
+            // PK columns — the column probe above resolves in the current
+            // schema, so the PK probe must too. Null stays as the LAST
+            // candidate for drivers where getSchema is unsupported/null.
+            case -1 =>
+              (try conn.getSchema catch { case _: Exception => null: String }, t)
             case i => (t.substring(0, i), t.substring(i + 1))
           }
           def probe(sch: String, tb: String): Seq[(Short, String)] = {
@@ -117,10 +125,21 @@ object TableRegistry {
             finally rs.close()
             buf.toSeq
           }
+          // For an UNQUALIFIED name the all-schemas probe (null) stays as
+          // the last resort (driver without getSchema support); a name the
+          // operator explicitly schema-qualified never falls back — probing
+          // other schemas for it is exactly the wrong-PK hazard.
+          val schemaCandidates =
+            (if (t.lastIndexOf('.') == -1)
+              Seq(schemaPart,
+                Option(schemaPart).map(_.toLowerCase(lr)).orNull,
+                Option(schemaPart).map(_.toUpperCase(lr)).orNull,
+                null: String)
+            else
+              Seq(schemaPart, schemaPart.toLowerCase(lr), schemaPart.toUpperCase(lr))
+            ).distinct
           val candidates = for {
-            sch <- Seq(schemaPart,
-              Option(schemaPart).map(_.toLowerCase(lr)).orNull,
-              Option(schemaPart).map(_.toUpperCase(lr)).orNull).distinct
+            sch <- schemaCandidates
             tb <- Seq(tablePart, tablePart.toLowerCase(lr), tablePart.toUpperCase(lr)).distinct
           } yield (sch, tb)
           candidates.iterator.map { case (sch, tb) => probe(sch, tb) }
@@ -139,7 +158,7 @@ object TableRegistry {
   /** java.sql.Types → Catalyst, the inverse of SURVEY.md §1.3's target-type
     * dispatch (reference switches on these same codes, PipeLine.java:298-356).
     */
-  private def catalystType(
+  private[model] def catalystType(
       sqlType: Int, precision: Int, scale: Int,
       table: String, column: String): DataType = {
     import java.sql.Types._
@@ -151,7 +170,18 @@ object TableRegistry {
       case BOOLEAN | BIT => BooleanType
       case DATE => DateType
       case TIMESTAMP => TimestampType
-      case DECIMAL | NUMERIC => DecimalType(precision, scale)
+      case DECIMAL | NUMERIC =>
+        // pg-family targets report precision 0 for an unconstrained NUMERIC
+        // declaration — DecimalType(0,0) can hold no non-zero value, so the
+        // first merge would overflow per-row far from this probe. Spark's
+        // widest decimal stands in; beyond-38 declarations fail fast HERE
+        // with a clear message instead of at DecimalType construction.
+        if (precision < 1) DecimalType.SYSTEM_DEFAULT
+        else if (precision > DecimalType.MAX_PRECISION || scale > precision || scale < 0)
+          throw new IllegalArgumentException(
+            s"$table.$column: NUMERIC($precision,$scale) exceeds Spark's decimal " +
+              s"range (max precision ${DecimalType.MAX_PRECISION}, 0 <= scale <= precision)")
+        else DecimalType(precision, scale)
       case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR | CLOB | NCLOB =>
         StringType
       case BINARY | VARBINARY | LONGVARBINARY | BLOB => BinaryType

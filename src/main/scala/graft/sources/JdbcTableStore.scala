@@ -54,12 +54,21 @@ import org.apache.spark.sql.types._
   *   default parallelism). A warehouse-scale readback must not funnel
   *   through one connection.
   */
+/** @param user/passwd optional credentials, the reference's `target.user`/
+  *   `target.passwd` (Config.java:60-64) — without them the store only
+  *   works with credentials embedded in the URL, an asymmetry
+  *   [[graft.model.TableRegistry.fromJdbc]] was explicitly extended to
+  *   avoid. Threaded to every connection: driver-side, executor staging
+  *   writers, and the snapshot reader.
+  */
 final class JdbcTableStore(
     spark: SparkSession,
     url: String,
     val spec: TableSpec,
     insertBatchSize: Int = 1000,
-    snapshotPartitions: Int = 0)
+    snapshotPartitions: Int = 0,
+    user: Option[String] = None,
+    passwd: Option[String] = None)
   extends TableStore {
 
   private val table = spec.name.replace('.', '_').toUpperCase(java.util.Locale.ROOT)
@@ -106,7 +115,7 @@ final class JdbcTableStore(
   }
 
   private def withConnection[A](f: Connection => A): A = {
-    val conn = DriverManager.getConnection(url)
+    val conn = JdbcTableStore.connect(url, user.orNull, passwd.orNull)
     try { sessionForcing(conn); f(conn) } finally conn.close()
   }
 
@@ -211,7 +220,15 @@ final class JdbcTableStore(
   private def inTransaction(conn: Connection)(body: => Unit): Unit = {
     conn.setAutoCommit(false)
     try { body; conn.commit() }
-    catch { case e: Throwable => conn.rollback(); throw e }
+    catch {
+      // suppress a rollback failure instead of letting it REPLACE the merge
+      // error: when the connection died, rollback throws too, and the
+      // stream's failure report would show the rollback noise rather than
+      // the real SQL error — same device as writePartition below
+      case e: Throwable =>
+        try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+        throw e
+    }
     finally conn.setAutoCommit(true)
   }
 
@@ -224,14 +241,18 @@ final class JdbcTableStore(
     val bs = insertBatchSize
     val names = fields.map(_.name)
     val dts = fields.map(_.dataType)
+    // plain strings, not the Options: the foreachPartition closure must
+    // capture only strings and ints (see writePartition's doc)
+    val usr = user.orNull
+    val pwd = passwd.orNull
     if (JdbcTableStore.isPostgres(u)) {
       df.foreachPartition((rows: Iterator[Row]) =>
-        JdbcTableStore.writePartitionCopy(u, stageTable, names, dts, rows))
+        JdbcTableStore.writePartitionCopy(u, usr, pwd, stageTable, names, dts, rows))
     } else {
       val sql = s"INSERT INTO $stageTable (${names.mkString(", ")}) " +
         s"VALUES (${names.map(_ => "?").mkString(", ")})"
       df.foreachPartition((rows: Iterator[Row]) =>
-        JdbcTableStore.writePartition(u, sql, bs, names.size, rows))
+        JdbcTableStore.writePartition(u, usr, pwd, sql, bs, names.size, rows))
     }
   }
 
@@ -307,11 +328,21 @@ final class JdbcTableStore(
     // TableStore contract parity with ParquetTableStore: a not-yet-created
     // target reads as EMPTY (spec schema), not an SQLException from the
     // bounds probe — swapping store implementations must not change
-    // behavior. `ensured` short-circuits the probe on the hot path.
-    if (!ensured && !withConnection(tableExists(_, table)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], spec.schema)
-    val reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    // behavior. `ensured` short-circuits the probe on the hot path — and a
+    // SUCCESSFUL probe sets it, so a read-only consumer (verification jobs
+    // snapshotting many tables) pays the catalog round-trips once, not per
+    // call.
+    if (!ensured) {
+      if (!withConnection(tableExists(_, table)))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], spec.schema)
+      ensured = true
+    }
+    val reader = {
+      val base = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      val withUser = user.fold(base)(u => base.option("user", u))
+      passwd.fold(withUser)(p => withUser.option("password", p))
+    }
     val lead = pkFields.head
     val integral = lead.dataType == IntegerType || lead.dataType == LongType
     val bounds = if (!integral) None else withConnection { conn =>
@@ -336,17 +367,26 @@ final class JdbcTableStore(
 
   def merge(batch: CompactedBatch): Unit = {
     ensureTable()
+    // Cached for the span of this merge: the upserts feed TWO staging jobs
+    // (the key set below and the tuple stage), and without the cache each
+    // job re-runs the upstream compaction aggregate — the same
+    // double-evaluation ParquetTableStore.merge persists against. (A
+    // nondeterministic upstream could even diverge between the two passes,
+    // leaving an upsert row whose key missed the delete.)
+    val upserts = batch.upserts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // No dedup needed: compaction emits at most one action per key, and the
     // DELETE WHERE EXISTS below is insensitive to duplicate stage keys — a
     // dropDuplicates here would only add a shuffle.
     val keyDf = batch.deletes.select(pk.map(col): _*)
-      .unionByName(batch.upserts.select(pk.map(col): _*))
+      .unionByName(upserts.select(pk.map(col): _*))
     withConnection { conn =>
       withStages(conn) { (sk, sr) =>
         // 1. stage changed keys + upsert tuples, executor-parallel
         //    (reference: temp-table COPY, ChangeLoader.java:454-468)
         stage(keyDf, sk, pkFields)
-        stage(batch.upserts.select(spec.dataCols.map(col): _*), sr,
+        stage(upserts.select(spec.dataCols.map(col): _*), sr,
           spec.schema.fields.toSeq)
 
         inTransaction(conn) {
@@ -365,6 +405,7 @@ final class JdbcTableStore(
         }
       }
     }
+    } finally upserts.unpersist()
   }
 }
 
@@ -376,15 +417,21 @@ object JdbcTableStore {
   private[sources] def isPostgres(url: String): Boolean =
     url.startsWith("jdbc:postgresql:")
 
+  /** One connection, with credentials when configured (null = URL-only). */
+  private[sources] def connect(url: String, user: String, passwd: String): Connection =
+    if (user == null) DriverManager.getConnection(url)
+    else DriverManager.getConnection(url, user, passwd)
+
   /** Executor-side staging writer: one connection per partition, batched
     * `PreparedStatement` inserts, one commit per partition. Deliberately a
     * static method so the `foreachPartition` closure captures only strings
     * and ints, never the store (which holds a SparkSession).
     */
   private[sources] def writePartition(
-      url: String, sql: String, batchSize: Int, nFields: Int,
+      url: String, user: String, passwd: String,
+      sql: String, batchSize: Int, nFields: Int,
       rows: Iterator[Row]): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url, user, passwd)
     try {
       try {
         conn.setAutoCommit(false)
@@ -541,9 +588,10 @@ object JdbcTableStore {
     * Greenplum/PostgreSQL deployment has by construction.
     */
   private[sources] def writePartitionCopy(
-      url: String, table: String, colNames: Seq[String], fields: Seq[DataType],
+      url: String, user: String, passwd: String,
+      table: String, colNames: Seq[String], fields: Seq[DataType],
       rows: Iterator[Row]): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url, user, passwd)
     try {
       // best-effort session forcing, like the driver-side connections
       // (reference: Bireme.java:155-160) — Greenplum skips auto-stats on

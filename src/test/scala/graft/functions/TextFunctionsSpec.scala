@@ -33,6 +33,29 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 6L))
   }
 
+  test("NULL text scores 0 quality and 0 repetition — never better than real docs") {
+    import org.apache.spark.sql.functions.lit
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "the quick brown fox and the dog"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text"), Seq("the", "and")).as("q"),
+      TextFunctions.dupTokenFraction(col("text")).as("dup"),
+      TextFunctions.topBigramFraction(col("text")).as("big"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // ANSI size(null) is null and least() SKIPS nulls: unguarded, the NULL
+    // doc collected the full 0.4 length reward (more than a real short doc)
+    // and dupTokenFraction returned null (silently dropped by <= filters)
+    assert(got(1L) == ((0.0, 0.0, 0.0)), "null text must score zero, not null/0.4")
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.0)
+    assert(got(3L)._1 > 0.0)
+    // and a threshold filter must KEEP the real doc while dropping null text
+    val kept = rows.filter(
+      TextFunctions.qualityScore(col("text"), Seq("the", "and")) >= lit(0.1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("repetition signals: hand-computed duplicate-word and top-bigram fractions") {
     val rows = Seq(
       (1L, "the cat sat on the mat"),      // 6 words, "the" twice → dup 1/6; bigrams all distinct → 1/5

@@ -30,6 +30,21 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(state(s) == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("configured credentials reach every connection (driver, staging, snapshot reader)") {
+    // Derby embedded accepts any credentials with auth off — the point is
+    // the code PATH: a store built the reference way (target.url +
+    // target.user/target.passwd) must thread them to DriverManager and the
+    // JDBC reader rather than silently requiring URL-embedded creds
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:cred${System.nanoTime()};create=true", spec,
+      user = Some("app"), passwd = Some("secret"))
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(
+      deletes = Seq(1).toDF("id"),
+      upserts = Seq((2, "b")).toDF("id", "v")))
+    assert(state(s) == Map(2 -> "b"))
+  }
+
   test("merge applies deletes then upserts (M6) in one transaction") {
     val s = newStore()
     s.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
