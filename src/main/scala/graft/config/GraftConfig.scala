@@ -34,6 +34,13 @@ object SourceType {
   *                 its global dispatch (Config.java:262-268); per-source the
   *                 prefix is redundant, so we keep raw origin names, which is
   *                 what [[graft.model.TableRegistry]] matches events against.
+  * @param replayDir EXTENSION beyond the reference's schema
+  *                 (`<name>.replay.dir`): when set on a Maxwell source, the
+  *                 pipeline replays JSON-lines files from this directory via
+  *                 [[graft.streaming.CdcPipeline.fileMaxwellStream]] instead
+  *                 of connecting to Kafka — the bulk-replay / disaster-
+  *                 recovery deployment (reprocessing archived CDC logs), and
+  *                 the offline-testable boot path.
   */
 final case class SourceConfig(
     name: String,
@@ -41,7 +48,8 @@ final case class SourceConfig(
     kafkaServer: String,
     topic: String,
     groupId: String,
-    tableMap: Map[String, String])
+    tableMap: Map[String, String],
+    replayDir: Option[String] = None)
 
 /** Everything a deployment boots from: the reference's
   * `etc/config.properties` schema, parsed with the same keys, defaults and
@@ -120,16 +128,26 @@ object GraftConfig {
         case "debezium" => SourceType.Debezium
         case other => fail(s"unrecognized type '$other' for data source $name")
       }
-      val server = get(s"$name.kafka.server")
-        .getOrElse(fail(s"please designate server for $name ($name.kafka.server)"))
+      val replayDir = get(s"$name.replay.dir")
+      if (replayDir.isDefined && tpe != SourceType.Maxwell)
+        fail(s"$name.replay.dir is only supported for maxwell sources " +
+          "(the file-replay path parses Maxwell JSON lines)")
+      // a pure-replay source never opens a broker connection, so its Kafka
+      // coordinates are optional; a broker source keeps the reference's
+      // fail-fast requirements
+      val server = get(s"$name.kafka.server").getOrElse(
+        if (replayDir.isDefined) ""
+        else fail(s"please designate server for $name ($name.kafka.server)"))
       val topic = tpe match {
         case SourceType.Maxwell =>
-          get(s"$name.kafka.topic").getOrElse(fail(s"please designate topic for $name ($name.kafka.topic)"))
+          get(s"$name.kafka.topic").getOrElse(
+            if (replayDir.isDefined) ""
+            else fail(s"please designate topic for $name ($name.kafka.topic)"))
         case SourceType.Debezium =>
           get(s"$name.namespace").getOrElse(fail(s"please designate your namespace ($name.namespace)"))
       }
       val groupId = get(s"$name.kafka.groupid").getOrElse("bireme")
-      SourceConfig(name, tpe, server, topic, groupId, loadTableMap(f, name))
+      SourceConfig(name, tpe, server, topic, groupId, loadTableMap(f, name), replayDir)
     }
 
     GraftConfig(
@@ -198,6 +216,40 @@ object GraftBoot {
         _.replace('.', '_').toUpperCase(java.util.Locale.ROOT)): TableRegistry =
     TableRegistry.fromJdbc(cfg.target.url, source.tableMap, ident,
       cfg.target.user, cfg.target.passwd)
+
+  /** One [[graft.sources.JdbcTableStore]] per mapped target on the config's
+    * target warehouse, credentials threaded — the store side of the
+    * reference's loader pool (Bireme.java:105-135 creates one ChangeLoader
+    * per mapped table). `merge.batch.size` doubles as the JDBC insert batch
+    * size cap (bounded at 10k — a COPY-path target ignores it).
+    */
+  def storesFor(
+      spark: SparkSession,
+      cfg: GraftConfig,
+      registry: TableRegistry): Map[String, TableStore] =
+    registry.targets.map(t => t -> (new graft.sources.JdbcTableStore(
+      spark, cfg.target.url, registry.specFor(t),
+      insertBatchSize = math.min(cfg.batchSize, 10000),
+      user = cfg.target.user, passwd = cfg.target.passwd): TableStore)).toMap
+
+  /** Start one source's stream: the configured Kafka connection, or — when
+    * `<name>.replay.dir` is set — the file-replay twin over archived Maxwell
+    * JSON (offline-testable, and the disaster-recovery path). Kafka needs
+    * the spark-sql-kafka connector and a reachable broker — see the Kafka
+    * verification boundary note in SURVEY.md §8.
+    */
+  def startSource(
+      spark: SparkSession,
+      cfg: GraftConfig,
+      source: SourceConfig,
+      registry: TableRegistry,
+      stores: Map[String, TableStore],
+      checkpointDir: String): StreamingQuery = source.replayDir match {
+    case Some(dir) =>
+      graft.streaming.CdcPipeline.fileMaxwellStream(
+        spark, dir, registry, stores, checkpointDir, cfg.trigger)
+    case None => startKafka(spark, cfg, source, registry, stores, checkpointDir)
+  }
 
   /** Start the configured Kafka stream for one source (the deployment path;
     * requires the spark-sql-kafka connector and a reachable broker — see the
