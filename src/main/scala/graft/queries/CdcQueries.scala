@@ -29,6 +29,15 @@ object CdcQueries {
 
   private val mod = col("o_orderkey") % 10
 
+  /** Where the M3/M5 PK-change moves a key. Must stay ABOVE every real
+    * order key: a collision would make the store resolve last-write-wins
+    * to one row while the oracles (plain UNION ALL, no per-key
+    * resolution) emit both — a spurious driver mismatch. TPC-H orderkeys
+    * are sparse (~15 per mille of the range); they cross 1e8 around
+    * sf ≈ 70, where [[orderMutations]]' guard fails loudly instead.
+    */
+  private val KeyShift = 100000000L
+
   /** The five orders-row mutation shapes of the synthetic stream, defined
     * ONCE for both the typed-event rendering (q20) and the Maxwell envelope
     * rendering (q21/q23) — the "same stream, two encodings" invariant those
@@ -38,6 +47,12 @@ object CdcQueries {
       moved: Column, reinserted: Column)
 
   private def orderMutations(o: DataFrame): Mutations = {
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    require(maxKey < KeyShift,
+      s"max(o_orderkey) = $maxKey reaches the PK-change shift $KeyShift — " +
+        "a moved key would collide with a real order and the store " +
+        "(last-write-wins) would diverge from the oracle (UNION ALL); " +
+        "raise KeyShift in lockstep with every oracle's literal")
     def variant(f: PartialFunction[String, Column]): Column =
       struct(o.columns.map(c => f.applyOrElse(c, (n: String) => col(n))).toSeq: _*)
     Mutations(
@@ -48,7 +63,7 @@ object CdcQueries {
         case "o_orderpriority" => lit("RUSH").as("o_orderpriority")
         case "o_orderstatus" => lit("X").as("o_orderstatus") },
       moved = variant {
-        case "o_orderkey" => (col("o_orderkey") + 100000000L).as("o_orderkey") },
+        case "o_orderkey" => (col("o_orderkey") + KeyShift).as("o_orderkey") },
       reinserted = variant {
         case "o_custkey" => (col("o_custkey") + 1).as("o_custkey") })
   }
@@ -74,7 +89,7 @@ object CdcQueries {
     val deletes = o.filter(mod === 3)
       .select(ev("delete", 3, col("o_orderkey"), nullKey, lit(null).cast(dataT)): _*)
     val pkchange = o.filter(mod === 4)
-      .select(ev("update", 1, col("o_orderkey") + 100000000L, key(col("o_orderkey")), moved): _*)
+      .select(ev("update", 1, col("o_orderkey") + KeyShift, key(col("o_orderkey")), moved): _*)
     val del7 = o.filter(mod === 7)
       .select(ev("delete", 1, col("o_orderkey"), nullKey, lit(null).cast(dataT)): _*)
     val reins7 = o.filter(mod === 7)
@@ -122,6 +137,14 @@ object CdcQueries {
     StructField("o_totalprice", DoubleType),
     StructField("o_orderdate", TimestampType),
     StructField("o_orderpriority", StringType)))
+
+  /** Shared by q21/q23 — their "same oracle, two sinks must converge"
+    * contract depends on IDENTICAL registries, so the identity is
+    * structural rather than edit-in-lockstep.
+    */
+  private val ordersRegistry = TableRegistry(
+    Map("demo.orders" -> "public.orders"),
+    Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
 
   // ── q22: Debezium envelopes over customer ────────────────────────────────
 
@@ -202,9 +225,7 @@ object CdcQueries {
     // Full Maxwell path: JSON envelope parse → typed projection → compaction
     // → bucketed Parquet merge → snapshot.
     "q21_cdc_maxwell_e2e" -> ((s, dir) => {
-      val registry = TableRegistry(
-        Map("demo.orders" -> "public.orders"),
-        Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
+      val registry = ordersRegistry
       val rootDir = tempRoot()
       // localCheckpoint is EAGER: the result is detached from the table dir
       // before the finally deletes it — and the finally runs even when a
@@ -228,9 +249,7 @@ object CdcQueries {
     // DELETE WHERE EXISTS + INSERT-SELECT in one transaction → snapshot read
     // back over JDBC. Same oracle as q21 — the two sinks must converge.
     "q23_cdc_jdbc_e2e" -> ((s, dir) => {
-      val registry = TableRegistry(
-        Map("demo.orders" -> "public.orders"),
-        Map("public.orders" -> TableSpec("public.orders", ordersSchema, Seq("o_orderkey"))))
+      val registry = ordersRegistry
       val dbUrl = s"jdbc:derby:memory:graft_q23_${System.nanoTime()}"
       try {
         // snapshotPartitions = 4: embedded Derby is ONE in-page-cache engine —

@@ -67,7 +67,13 @@ object StreamingQueries {
     // per call until GC
     val part = scala.util.Using.resource(Files.list(tmp)) { st =>
       st.filter(p => p.getFileName.toString.startsWith("part-")
-        && p.getFileName.toString.endsWith(".json")).findFirst().get()
+        && p.getFileName.toString.endsWith(".json")).findFirst()
+        // an empty arrival split can legally produce no part file — fail
+        // with the file name, not a bare NoSuchElementException, because a
+        // missing arrival breaks the replay SCHEDULE (batch numbering)
+        .orElseThrow(() => new IllegalStateException(
+          s"arrival file $name produced no part file — empty replay split? " +
+            "the arrival schedule requires every batch to be non-empty"))
     }
     val target = dir.resolve(name)
     Files.move(part, target)
@@ -86,7 +92,38 @@ object StreamingQueries {
     try scala.util.Using.resource(Files.walk(d)) { st =>
       st.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () } // best-effort
+    } catch {
+      // best-effort — and the walk's stream pipeline reports traversal
+      // errors as UncheckedIOException, which a bare IOException catch
+      // would let abort a run whose result is already in the sink
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
+  }
+
+  /** Start `df` into the memory sink `sinkName`, drain all replay input,
+    * stop, sweep the scratch dirs, and return the sink table — the one
+    * run/teardown sequence every streaming query shares. Fixed sink name +
+    * drop: a nanoTime-suffixed view per invocation would pin a fresh copy
+    * of the full sink contents in driver memory for the session lifetime;
+    * re-invocation replaces the previous view. `q.stop()` is guarded: a
+    * stuck stream's stop timeout must neither MASK the query's real failure
+    * (a throw from a finally replaces the in-flight exception) nor skip the
+    * scratch sweep after it.
+    */
+  private def runToMemorySink(spark: SparkSession, df: DataFrame,
+      sinkName: String, ckpt: Path, scratch: Path*): DataFrame = {
+    spark.catalog.dropTempView(sinkName)
+    val q = df.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      try q.stop() catch { case _: Exception => () }
+      cleanup(scratch :+ ckpt: _*)
+    }
+    spark.table(sinkName)
   }
 
   def watermarkTumbling(spark: SparkSession, dir: String): DataFrame =
@@ -116,17 +153,7 @@ object StreamingQueries {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("cnt"), col("sum_value"), col("max_id"))
 
-    // fixed name + drop: a nanoTime-suffixed view per invocation would
-    // pin a fresh copy of the full sink contents in driver memory for
-    // the session lifetime; re-invocation replaces the previous view
-    val sink = "q19_sink"
-    spark.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
-    spark.table(sink)
+    runToMemorySink(spark, agg, "q19_sink", ckpt, in)
     }
 
   /** q49: streaming deduplication across micro-batches.
@@ -163,17 +190,7 @@ object StreamingQueries {
       .withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("event_id")
 
-    // fixed name + drop: a nanoTime-suffixed view per invocation would
-    // pin a fresh copy of the full sink contents in driver memory for
-    // the session lifetime; re-invocation replaces the previous view
-    val sink = "q49_sink"
-    spark.catalog.dropTempView(sink)
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
-    spark.table(sink)
+    runToMemorySink(spark, deduped, "q49_sink", ckpt, in)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         RelationalQueries.dsum(col("value")).as("sum_value"),
@@ -227,17 +244,7 @@ object StreamingQueries {
       .join(src(pIn, purchases.schema).withWatermark("p_ts", "60 days"),
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
 
-    // fixed name + drop: a nanoTime-suffixed view per invocation would
-    // pin a fresh copy of the full sink contents in driver memory for
-    // the session lifetime; re-invocation replaces the previous view
-    val sink = "q71_sink"
-    spark.catalog.dropTempView(sink)
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); cleanup(cIn, pIn, ckpt) }
-    spark.table(sink)
+    runToMemorySink(spark, joined, "q71_sink", ckpt, cIn, pIn)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("c_id")).as("n_clicks"),
@@ -301,17 +308,7 @@ object StreamingQueries {
       }
       .toDF("user_id", "upd_seq", "n_events", "max_id")
 
-    // fixed name + drop: a nanoTime-suffixed view per invocation would
-    // pin a fresh copy of the full sink contents in driver memory for
-    // the session lifetime; re-invocation replaces the previous view
-    val sink = "q72_sink"
-    spark.catalog.dropTempView(sink)
-    val q = updates.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
-    spark.table(sink)
+    runToMemorySink(spark, updates, "q72_sink", ckpt, in)
     }
 
   /** q84: stream-STATIC join — the standing enrichment shape: each
@@ -350,17 +347,7 @@ object StreamingQueries {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("c_nationkey"), col("cnt"), col("sum_value"))
 
-    // fixed name + drop: a nanoTime-suffixed view per invocation would
-    // pin a fresh copy of the full sink contents in driver memory for
-    // the session lifetime; re-invocation replaces the previous view
-    val sink = "q84_sink"
-    spark.catalog.dropTempView(sink)
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally { q.stop(); cleanup(in, ckpt) }
-    spark.table(sink)
+    runToMemorySink(spark, agg, "q84_sink", ckpt, in)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
