@@ -2,19 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** THE json string-body escaper for the graft harness (Bench error
+    * entries and Verify's oracle dump share it): quote, backslash, and
+    * every control character — an unescaped \b or \f would make the
+    * driver's JSON parse fail and void the round.
+    */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** JSON string literal for per-query error entries: truncate FIRST
-    * (cutting after escaping could split an escape pair in half), then
-    * escape quote, backslash, and every control character — an unescaped
-    * \b or \f from an exception message would make the driver's JSON parse
-    * fail and void the round's bench.
+    * (cutting after escaping could split an escape pair in half).
     */
   private[graft] def jstr(s: String): String =
-    "\"" + s.take(200).flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    "\"" + jsonEscape(s.take(200)) + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,6 +34,30 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
 
   private val states = TrieMap.empty[UUID, PipelineState]
 
+  // Listener registration is SESSION-global: with several per-source
+  // listeners on one SparkSession (the multi-source deployment), every
+  // listener would otherwise record every source's queries — the
+  // `/<source>` route would show foreign pipelines and counters would
+  // multiply. Once any id is tracked, events from other queries are
+  // ignored; an untracked listener (the single-source default) keeps the
+  // record-everything behavior.
+  private val trackedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+  @volatile private var restricted = false
+
+  /** Enter tracking-only mode BEFORE the query id is known — closes the
+    * window between listener registration and [[track]] in which another
+    * source's already-running query could slip events in.
+    */
+  def restrictToTracked(): this.type = { restricted = true; this }
+
+  /** Restrict this listener to the given query (callable per query; a
+    * supervised restart from the same checkpoint keeps the query id, so one
+    * call covers the pipeline's lifetime).
+    */
+  def track(id: UUID): this.type = { trackedIds.add(id); restricted = true; this }
+
+  private def tracks(id: UUID): Boolean = !restricted || trackedIds.contains(id)
+
   /** Terminal (FINISHED/ERROR) entries kept before the oldest are evicted —
     * a session launching short-lived queries in a loop (per-table backfills)
     * would otherwise grow the map and the state payload without bound.
@@ -41,7 +65,7 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
   private val maxTerminal = 100
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
-    states.updateWith(e.id) {
+    if (tracks(e.id)) states.updateWith(e.id) {
       // a RESTART reuses the query id: keep the cumulative counters and the
       // prior error evidence instead of silently wiping them back to zero
       case Some(s) => Some(s.copy(state = "NORMAL"))
@@ -49,7 +73,7 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
         Option(e.name).getOrElse(e.id.toString), "NORMAL", -1L, -1L, 0L, 0L, None))
     }
 
-  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+  override def onQueryProgress(e: QueryProgressEvent): Unit = if (tracks(e.progress.id)) {
     val p = e.progress
     // the batch's own trigger timestamp, not listener-delivery time: the
     // async listener bus can lag seconds behind under driver load, which
@@ -76,7 +100,7 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
     }
   }
 
-  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = if (tracks(e.id)) {
     states.updateWith(e.id)(_.map(s => e.exception match {
       case Some(err) => s.copy(state = "ERROR", error = Some(err))
       case None => s.copy(state = "FINISHED")

@@ -71,5 +71,66 @@ class GraftMainSpec extends SparkTestBase {
       assert(body.contains("\"state\": \"NORMAL\""))
     } finally running.stop()
     assert(running.sources("maxwell1").state == "STOPPED")
+    // stop() deregistered the listener — repeated boot/stop must not
+    // accumulate listeners on the shared session
+    assert(!spark.streams.listListeners().contains(running.metrics("maxwell1")))
+  }
+
+  test("multi-source boot keeps each source's metrics and state route isolated") {
+    val dir = tmpDir("gmain2")
+    val inA = tmpDir("gmain2-a")
+    val inB = tmpDir("gmain2-b")
+    val dbUrl = s"jdbc:derby:memory:gmain2${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(dbUrl)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE PUBLIC_TA (id INTEGER NOT NULL, v VARCHAR(50), PRIMARY KEY (id))")
+      st.execute("CREATE TABLE PUBLIC_TB (id INTEGER NOT NULL, v VARCHAR(50), PRIMARY KEY (id))")
+    } finally conn.close()
+
+    Files.write(Paths.get(dir, "config.properties"),
+      s"""target.url = $dbUrl
+         |data_source = srca, srcb
+         |srca.type = maxwell
+         |srca.replay.dir = $inA
+         |srcb.type = maxwell
+         |srcb.replay.dir = $inB
+         |merge.interval = 1000
+         |metrics.reporter = none
+         |state.server.port = 0
+         |state.server.addr = 127.0.0.1
+         |""".stripMargin.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "srca.properties"), "da.ta = public.ta\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "srcb.properties"), "db.tb = public.tb\n".getBytes("UTF-8"))
+    Files.write(Paths.get(inA, "a.json"),
+      """{"database":"da","table":"ta","type":"insert","ts":1,"data":{"id":1,"v":"a"}}"""
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(inB, "b.json"),
+      """{"database":"db","table":"tb","type":"insert","ts":1,"data":{"id":2,"v":"b"}}"""
+        .getBytes("UTF-8"))
+
+    val cfg = GraftConfig.load(Paths.get(dir, "config.properties").toString)
+    val running = GraftMain.boot(spark, cfg, tmpDir("gmain2-work"))
+    try {
+      running.sources("srca").processAllAvailable()
+      running.sources("srcb").processAllAvailable()
+      def route(name: String): String = {
+        val is = new java.net.URI(
+          s"http://127.0.0.1:${running.stateServer.port}/$name").toURL.openStream()
+        try new String(is.readAllBytes(), "UTF-8") finally is.close()
+      }
+      val a = route("srca")
+      val b = route("srcb")
+      // each per-source listener records ONLY its own query: one pipeline
+      // per route, not the session's two (listener registration is global —
+      // without track() both routes would list both pipelines)
+      assert(a.contains("\"source_name\": \"srca\""))
+      assert(b.contains("\"source_name\": \"srcb\""))
+      assert(running.metrics("srca").pipelines.size == 1,
+        s"srca must see one pipeline, saw ${running.metrics("srca").pipelines}")
+      assert(running.metrics("srcb").pipelines.size == 1)
+    } finally running.stop()
+    // after a clean stop, the supervision-aware wait returns immediately
+    running.awaitAllTerminal()
   }
 }
