@@ -387,6 +387,167 @@ object Dedup {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** Per-document n-gram novelty profile: of each document's distinct word
+    * n-grams, how many occur NOWHERE else in the corpus (document frequency
+    * exactly 1)? High-novelty documents carry original text; low-novelty
+    * ones are assembled from n-grams the corpus already contains — the
+    * originality signal quality-weighted sampling and dedup triage both
+    * consume. n = 8 matches [[decontaminate]]'s leak window.
+    *
+    * Shape for 100 TB: one compiled pass per document produces the distinct
+    * hashed n-gram set (linear in corpus bytes, rides the scan); the df
+    * aggregate map-side-combines to ONE row per distinct corpus n-gram
+    * before its shuffle; the join back is n-gram-keyed and carries (id,
+    * hash) longs only — document text never crosses an exchange — and the
+    * closing aggregate is id-keyed. Documents shorter than n tokens carry
+    * no full n-gram and are skipped, mirroring [[decontaminate]].
+    *
+    * Output: (doc_id, n_ngrams, n_unique) — the distinct n-gram count and
+    * its corpus-unique subset, exact integers.
+    */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val postings = scope.own(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val toks = TextHash.tokens(text)
+            if (toks.length < n) Iterator.empty
+            else TextHash.hashedShingles(toks, md, n).iterator.map(h => (id, h))
+          }
+        }
+        .toDF("id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    postings.join(dfreq, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col("id").as("doc_id"), col("n_ngrams"), col("n_unique"))
+  }
+
+  /** Duplicate-substring coverage profile — the diagnosis step of
+    * substring-level dedup (cf. Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", which removes repeated substrings
+    * a suffix array finds): for every document, how much of it lies inside
+    * a duplicated token run? A positional n-token window is DUPLICATED when
+    * its hash occurs at least twice corpus-wide (across documents or
+    * repeated within one — both are training-time repetition); a token
+    * position is COVERED when at least one duplicated window contains it.
+    * Overlapping duplicated windows merge into maximal runs by construction,
+    * so `n_covered` is the exact union length, never a double-counted
+    * window sum — `n_covered / n_toks` is the removable-repetition
+    * fraction substring dedup would reclaim.
+    *
+    * Shape for 100 TB: positional window hashes are one compiled pass per
+    * document ([[graft.functions.TextHash.shingles]] + md5Hash60, duplicates
+    * and order kept — the positional twin of [[ngramNovelty]]'s set); the
+    * hot-window detector is a pre-aggregate (one row per distinct window
+    * hash crosses its shuffle) joined back onto the postings, never a
+    * window function over the posting list. The position explode that
+    * computes the coverage union multiplies only DUPLICATED windows by n —
+    * a clean corpus pays nothing; a fully-duplicated one pays n× its
+    * duplicated volume, bounded and linear.
+    *
+    * Output: (doc_id, n_toks, n_dup_windows, n_covered); documents shorter
+    * than n tokens report zero windows and zero coverage.
+    */
+  def duplicateSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = scope.own(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val toks = TextHash.tokens(text)
+            val grams =
+              if (toks.length < n) Array.empty[Long]
+              else TextHash.shingles(toks, n).map(TextHash.md5Hash60(md, _))
+            (id, toks.length.toLong, grams)
+          }
+        }
+        .toDF("id", "n_toks", "hs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val pos = base.select(col("id"), posexplode(col("hs")).as(Seq("j", "h")))
+    // total-occurrence threshold, NOT per-doc-distinct df: a window repeated
+    // inside one document is exactly as much training-time repetition as one
+    // shared across two.
+    val hot = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("h")
+    val covered = pos.join(hot, Seq("h"))
+      .select(col("id"), col("j"),
+        explode(sequence(col("j"), col("j") + lit(n - 1))).as("p"))
+      .groupBy("id")
+      .agg(countDistinct(col("j")).as("n_dup_windows"),
+        countDistinct(col("p")).as("n_covered"))
+    base.select("id", "n_toks").join(covered, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+  }
+
+  /** Cross-source n-gram overlap matrix: for every pair of provenance
+    * sources, how many distinct word n-grams they share — the source-level
+    * duplication map (mirror sites, syndicated feeds, re-scraped dumps) a
+    * curation pipeline consults before setting per-source mixture weights;
+    * `shared_ngrams / least(n_a, n_b)` is the exact overlap coefficient.
+    * n = 8 matches [[decontaminate]].
+    *
+    * Shape for 100 TB: the per-source distinct shingle table is one hash
+    * aggregate over the compiled shingle pass — map-side combine collapses
+    * each partition's repeats, and the shuffle carries (source, hash) pairs
+    * only, never text. Pair counts come from the n-gram-keyed self-join of
+    * that distinct table: each n-gram contributes at most |sources|² pair
+    * rows, and |sources| is small by construction (a provenance label, not
+    * a key), so the join output is bounded by |sources|² × shared volume.
+    * The totals join is |sources| rows — AQE broadcasts it.
+    *
+    * Output: (source_a, source_b, shared_ngrams, n_a, n_b) for pairs
+    * sharing ≥ 1 n-gram, source_a < source_b, n_x = that source's distinct
+    * n-gram count. Null sources are dropped by contract.
+    */
+  def sourceOverlap(
+      df: DataFrame, sourceCol: String, textCol: String, n: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = scope.own(
+      df.select(col(sourceCol).cast("string").as("src"), col(textCol).as("text"))
+        .filter(col("src").isNotNull)
+        .as[(String, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (src, text) =>
+            val toks = TextHash.tokens(text)
+            if (toks.length < n) Iterator.empty
+            else TextHash.hashedShingles(toks, md, n).iterator.map(h => (src, h))
+          }
+        }
+        .toDF("src", "h")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    sh.select(col("src").as("source_a"), col("h"))
+      .join(sh.select(col("src").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .join(totals.select(col("src").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(totals.select(col("src").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select("source_a", "source_b", "shared_ngrams", "n_a", "n_b")
+  }
+
   /** SimHash near-dup pairs: docs whose 60-bit SimHash
     * ([[TextHash.simhash60]], one compiled pass) matches on at least one of
     * four 15-bit bands (Hamming-distance blocking — two docs within Hamming

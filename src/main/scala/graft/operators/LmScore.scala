@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TextHash}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -86,5 +86,54 @@ object LmScore {
       .groupBy(col(idCol))
       .agg(count(col("_t")).as("n_tokens"),
         coalesce(sum(col("_w")), lit(0L)).as("score"))
+  }
+
+  /** Corpus-wide token co-occurrence heavy hitters: unordered token pairs
+    * occurring within `window` positions of each other, counted with
+    * multiplicity, top `topK` by count — the collocation table behind PMI
+    * association scores and phrase induction. The counts are the exact
+    * integer PMI numerators; the log stays caller-side, outside the
+    * verified surface (see [[bigramDictScore]] for why).
+    *
+    * Shape for 100 TB: pair emission is one compiled pass per document
+    * (≤ window × tokens rows, nothing quadratic — window is a small
+    * constant), collapsed by a map-side-combined count aggregate keyed on
+    * the pair; the global top-K closes with a bounded TakeOrdered. Ties at
+    * the cutoff break lexicographically, so the reported boundary is
+    * deterministic; the rank column is computed over the ≤ topK surviving
+    * rows only (a one-partition window over a bounded set, not over the
+    * corpus).
+    *
+    * Output: (rank, tok_a, tok_b, cnt) with tok_a ≤ tok_b and rank ordered
+    * by (cnt desc, tok_a, tok_b). Tokens are [a-z0-9]+ by the
+    * [[graft.functions.TextHash.tokens]] contract, so the lexicographic
+    * tie-break is pure-ASCII and engine-independent.
+    */
+  def topCooccurrence(
+      df: DataFrame, textCol: String, window: Int = 2, topK: Int = 100): DataFrame = {
+    require(window > 0, s"topCooccurrence: window must be positive, got $window")
+    require(topK > 0, s"topCooccurrence: topK must be positive, got $topK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(textCol).cast("string").as("text")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          val toks = TextHash.tokens(text)
+          (0 until toks.length).iterator.flatMap { i =>
+            (1 to math.min(window, toks.length - 1 - i)).iterator.map { d =>
+              if (toks(i) <= toks(i + d)) (toks(i), toks(i + d))
+              else (toks(i + d), toks(i))
+            }
+          }
+        }
+      }
+      .toDF("tok_a", "tok_b")
+    val top = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))).cast("long"))
+      .select("rank", "tok_a", "tok_b", "cnt")
   }
 }

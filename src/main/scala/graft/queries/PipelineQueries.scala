@@ -733,6 +733,43 @@ object PipelineQueries {
         topK = 5)
     }),
 
+    // ── N-gram novelty profile over the near-dup corpus: planted 80%-prefix
+    // copies share every full 8-gram with their original, so both sides of
+    // each planted pair report a depressed corpus-unique fraction while
+    // untouched docs stay fully novel. See
+    // [[graft.operators.Dedup.ngramNovelty]].
+    "q113_ngram_novelty" -> ((s, dir) => {
+      Dedup.ngramNovelty(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
+    // ── Duplicate-substring coverage over the near-dup corpus: every token
+    // inside the planted 80% prefixes sits in a duplicated 8-token window,
+    // so coverage ≈ the prefix length on both members of a pair — the
+    // removable-repetition profile substring dedup acts on. See
+    // [[graft.operators.Dedup.duplicateSpanCoverage]].
+    "q114_dup_span_coverage" -> ((s, dir) => {
+      Dedup.duplicateSpanCoverage(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
+    // ── Collocation heavy hitters: top-100 unordered token pairs within 2
+    // positions, exact integer counts — the PMI numerator table. See
+    // [[graft.operators.LmScore.topCooccurrence]].
+    "q115_cooccurrence" -> ((s, dir) => {
+      graft.operators.LmScore.topCooccurrence(docs(s, dir), "text")
+    }),
+
+    // ── Cross-source overlap matrix: every 5th doc re-published under a
+    // synthetic 'mirror' source, so each real source shares its mirrored
+    // docs' 8-grams with 'mirror' while real-real pairs show only natural
+    // overlap. See [[graft.operators.Dedup.sourceOverlap]].
+    "q116_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.sourceOverlap(
+        d.unionByName(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("mirror"))),
+        "source", "text")
+    }),
+
     // ── ORC round-trip under two codecs: the columnar interchange format
     // beyond parquet (cold-archive tiers and Hive-era lakes are ORC).
     // Same order-independent per-field checksum device as q89 — a
@@ -1155,6 +1192,95 @@ object PipelineQueries {
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM csh c JOIN bsh b ON c.h = b.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    // q113: distinct hashed 8-grams per doc (q52's hash form) over the
+    // near-dup corpus; df from one count per distinct hash.
+    "q113_ngram_novelty" ->
+      s"""WITH $nearDupTok,
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_transform(range(1, len(toks) - 6), j -> $eightGram),
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS h
+        |  FROM tok WHERE len(toks) >= 8),
+        |dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+        |SELECT s.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |FROM sh s JOIN dfreq d ON s.h = d.h
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // q114: POSITIONAL 8-gram hashes (winnowChain's raw md5-60 form, no
+    // mod — duplicates and order kept); a window is hot at ≥2 total
+    // occurrences; coverage = distinct union of [j, j+7] over hot windows.
+    "q114_dup_span_coverage" ->
+      s"""WITH $nearDupTok,
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    list_transform(range(1, len(toks) - 6),
+        |      j -> CAST(('0x' || substr(md5($eightGram), 1, 15)) AS BIGINT)) AS hs
+        |  FROM tok),
+        |pos AS (
+        |  SELECT doc_id, j, hs[j] AS h
+        |  FROM g, LATERAL (SELECT unnest(range(1, len(hs) + 1)) AS j) u),
+        |hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, j FROM pos JOIN hot USING (h)),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT j) AS n_dup_windows,
+        |         count(DISTINCT p) AS n_covered
+        |  FROM (SELECT doc_id, j, unnest(range(j, j + 8)) AS p FROM dup)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(g.n_toks AS BIGINT) AS n_toks,
+        |  CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered
+        |FROM g LEFT JOIN cov c ON g.doc_id = c.doc_id""".stripMargin,
+
+    // q115: skip-gram pairs at distances 1 and 2, unordered via
+    // least/greatest (pure-ASCII tokens, so both engines' lexicographic
+    // order agrees); rank over the counted pairs.
+    "q115_cooccurrence" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT least(toks[j], toks[j + 1]) AS tok_a,
+        |         greatest(toks[j], toks[j + 1]) AS tok_b
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS j) u
+        |  UNION ALL
+        |  SELECT least(toks[j], toks[j + 2]), greatest(toks[j], toks[j + 2])
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS j) u),
+        |c AS (SELECT tok_a, tok_b, count(*) AS cnt FROM p GROUP BY tok_a, tok_b)
+        |SELECT rank, tok_a, tok_b, cnt FROM (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, tok_a, tok_b) AS rank,
+        |         tok_a, tok_b, cnt
+        |  FROM c)
+        |WHERE rank <= 100""".stripMargin,
+
+    // q116: distinct (source, 8-gram-hash) pairs (q52's hash form) over
+    // documents ∪ the mirrored fifth; self-join on the hash for pair
+    // counts, per-source totals joined back.
+    "q116_source_overlap" ->
+      s"""WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT source, h FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      list_transform(range(1, len(toks) - 6), j -> $eightGram),
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 1073741789))) AS h
+        |    FROM tok WHERE len(toks) >= 8)),
+        |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS shared_ngrams, min(ta.n) AS n_a, min(tb.n) AS n_b
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |JOIN tot ta ON ta.source = a.source
+        |JOIN tot tb ON tb.source = b.source
+        |GROUP BY a.source, b.source""".stripMargin,
 
     "q54_balance_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

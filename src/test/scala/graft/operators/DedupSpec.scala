@@ -410,4 +410,73 @@ class DedupSpec extends SparkTestBase {
     // sanity: duplication actually occurred (pool is tiny, blocks repeat)
     assert(one.exists(_._3 < 4), "expected at least one doc to lose blocks")
   }
+
+  test("ngramNovelty: hand-computed unique fractions; short docs skipped") {
+    // n=2 bigram sets: doc1 {a b, b c}, doc2 {b c, c d}, doc3 {x} (1 token,
+    // skipped). "b c" has df 2; everything else df 1.
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(df, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("ngramNovelty counts DISTINCT n-grams (within-doc repeats once)") {
+    // "a b a b" at n=2 → windows [a b][b a][a b]; distinct set {a b, b a}.
+    // Both are corpus-unique.
+    val got = Dedup.ngramNovelty(Seq((1L, "a b a b")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 2L)))
+  }
+
+  test("duplicateSpanCoverage: within-doc repeat covers the exact union") {
+    // n=2 over "a b c a b": windows [a b][b c][c a][a b]; "a b" occurs
+    // twice → windows 0 and 3 are hot; coverage = {0,1} ∪ {3,4} = 4 of 5.
+    val got = Dedup.duplicateSpanCoverage(
+        Seq((1L, "a b c a b")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 5L, 2L, 4L)))
+  }
+
+  test("duplicateSpanCoverage: overlapping hot windows merge, short docs report zero") {
+    // docs 1/2 are exact copies → every window hot, coverage = whole doc;
+    // doc 3 shares nothing; doc 4 is below the window length.
+    val df = Seq((1L, "p q r"), (2L, "p q r"), (3L, "u v w"), (4L, "s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanCoverage(df, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, 3L)), 2L -> ((3L, 2L, 3L)),
+      3L -> ((3L, 0L, 0L)), 4L -> ((1L, 0L, 0L))))
+  }
+
+  test("duplicateSpanCoverage is partition-count invariant") {
+    val words = Array("red", "blue", "green", "ash", "oak", "elm")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (0 until 10).map(j => words((i * 5 + j * 3) % 6)).mkString(" "))
+    }
+    def run(parts: Int): Set[(Long, Long, Long, Long)] =
+      Dedup.duplicateSpanCoverage(docs.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", n = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val one = run(1)
+    assert(run(7) === one)
+    assert(run(32) === one)
+    assert(one.exists(_._4 > 0), "expected duplicated spans in the tiny pool")
+  }
+
+  test("sourceOverlap: hand-computed matrix; per-source sets deduped; null sources dropped") {
+    // n=2 per-source distinct bigram sets: s1 {a b, b c} (two docs, "a b"
+    // appears in both — counted once), s2 {b c, c d}, s3 {x y}; a null
+    // source carrying overlap text must not appear.
+    val df = Seq(
+      ("s1", "a b c"), ("s1", "a b"), ("s2", "b c d"), ("s3", "x y"),
+      (null.asInstanceOf[String], "a b c"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, "source", "text", n = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("s1", "s2", 1L, 2L, 2L)))
+  }
 }

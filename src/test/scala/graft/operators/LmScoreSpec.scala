@@ -97,4 +97,44 @@ class LmScoreSpec extends SparkTestBase {
         buckets = 0)
     }
   }
+
+  test("topCooccurrence: hand-computed counts, rank order, tie-break") {
+    // "a b a" → d1: (a,b),(a,b); d2: (a,a). "b c" → d1: (b,c).
+    // Counts: (a,b)=2, then ties at 1 break lexicographically: (a,a) before (b,c).
+    val df = Seq("a b a", "b c").toDF("text")
+    val got = LmScore.topCooccurrence(df, "text")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "b", 2L), (2L, "a", "a", 1L), (3L, "b", "c", 1L)))
+  }
+
+  test("topCooccurrence: topK cuts deterministically; window=1 is adjacent only") {
+    val df = Seq("a b a", "b c").toDF("text")
+    val cut = LmScore.topCooccurrence(df, "text", topK = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(cut === Seq((1L, "a", "b", 2L), (2L, "a", "a", 1L)))
+    // window=1 drops the distance-2 (a,a) pair from "a b a"
+    val adj = LmScore.topCooccurrence(df, "text", window = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(adj === Seq((1L, "a", "b", 2L), (2L, "b", "c", 1L)))
+  }
+
+  test("topCooccurrence: empty/null/one-token docs contribute nothing; args validated") {
+    val df = Seq("solo", "", null.asInstanceOf[String]).toDF("text")
+    assert(LmScore.topCooccurrence(df, "text").count() === 0L)
+    assertThrows[IllegalArgumentException] {
+      LmScore.topCooccurrence(df, "text", window = 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      LmScore.topCooccurrence(df, "text", topK = 0)
+    }
+  }
+
+  test("topCooccurrence is partition-count invariant") {
+    val big = (1 to 120).map(i => s"w${i % 5} w${i % 3} w${i % 7} w${i % 5}")
+    def run(parts: Int): Seq[(Long, String, String, Long)] =
+      LmScore.topCooccurrence(big.toDF("text").repartition(parts), "text", topK = 10)
+        .as[(Long, String, String, Long)].collect().toSeq
+    assert(run(1) === run(13))
+  }
 }
