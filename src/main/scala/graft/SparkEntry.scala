@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CdcQueries, EventQueries, PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{CdcQueries, EventQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
-      StreamingQueries.queries ++ EventQueries.queries
+      StreamingQueries.queries ++ EventQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
-      StreamingQueries.oracles ++ EventQueries.oracles
+      StreamingQueries.oracles ++ EventQueries.oracles ++ GraphQueries.oracles
 }

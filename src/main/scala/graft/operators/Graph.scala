@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over co-occurrence graphs derived from relational data
+  * (co-purchased parts, co-engaged users): edge extraction, degree stats,
+  * exact triangle counting, and BFS hop distance. The reference delegates
+  * this family to Greenplum SQL over its CDC-synced tables (reference:
+  * README.md:9,15); here each step is a declarative Spark plan with the
+  * classic distributed-graph shapes.
+  *
+  * Scale notes (100 TB contract):
+  *   - Edge extraction bounds its quadratic step by `maxGroupSize`: a
+  *     group of s nodes emits C(s,2) pairs, so the cap makes the explode
+  *     ≤ cap²/2 per group and drops (and counts) pathological groups —
+  *     the same skew-guard pattern as the dedup family's `bucketCap`.
+  *   - Triangle counting uses the degree-ordered orientation (Suri &
+  *     Vassilvitskii, WWW'11): every edge points from lower (degree, id)
+  *     rank to higher, so a node's out-degree is O(√m) amortized and the
+  *     wedge join never enumerates a hub's full neighborhood square.
+  *   - BFS is a driver loop of frontier joins — O(diameter) jobs, each a
+  *     hash join + distinct + anti-join keyed on the node id; per-level
+  *     state is one (node, hop) row per vertex, never a path explosion
+  *     (the recursive-CTE UNION ALL form would enumerate walks).
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges: distinct unordered pairs of `nodeCol`
+    * values sharing a `groupCol` value, weighted by the number of distinct
+    * groups the pair shares. Output: (a, b, w) with a < b, w ≥ `minWeight`.
+    * Null groups/nodes are dropped by contract. Groups with more than
+    * `maxGroupSize` distinct nodes are excluded entirely (a group that
+    * large is a degenerate hub — a viral order, a crawler session — and
+    * would contribute C(s,2) near-meaningless edges); the drop is logged.
+    */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String,
+      minWeight: Long = 1L, maxGroupSize: Int = 1000): DataFrame = {
+    require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val nodes = df
+      .select(col(groupCol).as("g"), col(nodeCol).as("n"))
+      .where(col("g").isNotNull && col("n").isNotNull)
+      .distinct()
+    val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
+    val dropped = sizes.filter(col("sz") > maxGroupSize)
+    val nDropped = dropped.limit(1).count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cooccurrenceEdges: dropping groups with > $maxGroupSize nodes " +
+          "(degenerate hubs); first offender group logged at debug")
+    val ok = nodes.join(sizes.filter(col("sz") <= maxGroupSize), Seq("g"))
+      .select("g", "n")
+    // self-join on the group key: both sides share the hash partitioning
+    // on g, so Catalyst plans one exchange per side and the pair explode
+    // stays inside the joined partitions
+    val pairs = ok.as("x").join(ok.as("y"),
+      col("x.g") === col("y.g") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+  }
+
+  /** Per-node degree over an (a, b) edge list with a < b and no duplicate
+    * edges: one union of the two endpoint projections + one aggregate.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Exact per-node triangle counts via degree-ordered wedge closure.
+    * Input: (a, b) with a < b, distinct. Output: (node, degree, n_tri) for
+    * every node, n_tri = triangles through the node (0 for none).
+    *
+    * Orientation rank is the (degree, node) tuple — every edge points
+    * rank-upward, each triangle is generated exactly once (at its lowest-
+    * rank apex), and the wedge join's fan-out per node is its OUT-degree,
+    * which the orientation bounds at O(√m) amortized even when the raw
+    * degree distribution is heavy-tailed.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val e = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), Seq("b"))
+    // orient rank-upward: src = lower (degree, id) endpoint
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, col("b")).otherwise(col("a")).as("dst"),
+      when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+    // wedges at a shared apex, ordered by the endpoints' rank so each
+    // triangle closes exactly once
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("v1"), col("e2.dst").as("v2"))
+    val tri = wedges.join(oriented.select(col("src"), col("dst")),
+      col("v1") === col("src") && col("v2") === col("dst"))
+      .select("apex", "v1", "v2")
+    val perNode = tri.select(col("apex").as("node"))
+      .unionByName(tri.select(col("v1").as("node")))
+      .unionByName(tri.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Min-hop BFS distances from `source` over an undirected (a, b) edge
+    * list, bounded at `maxDepth`. Output: (node, hops) for every node
+    * reached within the bound (the source itself at hops = 0).
+    *
+    * Driver loop of frontier expansions: each level is frontier ⋈ edges →
+    * distinct → anti-join visited. Per-level state is one row per vertex —
+    * never a path enumeration, so the loop is walk-explosion-free on dense
+    * graphs where a recursive UNION ALL would enumerate d^depth walks.
+    * Unreached-within-bound nodes are absent by contract (mirror the bound
+    * in any oracle). Frontier and visited are `localCheckpoint`ed per
+    * level, the same lineage cut as `connectedComponents`: without it the
+    * level-k plan embeds level k-1 twice (once per join) and grows 2^k —
+    * the plan, not the data, is what explodes in an iterative dataflow.
+    * The edge list is cached under `scope` for the loop's lifetime.
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxDepth: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = scope.own(
+      edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint()
+    var frontier = visited
+    var level = 0
+    var done = maxDepth == 0
+    while (!done) {
+      level += 1
+      val next = frontier.as("f").join(und.as("u"), col("f.node") === col("u.a"))
+        .select(col("u.b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(level))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+        if (level >= maxDepth) done = true
+      }
+    }
+    visited
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Funnel, IncrementalAgg, Sessionize, Sharding}
+import graft.operators.{Funnel, IncrementalAgg, Layout, Rolling, Sessionize, Sharding}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,35 @@ object EventQueries {
         IncrementalAgg.state(ev.filter(col("ts") >= cut), keys, Seq("value"))),
         keys)
       IncrementalAgg.finish(merged, keys, Seq("value"))
+    }),
+
+    // ── Rolling 7-day distinct actors per day: the linear interval-union
+    // form, not a COUNT(DISTINCT) OVER RANGE re-scan and not the
+    // O(days × events) grid range join (Rolling scaladoc).
+    "q117_rolling_active" -> ((s, dir) => {
+      Rolling.rollingDistinct(RelationalQueries.events(s, dir),
+        "user_id", "ts", windowDays = 7)
+    }),
+
+    // ── Z-order layout report: Morton-interleave (user_id, day-index) and
+    // report each 64-z-unit cell's row count + per-dimension envelope —
+    // the per-file min/max footer stats a z-sorted writer would produce,
+    // tight in BOTH dimensions (Layout scaladoc). The day index is exact
+    // integer date arithmetic from the corpus epoch.
+    "q119_zorder_layout" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir).select(
+        col("user_id").as("x"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("y"))
+      Layout.zorderReport(ev, "x", "y", bits = 8, cellShift = 6)
+    }),
+
+    // ── Trailing-8-term EWMA of `value` per user: exact decimal weights
+    // 2^-(j+1), one window shuffle on the actor key (Rolling scaladoc).
+    "q120_ewma" -> ((s, dir) => {
+      Rolling.ewma(RelationalQueries.events(s, dir),
+        "user_id", "ts", "event_id", "value", terms = 8, outCol = "ewma8")
+        .select("event_id", "user_id", "ewma8")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +205,47 @@ object EventQueries {
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_value
-        |FROM ev GROUP BY 1, 2""".stripMargin)
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "q117_rolling_active" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |grid AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+        |                     AS DATE) AS day FROM bounds)
+        |SELECT g.day, count(DISTINCT e.user_id) AS n_active
+        |FROM grid g JOIN ev e ON e.day BETWEEN g.day - 6 AND g.day
+        |GROUP BY g.day""".stripMargin,
+
+    "q119_zorder_layout" -> {
+      val interleave = (0 until 8).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |         AS BIGINT) AS y
+         |  FROM events),
+         |z AS (SELECT x, y, ($interleave) AS zv FROM b)
+         |SELECT zv >> 6 AS zcell, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    "q120_ewma" -> {
+      val terms = (0 until 8).map { j =>
+        val w = java.math.BigDecimal.ONE.divide(
+          new java.math.BigDecimal(2).pow(j + 1)).toPlainString
+        if (j == 0) s"COALESCE(x, 0) * $w"
+        else s"COALESCE(lag(x, $j) OVER w, 0) * $w"
+      }.mkString("\n         |  + ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+         |    CAST(value AS DECIMAL(18,2)) AS x FROM events)
+         |SELECT event_id, user_id,
+         |  CAST($terms
+         |  AS DOUBLE) AS ewma8
+         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin
+    })
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics pack over the part co-purchase graph derived from
+  * lineitem (parts sharing an order are linked — the market-basket graph):
+  * degree/triangle structure and BFS reachability. The reference's users
+  * run these as Greenplum SQL over CDC-synced tables (reference:
+  * README.md:9,15); the operators live in [[graft.operators.Graph]] with
+  * the distributed-graph shapes documented there (bounded pair explode,
+  * degree-ordered wedge closure, frontier BFS).
+  *
+  * Every query reads `sfDir` parquet and has a DuckDB oracle below; the
+  * oracles rebuild the same graph in CTEs (id-ordered triangle closure —
+  * orientation scheme changes which join finds a triangle, never the
+  * count) and use DuckDB's recursive UNION for BFS, which matches the
+  * frontier loop's min-hop semantics.
+  */
+object GraphQueries {
+
+  private def edges(s: SparkSession, dir: String, minWeight: Long): DataFrame =
+    Graph.cooccurrenceEdges(
+      s.read.parquet(s"$dir/lineitem.parquet"),
+      "l_orderkey", "l_partkey", minWeight = minWeight)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Top-20 triangle-dense parts: per-node exact triangle counts +
+    // degree on the co-purchase graph. Deterministic total order:
+    // (n_tri, degree, part) with part unique.
+    "q118_triangles" -> ((s, dir) => {
+      Graph.triangles(edges(s, dir, minWeight = 1).select("a", "b"))
+        .withColumnRenamed("node", "part")
+        .orderBy(desc("n_tri"), desc("degree"), asc("part"))
+        .limit(20)
+    }),
+
+    // ── BFS hop histogram from the smallest part id over the ≥2-order
+    // co-purchase graph (the w≥2 threshold keeps signal edges only —
+    // one shared order is noise at any scale). Bounded at 6 hops.
+    "q121_bfs_hops" -> ((s, dir) => {
+      val e = edges(s, dir, minWeight = 2).select("a", "b")
+      val source = e.agg(min(col("a"))).head().getLong(0)
+      Graph.bfsHops(e, source, maxDepth = 6)
+        .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+    }))
+
+  private val graphCte =
+    """li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+      |sz AS (SELECT g, count(*) AS s FROM li GROUP BY 1),
+      |ok AS (SELECT li.g, li.n FROM li JOIN sz USING (g) WHERE sz.s <= 1000),
+      |ew AS (SELECT x.n AS a, y.n AS b, count(*) AS w FROM ok x
+      |       JOIN ok y ON x.g = y.g AND x.n < y.n GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q118_triangles" ->
+      s"""WITH $graphCte,
+         |e AS (SELECT a, b FROM ew),
+         |deg AS (SELECT node, count(*) AS degree FROM
+         |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (SELECT node, count(*) AS n_tri FROM
+         |  (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |   UNION ALL SELECT w FROM tri) GROUP BY 1)
+         |SELECT d.node AS part, d.degree,
+         |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM deg d LEFT JOIN pn USING (node)
+         |ORDER BY n_tri DESC, degree DESC, part LIMIT 20""".stripMargin,
+
+    "q121_bfs_hops" ->
+      s"""WITH RECURSIVE $graphCte,
+         |e1 AS (SELECT a, b FROM ew WHERE w >= 2),
+         |e AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+         |src AS (SELECT min(a) AS s FROM e1),
+         |reach(node, hops) AS (
+         |  SELECT s, 0 FROM src
+         |  UNION
+         |  SELECT e.b, r.hops + 1 FROM reach r JOIN e ON e.a = r.node
+         |  WHERE r.hops < 6)
+         |SELECT CAST(hops AS INT) AS hops, count(*) AS n_nodes
+         |FROM (SELECT node, min(hops) AS hops FROM reach GROUP BY 1)
+         |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Graph operators on hand-built graphs: edge extraction (weights, group
+  * cap, null drops), degree/triangle counts against enumerable truth, and
+  * BFS hop distances (path graph, bound, disconnection, deep-loop lineage).
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edgeDf(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+
+  test("cooccurrenceEdges: pair weights count distinct shared groups") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // group 10: pairs (1,2),(1,3),(2,3)
+      (20L, 1L), (20L, 2L), // group 20: pair (1,2) again
+      (30L, 5L) // singleton group: no pairs
+    ).toDF("g", "n")
+    val out = Graph.cooccurrenceEdges(df, "g", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("cooccurrenceEdges: minWeight filters, duplicate rows don't inflate") {
+    val df = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), // duplicate (10,1) row
+      (20L, 1L), (20L, 2L),
+      (30L, 2L), (30L, 3L)
+    ).toDF("g", "n")
+    val out = Graph.cooccurrenceEdges(df, "g", "n", minWeight = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 2L)))
+  }
+
+  test("cooccurrenceEdges: oversized groups are dropped whole, nulls dropped") {
+    val big = (1L to 5L).map(n => (99L, Some(n)))
+    val df = (big ++ Seq((10L, Some(1L)), (10L, Some(2L)), (10L, None)))
+      .toDF("g", "n")
+    val out = Graph.cooccurrenceEdges(df, "g", "n", maxGroupSize = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L))) // group 99 (5 nodes) dropped entirely
+  }
+
+  test("triangles: K4 plus pendant — every K4 node in C(3,2)=3 triangles") {
+    // K4 over 1..4 (4 triangles total, 3 through each node); 5 hangs off 1
+    val e = edgeDf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val out = Graph.triangles(e)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out === Map(
+      1L -> ((4L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L)),
+      5L -> ((1L, 0L))))
+  }
+
+  test("triangles: star graph has none — hub degree doesn't fabricate") {
+    val e = edgeDf((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    val out = Graph.triangles(e).agg(sum("n_tri")).head().getLong(0)
+    assert(out === 0L)
+  }
+
+  test("triangles: count is orientation-invariant vs brute force") {
+    // deterministic pseudo-random sparse graph, brute-force ground truth
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val expect = (for {
+      i <- nodes; j <- nodes if j > i && es((i, j))
+      k <- nodes if k > j && es((j, k)) && es((i, k))
+    } yield 1).size * 3L // each triangle counted at 3 nodes
+    val got = Graph.triangles(edges.toDF("a", "b")).agg(sum("n_tri")).head().getLong(0)
+    assert(got === expect)
+  }
+
+  test("bfsHops: path graph distances, bound, and disconnection") {
+    // path 1-2-3-4-5-6-7-8 plus isolated edge 100-101: 8 hops needed for
+    // the full path — deep enough to prove the per-level lineage cut holds
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (100L, 101L))
+    val scope = new CacheScope
+    val out = Graph.bfsHops(e, source = 1L, maxDepth = 10, scope)
+      .as[(Long, Int)].collect().toMap
+    scope.release()
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 5, 7L -> 6, 8L -> 7))
+
+    val bounded = Graph.bfsHops(e, source = 1L, maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(bounded === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: undirected — source on the b side is still reached") {
+    val e = edgeDf((1L, 5L), (2L, 5L)) // 5 never appears as a
+    val out = Graph.bfsHops(e, source = 5L, maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(5L -> 0, 1L -> 1, 2L -> 1))
+  }
+
+  test("bfsHops: maxDepth 0 returns only the source") {
+    val e = edgeDf((1L, 2L))
+    val out = Graph.bfsHops(e, source = 1L, maxDepth = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0))
+  }
+}
