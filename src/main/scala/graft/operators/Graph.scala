@@ -35,13 +35,18 @@ object Graph {
     * would contribute C(s,2) near-meaningless edges); the drop is logged.
     */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String,
-      minWeight: Long = 1L, maxGroupSize: Int = 1000): DataFrame = {
+      minWeight: Long = 1L, maxGroupSize: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
-    val nodes = df
+    // cached: referenced by the size aggregate, the size join, and both
+    // sides of the pair self-join — uncached, every reference re-embeds
+    // the full upstream scan in the plan
+    val nodes = scope.own(df
       .select(col(groupCol).as("g"), col(nodeCol).as("n"))
       .where(col("g").isNotNull && col("n").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
     val dropped = sizes.filter(col("sz") > maxGroupSize)
     val nDropped = dropped.limit(1).count()
@@ -79,17 +84,26 @@ object Graph {
     * which the orientation bounds at O(√m) amortized even when the raw
     * degree distribution is heavy-tailed.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
-    val e = edges
+  def triangles(edges: DataFrame,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // edges feeds both degree projections plus the orientation join; deg
+    // is read three times; oriented anchors three join legs — cache each
+    // so the plan references one materialization instead of re-embedding
+    // the upstream subtree per leg
+    val e0 = scope.own(edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = scope.own(degrees(e0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = e0
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), Seq("a"))
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), Seq("b"))
     // orient rank-upward: src = lower (degree, id) endpoint
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = e.select(
+    val oriented = scope.own(e.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"),
       when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // wedges at a shared apex, ordered by the endpoints' rank so each
     // triangle closes exactly once
     val wedges = oriented.as("e1").join(oriented.as("e2"),

@@ -123,7 +123,7 @@ object EventQueries {
         col("user_id").as("x"),
         datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
           .cast("long").as("y"))
-      Layout.zorderReport(ev, "x", "y", bits = 8, cellShift = 6)
+      Layout.zorderReport(ev, "x", "y", bits = 16, cellShift = 6)
     }),
 
     // ── Trailing-8-term EWMA of `value` per user: exact decimal weights
@@ -219,7 +219,7 @@ object EventQueries {
         |GROUP BY g.day""".stripMargin,
 
     "q119_zorder_layout" -> {
-      val interleave = (0 until 8).flatMap { i =>
+      val interleave = (0 until 16).flatMap { i =>
         Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
       }.mkString(" | ")
       s"""WITH b AS (
