@@ -123,6 +123,58 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Integer-arithmetic PageRank over an undirected (a, b) edge list —
+    * `iterations` damped rounds with every quantity a scaled long and
+    * every division an integer floor, so the fixpoint replays bit-for-bit
+    * in any engine (the standard double-arithmetic PageRank pins the
+    * verifier to accumulation order). Per round:
+    *
+    *   r'(v) = (scale·15) div 100 + (85 · Σ_{u~v} (r(u) div deg(u))) div 100
+    *
+    * Scale contract: 85 · N · scale must stay under 2^63 — at the default
+    * scale 10^12 that is N < 10^8 nodes; drop `scale` a decade per decade
+    * of N beyond that. Floor-division mass loss is deterministic and
+    * bounded by deg(u) per contribution — this is a RANKING signal, not a
+    * probability (use the float form when you need the distribution; use
+    * this when two engines must agree on every last digit).
+    *
+    * Shape: degrees and the degree-annotated adjacency are cached once
+    * under `scope`; each round is one shuffle on the destination key plus
+    * a broadcast-friendly left join back onto the node list (isolated
+    * nodes hold the base term). The rank vector is one row per node —
+    * the plan chain grows linearly in `iterations` (each round references
+    * the previous once), no checkpoint needed for single-digit rounds.
+    *
+    * Output: (node, rank) for every node of the edge list.
+    */
+  def pagerankInt(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val deg = scope.own(degrees(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // adjacency with the SOURCE endpoint's degree attached, both directions
+    val und = scope.own(
+      edges.select(col("a"), col("b"))
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dega"), Seq("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = scale * 15L / 100L
+    var rank = deg.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = und.join(rank, und("a") === rank("node"))
+        .select(und("b"), expr("rank div dega").as("c"))
+        .groupBy("b").agg(sum(col("c")).as("x"))
+      rank = deg.select(col("node"))
+        .join(contrib, col("node") === col("b"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(x, 0L)) div 100")).as("rank"))
+    }
+    rank
+  }
+
   /** Min-hop BFS distances from `source` over an undirected (a, b) edge
     * list, bounded at `maxDepth`. Output: (node, hops) for every node
     * reached within the bound (the source itself at hops = 0).

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust distribution statistics on exact ORDER STATISTICS — rank-based
+  * percentile bounds (no interpolation, so any engine replays them
+  * bit-for-bit), winsorized summaries, and exact equi-depth histograms.
+  * Interpolating percentiles (`percentile_cont`) mix engine-specific
+  * float arithmetic; the k-th order statistic is a data value, exact by
+  * construction — the same reason the dedup family hashes instead of
+  * scoring.
+  *
+  * Scale notes:
+  *   - Winsorize ranks within (group, value) via one partitioned window —
+  *     per-group data crosses one shuffle on the group key, the standard
+  *     contract (a group's rows must fit its partition's task).
+  *   - The equi-depth histogram needs a GLOBAL rank, and a global
+  *     `row_number` window is a single-task funnel. [[equidepthHistogram]]
+  *     instead reuses the segmented-scan idea from `Sharding`: a caller-
+  *     supplied segmentation MONOTONE in the sort key (e.g. `floor(value)`)
+  *     splits the order; per-segment ranks come from partitioned windows,
+  *     segment offsets are a bounded driver fold (O(segments) state), and
+  *     the global rank is their sum — no single-task stage anywhere.
+  */
+object RobustStats {
+
+  /** Per-group winsorized summary with exact rank-based bounds: the p-th
+    * percentile is the value at 1-based rank ceil(p·n) in (value, tie)
+    * order. Values clamp into [lo, hi] = [P(pLoPermille), P(pHiPermille)];
+    * sums are exact DECIMAL(18,2) quantized, emitted as double. Output:
+    * (group, n, v_lo, v_hi, wsum). Null values/groups are dropped by
+    * contract; permille bounds avoid float rank arithmetic entirely:
+    * rank = ceil(permille·n/1000) = (permille·n + 999) div 1000.
+    */
+  def winsorizedSummary(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String, pLoPermille: Int = 50, pHiPermille: Int = 950): DataFrame = {
+    require(pLoPermille >= 1 && pHiPermille <= 1000 && pLoPermille < pHiPermille,
+      s"permille bounds out of order: [$pLoPermille, $pHiPermille]")
+    val rows = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"), col(tieCol).as("tie"))
+      .where(col("grp").isNotNull && col("v").isNotNull)
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("tie"))
+    val ranked = rows
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val bounds = ranked
+      .withColumn("kLo", expr(s"($pLoPermille * n + 999) div 1000"))
+      .withColumn("kHi", expr(s"($pHiPermille * n + 999) div 1000"))
+      .groupBy("grp")
+      .agg(
+        max(when(col("rn") === col("kLo"), col("v"))).as("v_lo"),
+        max(when(col("rn") === col("kHi"), col("v"))).as("v_hi"))
+    rows.join(bounds, Seq("grp"))
+      .select(col("grp"), col("v_lo"), col("v_hi"),
+        greatest(col("v_lo"), least(col("v_hi"), col("v"))).as("wv"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), first(col("v_lo")).as("v_lo"),
+        first(col("v_hi")).as("v_hi"),
+        sum(col("wv").cast("decimal(18,2)")).cast("double").as("wsum"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Exact equi-depth histogram over a global (value, tie) order without a
+    * single-task global sort: `buckets` buckets, row at global 1-based
+    * rank r lands in bucket ((r-1)·buckets) div n. `segCol` must be a
+    * deterministic expression MONOTONE NON-DECREASING in `valCol` with a
+    * BOUNDED number of distinct values (e.g. `floor(value)` over a known
+    * domain, a fixed binning of a timestamp) — it splits the global order
+    * so ranks localize; offsets are a driver-side fold over one tiny
+    * per-segment count aggregate. Output: (bucket, cnt, min_v, max_v,
+    * vsum) with vsum the exact DECIMAL(18,2) sum emitted as double.
+    * Nulls in `valCol` are dropped by contract.
+    */
+  def equidepthHistogram(df: DataFrame, valCol: String, tieCol: String,
+      segCol: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val segGuard = when(segCol.cast("long").isNotNull, segCol.cast("long"))
+      .otherwise(raise_error(lit(
+        "equidepthHistogram: segCol must be non-null and castable to long")))
+    val rows = df
+      .select(col(valCol).as("v"), col(tieCol).as("tie"), segGuard.as("seg"))
+      .where(col("v").isNotNull)
+    val segTotals = rows.groupBy("seg").agg(count(lit(1)).as("c"))
+      .orderBy("seg").collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(segTotals.length <= 65536,
+      s"segCol produced ${segTotals.length} segments; driver offset state is O(segments)")
+    val n = segTotals.map(_._2).sum
+    val offsets: Map[Long, Long] = segTotals.map(_._1)
+      .zip(segTotals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offExpr = element_at(typedlit(offsets), col("seg"))
+    val w = Window.partitionBy("seg").orderBy(col("v"), col("tie"))
+    rows
+      .withColumn("rank", row_number().over(w).cast("long") + offExpr)
+      .withColumn("bucket", expr(s"CAST(((rank - 1) * $buckets) div ${math.max(n, 1L)} AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("v").as("min_v"), max("v").as("max_v"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("vsum"))
+  }
+}

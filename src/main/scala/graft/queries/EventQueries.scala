@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.operators.{Funnel, IncrementalAgg, Layout, Rolling, Sessionize, Sharding}
+import graft.operators.{Funnel, IncrementalAgg, Layout, RobustStats, Rolling, Sessionize, Sharding}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics pack — the product-analytics queries the reference's
@@ -132,6 +133,37 @@ object EventQueries {
       Rolling.ewma(RelationalQueries.events(s, dir),
         "user_id", "ts", "event_id", "value", terms = 8, outCol = "ewma8")
         .select("event_id", "user_id", "ewma8")
+    }),
+
+    // ── SCD2-style validity intervals: each event opens a [from, to) state
+    // interval for its actor, closed by the actor's next event — the
+    // type-2 dimension build warehouses run post-CDC. Exact microsecond
+    // arithmetic; one window shuffle on the actor key.
+    "q124_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
+    // ── Winsorized per-type value summary on exact rank-based p5/p95
+    // bounds — no percentile interpolation, so the bounds are data values
+    // any engine agrees on (RobustStats scaladoc).
+    "q125_winsorize" -> ((s, dir) => {
+      RobustStats.winsorizedSummary(RelationalQueries.events(s, dir),
+        "event_type", "value", "event_id")
+    }),
+
+    // ── Exact equi-depth 10-bucket histogram of value WITHOUT a global
+    // single-task sort: floor(value) segments the order, per-segment
+    // window ranks + driver offset fold give the global rank
+    // (RobustStats scaladoc).
+    "q126_equidepth" -> ((s, dir) => {
+      RobustStats.equidepthHistogram(RelationalQueries.events(s, dir),
+        "value", "event_id", floor(col("value")).cast("long"), buckets = 10)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +279,40 @@ object EventQueries {
          |  CAST($terms
          |  AS DOUBLE) AS ewma8
          |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin
-    })
+    },
+
+    "q124_scd2_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT user_id, event_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER w AS valid_to_us,
+        |  lead(us) OVER w IS NULL AS is_current
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    "q125_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, value AS v, event_id AS tie FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v, tie) AS rn,
+        |       count(*) OVER (PARTITION BY grp) AS n FROM ev),
+        |b AS (SELECT grp,
+        |  max(CASE WHEN rn = (50 * n + 999) // 1000 THEN v END) AS v_lo,
+        |  max(CASE WHEN rn = (950 * n + 999) // 1000 THEN v END) AS v_hi
+        |  FROM rk GROUP BY 1)
+        |SELECT e.grp AS event_type, count(*) AS n,
+        |  min(b.v_lo) AS v_lo, min(b.v_hi) AS v_hi,
+        |  CAST(sum(CAST(greatest(b.v_lo, least(b.v_hi, e.v)) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS wsum
+        |FROM ev e JOIN b USING (grp) GROUP BY 1""".stripMargin,
+
+    "q126_equidepth" ->
+      """WITH ev AS (
+        |  SELECT value AS v, event_id AS tie FROM events WHERE value IS NOT NULL),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, tie) AS rank,
+        |       count(*) OVER () AS n FROM ev)
+        |SELECT CAST(((rank - 1) * 10) // n AS INT) AS bucket, count(*) AS cnt,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM rk GROUP BY 1""".stripMargin)
 }

@@ -36,6 +36,18 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // ── Integer PageRank, 5 damped rounds over the co-purchase graph —
+    // every quantity a scaled long, every division a floor, so the oracle
+    // replays the fixpoint exactly (Graph.pagerankInt scaladoc). Top-20
+    // by (rank, part): rank ties broken by the unique part id.
+    "q122_pagerank" -> ((s, dir) => {
+      Graph.pagerankInt(edges(s, dir, minWeight = 1).select("a", "b"),
+        iterations = 5)
+        .withColumnRenamed("node", "part")
+        .orderBy(desc("rank"), asc("part"))
+        .limit(20)
+    }),
+
     // ── BFS hop histogram from the smallest part id over the ≥2-order
     // co-purchase graph (the w≥2 threshold keeps signal edges only —
     // one shared order is noise at any scale). Bounded at 6 hops.
@@ -69,6 +81,27 @@ object GraphQueries {
          |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri
          |FROM deg d LEFT JOIN pn USING (node)
          |ORDER BY n_tri DESC, degree DESC, part LIMIT 20""".stripMargin,
+
+    "q122_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (SELECT d.node,
+           |  150000000000 + (85 * COALESCE(s.x, 0)) // 100 AS rank
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.b AS node, sum(r.rank // dg.degree) AS x
+           |    FROM e JOIN r${k - 1} r ON r.node = e.a
+           |    JOIN deg dg ON dg.node = e.a GROUP BY 1) s USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |e1 AS (SELECT a, b FROM ew),
+         |e AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+         |deg AS (SELECT node, count(*) AS degree FROM
+         |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+         |$rounds
+         |SELECT node AS part, CAST(rank AS BIGINT) AS rank FROM r5
+         |ORDER BY rank DESC, part LIMIT 20""".stripMargin
+    },
 
     "q121_bfs_hops" ->
       s"""WITH RECURSIVE $graphCte,

@@ -105,4 +105,33 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(out === Map(1L -> 0))
   }
+
+  test("pagerankInt: one hand-computed round on a path graph") {
+    // path 1-2-3, scale 1000: deg = (1,2,1), r0 = 1000 each.
+    // contrib: node1 <- r(2) div 2 = 500; node2 <- 1000 + 1000; node3 <- 500
+    // r1 = 150 + (85 * x) div 100 -> (575, 1850, 575)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.pagerankInt(e, iterations = 1, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 575L, 2L -> 1850L, 3L -> 575L))
+  }
+
+  test("pagerankInt: symmetric graph stays symmetric over iterations") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b") // 4-cycle
+    val out = Graph.pagerankInt(e, iterations = 5, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet.size === 1) // all nodes identical by symmetry
+  }
+
+  test("pagerankInt: partition-count invariance") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 40).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val one = Graph.pagerankInt(edges.toDF("a", "b").repartition(1), 3)
+      .as[(Long, Long)].collect().toSet
+    val many = Graph.pagerankInt(edges.toDF("a", "b").repartition(7), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(one === many)
+  }
 }

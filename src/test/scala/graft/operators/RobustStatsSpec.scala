@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** RobustStats on enumerable fixtures: exact rank-based winsorize bounds
+  * and the segmented equi-depth histogram (segmentation invariance,
+  * partition invariance, null drops).
+  */
+class RobustStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("winsorizedSummary: hand-computed p5/p95 bounds and clamped sum") {
+    // 20 values 1..20: kLo = (50*20+999)//1000 = 1 -> v_lo = 1;
+    // kHi = (950*20+999)//1000 = 19 -> v_hi = 19; only 20 clamps -> 19.
+    val df = (1 to 20).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val out = RobustStats.winsorizedSummary(df, "g", "v", "id")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(("a", 20L, 1.0, 19.0, 209.0)))
+  }
+
+  test("winsorizedSummary: outliers clamp both ways, groups isolated") {
+    // group b: 100 values = one -1000, 98 tens, one +1000
+    // kLo = (50*100+999)//1000 = 5 -> v_lo = 10 (ranks 2..99 are 10)
+    // kHi = (950*100+999)//1000 = 95 -> v_hi = 10
+    // all clamp to 10 -> wsum = 1000
+    val b = (1 to 100).map { i =>
+      val v = if (i == 1) -1000.0 else if (i == 100) 1000.0 else 10.0
+      ("b", v, i.toLong)
+    }
+    val a = Seq(("a", 5.0, 500L))
+    val out = RobustStats.winsorizedSummary((a ++ b).toDF("g", "v", "id"), "g", "v", "id")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("b") === (("b", 100L, 10.0, 10.0, 1000.0)))
+    assert(out("a") === (("a", 1L, 5.0, 5.0, 5.0))) // n=1: kLo = kHi = 1
+  }
+
+  test("winsorizedSummary: null groups and values dropped") {
+    val df = Seq(
+      (Option("a"), Option(1.0), 1L), (Option("a"), Option(2.0), 2L),
+      (Option.empty[String], Option(9.0), 3L), (Option("a"), Option.empty[Double], 4L))
+      .toDF("g", "v", "id")
+    val out = RobustStats.winsorizedSummary(df, "g", "v", "id")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._2) === Seq(2L))
+  }
+
+  test("equidepthHistogram: 100 uniform values, 10 exact buckets") {
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val out = RobustStats.equidepthHistogram(df, "v", "id",
+      floor(col("v") / 7).cast("long"), buckets = 10)
+      .orderBy("bucket")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size === 10)
+    out.zipWithIndex.foreach { case ((bucket, cnt, mn, mx, sum), i) =>
+      assert(bucket === i)
+      assert(cnt === 10L)
+      assert(mn === i * 10 + 1.0)
+      assert(mx === i * 10 + 10.0)
+      assert(sum === (1 to 10).map(_ + i * 10).sum.toDouble)
+    }
+  }
+
+  test("equidepthHistogram: segmentation choice doesn't change the result") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(i => (rnd.nextInt(1000) / 100.0, i.toLong))
+    val df = rows.toDF("v", "id")
+    val single = RobustStats.equidepthHistogram(df, "v", "id", lit(0L), 7)
+      .as[(Int, Long, Double, Double, Double)].collect().toSet
+    val segmented = RobustStats.equidepthHistogram(
+      df.repartition(9), "v", "id", floor(col("v")).cast("long"), 7)
+      .as[(Int, Long, Double, Double, Double)].collect().toSet
+    assert(single === segmented)
+  }
+
+  test("equidepthHistogram: duplicate values tie-broken deterministically") {
+    // all values equal: ranks come from the tie column; buckets still
+    // partition 20 rows into 4 buckets of 5
+    val df = (1 to 20).map(i => (1.0, i.toLong)).toDF("v", "id")
+    val out = RobustStats.equidepthHistogram(df, "v", "id", lit(0L), 4)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2) === Seq(5L, 5L, 5L, 5L))
+  }
+}
