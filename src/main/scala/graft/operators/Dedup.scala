@@ -703,6 +703,79 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
   }
 
+  /** Exact Jaccard similarity join via PREFIX FILTERING (the AllPairs /
+    * PPJoin candidate scheme, Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    * — the exact-similarity-join alternative to [[ngramJaccardPairs]]'s
+    * df cap: instead of DROPPING ubiquitous shingles (which silently
+    * loses pairs whose every shared shingle is hot), each document
+    * indexes only its `|d| − ceil(τ·|d|) + 1` RAREST shingles in one
+    * global (df, shingle) order. Any pair with Jaccard ≥ τ provably
+    * shares a prefix shingle, so recall is 1 with no cap tuning — the
+    * candidate volume concentrates on rare shingles whose posting lists
+    * are short by construction.
+    *
+    * Shape for 100 TB: the shingle-frequency table is a pre-aggregate
+    * (one row per distinct shingle crosses its shuffle); the per-doc rank
+    * is a window partitioned BY DOCUMENT (bounded frames, no global
+    * sort); the prefix self-join's fan-out is Σ df(h)² over PREFIX
+    * postings only — boilerplate shingles sit at the END of every
+    * document's order and never enter the index.
+    *
+    * Output: (id_a, id_b, inter, uni) — the same exact-integer contract
+    * as [[ngramJaccardPairs]]; τ = thresholdNum/thresholdDen.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be in (0, 1]: $thresholdNum/$thresholdDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = scope.own(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val toks = TextHash.tokens(text)
+            if (toks.isEmpty) None else Some((id, TextHash.hashedShingles(toks, md)))
+          }
+        }
+        .toDF("id", "hs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val post = docs.select(col("id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("dfreq"))
+    val ranked = post.join(dfreq, Seq("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("dfreq"), col("h"))))
+    // prefix length p = sz − ceil(τ·sz) + 1, all integer arithmetic
+    val prefix = ranked.filter(col("rk") <=
+        col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .select("h", "id")
+
+    val pairs = prefix.select(col("h"), col("id").as("id_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   private def dedupBlockArray(df: DataFrame, idCol: String,
       blockArr: org.apache.spark.sql.Column, joinSep: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), blockArr.as("blocks"))

@@ -134,6 +134,15 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text")
     }),
 
+    // ── Exact Jaccard join via PREFIX FILTERING (AllPairs/PPJoin): each
+    // doc indexes only its rarest |d|−⌈τ|d|⌉+1 shingles in one global
+    // (df, shingle) order — recall 1 by theorem, no df-cap tuning, and
+    // the candidate volume concentrates on short posting lists. The exact
+    // alternative to q39's capped posting join.
+    "q123_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
     // ── Embedding-cosine near-dedup: multi-probe hyperplane buckets + exact
     // cosine ≥ 0.9 over a corpus with planted perturbed copies.
     "q40_dedup_embed" -> ((s, dir) => {
@@ -1548,6 +1557,21 @@ object PipelineQueries {
         |SELECT doc_id, w,
         |  CAST((sum(w) OVER (ORDER BY h, doc_id) - w) // 4000 AS BIGINT) AS shard
         |FROM t""".stripMargin,
+
+    "q123_prefix_jaccard" ->
+      s"""WITH $shingleCtes,
+        |post AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hsh),
+        |dfx AS (SELECT h, count(*) AS dfreq FROM post GROUP BY 1),
+        |rk AS (
+        |  SELECT p.doc_id, p.h, p.sz,
+        |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.dfreq, p.h) AS rk
+        |  FROM post p JOIN dfx d USING (h)),
+        |pre AS (SELECT doc_id, h FROM rk
+        |        WHERE rk <= sz - (3 * sz + 4) // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |$jaccardTail""".stripMargin,
 
     "q39_dedup_ngram" ->
       s"""WITH $shingleCtes,

@@ -479,4 +479,52 @@ class DedupSpec extends SparkTestBase {
       .as[(String, String, Long, Long, Long)].collect().toSet
     assert(got === Set(("s1", "s2", 1L, 2L, 2L)))
   }
+
+  test("prefixJaccardPairs: finds planted near-dups; superset of the capped join") {
+    // 30 base docs of distinct token streams + 5 planted 80%-prefix copies
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 40).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val copies = (0 until 5).map { i =>
+      val toks = (0 until 40).map(j => s"w${i}_$j").take(32) ++
+        (0 until 8).map(j => s"c${i}_$j")
+      (100L + i, toks.mkString(" "))
+    }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val exact = Dedup.prefixJaccardPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert((0 until 5).forall(i => exact.exists(p => p._1 == i && p._2 == 100L + i)),
+      s"planted pairs missing from $exact")
+    assert(capped.subsetOf(exact))
+  }
+
+  test("prefixJaccardPairs: keeps the pair a df cap would lose") {
+    // two identical docs whose EVERY shingle is shared by 30 other docs:
+    // a df cap of 10 drops all their shingles (pair lost); the prefix
+    // index still carries their rarest shingles - recall stays 1
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = ((0 until 30).map(i => (i.toLong, s"$hot pad${i}a pad${i}b")) ++
+      Seq((200L, hot), (201L, hot))).toDF("doc_id", "text")
+    val exact = Dedup.prefixJaccardPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", maxShingleDf = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact.exists(p => p._1 == 200L && p._2 == 201L))
+    assert(!capped.exists(p => p._1 == 200L && p._2 == 201L))
+  }
+
+  test("prefixJaccardPairs: no false positives below threshold") {
+    // disjoint docs share nothing; near-threshold doc pairs verified exactly
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // identical: J = 1
+      (3L, "z y x w v u t s r q")) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    assert(got.head._4 === got.head._3) // identical sets: uni == inter
+  }
 }
