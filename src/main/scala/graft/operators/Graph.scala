@@ -32,7 +32,12 @@ object Graph {
     * Null groups/nodes are dropped by contract. Groups with more than
     * `maxGroupSize` distinct nodes are excluded entirely (a group that
     * large is a degenerate hub — a viral order, a crawler session — and
-    * would contribute C(s,2) near-meaningless edges); the drop is logged.
+    * would contribute C(s,2) near-meaningless edges). The drop is silent
+    * in-plan (the operator stays declarative — no eager audit job);
+    * callers auditing coverage should count
+    * `df.groupBy(group).agg(countDistinct(node)).filter(_ > cap)`
+    * themselves, the same external-audit contract as the dedup family's
+    * df caps.
     */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String,
       minWeight: Long = 1L, maxGroupSize: Int = 1000,
@@ -48,12 +53,6 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
-    val dropped = sizes.filter(col("sz") > maxGroupSize)
-    val nDropped = dropped.limit(1).count()
-    if (nDropped > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"cooccurrenceEdges: dropping groups with > $maxGroupSize nodes " +
-          "(degenerate hubs); first offender group logged at debug")
     val ok = nodes.join(sizes.filter(col("sz") <= maxGroupSize), Seq("g"))
       .select("g", "n")
     // self-join on the group key: both sides share the hash partitioning

@@ -54,7 +54,11 @@ object Rolling {
       .groupBy("actor", "run")
       .agg(min(col("day")).as("start"),
         date_add(max(col("day")), windowDays - 1).as("end"))
-    val bounds = df.agg(max(to_date(col(tsCol))).as("maxDay"))
+    // bound from the SAME null-filtered population as `active` (a null-actor
+    // row must not extend the grid past the last contract-valid event day)
+    val bounds = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .agg(max(to_date(col(tsCol))).as("maxDay"))
     runs
       .join(broadcast(bounds))
       .select(col("actor"),

@@ -52,9 +52,14 @@ object GraphQueries {
     // co-purchase graph (the w≥2 threshold keeps signal edges only —
     // one shared order is noise at any scale). Bounded at 6 hops.
     "q121_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      // persisted: the weighted-pair aggregate (the dominant cost) feeds
+      // both the min-source probe and the BFS adjacency materialization
       val e = edges(s, dir, minWeight = 2).select("a", "b")
-      val source = e.agg(min(col("a"))).head().getLong(0)
-      Graph.bfsHops(e, source, maxDepth = 6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val srcRow = e.agg(min(col("a"))).head()
+      if (srcRow.isNullAt(0)) Seq.empty[(Int, Long)].toDF("hops", "n_nodes")
+      else Graph.bfsHops(e, srcRow.getLong(0), maxDepth = 6)
         .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
     }))
 
@@ -109,7 +114,7 @@ object GraphQueries {
          |e AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
          |src AS (SELECT min(a) AS s FROM e1),
          |reach(node, hops) AS (
-         |  SELECT s, 0 FROM src
+         |  SELECT s, 0 FROM src WHERE s IS NOT NULL
          |  UNION
          |  SELECT e.b, r.hops + 1 FROM reach r JOIN e ON e.a = r.node
          |  WHERE r.hops < 6)

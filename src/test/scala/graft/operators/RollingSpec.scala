@@ -100,4 +100,19 @@ class RollingSpec extends SparkTestBase {
       .as[(Long, Int, Double)].collect().toSet
     assert(one === many)
   }
+
+  test("rollingDistinct: a null-actor row must not extend the clip bound") {
+    // actor 1 active Jan 1 (window 3 covers 01..03); the null-actor event
+    // on Jan 2 is dropped by contract and must NOT extend the grid: the
+    // last contract-valid event day is Jan 1, so output stops there
+    val df = Seq(
+      (Option(1L), Option("2024-01-01 00:00:00")),
+      (Option.empty[Long], Option("2024-01-02 00:00:00")))
+      .toDF("actor", "d")
+      .select(col("actor"), col("d").cast("timestamp").as("ts"))
+    val out = Rolling.rollingDistinct(df, "actor", "ts", windowDays = 3)
+      .select(col("day").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("2024-01-01" -> 1L))
+  }
 }
