@@ -497,6 +497,74 @@ object Dedup {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
   }
 
+  /** Duplicate-span REMOVAL — the action step behind
+    * [[duplicateSpanCoverage]]'s diagnosis (Lee et al. 2022 substring
+    * dedup): drop every token position covered by a duplicated n-token
+    * window (hash occurs ≥ 2 times corpus-wide, ALL copies removed — the
+    * coverage profile's exact semantics) and reassemble each document
+    * from its surviving tokens in order.
+    *
+    * The output text is the kept TOKEN STREAM rejoined with single
+    * spaces — tokenizer-normalized (lowercased, punctuation/whitespace
+    * folded), i.e. training-ready tokens, NOT the original raw bytes;
+    * span removal is position-level, so this is the contract that makes
+    * cross-engine verification exact.
+    *
+    * Shape for 100 TB: the hot-window detector is the same text-free
+    * pre-aggregate as the coverage profile (one row per distinct window
+    * hash crosses its shuffle); covered positions explode only DUPLICATED
+    * windows by n; the reassembly is one id-keyed aggregate over (pos,
+    * token) pairs — the only exchange that carries tokens, sized by the
+    * SURVIVING volume.
+    *
+    * Output: (doc_id, n_toks, n_kept, text_kept); documents shorter than
+    * n tokens have no window and survive whole (token-normalized).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = scope.own(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val toks = TextHash.tokens(text)
+            val grams =
+              if (toks.length < n) Array.empty[Long]
+              else TextHash.shingles(toks, n).map(TextHash.md5Hash60(md, _))
+            (id, toks, grams)
+          }
+        }
+        .toDF("id", "toks", "hs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val pos = base.select(col("id"), posexplode(col("hs")).as(Seq("j", "h")))
+    val hot = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("h")
+    val covered = pos.join(hot, Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("j"), col("j") + lit(n - 1))).as("p"))
+      .distinct()
+
+    val kept = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_kept"))
+
+    base.select(col("id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Cross-source n-gram overlap matrix: for every pair of provenance
     * sources, how many distinct word n-grams they share — the source-level
     * duplication map (mirror sites, syndicated feeds, re-scraped dumps) a

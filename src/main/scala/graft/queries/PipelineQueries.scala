@@ -760,6 +760,14 @@ object PipelineQueries {
       Dedup.duplicateSpanCoverage(withNearDups(docs(s, dir)), "doc_id", "text")
     }),
 
+    // ── Duplicate-span REMOVAL: the action step behind q114's coverage
+    // profile — every token inside a duplicated 8-token window is dropped
+    // (all copies) and each document reassembled from its surviving
+    // tokens. See [[graft.operators.Dedup.removeDuplicateSpans]].
+    "q127_dup_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
     // ── Collocation heavy hitters: top-100 unordered token pairs within 2
     // positions, exact integer counts — the PMI numerator table. See
     // [[graft.operators.LmScore.topCooccurrence]].
@@ -1220,6 +1228,36 @@ object PipelineQueries {
     // q114: POSITIONAL 8-gram hashes (winnowChain's raw md5-60 form, no
     // mod — duplicates and order kept); a window is hot at ≥2 total
     // occurrences; coverage = distinct union of [j, j+7] over hot windows.
+    "q127_dup_span_removal" ->
+      s"""WITH $nearDupTok,
+        |g AS (
+        |  SELECT doc_id, toks, len(toks) AS n_toks,
+        |    CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(1, len(toks) - 6),
+        |             j -> CAST(('0x' || substr(md5($eightGram), 1, 15)) AS BIGINT))
+        |      ELSE [] END AS hs
+        |  FROM tok),
+        |pos AS (
+        |  SELECT doc_id, j, hs[j] AS h
+        |  FROM g, LATERAL (SELECT unnest(range(1, len(hs) + 1)) AS j) u),
+        |hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM (SELECT doc_id, j, unnest(range(j, j + 8)) AS p
+        |        FROM pos JOIN hot USING (h))),
+        |tp AS (
+        |  SELECT doc_id, j AS p, toks[j] AS tok
+        |  FROM g, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS j) u),
+        |kept AS (
+        |  SELECT t.doc_id, count(*) AS n_kept,
+        |    string_agg(t.tok, ' ' ORDER BY t.p) AS text_kept
+        |  FROM tp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id)
+        |SELECT g.doc_id, CAST(g.n_toks AS BIGINT) AS n_toks,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.text_kept, '') AS text_kept
+        |FROM g LEFT JOIN kept k ON g.doc_id = k.doc_id""".stripMargin,
+
     "q114_dup_span_coverage" ->
       s"""WITH $nearDupTok,
         |g AS (

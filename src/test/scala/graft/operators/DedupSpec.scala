@@ -527,4 +527,44 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)))
     assert(got.head._4 === got.head._3) // identical sets: uni == inter
   }
+
+  test("removeDuplicateSpans: hand-built corpus, all copies removed") {
+    // docs 1 and 2 share an identical 8-token prefix (the duplicated
+    // window) with distinct tails; doc 3 is clean; doc 4 is shorter than
+    // a window and survives whole (token-normalized)
+    val pre = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"$pre one two three"),
+      (2L, s"$pre four five"),
+      (3L, "p q r s t u v w x y"),
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 11L, 3L, "one two three")))
+    assert(out(2L) === ((2L, 10L, 2L, "four five")))
+    assert(out(3L) === ((3L, 10L, 10L, "p q r s t u v w x y")))
+    assert(out(4L) === ((4L, 2L, 2L, "tiny doc")))
+  }
+
+  test("removeDuplicateSpans: within-doc repetition removed, overlap union exact") {
+    // one doc: an 8-token run repeated back-to-back plus a unique tail.
+    // windows over the 16-token repeat region: every position of both
+    // copies is covered (the repeated window hashes collide within ONE doc)
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val df = Seq((1L, s"$run $run tail1 tail2")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 === 18L)
+    assert(out._4 === "tail1 tail2")
+    assert(out._3 === 2L)
+  }
+
+  test("removeDuplicateSpans: fully duplicated docs collapse to empty") {
+    val t = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((1L, 9L, 0L, ""), (2L, 9L, 0L, "")))
+  }
 }
