@@ -84,7 +84,8 @@ object Graph {
     * degree distribution is heavy-tailed.
     */
   def triangles(edges: DataFrame,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      broadcastEdges: Boolean = false): DataFrame = {
     // edges feeds both degree projections plus the orientation join; deg
     // is read three times; oriented anchors three join legs — cache each
     // so the plan references one materialization instead of re-embedding
@@ -104,13 +105,21 @@ object Graph {
       when(aLower, col("db")).otherwise(col("da")).as("ddst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // wedges at a shared apex, ordered by the endpoints' rank so each
-    // triangle closes exactly once
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // triangle closes exactly once. The wedge stream is Σ outdeg² rows —
+    // typically 10-100× the edge list — so when the edge list fits a
+    // broadcast (`broadcastEdges`), build BOTH joins against broadcast
+    // copies: the wedge stream then never crosses an exchange (the
+    // default sort-merge plan shuffles and sorts it twice)
+    val closing = oriented.select(col("src"), col("dst"))
+    val (wedgeSide, closeSide) =
+      if (broadcastEdges) (broadcast(oriented.as("e2")), broadcast(closing))
+      else (oriented.as("e2"), closing)
+    val wedges = oriented.as("e1").join(wedgeSide,
       col("e1.src") === col("e2.src") &&
         (col("e1.ddst") < col("e2.ddst") ||
           (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.src").as("apex"), col("e1.dst").as("v1"), col("e2.dst").as("v2"))
-    val tri = wedges.join(oriented.select(col("src"), col("dst")),
+    val tri = wedges.join(closeSide,
       col("v1") === col("src") && col("v2") === col("dst"))
       .select("apex", "v1", "v2")
     val perNode = tri.select(col("apex").as("node"))

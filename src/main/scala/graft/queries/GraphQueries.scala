@@ -30,7 +30,10 @@ object GraphQueries {
     // degree on the co-purchase graph. Deterministic total order:
     // (n_tri, degree, part) with part unique.
     "q118_triangles" -> ((s, dir) => {
-      Graph.triangles(edges(s, dir, minWeight = 1).select("a", "b"))
+      // the co-purchase edge list (~30 MB at sf0.1) fits a broadcast while
+      // the wedge stream is ~40M rows — broadcast so wedges never shuffle
+      Graph.triangles(edges(s, dir, minWeight = 1).select("a", "b"),
+        broadcastEdges = true)
         .withColumnRenamed("node", "part")
         .orderBy(desc("n_tri"), desc("degree"), asc("part"))
         .limit(20)
