@@ -171,7 +171,7 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = scale * 15L / 100L
     var rank = deg.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = und.join(rank, und("a") === rank("node"))
         .select(und("b"), expr("rank div dega").as("c"))
         .groupBy("b").agg(sum(col("c")).as("x"))
@@ -179,6 +179,10 @@ object Graph {
         .join(contrib, col("node") === col("b"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(x, 0L)) div 100")).as("rank"))
+      // materialize each round: the rank vector is the BROADCAST side of
+      // the next round's join, and a broadcast build re-executes its full
+      // plan — uncut, round k would replay rounds 1..k-1 (quadratic work)
+      if (i < iterations) rank = rank.localCheckpoint()
     }
     rank
   }
