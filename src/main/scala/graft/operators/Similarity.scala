@@ -441,17 +441,23 @@ object Similarity {
     * label's centroid — the mislabeled/corrupt-embedding sweep a curation
     * pipeline runs before training.
     *
-    * Distance² is computed on a 1e6 integer grid: both the vector and its
-    * label's [[groupCentroids]] mean are quantized (`round(x·1e6)`, exact
-    * int64), and `d2q = Σ (qvⱼ − qcⱼ)²` is summed in decimal(38,0) — every
-    * step is exact integer arithmetic an external engine replays
-    * bit-for-bit, and rank ties are decided on EQUAL integers, never on
-    * float ulps (a double v·v − 2v·c + c·c expansion would make the
-    * near-boundary ranks engine-dependent). The decimal accumulator keeps
-    * the sum exact up to the per-element bound |v| ≤ ~4.6e12 at the 1e6
-    * grid (so the int64 DIFFERENCE of two quantized elements cannot wrap
-    * before its lossless decimal cast); the grid costs 1e-6 per element —
-    * far below any real embedding's inter-point distances.
+    * Distance² is computed on a 1e6 integer grid: the vector is quantized
+    * (`round(x·1e6)`, exact int64), the label centroid is quantized
+    * DIRECTLY FROM ITS EXACT INTEGER SUM — qc = round-half-away(Σround(v·1e9)
+    * / (1000·n)) evaluated with integer division, so the per-label mean
+    * never exists as a double (a double mean landing within 1 ulp of a .5
+    * boundary on the 1e6 grid rounds differently across engines — the r7
+    * q104 hash divergence) — and `d2q = Σ (qvⱼ − qcⱼ)²` is summed in
+    * decimal(38,0). Every step is integer arithmetic an external engine
+    * replays bit-for-bit, and rank ties are decided on EQUAL integers,
+    * never on float ulps (a double v·v − 2v·c + c·c expansion would make
+    * the near-boundary ranks engine-dependent). d2q is emitted as BIGINT —
+    * int64 is the one numeric shape every engine, parquet reader, and
+    * driver hash represents identically — which bounds per-element
+    * |v| ≤ ~sqrt(9.2e18/dim)/1e6 (≈380 at dim 64; any normalized or
+    * near-normalized embedding is orders of magnitude inside it; ANSI mode
+    * aborts loudly on the cast if exceeded). The grid costs 1e-6 per
+    * element — far below any real embedding's inter-point distances.
     *
     * Corrupt rows fail LOUDLY: a null vector, a null element, or a length
     * differing from the label's centroid raises instead of
@@ -473,10 +479,25 @@ object Similarity {
     val base = df.select(col(idCol), col(labelCol),
       col(vecCol).cast("array<double>").as("_v"))
     val quant = (c: Column) => transform(c, x => round(x * lit(1e6)).cast("long"))
-    // centroid quantized ONCE per label before the broadcast — not per
-    // probe row inside the hot d2 expression
-    val cent = groupCentroids(base, labelCol, "_v")
-      .select(col(labelCol), quant(col("centroid")).as("_qc"))
+    // Quantized centroid straight from the exact 1e9-unit sums (same
+    // partial-aggregate shuffle shape as groupCentroids — the exchange
+    // carries (label, pos, sum, n), never vectors), quantized ONCE per
+    // label before the broadcast. qc = round-half-away-from-zero of
+    // sum/(1000·n) via integer `div` on the positive magnitude — the mean
+    // is never materialized as a double, so both engines replay one
+    // integer chain (see the scaladoc's r7 hash-divergence note).
+    val qcMag = expr("(2 * abs(_s) + 1000 * _n) div (2000 * _n)")
+    val cent = base
+      .select(col(labelCol), posexplode(col("_v")).as(Seq("_pos", "_e")))
+      .groupBy(col(labelCol), col("_pos"))
+      .agg(sum(round(col("_e") * lit(1e9)).cast("long")
+          .cast("decimal(38,0)")).as("_s"),
+        count(lit(1)).as("_n"))
+      .withColumn("_qc1", when(col("_s") < 0, -qcMag).otherwise(qcMag))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_qc1")))),
+        e => e.getField("_qc1")).as("_qc"))
     val guarded = when(
       size(col("_v")) === size(col("_qc")) && !exists(col("_v"), _.isNull),
       quant(col("_v")))
@@ -496,6 +517,8 @@ object Similarity {
       .withColumn("_d2", d2)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
-      .select(col(labelCol), col(idCol), col("_d2").as("d2q"), col("rank"))
+      // BIGINT output (not decimal): see scaladoc — ANSI aborts on overflow
+      .select(col(labelCol), col(idCol),
+        col("_d2").cast("bigint").as("d2q"), col("rank"))
   }
 }

@@ -2073,20 +2073,27 @@ object PipelineQueries {
         |FROM q JOIN m ON m.j = q.j
         |GROUP BY q.vec_id, m.i""".stripMargin,
 
-    // q104: centroid means via the q74 CTE, then both sides quantized to
-    // the 1e6 grid and d2q summed in DECIMAL(38,0) exactly as the Spark
-    // fold does; rank restated as the same (d2q DESC, vec_id) window.
+    // q104: the label centroid is quantized straight from its exact
+    // 1e9-unit integer sum — qc = round-half-away(s/(1000·n)) via hugeint
+    // floor division on the positive magnitude, so the mean never exists
+    // as a double on either engine (the r7 hash divergence was a double
+    // mean within 1 ulp of a .5 boundary on the 1e6 grid); d2q summed in
+    // DECIMAL(38,0) exactly as the Spark fold does and emitted as BIGINT;
+    // rank restated as the same (d2q DESC, vec_id) window.
     "q104_label_outliers" ->
       """WITH cent AS (
         |  SELECT t.label, u.i AS pos,
-        |    CAST(sum(CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e9)
-        |                  AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mean_val
+        |    sum(CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e9)
+        |             AS BIGINT)) AS s,
+        |    count(*) AS n
         |  FROM embeddings t,
         |    LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u
         |  GROUP BY t.label, u.i),
         |qc AS (
         |  SELECT label, pos,
-        |    CAST(round(mean_val * 1e6) AS BIGINT) AS qc FROM cent),
+        |    CAST(CASE WHEN s < 0 THEN -((2 * abs(s) + 1000 * n) // (2000 * n))
+        |              ELSE (2 * s + 1000 * n) // (2000 * n) END
+        |         AS BIGINT) AS qc FROM cent),
         |qv AS (
         |  SELECT t.vec_id, t.label, u.i AS pos,
         |    CAST(round(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS qv
@@ -2094,8 +2101,9 @@ object PipelineQueries {
         |    LATERAL (SELECT unnest(range(len(t.embedding))) AS i) u),
         |d AS (
         |  SELECT qv.vec_id, qv.label,
-        |    CAST(sum(CAST(qv.qv - qc.qc AS DECIMAL(19,0)) *
-        |             CAST(qv.qv - qc.qc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d2q
+        |    CAST(CAST(sum(CAST(qv.qv - qc.qc AS DECIMAL(19,0)) *
+        |                  CAST(qv.qv - qc.qc AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |         AS BIGINT) AS d2q
         |  FROM qv JOIN qc ON qv.label = qc.label AND qv.pos = qc.pos
         |  GROUP BY qv.vec_id, qv.label)
         |SELECT label, vec_id, d2q, CAST(rn AS INT) AS rank FROM (

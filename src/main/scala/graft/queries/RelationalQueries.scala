@@ -25,27 +25,39 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects; read the raw int64 nanos and truncate to Catalyst's
-    * microsecond timestamps (integer div — ns values exceed double's exact
-    * range, so no float math here).
+  /** Schema-adaptive events reader. The corpus generator has shipped
+    * events.parquet with `ts` as either parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects without `nanosAsLong`) or plain
+    * TIMESTAMP(MICROS); dispatch on the type the scan actually produces so a
+    * testdata regeneration can't break every events-backed query:
+    *
+    *   - LongType (= NANOS surfaced via `nanosAsLong`): truncate int64 ns to
+    *     Catalyst's µs timestamps with integer div — ns values exceed
+    *     double's exact range, so no float math here.
+    *   - TimestampType (µs, the current corpus): pass through untouched.
+    *   - TimestampNTZType: cast to session-TZ timestamp so downstream
+    *     queries see one type.
     *
     * The `nanosAsLong` flag is deliberately SESSION-WIDE, not set/restored
     * around this call: `read.parquet` only plans lazily, and the scan
     * re-reads the conf when an action finally executes — a restore here
-    * would make every events-backed query fail at execution time. The
-    * trade-off is global: after the first events() call, any TIMESTAMP
-    * (NANOS) parquet column read by this session arrives as a raw long.
-    * Only events.parquet is ns-typed in this corpus; a consumer embedding
-    * this library next to its own ns-parquet data must read that data
-    * with an explicit schema (or its own session). Oracles restating
-    * precision-sensitive ts comparisons (q18's session gap, q51's as-of
-    * tie-break) must truncate ns → µs the same way — see their headers.
+    * would make every events-backed query fail at execution time. The flag
+    * only changes how TIMESTAMP(NANOS) columns surface; µs columns are
+    * unaffected, so setting it unconditionally is safe for both corpus
+    * shapes. Oracles restating precision-sensitive ts comparisons (q18's
+    * session gap, q51's as-of tie-break) truncate via `epoch_ns(ts) // 1000`,
+    * which is exact for ns input and a no-op at µs precision — both shapes
+    * compare equal.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw // TimestampType — already Catalyst µs
+    }
   }
 
   /** sum(x) as exact decimal, emitted as double — the oracle-critical

@@ -267,22 +267,31 @@ class SimilaritySpec extends SparkTestBase {
 
   test("labelOutliers ranks a planted far vector first, exact grid distance") {
     // label 0: four near-origin vectors + one far outlier; label 1: two
-    // symmetric vectors whose centroid is exact — d2q values hand-checked
+    // symmetric vectors whose centroid is exact — d2q values hand-checked.
+    // label 2 pins the r7 hash-divergence fix: its centroid sum is 3000
+    // 1e-9 units over n=2, an EXACT half (1.5) on the 1e6 grid — the
+    // integer chain must round half away from zero to qc=2, where the old
+    // double-mean path ((3000/1e9/2)·1e6 = 1.4999999999999998) rounded
+    // engine-dependently to 1.
     val df = Seq(
       (1L, 0, Seq(0.1f, 0.0f)), (2L, 0, Seq(-0.1f, 0.0f)),
       (3L, 0, Seq(0.0f, 0.1f)), (4L, 0, Seq(0.0f, -0.1f)),
       (5L, 0, Seq(8.0f, 8.0f)),
-      (10L, 1, Seq(0.0f, 0.0f)), (11L, 1, Seq(1.0f, 1.0f))
+      (10L, 1, Seq(0.0f, 0.0f)), (11L, 1, Seq(1.0f, 1.0f)),
+      (20L, 2, Seq(1e-6f, 0.0f)), (21L, 2, Seq(2e-6f, 0.0f))
     ).toDF("vec_id", "label", "embedding")
     val got = Similarity.labelOutliers(df, "vec_id", "label", "embedding", 2)
-      .as[(Int, Long, java.math.BigDecimal, Int)].collect()
-      .map(r => (r._1, r._4) -> ((r._2, r._3.longValueExact()))).toMap
+      .as[(Int, Long, Long, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
     assert(got((0, 1))._1 == 5L, "the far vector must rank first")
     // label 1: centroid (0.5, 0.5); each member d2q = 2·(5e5)² = 5e11;
     // equal distances tie-break on vec_id ascending
     assert(got((1, 1)) == ((10L, 500000000000L)))
     assert(got((1, 2)) == ((11L, 500000000000L)))
-    assert(got.size == 4, "topK=2 per label")
+    // label 2: qc = [2, 0] (half rounds AWAY); qv = [1, 0] and [2, 0]
+    assert(got((2, 1)) == ((20L, 1L)))
+    assert(got((2, 2)) == ((21L, 0L)))
+    assert(got.size == 6, "topK=2 per label")
   }
 
   test("labelOutliers drops null labels and respects topK") {
