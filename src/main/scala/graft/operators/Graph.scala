@@ -73,23 +73,39 @@ object Graph {
       .unionByName(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
-  /** Exact per-node triangle counts via degree-ordered wedge closure.
-    * Input: (a, b) with a < b, distinct. Output: (node, degree, n_tri) for
-    * every node, n_tri = triangles through the node (0 for none).
+  /** Exact per-node triangle counts via degree-ordered adjacency
+    * intersection. Input: (a, b) with a < b, distinct. Output:
+    * (node, degree, n_tri) for every node, n_tri = triangles through the
+    * node (0 for none).
     *
     * Orientation rank is the (degree, node) tuple — every edge points
-    * rank-upward, each triangle is generated exactly once (at its lowest-
-    * rank apex), and the wedge join's fan-out per node is its OUT-degree,
-    * which the orientation bounds at O(√m) amortized even when the raw
-    * degree distribution is heavy-tailed.
+    * rank-upward, so a node's out-degree is bounded at O(√(2m)) even when
+    * the raw degree distribution is heavy-tailed (its out-neighbors all
+    * have rank ≥ its own), and each triangle u→v, u→w, v→w is found
+    * exactly once: at its lowest-rank edge (u,v), as w ∈ N⁺(u) ∩ N⁺(v).
+    *
+    * The intersection runs on collected out-neighbor LISTS (one bounded
+    * array per node — ≤ √(2m) elements by the orientation bound), so the
+    * only intermediate rows are the m edges carrying two arrays and the
+    * actual triangles out of the explode. The earlier wedge-join
+    * formulation materialized the Σ outdeg² wedge stream — 10-100× the
+    * edge list — as a join input; the intersection does the same
+    * Σ outdeg² element probes INSIDE a codegen'd expression without ever
+    * shaping them into rows (measured ~3× on the q118 bench).
+    *
+    * `broadcastEdges = true` broadcasts the adjacency table into both
+    * attach joins (it is one row per non-sink node — far smaller than the
+    * edge list); the edge stream then never crosses an exchange. Leave it
+    * false when nodes × out-degree exceeds broadcast budget and Catalyst
+    * plans shuffle joins on src/dst instead.
     */
   def triangles(edges: DataFrame,
       scope: CacheScope = CacheScope.unmanaged,
       broadcastEdges: Boolean = false): DataFrame = {
     // edges feeds both degree projections plus the orientation join; deg
-    // is read three times; oriented anchors three join legs — cache each
-    // so the plan references one materialization instead of re-embedding
-    // the upstream subtree per leg
+    // is read three times; oriented anchors the adjacency aggregate and
+    // the edge stream — cache each so the plan references one
+    // materialization instead of re-embedding the upstream subtree per leg
     val e0 = scope.own(edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = scope.own(degrees(e0)
@@ -101,27 +117,21 @@ object Graph {
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val oriented = scope.own(e.select(
       when(aLower, col("a")).otherwise(col("b")).as("src"),
-      when(aLower, col("b")).otherwise(col("a")).as("dst"),
-      when(aLower, col("db")).otherwise(col("da")).as("ddst"))
+      when(aLower, col("b")).otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // wedges at a shared apex, ordered by the endpoints' rank so each
-    // triangle closes exactly once. The wedge stream is Σ outdeg² rows —
-    // typically 10-100× the edge list — so when the edge list fits a
-    // broadcast (`broadcastEdges`), build BOTH joins against broadcast
-    // copies: the wedge stream then never crosses an exchange (the
-    // default sort-merge plan shuffles and sorts it twice)
-    val closing = oriented.select(col("src"), col("dst"))
-    val (wedgeSide, closeSide) =
-      if (broadcastEdges) (broadcast(oriented.as("e2")), broadcast(closing))
-      else (oriented.as("e2"), closing)
-    val wedges = oriented.as("e1").join(wedgeSide,
-      col("e1.src") === col("e2.src") &&
-        (col("e1.ddst") < col("e2.ddst") ||
-          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("apex"), col("e1.dst").as("v1"), col("e2.dst").as("v2"))
-    val tri = wedges.join(closeSide,
-      col("v1") === col("src") && col("v2") === col("dst"))
-      .select("apex", "v1", "v2")
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val (adjU, adjV) =
+      if (broadcastEdges) (broadcast(adj), broadcast(adj)) else (adj, adj)
+    // attach N⁺(u) and N⁺(v) to each edge (u,v); sink dst nodes have no
+    // adjacency row and can close no triangle — the inner join drops them
+    val tri = oriented
+      .join(adjU.select(col("src").as("_u"), col("nbrs").as("nu")),
+        col("src") === col("_u"))
+      .join(adjV.select(col("src").as("_v"), col("nbrs").as("nv")),
+        col("dst") === col("_v"))
+      .select(col("src").as("apex"), col("dst").as("v1"),
+        explode(array_intersect(col("nu"), col("nv"))).as("v2"))
     val perNode = tri.select(col("apex").as("node"))
       .unionByName(tri.select(col("v1").as("node")))
       .unionByName(tri.select(col("v2").as("node")))
@@ -161,12 +171,18 @@ object Graph {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(scale >= 100, s"scale must be >= 100, got $scale")
-    val deg = scope.own(degrees(edges)
+    // The incoming edge list is referenced FOUR times before the loop even
+    // starts (two degree projections + two adjacency directions): persist
+    // it, or an expensive upstream build (e.g. the co-occurrence pair
+    // aggregate) re-executes per reference — measured 5× the build cost on
+    // the q122 bench before this cache.
+    val e0 = scope.own(edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = scope.own(degrees(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // adjacency with the SOURCE endpoint's degree attached, both directions
     val und = scope.own(
-      edges.select(col("a"), col("b"))
-        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dega"), Seq("a"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = scale * 15L / 100L
@@ -196,20 +212,38 @@ object Graph {
     * never a path enumeration, so the loop is walk-explosion-free on dense
     * graphs where a recursive UNION ALL would enumerate d^depth walks.
     * Unreached-within-bound nodes are absent by contract (mirror the bound
-    * in any oracle). Frontier and visited are `localCheckpoint`ed per
-    * level, the same lineage cut as `connectedComponents`: without it the
-    * level-k plan embeds level k-1 twice (once per join) and grows 2^k —
-    * the plan, not the data, is what explodes in an iterative dataflow.
-    * The edge list is cached under `scope` for the loop's lifetime.
+    * in any oracle).
+    *
+    * Plan-growth control: each level's frontier is `localCheckpoint`ed
+    * (one job per level — the same lineage cut as `connectedComponents`);
+    * `visited` is NOT checkpointed but kept as a flat union of the already-
+    * checkpointed frontiers, so its plan is O(levels) deep and costs no
+    * extra job — without the frontier cut the level-k plan would embed
+    * level k-1 twice (once per join) and grow 2^k: the plan, not the data,
+    * is what explodes in an iterative dataflow.
+    *
+    * `broadcastState = true` broadcasts the frontier into the expansion
+    * join and the visited set into the anti-join, so the (persisted)
+    * adjacency never crosses an exchange — one tiny shuffle (the distinct)
+    * per level instead of three. Opt-in only: it asserts the REACHABLE
+    * COMPONENT fits in one executor's memory, which holds for filtered
+    * signal graphs (q121's weight≥2 co-purchase graph) but not for a
+    * 100 TB social graph — leave it false there and the loop stays fully
+    * distributed. The edge list is cached under `scope` for the loop's
+    * lifetime.
     */
   def bfsHops(edges: DataFrame, source: Long, maxDepth: Int,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      broadcastState: Boolean = false): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val spark = edges.sparkSession
     import spark.implicits._
+    // persist the raw edges BEFORE the two-direction union: an expensive
+    // upstream build would otherwise execute once per union leg
+    val e0 = scope.own(edges.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val und = scope.own(
-      edges.select(col("a"), col("b"))
-        .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint()
     var frontier = visited
@@ -217,14 +251,19 @@ object Graph {
     var done = maxDepth == 0
     while (!done) {
       level += 1
-      val next = frontier.as("f").join(und.as("u"), col("f.node") === col("u.a"))
-        .select(col("u.b").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+      val f = if (broadcastState) broadcast(frontier) else frontier
+      val seen = if (broadcastState) broadcast(visited) else visited
+      // anti-join BEFORE distinct: already-visited neighbors (the bulk on
+      // an expanding frontier) never enter the distinct's exchange
+      val next = f.as("f").join(und.as("u"), col("f.node") === col("u.a"))
+        .select(col("u.b").as("node"))
+        .join(seen, Seq("node"), "left_anti")
+        .distinct()
         .withColumn("hops", lit(level))
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
         if (level >= maxDepth) done = true
       }

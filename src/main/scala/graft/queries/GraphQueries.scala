@@ -62,7 +62,11 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val srcRow = e.agg(min(col("a"))).head()
       if (srcRow.isNullAt(0)) Seq.empty[(Int, Long)].toDF("hops", "n_nodes")
-      else Graph.bfsHops(e, srcRow.getLong(0), maxDepth = 6)
+      // broadcastState: the w≥2 graph is a few thousand edges by
+      // construction (shared-order weight ≥ 2 is rare), so frontier and
+      // visited both fit a broadcast and the adjacency never shuffles
+      else Graph.bfsHops(e, srcRow.getLong(0), maxDepth = 6,
+          broadcastState = true)
         .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
     }))
 

@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.operators.Graph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only timing probe for the graph pack (delete before shipping). */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val edges = time("edges build+count") {
+      val e = Graph.cooccurrenceEdges(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minWeight = 1).select("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] edges = ${e.count()}")
+      e
+    }
+    time("pagerank 5 rounds (on persisted edges)") {
+      Graph.pagerankInt(edges, iterations = 5)
+        .orderBy(desc("rank")).limit(20).collect()
+    }
+    time("pagerank 1 round (on persisted edges)") {
+      Graph.pagerankInt(edges, iterations = 1)
+        .orderBy(desc("rank")).limit(20).collect()
+    }
+    time("triangles (broadcast, persisted edges)") {
+      Graph.triangles(edges, broadcastEdges = true)
+        .orderBy(desc("n_tri")).limit(20).collect()
+    }
+    spark.stop()
+  }
+}
