@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TestdataGate.check(spark, sfDir) // loud stderr line on corpus drift
     // Unmeasured warmup: JIT + codegen + parquet footer caches, so the first
     // measured query doesn't absorb one-time JVM costs (a long-running
     // cluster never pays them per-query).
@@ -63,13 +64,17 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> (elapsed, err)
     }
+    // 3-decimal seconds: the driver captures a bounded stdout TAIL — full
+    // double precision across 120+ queries risks cutting the line's head
+    // (both r6 and r7 lost the leading "total" field to exactly that)
+    def sec(v: Double): String = f"$v%.3f"
     val qs = results.map {
-      case (k, (v, None)) => s"\"" + k + "\":" + v
+      case (k, (v, None)) => s"\"" + k + "\":" + sec(v)
       case (k, (_, Some(e))) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
     }.mkString("{", ",", "}")
     val errCount = results.count(_._2._2.isDefined)
     val total = results.collect { case (_, (v, None)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errCount,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","errors":$errCount,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

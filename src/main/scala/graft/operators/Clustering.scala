@@ -163,7 +163,11 @@ object Clustering {
     * Clusters larger than `clusterCap` are SKIPPED — the O(size²) pair
     * explosion guard, same role as `bucketCap` in MinHash-LSH. A corpus
     * whose clusters trip the cap needs a larger k (more, smaller cells),
-    * not a bigger cap.
+    * not a bigger cap. The default is 10k: that already admits ~5×10⁷
+    * pairs from ONE hot cluster — about the most a single rescore stage
+    * absorbs without dominating the job — whereas the earlier 100k default
+    * admitted ~5×10⁹ (a silent runaway at corpus scale; callers who have
+    * measured their cluster balance can raise it explicitly).
     *
     * Candidates never shuffle vectors: only (cluster, id) flows through the
     * self-join; vectors re-attach once per surviving candidate pair for the
@@ -178,7 +182,7 @@ object Clustering {
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, threshold: Double = 0.9,
-      clusterCap: Long = 100000L,
+      clusterCap: Long = 10000L,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(clusterCap > 0, s"semanticPairs: clusterCap must be positive, got $clusterCap")
     // persisted: the (id, cluster) labels feed the cap filter AND both

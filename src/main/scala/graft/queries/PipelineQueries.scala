@@ -1089,7 +1089,7 @@ object PipelineQueries {
       s"""WITH $nearVecsE,
          |${kmeansCtes(k = 8, iters = 1)},
          |sized AS (SELECT cluster FROM a1 GROUP BY cluster
-         |          HAVING count(*) <= 100000),
+         |          HAVING count(*) <= 10000),
          |kept AS (SELECT a1.id, a1.cluster FROM a1 JOIN sized USING (cluster))
          |SELECT a.id AS id_a, b.id AS id_b
          |FROM kept a JOIN kept b ON a.cluster = b.cluster AND a.id < b.id

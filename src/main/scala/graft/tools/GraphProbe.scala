@@ -4,7 +4,11 @@ import graft.operators.Graph
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only timing probe for the graph pack (delete before shipping). */
+/** Per-stage timing probe for the graph pack — separates the co-occurrence
+  * edge build from each operator's own cost (the bench times them fused),
+  * so a regression can be attributed before touching either. Run:
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.GraphProbe"`.
+  */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
