@@ -30,7 +30,13 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
       delayMs: Long, // now − event-time watermark at the newest batch, −1 unknown
       batches: Long,
       rows: Long,
-      error: Option[String])
+      error: Option[String],
+      // measured micro-batch latency (Spark's own batchDuration, ms) — the
+      // evidence for the reference's merge-interval envelope (its 10 s
+      // default, README.md:99-105): lastBatchDurMs for the newest batch,
+      // maxBatchDurMs for the worst batch of the pipeline's lifetime
+      lastBatchDurMs: Long = -1L,
+      maxBatchDurMs: Long = -1L)
 
   private val states = TrieMap.empty[UUID, PipelineState]
 
@@ -91,12 +97,15 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
         try Some(batchMs - java.time.Instant.parse(w).toEpochMilli)
         catch { case _: Exception => None })
       .getOrElse(-1L)
+    val dur = p.batchDuration
     states.updateWith(p.id) {
       case Some(s) => Some(s.copy(
         latestMs = batchMs, delayMs = delay,
-        batches = s.batches + 1, rows = s.rows + p.numInputRows))
+        batches = s.batches + 1, rows = s.rows + p.numInputRows,
+        lastBatchDurMs = dur, maxBatchDurMs = math.max(s.maxBatchDurMs, dur)))
       case None => Some(PipelineState(
-        Option(p.name).getOrElse(p.id.toString), "NORMAL", batchMs, delay, 1L, p.numInputRows, None))
+        Option(p.name).getOrElse(p.id.toString), "NORMAL", batchMs, delay,
+        1L, p.numInputRows, None, dur, dur))
     }
   }
 
@@ -128,6 +137,7 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
     val ps = pipelines.map { s =>
       s"""$ind$ind{"name": "${esc(s.name)}", "latest": ${s.latestMs}, """ +
         s""""delay": ${s.delayMs}, "batches": ${s.batches}, "rows": ${s.rows}, """ +
+        s""""batch_ms": ${s.lastBatchDurMs}, "batch_ms_max": ${s.maxBatchDurMs}, """ +
         s""""state": "${s.state}"${s.error.map(e => s""", "error": "${esc(e)}"""").getOrElse("")}}"""
     }.mkString(s",$nl")
     s"""{$nl$ind"source_name": "${esc(source)}",$nl$ind"type": "spark",$nl""" +

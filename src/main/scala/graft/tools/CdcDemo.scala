@@ -115,6 +115,13 @@ object CdcDemo {
     println(s"== pipeline state (also served at http://localhost:${stateServer.port}/" +
       s" and /${metrics.sourceName}) ==")
     println(metrics.stateJson(pretty = true))
+    // measured micro-batch latency vs the reference's 10 s merge-interval
+    // envelope (README.md:99-105) — Spark's own batchDuration per batch
+    metrics.pipelines.foreach { p =>
+      println(f"== measured micro-batch latency: last=${p.lastBatchDurMs}%d ms, " +
+        f"worst=${p.maxBatchDurMs}%d ms over ${p.batches}%d batches " +
+        f"(reference envelope: 10000 ms) ==")
+    }
     println("== console reporter (one-shot) ==")
     reporter.foreach { r => r.report(); r.stop() }
     stateServer.stop()
