@@ -685,6 +685,26 @@ object PipelineQueries {
           sum(TextFunctions.tokenCount(text).cast("long")).as("sum_tokens"))
     }),
 
+    // ── Embedding-curation capstone: k-means cells → within-cell exact
+    // cosine pairs → transitive closure → keep the smallest-id
+    // representative per near-dup cluster — q100's funnel in vector space,
+    // composed from the verified q79/q80/q42 operators. Output is the
+    // per-outcome census (unique / representative / dropped) a curation
+    // run reports before assembly; everything stays declarative (the only
+    // driver loop is connectedComponents' own bounded iteration).
+    "q128_semdedup_e2e" -> ((s, dir) => {
+      val corpus = withNearVecs(emb(s, dir))
+      val pairs = graft.operators.Clustering.semanticPairs(corpus,
+        "vec_id", "embedding", k = 8, iters = 1, threshold = 0.9)
+      val clusters = Dedup.connectedComponents(pairs) // (doc_id, cluster_id)
+      corpus.select(col("vec_id"))
+        .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(when(col("cluster_id").isNull, lit("unique"))
+          .when(col("vec_id") === col("cluster_id"), lit("representative"))
+          .otherwise(lit("dropped")).as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("n"))
+    }),
+
     // ── Train/val/test split: per-mille hash ranges over the doc key —
     // reproducible, leak-free (a key can never change split), growth-
     // stable, zero shuffle. See [[graft.operators.Sampling.splitByHash]].
@@ -1096,6 +1116,37 @@ object PipelineQueries {
          |JOIN e ea ON ea.id = a.id
          |JOIN e eb ON eb.id = b.id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9""".stripMargin,
+
+    // q128: the q80 pair chain closed transitively by the q42 recursive
+    // reach, census over a left join — cluster_id IS the smallest reachable
+    // id on both engines (CC's min-label contract), so the outcome CASE
+    // replays exactly.
+    "q128_semdedup_e2e" ->
+      s"""WITH RECURSIVE $nearVecsE,
+         |${kmeansCtes(k = 8, iters = 1)},
+         |sized AS (SELECT cluster FROM a1 GROUP BY cluster
+         |          HAVING count(*) <= 10000),
+         |kept AS (SELECT a1.id, a1.cluster FROM a1 JOIN sized USING (cluster)),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM kept a JOIN kept b ON a.cluster = b.cluster AND a.id < b.id
+         |  JOIN e ea ON ea.id = a.id
+         |  JOIN e eb ON eb.id = b.id
+         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)),
+         |links AS (SELECT id_a AS a, id_b AS b FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT outcome, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN cl.cluster_id IS NULL THEN 'unique'
+         |              WHEN e.id = cl.cluster_id THEN 'representative'
+         |              ELSE 'dropped' END AS outcome
+         |  FROM e LEFT JOIN cl ON cl.id = e.id)
+         |GROUP BY outcome""".stripMargin,
 
     // q81: same tokenizer/bigram forms as q45; the dictionary cutoff
     // restates Spark's orderBy(cnt DESC, bg).limit(200) as a row_number.
