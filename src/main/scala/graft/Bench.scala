@@ -66,8 +66,10 @@ object Bench {
     }
     // 3-decimal seconds: the driver captures a bounded stdout TAIL — full
     // double precision across 120+ queries risks cutting the line's head
-    // (both r6 and r7 lost the leading "total" field to exactly that)
-    def sec(v: Double): String = f"$v%.3f"
+    // (both r6 and r7 lost the leading "total" field to exactly that).
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map {
       case (k, (v, None)) => s"\"" + k + "\":" + sec(v)
       case (k, (_, Some(e))) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
