@@ -26,6 +26,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify: the corpus's timestamp_ntz columns are interpreted
+      // in the session TZ — an unpinned zone would bench a different
+      // workload than the one Verify validated
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,7 +50,9 @@ object TestdataGate {
     val drifted = expected.toSeq.sortBy(_._1).flatMap { case (table, want) =>
       val got =
         try fingerprint(spark, s"$sfDir/$table.parquet")
-        catch { case e: Throwable =>
+        // NonFatal only: a missing/corrupt table is drift to report, but a
+        // VirtualMachineError must abort the run, not become a drift line
+        catch { case scala.util.control.NonFatal(e) =>
           s"UNREADABLE(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)})"
         }
       if (got == want) None else Some((table, want, got))

@@ -65,6 +65,20 @@ object Graph {
       .filter(col("w") >= minWeight)
   }
 
+  /** The (a, b) projection of `edges`, persisted under `scope` UNLESS the
+    * caller already persisted the incoming frame (re-caching a cached edge
+    * list would double its block-manager footprint). Every iterative
+    * operator references the edge list several times (degree projections,
+    * adjacency directions, loop joins) — uncached, an expensive upstream
+    * build (e.g. the co-occurrence pair aggregate) re-executes per
+    * reference: measured 5× the build cost on the q122 bench.
+    */
+  private def ownedEdges(edges: DataFrame, scope: CacheScope): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    if (edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE) e
+    else scope.own(e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Per-node degree over an (a, b) edge list with a < b and no duplicate
     * edges: one union of the two endpoint projections + one aggregate.
     */
@@ -106,8 +120,7 @@ object Graph {
     // is read three times; oriented anchors the adjacency aggregate and
     // the edge stream — cache each so the plan references one
     // materialization instead of re-embedding the upstream subtree per leg
-    val e0 = scope.own(edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e0 = ownedEdges(edges, scope)
     val deg = scope.own(degrees(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val e = e0
@@ -119,8 +132,11 @@ object Graph {
       when(aLower, col("a")).otherwise(col("b")).as("src"),
       when(aLower, col("b")).otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val adj = oriented.groupBy(col("src"))
+    // persisted: adj anchors BOTH attach joins — without the cache the
+    // collect_list aggregate executes once per leg
+    val adj = scope.own(oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (adjU, adjV) =
       if (broadcastEdges) (broadcast(adj), broadcast(adj)) else (adj, adj)
     // attach N⁺(u) and N⁺(v) to each edge (u,v); sink dst nodes have no
@@ -171,13 +187,7 @@ object Graph {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(scale >= 100, s"scale must be >= 100, got $scale")
-    // The incoming edge list is referenced FOUR times before the loop even
-    // starts (two degree projections + two adjacency directions): persist
-    // it, or an expensive upstream build (e.g. the co-occurrence pair
-    // aggregate) re-executes per reference — measured 5× the build cost on
-    // the q122 bench before this cache.
-    val e0 = scope.own(edges.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e0 = ownedEdges(edges, scope)
     val deg = scope.own(degrees(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // adjacency with the SOURCE endpoint's degree attached, both directions
@@ -238,10 +248,9 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val spark = edges.sparkSession
     import spark.implicits._
-    // persist the raw edges BEFORE the two-direction union: an expensive
-    // upstream build would otherwise execute once per union leg
-    val e0 = scope.own(edges.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // edges cached BEFORE the two-direction union: an expensive upstream
+    // build would otherwise execute once per union leg
+    val e0 = ownedEdges(edges, scope)
     val und = scope.own(
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

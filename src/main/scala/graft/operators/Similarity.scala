@@ -334,18 +334,7 @@ object Similarity {
     * (pos, mean) structs — struct ordering is lexicographic, pos first.
     */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    df.select(col(groupCol).as("_g"),
-        posexplode(col(vecCol)).as(Seq("_pos", "_v")))
-      .groupBy(col("_g"), col("_pos"))
-      // decimal(38,0) sum: a long sum of 1e9-scaled units overflows int64
-      // past ~9.2e9 rows per group (ANSI aborts; non-ANSI silently wraps);
-      // decimal stays exact to 38 digits like the oracle's 128-bit HUGEINT.
-      // INPUT RANGE contract: the per-ELEMENT cast bounds |v| ≤ ~9.2e9
-      // (long range / 1e9) — fine for any normalized or near-normalized
-      // embedding; raw feature vectors beyond that abort under ANSI
-      .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")
-        .cast("decimal(38,0)")).as("_sum"),
-        count(lit(1)).as("_n"))
+    groupSums(df, groupCol, vecCol)
       .select(col("_g"), col("_pos"),
         (col("_sum").cast("double") / lit(1e9) / col("_n")).as("_mean"))
       .groupBy(col("_g"))
@@ -353,6 +342,27 @@ object Similarity {
         array_sort(collect_list(struct(col("_pos"), col("_mean")))),
         e => e.getField("_mean")).as("centroid"))
       .withColumnRenamed("_g", groupCol)
+
+  /** The exact per-(group, position) element sums behind BOTH centroid
+    * forms — [[groupCentroids]]' double mean and [[labelOutliers]]' integer
+    * quantization derive from this ONE aggregate, so the 1e9-unit
+    * quantization contract lives in a single place. Output: (_g, _pos,
+    * _sum: decimal(38,0), _n).
+    *
+    * decimal(38,0) sum: a long sum of 1e9-scaled units overflows int64
+    * past ~9.2e9 rows per group (ANSI aborts; non-ANSI silently wraps);
+    * decimal stays exact to 38 digits like the oracle's 128-bit HUGEINT.
+    * INPUT RANGE contract: the per-ELEMENT cast bounds |v| ≤ ~9.2e9
+    * (long range / 1e9) — fine for any normalized or near-normalized
+    * embedding; raw feature vectors beyond that abort under ANSI.
+    */
+  private def groupSums(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(col("_g"), col("_pos"))
+      .agg(sum(round(col("_v").cast("double") * lit(1e9)).cast("long")
+        .cast("decimal(38,0)")).as("_sum"),
+        count(lit(1)).as("_n"))
 
   /** Deterministic ±1 Achlioptas/JL projection matrix: `outDim` rows of
     * `inDim` signs, sign(i,j) = +1 when bit 0 of md5-60-bit("seed:i:j") is
@@ -479,25 +489,20 @@ object Similarity {
     val base = df.select(col(idCol), col(labelCol),
       col(vecCol).cast("array<double>").as("_v"))
     val quant = (c: Column) => transform(c, x => round(x * lit(1e6)).cast("long"))
-    // Quantized centroid straight from the exact 1e9-unit sums (same
-    // partial-aggregate shuffle shape as groupCentroids — the exchange
-    // carries (label, pos, sum, n), never vectors), quantized ONCE per
-    // label before the broadcast. qc = round-half-away-from-zero of
-    // sum/(1000·n) via integer `div` on the positive magnitude — the mean
-    // is never materialized as a double, so both engines replay one
+    // Quantized centroid straight from groupSums' exact 1e9-unit sums (the
+    // exchange carries (label, pos, sum, n), never vectors), quantized
+    // ONCE per label before the broadcast. qc = round-half-away-from-zero
+    // of sum/(1000·n) via integer `div` on the positive magnitude — the
+    // mean is never materialized as a double, so both engines replay one
     // integer chain (see the scaladoc's r7 hash-divergence note).
-    val qcMag = expr("(2 * abs(_s) + 1000 * _n) div (2000 * _n)")
-    val cent = base
-      .select(col(labelCol), posexplode(col("_v")).as(Seq("_pos", "_e")))
-      .groupBy(col(labelCol), col("_pos"))
-      .agg(sum(round(col("_e") * lit(1e9)).cast("long")
-          .cast("decimal(38,0)")).as("_s"),
-        count(lit(1)).as("_n"))
-      .withColumn("_qc1", when(col("_s") < 0, -qcMag).otherwise(qcMag))
-      .groupBy(col(labelCol))
+    val qcMag = expr("(2 * abs(_sum) + 1000 * _n) div (2000 * _n)")
+    val cent = groupSums(base, labelCol, "_v")
+      .withColumn("_qc1", when(col("_sum") < 0, -qcMag).otherwise(qcMag))
+      .groupBy(col("_g"))
       .agg(transform(
         array_sort(collect_list(struct(col("_pos"), col("_qc1")))),
         e => e.getField("_qc1")).as("_qc"))
+      .withColumnRenamed("_g", labelCol)
     val guarded = when(
       size(col("_v")) === size(col("_qc")) && !exists(col("_v"), _.isNull),
       quant(col("_v")))

@@ -30,8 +30,9 @@ object GraphQueries {
     // degree on the co-purchase graph. Deterministic total order:
     // (n_tri, degree, part) with part unique.
     "q118_triangles" -> ((s, dir) => {
-      // the co-purchase edge list (~30 MB at sf0.1) fits a broadcast while
-      // the wedge stream is ~40M rows — broadcast so wedges never shuffle
+      // the adjacency table (one bounded out-neighbor list per node — far
+      // smaller than the edge list) fits a broadcast, so the edge stream
+      // never crosses an exchange in either attach join
       Graph.triangles(edges(s, dir, minWeight = 1).select("a", "b"),
         broadcastEdges = true)
         .withColumnRenamed("node", "part")
