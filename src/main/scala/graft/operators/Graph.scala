@@ -179,11 +179,23 @@ object Graph {
     * the plan chain grows linearly in `iterations` (each round references
     * the previous once), no checkpoint needed for single-digit rounds.
     *
+    * `broadcastRanks = true` is the bounded-node-count fast path: the
+    * adjacency is hash-partitioned ON THE DESTINATION once at build time
+    * and the rank vector (whose checkpointed stats Catalyst can't see)
+    * is broadcast into each round's join — the loop body then plans ZERO
+    * exchanges per round (pay one shuffle once, not one per iteration;
+    * the bucketed-join argument). Opt-in only: it asserts the PER-NODE
+    * rank vector fits a broadcast, which holds for a bounded entity graph
+    * (q122's part co-purchase graph — nodes ≤ part count) but not for a
+    * 10⁸-node web graph — leave it false there and each round runs the
+    * fully-distributed one-shuffle plan.
+    *
     * Output: (node, rank) for every node of the edge list.
     */
   def pagerankInt(edges: DataFrame, iterations: Int,
       scale: Long = 1000000000000L,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
     require(scale >= 100, s"scale must be >= 100, got $scale")
@@ -191,18 +203,21 @@ object Graph {
     val deg = scope.own(degrees(e0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // adjacency with the SOURCE endpoint's degree attached, both directions
+    val undBase = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dega"), Seq("a"))
     val und = scope.own(
-      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-        .join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dega"), Seq("a"))
+      (if (broadcastRanks) undBase.repartition(col("b")) else undBase)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = scale * 15L / 100L
     var rank = deg.select(col("node"), lit(scale).as("rank"))
     for (i <- 1 to iterations) {
-      val contrib = und.join(rank, und("a") === rank("node"))
+      val rs = if (broadcastRanks) broadcast(rank) else rank
+      val contrib = und.join(rs, und("a") === rs("node"))
         .select(und("b"), expr("rank div dega").as("c"))
         .groupBy("b").agg(sum(col("c")).as("x"))
+      val cs = if (broadcastRanks) broadcast(contrib) else contrib
       rank = deg.select(col("node"))
-        .join(contrib, col("node") === col("b"), "left")
+        .join(cs, col("node") === col("b"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(x, 0L)) div 100")).as("rank"))
       // materialize each round: the rank vector is the BROADCAST side of

@@ -45,8 +45,10 @@ object GraphQueries {
     // replays the fixpoint exactly (Graph.pagerankInt scaladoc). Top-20
     // by (rank, part): rank ties broken by the unique part id.
     "q122_pagerank" -> ((s, dir) => {
+      // broadcastRanks: nodes are bounded by the part count, so the rank
+      // vector broadcasts and each round plans zero exchanges
       Graph.pagerankInt(edges(s, dir, minWeight = 1).select("a", "b"),
-        iterations = 5)
+        iterations = 5, broadcastRanks = true)
         .withColumnRenamed("node", "part")
         .orderBy(desc("rank"), asc("part"))
         .limit(20)

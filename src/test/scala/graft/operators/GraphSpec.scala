@@ -134,4 +134,16 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(one === many)
   }
+
+  test("pagerankInt: broadcastRanks fast path equals the distributed plan") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val dist = Graph.pagerankInt(edges.toDF("a", "b"), 4)
+      .as[(Long, Long)].collect().toSet
+    val bcast = Graph.pagerankInt(edges.toDF("a", "b"), 4, broadcastRanks = true)
+      .as[(Long, Long)].collect().toSet
+    assert(dist === bcast)
+  }
 }
