@@ -26,6 +26,22 @@ object GraphProbe {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // stage breakdown of the co-occurrence build
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("n"))
+      .where(col("g").isNotNull && col("n").isNotNull)
+    time("li distinct")(println(s"[probe] distinct = ${li.distinct().count()}"))
+    time("li distinct+sizes+join") {
+      val nodes = li.distinct()
+      val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
+      println(s"[probe] ok = ${nodes.join(sizes.filter(col("sz") <= 1000), Seq("g")).count()}")
+    }
+    time("full build no persist") {
+      println(s"[probe] edges = ${Graph.cooccurrenceEdges(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minWeight = 1).count()}")
+    }
+
     val edges = time("edges build+count") {
       val e = Graph.cooccurrenceEdges(
         spark.read.parquet(s"$dir/lineitem.parquet"),
