@@ -44,25 +44,57 @@ object Graph {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
-    // cached: referenced by the size aggregate, the size join, and both
-    // sides of the pair self-join — uncached, every reference re-embeds
-    // the full upstream scan in the plan
-    val nodes = scope.own(df
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val base = df
       .select(col(groupCol).as("g"), col(nodeCol).as("n"))
       .where(col("g").isNotNull && col("n").isNotNull)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
-    val ok = nodes.join(sizes.filter(col("sz") <= maxGroupSize), Seq("g"))
-      .select("g", "n")
-    // self-join on the group key: both sides share the hash partitioning
-    // on g, so Catalyst plans one exchange per side and the pair explode
-    // stays inside the joined partitions
-    val pairs = ok.as("x").join(ok.as("y"),
-      col("x.g") === col("y.g") && col("x.n") < col("y.n"))
-      .select(col("x.n").as("a"), col("y.n").as("b"))
-    pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minWeight)
+    val nodeType = base.schema("n").dataType
+    val integral = nodeType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      // TWO-shuffle path for integral nodes: ONE group-key shuffle whose
+      // partial aggregates dedupe AND cap each group's distinct set in a
+      // bounded buffer ([[graft.functions.BoundedDistinctAggregator]] —
+      // degenerate groups surface as empty arrays without any task ever
+      // holding more than cap+1 values), then map-side pair generation
+      // from the sorted array, then the weight aggregate. The generic
+      // path below pays four shuffles for the same answer.
+      val bounded = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BoundedDistinctAggregator(maxGroupSize),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val grouped = base.select(col("g"), col("n").cast("long").as("n"))
+        .groupBy("g").agg(bounded(col("n")).as("ns"))
+        .filter(size(col("ns")) >= 2)
+      // pair (a, b) = (ns[i], ns[j]) for i < j: ascending array order
+      // guarantees a < b, matching the generic path's x.n < y.n convention
+      val pairs = grouped
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("ns"), col("i") + lit(2), size(col("ns")))).as("b"))
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minWeight)
+        .select(col("a").cast(nodeType).as("a"),
+          col("b").cast(nodeType).as("b"), col("w"))
+    } else {
+      // cached: referenced by the size aggregate, the size join, and both
+      // sides of the pair self-join — uncached, every reference re-embeds
+      // the full upstream scan in the plan
+      val nodes = scope.own(base.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sizes = nodes.groupBy("g").agg(count(lit(1)).as("sz"))
+      val ok = nodes.join(sizes.filter(col("sz") <= maxGroupSize), Seq("g"))
+        .select("g", "n")
+      // self-join on the group key: both sides share the hash partitioning
+      // on g, so Catalyst plans one exchange per side and the pair explode
+      // stays inside the joined partitions
+      val pairs = ok.as("x").join(ok.as("y"),
+        col("x.g") === col("y.g") && col("x.n") < col("y.n"))
+        .select(col("x.n").as("a"), col("y.n").as("b"))
+      pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minWeight)
+    }
   }
 
   /** The (a, b) projection of `edges`, persisted under `scope` UNLESS the

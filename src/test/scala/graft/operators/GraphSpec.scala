@@ -43,6 +43,26 @@ class GraphSpec extends SparkTestBase {
     assert(out === Set((1L, 2L, 1L))) // group 99 (5 nodes) dropped entirely
   }
 
+  test("cooccurrenceEdges: non-integral nodes take the generic path, same answer") {
+    // string nodes route through the self-join fallback; weights must match
+    // the integral fast path's semantics exactly
+    val df = Seq(
+      (10L, "x"), (10L, "y"), (10L, "z"),
+      (20L, "x"), (20L, "y"),
+      (30L, "q")
+    ).toDF("g", "n")
+    val out = Graph.cooccurrenceEdges(df, "g", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 1L)))
+  }
+
+  test("cooccurrenceEdges: integral fast path preserves the input node type") {
+    val df = Seq((10, 1), (10, 2)).toDF("g", "n") // Int nodes
+    val out = Graph.cooccurrenceEdges(df, "g", "n")
+    assert(out.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.as[(Int, Int, Long)].collect().toSet === Set((1, 2, 1L)))
+  }
+
   test("triangles: K4 plus pendant — every K4 node in C(3,2)=3 triangles") {
     // K4 over 1..4 (4 triangles total, 3 through each node); 5 hangs off 1
     val e = edgeDf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
