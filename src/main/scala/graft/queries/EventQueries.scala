@@ -36,6 +36,23 @@ object EventQueries {
           RelationalQueries.dsum(col("value")).as("sum_value")))
     }),
 
+    // ── NATIVE session windows (batch form of the streaming operator):
+    // the same 30-min gap sessions as q105 through Spark's built-in
+    // `session_window` — one aggregate, the engine merges overlapping
+    // per-event windows itself (vs q105's hand-rolled lag + running-sum
+    // form). window.end = last event + gap by the operator's contract;
+    // all integer µs arithmetic, so the oracle restates it exactly.
+    "q129_session_window_native" -> ((s, dir) => {
+      RelationalQueries.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          RelationalQueries.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // ── Ordered funnel signup → view → click → purchase: each stage
     // counted only when STRICTLY after the actor's previous stage. One
     // bounded per-actor aggregate per stage, all keyed on user_id.
@@ -183,6 +200,24 @@ object EventQueries {
         |  min(us) AS start_us, max(us) AS end_us,
         |  count(*) AS n_events, max(us) - min(us) AS dur_us,
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // q129: the q105 session CTEs, but end_us restated per session_window's
+    // contract (last event + the 30-min gap, exact integer µs).
+    "q129_session_window_native" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
