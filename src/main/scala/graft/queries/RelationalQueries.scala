@@ -225,6 +225,20 @@ object RelationalQueries {
           max(col("k_val")).as("max_k"))
     }),
 
+    // ── VARIANT semi-structured path (Spark 4's native open-JSON type,
+    // beside q15's string-function extraction): parse the props column to
+    // VARIANT once, then a TYPED path extraction — the binary-encoded
+    // form is what a 100 TB semi-structured corpus should persist
+    // (parse-once, shredded access) instead of re-parsing JSON text per
+    // query. k in [0, 99] by corpus contract; `div` floors like the
+    // oracle's `//` on the non-negative domain.
+    "q130_variant_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "long"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+    }),
+
     // ── Tumbling event-time window (same window() op Structured Streaming
     // uses; here in batch so the driver can oracle-check it).
     "q16_window_tumbling" -> ((s, dir) => {
@@ -710,6 +724,17 @@ object RelationalQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q130: the VARIANT extraction restated over DuckDB's JSON functions —
+    // identical typed value, identical floor bucketing on the k ≥ 0 domain.
+    "q130_variant_extract" ->
+      """WITH kv AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k // 10 AS k_bucket, count(*) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM kv GROUP BY 1, 2""".stripMargin,
 
     "q16_window_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
