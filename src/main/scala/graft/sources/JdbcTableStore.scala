@@ -60,6 +60,21 @@ import org.apache.spark.sql.types._
   *   [[graft.model.TableRegistry.fromJdbc]] was explicitly extended to
   *   avoid. Threaded to every connection: driver-side, executor staging
   *   writers, and the snapshot reader.
+  * @param adaptiveUpsert reference L3 parity (ChangeLoader.java:49,211-294):
+  *   start OPTIMISTIC — delete only tombstone keys and trust the inserts to
+  *   be new rows; a unique-violation (SQLState 23505) on the insert rolls the
+  *   transaction back, flips to PESSIMISTIC (pre-delete the insert keys too),
+  *   and retries; a pessimistic merge whose delete touched no insert keys
+  *   flips back. Only engages when the TARGET actually enforces key
+  *   uniqueness (probed via `getPrimaryKeys`, the reference's own startup
+  *   probe — GetPrimaryKeys.java:20-83, Bireme.java:114): without a
+  *   constraint the optimistic path would silently duplicate rows, so the
+  *   store stays pessimistic, which is correct against any DDL.
+  * @param slowDeleteLogSec reference X3 parity (ChangeLoader.java:44,255-262,
+  *   371-405): a semi-join DELETE slower than this logs a WARN with the
+  *   target's own `EXPLAIN DELETE …` plan (pg-family; other dialects log the
+  *   SQL + timing — Derby has no portable EXPLAIN). 0 logs every delete;
+  *   negative disables.
   */
 final class JdbcTableStore(
     spark: SparkSession,
@@ -68,8 +83,12 @@ final class JdbcTableStore(
     insertBatchSize: Int = 1000,
     snapshotPartitions: Int = 0,
     user: Option[String] = None,
-    passwd: Option[String] = None)
+    passwd: Option[String] = None,
+    adaptiveUpsert: Boolean = true,
+    slowDeleteLogSec: Int = 10)
   extends TableStore {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val table = spec.name.replace('.', '_').toUpperCase(java.util.Locale.ROOT)
   private val pk = spec.pkCols
@@ -180,12 +199,89 @@ final class JdbcTableStore(
     */
   def ensureTable(): Unit = if (!ensured) {
     withConnection { conn =>
-      val allCols = spec.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      // PK columns are declared NOT NULL + PRIMARY KEY: the reference's
+      // deployment contract requires the warehouse DDL to carry the key
+      // (startup fails fast without one — GetPrimaryKeys.java:71-83), and
+      // the optimistic upsert mode below NEEDS the constraint to surface
+      // duplicate inserts as 23505 instead of silent duplicate rows.
+      val pkNames = pkFields.map(_.name).toSet
+      val allCols = spec.schema.fields.map { f =>
+        val notNull = if (pkNames.contains(f.name)) " NOT NULL" else ""
+        s"${f.name} ${sqlType(f.dataType)}$notNull"
+      }.mkString(", ")
       if (!tableExists(conn, table))
-        conn.createStatement().execute(s"CREATE TABLE $table ($allCols)")
+        conn.createStatement().execute(
+          s"CREATE TABLE $table ($allCols, PRIMARY KEY (${pkFields.map(_.name).mkString(", ")}))")
     }
     ensured = true
   }
+
+  // ── L3 adaptive upsert state (reference: ChangeLoader.java:49) ───────────
+  // Starts optimistic like the reference; flips per the duplicate-key /
+  // clean-delete signals in merge(). Meaningful only when the target
+  // enforces uniqueness (see keyConstraintProbed).
+  @volatile private var optimisticMode = true
+  @volatile private var keyConstraintKnown = false
+  @volatile private var keyConstraint = false
+
+  /** Does the target enforce uniqueness over (a subset of) the PK columns?
+    * Probed once via JDBC metadata — the reference's own startup primary-key
+    * probe (GetPrimaryKeys.java:20-83). A unique constraint on a SUBSET of
+    * the spec's key still guarantees no duplicate spec-keys, so subset
+    * suffices. Probe failure (exotic drivers) reads as `false`, which keeps
+    * the merge on the always-correct pessimistic path.
+    */
+  private def hasKeyConstraint(conn: Connection): Boolean = {
+    if (!keyConstraintKnown) {
+      val lr = java.util.Locale.ROOT
+      val pkSet = pkFields.map(_.name.toLowerCase(lr)).toSet
+      keyConstraint = try {
+        val schema = try Option(conn.getSchema).filter(_.nonEmpty)
+          catch { case _: Throwable => None }
+        val md = conn.getMetaData
+        // getPrimaryKeys takes an exact name (no LIKE pattern — unlike
+        // getTables), so only the identifier folds need probing.
+        val found = Seq(table, table.toLowerCase(lr)).distinct.flatMap { n =>
+          val rs = md.getPrimaryKeys(null, schema.orNull, n)
+          val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+          try { while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase(lr) }
+          finally rs.close()
+          cols
+        }.toSet
+        found.nonEmpty && found.subsetOf(pkSet)
+      } catch { case _: java.sql.SQLException => false }
+      keyConstraintKnown = true
+    }
+    keyConstraint
+  }
+
+  /** Merge currently trusts inserts to be new rows (test hook). */
+  private[sources] def isOptimistic: Boolean = optimisticMode
+
+  /** X3 parity: log a WARN with the warehouse's own plan when the semi-join
+    * delete breaches the threshold (reference: ChangeLoader.java:255-262;
+    * plan fetch 371-405). The EXPLAIN must run on the SAME connection —
+    * inside the open merge transaction the staging tables may be invisible
+    * to a fresh session, and pg-family planners answer EXPLAIN from the
+    * session that owns the temp state.
+    */
+  private def logIfSlowDelete(conn: Connection, sql: String, nanos: Long): Unit =
+    if (slowDeleteLogSec >= 0 && nanos > slowDeleteLogSec * 1000000000L) {
+      val plan =
+        if (JdbcTableStore.isPostgres(url))
+          try {
+            val rs = conn.createStatement().executeQuery("EXPLAIN " + sql)
+            val sb = new java.lang.StringBuilder
+            try { while (rs.next()) sb.append(rs.getString(1)).append('\n') }
+            finally rs.close()
+            sb.toString
+          } catch {
+            case e: java.sql.SQLException => s"Can not get plan: ${e.getMessage}"
+          }
+        else s"(plan capture is pg-family only)\n$sql"
+      log.warn("Delete operation takes {} seconds, delete plan:\n {}",
+        nanos / 1000000000L, plan)
+    }
 
   /** Create fresh per-merge staging tables ON `conn` (auto-commit DDL, so
     * the executor staging connections see them), run `f` with their names,
@@ -199,7 +295,11 @@ final class JdbcTableStore(
     val token = java.lang.Long.toHexString(System.nanoTime())
     val sk = s"${table}_SK_$token"
     val sr = s"${table}_SR_$token"
-    val keyCols = pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
+    // GRAFT_DEL marks tombstone keys (1) vs upsert keys (0) so the
+    // optimistic merge can delete only the tombstones from ONE staged set
+    // instead of staging two key tables per batch.
+    val keyCols = (pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}") :+
+      "GRAFT_DEL INTEGER").mkString(", ")
     val allCols = spec.schema.fields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}").mkString(", ")
     // creation sits INSIDE the try: if the second CREATE fails, the finally
     // still drops the first instead of leaking it
@@ -378,23 +478,49 @@ final class JdbcTableStore(
     try {
     // No dedup needed: compaction emits at most one action per key, and the
     // DELETE WHERE EXISTS below is insensitive to duplicate stage keys — a
-    // dropDuplicates here would only add a shuffle.
-    val keyDf = batch.deletes.select(pk.map(col): _*)
-      .unionByName(upserts.select(pk.map(col): _*))
+    // dropDuplicates here would only add a shuffle. Tombstones are marked
+    // GRAFT_DEL=1 so the optimistic path can delete them alone.
+    import org.apache.spark.sql.functions.lit
+    val keyDf = batch.deletes.select(pk.map(col): _*).withColumn("GRAFT_DEL", lit(1))
+      .unionByName(upserts.select(pk.map(col): _*).withColumn("GRAFT_DEL", lit(0)))
+    val keyFields = pkFields :+ StructField("GRAFT_DEL", IntegerType)
     withConnection { conn =>
       withStages(conn) { (sk, sr) =>
         // 1. stage changed keys + upsert tuples, executor-parallel
         //    (reference: temp-table COPY, ChangeLoader.java:454-468)
-        stage(keyDf, sk, pkFields)
+        stage(keyDf, sk, keyFields)
         stage(upserts.select(spec.dataCols.map(col): _*), sr,
           spec.schema.fields.toSeq)
 
-        inTransaction(conn) {
-          // 2. semi-join delete (reference: DELETE WHERE EXISTS, 346-369);
-          //    covers both tombstones and the delete-before-insert of upserts
-          val cond = pk.map(c => s"$table.$c = $sk.$c").mkString(" AND ")
-          conn.createStatement().execute(
-            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $sk WHERE $cond)")
+        val cond = pk.map(c => s"$table.$c = $sk.$c").mkString(" AND ")
+        // One merge attempt in the given mode (reference executeTask,
+        // ChangeLoader.java:211-242): optimistic deletes only tombstones and
+        // trusts inserts to be new; pessimistic pre-deletes the insert keys
+        // too. Runs as the merge's single transaction. `allowFlipBack` is
+        // false on the violation retry — in the reference the flip-back
+        // heuristic lives in executeTask (:219) and does NOT run on the
+        // catch-path redo (:283-285), so one merge can never flip both ways.
+        def attempt(optimistic: Boolean, allowFlipBack: Boolean): Unit = inTransaction(conn) {
+          // 2. semi-join delete (reference: DELETE WHERE EXISTS, 346-369)
+          val delSql =
+            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $sk WHERE $cond" +
+              (if (optimistic) s" AND $sk.GRAFT_DEL = 1)" else ")")
+          val t0 = System.nanoTime()
+          val deleted = conn.createStatement().executeUpdate(delSql)
+          logIfSlowDelete(conn, delSql, System.nanoTime() - t0)
+
+          // Adaptive flip back to optimistic (reference: 219-224): a
+          // pessimistic delete that removed no more rows than there were
+          // tombstones means none of the insert keys pre-existed.
+          if (!optimistic && allowFlipBack && adaptiveUpsert && hasKeyConstraint(conn)) {
+            val rs = conn.createStatement()
+              .executeQuery(s"SELECT COUNT(*) FROM $sk WHERE GRAFT_DEL = 1")
+            val tombstones = try { rs.next(); rs.getLong(1) } finally rs.close()
+            if (deleted <= tombstones) {
+              optimisticMode = true
+              log.info("Change to optimistic mode.")
+            }
+          }
 
           // 3. bulk insert the staged upsert tuples (reference: COPY, 294-332);
           //    DISTINCT = the reference's HashSet tuple dedup (M8)
@@ -402,6 +528,21 @@ final class JdbcTableStore(
             s"INSERT INTO $table ($colList) SELECT DISTINCT $colList FROM $sr")
           // 4. one commit for the whole task (reference: 211-242) — by
           //    inTransaction on this same connection
+        }
+
+        val useOptimistic =
+          adaptiveUpsert && optimisticMode && hasKeyConstraint(conn)
+        try attempt(useOptimistic, allowFlipBack = true)
+        catch {
+          // Reference 270-289: a unique violation under the optimistic bet
+          // rolls back (done by inTransaction), flips pessimistic, retries
+          // the SAME staged batch. SQLState 23505 is the standard
+          // unique-violation code (pg + Derby + most dialects).
+          case e: java.sql.SQLException
+              if useOptimistic && JdbcTableStore.isUniqueViolation(e) =>
+            optimisticMode = false
+            log.info("Change to pessimistic mode.")
+            attempt(false, allowFlipBack = false)
         }
       }
     }
@@ -416,6 +557,26 @@ object JdbcTableStore {
     */
   private[sources] def isPostgres(url: String): Boolean =
     url.startsWith("jdbc:postgresql:")
+
+  /** Unique-violation detection across the exception chain: SQLState 23505
+    * (ANSI unique violation — pg and Derby agree), following `getNextException`
+    * links because batch drivers wrap the violating statement's state one
+    * level down. The reference string-matches the pg message text
+    * ("duplicate key value", ChangeLoader.java:274); the SQLState is the
+    * dialect-portable spelling of the same signal.
+    */
+  private[sources] def isUniqueViolation(e: java.sql.SQLException): Boolean = {
+    var cur: java.sql.SQLException = e
+    var seen = 0
+    while (cur != null && seen < 8) {
+      if ("23505" == cur.getSQLState) return true
+      cur = Option(cur.getNextException)
+        .orElse(Option(cur.getCause).collect { case s: java.sql.SQLException => s })
+        .orNull
+      seen += 1
+    }
+    false
+  }
 
   /** One connection, with credentials when configured (null = URL-only). */
   private[sources] def connect(url: String, user: String, passwd: String): Connection =
