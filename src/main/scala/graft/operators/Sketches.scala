@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed sketches with INTEGER-EXACT arithmetic, so a re-statement of
+  * the same formulas in another engine (the DuckDB oracle) reproduces every
+  * output bit-for-bit — the same determinism contract as
+  * [[graft.functions.TextHash]] (no float ever carries a value; the only
+  * hash primitive is md5).
+  *
+  * Why sketches at all: at 100 TB, `count(distinct x)` per group is a full
+  * shuffle of every distinct value. A register sketch reduces each partition
+  * to a CONSTANT-size state (m registers), so the shuffle carries
+  * O(groups × m) rows regardless of data volume, and sketches from disjoint
+  * corpora/pipelines merge by max — the property that lets incremental loads
+  * update cardinalities without rescanning history.
+  */
+object Sketches {
+
+  /** Register count 2^8 — standard error ≈ 1.04/√256 ≈ 6.5%. */
+  val HllM: Int = 256
+
+  /** `round(α_256 × 10^6)` with α_m = 0.7213/(1 + 1.079/m) (Flajolet et al.,
+    * AofA 2007, the standard bias constant for m ≥ 128). Scaled to an exact
+    * integer so both engines apply literally the same α.
+    */
+  val HllAlphaE6: Long = 718273L
+
+  /** Small-range linear-counting table: LC(V) = round(m·ln(m/V)) for V
+    * empty registers, indexed 0..m (LC(0) unused — the estimator only
+    * consults it when V > 0). ln is transcendental, and evaluating it in
+    * each engine risks last-ulp divergence (the q104 lesson) — so the table
+    * is computed ONCE here and embedded as the same integer literals in
+    * both the Spark plan and the DuckDB oracle. V has only m+1 possible
+    * values, which is what makes the exact-lookup trick affordable.
+    */
+  val HllLinearCount: Array[Long] = Array.tabulate(HllM + 1)(v =>
+    if (v == 0) 0L else math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** Per-(group, register) max leading-zero rank — the HLL register table.
+    *
+    * Hash layout: h = md5Hash60("hll:" + value) gives 60 bits; the low 8
+    * select the register j, the high 52 form the pattern w whose
+    * leading-zero rank is ρ = 53 − bitlength(w) (w = 0 → 53, the all-zero
+    * pattern). All integer: `bin()`'s string length IS the bitlength, no
+    * log2 double anywhere.
+    *
+    * Scale shape: one narrow projection rides the scan, then ONE shuffle of
+    * partial-max rows — map-side combine bounds each task's output at
+    * groups × 256 rows no matter how many values it saw.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = TextFunctions.domainHash("hll", col(valueCol))
+    df.select(col(groupCol), h.as("_h"))
+      .select(col(groupCol), pmod(col("_h"), lit(HllM)).as("_j"),
+        expr("_h div 256").as("_w"))
+      .select(col(groupCol), col("_j"),
+        when(col("_w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("_w")))).cast("long").as("_rho"))
+      .groupBy(col(groupCol), col("_j"))
+      .agg(max(col("_rho")).as("m_j"))
+  }
+
+  /** Grouped distinct-cardinality estimate via HyperLogLog, integer-exact.
+    *
+    * Per group emits:
+    *   - `raw_estimate` — ⌊α·m²·2^53 / S⌋ with S = Σ_j 2^(53−M_j) computed
+    *     in fixed point (empty registers contribute 2^53; S ≤ 2^61 fits
+    *     int64; the α product runs in DECIMAL(38,0) — ~4×10^26 max — and
+    *     the integral divide lands back in BIGINT). No float touches the
+    *     value on either engine.
+    *   - `zero_registers` — V, the empty-register count.
+    *   - `est_distinct` — the standard HLL decision rule: when the raw
+    *     estimate is below 5m/2 and V > 0, substitute linear counting
+    *     m·ln(m/V) via the precomputed [[HllLinearCount]] table (exact
+    *     integers shared with the oracle); otherwise the raw estimate.
+    *
+    * The estimate's two aggregations shuffle (group, j) register rows then
+    * m-row groups — both independent of input volume.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllRegisters(df, groupCol, valueCol)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")).as("_s_present"),
+        count(lit(1)).as("_present"))
+      .select(col(groupCol),
+        expr(s"""CAST(
+            (CAST($HllAlphaE6 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
+              * CAST(${1L << 53} AS DECIMAL(38,0)))
+            div (CAST(_s_present + (${HllM} - _present) * CAST(${1L << 53} AS BIGINT)
+                   AS DECIMAL(38,0))
+                 * 1000000)
+          AS BIGINT)""").as("_raw"),
+        (lit(HllM) - col("_present")).cast("long").as("zero_registers"))
+      .select(col(groupCol),
+        when(col("_raw") < lit(5L * HllM / 2) && col("zero_registers") > 0,
+          element_at(array(HllLinearCount.map(lit(_)): _*),
+            (col("zero_registers") + 1).cast("int")).cast("long"))
+          .otherwise(col("_raw")).as("est_distinct"),
+        col("_raw").as("raw_estimate"),
+        col("zero_registers"))
+
+  /** Weighted sample of `k` rows without replacement, priority ∝ weight —
+    * deterministic, so reruns and the oracle agree row-for-row.
+    *
+    * Scheme: a row of integer weight w (clamped to [1, maxWeight]) draws w
+    * independent 60-bit uniforms u_r = md5Hash60("wps:key:r") and keeps the
+    * MINIMUM as its priority; the k smallest priorities win. Pairwise,
+    * P(min of w uniforms < min of v uniforms) = w/(w+v) — exactly
+    * proportional odds — making this the integer-arithmetic stand-in for
+    * Efraimidis–Spirakis keys u^(1/w) (whose log/pow would diverge across
+    * engines in the last ulp).
+    *
+    * Scale shape: per-row work is ≤ maxWeight hashes riding the scan; the
+    * global top-k runs as TakeOrdered (per-partition heads + driver merge
+    * of k·P rows), never a full sort. Ties (60-bit collisions) break by
+    * key so the selection is total-ordered.
+    */
+  def weightedPrioritySample(
+      df: DataFrame, keyCol: String, weightCol: Column, k: Int,
+      maxWeight: Int = 8): DataFrame = {
+    val w = least(lit(maxWeight), greatest(lit(1), weightCol.cast("int")))
+    val pr = array_min(transform(
+      sequence(lit(1), w),
+      r => TextFunctions.md5Hash60(
+        concat(lit("wps:"), col(keyCol).cast("string"), lit(":"), r.cast("string")))))
+    df.withColumn("weight", w)
+      .withColumn("priority", pr)
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+}

@@ -117,6 +117,24 @@ object PipelineQueries {
       Dedup.exactGroups(withExactDups(docs(s, dir)), "doc_id", "text")
     }),
 
+    // ── Integer-exact HyperLogLog per language: register sketch → fixed-
+    // point estimate; at corpus scale the shuffle carries 256 register rows
+    // per group instead of every distinct text. See
+    // [[graft.operators.Sketches.hllDistinct]].
+    "q131_hll_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.hllDistinct(docs(s, dir), "lang", "text")
+    }),
+
+    // ── Weighted priority sample: k docs with odds ∝ length-derived weight,
+    // via min-of-w-uniforms integer priorities (the Efraimidis–Spirakis
+    // shape without cross-engine transcendentals). See
+    // [[graft.operators.Sketches.weightedPrioritySample]].
+    "q132_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sketches.weightedPrioritySample(
+          docs(s, dir), "doc_id", expr("1 + n_chars div 500"), k = 100)
+        .select("doc_id", "lang", "weight", "priority")
+    }),
+
     // ── MinHash-LSH near-dedup: one compiled signature pass, banded id-only
     // join, exact integer Jaccard output (inter/uni) — no all-pairs, no float.
     "q31_dedup_minhash" -> ((s, dir) => {
@@ -1071,6 +1089,54 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q50_pii_redact" -> piiOracle,
+
+    // HLL restated in HUGEINT: same md5-derived registers, same fixed-point
+    // sum (2^(53-M_j) by bit-shift), same scaled-α integral divide, and the
+    // SAME linear-counting integers — the list literal below is rendered
+    // from graft.operators.Sketches.HllLinearCount, so both engines consult
+    // one table instead of each evaluating ln.
+    "q131_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5('hll:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |reg AS (
+        |  SELECT lang, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h // 256)) END) AS m_j
+        |  FROM h GROUP BY lang, h % 256),
+        |agg AS (
+        |  SELECT lang,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM reg GROUP BY lang),
+        |est AS (
+        |  SELECT lang,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM agg)
+        |SELECT lang,
+        |  CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |       THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |              [CAST(zero_registers + 1 AS INT)]
+        |       ELSE raw_estimate END AS est_distinct,
+        |  raw_estimate, zero_registers
+        |FROM est""".stripMargin,
+
+    // Weighted priority sample: identical min-of-w md5 uniforms, identical
+    // (priority, key) total order.
+    "q132_weighted_sample" ->
+      """SELECT doc_id, lang, w AS weight, pr AS priority FROM (
+        |  SELECT doc_id, lang, w,
+        |    list_min(list_transform(generate_series(1, w),
+        |      r -> CAST(('0x' || substr(md5('wps:' || CAST(doc_id AS VARCHAR)
+        |                 || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT))) AS pr
+        |  FROM (SELECT doc_id, lang,
+        |          least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
+        |        FROM documents))
+        |ORDER BY pr, doc_id LIMIT 100""".stripMargin,
 
     "q79_kmeans" ->
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v

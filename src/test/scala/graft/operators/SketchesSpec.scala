@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextHash
+import org.apache.spark.sql.functions._
+
+/** Integer-exact HLL and weighted priority sampling: estimator accuracy on
+  * known cardinalities, the register-merge property that makes the sketch a
+  * sketch, and the compiled-twin determinism the oracle relies on.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hllDistinct estimates known cardinalities within HLL error (m=256 → ~6.5% σ)") {
+    // three groups with very different true cardinalities, duplicated rows
+    val rows =
+      (1 to 5000).map(i => ("big", s"v$i")) ++          // 5000 distinct
+      (1 to 5000).map(i => ("mid", s"v${i % 400}")) ++  // 400 distinct
+      (1 to 5000).map(i => ("small", s"v${i % 23}"))    // 23 distinct
+    val est = Sketches.hllDistinct(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(est("big") - 5000) < 5000 * 0.25, s"big: ${est("big")}")
+    assert(math.abs(est("mid") - 400) < 400 * 0.25, s"mid: ${est("mid")}")
+    assert(math.abs(est("small") - 23) <= 6, s"small: ${est("small")}")
+  }
+
+  test("register tables from disjoint halves max-merge to the whole's registers") {
+    val all = (1 to 2000).map(i => ("g", s"x$i")).toDF("g", "v")
+    val h1 = (1 to 1000).map(i => ("g", s"x$i")).toDF("g", "v")
+    val h2 = (1001 to 2000).map(i => ("g", s"x$i")).toDF("g", "v")
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Sketches.hllRegisters(df, "g", "v").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = (regs(h1).toSeq ++ regs(h2).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    assert(merged == regs(all),
+      "sketches must merge by register max — the incremental-load property")
+  }
+
+  test("duplicate values never move the estimate (cardinality, not count)") {
+    val once = (1 to 300).map(i => ("g", s"d$i")).toDF("g", "v")
+    val tenx = (1 to 300).flatMap(i => Seq.fill(10)(("g", s"d$i"))).toDF("g", "v")
+    val e1 = Sketches.hllDistinct(once, "g", "v").collect()(0).getLong(1)
+    val e2 = Sketches.hllDistinct(tenx, "g", "v").collect()(0).getLong(1)
+    assert(e1 == e2)
+  }
+
+  test("linear-counting table agrees with its defining formula at the edges") {
+    assert(Sketches.HllLinearCount(256) == 0) // V = m → ln(1) = 0
+    assert(Sketches.HllLinearCount(1) == math.round(256 * math.log(256.0)))
+    // monotone decreasing in V: more empty registers → fewer distincts
+    assert(Sketches.HllLinearCount.drop(1).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("weightedPrioritySample keeps k rows with the min-of-w-hashes priority") {
+    val df = (1 to 500).map(i => (i.toLong, i % 17)).toDF("id", "len")
+    val got = Sketches.weightedPrioritySample(df, "id", expr("1 + len div 3"), k = 50)
+      .collect()
+    assert(got.length == 50)
+    // recompute each winner's priority with the compiled twin
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = math.min(8, math.max(1, 1 + (id % 17).toInt / 3))
+      val expected = (1 to w).map(rr => TextHash.md5Hash60(s"wps:$id:$rr")).min
+      assert(r.getAs[Long]("priority") == expected, s"id=$id")
+      assert(r.getAs[Int]("weight") == w)
+    }
+  }
+
+  test("weighted sampling odds scale with weight (heavier rows win more seats)") {
+    // 1000 weight-1 rows vs 1000 weight-8 rows: the weight-8 side should
+    // take roughly 8/9 of the seats; determinism makes this a fixed number,
+    // the assert just bounds it loosely
+    val df = ((1 to 1000).map(i => (i.toLong, 1)) ++
+      (1001 to 2000).map(i => (i.toLong, 8))).toDF("id", "w")
+    val heavy = Sketches.weightedPrioritySample(df, "id", col("w"), k = 200)
+      .filter(col("weight") === 8).count()
+    assert(heavy > 140 && heavy <= 200, s"heavy won $heavy of 200 seats")
+  }
+}
