@@ -251,6 +251,63 @@ object StreamingQueries {
         max(col("p_id")).as("max_purchase_id"))
     }
 
+  /** q133: stream-stream LEFT OUTER interval join — the state-EVICTION
+    * surface q71's inner join never exercises. A left row's null result can
+    * only emit once the engine PROVES no future match exists: with a
+    * "1 hour" watermark delay and the join bound p_ts ≤ c_ts + 1 h, a click
+    * is evicted (and its null row emitted) when the global watermark passes
+    * c_ts + 1 h. The arrival schedule is strictly time-ordered (two batches
+    * per side split at the q19 cutoff, no stragglers), so nothing is ever
+    * late-dropped and eviction is monotone — which makes the emitted set
+    * declaratively restatable: ALL matched pairs (matches emit on arrival)
+    * plus a null row per matchless click whose c_ts + 1 h lies at or below
+    * the FINAL watermark = min(max c_ts, max p_ts) − 1 h (multi-source
+    * watermark = min across sources; `<=` not `<` — WatermarkSupport's
+    * eviction predicate `key < watermark` on the µs-floored state key means
+    * boundary-exact clicks evict, same `<=` convention as the q19 oracle).
+    * Clicks inside the final open interval stay in state forever — both
+    * engines withhold them identically.
+    *
+    * Scale posture: identical to q71 (watermark-bounded state), plus this
+    * pins that eviction actually FIRES — an engine that never evicted would
+    * emit zero null rows and fail the oracle, one that evicted too eagerly
+    * would null-emit clicks whose match was still in flight.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val ev = RelationalQueries.events(spark, dir)
+    val cut = lit(LateCut).cast("timestamp")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+
+    val cIn = Files.createTempDirectory("q133_c")
+    val pIn = Files.createTempDirectory("q133_p")
+    val ckpt = Files.createTempDirectory("q133_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(clicks.filter(col("c_ts") < cut), cIn, "c0.json", now - 60000)
+    dumpArrivalFile(clicks.filter(col("c_ts") >= cut), cIn, "c1.json", now)
+    dumpArrivalFile(purchases.filter(col("p_ts") < cut), pIn, "p0.json", now - 60000)
+    dumpArrivalFile(purchases.filter(col("p_ts") >= cut), pIn, "p1.json", now)
+
+    def src(d: Path, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", TsFormat).json(d.toString)
+    val joined = src(cIn, clicks.schema).withWatermark("c_ts", "1 hour")
+      .join(src(pIn, purchases.schema).withWatermark("p_ts", "1 hour"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "left_outer")
+
+    runToMemorySink(spark, joined, "q133_sink", ckpt, cIn, pIn)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(col("p_id")).as("n_pairs"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        max(col("p_id")).as("max_purchase_id"))
+    }
+
   /** Per-user running state carried by [[streamStateful]] (q72): how many
     * batches the user appeared in, cumulative event count, max event id.
     */
@@ -355,7 +412,8 @@ object StreamingQueries {
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
-    "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)))
+    "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)),
+    "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -434,6 +492,36 @@ object StreamingQueries {
         |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
         |  max(m) OVER (PARTITION BY user_id ORDER BY b) AS max_id
         |FROM per""".stripMargin,
+
+    // q133: matched pairs = the batch interval join; null rows = matchless
+    // clicks evicted by the final watermark (see streamOuterJoin's scaladoc
+    // for the predicate derivation). µs truncation as in q71.
+    "q133_stream_outer_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    event_id, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+        |wmf AS (
+        |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id
+        |  FROM c JOIN p
+        |    ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |evicted AS (
+        |  SELECT c.user_id, c.event_id AS c_id, CAST(NULL AS BIGINT) AS p_id
+        |  FROM c
+        |  WHERE c.event_id NOT IN (SELECT c_id FROM matched)
+        |    AND c.ts + INTERVAL 1 HOUR <= (SELECT w FROM wmf)),
+        |outrows AS (SELECT * FROM matched UNION ALL SELECT * FROM evicted)
+        |SELECT user_id, count(p_id) AS n_pairs,
+        |  CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  max(p_id) AS max_purchase_id
+        |FROM outrows GROUP BY user_id""".stripMargin,
 
     // q84: nothing is late (two ts-ordered arrivals), so the emitted set is
     // the plain join+aggregate over the windows the final watermark
