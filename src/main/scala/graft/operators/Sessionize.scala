@@ -61,4 +61,48 @@ object Sessionize {
       .groupBy(col(actorCol), col("session_id"))
       .agg(base.head, (base.tail ++ extras): _*)
   }
+
+  /** Interval union (gaps-and-islands coalescing): give each event a
+    * half-open coverage interval [ts, ts + lengthSeconds) and merge each
+    * actor's overlapping-or-adjacent intervals into maximal spans — the
+    * "total time covered" primitive (ad exposure, machine uptime, lease
+    * coverage) that sessionization's gap rule cannot express (a session
+    * breaks on inactivity ≥ gap measured START-to-start; a span breaks only
+    * when coverage actually lapses).
+    *
+    * Algorithm: per actor in time order, an interval starts a new span iff
+    * its start lies strictly after the running max of all PREVIOUS interval
+    * ends (equality = adjacency = merge, the half-open convention); span id
+    * = running sum of those starts. Exact integer microseconds throughout.
+    *
+    * Scale: ONE shuffle on the actor key — the two windows and the span
+    * aggregate share the partitioning, same single-Exchange plan shape as
+    * [[assign]], with the same per-actor-fits-a-task contract.
+    *
+    * Output: one row per (actor, span_id): span_start_us, span_end_us,
+    * n_intervals, span_us.
+    */
+  def intervalUnion(df: DataFrame, actorCol: String, tsCol: String,
+      lengthSeconds: Long): DataFrame = {
+    require(lengthSeconds > 0, s"lengthSeconds must be positive, got $lengthSeconds")
+    val byActor = Window.partitionBy(actorCol).orderBy(col("_us"))
+    val lenUs = lengthSeconds * 1000000L
+    val us = when(col(tsCol).isNull,
+      raise_error(lit(s"intervalUnion: timestamp column $tsCol is null")))
+      .otherwise(unix_micros(col(tsCol)))
+    val prevMaxEnd = max(col("_e"))
+      .over(byActor.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(actorCol), us.as("_us"))
+      .withColumn("_e", col("_us") + lenUs)
+      .withColumn("_new", when(prevMaxEnd.isNull || col("_us") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("_new")).over(byActor.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(actorCol), col("span_id"))
+      .agg(
+        min(col("_us")).as("span_start_us"),
+        max(col("_e")).as("span_end_us"),
+        count(lit(1)).as("n_intervals"),
+        (max(col("_e")) - min(col("_us"))).as("span_us"))
+  }
 }

@@ -36,6 +36,16 @@ object EventQueries {
           RelationalQueries.dsum(col("value")).as("sum_value")))
     }),
 
+    // ── Interval union: each event covers [ts, ts+30 min); overlapping or
+    // adjacent coverage merges into maximal per-user spans — total-time-
+    // covered semantics (exposure/uptime), which the gap rule of q105
+    // cannot express. Same one-shuffle window shape. See
+    // [[graft.operators.Sessionize.intervalUnion]].
+    "q134_interval_union" -> ((s, dir) => {
+      Sessionize.intervalUnion(RelationalQueries.events(s, dir),
+        "user_id", "ts", lengthSeconds = 1800)
+    }),
+
     // ── NATIVE session windows (batch form of the streaming operator):
     // the same 30-min gap sessions as q105 through Spark's built-in
     // `session_window` — one aggregate, the engine merges overlapping
@@ -202,6 +212,28 @@ object EventQueries {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // q134: the interval-union windows restated — a span breaks where an
+    // interval's start exceeds the running max of previous ends (equality
+    // merges: half-open adjacency).
+    "q134_interval_union" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |iv AS (SELECT user_id, us, us + 1800000000 AS e FROM ev),
+        |marked AS (
+        |  SELECT *, CASE WHEN
+        |      max(e) OVER pw IS NULL OR us > max(e) OVER pw
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM iv WINDOW pw AS (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sp AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM marked)
+        |SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(us) AS span_start_us, max(e) AS span_end_us,
+        |  count(*) AS n_intervals, max(e) - min(us) AS span_us
+        |FROM sp GROUP BY user_id, span_id""".stripMargin,
 
     // q129: the q105 session CTEs, but end_us restated per session_window's
     // contract (last event + the 30-min gap, exact integer µs).

@@ -44,6 +44,42 @@ class EventOpsSpec extends SparkTestBase {
       (2L, 100L * 60000000L, 100L * 60000000L, 1L, 0L, 0L)))
   }
 
+  test("intervalUnion: overlap and half-open adjacency merge; a coverage lapse splits") {
+    // 10-min intervals. user 1: 0 and 5 overlap; 10 is ADJACENT to [5,15)
+    // (start == running max end → merge); 30 starts after coverage lapsed
+    // at 20 → new span. user 2: one interval.
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(10)), (1L, ts(30)),
+      (2L, ts(7)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.intervalUnion(df, "user_id", "ts", lengthSeconds = 600)
+      .select("user_id", "span_id", "span_start_us", "span_end_us", "n_intervals", "span_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    def us(min: Long) = min * 60000000L
+    assert(got === Set(
+      (1L, 1L, us(0), us(20), 3L, us(20)),
+      (1L, 2L, us(30), us(40), 1L, us(10)),
+      (2L, 1L, us(7), us(17), 1L, us(10))))
+  }
+
+  test("intervalUnion: an interval nested inside a longer running span never splits it") {
+    // [0,10) then [2,12) then [4,14): each start is inside the running
+    // coverage even though it exceeds the PREVIOUS ROW's start — the
+    // running-MAX-end rule (not lag) is what keeps this one span
+    val df = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(4))).toDF("user_id", "ts")
+    val got = Sessionize.intervalUnion(df, "user_id", "ts", lengthSeconds = 600)
+      .select("span_id", "n_intervals").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L)))
+  }
+
+  test("intervalUnion: result is partition-count invariant") {
+    val df = (1 to 200).map(i => ((i % 7).toLong, ts(i * 3L))).toDF("user_id", "ts")
+    def run(parts: Int) =
+      Sessionize.intervalUnion(df.repartition(parts), "user_id", "ts", 600)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(1) == run(13))
+  }
+
   test("sessionize: result is partition-count invariant") {
     val df = (1 to 400).map(i => ((i % 7).toLong, ts(i * 17 % 500))).toDF("user_id", "ts")
     val a = Sessionize.assign(df.repartition(1), "user_id", "ts", 600)
