@@ -368,6 +368,35 @@ object RelationalQueries {
           |                      WHERE n_regionkey <= 1)""".stripMargin)
     }),
 
+    // ── RECURSIVE CTE (Spark 4.1 `WITH RECURSIVE`, UNION ALL form):
+    // hierarchical closure + rollup over the implicit customer tree
+    // parent(k) = (k−1) div 2 for k ≥ 1 (heap indexing — custkeys start at
+    // 0, and a k div 2 parent rule would make node 0 its own parent and
+    // recurse forever) — every (ancestor, descendant) pair with its
+    // distance, aggregated per depth. The tree shape guarantees each pair
+    // is generated exactly once, so UNION ALL recursion (the only form
+    // Spark supports; UNION DISTINCT raises UNION_NOT_SUPPORTED_IN_
+    // RECURSIVE_CTE) terminates in ⌈log2 N⌉ levels — well under the
+    // default 100-level cap, and each level is one ordinary Catalyst
+    // join+union plan, so the pattern scales like ⌈log2 N⌉ chained joins.
+    // Cyclic graphs must NOT use this operator (walk enumeration); the
+    // driver-loop BFS/connected-components operators (q121, q42) are the
+    // cycle-safe path.
+    "q135_recursive_rollup" -> ((s, dir) => {
+      s.sql(
+        s"""WITH RECURSIVE closure(anc, node, d, bal) AS (
+          |  SELECT c_custkey, c_custkey, 0, c_acctbal
+          |  FROM parquet.`$dir/customer.parquet`
+          |  UNION ALL
+          |  SELECT cl.anc, c.c_custkey, cl.d + 1, c.c_acctbal
+          |  FROM parquet.`$dir/customer.parquet` c
+          |  JOIN closure cl ON (c.c_custkey - 1) div 2 = cl.node
+          |  WHERE c.c_custkey >= 1)
+          |SELECT d AS depth, count(*) AS n_pairs,
+          |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM closure GROUP BY d""".stripMargin)
+    }),
+
     // ── As-of join: every event gets the id of the same user's most recent
     // purchase at or before its timestamp (inclusive; equal-time purchases
     // resolve to the max id). Union-tag + carry-forward window — one shuffle
@@ -629,6 +658,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_recursive_rollup" ->
+      """WITH RECURSIVE closure(anc, node, d, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT cl.anc, c.c_custkey, cl.d + 1, c.c_acctbal
+        |  FROM customer c JOIN closure cl ON (c.c_custkey - 1) // 2 = cl.node
+        |  WHERE c.c_custkey >= 1)
+        |SELECT d AS depth, count(*) AS n_pairs,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM closure GROUP BY d""".stripMargin,
+
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
