@@ -368,6 +368,96 @@ object StreamingQueries {
     runToMemorySink(spark, updates, "q72_sink", ckpt, in)
     }
 
+  /** Output row of [[TypeCountsProcessor]]: one cumulative snapshot per
+    * (user, batch the user appeared in).
+    */
+  case class TypeCountsUpdate(user_id: Long, upd_seq: Long, n_click: Long,
+      n_purchase: Long, n_view: Long, n_signup: Long, n_error: Long, max_id: Long)
+
+  /** q136's `StatefulProcessor`: per-user per-event-type cumulative counts
+    * in a MapState (composite state the old flatMapGroupsWithState API
+    * could only fake inside one serialized blob — with MapState only the
+    * TOUCHED entries hit the store per batch), plus the user's batch
+    * sequence in a ValueState. Fold is commutative (counts, max), so
+    * emission per (user, batch) is deterministic under unordered arrival —
+    * the same replay contract as q72.
+    */
+  class TypeCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), TypeCountsUpdate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var batches: ValueState[Long] = _
+    @transient private var maxId: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      batches = getHandle.getValueState[Long]("batches", Encoders.scalaLong, TTLConfig.NONE)
+      maxId = getHandle.getValueState[Long]("maxId", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
+        tv: TimerValues): Iterator[TypeCountsUpdate] = {
+      var mx = if (maxId.exists()) maxId.get() else Long.MinValue
+      rows.foreach { case (id, _, tpe) =>
+        counts.updateValue(tpe,
+          (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + 1L)
+        mx = math.max(mx, id)
+      }
+      val seq = (if (batches.exists()) batches.get() else 0L) + 1L
+      batches.update(seq)
+      maxId.update(mx)
+      def c(t: String) = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      Iterator.single(TypeCountsUpdate(user, seq,
+        c("click"), c("purchase"), c("view"), c("signup"), c("error"), mx))
+    }
+  }
+
+  /** q136: arbitrary stateful processing through `transformWithState` — the
+    * Spark 4 successor of q72's `flatMapGroupsWithState`, pinned here
+    * because the two APIs carry DIFFERENT state machinery (typed composite
+    * states, per-state TTL, timers, and a RocksDB-backed store the API
+    * requires — scoped to this query via the provider conf). Same
+    * deterministic 3-batch replay as q72 (event_id % 3 routes the batch),
+    * richer state: a MapState folds per-event-type counts so each batch
+    * writes only the touched map entries, the incremental-state shape that
+    * matters when per-key state is wide. The oracle reconstructs the
+    * cumulative per-(user, batch) emissions with windows over the batch tag.
+    */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = RelationalQueries.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val in = Files.createTempDirectory("q136_in")
+      val ckpt = Files.createTempDirectory("q136_ckpt")
+      val now = System.currentTimeMillis()
+      dumpArrivalFile(ev.filter(col("event_id") % 3 === 0), in, "a0.json", now - 120000)
+      dumpArrivalFile(ev.filter(col("event_id") % 3 === 1), in, "a1.json", now - 60000)
+      dumpArrivalFile(ev.filter(col("event_id") % 3 === 2), in, "a2.json", now)
+
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", TsFormat).json(in.toString)
+        .as[(Long, Long, String)] // (event_id, user_id, event_type)
+
+      val updates = stream.groupByKey(_._2)
+        .transformWithState(new TypeCountsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+
+      runToMemorySink(spark, updates, "q136_sink", ckpt, in)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    }
+
   /** q84: stream-STATIC join — the standing enrichment shape: each
     * micro-batch of the event stream joins a batch dimension table
     * (customer, broadcast — the static side is planned once and re-executed
@@ -413,7 +503,8 @@ object StreamingQueries {
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
     "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)),
-    "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)))
+    "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
+    "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -522,6 +613,30 @@ object StreamingQueries {
         |    AS n_unmatched,
         |  max(p_id) AS max_purchase_id
         |FROM outrows GROUP BY user_id""".stripMargin,
+
+    // q136: q72's oracle shape with per-type cumulative counts — one row
+    // per (user, batch tag) carrying running sums through the batches.
+    "q136_transform_with_state" ->
+      """WITH per AS (
+        |  SELECT user_id, event_id % 3 AS b,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS cc,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cp,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS cv,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS cs,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS ce,
+        |    max(event_id) AS m
+        |  FROM events GROUP BY user_id, event_id % 3)
+        |SELECT user_id,
+        |  row_number() OVER w AS upd_seq,
+        |  CAST(sum(cc) OVER w AS BIGINT) AS n_click,
+        |  CAST(sum(cp) OVER w AS BIGINT) AS n_purchase,
+        |  CAST(sum(cv) OVER w AS BIGINT) AS n_view,
+        |  CAST(sum(cs) OVER w AS BIGINT) AS n_signup,
+        |  CAST(sum(ce) OVER w AS BIGINT) AS n_error,
+        |  max(m) OVER w AS max_id
+        |FROM per
+        |WINDOW w AS (PARTITION BY user_id ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q84: nothing is late (two ts-ordered arrivals), so the emitted set is
     // the plain join+aggregate over the windows the final watermark
