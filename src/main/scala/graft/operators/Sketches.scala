@@ -51,16 +51,60 @@ object Sketches {
     * partial-max rows — map-side combine bounds each task's output at
     * groups × 256 rows no matter how many values it saw.
     */
-  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllRegisters(df, Seq(groupCol), valueCol)
+
+  /** Multi-key variant: registers per (groupCols…, j) — the granularity to
+    * BUILD at. Estimates for any coarser grouping then come from
+    * [[hllEstimate]] without rescanning the data: register tables merge by
+    * max, exactly (see the merge law pinned in SketchesSpec).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val h = TextFunctions.domainHash("hll", col(valueCol))
-    df.select(col(groupCol), h.as("_h"))
-      .select(col(groupCol), pmod(col("_h"), lit(HllM)).as("_j"),
-        expr("_h div 256").as("_w"))
-      .select(col(groupCol), col("_j"),
+    val gs = groupCols.map(col)
+    df.select(gs :+ h.as("_h"): _*)
+      .select(gs ++ Seq(pmod(col("_h"), lit(HllM)).as("_j"),
+        expr("_h div 256").as("_w")): _*)
+      .select(gs ++ Seq(col("_j"),
         when(col("_w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("_w")))).cast("long").as("_rho"))
-      .groupBy(col(groupCol), col("_j"))
+          .otherwise(lit(53) - length(bin(col("_w")))).cast("long").as("_rho")): _*)
+      .groupBy(gs :+ col("_j"): _*)
       .agg(max(col("_rho")).as("m_j"))
+  }
+
+  /** Estimate from a register table at any grouping COARSER than (or equal
+    * to) the one it was built at: registers first max-merge onto
+    * (groupCols…, j) — the sketch-union law — then the same fixed-point
+    * estimator as [[hllDistinct]] runs on the merged table. This is the
+    * incremental/rollup path: per-(source, lang) sketches persisted once
+    * answer per-lang (or corpus-total) cardinalities without touching the
+    * corpus again.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    registers
+      .groupBy(gs :+ col("_j"): _*)
+      .agg(max(col("m_j")).as("m_j"))
+      .groupBy(gs: _*)
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")).as("_s_present"),
+        count(lit(1)).as("_present"))
+      .select(gs ++ Seq(
+        expr(s"""CAST(
+            (CAST($HllAlphaE6 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
+              * CAST(${1L << 53} AS DECIMAL(38,0)))
+            div (CAST(_s_present + (${HllM} - _present) * CAST(${1L << 53} AS BIGINT)
+                   AS DECIMAL(38,0))
+                 * 1000000)
+          AS BIGINT)""").as("_raw"),
+        (lit(HllM) - col("_present")).cast("long").as("zero_registers")): _*)
+      .select(gs ++ Seq(
+        when(col("_raw") < lit(5L * HllM / 2) && col("zero_registers") > 0,
+          element_at(array(HllLinearCount.map(lit(_)): _*),
+            (col("zero_registers") + 1).cast("int")).cast("long"))
+          .otherwise(col("_raw")).as("est_distinct"),
+        col("_raw").as("raw_estimate"),
+        col("zero_registers")): _*)
   }
 
   /** Grouped distinct-cardinality estimate via HyperLogLog, integer-exact.
@@ -81,27 +125,7 @@ object Sketches {
     * m-row groups — both independent of input volume.
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    hllRegisters(df, groupCol, valueCol)
-      .groupBy(col(groupCol))
-      .agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")).as("_s_present"),
-        count(lit(1)).as("_present"))
-      .select(col(groupCol),
-        expr(s"""CAST(
-            (CAST($HllAlphaE6 AS DECIMAL(38,0)) * ${HllM.toLong * HllM}
-              * CAST(${1L << 53} AS DECIMAL(38,0)))
-            div (CAST(_s_present + (${HllM} - _present) * CAST(${1L << 53} AS BIGINT)
-                   AS DECIMAL(38,0))
-                 * 1000000)
-          AS BIGINT)""").as("_raw"),
-        (lit(HllM) - col("_present")).cast("long").as("zero_registers"))
-      .select(col(groupCol),
-        when(col("_raw") < lit(5L * HllM / 2) && col("zero_registers") > 0,
-          element_at(array(HllLinearCount.map(lit(_)): _*),
-            (col("zero_registers") + 1).cast("int")).cast("long"))
-          .otherwise(col("_raw")).as("est_distinct"),
-        col("_raw").as("raw_estimate"),
-        col("zero_registers"))
+    hllEstimate(hllRegisters(df, Seq(groupCol), valueCol), Seq(groupCol))
 
   /** Weighted sample of `k` rows without replacement, priority ∝ weight —
     * deterministic, so reruns and the oracle agree row-for-row.

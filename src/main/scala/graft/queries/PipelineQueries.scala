@@ -125,6 +125,19 @@ object PipelineQueries {
       graft.operators.Sketches.hllDistinct(docs(s, dir), "lang", "text")
     }),
 
+    // ── Sketch mergeability as a query: registers built at (lang, source)
+    // granularity, max-merged to per-lang estimates WITHOUT rescanning the
+    // corpus — the union law an incremental 100 TB load relies on (persist
+    // per-partition sketches, roll up on demand). Output equals q131's
+    // direct per-lang estimates bit-for-bit. See
+    // [[graft.operators.Sketches.hllEstimate]].
+    "q137_hll_merge" -> ((s, dir) => {
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(
+          docs(s, dir), Seq("lang", "source"), "text"),
+        Seq("lang"))
+    }),
+
     // ── Weighted priority sample: k docs with odds ∝ length-derived weight,
     // via min-of-w-uniforms integer priorities (the Efraimidis–Spirakis
     // shape without cross-engine transcendentals). See
@@ -1110,6 +1123,40 @@ object PipelineQueries {
         |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
         |    count(*) AS present
         |  FROM reg GROUP BY lang),
+        |est AS (
+        |  SELECT lang,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM agg)
+        |SELECT lang,
+        |  CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |       THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |              [CAST(zero_registers + 1 AS INT)]
+        |       ELSE raw_estimate END AS est_distinct,
+        |  raw_estimate, zero_registers
+        |FROM est""".stripMargin,
+
+    // q137: registers per (lang, source), max-merged onto lang, then the
+    // q131 estimator — the merge step made explicit in SQL.
+    "q137_hll_merge" ->
+      s"""WITH h AS (
+        |  SELECT lang, source,
+        |    CAST(('0x' || substr(md5('hll:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |reg AS (
+        |  SELECT lang, source, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h // 256)) END) AS m_j
+        |  FROM h GROUP BY lang, source, h % 256),
+        |merged AS (
+        |  SELECT lang, j, max(m_j) AS m_j FROM reg GROUP BY lang, j),
+        |agg AS (
+        |  SELECT lang,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM merged GROUP BY lang),
         |est AS (
         |  SELECT lang,
         |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
