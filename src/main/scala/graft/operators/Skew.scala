@@ -98,4 +98,26 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(combine.head, combine.tail: _*)
   }
+
+  /** Hot-key profile of a would-be shuffle key: the top `topK` keys by row
+    * count with each key's parts-per-million share — the measurement that
+    * DECIDES whether [[saltedJoin]]/[[saltedAgg]] (or a broadcast) is
+    * needed, instead of guessing. Share is exact integer ppm (cnt·10^6 div
+    * total — cnt ≤ 10^12 rows keeps the product inside int64).
+    *
+    * Scale shape: one map-side-combined count per key, then a global top-k
+    * (TakeOrdered — per-partition heads, never a full sort); the one-row
+    * total is a broadcast cross join, not a window over all keys (a
+    * single-partition window would funnel every key through one task).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"), expr("cnt * 1000000 div _total").as("ppm"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -125,6 +125,15 @@ object PipelineQueries {
       graft.operators.Sketches.hllDistinct(docs(s, dir), "lang", "text")
     }),
 
+    // ── Hot-key profile of the corpus source column — the measurement that
+    // decides salting vs broadcast before a 100 TB shuffle, instead of
+    // guessing (the q69 salted join's hot keys were KNOWN; this is how you
+    // know). Exact integer ppm shares. See
+    // [[graft.operators.Skew.keyProfile]].
+    "q138_skew_profile" -> ((s, dir) => {
+      graft.operators.Skew.keyProfile(docs(s, dir), "source", topK = 10)
+    }),
+
     // ── Sketch mergeability as a query: registers built at (lang, source)
     // granularity, max-merged to per-lang estimates WITHOUT rescanning the
     // corpus — the union law an incremental 100 TB load relies on (persist
@@ -1137,6 +1146,14 @@ object PipelineQueries {
         |       ELSE raw_estimate END AS est_distinct,
         |  raw_estimate, zero_registers
         |FROM est""".stripMargin,
+
+    "q138_skew_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(source AS VARCHAR) AS key, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT key, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS ppm
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
 
     // q137: registers per (lang, source), max-merged onto lang, then the
     // q131 estimator — the merge step made explicit in SQL.

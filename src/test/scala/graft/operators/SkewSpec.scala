@@ -105,4 +105,21 @@ class SkewSpec extends SparkTestBase {
     assert(a === b)
     assert(a(0L) === 1820L) // 1800 head rows + the tail's i % 10 == 0 rows
   }
+
+  test("keyProfile surfaces hot keys with exact ppm shares, ties broken by key") {
+    // 1000 rows: key "hot" owns 500 (500000 ppm), "warm" 300, "a"/"b" 100
+    // each (tie → ordered by key)
+    val df = (Seq.fill(500)("hot") ++ Seq.fill(300)("warm") ++
+      Seq.fill(100)("a") ++ Seq.fill(100)("b")).toDF("k")
+    val got = Skew.keyProfile(df, "k", topK = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("hot", 500L, 500000L), ("warm", 300L, 300000L),
+      ("a", 100L, 100000L)))
+  }
+
+  test("keyProfile truncates shares with integer div (never rounds up past total)") {
+    val df = Seq("x", "x", "y").toDF("k") // x: 2/3 → 666666 ppm floor
+    val got = Skew.keyProfile(df, "k").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("x", 2L, 666666L), ("y", 1L, 333333L)))
+  }
 }
