@@ -108,12 +108,17 @@ object Skew {
     * Scale shape: one map-side-combined count per key, then a global top-k
     * (TakeOrdered — per-partition heads, never a full sort); the one-row
     * total is a broadcast cross join, not a window over all keys (a
-    * single-partition window would funnel every key through one task).
+    * single-partition window would funnel every key through one task). The
+    * per-key counts feed BOTH the total and the ranked output, so they are
+    * persisted under the caller's [[CacheScope]] — without it the raw scan
+    * and count aggregate run twice (once per branch of the cross join).
     */
-  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+    val counts = scope.own(df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = counts.agg(sum(col("cnt")).as("_total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("cnt"), expr("cnt * 1000000 div _total").as("ppm"))
