@@ -46,6 +46,18 @@ object EventQueries {
         "user_id", "ts", lengthSeconds = 1800)
     }),
 
+    // ── Daily distinct users via the HLL sketch: the sketch × time-bucket
+    // composition — per-day register tables are what a dashboard persists
+    // to answer "unique users, any date range" by max-merging buckets
+    // (q137's union law) instead of re-counting. Estimates are the
+    // integer-exact q131 chain. See [[graft.operators.Sketches]].
+    "q139_hll_windowed" -> ((s, dir) => {
+      graft.operators.Sketches.hllDistinct(
+        RelationalQueries.events(s, dir)
+          .select(col("ts").cast("date").as("day"), col("user_id")),
+        "day", "user_id")
+    }),
+
     // ── NATIVE session windows (batch form of the streaming operator):
     // the same 30-min gap sessions as q105 through Spark's built-in
     // `session_window` — one aggregate, the engine merges overlapping
@@ -212,6 +224,40 @@ object EventQueries {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // q139: the q131 HLL chain with a per-day group over the events table.
+    // The DATE cast is timezone-free on both engines (UTC sessions); the
+    // linear-counting list is the same Scala-rendered table as q131's.
+    "q139_hll_windowed" ->
+      s"""WITH h AS (
+        |  SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+        |    CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM events),
+        |reg AS (
+        |  SELECT day, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h // 256)) END) AS m_j
+        |  FROM h GROUP BY day, h % 256),
+        |agg AS (
+        |  SELECT day,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM reg GROUP BY day),
+        |est AS (
+        |  SELECT day,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM agg)
+        |SELECT day,
+        |  CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |       THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |              [CAST(zero_registers + 1 AS INT)]
+        |       ELSE raw_estimate END AS est_distinct,
+        |  raw_estimate, zero_registers
+        |FROM est""".stripMargin,
 
     // q134: the interval-union windows restated — a span breaks where an
     // interval's start exceeds the running max of previous ends (equality
