@@ -112,10 +112,14 @@ object StreamingQueries {
     * scratch sweep after it.
     */
   private def runToMemorySink(spark: SparkSession, df: DataFrame,
-      sinkName: String, ckpt: Path, scratch: Path*): DataFrame = {
+      sinkName: String, ckpt: Path, scratch: Path*): DataFrame =
+    runToMemorySink(spark, df, sinkName, "append", ckpt, scratch: _*)
+
+  private def runToMemorySink(spark: SparkSession, df: DataFrame,
+      sinkName: String, mode: String, ckpt: Path, scratch: Path*): DataFrame = {
     spark.catalog.dropTempView(sinkName)
     val q = df.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
       .start()
     try q.processAllAvailable()
@@ -368,6 +372,41 @@ object StreamingQueries {
     runToMemorySink(spark, updates, "q72_sink", ckpt, in)
     }
 
+  /** q140: COMPLETE output mode — the third emission semantic beside the
+    * suite's append (q19 et al.) and the stateful operators' own update
+    * stream. A complete-mode aggregate re-emits its ENTIRE result table
+    * every micro-batch and the memory sink REPLACES its contents, so after
+    * draining a 3-batch replay the sink holds exactly the final state —
+    * the whole-table aggregate the oracle states directly. No watermark:
+    * complete mode keeps all group state by contract (that unbounded state
+    * is precisely why production favors append + watermark; this query
+    * pins the semantic, scoped to a low-cardinality group).
+    * An engine that appended instead of replacing would triple-count; one
+    * that lost state between batches would emit only the last batch's
+    * partial counts.
+    */
+  def streamCompleteMode(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val in = Files.createTempDirectory("q140_in")
+    val ckpt = Files.createTempDirectory("q140_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 0), in, "a0.json", now - 120000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 1), in, "a1.json", now - 60000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 2), in, "a2.json", now)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat).json(in.toString)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        RelationalQueries.dsum(col("value")).as("sum_value"),
+        max(col("event_id")).as("max_id"))
+
+    runToMemorySink(spark, agg, "q140_sink", "complete", ckpt, in)
+    }
+
   /** Output row of [[TypeCountsProcessor]]: one cumulative snapshot per
     * (user, batch the user appeared in).
     */
@@ -504,7 +543,8 @@ object StreamingQueries {
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
     "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)),
     "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
-    "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)))
+    "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)),
+    "q140_stream_complete" -> ((s, dir) => streamCompleteMode(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -613,6 +653,13 @@ object StreamingQueries {
         |    AS n_unmatched,
         |  max(p_id) AS max_purchase_id
         |FROM outrows GROUP BY user_id""".stripMargin,
+
+    // q140: complete mode's final sink state IS the whole-table aggregate.
+    "q140_stream_complete" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // q136: q72's oracle shape with per-type cumulative counts — one row
     // per (user, batch tag) carrying running sums through the batches.
