@@ -853,6 +853,27 @@ object PipelineQueries {
     // mismatch means the ORC writer/reader (or a codec) mangled a value.
     // ORC scans split and push down like parquet, so the read side scales
     // identically.
+    // ── Avro interchange WITHOUT spark-avro (absent from the offline
+    // distribution — only the core avro/avro-mapred jars ship): the corpus
+    // written to Avro container files through the public Hadoop-format API
+    // and read back via the container's own header schema; the checksum
+    // folds every row's content, so a type-mapping slip (Utf8 leaking,
+    // timestamp precision loss) breaks the hash. See
+    // [[graft.sources.AvroIO]].
+    "q141_avro_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = scratchDir("avrort")
+      val out = s"$tmp/docs_${System.nanoTime()}"
+      graft.sources.AvroIO.write(d, out)
+      graft.sources.AvroIO.read(s, out)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          bit_xor(TextFunctions.md5Hash60(concat_ws("|",
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars")))).as("checksum"))
+    }),
+
     "q111_orc_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir)
       val tmp = scratchDir("orc")
@@ -2297,6 +2318,19 @@ object PipelineQueries {
     // q111: the oracle computes the expected per-(codec, lang) report from
     // the parquet truth — a lossless ORC round-trip must reproduce it for
     // both codecs (same device as q89).
+    // q141: the expected per-lang report straight from the source table —
+    // a lossless avro round trip must reproduce it exactly.
+    "q141_avro_roundtrip" ->
+      """WITH t AS (
+        |  SELECT lang, len(text) AS nc,
+        |    CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang,
+        |      source, n_chars)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  bit_xor(h) AS checksum
+        |FROM t GROUP BY lang""".stripMargin,
+
     "q111_orc_roundtrip" ->
       """WITH t AS (
         |  SELECT lang, len(text) AS nc,
