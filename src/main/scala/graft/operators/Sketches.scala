@@ -146,14 +146,40 @@ object Sketches {
   def weightedPrioritySample(
       df: DataFrame, keyCol: String, weightCol: Column, k: Int,
       maxWeight: Int = 8): DataFrame = {
-    val w = least(lit(maxWeight), greatest(lit(1), weightCol.cast("int")))
-    val pr = array_min(transform(
-      sequence(lit(1), w),
-      r => TextFunctions.md5Hash60(
-        concat(lit("wps:"), col(keyCol).cast("string"), lit(":"), r.cast("string")))))
-    df.withColumn("weight", w)
-      .withColumn("priority", pr)
+    df.withColumn("weight", clampedWeight(weightCol, maxWeight))
+      .withColumn("priority", minOfWeightUniforms(keyCol))
       .orderBy(col("priority"), col(keyCol))
       .limit(k)
   }
+
+  /** Stratified variant: the `kPerGroup` smallest priorities WITHIN each
+    * group — importance sampling that cannot let one stratum starve
+    * another (the balanced-mixture twin of the global top-k). The rank
+    * filter plans as WindowGroupLimit: each task keeps only kPerGroup rows
+    * per group before the shuffle, so the exchange carries
+    * O(groups × kPerGroup), not the corpus.
+    */
+  def weightedPrioritySamplePerGroup(
+      df: DataFrame, keyCol: String, groupCol: String, weightCol: Column,
+      kPerGroup: Int, maxWeight: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("weight", clampedWeight(weightCol, maxWeight))
+      .withColumn("priority", minOfWeightUniforms(keyCol))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("priority"), col(keyCol))))
+    ranked.filter(col("_rk") <= kPerGroup).drop("_rk")
+  }
+
+  private def clampedWeight(weightCol: Column, maxWeight: Int): Column =
+    least(lit(maxWeight), greatest(lit(1), weightCol.cast("int")))
+
+  /** min of `weight` md5 uniforms for the row's key — reads the already-
+    * clamped `weight` column added by the callers above.
+    */
+  private def minOfWeightUniforms(keyCol: String): Column =
+    array_min(transform(
+      sequence(lit(1), col("weight")),
+      r => TextFunctions.md5Hash60(
+        concat(lit("wps:"), col(keyCol).cast("string"), lit(":"), r.cast("string")))))
 }

@@ -134,6 +134,17 @@ object PipelineQueries {
       graft.operators.Skew.keyProfile(docs(s, dir), "source", topK = 10)
     }),
 
+    // ── Stratified weighted sample: the q132 priorities ranked WITHIN each
+    // language — importance sampling that cannot let one stratum starve
+    // another; WindowGroupLimit keeps the exchange at groups × k rows. See
+    // [[graft.operators.Sketches.weightedPrioritySamplePerGroup]].
+    "q142_weighted_sample_grouped" -> ((s, dir) => {
+      graft.operators.Sketches.weightedPrioritySamplePerGroup(
+          docs(s, dir), "doc_id", "lang", expr("1 + n_chars div 500"),
+          kPerGroup = 20)
+        .select("doc_id", "lang", "weight", "priority")
+    }),
+
     // ── Sketch mergeability as a query: registers built at (lang, source)
     // granularity, max-merged to per-lang estimates WITHOUT rescanning the
     // corpus — the union law an incremental 100 TB load relies on (persist
@@ -1175,6 +1186,21 @@ object PipelineQueries {
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
         |SELECT key, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS ppm
         |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+
+    // q142: the q132 priority formula ranked per language.
+    "q142_weighted_sample_grouped" ->
+      """SELECT doc_id, lang, w AS weight, pr AS priority FROM (
+        |  SELECT doc_id, lang, w, pr,
+        |    row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rk
+        |  FROM (
+        |    SELECT doc_id, lang, w,
+        |      list_min(list_transform(generate_series(1, w),
+        |        r -> CAST(('0x' || substr(md5('wps:' || CAST(doc_id AS VARCHAR)
+        |                   || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT))) AS pr
+        |    FROM (SELECT doc_id, lang,
+        |            least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
+        |          FROM documents)))
+        |WHERE rk <= 20""".stripMargin,
 
     // q137: registers per (lang, source), max-merged onto lang, then the
     // q131 estimator — the merge step made explicit in SQL.
