@@ -207,6 +207,39 @@ final class ParquetTableStore(
 
   def snapshot(): DataFrame = readDirs(readManifest().values.toSeq)
 
+  /** Keyed readback that touches ONLY the buckets able to contain `keys` —
+    * the read-side twin of merge's bucket pruning. A point lookup against a
+    * 100 TB table must not scan 10⁵ bucket dirs for a handful of keys; this
+    * resolves the key set's bucket ids (bounded by `numBuckets`, same
+    * collect contract as merge), reads those dirs, and left-semi joins the
+    * keys (broadcast under the same `broadcastKeyLimit` guard as merge).
+    * Consistency matches [[snapshot]]: the manifest resolves at CALL time,
+    * the files evaluate lazily.
+    *
+    * `keys` must carry exactly the primary-key columns (any extra columns
+    * are ignored for the probe but make the semi join ambiguous — select
+    * them away first). The key frame is evaluated twice (bucket probe +
+    * semi join) and therefore persists under the caller's
+    * [[graft.operators.CacheScope]] — the returned plan stays LAZY, so
+    * release the scope only after the last action on it.
+    */
+  def snapshotForKeys(keys: DataFrame,
+      scope: graft.operators.CacheScope = graft.operators.CacheScope.unmanaged): DataFrame = {
+    val pk = spec.pkCols
+    val keyDf = scope.own(keys.select(pk.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val perBucket = keyDf
+      .groupBy(bucketOf(pk.map(col)).as("_bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val affected = perBucket.map(_._1).toSet
+    val totalKeys = perBucket.map(_._2).sum
+    val probe =
+      if (totalKeys <= broadcastKeyLimit) keyDf.hint("broadcast") else keyDf
+    val manifest = readManifest()
+    readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
+      .join(probe, pk, "left_semi")
+  }
+
   /** End-of-stream cleanup: drop every data dir the current manifest doesn't
     * reference. Deferred gc (start of the NEXT merge) means a table whose
     * LAST merge is final would otherwise retain its replaced bucket dirs

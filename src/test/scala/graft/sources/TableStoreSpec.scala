@@ -160,4 +160,25 @@ class TableStoreSpec extends SparkTestBase {
       spark.emptyDataFrame.select(lit(0).as("id"), lit("").as("v")).limit(0)))
     assert(state(s) == Map.empty)
   }
+
+  test("snapshotForKeys returns exactly the requested live keys") {
+    val s = newStore(buckets = 16)
+    s.init((1 to 200).map(i => (i, s"v$i")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(5).toDF("id"), Seq((7, "v7b")).toDF("id", "v")))
+    val got = s.snapshotForKeys(Seq(5, 7, 42, 9999).toDF("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // 5 deleted, 9999 never present, 7 updated, 42 untouched
+    assert(got == Map(7 -> "v7b", 42 -> "v42"))
+  }
+
+  test("snapshotForKeys reads only the buckets that can hold the keys") {
+    val s = newStore(buckets = 16)
+    s.init((1 to 400).map(i => (i, s"v$i")).toDF("id", "v"))
+    val full = s.snapshot().inputFiles.length
+    assert(full >= 8, s"expected a multi-bucket table, got $full files")
+    val lookup = s.snapshotForKeys(Seq(3).toDF("id"))
+    assert(lookup.inputFiles.length < full,
+      s"point lookup must prune bucket dirs (read ${lookup.inputFiles.length} of $full)")
+    assert(lookup.collect().map(r => r.getInt(0)).toSeq == Seq(3))
+  }
 }
