@@ -907,6 +907,25 @@ object PipelineQueries {
     // folds the exact microsecond value of every row, so ANY precision or
     // timezone shift in the ORC timestamp path breaks the hash. (ORC
     // stores writer-timezone metadata — the session is pinned UTC.)
+    // ── Timestamp fidelity through the Avro interchange (q112's twin):
+    // events written as timestamp-micros Avro longs and read back; the
+    // checksum folds every row's exact microsecond, so any precision or
+    // epoch slip in the logical-type mapping breaks the hash.
+    "q143_avro_events_roundtrip" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val tmp = scratchDir("avrots")
+      val out = s"$tmp/events_${System.nanoTime()}"
+      graft.sources.AvroIO.write(ev, out)
+      graft.sources.AvroIO.read(s, out)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          bit_xor(TextFunctions.md5Hash60(concat_ws("|",
+            col("event_id"), unix_micros(col("ts")), col("user_id"),
+            col("event_type"), col("props")))).as("checksum"))
+    }),
+
     "q112_orc_events_roundtrip" -> ((s, dir) => {
       val ev = RelationalQueries.events(s, dir)
       val tmp = scratchDir("orcts")
@@ -2373,6 +2392,18 @@ object PipelineQueries {
     // the µs truncation restated (epoch_ns // 1000) and every row's exact
     // microsecond folded into the checksum.
     "q112_orc_events_roundtrip" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, props,
+        |    epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS min_us, max(us) AS max_us,
+        |  bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, us,
+        |    user_id, event_type, props)), 1, 15)) AS BIGINT)) AS checksum
+        |FROM ev GROUP BY event_type""".stripMargin,
+
+    // q143: identical expected report — a lossless Avro timestamp mapping
+    // must reproduce the ORC/parquet one exactly.
+    "q143_avro_events_roundtrip" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, props,
         |    epoch_ns(ts) // 1000 AS us FROM events)
