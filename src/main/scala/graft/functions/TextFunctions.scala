@@ -166,10 +166,16 @@ object TextFunctions {
 
   /** Shared deterministic 60-bit word hash both Spark and DuckDB can compute:
     * first 15 hex chars of md5, as a long. Used where an external oracle must
-    * reproduce the value; xxhash64 is faster but Spark-only.
+    * reproduce the value; xxhash64 is faster but Spark-only. Evaluated by
+    * the native codegen'd [[org.apache.spark.sql.graft.Md5Hash60]]
+    * expression (digest → long, no per-row hex string); the historical
+    * `conv(substring(md5(c),1,15),16,10)` chain is value-identical and
+    * remains the DuckDB oracle spelling.
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.Md5Hash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("binary"))))
 
   /** Domain-separated key hash: `md5Hash60("<domain>:" + key)`. THE shared
     * convention for every operator that makes an independent per-key random

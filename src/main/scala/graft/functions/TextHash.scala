@@ -52,6 +52,25 @@ object TextHash {
 
   def md5Hash60(s: String): Long = md5Hash60(MessageDigest.getInstance("MD5"), s)
 
+  // One digest instance per thread: the codegen kernel below runs per row,
+  // and MessageDigest.getInstance per call would dominate the hash itself.
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The per-row kernel behind the native `graft_md5h60` expression
+    * ([[org.apache.spark.sql.graft.Md5Hash60]]): identical value to the
+    * `conv(substring(md5(c), 1, 15), 16, 10)` column chain (first 15 hex
+    * chars = top 60 bits of the first 8 digest bytes), without
+    * materializing the 32-char hex string per row. Called from generated
+    * code — keep the signature (byte[]) → long and the name stable.
+    */
+  def md5Hash60Bytes(bytes: Array[Byte]): Long = {
+    val md = localMd.get()
+    md.reset()
+    ByteBuffer.wrap(md.digest(bytes), 0, 8).getLong >>> 4
+  }
+
   /** Word k-shingles; documents with fewer than k tokens contribute their
     * whole token sequence as one shingle (so every doc has ≥1 shingle, the
     * empty doc's being ""). Matches the DuckDB oracle's list_transform form.

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -73,4 +73,34 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native 60-bit md5 hash — the determinism workhorse behind every
+  * oracle-matched hash column (signatures, band keys, sampling decisions,
+  * checksums). Value-identical to the
+  * `conv(substring(md5(c), 1, 15), 16, 10) :: long` chain the library used
+  * before (the first 15 hex chars ARE the top 60 bits of the first 8
+  * digest bytes — pinned by `TextHashSpec`'s differential rows), but
+  * evaluated as digest → long directly: the 3-op chain allocates and
+  * parses a 32-char hex UTF8String per row, this generates one static
+  * call. The kernel lives in [[graft.functions.TextHash.md5Hash60Bytes]]
+  * (thread-local digest) so interpreted eval and generated code share one
+  * implementation.
+  */
+case class Md5Hash60(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5h60"
+
+  override protected def nullSafeEval(b: Any): Any =
+    graft.functions.TextHash.md5Hash60Bytes(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.md5Hash60Bytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

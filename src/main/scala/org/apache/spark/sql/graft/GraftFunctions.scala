@@ -27,6 +27,13 @@ object GraftFunctions {
         require(children.length == 2,
           s"graft_dot takes exactly 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_md5h60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "graft_md5h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_md5h60 takes exactly 1 argument, got ${children.length}")
+        Md5Hash60(children.head)
       }))
 
   /** Register every graft function into a live session's registry. */

@@ -31,6 +31,29 @@ class TextHashSpec extends SparkTestBase {
     assert(fromCol.toSeq === fromJvm)
   }
 
+  test("native graft_md5h60 equals the historical conv(substring(md5)) chain, nulls included") {
+    // the conv chain IS the DuckDB oracle spelling — the native expression
+    // replacing it in every hash column must be value-identical on every
+    // input shape, and NULL must stay NULL (UnaryExpression null-safety)
+    val df = (samples.map(Option(_)) :+ None).toDF("s")
+    val legacy = df.select(
+      conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h")).collect().map(r => Option(r.get(0)))
+    val native = df.select(TextFunctions.md5Hash60(col("s")).as("h"))
+      .collect().map(r => Option(r.get(0)))
+    assert(native.toSeq === legacy.toSeq)
+    assert(native.last.isEmpty, "NULL input must hash to NULL")
+  }
+
+  test("graft_md5h60 is registered for SQL users and codegen agrees with interpreted eval") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    samples.toDF("s").createOrReplaceTempView("th_samples")
+    val viaSql = spark.sql(
+      "SELECT graft_md5h60(CAST(s AS BINARY)) FROM th_samples")
+      .as[Long].collect()
+    assert(viaSql.toSeq === samples.map(TextHash.md5Hash60))
+  }
+
   test("tokens: JVM twin equals the column expression") {
     val fromCol = samples.toDF("s")
       .select(TextFunctions.tokens(col("s")).as("t"))
