@@ -171,6 +171,49 @@ object Sketches {
     ranked.filter(col("_rk") <= kPerGroup).drop("_rk")
   }
 
+  /** Build an m-bit Bloom filter over `valueCol` (hashed through the
+    * "bloom" domain) — the membership pre-filter that turns a 100 TB
+    * anti-/semi-join into a map-side bit test plus a small exact
+    * verification join on the survivors. The bitmap is a CONSTANT m/64
+    * longs per partition (word-OR merged by [[graft.functions.
+    * BloomBitsAggregator]]); collecting it to the driver is bounded state
+    * by construction (512 B at m=4096), the same contract as k-means
+    * centroids. `m` must be a power of two (the probe derives the word and
+    * bit indices by shift/mask so the whole test stays codegen'd).
+    */
+  def bloomBits(df: DataFrame, valueCol: String, m: Int = 4096, k: Int = 3): Array[Long] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import df.sparkSession.implicits._
+    val agg = new graft.functions.BloomBitsAggregator(m, k).toColumn
+    df.select(TextFunctions.domainHash("bloom", col(valueCol)).as("h"))
+      .as[Long].select(agg).collect()(0)
+  }
+
+  /** Membership test against a built bitmap, as a codegen'd column: k
+    * double-hashed positions (same derivation as the build), each tested
+    * with element_at + shift/mask against the broadcast literal array. A
+    * true is "possibly in the set" (false positives at the standard Bloom
+    * rate), false is definitive — callers route `true` rows into the exact
+    * verification join and drop the rest unjoined.
+    */
+  def bloomMightContain(bits: Array[Long], m: Int, k: Int, value: Column): Column = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(bits.length == m / 64, s"bitmap length ${bits.length} != m/64 = ${m / 64}")
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = TextFunctions.domainHash("bloom", value)
+    val h1 = h.bitwiseAND(lit((m - 1).toLong))
+    val hd = call_function("shiftrightunsigned", h, lit(log2m))
+    val h2 = lit(1L) + pmod(hd, lit((m - 1).toLong))
+    val bitsLit = typedLit(bits.toSeq)
+    (0 until k).map { i =>
+      val p = pmod(h1 + lit(i.toLong) * h2, lit(m.toLong))
+      val word = call_function("shiftrightunsigned", p, lit(6)).cast("int")
+      val bit = p.bitwiseAND(lit(63L)).cast("int")
+      element_at(bitsLit, word + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), bit)) =!= 0L
+    }.reduce(_ && _)
+  }
+
   private def clampedWeight(weightCol: Column, maxWeight: Int): Column =
     least(lit(maxWeight), greatest(lit(1), weightCol.cast("int")))
 

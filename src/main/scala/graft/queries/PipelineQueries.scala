@@ -125,6 +125,22 @@ object PipelineQueries {
       graft.operators.Sketches.hllDistinct(docs(s, dir), "lang", "text")
     }),
 
+    // ── Bloom membership sweep: a 4096-bit filter built over src0's texts
+    // (one 512-byte bitmap via word-OR merge — the constant-state build),
+    // probed against the whole corpus as a codegen'd bit test. True =
+    // possibly-src0-text (exact members plus the deterministic FP set both
+    // engines reproduce); false = definitively new — the scalable
+    // decontamination pre-filter ahead of an exact join. See
+    // [[graft.operators.Sketches.bloomBits]]/[[graft.operators.Sketches.bloomMightContain]].
+    "q144_bloom_membership" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bits = graft.operators.Sketches.bloomBits(
+        d.filter(col("source") === "src0"), "text")
+      d.select(col("doc_id"),
+        graft.operators.Sketches.bloomMightContain(bits, 4096, 3, col("text"))
+          .as("might_contain"))
+    }),
+
     // ── Hot-key profile of the corpus source column — the measurement that
     // decides salting vs broadcast before a 100 TB shuffle, instead of
     // guessing (the q69 salted join's hot keys were KNOWN; this is how you
@@ -1197,6 +1213,29 @@ object PipelineQueries {
         |       ELSE raw_estimate END AS est_distinct,
         |  raw_estimate, zero_registers
         |FROM est""".stripMargin,
+
+    // q144: bitmap semantics restated as a distinct-position set — a probe
+    // is "possibly in" iff ALL k of its positions were set by the build
+    // (duplicate positions within one probe row test the same bit twice,
+    // which the per-position left join reproduces).
+    "q144_bloom_membership" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('bloom:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, h % 4096 AS h1,
+        |    1 + ((h // 4096) % 4095) AS h2
+        |  FROM h),
+        |ks AS (SELECT unnest([0, 1, 2]) AS i),
+        |built AS (
+        |  SELECT DISTINCT (h1 + i * h2) % 4096 AS pos
+        |  FROM p, ks WHERE source = 'src0'),
+        |probes AS (
+        |  SELECT p.doc_id, (h1 + i * h2) % 4096 AS pos FROM p, ks)
+        |SELECT pr.doc_id, (count(b.pos) = 3) AS might_contain
+        |FROM probes pr LEFT JOIN built b ON b.pos = pr.pos
+        |GROUP BY pr.doc_id""".stripMargin,
 
     "q138_skew_profile" ->
       """WITH c AS (

@@ -67,6 +67,29 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("bloom filter: no false negatives, bounded false positives, probe matches build") {
+    val members = (1 to 300).map(i => s"member-$i")
+    val outsiders = (1 to 1000).map(i => s"outsider-$i")
+    val bits = Sketches.bloomBits(members.toDF("v"), "v", m = 4096, k = 3)
+    val probe = (members ++ outsiders).toDF("v")
+      .select(col("v"), Sketches.bloomMightContain(bits, 4096, 3, col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    members.foreach(v => assert(probe(v), s"false negative on $v — forbidden"))
+    val fps = outsiders.count(probe(_))
+    // fill ≈ 1-(1-1/4096)^900 ≈ 0.197 → FP ≈ 0.197³ ≈ 0.8%; allow slack
+    assert(fps < 50, s"$fps false positives of 1000 — far above the m=4096/k=3 rate")
+  }
+
+  test("bloom bitmaps from disjoint halves OR-merge to the whole's bitmap") {
+    val h1 = (1 to 200).map(i => s"x$i").toDF("v")
+    val h2 = (201 to 400).map(i => s"x$i").toDF("v")
+    val all = (1 to 400).map(i => s"x$i").toDF("v")
+    val merged = Sketches.bloomBits(h1, "v").zip(Sketches.bloomBits(h2, "v"))
+      .map { case (a, b) => a | b }
+    assert(merged.toSeq == Sketches.bloomBits(all, "v").toSeq,
+      "bloom union law — the incremental-build property")
+  }
+
   test("weighted sampling odds scale with weight (heavier rows win more seats)") {
     // 1000 weight-1 rows vs 1000 weight-8 rows: the weight-8 side should
     // take roughly 8/9 of the seats; determinism makes this a fixed number,
