@@ -407,6 +407,47 @@ object StreamingQueries {
     runToMemorySink(spark, agg, "q140_sink", "complete", ckpt, in)
     }
 
+  /** q145: UPDATE output mode — completes the emission triple (append:
+    * q19 et al., complete: q140). Update mode re-emits, per micro-batch,
+    * only the groups that CHANGED, and the memory sink APPENDS those
+    * snapshots — so the drained sink holds each day's cumulative count
+    * once per batch that touched it, which the oracle restates as a
+    * running sum over the batch tag (event_id % 3 routes arrival, so
+    * "which batches touch which day" is a pure function of the data).
+    * No watermark: update mode without one keeps all group state — the
+    * low-cardinality day key makes that acceptable here; the semantic
+    * under test is the changed-groups-only emission (an engine emitting
+    * ALL groups per batch would produce rows for untouched days; one
+    * emitting only final state would lose the intermediate snapshots).
+    */
+  def streamUpdateMode(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val ev = RelationalQueries.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val in = Files.createTempDirectory("q145_in")
+    val ckpt = Files.createTempDirectory("q145_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 0), in, "a0.json", now - 120000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 1), in, "a1.json", now - 60000)
+    dumpArrivalFile(ev.filter(col("event_id") % 3 === 2), in, "a2.json", now)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat).json(in.toString)
+    val agg = stream
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        RelationalQueries.dsum(col("value")).as("sum_value"))
+
+    runToMemorySink(spark, agg, "q145_sink", "update", ckpt, in)
+      // the sink holds per-(day, batch) snapshots in arrival order; the
+      // batch tag itself is not a sink column, so rank the snapshots per
+      // day by their monotone cumulative count to give the oracle a key
+      .withColumn("upd_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day")).orderBy(col("cnt"))))
+    }
+
   /** Output row of [[TypeCountsProcessor]]: one cumulative snapshot per
     * (user, batch the user appeared in).
     */
@@ -544,7 +585,8 @@ object StreamingQueries {
     "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)),
     "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
     "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)),
-    "q140_stream_complete" -> ((s, dir) => streamCompleteMode(s, dir)))
+    "q140_stream_complete" -> ((s, dir) => streamCompleteMode(s, dir)),
+    "q145_stream_update" -> ((s, dir) => streamUpdateMode(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -660,6 +702,22 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // q145: one snapshot per (day, batch that touched it) — the running
+    // sums through the batch tag; upd_seq ranks a day's snapshots.
+    "q145_stream_update" ->
+      """WITH per AS (
+        |  SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+        |    event_id % 3 AS b, count(*) AS c,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day,
+        |  CAST(sum(c) OVER w AS BIGINT) AS cnt,
+        |  CAST(CAST(sum(sv) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        |  CAST(row_number() OVER w AS INT) AS upd_seq
+        |FROM per
+        |WINDOW w AS (PARTITION BY day ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q136: q72's oracle shape with per-type cumulative counts — one row
     // per (user, batch tag) carrying running sums through the batches.
