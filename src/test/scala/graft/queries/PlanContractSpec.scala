@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.SparkEntry
+
+/** Plan contracts: the scale properties the per-query scaladocs claim,
+  * locked as assertions over the optimized/executed plans at sf0.001 so a
+  * refactor that silently un-broadcasts a dimension, drops a pushed
+  * filter, or adds an exchange fails HERE rather than in a 100 TB run.
+  * String-level checks on `explain` output are deliberate: they assert
+  * the same artifact a human plan review reads.
+  */
+class PlanContractSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // FormattedMode: the simple toString truncates PushedFilters/ReadSchema
+    // at the metadata length cap, which would make the assertions below
+    // vacuous
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  // formatted explain prints every node once in the tree and once as a
+  // "(n) NodeName" detail header — count the headers, which are unique
+  private def countNodes(p: String, node: String): Int =
+    s"""\\(\\d+\\) $node\\b""".r.findAllIn(p).length
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: ["), "no pushdown section in the scan")
+    assert(p.contains("GreaterThan(l_discount"), "discount predicate not pushed")
+    // pruned read schema: the scan must not read all 16 lineitem columns
+    assert(!p.contains("l_comment"), "projection pruning lost — scan reads l_comment")
+  }
+
+  test("q03: dimension joins broadcast, the fact side never shuffles for them") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dimension join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "a dimension SMJ shuffles the fact side")
+  }
+
+  test("q132: global weighted sample is scan → TakeOrdered, zero exchanges") {
+    val p = plan("q132_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must plan as TakeOrdered")
+    assert(!p.contains("Exchange"), s"zero-exchange contract broken:\n$p")
+  }
+
+  test("q134: interval union runs both windows and the aggregate on ONE exchange") {
+    val p = plan("q134_interval_union")
+    assert(countNodes(p, "Exchange") == 1,
+      s"one-shuffle contract broken (${countNodes(p, "Exchange")} exchanges)")
+  }
+
+  test("q142: per-group sample rank plans as WindowGroupLimit") {
+    val p = plan("q142_weighted_sample_grouped")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter must push the per-group limit below the shuffle")
+  }
+
+  test("q131: HLL is exactly two exchanges (registers, then groups)") {
+    val p = plan("q131_hll_distinct")
+    assert(countNodes(p, "Exchange") == 2,
+      s"two-shuffle contract broken:\n$p")
+  }
+
+  test("q144: bloom probe is a single scan with no join or exchange") {
+    val p = plan("q144_bloom_membership")
+    assert(!p.contains("Join"), "the bit test must not plan a join")
+    assert(!p.contains("Exchange"), "the probe must ride the scan")
+  }
+
+  test("q94: partition pruning reaches the scan") {
+    val p = plan("q94_partition_pruning")
+    assert(p.contains("PartitionFilters: [") || p.contains("PartitionCount: 1"),
+      "partition filter lost")
+  }
+}
