@@ -161,6 +161,26 @@ class TableStoreSpec extends SparkTestBase {
     assert(state(s) == Map.empty)
   }
 
+  test("rebucketing = init on a store with the new count over the old snapshot") {
+    // the documented migration path for the bucket-count guard: a full
+    // rewrite via init adopts the new count atomically (new manifest
+    // header), and merges under the new store keep working
+    val dir = tmpDir("rebucket")
+    val s8 = new ParquetTableStore(spark, dir, spec, 8)
+    s8.init((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    val s32 = new ParquetTableStore(spark, dir, spec, 32)
+    s32.init(s8.snapshot())
+    assert(state(s32) == (1 to 100).map(i => i -> s"v$i").toMap)
+    s32.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b2")).toDF("id", "v")))
+    assert(state(s32).get(2).contains("b2") && !state(s32).contains(1))
+    // the OLD count now fails the guard instead of corrupting
+    val stale = new ParquetTableStore(spark, dir, spec, 8)
+    val e = intercept[IllegalArgumentException](
+      stale.merge(CompactedBatch(Seq(3).toDF("id"),
+        Seq((4, "x")).toDF("id", "v"))))
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("snapshotForKeys returns exactly the requested live keys") {
     val s = newStore(buckets = 16)
     s.init((1 to 200).map(i => (i, s"v$i")).toDF("id", "v"))
