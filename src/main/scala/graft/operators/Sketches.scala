@@ -214,6 +214,56 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Build a Count-Min sketch over `keyCol`: a depth × width counter
+    * matrix as rows (i, bucket, cnt) with bucket_i(k) =
+    * md5Hash60("cms" + i + ":" + k) mod width. The i-th hash gets its own
+    * md5 domain, so the depth rows are independent in the CM sense while
+    * every bucket index stays a pure integer both engines recompute
+    * identically (Cormode & Muthukrishnan, J. Algorithms 2005).
+    *
+    * Scale shape: the per-row explode to depth rows is absorbed by
+    * map-side combine — each task emits at most depth × width partial
+    * counts no matter how many keys it scanned, and the sketch itself is
+    * CONSTANT state (depth·width rows ≈ 2k at the defaults), mergeable
+    * across loads by summing counters. That is the whole point at 100 TB:
+    * per-key frequency queries without shuffling per-key rows.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    df.select(col(keyCol).cast("string").as("_k"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("_k"))
+      .select(col("i"), cmsBucket(col("i"), col("_k"), width).as("bucket"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for `probes` (one row per key) against a
+    * built counter table: est(k) = min_i cnt[i][bucket_i(k)], with absent
+    * counters reading 0. Overestimates only — est ≥ true count always, and
+    * est ≤ true + εN with probability 1−δ for width = ⌈e/ε⌉, depth =
+    * ⌈ln 1/δ⌉. The counter table joins broadcast (it is constant-size by
+    * construction), so probing rides the probe scan with zero shuffle of
+    * corpus rows.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    probes
+      .select(col(keyCol), col(keyCol).cast("string").as("_k"))
+      .select(col(keyCol), explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("_k"))
+      .select(col(keyCol), col("i"), cmsBucket(col("i"), col("_k"), width).as("bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  /** Default CM geometry: ε ≈ e/512 ≈ 0.53% of the stream length at
+    * δ = e^−4 ≈ 1.8%. */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 512
+
+  private def cmsBucket(i: Column, key: Column, width: Int): Column =
+    pmod(TextFunctions.md5Hash60(
+      concat(lit("cms"), i.cast("string"), lit(":"), key)), lit(width.toLong))
+
   private def clampedWeight(weightCol: Column, maxWeight: Int): Column =
     least(lit(maxWeight), greatest(lit(1), weightCol.cast("int")))
 

@@ -441,6 +441,27 @@ object RelationalQueries {
     // (codegen'd might_contain, no UDF) so non-matching orders drop BEFORE
     // the semi-join shuffle; the exact left_semi closes the false positives.
     // See [[graft.operators.BloomPrune]] for the 100 TB rationale.
+    // ── Count-Min frequency sketch over lineitem's part key: the sketch
+    // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
+    // matrix (map-side combine bounds every task's output at ~2k rows), then
+    // point-frequency probes broadcast-join that matrix — no per-key shuffle
+    // ever happens. The exact counts ride alongside to exhibit the CM
+    // guarantee (est ≥ exact, overestimate ≤ εN). See
+    // [[graft.operators.Sketches.cmsCounters]].
+    "q146_cms_freq" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val counters = graft.operators.Sketches.cmsCounters(li, "l_partkey")
+      val probes = t(s, dir, "part")
+        .filter(col("p_partkey") <= 50).select(col("p_partkey"))
+      val exact = li.filter(col("l_partkey") <= 50)
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("exact_count"))
+      graft.operators.Sketches.cmsEstimate(counters, probes, "p_partkey")
+        .join(exact, Seq("p_partkey"), "left")
+        .select(col("p_partkey"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+    }),
+
     "q68_bloom_prune" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 4000)
@@ -913,6 +934,33 @@ object RelationalQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // q146: the same depth×width counter matrix and min-over-rows probe,
+    // restated with DuckDB's md5/% — every bucket index and counter is an
+    // exact integer, so the estimates agree bit-for-bit.
+    "q146_cms_freq" ->
+      """WITH d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |c AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+        |           || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem, d GROUP BY 1, 2),
+        |p AS (SELECT p_partkey FROM part WHERE p_partkey <= 50),
+        |pb AS (
+        |  SELECT p_partkey, i,
+        |    CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+        |           || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket
+        |  FROM p, d),
+        |est AS (
+        |  SELECT p_partkey, min(coalesce(c.cnt, 0)) AS est_count
+        |  FROM pb LEFT JOIN c USING (i, bucket) GROUP BY p_partkey),
+        |ex AS (
+        |  SELECT l_partkey AS p_partkey, count(*) AS exact_count
+        |  FROM lineitem WHERE l_partkey <= 50 GROUP BY 1)
+        |SELECT est.p_partkey, est_count,
+        |  coalesce(ex.exact_count, 0) AS exact_count
+        |FROM est LEFT JOIN ex USING (p_partkey)""".stripMargin,
 
     "q68_bloom_prune" ->
       """SELECT o_orderpriority, count(*) AS cnt,

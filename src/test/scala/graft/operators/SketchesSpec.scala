@@ -100,4 +100,42 @@ class SketchesSpec extends SparkTestBase {
       .filter(col("weight") === 8).count()
     assert(heavy > 140 && heavy <= 200, s"heavy won $heavy of 200 seats")
   }
+
+  test("count-min never underestimates and is exact when buckets don't collide") {
+    // 40 keys with known counts 1..40 in a wide sketch (collision-free w.h.p.)
+    val rows = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k")).toDF("k")
+    val counters = Sketches.cmsCounters(rows, "k")
+    val probes = (1 to 40).map(k => s"k$k").toDF("k")
+    val est = Sketches.cmsEstimate(counters, probes, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 40).foreach { k =>
+      assert(est(s"k$k") >= k, s"CM must never underestimate (k$k)")
+      assert(est(s"k$k") <= k + 40, s"k$k overestimate beyond εN")
+    }
+    // an absent key reads only collision mass — bounded by εN = e/512·820
+    assert(Sketches.cmsEstimate(counters, Seq("nope").toDF("k"), "k")
+      .collect()(0).getLong(1) <= 40)
+  }
+
+  test("count-min counters from disjoint halves sum-merge to the whole's counters") {
+    val h1 = (1 to 500).map(i => s"a${i % 60}").toDF("k")
+    val h2 = (1 to 500).map(i => s"b${i % 60}").toDF("k")
+    val all = h1.unionAll(h2)
+    def cnts(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      Sketches.cmsCounters(df, "k").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cnts(h1).toSeq ++ cnts(h2).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(merged == cnts(all),
+      "CM sketches must merge by counter sum — the incremental-load property")
+  }
+
+  test("count-min row mass: every depth row's counters sum to the stream length") {
+    val rows = (1 to 777).map(i => s"v${i % 91}").toDF("k")
+    val perRow = Sketches.cmsCounters(rows, "k")
+      .groupBy("i").agg(sum("cnt").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == Set(0, 1, 2, 3))
+    assert(perRow.values.forall(_ == 777L))
+  }
 }
