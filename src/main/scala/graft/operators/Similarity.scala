@@ -311,6 +311,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Per-vector symmetric int8 code array, kept in DOUBLE cells: scale =
+    * max-abs, code = floor(x·127/scale + ½) ∈ [−127, 127]. The same scheme
+    * the q88 quantize query persists, minus the int cast — the codes are
+    * integral values either way, and staying double keeps the coarse dot
+    * on the codegen'd [[dot]] kernel. Every step (multiply, divide, floor)
+    * is a single IEEE operation, so an external engine reproduces each
+    * code bit-for-bit.
+    */
+  def int8Codes(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x)))
+    when(scale === 0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec, x => floor(x * lit(127.0) / scale + lit(0.5))))
+  }
+
+  /** Two-stage retrieval: coarse top-`coarseK` by quantized-code dot, then
+    * exact-cosine re-rank of the survivors to top-`k` — the shape a 100 TB
+    * embedding store actually serves queries with. The corpus pass touches
+    * only the 4×-smaller code representation (in a real deployment the
+    * codes are the PERSISTED index and the full vectors live in a separate
+    * store fetched per candidate; here both derive from one scan), and the
+    * expensive exact cosine runs on queries × coarseK rows, never the
+    * corpus.
+    *
+    * Scale shape: stage 1 shuffles only (query_id, neighbor_id, coarse
+    * score) triples into the per-query top-coarseK window; the candidate
+    * id list (≤ queries × coarseK rows) then broadcast-joins back to the
+    * corpus scan to fetch exact vectors, so no full-width vector ever
+    * crosses an exchange before the candidate cut. Code dots are exact:
+    * |code| ≤ 127, so a 64-dim dot is < 2²¹ — integers a double carries
+    * exactly, making the coarse ranking engine-independent.
+    *
+    * Recall caveat (by design, documented not hidden): code dot
+    * approximates cosine only up to the per-vector scale factor; coarseK
+    * must be sized so the true top-k survive stage 1 — the spec pins
+    * recall on a planted-neighbor corpus rather than assuming it.
+    */
+  def rerankTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, coarseK: Int = 50): DataFrame = {
+    require(k > 0 && coarseK >= k,
+      s"rerankTopK: need coarseK >= k > 0, got k=$k coarseK=$coarseK")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), int8Codes(col(vecCol)).as("qc")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      int8Codes(col(vecCol)).as("cc"))
+    import org.apache.spark.sql.expressions.Window
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cand = q.select(col("query_id"), col("qc")).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse", dot(col("qc"), col("cc")))
+      .select(col("query_id"), col("neighbor_id"), col("coarse"))
+      .withColumn("crank", row_number().over(coarseW))
+      .filter(col("crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val exactW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(cand).join(cv, Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(exactW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Element-wise mean embedding per group — cluster representatives for a
     * deduped/labeled corpus (e.g. one vector per dedup cluster or topic).
     *

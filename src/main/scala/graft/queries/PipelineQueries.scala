@@ -494,6 +494,17 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
     }),
 
+    // ── Two-stage retrieval: coarse top-50 by int8-code dot (the 4×-smaller
+    // persisted index a 100 TB store scans), exact-cosine re-rank of the
+    // survivors to top-10 — no full-width vector crosses an exchange before
+    // the candidate cut. See [[graft.operators.Similarity.rerankTopK]].
+    "q147_ann_rerank" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      Similarity.rerankTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, coarseK = 50)
+    }),
+
     // ── IVF ANN: deterministic md5-sampled codebook, inverted-list cell
     // assignment riding the scan, 4-of-16 cell probing + exact rescore.
     "q47_ann_ivf" -> ((s, dir) => {
@@ -2078,6 +2089,36 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
         |  FROM q, c WHERE query_id <> neighbor_id)
+        |WHERE rank <= 10""".stripMargin,
+
+    // q147: the q88 code chain (scale, floor-quantize) feeds a coarse
+    // integer-exact dot rank, then list_cosine_similarity re-ranks the
+    // survivors — the same two windows in the same total order.
+    "q147_ann_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |cd AS (SELECT vec_id, v,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |             ELSE list_transform(v,
+        |               x -> floor(x * 127.0 / scale + 0.5)) END AS c
+        |      FROM s),
+        |q AS (SELECT vec_id AS query_id, v AS qv, c AS qc FROM cd
+        |      WHERE vec_id < 8),
+        |coarse AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, cd.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qc, cd.c) DESC, cd.vec_id) AS crank
+        |    FROM q, cd WHERE q.query_id <> cd.vec_id)
+        |  WHERE crank <= 50)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT co.query_id, co.neighbor_id,
+        |    row_number() OVER (PARTITION BY co.query_id
+        |      ORDER BY list_cosine_similarity(q.qv, e.v) DESC, co.neighbor_id) AS rank
+        |  FROM coarse co
+        |  JOIN e ON e.vec_id = co.neighbor_id
+        |  JOIN q ON q.query_id = co.query_id)
         |WHERE rank <= 10""".stripMargin,
 
     "q41_multimodal_prep" ->

@@ -173,6 +173,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall@10 was $recall")
   }
 
+  test("rerankTopK with coarseK = corpus size equals the exact brute force") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val rr = Similarity.rerankTopK(c, q, "vec_id", "embedding", k = 10, coarseK = 200)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(rr === exact,
+      "full-coarseK rerank must reduce to the exact ranking")
+  }
+
+  test("rerankTopK recall@10 through the coarse int8 cut clears a floor") {
+    val c = corpus
+    val q = c.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.rerankTopK(c, q, "vec_id", "embedding", k = 10, coarseK = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect rr).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@10 through coarseK=40 was $recall")
+    // and a planted exact copy must survive both stages as rank 1
+    val rnd = new scala.util.Random(13)
+    val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val df = c.union(Seq((900L, v), (901L, v.clone())).toDF("vec_id", "embedding"))
+    val top = Similarity.rerankTopK(df, df.filter($"vec_id" === 900L),
+      "vec_id", "embedding", k = 3, coarseK = 20)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top(901L) == 1, s"planted copy ranked ${top.get(901L)}")
+  }
+
+  test("rerankTopK rejects coarseK below k") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.rerankTopK(corpus, corpus.limit(1), "vec_id", "embedding",
+        k = 10, coarseK = 5)
+    }
+    assert(ex.getMessage.contains("coarseK"))
+  }
+
   test("lshTopK never returns self-matches and respects k") {
     val c = corpus
     val q = c.filter($"vec_id" < 5)
