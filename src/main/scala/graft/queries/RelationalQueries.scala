@@ -441,6 +441,34 @@ object RelationalQueries {
     // (codegen'd might_contain, no UDF) so non-matching orders drop BEFORE
     // the semi-join shuffle; the exact left_semi closes the false positives.
     // See [[graft.operators.BloomPrune]] for the 100 TB rationale.
+    // ── Stats-only aggregation: MIN/MAX/COUNT answered from parquet
+    // row-group FOOTER statistics via DSv2 aggregate pushdown — at 100 TB
+    // the scan reads metadata, not data pages (the same reason zone maps
+    // exist). The v2 parquet path is enabled for this ONE load only
+    // (useV1SourceList restored in finally — bucketed scans and the rest of
+    // the inventory stay on the v1 path they were planned for);
+    // aggregatePushdown itself is inert for v1 reads, so leaving it set is
+    // harmless. Guard rails: pushdown silently falls back to a normal scan
+    // if the shape stops qualifying (a filter, a group-by on a data column)
+    // — the plan-contract test pins `PushedAggregation` so that regression
+    // is loud.
+    "q148_agg_pushdown" -> ((s, dir) => {
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val key = "spark.sql.sources.useV1SourceList"
+      val prev = s.conf.get(key)
+      val withoutParquet = prev.split(",").map(_.trim)
+        .filterNot(_.equalsIgnoreCase("parquet")).mkString(",")
+      s.conf.set(key, withoutParquet)
+      try {
+        t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      } finally s.conf.set(key, prev)
+    }),
+
     // ── Count-Min frequency sketch over lineitem's part key: the sketch
     // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
     // matrix (map-side combine bounds every task's output at ~2k rows), then
@@ -934,6 +962,12 @@ object RelationalQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q148_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an

@@ -72,6 +72,37 @@ class PlanContractSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), "the probe must ride the scan")
   }
 
+  test("q148: min/max/count answered from parquet statistics, v1 path restored") {
+    val p = plan("q148_agg_pushdown")
+    assert(p.contains("PushedAggregation: ["),
+      s"aggregation not pushed into the parquet scan:\n$p")
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"),
+      "pushed aggregate list lost a member")
+    // the conf dance must not leak: a fresh read right after plans v1
+    // (bucketed joins and the rest of the inventory depend on the v1 path)
+    val fresh = spark.read.parquet(s"$sf/lineitem.parquet")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(fresh.contains("Scan parquet") && !fresh.contains("BatchScan"),
+      "useV1SourceList was not restored after the pushdown query")
+  }
+
+  test("q146: the CM counter matrix broadcast-joins the probes (no corpus shuffle to probes)") {
+    val p = plan("q146_cms_freq")
+    assert(p.contains("BroadcastHashJoin"),
+      "the constant-size counter table must broadcast")
+  }
+
+  test("q147: no full-width vector crosses the coarse exchange") {
+    val p = plan("q147_ann_rerank")
+    // the stage-1 window input must be the id/score triple, not embeddings:
+    // every Exchange hashpartitioning(query_id ...) row set stays narrow
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges >= 1, "expected the coarse top-k exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate id list and queries must broadcast-join back to the corpus")
+  }
+
   test("q94: partition pruning reaches the scan") {
     val p = plan("q94_partition_pruning")
     assert(p.contains("PartitionFilters: [") || p.contains("PartitionCount: 1"),
