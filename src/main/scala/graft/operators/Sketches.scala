@@ -214,6 +214,49 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Pairwise distinct-overlap estimates between every two groups, at
+    * sketch cost: for each unordered pair (a, b) of `groupCol` values,
+    * |A∩B| is estimated by inclusion–exclusion over HLL estimates —
+    * est(A) + est(B) − est(A∪B) — where the union estimate comes from
+    * MAX-MERGING the two groups' register tables (the sketch-union law),
+    * never from rescanning rows. Clamped at 0 (quantization noise can push
+    * the raw difference slightly negative on disjoint sets); the raw
+    * signed value rides along for calibration.
+    *
+    * This is the sketch twin of the exact source-overlap join: at 100 TB,
+    * all-pairs exact intersection is |groups|² shuffles of row data, while
+    * this is ONE register build (a corpus scan reduced to groups × m rows)
+    * plus driver-scale pair arithmetic. Use it to rank suspicious pairs,
+    * then run the exact join on the shortlist.
+    */
+  def hllIntersectPairs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val reg = hllRegisters(df, Seq(groupCol), valueCol)
+    val singles = hllEstimate(reg, Seq(groupCol))
+      .select(col(groupCol), col("est_distinct"))
+    val srcs = reg.select(col(groupCol)).distinct()
+    // group count is bounded (it is a grouping key), so the pair frame and
+    // the pair-register merge below all broadcast
+    val pairs = srcs.select(col(groupCol).as("src_a"))
+      .crossJoin(srcs.select(col(groupCol).as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val pairReg = broadcast(pairs)
+      .join(reg, col(groupCol) === col("src_a") || col(groupCol) === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("_j"))
+      .agg(max(col("m_j")).as("m_j"))
+    val unionEst = hllEstimate(pairReg, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_distinct").as("est_union"))
+    unionEst
+      .join(broadcast(singles.select(col(groupCol).as("src_a"),
+        col("est_distinct").as("est_a"))), Seq("src_a"))
+      .join(broadcast(singles.select(col(groupCol).as("src_b"),
+        col("est_distinct").as("est_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("raw_intersect"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_intersect"))
+  }
+
   /** Build a Count-Min sketch over `keyCol`: a depth × width counter
     * matrix as rows (i, bucket, cnt) with bucket_i(k) =
     * md5Hash60("cms" + i + ":" + k) mod width. The i-th hash gets its own

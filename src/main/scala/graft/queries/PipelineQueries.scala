@@ -174,6 +174,15 @@ object PipelineQueries {
         Seq("lang"))
     }),
 
+    // ── Pairwise source-overlap estimates at sketch cost: per-source HLL
+    // registers max-merged per pair (the union law), |A∩B| by inclusion–
+    // exclusion — the shortlist ranker that replaces |groups|² exact
+    // intersection joins at 100 TB; the exact q116 join then runs only on
+    // the shortlist. See [[graft.operators.Sketches.hllIntersectPairs]].
+    "q149_hll_intersect" -> ((s, dir) => {
+      graft.operators.Sketches.hllIntersectPairs(docs(s, dir), "source", "text")
+    }),
+
     // ── Weighted priority sample: k docs with odds ∝ length-derived weight,
     // via min-of-w-uniforms integer priorities (the Efraimidis–Spirakis
     // shape without cross-engine transcendentals). See
@@ -1270,6 +1279,73 @@ object PipelineQueries {
         |            least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
         |          FROM documents)))
         |WHERE rk <= 20""".stripMargin,
+
+    // q149: per-source registers, singles estimated directly, pair unions
+    // from max-merged registers, inclusion–exclusion at the end — the same
+    // HUGEINT estimator as q131 run at two granularities.
+    "q149_hll_intersect" ->
+      s"""WITH h AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5('hll:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |reg AS (
+        |  SELECT source, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h // 256)) END) AS m_j
+        |  FROM h GROUP BY source, h % 256),
+        |sagg AS (
+        |  SELECT source,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM reg GROUP BY source),
+        |sest0 AS (
+        |  SELECT source,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM sagg),
+        |sest AS (
+        |  SELECT source,
+        |    CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |         THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |                [CAST(zero_registers + 1 AS INT)]
+        |         ELSE raw_estimate END AS est
+        |  FROM sest0),
+        |prs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM (SELECT DISTINCT source FROM reg) a,
+        |       (SELECT DISTINCT source FROM reg) b
+        |  WHERE a.source < b.source),
+        |preg AS (
+        |  SELECT p.src_a, p.src_b, r.j, max(r.m_j) AS m_j
+        |  FROM prs p JOIN reg r ON r.source = p.src_a OR r.source = p.src_b
+        |  GROUP BY p.src_a, p.src_b, r.j),
+        |pagg AS (
+        |  SELECT src_a, src_b,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM preg GROUP BY src_a, src_b),
+        |pest0 AS (
+        |  SELECT src_a, src_b,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM pagg),
+        |pest AS (
+        |  SELECT src_a, src_b,
+        |    CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |         THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |                [CAST(zero_registers + 1 AS INT)]
+        |         ELSE raw_estimate END AS est_union
+        |  FROM pest0)
+        |SELECT p.src_a, p.src_b, ea.est AS est_a, eb.est AS est_b, p.est_union,
+        |  ea.est + eb.est - p.est_union AS raw_intersect,
+        |  greatest(ea.est + eb.est - p.est_union, 0) AS est_intersect
+        |FROM pest p
+        |JOIN sest ea ON ea.source = p.src_a
+        |JOIN sest eb ON eb.source = p.src_b""".stripMargin,
 
     // q137: registers per (lang, source), max-merged onto lang, then the
     // q131 estimator — the merge step made explicit in SQL.

@@ -101,6 +101,28 @@ class SketchesSpec extends SparkTestBase {
     assert(heavy > 140 && heavy <= 200, s"heavy won $heavy of 200 seats")
   }
 
+  test("hllIntersectPairs recovers a planted overlap and near-zero for disjoint sets") {
+    // A = s1..s1500, B = s1000..s2500 (overlap 500), C = t1..t1000 (disjoint)
+    val rows =
+      (1 to 1500).map(i => ("A", s"s$i")) ++
+      (1000 to 2500).map(i => ("B", s"s$i")) ++
+      (1 to 1000).map(i => ("C", s"t$i"))
+    val got = Sketches.hllIntersectPairs(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("est_intersect"), r.getAs[Long]("est_union"))).toMap
+    val ab = got(("A", "B"))
+    assert(math.abs(ab._1 - 500) < 500 * 0.6, s"A∩B estimated ${ab._1}")
+    assert(math.abs(ab._2 - 2500) < 2500 * 0.25, s"A∪B estimated ${ab._2}")
+    val ac = got(("A", "C"))
+    assert(ac._1 < 1500 * 0.2, s"disjoint A∩C estimated ${ac._1}")
+    // inclusion–exclusion identity holds exactly on the emitted columns
+    Sketches.hllIntersectPairs(rows.toDF("g", "v"), "g", "v").collect().foreach { r =>
+      val raw = r.getAs[Long]("est_a") + r.getAs[Long]("est_b") - r.getAs[Long]("est_union")
+      assert(r.getAs[Long]("raw_intersect") == raw)
+      assert(r.getAs[Long]("est_intersect") == math.max(raw, 0L))
+    }
+  }
+
   test("count-min never underestimates and is exact when buckets don't collide") {
     // 40 keys with known counts 1..40 in a wide sketch (collision-free w.h.p.)
     val rows = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k")).toDF("k")
