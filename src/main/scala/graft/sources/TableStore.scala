@@ -78,7 +78,8 @@ final class ParquetTableStore(
     root: String,
     val spec: TableSpec,
     numBuckets: Int = 64,
-    broadcastKeyLimit: Long = 1000000L)
+    broadcastKeyLimit: Long = 1000000L,
+    inFilterLimit: Long = 1024L)
   extends TableStore {
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
@@ -172,7 +173,13 @@ final class ParquetTableStore(
   private def writeBucketDirs(df: DataFrame): Map[Int, String] = {
     val token = System.nanoTime()
     val staging = new Path(tablePath, s".staging_$token")
+    // PK-sorted within each bucket file: the parquet writer then records
+    // tight per-row-group min/max stats on the key columns, so a pushed
+    // key predicate (snapshotForKeys' In filter) skips whole row groups
+    // instead of decoding them — the micro-index a 100 TB point lookup
+    // needs. Sorting rides the same exchange the repartition already pays.
     withBucket(df).repartition(col("_bucket"))
+      .sortWithinPartitions(col("_bucket") +: spec.pkCols.map(col): _*)
       .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
     fs.mkdirs(dataPath)
     val written = fs.listStatus(staging)
@@ -236,8 +243,21 @@ final class ParquetTableStore(
     val probe =
       if (totalKeys <= broadcastKeyLimit) keyDf.hint("broadcast") else keyDf
     val manifest = readManifest()
-    readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
-      .join(probe, pk, "left_semi")
+    val base = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
+    // Small key sets additionally push an In predicate on the LEADING key
+    // column into the parquet scan: with bucket files PK-sorted (see
+    // writeBucketDirs), the row-group stats turn the lookup into a skip
+    // scan. A superset filter only — the semi join below stays the exact
+    // membership test (composite keys match on every column there). The
+    // collect is bounded by inFilterLimit, the same driver-state contract
+    // as the bucket probe above.
+    val filtered =
+      if (totalKeys <= inFilterLimit) {
+        val lead = pk.head
+        val vals = keyDf.select(col(lead)).distinct().collect().map(_.get(0))
+        base.filter(col(lead).isin(vals: _*))
+      } else base
+    filtered.join(probe, pk, "left_semi")
   }
 
   /** End-of-stream cleanup: drop every data dir the current manifest doesn't

@@ -191,6 +191,38 @@ class TableStoreSpec extends SparkTestBase {
     assert(got == Map(7 -> "v7b", 42 -> "v42"))
   }
 
+  test("bucket files are PK-sorted so key predicates can skip row groups") {
+    val s = newStore(buckets = 4)
+    // insertion order deliberately scrambled
+    s.init(scala.util.Random.shuffle((1 to 400).toList).map(i => (i, s"v$i")).toDF("id", "v"))
+    val files = s.snapshot().inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("id").collect().map(_.getInt(0)).toSeq
+      assert(ids == ids.sorted, s"bucket file $f not PK-sorted")
+    }
+  }
+
+  test("small key sets push an In filter into the scan; large ones skip it") {
+    val s = newStore(buckets = 4)
+    s.init((1 to 300).map(i => (i, s"v$i")).toDF("id", "v"))
+    val lookup = s.snapshotForKeys(Seq(3, 7).toDF("id"))
+    val p = lookup.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [In(id"),
+      s"point lookup must push the key In filter:\n$p")
+    assert(lookup.collect().map(r => r.getInt(0)).sorted.toSeq == Seq(3, 7))
+    // above the limit: no In pushdown, still exact via the semi join
+    val wide = new ParquetTableStore(spark, tmpDir("store"), spec, 4,
+      broadcastKeyLimit = 1000000L, inFilterLimit = 1L)
+    wide.init((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"))
+    val lk2 = wide.snapshotForKeys(Seq(5, 6).toDF("id"))
+    val p2 = lk2.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p2.contains("PushedFilters: [In(id"))
+    assert(lk2.collect().map(r => r.getInt(0)).sorted.toSeq == Seq(5, 6))
+  }
+
   test("snapshotForKeys reads only the buckets that can hold the keys") {
     val s = newStore(buckets = 16)
     s.init((1 to 400).map(i => (i, s"v$i")).toDF("id", "v"))
