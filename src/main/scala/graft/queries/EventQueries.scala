@@ -168,6 +168,40 @@ object EventQueries {
 
     // ── Trailing-8-term EWMA of `value` per user: exact decimal weights
     // 2^-(j+1), one window shuffle on the actor key (Rolling scaladoc).
+    // ── 5-minute OHLC bars per event type — the time-series downsample an
+    // analytics store serves charts from. Bar boundary = integer µs floor
+    // (no calendar function, so both engines bucket identically); open and
+    // close picked by mirror-image row_number ranks over (ts, event_id) —
+    // a total order, so ties cannot flip endpoints across engines. ONE
+    // exchange on (type, bar): both window sorts and the final aggregate
+    // reuse it; at 100 TB the shuffle carries (type, bar, value, rank
+    // bookkeeping) rows, already one per event, and bars aggregate
+    // map-side after the windows.
+    "q150_ohlc_bars" -> ((s, dir) => {
+      val barUs = 300000000L // 5 min in µs
+      val e = RelationalQueries.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("bar_us",
+          unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(barUs)))
+      val asc = Window.partitionBy(col("event_type"), col("bar_us"))
+        .orderBy(col("ts"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("bar_us"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(asc))
+        .withColumn("rdesc", row_number().over(desc))
+        .groupBy(col("event_type"), col("bar_us")) // same keys as the windows
+        .agg(
+          max(when(col("rn") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rdesc") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          RelationalQueries.dsum(col("value")).as("sum_value"))
+        .select(col("event_type"), timestamp_micros(col("bar_us")).as("bar_start"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"), col("sum_value"))
+    }),
+
     "q120_ewma" -> ((s, dir) => {
       Rolling.ewma(RelationalQueries.events(s, dir),
         "user_id", "ts", "event_id", "value", terms = 8, outCol = "ewma8")
@@ -377,6 +411,27 @@ object EventQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin
     },
+
+    // q150: identical µs-floor bucketing and mirror-rank endpoint picks.
+    "q150_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    epoch_us(ts) - epoch_us(ts) % 300000000 AS bar_us
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bar_us
+        |                       ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, bar_us
+        |                       ORDER BY ts DESC, event_id DESC) AS rdesc
+        |  FROM e)
+        |SELECT event_type, make_timestamp(bar_us) AS bar_start,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rdesc = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY event_type, bar_us""".stripMargin,
 
     "q120_ewma" -> {
       val terms = (0 until 8).map { j =>

@@ -103,6 +103,12 @@ class PlanContractSpec extends SparkTestBase {
       "candidate id list and queries must broadcast-join back to the corpus")
   }
 
+  test("q150: both window sorts and the bar aggregate ride ONE exchange") {
+    val p = plan("q150_ohlc_bars")
+    assert(countNodes(p, "Exchange") == 1,
+      s"one-shuffle OHLC contract broken (${countNodes(p, "Exchange")} exchanges)")
+  }
+
   test("q94: partition pruning reaches the scan") {
     val p = plan("q94_partition_pruning")
     assert(p.contains("PartitionFilters: [") || p.contains("PartitionCount: 1"),
