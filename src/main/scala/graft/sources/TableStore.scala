@@ -178,9 +178,16 @@ final class ParquetTableStore(
     // key predicate (snapshotForKeys' In filter) skips whole row groups
     // instead of decoding them — the micro-index a 100 TB point lookup
     // needs. Sorting rides the same exchange the repartition already pays.
-    withBucket(df).repartition(col("_bucket"))
+    // Parquet-level bloom filters on each key column cover the case stats
+    // cannot: a probe key INSIDE a row group's min/max range but absent —
+    // the reader drops the group on the bloom test without decoding it.
+    val writer = withBucket(df).repartition(col("_bucket"))
       .sortWithinPartitions(col("_bucket") +: spec.pkCols.map(col): _*)
-      .write.mode("overwrite").partitionBy("_bucket").parquet(staging.toString)
+      .write.mode("overwrite").partitionBy("_bucket")
+    spec.pkCols.foldLeft(writer) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      .parquet(staging.toString)
     fs.mkdirs(dataPath)
     val written = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("_bucket="))

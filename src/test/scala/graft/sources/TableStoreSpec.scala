@@ -203,6 +203,25 @@ class TableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("bucket files carry a parquet bloom filter on the key column") {
+    val s = newStore(buckets = 2)
+    s.init((1 to 300).map(i => (i, s"v$i")).toDF("id", "v"))
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    s.snapshot().inputFiles.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        val id = cols.find(_.getPath.toDotString == "id").get
+        assert(id.getBloomFilterOffset > 0, s"no bloom filter on id in $f")
+        val v = cols.find(_.getPath.toDotString == "v").get
+        assert(v.getBloomFilterOffset <= 0, "bloom must cover key columns only")
+      } finally reader.close()
+    }
+  }
+
   test("small key sets push an In filter into the scan; large ones skip it") {
     val s = newStore(buckets = 4)
     s.init((1 to 300).map(i => (i, s"v$i")).toDF("id", "v"))
