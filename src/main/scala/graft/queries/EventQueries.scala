@@ -202,6 +202,39 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // ── Time-weighted average value per type (TWAP): each event's value
+    // holds until the type's next event (the q124 SCD2 hold semantics),
+    // weight = exact µs duration, integral accumulated in DECIMAL so the
+    // sum is order-independent — a float integral would pin the verifier
+    // to accumulation order. One window shuffle on event_type, reused by
+    // the final aggregate; the open last interval is excluded on both
+    // engines. Zero-length ties contribute zero weight by construction.
+    "q151_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      RelationalQueries.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dur_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .filter(col("dur_us").isNotNull)
+        // value in exact hundredths (the decimal cast pins the 2-dp data
+        // contract); the integral then lives in int64 hundredth-µs units —
+        // a decimal-to-double cast would round twice in some engines
+        // (int128 → double → /10^scale), so no decimal survives to the
+        // output. Scale contract: |value|·Σdur_us·100 < 2^63 per group —
+        // ~10^18 hundredth-µs ≈ 300 value-years; wider spans pre-bucket.
+        .withColumn("vh", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("vh") * col("dur_us")).as("_numh"),
+          sum(col("dur_us")).as("total_dur_us"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("event_type"),
+          (col("_numh").cast("double")
+            / (col("total_dur_us") * 100).cast("double")).as("twap"),
+          col("n_intervals"), col("total_dur_us"))
+    }),
+
     "q120_ewma" -> ((s, dir) => {
       Rolling.ewma(RelationalQueries.events(s, dir),
         "user_id", "ts", "event_id", "value", terms = 8, outCol = "ewma8")
@@ -411,6 +444,24 @@ object EventQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin
     },
+
+    // q151: identical hold-duration lead and int64 hundredth-µs integral;
+    // the final divide is one IEEE op over two exactly-agreed int64 casts.
+    "q151_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vh,
+        |    lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |      - us AS dur_us
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(CAST(sum(vh * dur_us) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(dur_us) AS BIGINT) * 100 AS DOUBLE) AS twap,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+        |FROM d WHERE dur_us IS NOT NULL GROUP BY event_type""".stripMargin,
 
     // q150: identical µs-floor bucketing and mirror-rank endpoint picks.
     "q150_ohlc_bars" ->
