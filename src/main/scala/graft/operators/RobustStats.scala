@@ -98,4 +98,45 @@ object RobustStats {
       .agg(count(lit(1)).as("cnt"), min("v").as("min_v"), max("v").as("max_v"),
         sum(col("v").cast("decimal(18,2)")).cast("double").as("vsum"))
   }
+
+  /** Per-group least-squares SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²)
+    * over integer-valued x/y columns — the distributed half of a linear
+    * trend fit. The statistics sum exactly in int64 in any order and MERGE
+    * across partitions, corpora, and incremental loads by plain addition
+    * (the same contract as the sketch family); the 2×2 normal-equation
+    * solve is O(1) per group and belongs on the consumer — see
+    * [[solveLinear]]. Emitting the solve's ratio from the query was
+    * rejected deliberately: a slope double would tie the result to an
+    * engine's wide-integer division/rounding behavior, while these five
+    * integers are bit-identical everywhere.
+    *
+    * Caller owns the scale contract: |x|·|y|·n and x²·n must stay inside
+    * int64 — pick x/y quantizations accordingly (e.g. hour-resolution
+    * time, hundredth-unit values).
+    */
+  def regressionStats(df: DataFrame, groupCol: String,
+      x: Column, y: Column): DataFrame =
+    df.select(col(groupCol), x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sum_x"), sum(col("_y")).as("sum_y"),
+        sum(col("_x") * col("_y")).as("sum_xy"),
+        sum(col("_x") * col("_x")).as("sum_xx"))
+
+  /** Close the fit from [[regressionStats]] output: (slope, intercept) of
+    * y over x, or None for degenerate groups (n < 2 or zero x variance).
+    * Driver-side O(1) arithmetic in BigInt (no overflow) with one final
+    * double division each.
+    */
+  def solveLinear(n: Long, sumX: Long, sumY: Long,
+      sumXy: Long, sumXx: Long): Option[(Double, Double)] = {
+    val den = BigInt(n) * sumXx - BigInt(sumX) * sumX
+    if (n < 2 || den == 0) None
+    else {
+      val num = BigInt(n) * sumXy - BigInt(sumX) * sumY
+      val slope = num.toDouble / den.toDouble
+      Some((slope, (sumY - slope * sumX) / n))
+    }
+  }
 }

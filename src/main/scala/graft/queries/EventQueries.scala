@@ -202,6 +202,20 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // ── Per-type linear-trend sufficient statistics: x = hours since
+    // 2024-01-01 (exact integer bucket), y = value hundredths. Five int64
+    // sums that merge across partitions and incremental loads by addition;
+    // the O(1) normal-equation solve stays consumer-side
+    // ([[graft.operators.RobustStats.solveLinear]]) — emitting the slope
+    // ratio here would tie the oracle to an engine's wide-division
+    // rounding. One map-side-combined shuffle of 5 longs per group.
+    "q152_trend_stats" -> ((s, dir) => {
+      graft.operators.RobustStats.regressionStats(
+        RelationalQueries.events(s, dir), "event_type",
+        expr("unix_micros(ts) div 3600000000") - lit(473352L),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    }),
+
     // ── Time-weighted average value per type (TWAP): each event's value
     // holds until the type's next event (the q124 SCD2 hold semantics),
     // weight = exact µs duration, integral accumulated in DECIMAL so the
@@ -444,6 +458,21 @@ object EventQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin
     },
+
+    // q152: the same hour/hundredth quantizations; every sum an exact
+    // BIGINT (bounds documented at the operator).
+    "q152_trend_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_xx
+        |FROM (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 3600000000 - 473352 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |GROUP BY event_type""".stripMargin,
 
     // q151: identical hold-duration lead and int64 hundredth-µs integral;
     // the final divide is one IEEE op over two exactly-agreed int64 casts.

@@ -82,4 +82,33 @@ class RobustStatsSpec extends SparkTestBase {
       .as[(Int, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
     assert(out.map(_._2) === Seq(5L, 5L, 5L, 5L))
   }
+
+  test("regressionStats + solveLinear recover an exactly linear trend") {
+    // y = 3x + 7 for g1; constant x for g2 (degenerate)
+    val rows = (0L to 50L).map(x => ("g1", x, 3 * x + 7)) ++
+      (1 to 5).map(i => ("g2", 4L, i.toLong))
+    val stats = RobustStats.regressionStats(rows.toDF("g", "x", "y"),
+      "g", col("x"), col("y")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (n, sx, sy, sxy, sxx) = stats("g1")
+    assert(n == 51 && sx == (0L to 50L).sum)
+    val Some((slope, intercept)) = RobustStats.solveLinear(n, sx, sy, sxy, sxx)
+    assert(slope == 3.0 && intercept == 7.0, s"got ($slope, $intercept)")
+    val (n2, sx2, sy2, sxy2, sxx2) = stats("g2")
+    assert(RobustStats.solveLinear(n2, sx2, sy2, sxy2, sxx2).isEmpty,
+      "zero x-variance must be reported degenerate, not a NaN slope")
+  }
+
+  test("regressionStats merge across splits by plain addition") {
+    val all = (0L until 100L).map(x => ("g", x, x * x % 97)).toDF("g", "x", "y")
+    val h1 = (0L until 50L).map(x => ("g", x, x * x % 97)).toDF("g", "x", "y")
+    val h2 = (50L until 100L).map(x => ("g", x, x * x % 97)).toDF("g", "x", "y")
+    def s(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      RobustStats.regressionStats(df, "g", col("x"), col("y")).collect()
+        .map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .head
+    assert(s(h1).zip(s(h2)).map { case (a, b) => a + b } == s(all),
+      "sufficient statistics must merge by addition — the incremental-load property")
+  }
 }
