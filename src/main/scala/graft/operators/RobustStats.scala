@@ -124,6 +124,63 @@ object RobustStats {
         sum(col("_x") * col("_y")).as("sum_xy"),
         sum(col("_x") * col("_x")).as("sum_xx"))
 
+  /** Per-cell chi-square drift between two corpus splits — the
+    * distribution-shift monitor a training pipeline runs between an old
+    * and a new corpus snapshot (or two hash-halves as the null-hypothesis
+    * calibration): for each cell (e.g. (lang, source)) with split counts
+    * (n_a, n_b) and split totals (NA, NB), the 2×C contingency
+    * contribution is
+    *
+    *   dev_a = N·n_a − NA·m   (m = n_a + n_b, N = NA + NB)
+    *   chi2  = dev_a² / (N·NA·m) + dev_b² / (N·NB·m)
+    *
+    * — the textbook (obs − exp)²/exp with every term cleared of division:
+    * dev and the denominators are EXACT integers (DECIMAL(38,0) here,
+    * HUGEINT in the DuckDB oracle), and only the final two divisions are
+    * IEEE double, each on bit-identical operands — so both engines agree
+    * on every output bit without any tolerance.
+    *
+    * Plan: one aggregate exchange to the cell table (|cells| rows), the
+    * split totals as a broadcast single-row aggregate joined back — no
+    * global window, nothing driver-side. At 100 TB the cell table is
+    * |langs|×|sources|, trivially small; the only full-data pass is the
+    * map-side-combined count.
+    *
+    * Scale contract: dev² ≤ (N·m)² must fit DECIMAL(38,0) → N·m < 10^19,
+    * i.e. exact up to ~10^9 rows per cell at 10^10 total; beyond that,
+    * pre-aggregate counts per (cell, split) shard and feed the summed
+    * counts through the same closing arithmetic.
+    *
+    * A cell with an empty split (NA = 0 or NB = 0 globally) yields NULL
+    * chi2 rather than a division error.
+    */
+  def chiSquareDrift(df: DataFrame, cellCols: Seq[String],
+      split: Column): DataFrame = {
+    val cells = df
+      .withColumn("_s", split)
+      .groupBy(cellCols.map(col): _*)
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_s") =!= 0, 1L).otherwise(0L)).as("n_b"))
+    val totals = cells.agg(sum("n_a").as("na_tot"), sum("n_b").as("nb_tot"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("chi2", expr(
+        """CASE WHEN na_tot = 0 OR nb_tot = 0 THEN NULL ELSE
+          |  CAST((CAST(na_tot + nb_tot AS DECIMAL(38,0)) * n_a
+          |        - CAST(na_tot AS DECIMAL(38,0)) * (n_a + n_b))
+          |       * (CAST(na_tot + nb_tot AS DECIMAL(38,0)) * n_a
+          |          - CAST(na_tot AS DECIMAL(38,0)) * (n_a + n_b)) AS DOUBLE)
+          |  / CAST(CAST(na_tot + nb_tot AS DECIMAL(38,0)) * na_tot
+          |         * (n_a + n_b) AS DOUBLE)
+          |  + CAST((CAST(na_tot + nb_tot AS DECIMAL(38,0)) * n_b
+          |          - CAST(nb_tot AS DECIMAL(38,0)) * (n_a + n_b))
+          |         * (CAST(na_tot + nb_tot AS DECIMAL(38,0)) * n_b
+          |            - CAST(nb_tot AS DECIMAL(38,0)) * (n_a + n_b)) AS DOUBLE)
+          |  / CAST(CAST(na_tot + nb_tot AS DECIMAL(38,0)) * nb_tot
+          |         * (n_a + n_b) AS DOUBLE)
+          |END""".stripMargin))
+      .select(cellCols.map(col) ++ Seq(col("n_a"), col("n_b"), col("chi2")): _*)
+  }
+
   /** Close the fit from [[regressionStats]] output: (slope, intercept) of
     * y over x, or None for degenerate groups (n < 2 or zero x variance).
     * Driver-side O(1) arithmetic in BigInt (no overflow) with one final

@@ -269,6 +269,27 @@ object EventQueries {
         .withColumn("is_current", col("valid_to_us").isNull)
     }),
 
+    // ── Markov next-event transition matrix: per-actor event sequences
+    // (ordered by exact µs + event_id tie-break) yield (from, to) counts
+    // and integer-ppm row-conditional shares — the path-analysis summary
+    // behind "what do users do after a click". One window shuffle on the
+    // actor key for the lead, one aggregate exchange whose output is
+    // |event types|² rows, and a window over that tiny result for the
+    // per-from totals; ppm by integer `div` so both engines round alike.
+    "q154_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(Window.partitionBy("from_type")))
+        .withColumn("ppm", expr("n * 1000000 div from_total"))
+    }),
+
     // ── Winsorized per-type value summary on exact rank-based p5/p95
     // bounds — no percentile interpolation, so the bounds are data values
     // any engine agrees on (RobustStats scaladoc).
@@ -537,6 +558,27 @@ object EventQueries {
         |  lead(us) OVER w AS valid_to_us,
         |  lead(us) OVER w IS NULL AS is_current
         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // q154: identical µs ordering + event_id tie-break; from_total cast to
+    // BIGINT (DuckDB window sum widens to HUGEINT) and ppm via `//` to
+    // mirror Spark's integer `div`.
+    "q154_transition_matrix" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS to_type
+        |  FROM ev),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS ppm
+        |FROM c""".stripMargin,
 
     "q125_winsorize" ->
       """WITH ev AS (

@@ -141,6 +141,76 @@ object PipelineQueries {
           .as("might_contain"))
     }),
 
+    // ── Entity resolution e2e: canonicalize the part-name vocabulary —
+    // block on the last name token (the item type), verify candidates with
+    // edit distance ≤ 4, close matches transitively with the shared
+    // min-label CC operator, and emit a per-cluster census (variant count,
+    // record count, representative = the name owning the cluster's min
+    // id). The standard ER shape at scale: pairs are generated ONLY within
+    // blocks over the DISTINCT-name table (|names| ≪ |records|, so the
+    // quadratic step never touches record volume), and the record weight
+    // rides the name table as a pre-aggregated count.
+    "q157_entity_resolution" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+        // both candidate-pair sides and the final census read this tiny
+        // aggregate; persist so the part scan runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = names.select(col("blk"), col("name").as("name_a"), col("nid").as("id_a"))
+      val b = names.select(col("blk"), col("name").as("name_b"), col("nid").as("id_b"))
+      val pairs = a.join(broadcast(b), Seq("blk"))
+        .where(col("name_a") < col("name_b")
+          && levenshtein(col("name_a"), col("name_b")) <= 4)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "nid")
+      names.join(cc, Seq("nid"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_names"), sum("n_parts").as("n_parts"),
+          min(when(col("nid") === col("cluster_id"), col("name"))).as("rep_name"))
+    }),
+
+    // ── Inverted index build: bigram phrase → (df, exact sorted posting
+    // list) for mid-frequency phrases (5 ≤ df ≤ 50) — the retrieval/dedup
+    // index a corpus search layer persists (bigrams, not unigrams: phrase
+    // postings are the selective tier worth materializing; stop-word-level
+    // terms are pruned by the df cap). ONE group-key shuffle: per-doc
+    // phrases dedup map-side (array_distinct before the explode), df rides
+    // the same aggregate as the postings, and the posting buffer is the
+    // bounded-distinct aggregator (no task ever holds more than cap+1
+    // ids, so a boilerplate phrase's degenerate group cannot blow memory —
+    // it surfaces as an empty list and the df filter drops it). Postings
+    // emitted as a comma-joined string: a deterministic scalar both
+    // engines hash identically.
+    "q153_inverted_index" -> ((s, dir) => {
+      val bounded = udaf(new graft.functions.BoundedDistinctAggregator(50),
+        org.apache.spark.sql.Encoders.scalaLong)
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.bigrams(col("text")))).as("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("df"), bounded(col("doc_id")).as("ps"))
+        .where(col("df").between(5, 50))
+        .select(col("phrase"), col("df"),
+          array_join(transform(col("ps"), _.cast("string")), ",").as("postings"))
+    }),
+
+    // ── Corpus drift monitor: chi-square shift statistic per (lang,
+    // source) cell between two deterministic hash-halves of the corpus —
+    // run between snapshot N and N+1 it flags the cells whose mix moved;
+    // run on hash-halves (as here) it calibrates the null. All-integer
+    // contingency arithmetic, divisions only at the final double cast.
+    // See [[graft.operators.RobustStats.chiSquareDrift]].
+    "q155_corpus_drift" -> ((s, dir) => {
+      graft.operators.RobustStats.chiSquareDrift(docs(s, dir),
+        Seq("lang", "source"),
+        pmod(graft.functions.TextFunctions.domainHash("drift", col("doc_id")),
+          lit(2L)))
+    }),
+
     // ── Hot-key profile of the corpus source column — the measurement that
     // decides salting vs broadcast before a 100 TB shuffle, instead of
     // guessing (the q69 salted join's hot keys were KNOWN; this is how you
@@ -1256,6 +1326,87 @@ object PipelineQueries {
         |SELECT pr.doc_id, (count(b.pos) = 3) AS might_contain
         |FROM probes pr LEFT JOIN built b ON b.pos = pr.pos
         |GROUP BY pr.doc_id""".stripMargin,
+
+    // q157: the same block/verify/close chain; reach closure restates the
+    // min-label CC as in q42; singletons keep their own nid as cluster_id.
+    "q157_entity_resolution" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS nid,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1),
+        |blk AS (SELECT *, string_split(name, ' ')[-1] AS blk FROM names),
+        |pairs AS (
+        |  SELECT a.nid AS id_a, b.nid AS id_b
+        |  FROM blk a JOIN blk b USING (blk)
+        |  WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 4),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+        |cc AS (SELECT id AS nid, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |lab AS (
+        |  SELECT n.name, n.nid, n.n_parts,
+        |    coalesce(cc.cluster_id, n.nid) AS cluster_id
+        |  FROM names n LEFT JOIN cc USING (nid))
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_names,
+        |  CAST(sum(n_parts) AS BIGINT) AS n_parts,
+        |  min(CASE WHEN nid = cluster_id THEN name END) AS rep_name
+        |FROM lab GROUP BY 1""".stripMargin,
+
+    // q153: same tokenizer/bigram forms as q81; DISTINCT (phrase, doc)
+    // pairs make df and postings agree; string_agg with an explicit
+    // ORDER BY mirrors the aggregator's sorted-ascending contract.
+    "q153_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, phrase FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks)),
+        |                            i -> toks[i] || ' ' || toks[i + 1])) AS phrase
+        |    FROM tok WHERE len(toks) >= 2)),
+        |g AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM bg GROUP BY 1)
+        |SELECT phrase, df, postings FROM g WHERE df BETWEEN 5 AND 50""".stripMargin,
+
+    // q155: the same all-integer contingency chain in HUGEINT; only the
+    // final two divisions are double, on bit-identical operands.
+    "q155_corpus_drift" ->
+      """WITH b AS (
+        |  SELECT lang, source,
+        |    CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS s
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, source,
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+        |    CAST(sum(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_b
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_a) AS HUGEINT) AS na_tot,
+        |             CAST(sum(n_b) AS HUGEINT) AS nb_tot FROM c)
+        |SELECT lang, source,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN na_tot = 0 OR nb_tot = 0 THEN NULL ELSE
+        |    CAST(((na_tot + nb_tot) * n_a - na_tot * (n_a + n_b))
+        |         * ((na_tot + nb_tot) * n_a - na_tot * (n_a + n_b)) AS DOUBLE)
+        |    / CAST((na_tot + nb_tot) * na_tot * (n_a + n_b) AS DOUBLE)
+        |    + CAST(((na_tot + nb_tot) * n_b - nb_tot * (n_a + n_b))
+        |           * ((na_tot + nb_tot) * n_b - nb_tot * (n_a + n_b)) AS DOUBLE)
+        |    / CAST((na_tot + nb_tot) * nb_tot * (n_a + n_b) AS DOUBLE)
+        |  END AS chi2
+        |FROM c, t""".stripMargin,
 
     "q138_skew_profile" ->
       """WITH c AS (

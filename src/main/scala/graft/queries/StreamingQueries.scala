@@ -312,6 +312,65 @@ object StreamingQueries {
         max(col("p_id")).as("max_purchase_id"))
     }
 
+  /** q156: stream-stream FULL OUTER interval join — completes the
+    * stream-join emission matrix (q71 inner, q133 left outer) by pinning
+    * BOTH sides' eviction paths at once. Matched pairs emit on match; a
+    * matchless click null-emits when the watermark passes c_ts + 1 h
+    * (exactly q133's left rule); a matchless purchase null-emits when the
+    * watermark passes p_ts — the right-side state bound derives from
+    * `p_ts >= c_ts` alone: a purchase can match any future click with
+    * c_ts ≤ p_ts, so the engine holds it until the click-side watermark
+    * proves no such click can arrive (the `+ 1 h` bound constrains the
+    * LEFT side's window, not the right's). Same `<=` boundary convention
+    * as q133 (WatermarkSupport evicts at `key < watermark` on µs-floored
+    * state keys; hour-aligned truncation commutes). The time-ordered
+    * two-batch-per-side schedule makes eviction monotone, so the emitted
+    * set is declaratively restatable.
+    *
+    * Scale posture: both state stores are watermark-bounded; an engine
+    * that never evicted its right side would emit zero purchase-null rows
+    * and fail the oracle — the failure mode a left-only test can't see.
+    */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val ev = RelationalQueries.events(spark, dir)
+    val cut = lit(LateCut).cast("timestamp")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+
+    val cIn = Files.createTempDirectory("q156_c")
+    val pIn = Files.createTempDirectory("q156_p")
+    val ckpt = Files.createTempDirectory("q156_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(clicks.filter(col("c_ts") < cut), cIn, "c0.json", now - 60000)
+    dumpArrivalFile(clicks.filter(col("c_ts") >= cut), cIn, "c1.json", now)
+    dumpArrivalFile(purchases.filter(col("p_ts") < cut), pIn, "p0.json", now - 60000)
+    dumpArrivalFile(purchases.filter(col("p_ts") >= cut), pIn, "p1.json", now)
+
+    def src(d: Path, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("timestampFormat", TsFormat).json(d.toString)
+    val joined = src(cIn, clicks.schema).withWatermark("c_ts", "1 hour")
+      .join(src(pIn, purchases.schema).withWatermark("p_ts", "1 hour"),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "full_outer")
+
+    runToMemorySink(spark, joined, "q156_sink", ckpt, cIn, pIn)
+      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+      .agg(
+        count(when(col("c_id").isNotNull && col("p_id").isNotNull, 1L))
+          .as("n_pairs"),
+        sum(when(col("c_id").isNotNull && col("p_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_clicks"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_purchases"),
+        max(col("p_id")).as("max_purchase_id"))
+    }
+
   /** Per-user running state carried by [[streamStateful]] (q72): how many
     * batches the user appeared in, cumulative event count, max event id.
     */
@@ -584,6 +643,7 @@ object StreamingQueries {
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
     "q84_stream_static" -> ((s, dir) => streamStaticJoin(s, dir)),
     "q133_stream_outer_join" -> ((s, dir) => streamOuterJoin(s, dir)),
+    "q156_stream_full_outer" -> ((s, dir) => streamFullOuterJoin(s, dir)),
     "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)),
     "q140_stream_complete" -> ((s, dir) => streamCompleteMode(s, dir)),
     "q145_stream_update" -> ((s, dir) => streamUpdateMode(s, dir)))
@@ -665,6 +725,51 @@ object StreamingQueries {
         |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
         |  max(m) OVER (PARTITION BY user_id ORDER BY b) AS max_id
         |FROM per""".stripMargin,
+
+    // q156: both eviction rules at once — click nulls at c_ts + 1 h ≤ wmF
+    // (q133's rule), purchase nulls at p_ts ≤ wmF (right-side state bound
+    // from `p_ts >= c_ts`; see streamFullOuterJoin's scaladoc).
+    "q156_stream_full_outer" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    event_id, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+        |wmf AS (
+        |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |matched AS (
+        |  SELECT c.user_id AS cu, p.user_id AS pu,
+        |    c.event_id AS c_id, p.event_id AS p_id
+        |  FROM c JOIN p
+        |    ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |cnull AS (
+        |  SELECT c.user_id AS cu, CAST(NULL AS BIGINT) AS pu,
+        |    c.event_id AS c_id, CAST(NULL AS BIGINT) AS p_id
+        |  FROM c
+        |  WHERE c.event_id NOT IN (SELECT c_id FROM matched)
+        |    AND c.ts + INTERVAL 1 HOUR <= (SELECT w FROM wmf)),
+        |pnull AS (
+        |  SELECT CAST(NULL AS BIGINT) AS cu, p.user_id AS pu,
+        |    CAST(NULL AS BIGINT) AS c_id, p.event_id AS p_id
+        |  FROM p
+        |  WHERE p.event_id NOT IN (SELECT p_id FROM matched)
+        |    AND p.ts <= (SELECT w FROM wmf)),
+        |outrows AS (
+        |  SELECT * FROM matched
+        |  UNION ALL SELECT * FROM cnull
+        |  UNION ALL SELECT * FROM pnull)
+        |SELECT coalesce(cu, pu) AS user_id,
+        |  CAST(count(CASE WHEN c_id IS NOT NULL AND p_id IS NOT NULL
+        |             THEN 1 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN c_id IS NOT NULL AND p_id IS NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_clicks,
+        |  CAST(sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched_purchases,
+        |  max(p_id) AS max_purchase_id
+        |FROM outrows GROUP BY 1""".stripMargin,
 
     // q133: matched pairs = the batch interval join; null rows = matchless
     // clicks evicted by the final watermark (see streamOuterJoin's scaladoc

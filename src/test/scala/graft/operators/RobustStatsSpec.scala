@@ -111,4 +111,31 @@ class RobustStatsSpec extends SparkTestBase {
     assert(s(h1).zip(s(h2)).map { case (a, b) => a + b } == s(all),
       "sufficient statistics must merge by addition — the incremental-load property")
   }
+
+  test("chiSquareDrift: hand-computed values, zero case, empty-split guard") {
+    // cell x: (30, 10); cell y: (10, 30) -> NA = NB = 40, N = 80.
+    // For x: m = 40, dev_a = 80*30 - 40*40 = 800;
+    //   chi_a = 800^2 / (80*40*40) = 5.0; symmetric -> chi2 = 10.0 per cell.
+    val rows = Seq.fill(30)(("x", 0)) ++ Seq.fill(10)(("x", 1)) ++
+      Seq.fill(10)(("y", 0)) ++ Seq.fill(30)(("y", 1))
+    val out = RobustStats.chiSquareDrift(rows.toDF("cell", "s"),
+        Seq("cell"), col("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("x") === ((30L, 10L, 10.0)))
+    assert(out("y") === ((10L, 30L, 10.0)))
+
+    // identical distribution in both splits -> chi2 exactly 0 per cell
+    val same = Seq.fill(8)(("x", 0)) ++ Seq.fill(8)(("x", 1)) ++
+      Seq.fill(3)(("y", 0)) ++ Seq.fill(3)(("y", 1))
+    val zeros = RobustStats.chiSquareDrift(same.toDF("cell", "s"),
+      Seq("cell"), col("s")).collect().map(_.getDouble(3))
+    assert(zeros.toSeq === Seq(0.0, 0.0))
+
+    // one split globally empty -> NULL chi2, no division error
+    val oneSided = Seq(("x", 0), ("y", 0))
+    val nulls = RobustStats.chiSquareDrift(oneSided.toDF("cell", "s"),
+      Seq("cell"), col("s")).collect().map(r => r.isNullAt(3))
+    assert(nulls.toSeq === Seq(true, true))
+  }
 }
