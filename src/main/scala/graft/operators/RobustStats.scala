@@ -161,6 +161,9 @@ object RobustStats {
       .groupBy(cellCols.map(col): _*)
       .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("_s") =!= 0, 1L).otherwise(0L)).as("n_b"))
+      // the |cells|-row table anchors BOTH the split-total aggregate and
+      // the join back — without the cache the full-corpus count runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cells.agg(sum("n_a").as("na_tot"), sum("n_b").as("nb_tot"))
     cells.crossJoin(broadcast(totals))
       .withColumn("chi2", expr(
