@@ -46,4 +46,46 @@ object AsOfJoin {
       .filter(col("_tag") === 1)
       .drop("_t", "_tag", "_v")
   }
+
+  /** [[asOf]] with a staleness bound — the `merge_asof(..., tolerance=...)`
+    * semantic: the carried anchor value is kept only when the probe lies
+    * within `toleranceSeconds` of the anchor's time, else the probe gets
+    * NULL ("no recent enough state"). A feature pipeline needs this form
+    * whenever stale state is worse than no state (a price from last week
+    * is not "the price as of now").
+    *
+    * Same single-shuffle tag-and-union shape as [[asOf]]: the anchor TIME
+    * rides a second `last(..., ignoreNulls)` carry over the SAME window
+    * spec (one Window operator — both carries resolve to the same final
+    * anchor row because anchor rows are exactly the non-null rows of both
+    * carried columns, under the same (time, tag, value) order). The age
+    * test is exact integer microseconds.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightValue: String,
+      asName: String, toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0,
+      s"toleranceSeconds must be positive, got $toleranceSeconds")
+    val valueType = right.schema(rightValue).dataType
+    val probes = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+      .withColumn("_v", lit(null).cast(valueType))
+    val anchors = right.filter(col(rightTime).isNotNull).select(
+      keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_tag"),
+        col(rightValue).cast(valueType).as("_v")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_tag").asc, col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(anchors, allowMissingColumns = true)
+      .withColumn("_av", last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("_at",
+        last(when(col("_tag") === 0, unix_micros(col("_t"))),
+          ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .withColumn(asName,
+        when(unix_micros(col("_t")) - col("_at")
+          <= toleranceSeconds * 1000000L, col("_av")))
+      .drop("_t", "_tag", "_v", "_av", "_at")
+  }
 }

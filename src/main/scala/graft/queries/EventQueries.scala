@@ -290,6 +290,65 @@ object EventQueries {
         .withColumn("ppm", expr("n * 1000000 div from_total"))
     }),
 
+    // ── Time-to-convert: per signup cohort week, how long users take from
+    // their first signup to their first purchase AT OR AFTER it — count
+    // and the exact rank-based lower median of the delay (the k-th order
+    // statistic at k = (n+1) div 2 is a data value both engines agree on;
+    // interpolated medians are engine-specific float math). Shape: two
+    // per-user min-aggregates on the user key, one broadcast-friendly
+    // join, one window per cohort over the already-aggregated (one row
+    // per converted user) table — no raw-event window anywhere.
+    "q161_time_to_convert" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val delay = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(signup, "user_id")
+        .where(col("p_us") >= unix_micros(col("s_ts")))
+        .groupBy(col("user_id"), col("s_ts"))
+        .agg(min(col("p_us")).as("first_p_us"))
+        .select(date_trunc("week", col("s_ts")).cast("date").as("cohort_week"),
+          col("user_id"),
+          (col("first_p_us") - unix_micros(col("s_ts"))).as("delay_us"))
+      val w = Window.partitionBy("cohort_week")
+        .orderBy(col("delay_us"), col("user_id"))
+      delay
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort_week")))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("cohort_week"), col("n").as("n_converted"),
+          col("delay_us").as("median_delay_us"))
+    }),
+
+    // ── Date-spine gap fill: per-type daily rollups with MISSING days
+    // materialized as explicit zero rows between each type's first and
+    // last active day — the time-series completeness step dashboards and
+    // forecasting features need (a downstream average-over-days is wrong
+    // if absent days silently vanish). One aggregate exchange builds the
+    // daily table; the spine is a bounded explode of the per-type
+    // (min, max) bounds (types × days rows — tiny at any corpus scale);
+    // the fill join runs over two post-aggregate tables, never raw events.
+    "q158_date_spine" -> ((s, dir) => {
+      val daily = RelationalQueries.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          RelationalQueries.dsum(col("value")).as("sum_value"))
+        // the tiny per-day table anchors the bounds aggregate AND the fill
+        // join — one events scan, not two
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spine = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+          col("n_events").isNull.as("is_gap"))
+    }),
+
     // ── Winsorized per-type value summary on exact rank-based p5/p95
     // bounds — no percentile interpolation, so the bounds are data values
     // any engine agrees on (RobustStats scaladoc).
@@ -579,6 +638,55 @@ object EventQueries {
         |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS ppm
         |FROM c""".stripMargin,
+
+    // q161: same µs arithmetic and week truncation as q107; the lower
+    // median is the (n+1)//2-th order statistic under (delay, user) order.
+    "q161_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |s AS (SELECT user_id, min(us) AS s_us FROM ev
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (
+        |  SELECT p.user_id, s.s_us, min(p.us) AS first_p_us
+        |  FROM ev p JOIN s USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND p.us >= s.s_us
+        |  GROUP BY 1, 2),
+        |delay AS (
+        |  SELECT CAST(date_trunc('week', make_timestamp(s_us)) AS DATE)
+        |      AS cohort_week,
+        |    user_id, first_p_us - s_us AS delay_us
+        |  FROM d),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cohort_week
+        |      ORDER BY delay_us, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_week) AS n
+        |  FROM delay)
+        |SELECT cohort_week, CAST(n AS BIGINT) AS n_converted,
+        |  delay_us AS median_delay_us
+        |FROM rk WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // q158: same µs→date truncation (UTC sessions make the cast
+    // timezone-free); generate_series is inclusive on both engines and
+    // steps in whole days, so the spines are identical sets.
+    "q158_date_spine" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds)
+        |SELECT s.event_type, s.day,
+        |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+        |  coalesce(d.sum_value, 0.0) AS sum_value,
+        |  d.n_events IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
 
     "q125_winsorize" ->
       """WITH ev AS (

@@ -413,6 +413,59 @@ object RelationalQueries {
           col("last_purchase_id"))
     }),
 
+    // ── Incremental JOIN maintenance (the join-side twin of q110's
+    // aggregate IVM): a materialized orders⋈lineitem result kept current
+    // under row deltas by the delta-join algebra
+    //   Δ(O⋈L) = O₀⋈ΔL ∪ ΔO⋈L₀ ∪ ΔO⋈ΔL
+    // — each increment touches only delta-sized join work (the three delta
+    // terms broadcast their small side; the big O₀⋈L₀ is paid ONCE at
+    // init, never per refresh). Deltas are deterministic hash slices with
+    // INDEPENDENT domains (so all four terms are non-empty and the
+    // cross-term ΔO⋈ΔL is actually exercised). The query renders the
+    // maintained result as a per-flag aggregate; the oracle recomputes the
+    // one-shot join — the fold must match bit-for-bit or the algebra
+    // dropped/duplicated a term.
+    "q160_incremental_join" -> ((s, dir) => {
+      import graft.functions.TextFunctions.domainHash
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+      val oIsDelta = pmod(domainHash("ivmo", col("o_orderkey")), lit(20L)) === 0
+      val lIsDelta = pmod(domainHash("ivml",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"))), lit(20L)) === 0
+      val (o0, dO) = (o.filter(!oIsDelta), o.filter(oIsDelta))
+      val (l0, dL) = (l.filter(!lIsDelta), l.filter(lIsDelta))
+      val key = col("o_orderkey") === col("l_orderkey")
+      val maintained = o0.join(l0, key)
+        .unionByName(o0.join(broadcast(dL), key))
+        .unionByName(broadcast(dO).join(l0, key))
+        .unionByName(dO.join(broadcast(dL), key))
+      maintained.groupBy(col("l_returnflag"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ── As-of join WITH TOLERANCE: each click gets the latest purchase by
+    // the same user only if it happened within the last 30 minutes —
+    // otherwise NULL ("no recent enough state"), the merge_asof tolerance
+    // semantic a feature pipeline needs when stale state is worse than no
+    // state. Same single-shuffle carry-forward window as q51, with the
+    // anchor's time riding a second carry over the SAME window spec and an
+    // exact-µs age test. See [[graft.operators.AsOfJoin.asOfTolerance]].
+    "q159_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.AsOfJoin.asOfTolerance(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValue = "event_id", asName = "recent_purchase_id",
+        toleranceSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("recent_purchase_id"))
+    }),
+
     // ── Analytic window family (lead/lag/ntile/percent_rank/cume_dist/
     // first_value/last_value) — complements q09's ranking and q10's frame
     // aggregates. One shuffle on the partition key, then every function
@@ -947,6 +1000,43 @@ object RelationalQueries {
         |  FROM u)
         |SELECT probe_id AS event_id, user_id, probe_type AS event_type,
         |  last_purchase_id
+        |FROM w WHERE tag = 1""".stripMargin,
+
+    // q160: the oracle is the ONE-SHOT join — if the four-term delta
+    // algebra dropped or duplicated a term, counts or exact-decimal sums
+    // diverge.
+    "q160_incremental_join" ->
+      """SELECT l_returnflag, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q159: q51's carry restated with a second IGNORE NULLS carry for the
+    // anchor time (same window — both carries land on the same final
+    // anchor row) and the exact-µs staleness gate.
+    "q159_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    event_id, event_type
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts, NULL AS probe_id, event_id AS aid, 0 AS tag
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, 1 FROM ev
+        |  WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(aid IGNORE NULLS) OVER win AS la,
+        |    last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER win AS lat
+        |  FROM u WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, tag, aid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT probe_id AS event_id, user_id,
+        |  CASE WHEN epoch_us(ts) - lat <= 1800000000 THEN la END
+        |    AS recent_purchase_id
         |FROM w WHERE tag = 1""".stripMargin,
 
     "q67_analytic_windows" ->

@@ -47,6 +47,35 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.toSeq === Seq(9L))
   }
 
+  test("asOfTolerance nulls stale anchors, keeps fresh ones, boundary inclusive") {
+    val anchors = Seq((1L, ts(10), 100L), (2L, ts(20), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq(
+      (10L, 1L, ts(12)),  // 2 min old, within 5 min -> 100
+      (11L, 1L, ts(15)),  // exactly 5 min -> inclusive boundary, 100
+      (12L, 1L, ts(16)),  // 6 min old -> stale, null
+      (13L, 1L, ts(5)),   // before any anchor -> null
+      (14L, 2L, ts(24)))  // other key, fresh -> 200
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfTolerance(probes, anchors, Seq("user_id"),
+        "ts", "ts", "event_id", "a", toleranceSeconds = 300)
+      .select("event_id", "a").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(10L -> Some(100L), 11L -> Some(100L),
+      12L -> None, 13L -> None, 14L -> Some(200L)))
+  }
+
+  test("asOfTolerance equal-time anchor ties carry one consistent (time, value) pair") {
+    // two anchors at the same instant: value tie-breaks to max, and the
+    // age test must use THAT anchor's time (not a mix of the two carries)
+    val anchors = Seq((1L, ts(10), 7L), (1L, ts(10), 9L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq((10L, 1L, ts(12))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfTolerance(probes, anchors, Seq("user_id"),
+        "ts", "ts", "event_id", "a", toleranceSeconds = 300)
+      .select("a").as[Option[Long]].collect()
+    assert(out.toSeq === Seq(Some(9L)))
+  }
+
   test("plan shuffles once on the key (no range-join explosion)") {
     val anchors = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
     val probes = Seq((10L, 1L, ts(5))).toDF("event_id", "user_id", "ts")
