@@ -198,6 +198,53 @@ object PipelineQueries {
           array_join(transform(col("ps"), _.cast("string")), ",").as("postings"))
     }),
 
+    // ── Dedup threshold sweep: how many near-dup pairs (and docs touched)
+    // survive at each Jaccard cutoff τ ∈ {0.5 … 0.9} — the sensitivity
+    // report that picks a production threshold BEFORE committing to a full
+    // dedup pass (one pair table at the loosest τ, five verdicts from its
+    // exact integer (inter, uni) columns; nobody re-shingles per τ). The
+    // pair table is persisted once and cross-joined with the tiny τ list;
+    // both rollups (pair count, distinct-doc count) read the same
+    // materialization.
+    "q163_dedup_sweep" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)),
+          "doc_id", "text", thresholdNum = 1, thresholdDen = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val taus = s.range(5).select((col("id") * 10 + 50).as("tau"))
+      val passing = pairs.crossJoin(broadcast(taus))
+        .where(col("inter") * 100 >= col("uni") * col("tau"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perPairs = passing.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+      val perDocs = passing
+        .select(col("tau"), explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("tau").agg(countDistinct(col("id")).as("n_docs"))
+      taus.join(perPairs, Seq("tau"), "left").join(perDocs, Seq("tau"), "left")
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+    }),
+
+    // ── k-anonymity audit: quasi-identifier cells (lang, source,
+    // length-centile band) with fewer than k members — the privacy gate a
+    // dataset release runs before publication; flagged cells must be
+    // suppressed or generalized. One aggregate exchange; the release-wide
+    // suppression cost rides a broadcast single-row aggregate, so the
+    // report carries both the per-cell verdict and the global fraction at
+    // risk. All counts exact integers, the ppm by integer div.
+    "q162_k_anonymity" -> ((s, dir) => {
+      val cells = docs(s, dir)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_band"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = cells.agg(sum("n").as("n_total"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risky"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("len_band"), col("n"),
+          (col("n") < 5).as("below_k"),
+          expr("n_risky * 1000000 div n_total").as("risky_ppm"))
+    }),
+
     // ── Corpus drift monitor: chi-square shift statistic per (lang,
     // source) cell between two deterministic hash-halves of the corpus —
     // run between snapshot N and N+1 it flags the cells whose mix moved;
@@ -1380,6 +1427,51 @@ object PipelineQueries {
         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM bg GROUP BY 1)
         |SELECT phrase, df, postings FROM g WHERE df BETWEEN 5 AND 50""".stripMargin,
+
+    // q163: q39's candidate/verify chain at the loosest τ = 1/2, then the
+    // five verdicts from the shared exact (inter, uni) columns.
+    "q163_dedup_sweep" ->
+      s"""WITH $shingleCtes,
+        |post AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfreq
+        |    FROM (SELECT doc_id, unnest(hs) AS h FROM hsh))
+        |  WHERE dfreq <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |$jaccardVerified,
+        |p AS (
+        |  SELECT id_a, id_b, inter, tot - inter AS uni
+        |  FROM verified WHERE inter * 2 >= (tot - inter) * 1),
+        |taus AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS tau),
+        |pass AS (
+        |  SELECT t.tau, p.id_a, p.id_b FROM p, taus t
+        |  WHERE p.inter * 100 >= p.uni * t.tau),
+        |pc AS (SELECT tau, count(*) AS n_pairs FROM pass GROUP BY 1),
+        |dc AS (
+        |  SELECT tau, count(DISTINCT id) AS n_docs FROM (
+        |    SELECT tau, id_a AS id FROM pass
+        |    UNION ALL SELECT tau, id_b FROM pass)
+        |  GROUP BY 1)
+        |SELECT t.tau, CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(dc.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM taus t LEFT JOIN pc USING (tau) LEFT JOIN dc USING (tau)""".stripMargin,
+
+    // q162: same integer banding and k = 5; HUGEINT sums cast back to
+    // BIGINT, risky ppm via `//` mirroring Spark's `div`.
+    "q162_k_anonymity" ->
+      """WITH cells AS (
+        |  SELECT lang, source, n_chars // 500 AS len_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky
+        |  FROM cells)
+        |SELECT lang, source, len_band, n, n < 5 AS below_k,
+        |  n_risky * 1000000 // n_total AS risky_ppm
+        |FROM cells, t""".stripMargin,
 
     // q155: the same all-integer contingency chain in HUGEINT; only the
     // final two divisions are double, on bit-identical operands.
