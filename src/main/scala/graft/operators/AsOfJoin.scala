@@ -78,10 +78,13 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_tag").asc, col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     probes.unionByName(anchors, allowMissingColumns = true)
-      .withColumn("_av", last(col("_v"), ignoreNulls = true).over(w))
-      .withColumn("_at",
+      // both carries in ONE projection so they land in a single Window
+      // operator (chained withColumns leave a Project between the two
+      // Window nodes that defeats CollapseWindow)
+      .select(col("*"),
+        last(col("_v"), ignoreNulls = true).over(w).as("_av"),
         last(when(col("_tag") === 0, unix_micros(col("_t"))),
-          ignoreNulls = true).over(w))
+          ignoreNulls = true).over(w).as("_at"))
       .filter(col("_tag") === 1)
       .withColumn(asName,
         when(unix_micros(col("_t")) - col("_at")

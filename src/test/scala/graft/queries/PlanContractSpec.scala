@@ -114,4 +114,39 @@ class PlanContractSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [") || p.contains("PartitionCount: 1"),
       "partition filter lost")
   }
+
+  test("q153: posting build is ONE group-key exchange over the corpus") {
+    val p = plan("q153_inverted_index")
+    assert(countNodes(p, "Exchange") == 1,
+      s"one-shuffle posting contract broken (${countNodes(p, "Exchange")} exchanges)")
+    assert(countNodes(p, "Scan parquet") == 1, "corpus must scan once")
+  }
+
+  test("q155: drift runs one corpus scan; totals broadcast back to cells") {
+    val p = plan("q155_corpus_drift")
+    assert(countNodes(p, "Scan parquet") == 1,
+      "split-total aggregate re-scans the corpus — cells cache lost")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single-row totals must broadcast, not shuffle")
+  }
+
+  test("q158: the spine explode joins the daily table without rescanning events") {
+    val p = plan("q158_date_spine")
+    assert(countNodes(p, "Scan parquet") == 1,
+      "bounds aggregate re-scans events — daily cache lost")
+  }
+
+  test("q159: tolerance as-of plans ONE window (both carries share the spec)") {
+    val p = plan("q159_asof_tolerance")
+    assert(countNodes(p, "Window") == 1,
+      s"the two carries split into ${countNodes(p, "Window")} Window operators")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan a join")
+  }
+
+  test("q160: every delta join term broadcasts its small side") {
+    val p = plan("q160_incremental_join")
+    assert(countNodes(p, "BroadcastHashJoin") >= 3,
+      s"delta terms must broadcast (${countNodes(p, "BroadcastHashJoin")} broadcast joins)")
+  }
 }
