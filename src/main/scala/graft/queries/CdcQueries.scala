@@ -272,6 +272,36 @@ object CdcQueries {
       } finally dropDerby(dbUrl)
     }),
 
+    // ── Time travel on the bucketed store: init from the customer table,
+    // merge a deterministic delete/upsert batch, then DIFF the RETAINED
+    // pre-merge version (snapshotAt — the lakehouse snapshot-isolation
+    // read) against the current snapshot. The diff classifies exactly the
+    // batch: %10 keys removed (unless re-upserted), %7 keys changed — an
+    // engine that aged the old version out early, or whose merge leaked
+    // into shared bucket files, diverges here. Retention cost is bounded
+    // to rewritten buckets; untouched dirs are shared by both manifests.
+    "q164_time_travel" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_tt", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16,
+          retainedVersions = 2)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        store.merge(graft.operators.CompactedBatch(
+          deletes = base.filter(col("c_custkey") % 10 === 0)
+            .select("c_custkey"),
+          upserts = base.filter(col("c_custkey") % 7 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100.0)))
+        val v1 = store.history().head
+        graft.operators.SnapshotDiff.diff(
+            store.snapshotAt(v1), store.snapshot(), Seq("c_custkey"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // Full Debezium path over customer (snapshot reads + updates + deletes).
     "q22_cdc_debezium_e2e" -> ((s, dir) => {
       val registry = TableRegistry(
@@ -290,6 +320,17 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q164: the diff IS the batch — deleted keys surface as removed unless
+    // the upsert slice re-added them (delete-then-upsert => changed), and
+    // every upserted key's acctbal moved by exactly +100 (never a no-op,
+    // so 'changed' is unconditional on the %7 slice).
+    "q164_time_travel" ->
+      """SELECT c_custkey, 'removed' AS change FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, 'changed' FROM customer
+        |WHERE c_custkey % 7 = 0""".stripMargin,
+
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority
         |FROM orders WHERE o_orderkey % 10 IN (3, 4)

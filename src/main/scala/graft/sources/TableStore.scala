@@ -25,8 +25,18 @@ trait TableStore {
   * Layout:
   * {{{
   *   root/<table>/_current           — the manifest: "bucket<TAB>dirName" lines
+  *   root/<table>/_v<seq>            — retained version manifests (time travel)
   *   root/<table>/data/<dir>/ (parquet files) — one immutable dir per bucket version
   * }}}
+  *
+  * Time travel: every commit also records its manifest as `_v<seq>`; a
+  * store constructed with `retainedVersions = k` protects the data dirs of
+  * the newest k versions from gc, and [[snapshotAt]] reads any of them as
+  * a consistent historical table (the lakehouse-format snapshot-isolation
+  * surface). The default k = 1 keeps the original single-generation
+  * storage footprint. Retention cost is bounded: only buckets REWRITTEN
+  * between retained versions exist twice — untouched buckets are shared by
+  * every manifest that references them.
   *
   * A merge only ever touches the buckets that contain a changed key:
   *
@@ -79,8 +89,11 @@ final class ParquetTableStore(
     val spec: TableSpec,
     numBuckets: Int = 64,
     broadcastKeyLimit: Long = 1000000L,
-    inFilterLimit: Long = 1024L)
+    inFilterLimit: Long = 1024L,
+    retainedVersions: Int = 1)
   extends TableStore {
+  require(retainedVersions >= 1,
+    s"retainedVersions must be >= 1, got $retainedVersions")
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
   private val dataPath = new Path(tablePath, "data")
@@ -104,10 +117,10 @@ final class ParquetTableStore(
     * (entries, header bucket count); pre-header manifests parse with
     * `None` and adopt the header at their next commit.
     */
-  private def readManifestFull(): (Map[Int, String], Option[Int]) =
-    if (!exists) (Map.empty, None)
+  private def readManifestAt(path: Path): (Map[Int, String], Option[Int]) =
+    if (!fs.exists(path)) (Map.empty, None)
     else {
-      val in = fs.open(manifestPath)
+      val in = fs.open(path)
       try {
         val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).toSeq
@@ -120,18 +133,61 @@ final class ParquetTableStore(
       } finally in.close()
     }
 
+  private def readManifestFull(): (Map[Int, String], Option[Int]) =
+    readManifestAt(manifestPath)
+
   private def readManifest(): Map[Int, String] = readManifestFull()._1
 
-  /** Publish a new manifest with one atomic rename — the commit point. */
+  // ── version manifests: _v<seq> files enabling time-travel reads ─────────
+
+  private def versionPath(v: Long) = new Path(tablePath, s"_v$v")
+
+  /** Committed versions currently on disk, ascending. With the default
+    * `retainedVersions = 1` only the latest survives gc; a store opened
+    * with a larger retention keeps that many, each readable via
+    * [[snapshotAt]].
+    */
+  def history(): Seq[Long] =
+    if (!fs.exists(tablePath)) Seq.empty
+    else fs.listStatus(tablePath).map(_.getPath.getName)
+      .filter(n => n.startsWith("_v") && n.drop(2).forall(_.isDigit))
+      .map(_.drop(2).toLong).toSeq.sorted
+
+  /** Time-travel read: the table exactly as committed at `version` (one of
+    * [[history]]). Same lazy-evaluation contract as [[snapshot]] — the
+    * manifest resolves now, files evaluate at action time; a version aged
+    * out of retention by later merges fails the read loudly here.
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    val p = versionPath(version)
+    require(fs.exists(p),
+      s"table ${spec.name} has no retained version $version " +
+        s"(retained: ${history().mkString(",")}) — raise retainedVersions " +
+        "on the writing store to keep more history")
+    readDirs(readManifestAt(p)._1.values.toSeq)
+  }
+
+  /** Publish a new manifest with one atomic rename — the commit point.
+    * The `_current` rename IS the commit; the `_v<seq>` version manifest is
+    * written after it as a best-effort history record (a crash between the
+    * two loses that version from [[history]] but never the data — readers
+    * of `_current` are unaffected, and the next commit's seq still
+    * advances past the gap).
+    */
   private def commitManifest(manifest: Map[Int, String]): Unit = {
+    val body = (s"#buckets=$numBuckets" +:
+      manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
+      .mkString("\n").getBytes("UTF-8")
     val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write((s"#buckets=$numBuckets" +:
-      manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(body)
     finally out.close()
+    val nextVersion = history().lastOption.getOrElse(0L) + 1
     FileContext.getFileContext(tmp.toUri, hadoopConf)
       .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+    val vout = fs.create(versionPath(nextVersion), true)
+    try vout.write(body)
+    finally vout.close()
   }
 
   /** Drop data/ directories no manifest references: leftovers of crashed
@@ -153,8 +209,19 @@ final class ParquetTableStore(
           fs.delete(st.getPath, true)
       }
     }
+    // Version retention: prune _v manifests beyond the newest
+    // `retainedVersions`, then protect every data dir any SURVIVING version
+    // still references — the time-travel window. With the default
+    // retention of 1 the survivors reference exactly the current layout
+    // and behavior matches the original one-generation contract.
+    val versions = history()
+    val (expired, retained) =
+      versions.splitAt((versions.size - retainedVersions).max(0))
+    expired.foreach(v => fs.delete(versionPath(v), false))
+    val retainedDirs: Set[String] =
+      retained.flatMap(v => readManifestAt(versionPath(v))._1.values).toSet
     if (fs.exists(dataPath)) {
-      val live = manifest.values.toSet
+      val live = manifest.values.toSet ++ retainedDirs
       fs.listStatus(dataPath).foreach { st =>
         if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
       }

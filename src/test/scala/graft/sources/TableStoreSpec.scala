@@ -252,4 +252,53 @@ class TableStoreSpec extends SparkTestBase {
       s"point lookup must prune bucket dirs (read ${lookup.inputFiles.length} of $full)")
     assert(lookup.collect().map(r => r.getInt(0)).toSeq == Seq(3))
   }
+
+  private def stateAt(s: ParquetTableStore, v: Long): Map[Int, String] =
+    s.snapshotAt(v).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("time travel: retained versions replay each committed state exactly") {
+    val s = new ParquetTableStore(spark, tmpDir("store"), spec, 4,
+      retainedVersions = 3)
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(2).toDF("id"), Seq((3, "c")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((3, "c2")).toDF("id", "v")))
+    val Seq(v1, v2, v3) = s.history()
+    assert(stateAt(s, v1) == Map(1 -> "a", 2 -> "b"))
+    assert(stateAt(s, v2) == Map(1 -> "a", 3 -> "c"))
+    assert(stateAt(s, v3) == Map(3 -> "c2"))
+    assert(stateAt(s, v3) == state(s), "latest version must equal snapshot()")
+  }
+
+  test("time travel: versions age out of retention and read fails loudly") {
+    val s = new ParquetTableStore(spark, tmpDir("store"), spec, 4,
+      retainedVersions = 2)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((1, "a2")).toDF("id", "v")))
+    val v1 = s.history().head
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((1, "a3")).toDF("id", "v")))
+    // retention applies at gc time (start of the next merge, or explicit):
+    // same deferred contract as data-dir reclamation
+    s.gc()
+    assert(s.history().size == 2 && !s.history().contains(v1))
+    val err = intercept[IllegalArgumentException](s.snapshotAt(v1))
+    assert(err.getMessage.contains("no retained version"))
+    assert(stateAt(s, s.history().last) == Map(1 -> "a3"))
+  }
+
+  test("time travel: default retention keeps the original storage footprint") {
+    val rootDir = tmpDir("store")
+    val s = new ParquetTableStore(spark, rootDir, spec, 2)
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "b2")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq(2).toDF("id"), Seq((2, "b3")).toDF("id", "v")))
+    s.gc()
+    // retention 1: exactly the live layout's dirs and one _v file survive
+    assert(s.history().size == 1)
+    val data = new java.io.File(rootDir, "public_t/data")
+    val manifest = scala.io.Source.fromFile(
+      new java.io.File(rootDir, "public_t/_current"))
+    val liveDirs = try manifest.getLines().filterNot(_.startsWith("#"))
+      .map(_.split('\t')(1)).toSet finally manifest.close()
+    assert(data.list().toSet == liveDirs)
+  }
 }
