@@ -198,6 +198,36 @@ object PipelineQueries {
           array_join(transform(col("ps"), _.cast("string")), ",").as("postings"))
     }),
 
+    // ── Padding-waste report: the training-batch efficiency argument for
+    // length bucketing, measured — assemble 16-doc batches per language
+    // under two policies (arrival order by doc_id vs length-sorted) and
+    // compare padded-token waste when every batch pads to its longest
+    // member. All integer arithmetic (capacity = n·max, waste ppm by
+    // integer div); one window per policy partitioned BY LANGUAGE (never a
+    // global single-task rank), batch rollups ride the same partitioning.
+    "q165_padding_waste" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("lang"), col("doc_id"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import org.apache.spark.sql.expressions.Window
+      def policy(name: String,
+          order: Seq[org.apache.spark.sql.Column]): DataFrame =
+        base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(order: _*)))
+          .withColumn("batch", expr("(rn - 1) div 16"))
+          .groupBy(col("lang"), col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("tok")).as("mx"),
+            sum(col("tok")).as("tk"))
+          .agg(sum(col("bn") * col("mx")).as("capacity"),
+            sum(col("tk")).as("n_tokens"))
+          .select(lit(name).as("policy"), col("capacity"), col("n_tokens"),
+            (col("capacity") - col("n_tokens")).as("padded"),
+            expr("(capacity - n_tokens) * 1000000 div capacity").as("waste_ppm"))
+      policy("arrival", Seq(col("doc_id")))
+        .unionByName(policy("length_sorted", Seq(col("tok"), col("doc_id"))))
+    }),
+
     // ── Dedup threshold sweep: how many near-dup pairs (and docs touched)
     // survive at each Jaccard cutoff τ ∈ {0.5 … 0.9} — the sensitivity
     // report that picks a production threshold BEFORE committing to a full
@@ -1427,6 +1457,43 @@ object PipelineQueries {
         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM bg GROUP BY 1)
         |SELECT phrase, df, postings FROM g WHERE df BETWEEN 5 AND 50""".stripMargin,
+
+    // q165: q43's token-estimate formula, both batch policies as identical
+    // rank/div-16 chains differing only in ORDER BY.
+    "q165_padding_waste" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                  t -> t <> ''),
+        |      t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |b1 AS (
+        |  SELECT lang, batch, count(*) AS bn, max(tok) AS mx, sum(tok) AS tk
+        |  FROM (SELECT lang, tok,
+        |          (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+        |            // 16 AS batch
+        |        FROM tok)
+        |  GROUP BY 1, 2),
+        |a1 AS (SELECT CAST(sum(bn * mx) AS BIGINT) AS capacity,
+        |              CAST(sum(tk) AS BIGINT) AS n_tokens FROM b1),
+        |b2 AS (
+        |  SELECT lang, batch, count(*) AS bn, max(tok) AS mx, sum(tok) AS tk
+        |  FROM (SELECT lang, tok,
+        |          (row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id)
+        |            - 1) // 16 AS batch
+        |        FROM tok)
+        |  GROUP BY 1, 2),
+        |a2 AS (SELECT CAST(sum(bn * mx) AS BIGINT) AS capacity,
+        |              CAST(sum(tk) AS BIGINT) AS n_tokens FROM b2)
+        |SELECT 'arrival' AS policy, capacity, n_tokens,
+        |  capacity - n_tokens AS padded,
+        |  (capacity - n_tokens) * 1000000 // capacity AS waste_ppm FROM a1
+        |UNION ALL
+        |SELECT 'length_sorted', capacity, n_tokens, capacity - n_tokens,
+        |  (capacity - n_tokens) * 1000000 // capacity FROM a2""".stripMargin,
 
     // q163: q39's candidate/verify chain at the loosest τ = 1/2, then the
     // five verdicts from the shared exact (inter, uni) columns.
