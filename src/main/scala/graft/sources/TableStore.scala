@@ -167,6 +167,20 @@ final class ParquetTableStore(
     readDirs(readManifestAt(p)._1.values.toSeq)
   }
 
+  /** Change feed between two retained versions: every key added / removed /
+    * changed from `fromVersion` to `toVersion`, classified per
+    * [[graft.operators.SnapshotDiff.diff]] — the CDC-style incremental
+    * read a downstream consumer uses to catch up without rescanning the
+    * table. One full-outer shuffle join on the key; output proportional to
+    * the delta. Both versions must still be inside the retention window.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    graft.operators.SnapshotDiff.diff(
+      snapshotAt(fromVersion), snapshotAt(toVersion), spec.pkCols)
+  }
+
   /** Publish a new manifest with one atomic rename — the commit point.
     * The `_current` rename IS the commit; the `_v<seq>` version manifest is
     * written after it as a best-effort history record (a crash between the

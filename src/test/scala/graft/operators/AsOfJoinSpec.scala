@@ -76,6 +76,33 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.toSeq === Seq(Some(9L)))
   }
 
+  test("property: asOfTolerance == brute-force model (seeded random, 10 rounds)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 10) {
+      val nA = 1 + rnd.nextInt(12)
+      val nP = 1 + rnd.nextInt(12)
+      val tol = 60L * (1 + rnd.nextInt(8)) // 1..8 minutes in seconds
+      // minute-resolution times over few keys force boundary ties often
+      val anchors = (1 to nA).map(i =>
+        (1L + rnd.nextInt(3), ts(rnd.nextInt(50)), 100L + i))
+      val probes = (1 to nP).map(i =>
+        (i.toLong, 1L + rnd.nextInt(3), ts(rnd.nextInt(50))))
+      val out = AsOfJoin.asOfTolerance(
+          probes.toDF("event_id", "user_id", "ts"),
+          anchors.toDF("user_id", "ts", "event_id"),
+          Seq("user_id"), "ts", "ts", "event_id", "a", tol)
+        .select("event_id", "a").as[(Long, Option[Long])].collect().toMap
+      val model = probes.map { case (pid, key, pt) =>
+        val eligible = anchors.filter(a => a._1 == key && !a._2.after(pt))
+        val best = eligible.sortBy(a => (a._2.getTime, a._3)).lastOption
+        val v = best.filter(a => pt.getTime - a._2.getTime <= tol * 1000)
+          .map(_._3)
+        pid -> v
+      }.toMap
+      assert(out == model, s"round $round diverged (tol=$tol s)")
+    }
+  }
+
   test("plan shuffles once on the key (no range-join explosion)") {
     val anchors = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
     val probes = Seq((10L, 1L, ts(5))).toDF("event_id", "user_id", "ts")

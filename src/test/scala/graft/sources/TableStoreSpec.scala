@@ -269,6 +269,20 @@ class TableStoreSpec extends SparkTestBase {
     assert(stateAt(s, v3) == state(s), "latest version must equal snapshot()")
   }
 
+  test("time travel: changesBetween classifies the inter-version delta") {
+    val s = new ParquetTableStore(spark, tmpDir("store"), spec, 4,
+      retainedVersions = 3)
+    s.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(2).toDF("id"),
+      Seq((3, "c2"), (4, "d")).toDF("id", "v")))
+    val Seq(v1, v2) = s.history()
+    val changes = s.changesBetween(v1, v2).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(changes == Map(2 -> "removed", 3 -> "changed", 4 -> "added"))
+    val err = intercept[IllegalArgumentException](s.changesBetween(v2, v1))
+    assert(err.getMessage.contains("fromVersion < toVersion"))
+  }
+
   test("time travel: versions age out of retention and read fails loudly") {
     val s = new ParquetTableStore(spark, tmpDir("store"), spec, 4,
       retainedVersions = 2)
