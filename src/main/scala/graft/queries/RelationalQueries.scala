@@ -756,6 +756,54 @@ object RelationalQueries {
         .groupBy("o_orderstatus")
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"), count(lit(1)).as("n"))
+    }),
+
+    // ── LATERAL correlated subquery (Spark 4 `Dataset.lateralJoin` +
+    // `Column.outer()`): per-nation top-2 customers by balance. Catalyst
+    // DECORRELATES the per-row limit into a rank window partitioned by the
+    // correlation key — one shuffle on c_nationkey with a WindowGroupLimit
+    // cutting each partition to 2 rows before the final join, NOT a
+    // per-outer-row re-execution of the subquery (which at 100 TB would be
+    // 25 × a full customer scan). Tie-break on c_custkey keeps the picked
+    // pair deterministic when balances collide at the cut.
+    "q166_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").select("n_nationkey", "n_name")
+        .lateralJoin(
+          t(s, dir, "customer")
+            .where(col("c_nationkey") === col("n_nationkey").outer())
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))
+            .limit(2)
+            .select("c_custkey", "c_name", "c_acctbal"))
+        .select(col("n_name"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+    }),
+
+    // ── Inline observed metrics (`Dataset.observe` + `Observation`): the
+    // data-quality counters a pipeline wants from its WRITE pass — row
+    // count, empty/short-text counts, char volume — collected by
+    // accumulator DURING the one corpus scan, zero extra jobs and zero
+    // shuffles (CollectMetricsExec merges per-task partial aggregates on
+    // the driver). At 100 TB this is the difference between "audit the
+    // corpus" costing a second full read or costing nothing. The observed
+    // row is returned as the query result; the action that populates it is
+    // the count() inside (any downstream sink write plays that role in a
+    // real pipeline).
+    "q167_observe_metrics" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val docs = t(s, dir, "documents").observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      docs.foreach(_ => ()) // the pass the metrics ride (= the sink write)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_empty").asInstanceOf[Long],
+        m("n_short").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+        m("max_chars").asInstanceOf[Long]))
+        .toDF("n_rows", "n_empty", "n_short", "sum_chars", "max_chars")
     })
   )
 
@@ -1219,6 +1267,23 @@ object RelationalQueries {
         |    AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q166_lateral_topn" ->
+      """SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    "q167_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_empty,
+        |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin
   )
 }

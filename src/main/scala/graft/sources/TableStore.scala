@@ -356,6 +356,51 @@ final class ParquetTableStore(
     */
   def gc(): Unit = gcUnreferenced(readManifest())
 
+  /** Predicate delete — retention sweeps and right-to-be-forgotten
+    * erasure, the bulk twin of merge's keyed deletes. Returns the number
+    * of rows removed and commits a new version (time-travel and
+    * [[changesBetween]] see it like any merge).
+    *
+    * Two passes, both bucket-bounded:
+    *   1. PROBE: count matches per bucket with `cond` pushed into the
+    *      parquet scan — footer min/max stats (and the pk bloom filters
+    *      when `cond` touches key columns) drop whole row groups without
+    *      decoding, so at 100 TB a selective retention predicate reads a
+    *      fraction of the store. The collect is ≤ `numBuckets` rows of
+    *      driver state, never data-proportional.
+    *   2. REWRITE: only the buckets that contain matches are re-written
+    *      (same staging + atomic manifest flip as merge); untouched
+    *      buckets keep their immutable dirs, so a sweep that hits 3 of
+    *      10⁵ buckets costs 3 bucket rewrites, not a table rewrite.
+    *
+    * NULL predicate rows: `cond` is evaluated under `coalesce(cond,
+    * false)` — a row where the predicate is NULL is KEPT (and not
+    * counted), matching SQL DELETE semantics where only true rows go.
+    */
+  def deleteWhere(cond: Column): Long = {
+    val (manifest, manifestBuckets) = readManifestFull()
+    manifestBuckets.foreach { b =>
+      require(b == numBuckets,
+        s"table ${spec.name} was written with $b buckets but this store " +
+          s"was constructed with $numBuckets — use the original count")
+    }
+    gcUnreferenced(manifest)
+    val pk = spec.pkCols
+    val pred = coalesce(cond, lit(false))
+    // bucket id is a pure function of the pk, so the probe needs no file
+    // lineage — one pushed-filter aggregate over the store
+    val perBucket = readDirs(manifest.values.toSeq).filter(pred)
+      .groupBy(bucketOf(pk.map(col)).as("_bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val affected = perBucket.map(_._1).toSet
+    if (affected.isEmpty) return 0L
+    val current = readDirs(manifest.filter(e => affected(e._1)).values.toSeq)
+    val rebuilt = writeBucketDirs(current.filter(!pred))
+    // a bucket emptied by the delete simply leaves the manifest
+    commitManifest((manifest -- affected) ++ rebuilt)
+    perBucket.map(_._2).sum
+  }
+
   def merge(batch: CompactedBatch): Unit = {
     val (manifest, manifestBuckets) = readManifestFull()
     // A store reopened with a DIFFERENT bucket count maps keys to different

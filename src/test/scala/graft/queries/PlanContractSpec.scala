@@ -149,4 +149,29 @@ class PlanContractSpec extends SparkTestBase {
     assert(countNodes(p, "BroadcastHashJoin") >= 3,
       s"delta terms must broadcast (${countNodes(p, "BroadcastHashJoin")} broadcast joins)")
   }
+
+  test("q166: lateral top-n decorrelates to a rank window, never a per-row rescan") {
+    val p = plan("q166_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "the correlated LIMIT must become a group limit below the shuffle")
+    assert(p.contains("BroadcastHashJoin"), "the 25-row nation side must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral join decorrelation failed — nested-loop re-execution planned")
+    // exactly one exchange moves customer rows (on the correlation key);
+    // nation's broadcast is the only other data movement
+    assert(countNodes(p, "Exchange") == 1,
+      s"one-shuffle contract broken (${countNodes(p, "Exchange")} exchanges)")
+  }
+
+  test("q167: observed metrics ride the scan and match a direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q167_observe_metrics")(spark, sf)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(count(lit(1)), sum(col("n_chars")), max(col("n_chars")))
+      .head()
+    val m = df.head()
+    assert(m.getAs[Long]("n_rows") == direct.getLong(0))
+    assert(m.getAs[Long]("sum_chars") == direct.getLong(1))
+    assert(m.getAs[Long]("max_chars") == direct.getLong(2))
+  }
 }

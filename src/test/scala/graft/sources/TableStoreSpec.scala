@@ -57,6 +57,28 @@ class TableStoreSpec extends SparkTestBase {
     assert(state(again) == Map(1 -> "a2", 2 -> "b"))
   }
 
+  test("deleteWhere sweeps matching rows, keeps NULL-predicate rows, versions the commit") {
+    import org.apache.spark.sql.functions.col
+    val s = new ParquetTableStore(spark, tmpDir("store-del"), spec, 8,
+      retainedVersions = 3)
+    s.init(Seq((1, "a"), (2, "drop"), (3, "b"), (4, "drop"), (5, null))
+      .toDF("id", "v"))
+    val n = s.deleteWhere(col("v") === "drop")
+    assert(n == 2L)
+    assert(state(s) == Map(1 -> "a", 3 -> "b", 5 -> null))
+    // the sweep committed a version: time travel still reads the pre-delete
+    // state, and changesBetween classifies exactly the two removals
+    val Seq(v1, v2) = s.history()
+    assert(s.snapshotAt(v1).count() == 5)
+    val changed = s.changesBetween(v1, v2)
+      .select("id", "change").collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(changed.toSet == Set(2 -> "removed", 4 -> "removed"))
+    // a no-match sweep is a no-op: zero rows, NO new version committed
+    val h = s.history()
+    assert(s.deleteWhere(col("v") === "nope") == 0L)
+    assert(s.history() == h)
+  }
+
   test("merge into empty/nonexistent table creates it") {
     val s = newStore()
     s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
