@@ -326,4 +326,97 @@ object Graph {
     }
     visited
   }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Input: (a, b) edge list (any orientation, duplicates fine);
+    * output: (node, component) for every endpoint, component = the MIN
+    * node id of its component — the same labeling as
+    * [[Dedup.connectedComponents]].
+    *
+    * Why a second CC operator: the label-propagation loop converges in
+    * O(diameter) rounds — right for near-duplicate clusters (tiny stars)
+    * but wrong for a 100 TB graph with a long path in it. Star contraction
+    * converges in O(log² n) rounds REGARDLESS of diameter, each round two
+    * node-keyed aggregates + a distinct — the shape that survives a
+    * 1000-executor graph. Per round:
+    *   - large-star: every neighbor LARGER than u re-attaches to
+    *     m = min(Γ(u) ∪ u) — hub fan-out collapses toward minima without
+    *     ever growing a node's neighborhood;
+    *   - small-star: orient edges large→small, then u and its (all
+    *     smaller) neighbors attach to their min — flattening chains.
+    * Both emit strictly-smaller-total-order edge sets, so the fixpoint
+    * (star forests: every node points directly at its component min) is
+    * reached monotonically; we require convergence within `maxIterations`
+    * like the propagation loop, never returning a half-contracted forest.
+    *
+    * Convergence test: count + two order-insensitive exact sums
+    * (Σ xxhash64(u,v), Σ u+v) — one tiny aggregate per round instead of an
+    * except() anti-join shuffle. A collision would need two DIFFERENT edge
+    * multisets with equal count and equal 128 bits of sums in adjacent
+    * rounds of a monotone contraction — not a realistic failure mode; the
+    * alternative exact check costs a full shuffle per round at 100 TB.
+    *
+    * Each round `localCheckpoint`s the edge set — the same lineage cut as
+    * [[bfsHops]]: round k's plan would otherwise embed round k−1 several
+    * times (two aggregates + the union read it) and grow geometrically.
+    */
+  def ccLargeSmallStar(edges: DataFrame, maxIterations: Int = 30,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val e0 = ownedEdges(edges, scope)
+    var e = e0.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // decimal sums: a long sum of 2^63-range hashes overflows under ANSI
+    def checksum(df: DataFrame): (Long, String, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(col("u").cast("decimal(38,0)") + col("v"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))
+    }
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val und = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // edges already oriented u > v (kept canonical each round)
+      val mins = cur.groupBy("u").agg(min(col("v")).as("m"))
+      cur.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var sig = checksum(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val next = smallStar(largeStar(e))
+        // re-canonicalize: large-star can emit (smaller, larger) pairs
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+    }
+    require(converged, s"ccLargeSmallStar did not converge in $maxIterations rounds")
+    // fixpoint is a star forest: every non-min node points directly at its
+    // component min, so the direct neighbor min IS the component label
+    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    und.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("component"))
+  }
 }

@@ -71,6 +71,17 @@ object GraphQueries {
       else Graph.bfsHops(e, srcRow.getLong(0), maxDepth = 6,
           broadcastState = true)
         .groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // ── Connected-components census over the ≥2-order co-purchase graph
+    // via large/small-star contraction (Graph.ccLargeSmallStar scaladoc:
+    // O(log² n) rounds regardless of diameter — the scale path where the
+    // O(diameter) propagation loop of q42 is the dedup-cluster path).
+    // Components labeled by their min part id; census = size + max id.
+    "q168_cc_census" -> ((s, dir) => {
+      Graph.ccLargeSmallStar(edges(s, dir, minWeight = 2).select("a", "b"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_part"))
     }))
 
   private val graphCte =
@@ -130,5 +141,19 @@ object GraphQueries {
          |  WHERE r.hops < 6)
          |SELECT CAST(hops AS INT) AS hops, count(*) AS n_nodes
          |FROM (SELECT node, min(hops) AS hops FROM reach GROUP BY 1)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+
+    // q168: min-label = min over the node's reachability set (self
+    // included via the seed row); the census groups the labels.
+    "q168_cc_census" ->
+      s"""WITH RECURSIVE $graphCte,
+         |e1 AS (SELECT a, b FROM ew WHERE w >= 2),
+         |e AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT re.node, e.b FROM reach re JOIN e ON e.a = re.r),
+         |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT component, count(*) AS n_nodes, max(node) AS max_part
+         |FROM lab GROUP BY 1""".stripMargin)
 }

@@ -166,4 +166,31 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(dist === bcast)
   }
+
+  test("ccLargeSmallStar: hand graph — two components plus a chain") {
+    // components: {1,2,3,4} (chain 1-2-3 + edge 2-4), {7,9}
+    val cc = Graph.ccLargeSmallStar(edgeDf((2L, 1L), (3L, 2L), (2L, 4L), (9L, 7L)))
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("ccLargeSmallStar: long path converges (diameter >> log rounds)") {
+    // a 40-node path: O(diameter) propagation needs 40 rounds, star
+    // contraction must land inside the default 30
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val cc = Graph.ccLargeSmallStar(path.toDF("a", "b"))
+      .as[(Long, Long)].collect()
+    assert(cc.length == 40 && cc.forall(_._2 == 1L))
+  }
+
+  test("ccLargeSmallStar: differential vs label propagation on a random graph") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 50).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val star = Graph.ccLargeSmallStar(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+  }
 }
