@@ -302,6 +302,51 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Predicate retention sweep on the bucketed store (deleteWhere):
+    // init from customer, erase one market segment (the GDPR/retention
+    // shape — a predicate, not a key list), snapshot the survivors. The
+    // probe pass pushes the predicate into the parquet scan; only buckets
+    // containing matches are rewritten (deleteWhere scaladoc). The oracle
+    // is the complementary filter. NULL-predicate rows are kept by
+    // contract — exercised here by the segment column being non-null
+    // corpus-wide (the spec covers the null case).
+    "q169_retention_sweep" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_rs", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        store.init(s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        val removed = store.deleteWhere(col("c_mktsegment") === "BUILDING")
+        store.snapshot()
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+          .withColumn("n_removed", lit(removed))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
+    // ── Bucket-pruned point lookup (snapshotForKeys): the 100 TB "fetch
+    // these 40 keys" path — the key set resolves to bucket ids (bounded
+    // collect), ONLY those bucket dirs are read, the In filter rides the
+    // PK-sorted row-group stats + blooms, and the semi join broadcasts.
+    // Keys %250==0 span many buckets; the oracle is a plain IN filter.
+    "q170_point_lookup" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_pl", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val keys = base.filter(col("c_custkey") % 250 === 0).select("c_custkey")
+        store.snapshotForKeys(keys).localCheckpoint()
+      } finally deleteDir(s, rootDir)
+    }),
+
     // Full Debezium path over customer (snapshot reads + updates + deletes).
     "q22_cdc_debezium_e2e" -> ((s, dir) => {
       val registry = TableRegistry(
@@ -330,6 +375,19 @@ object CdcQueries {
         |UNION ALL
         |SELECT c_custkey, 'changed' FROM customer
         |WHERE c_custkey % 7 = 0""".stripMargin,
+
+    "q169_retention_sweep" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_mktsegment = 'BUILDING') AS n_removed
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q170_point_lookup" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 250 = 0""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority
