@@ -347,6 +347,25 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Metadata-only count (fastCount): COUNT(*) answered from parquet
+    // footer record counts over the manifest's current files — zero data
+    // pages, no Spark job (deleteWhere first, so the count proves the
+    // footers track mutations, not just the init write).
+    "q171_fast_count" -> ((s, dir) => {
+      val spec = TableSpec("public.orders_fc", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType))), Seq("o_orderkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        store.init(s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus")))
+        store.deleteWhere(col("o_orderstatus") === "P")
+        import s.implicits._
+        Seq(store.fastCount()).toDF("n_rows")
+      } finally deleteDir(s, rootDir)
+    }),
+
     // Full Debezium path over customer (snapshot reads + updates + deletes).
     "q22_cdc_debezium_e2e" -> ((s, dir) => {
       val registry = TableRegistry(
@@ -388,6 +407,10 @@ object CdcQueries {
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_nationkey,
         |  c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 250 = 0""".stripMargin,
+
+    "q171_fast_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

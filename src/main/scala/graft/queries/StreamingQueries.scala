@@ -160,6 +160,64 @@ object StreamingQueries {
     runToMemorySink(spark, agg, "q19_sink", ckpt, in)
     }
 
+  /** q172: the SAME watermark/window/emission pipeline as q19 driven to the
+    * sink by `Trigger.AvailableNow` — the production BACKFILL trigger:
+    * process everything already in the source in BOUNDED batches
+    * (`maxFilesPerTrigger` still honored, unlike the retired Trigger.Once
+    * which swallowed the backlog in one batch), then terminate on its own,
+    * leaving the checkpoint ready for the next scheduled run. One file per
+    * batch in the same arrival order as q19's replay means the watermark
+    * advances through the same values and append mode emits the same
+    * window set — the oracle IS q19's. A trigger that collapsed the replay
+    * into one batch would see the stragglers BEFORE the batch-0 watermark
+    * existed and emit more windows; the shared oracle pins the
+    * bounded-batch contract.
+    */
+  def watermarkAvailableNow(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+    val events = RelationalQueries.events(spark, dir)
+    val cut = lit(LateCut).cast("timestamp")
+    val straggler = col("event_id") % 7 === 0 && col("ts") < cut
+
+    val in = Files.createTempDirectory("q172_in")
+    val ckpt = Files.createTempDirectory("q172_ckpt")
+    val now = System.currentTimeMillis()
+    dumpArrivalFile(events.filter(!straggler && col("ts") < cut), in, "a0.json", now - 120000)
+    dumpArrivalFile(events.filter(col("ts") >= cut), in, "a1.json", now - 60000)
+    dumpArrivalFile(events.filter(straggler), in, "a2.json", now)
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("timestampFormat", TsFormat)
+      .json(in.toString)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        RelationalQueries.dsum(col("value")).as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("cnt"), col("sum_value"), col("max_id"))
+
+    val sinkName = "q172_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    // AvailableNow terminates itself once the backlog drains — await, never
+    // processAllAvailable (which would return before the self-stop and race
+    // the cleanup against the final commit)
+    try q.awaitTermination()
+    finally {
+      try q.stop() catch { case _: Exception => () }
+      cleanup(in, ckpt)
+    }
+    spark.table(sinkName)
+    }
+
   /** q49: streaming deduplication across micro-batches.
     *
     * Arrival schedule replays the `events` table with REAL cross-batch
@@ -646,7 +704,8 @@ object StreamingQueries {
     "q156_stream_full_outer" -> ((s, dir) => streamFullOuterJoin(s, dir)),
     "q136_transform_with_state" -> ((s, dir) => streamTransformWithState(s, dir)),
     "q140_stream_complete" -> ((s, dir) => streamCompleteMode(s, dir)),
-    "q145_stream_update" -> ((s, dir) => streamUpdateMode(s, dir)))
+    "q145_stream_update" -> ((s, dir) => streamUpdateMode(s, dir)),
+    "q172_stream_available_now" -> ((s, dir) => watermarkAvailableNow(s, dir)))
 
   /** The watermark replay, declaratively: wm1 = the watermark established by
     * batch 0 (the late-event filter in effect when the stragglers arrive in
@@ -659,30 +718,35 @@ object StreamingQueries {
     * ends, so `<=`/`>` agree across the engines' precisions where strict
     * `<` would not.
     */
+  private val watermarkReplayOracle =
+    s"""WITH a0 AS (
+      |  SELECT * FROM events
+      |  WHERE NOT (event_id % 7 = 0) AND ts < TIMESTAMP '$LateCut'),
+      |a2 AS (
+      |  SELECT * FROM events
+      |  WHERE event_id % 7 = 0 AND ts < TIMESTAMP '$LateCut'),
+      |wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a0),
+      |wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+      |inc AS (
+      |  SELECT date_trunc('hour', ts) AS ws, value, event_id FROM a0
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts), value, event_id FROM events
+      |  WHERE ts >= TIMESTAMP '$LateCut'
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts), value, event_id FROM a2
+      |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1))
+      |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(event_id) AS max_id
+      |FROM inc
+      |WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+      |GROUP BY ws""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q19_stream_watermark" ->
-      s"""WITH a0 AS (
-        |  SELECT * FROM events
-        |  WHERE NOT (event_id % 7 = 0) AND ts < TIMESTAMP '$LateCut'),
-        |a2 AS (
-        |  SELECT * FROM events
-        |  WHERE event_id % 7 = 0 AND ts < TIMESTAMP '$LateCut'),
-        |wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a0),
-        |wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
-        |inc AS (
-        |  SELECT date_trunc('hour', ts) AS ws, value, event_id FROM a0
-        |  UNION ALL
-        |  SELECT date_trunc('hour', ts), value, event_id FROM events
-        |  WHERE ts >= TIMESTAMP '$LateCut'
-        |  UNION ALL
-        |  SELECT date_trunc('hour', ts), value, event_id FROM a2
-        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1))
-        |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  max(event_id) AS max_id
-        |FROM inc
-        |WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
-        |GROUP BY ws""".stripMargin,
+    "q19_stream_watermark" -> watermarkReplayOracle,
+    // q172: AvailableNow's bounded batches replay the same file sequence,
+    // so the emission set is q19's (see watermarkAvailableNow's scaladoc).
+    "q172_stream_available_now" -> watermarkReplayOracle,
 
     // q49: the emitted set is exactly the distinct events (see streamDedup's
     // scaladoc for why the replay guarantees that), so the oracle is the

@@ -356,6 +356,33 @@ final class ParquetTableStore(
     */
   def gc(): Unit = gcUnreferenced(readManifest())
 
+  /** Exact row count from parquet FOOTER metadata only — zero data pages
+    * read, no Spark job. The count a 100 TB table answers in file-metadata
+    * time instead of a full scan (the same statistics q148's DSv2
+    * aggregate pushdown reads; here without planning a query at all).
+    * Driver-side cost is one footer read per current data file — bounded
+    * by the file count, not the row count; a deployment where even that is
+    * too slow caches per-bucket counts at write time (the manifest is the
+    * natural home) — not done here because footers are the ground truth
+    * the cache would have to be validated against anyway.
+    *
+    * Consistent with [[snapshot]]'s contract: counts the manifest resolved
+    * at CALL time. Deleted-but-retained version dirs don't participate.
+    */
+  def fastCount(): Long = {
+    val conf = hadoopConf
+    readManifest().values.toSeq.sortBy(identity).map { d =>
+      fs.listStatus(new Path(dataPath, d))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }.sum
+  }
+
   /** Predicate delete — retention sweeps and right-to-be-forgotten
     * erasure, the bulk twin of merge's keyed deletes. Returns the number
     * of rows removed and commits a new version (time-travel and

@@ -79,6 +79,19 @@ class TableStoreSpec extends SparkTestBase {
     assert(s.history() == h)
   }
 
+  test("fastCount answers from footers and tracks init, merge, and deleteWhere") {
+    import org.apache.spark.sql.functions.col
+    val s = newStore()
+    s.init((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(s.fastCount() == 20L)
+    s.merge(CompactedBatch(
+      deletes = Seq(1, 2, 3).toDF("id"),
+      upserts = Seq((21, "w")).toDF("id", "v")))
+    assert(s.fastCount() == s.snapshot().count())
+    s.deleteWhere(col("id") % 2 === 0)
+    assert(s.fastCount() == s.snapshot().count())
+  }
+
   test("merge into empty/nonexistent table creates it") {
     val s = newStore()
     s.merge(CompactedBatch(Seq(9).toDF("id"), Seq((1, "a")).toDF("id", "v")))
