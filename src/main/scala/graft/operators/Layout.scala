@@ -59,4 +59,80 @@ object Layout {
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
   }
+
+  /** Hilbert index of (x, y) on the 2^bits × 2^bits grid — the
+    * space-filling curve whose CONSECUTIVE indexes are always grid
+    * neighbors (Morton order jumps at power-of-two seams), so a range of
+    * the sort key maps to one compact square-ish region: tighter file
+    * envelopes than z-order on the same data, which is why Iceberg offers
+    * it beside Morton for `OPTIMIZE`.
+    *
+    * The classic per-level quadrant fold (d += s²·((3·rx) XOR ry), then
+    * reflect/transpose the remaining low bits), expressed as one
+    * `withColumn` STAGE per level rather than a single Column fold: each
+    * level's (x, y) state feeds the next level 2–3 times, so a nested
+    * Column expression would grow ~3^bits nodes while named stages keep
+    * the projection chain LINEAR in `bits` (Catalyst collapses the stack
+    * into one codegen'd projection — still zero UDFs, still rides the
+    * scan). Low bits are re-masked each level (`x & (s-1)`), keeping every
+    * intermediate in [0, s) — no two's-complement subtleties to replicate
+    * in an oracle engine.
+    *
+    * Adds `h` to `df` (input columns untouched); same loud out-of-range
+    * guard as [[zValue]].
+    */
+  def hilbertIndex(df: DataFrame, xCol: String, yCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val limit = 1L << bits
+    def guarded(c: Column, name: String): Column =
+      when(c.isNull || c < 0 || c >= limit,
+        raise_error(concat(lit(s"hilbertIndex: $name out of [0, $limit): "),
+          coalesce(c.cast("string"), lit("null")))))
+        .otherwise(c.cast("long"))
+    var cur = df
+      .withColumn("_hx", guarded(col(xCol), "x"))
+      .withColumn("_hy", guarded(col(yCol), "y"))
+      .withColumn("_hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(col("_hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("_hy"), i).bitwiseAND(lit(1L))
+      val xm = col("_hx").bitwiseAND(lit(s - 1))
+      val ym = col("_hy").bitwiseAND(lit(s - 1))
+      cur = cur
+        .withColumn("_hd",
+          col("_hd") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        // reflect-then-transpose of the remaining low bits (ry = 0 arm);
+        // both new coords must derive from the PRE-update state, hence one
+        // select-stage per level, not sequential withColumns
+        .withColumn("_nx",
+          when(ry === 0, when(rx === 1, lit(s - 1) - ym).otherwise(ym))
+            .otherwise(xm))
+        .withColumn("_ny",
+          when(ry === 0, when(rx === 1, lit(s - 1) - xm).otherwise(xm))
+            .otherwise(ym))
+        .withColumn("_hx", col("_nx"))
+        .withColumn("_hy", col("_ny"))
+        .drop("_nx", "_ny")
+    }
+    cur.withColumn("h", col("_hd")).drop("_hx", "_hy", "_hd")
+  }
+
+  /** [[zorderReport]]'s Hilbert twin: cell = `h >> cellShift`, same
+    * (count, per-dimension envelope) quality report — run both over one
+    * dataset to quantify the locality win curve choice buys.
+    */
+  def hilbertReport(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, cellShift: Int): DataFrame = {
+    require(cellShift >= 0 && cellShift < 2 * bits,
+      s"cellShift must be in [0, ${2 * bits}), got $cellShift")
+    hilbertIndex(df.select(col(xCol).as("x"), col(yCol).as("y")),
+        "x", "y", bits)
+      .withColumn("hcell", shiftright(col("h"), cellShift))
+      .groupBy("hcell")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
 }

@@ -166,6 +166,23 @@ object EventQueries {
       Layout.zorderReport(ev, "x", "y", bits = 16, cellShift = 6)
     }),
 
+    // ── Hilbert-curve layout report — q119's Morton twin on a 1024×1024
+    // grid (pmod-folded dims, immune to id-range growth across testdata
+    // regenerations). Consecutive Hilbert indexes are always grid
+    // neighbors, so the >>8 cells tile compact square-ish regions where
+    // z-cells jump at power-of-two seams — compare the two reports'
+    // envelopes for the curve-choice pruning argument. Unrolled per-level
+    // quadrant fold, one codegen'd projection chain riding the scan
+    // (Layout.hilbertIndex scaladoc); the oracle replays the identical
+    // integer fold as a generated CTE chain.
+    "q173_hilbert_layout" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir).select(
+        pmod(col("user_id"), lit(1024L)).as("x"),
+        pmod(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long"), lit(1024L)).as("y"))
+      Layout.hilbertReport(ev, "x", "y", bits = 10, cellShift = 8)
+    }),
+
     // ── Trailing-8-term EWMA of `value` per user: exact decimal weights
     // 2^-(j+1), one window shuffle on the actor key (Rolling scaladoc).
     // ── 5-minute OHLC bars per event type — the time-series downsample an
@@ -537,6 +554,41 @@ object EventQueries {
          |SELECT zv >> 6 AS zcell, count(*) AS n_rows,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY 1""".stripMargin
+    },
+
+    // q173: the identical per-level Hilbert fold as a generated CTE chain —
+    // each stage masks the remaining low bits (x & (s-1)) before the
+    // reflect/transpose, so every intermediate stays in [0, s) on both
+    // engines (no signedness to reconcile); xor() is DuckDB's integer XOR.
+    "q173_hilbert_layout" -> {
+      val bits = 10
+      val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+        val s = 1L << i
+        val rx = s"((x >> $i) & 1)"
+        val ry = s"((y >> $i) & 1)"
+        val xm = s"(x & ${s - 1})"
+        val ym = s"(y & ${s - 1})"
+        s"""h$k AS (SELECT x0, y0,
+           |  d + ${s * s} * xor(3 * $rx, $ry) AS d,
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - $ym ELSE $ym END
+           |  ELSE $xm END AS x,
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - $xm ELSE $xm END
+           |  ELSE $ym END AS y
+           |  FROM h${if (k == 0) "in" else (k - 1).toString})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id % 1024 AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 1024
+         |         AS BIGINT) AS y
+         |  FROM events),
+         |hin AS (SELECT x AS x0, y AS y0, CAST(0 AS BIGINT) AS d, x, y FROM b),
+         |$levels
+         |SELECT d >> 8 AS hcell, count(*) AS n_rows,
+         |  min(x0) AS min_x, max(x0) AS max_x,
+         |  min(y0) AS min_y, max(y0) AS max_y
+         |FROM h${bits - 1} GROUP BY 1""".stripMargin
     },
 
     // q152: the same hour/hundredth quantizations; every sum an exact

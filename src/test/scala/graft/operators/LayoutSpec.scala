@@ -75,4 +75,37 @@ class LayoutSpec extends SparkTestBase {
     assert(linHits === 8L) // all 8 y-rows of the box, each a full-x chunk
     assert(zHits < linHits)
   }
+
+  test("hilbertIndex: first-quadrant order on the 2x2 grid") {
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val out = Layout.hilbertIndex(df, "x", "y", bits = 1)
+      .select("h").as[Long].collect().toSeq
+    assert(out === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("hilbertIndex: a true space-filling curve on the 32x32 grid") {
+    // THE Hilbert property: d is a bijection onto [0, 1024) and every
+    // consecutive pair of indexes is a Manhattan-adjacent cell pair —
+    // Morton order fails the adjacency half at every power-of-two seam
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val cells = Layout.hilbertIndex(grid.toDF("x", "y"), "x", "y", bits = 5)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L until 1024L))
+    cells.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+  }
+
+  test("hilbertIndex: out-of-range input fails loudly, original columns kept") {
+    val bad = intercept[Exception] {
+      Layout.hilbertIndex(Seq((4L, 0L)).toDF("x", "y"), "x", "y", bits = 2)
+        .collect()
+    }
+    assert(bad.getMessage.contains("out of"))
+    val cols = Layout.hilbertIndex(Seq((1L, 2L)).toDF("x", "y"), "x", "y", bits = 2)
+      .columns.toSeq
+    assert(cols === Seq("x", "y", "h"))
+  }
 }
