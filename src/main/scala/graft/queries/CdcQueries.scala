@@ -3,7 +3,7 @@ package graft.queries
 import graft.model.{TableRegistry, TableSpec}
 import graft.operators.Compaction
 import graft.parse.{DebeziumParser, MaxwellParser, Projection}
-import graft.sources.{JdbcTableStore, ParquetTableStore}
+import graft.sources.{JdbcTableStore, MorTableStore, ParquetTableStore}
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -244,6 +244,28 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // The same Maxwell path through the MERGE-ON-READ store: parse →
+    // compact → O(batch) delta append (no existing bucket rewritten) →
+    // mid-sequence compact() folding threshold-crossing stacks → resolved
+    // snapshot. Same oracle as q21/q23 — all three sink architectures
+    // (CoW parquet, JDBC warehouse, MOR parquet) must converge on the
+    // same table from the same envelope stream.
+    "q174_cdc_mor_e2e" -> ((s, dir) => {
+      val registry = ordersRegistry
+      val rootDir = tempRoot()
+      try {
+        val store = new MorTableStore(s, rootDir,
+          registry.specFor("public.orders"), numBuckets = 16,
+          compactThreshold = 2)
+        val events = MaxwellParser.events(maxwellJson(s, dir), registry, col("seq0"))
+        CdcPipeline.applyBatch(events, registry, Map("public.orders" -> store))
+        store.compact() // every touched bucket folds back to one base dir
+        store.snapshot()
+          .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // The same Maxwell stream merged through the JDBC warehouse sink
     // (embedded Derby): parse → compact → executor-parallel staging →
     // DELETE WHERE EXISTS + INSERT-SELECT in one transaction → snapshot read
@@ -422,6 +444,17 @@ object CdcQueries {
         |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
 
     "q21_cdc_maxwell_e2e" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CASE WHEN o_orderkey % 10 IN (0, 1, 2) THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    // q174: the MOR sink must land on the same table as q21's CoW sink.
+    "q174_cdc_mor_e2e" ->
       """SELECT
         |  CASE WHEN o_orderkey % 10 = 4 THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,

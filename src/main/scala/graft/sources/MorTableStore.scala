@@ -1,0 +1,253 @@
+package graft.sources
+
+import graft.model.TableSpec
+import graft.operators.CompactedBatch
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** MERGE-ON-READ bucketed Parquet store — the write-cheap twin of
+  * [[ParquetTableStore]]'s copy-on-write merge, trading read-time
+  * resolution for O(batch) writes (the Hudi MOR / Delta deletion-vector
+  * trade; reference workload: the CDC loader applies a small compacted
+  * batch every merge interval, `ChangeLoader.java:211-344`).
+  *
+  * Why it exists: CoW rewrites EVERY bucket a batch touches — one changed
+  * key in a 1 GiB bucket costs a 1 GiB rewrite, so a steady trickle of
+  * small batches (the streaming-CDC steady state) pays write amplification
+  * proportional to table size per interval. Here `merge` writes ONLY the
+  * batch rows as a delta file per touched bucket (upserts as `_op = 'u'`,
+  * delete tombstones as `_op = 'd'` with null data columns) stamped with a
+  * monotonic `_seq`; nothing existing is rewritten. `snapshot()` resolves
+  * newest-wins per primary key across a bucket's file stack. [[compact]]
+  * folds a bucket's stack back to one resolved base file when it exceeds
+  * `compactThreshold` — after which that bucket reads with NO resolution
+  * work at all (single-dir buckets skip the window entirely).
+  *
+  * Scale contract at 100 TB:
+  *   - merge cost ∝ batch size (bucket-partitioned write of the batch,
+  *     one shuffle of batch-sized data; driver state = one bounded
+  *     directory listing);
+  *   - snapshot cost = scan + a pk-keyed `row_number` window over ONLY the
+  *     buckets that still carry deltas — freshly-compacted buckets stream
+  *     straight off the scan; compaction keeps the windowed fraction small;
+  *   - the resolution window shuffles on the pk, the same key the buckets
+  *     hash on, so the exchange is the one a CoW merge pays anyway — paid
+  *     at read time, per the MOR bargain.
+  *
+  * Same crash-safety protocol as the CoW store: staged write → per-bucket
+  * rename into `data/` → ONE atomic `_current` rename as the commit point;
+  * unreferenced dirs from crashed merges are invisible and swept by the
+  * next merge/compact. Single writer by contract. Time travel / retained
+  * versions are deliberately NOT offered here — that is the CoW store's
+  * feature (its manifests share immutable bucket dirs across versions;
+  * a MOR stack mutates per merge and would retain every delta forever).
+  *
+  * Manifest format: optional `#buckets=<n>` header, then
+  * `bucket<TAB>dir1,dir2,…` — the dir STACK in apply order (base first).
+  * Dir names are `<bucket>-<seq>-<token>`; `_seq` inside the files is the
+  * authoritative resolution order, the name only seeds [[nextSeq]].
+  */
+final class MorTableStore(
+    spark: SparkSession,
+    root: String,
+    val spec: TableSpec,
+    numBuckets: Int = 64,
+    compactThreshold: Int = 8)
+  extends TableStore {
+  require(compactThreshold >= 2,
+    s"compactThreshold must be >= 2, got $compactThreshold")
+
+  private val tablePath = new Path(root, spec.name.replace('.', '_'))
+  private val dataPath = new Path(tablePath, "data")
+  private val manifestPath = new Path(tablePath, "_current")
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fs = tablePath.getFileSystem(hadoopConf)
+
+  private def bucketCol = pmod(hash(spec.pkCols.map(col): _*), lit(numBuckets))
+
+  /** spec schema + the MOR metadata columns the delta files carry. */
+  private val fileSchema = StructType(spec.schema.fields.toSeq :+
+    StructField("_op", StringType) :+ StructField("_seq", LongType))
+
+  def exists: Boolean = fs.exists(manifestPath)
+
+  private def readManifest(): (Map[Int, Seq[String]], Option[Int]) =
+    if (!fs.exists(manifestPath)) (Map.empty, None)
+    else {
+      val in = fs.open(manifestPath)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      val header = lines.headOption.filter(_.startsWith("#buckets="))
+        .map(_.stripPrefix("#buckets=").toInt)
+      val entries = lines.filterNot(_.startsWith("#")).map { l =>
+        val Array(b, dirs) = l.split("\t", 2)
+        b.toInt -> dirs.split(",").toSeq
+      }.toMap
+      (entries, header)
+    }
+
+  private def commitManifest(manifest: Map[Int, Seq[String]]): Unit = {
+    val body = (s"#buckets=$numBuckets" +:
+      manifest.toSeq.sortBy(_._1)
+        .map { case (b, ds) => s"$b\t${ds.mkString(",")}" })
+      .mkString("\n").getBytes("UTF-8")
+    val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(body)
+    finally out.close()
+    FileContext.getFileContext(tmp.toUri, hadoopConf)
+      .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+  }
+
+  private def gcUnreferenced(manifest: Map[Int, Seq[String]]): Unit = {
+    if (!fs.exists(dataPath)) return
+    val live = manifest.values.flatten.toSet
+    fs.listStatus(dataPath).foreach { st =>
+      if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Next `_seq`: one past the largest seq any referenced dir carries in
+    * its `<bucket>-<seq>-<token>` name. Bounded driver work (manifest is
+    * already in memory); no data read.
+    */
+  private def nextSeq(manifest: Map[Int, Seq[String]]): Long = {
+    val seqs = manifest.values.flatten.map(_.split("-")(1).toLong)
+    if (seqs.isEmpty) 0L else seqs.max + 1L
+  }
+
+  /** Stage-write `rows` (already carrying `_op`/`_seq`) partitioned by pk
+    * bucket, rename each bucket file set into `data/` as
+    * `<bucket>-<seq>-<token>`, return bucket → dir. PK-sorted within each
+    * bucket for footer-stats point lookups, same as the CoW store.
+    */
+  private def writeBucketDirs(rows: DataFrame, seq: Long): Map[Int, String] = {
+    val token = System.nanoTime()
+    val staging = new Path(tablePath, s".staging_$token")
+    rows.withColumn("_bucket", bucketCol)
+      .repartition(col("_bucket"))
+      .sortWithinPartitions(col("_bucket") +: spec.pkCols.map(col): _*)
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(staging.toString)
+    fs.mkdirs(dataPath)
+    val written = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix("_bucket=").toInt
+        val dir = s"$b-$seq-$token"
+        require(fs.rename(st.getPath, new Path(dataPath, dir)),
+          s"staging rename failed for bucket $b (${st.getPath} -> $dir)")
+        b -> dir
+      }.toMap
+    fs.delete(staging, true)
+    written
+  }
+
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    spark.read.schema(fileSchema)
+      .parquet(dirs.map(d => new Path(dataPath, d).toString): _*)
+
+  /** Newest-wins resolution of a delta stack: max `_seq` per pk, survivors
+    * are the upserts. Within one seq a pk appears at most once (the
+    * CompactedBatch contract — per-key final action), `_op` desc is a
+    * robustness tie-break only.
+    */
+  private def resolve(stack: DataFrame): DataFrame = {
+    val w = Window.partitionBy(spec.pkCols.map(col): _*)
+      .orderBy(col("_seq").desc, col("_op").desc)
+    stack.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_op") === "u")
+      .select(spec.dataCols.map(col): _*)
+  }
+
+  /** Full load: one resolved base stack per bucket at seq 0. */
+  def init(df: DataFrame): Unit = {
+    gcUnreferenced(readManifest()._1)
+    val rows = df.select(spec.dataCols.map(col): _*)
+      .withColumn("_op", lit("u")).withColumn("_seq", lit(0L))
+    commitManifest(writeBucketDirs(rows, 0L).map { case (b, d) => b -> Seq(d) })
+  }
+
+  /** Current table: single-dir buckets stream straight off the scan (a
+    * lone dir is either a compacted base or one self-consistent batch —
+    * filter the tombstones, done); only multi-dir buckets pay the
+    * resolution window.
+    */
+  def snapshot(): DataFrame = {
+    val (manifest, _) = readManifest()
+    val (flat, stacked) = manifest.values.partition(_.lengthCompare(1) == 0)
+    val parts = Seq(
+      if (flat.nonEmpty)
+        Some(readDirs(flat.flatten.toSeq).filter(col("_op") === "u")
+          .select(spec.dataCols.map(col): _*))
+      else None,
+      if (stacked.nonEmpty) Some(resolve(readDirs(stacked.flatten.toSeq)))
+      else None).flatten
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** O(batch) write: the batch becomes one delta dir per TOUCHED bucket —
+    * tombstones for deletes (null data columns), full rows for upserts —
+    * appended to those buckets' stacks. Nothing existing is rewritten.
+    */
+  def merge(batch: CompactedBatch): Unit = {
+    val (manifest, manifestBuckets) = readManifest()
+    manifestBuckets.foreach { b =>
+      require(b == numBuckets,
+        s"table ${spec.name} was written with $b buckets but this store " +
+          s"was constructed with $numBuckets — use the original count")
+    }
+    gcUnreferenced(manifest)
+    val pk = spec.pkCols
+    val nonPk = spec.dataCols.filterNot(pk.contains)
+    val tombstones = nonPk.foldLeft(batch.deletes.select(pk.map(col): _*)) {
+      (df, c) => df.withColumn(c, lit(null).cast(spec.schema(c).dataType))
+    }.select(spec.dataCols.map(col): _*).withColumn("_op", lit("d"))
+    val upserts = batch.upserts.select(spec.dataCols.map(col): _*)
+      .withColumn("_op", lit("u"))
+    val seq = nextSeq(manifest)
+    val rows = upserts.unionByName(tombstones).withColumn("_seq", lit(seq))
+    val written = writeBucketDirs(rows, seq)
+    if (written.isEmpty) return
+    commitManifest(manifest ++ written.map { case (b, d) =>
+      b -> (manifest.getOrElse(b, Seq.empty) :+ d)
+    })
+  }
+
+  /** Fold every bucket whose stack reached `compactThreshold` dirs back to
+    * ONE resolved base dir (deletes become final — no tombstone survives a
+    * compaction). One write job covers all qualifying buckets; replaced
+    * dirs stay on disk until the next merge/compact's gc so in-flight
+    * snapshots resolved against the old manifest keep evaluating — the
+    * same deferred-reclamation contract as the CoW store. Returns the
+    * number of buckets compacted.
+    */
+  def compact(): Int = {
+    val (manifest, _) = readManifest()
+    val targets = manifest.filter(_._2.lengthCompare(compactThreshold) >= 0)
+    if (targets.isEmpty) return 0
+    val seq = nextSeq(manifest)
+    val resolved = resolve(readDirs(targets.values.flatten.toSeq))
+      .withColumn("_op", lit("u")).withColumn("_seq", lit(seq))
+    val written = writeBucketDirs(resolved, seq)
+    // a bucket whose rows were all deleted folds to nothing and leaves the
+    // manifest entirely
+    commitManifest((manifest -- targets.keys) ++
+      written.map { case (b, d) => b -> Seq(d) })
+    targets.size
+  }
+
+  /** Dir-stack depth per bucket — the observability hook for scheduling
+    * [[compact]] (bounded: one manifest read, no data access).
+    */
+  def stackDepths(): Map[Int, Int] =
+    readManifest()._1.map { case (b, ds) => b -> ds.size }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.TableSpec
+import graft.operators.CompactedBatch
+import org.apache.spark.sql.types._
+
+/** Merge-on-read store: replace semantics, delta-stack growth and
+  * compaction, the write-amplification contract (a merge writes only
+  * delta-sized dirs), and replay equivalence against the copy-on-write
+  * store under an identical batch sequence.
+  */
+class MorTableStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = TableSpec(
+    "public.m",
+    StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+    Seq("id"))
+
+  private def newStore(threshold: Int = 8) =
+    new MorTableStore(spark, tmpDir("mor"), spec, numBuckets = 4,
+      compactThreshold = threshold)
+
+  private def state(s: TableStore): Map[Int, String] =
+    s.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("init + merge: newest wins, deletes tombstone, re-insert revives") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    s.merge(CompactedBatch(
+      deletes = Seq(2).toDF("id"),
+      upserts = Seq((1, "a2"), (4, "d")).toDF("id", "v")))
+    assert(state(s) == Map(1 -> "a2", 3 -> "c", 4 -> "d"))
+    // the tombstoned key revives on a later upsert (higher seq wins)
+    s.merge(CompactedBatch(
+      deletes = Seq.empty[Int].toDF("id"),
+      upserts = Seq((2, "b2")).toDF("id", "v")))
+    assert(state(s) == Map(1 -> "a2", 2 -> "b2", 3 -> "c", 4 -> "d"))
+  }
+
+  test("merge writes only delta dirs; compact folds the stack and drops tombstones") {
+    val s = newStore(threshold = 3)
+    s.init((1 to 12).map(i => (i, s"v$i")).toDF("id", "v"))
+    val depthAfterInit = s.stackDepths().values.max
+    assert(depthAfterInit == 1)
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((2, "x")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq(3).toDF("id"), Seq((4, "y")).toDF("id", "v")))
+    // stacks grew by exactly the touched buckets' delta dirs
+    assert(s.stackDepths().values.max >= 2)
+    val before = state(s)
+    val folded = s.compact()
+    assert(folded >= 1, "at least one bucket must cross the threshold")
+    assert(state(s) == before, "compaction must not change the table")
+    assert(s.stackDepths().filter(_._2 >= 3).isEmpty, "no stack left at threshold")
+    // a second compact with nothing to do is a no-op
+    assert(s.compact() == 0)
+  }
+
+  test("whole-bucket deletion folds the bucket out of the manifest") {
+    val s = newStore(threshold = 2)
+    s.init(Seq((1, "a")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq.empty[(Int, String)].toDF("id", "v")))
+    assert(state(s).isEmpty)
+    s.compact()
+    assert(state(s).isEmpty)
+    assert(s.stackDepths().values.forall(_ == 1) || s.stackDepths().isEmpty)
+  }
+
+  test("replay equivalence: MOR and CoW converge under the same batch sequence") {
+    val mor = newStore(threshold = 2)
+    val cow = new ParquetTableStore(spark, tmpDir("cow-twin"), spec, 4)
+    val rnd = new scala.util.Random(7)
+    val init = (1 to 40).map(i => (i, s"v$i"))
+    mor.init(init.toDF("id", "v"))
+    cow.init(init.toDF("id", "v"))
+    for (round <- 1 to 4) {
+      val dels = rnd.shuffle((1 to 40).toList).take(5)
+      val ups = rnd.shuffle((1 to 44).toList).take(6)
+        .filterNot(dels.contains).map(i => (i, s"r$round-$i"))
+      val batch = CompactedBatch(dels.toDF("id"), ups.toDF("id", "v"))
+      mor.merge(batch)
+      cow.merge(batch)
+      if (round == 2) mor.compact() // interleave a compaction mid-sequence
+      assert(state(mor) == state(cow), s"diverged at round $round")
+    }
+  }
+
+  test("reopening with a different bucket count fails loudly") {
+    val root = tmpDir("mor-buckets")
+    val s4 = new MorTableStore(spark, root, spec, numBuckets = 4)
+    s4.init(Seq((1, "a")).toDF("id", "v"))
+    val s8 = new MorTableStore(spark, root, spec, numBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      s8.merge(CompactedBatch(Seq.empty[Int].toDF("id"),
+        Seq((1, "a2")).toDF("id", "v")))
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+}
