@@ -91,4 +91,35 @@ object AsOfJoin {
           <= toleranceSeconds * 1000000L, col("_av")))
       .drop("_t", "_tag", "_v", "_av", "_at")
   }
+
+  /** FORWARD as-of join — [[asOf]] mirrored in time: every probe gets the
+    * EARLIEST anchor at or after its timestamp (`merge_asof(direction=
+    * 'forward')`), the time-to-event / next-state lookup a labeling
+    * pipeline needs (next purchase after a click, next failure after a
+    * warning). Same single-shuffle tag-and-union shape; the window simply
+    * traverses time DESCENDING, so "last non-null seen" is the nearest
+    * anchor at-or-after the probe. Inclusive like the backward form
+    * (anchor.t == probe.t matches — anchors still sort before probes at
+    * equal time under `_tag` asc); equal-time anchor ties resolve to the
+    * max value, the same determinism rule as [[asOf]].
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightValue: String,
+      asName: String): DataFrame = {
+    val valueType = right.schema(rightValue).dataType
+    val probes = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+      .withColumn("_v", lit(null).cast(valueType))
+    val anchors = right.filter(col(rightTime).isNotNull).select(
+      keys.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_tag"),
+        col(rightValue).cast(valueType).as("_v")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_tag").asc, col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(anchors, allowMissingColumns = true)
+      .withColumn(asName, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_t", "_tag", "_v")
+  }
 }

@@ -413,6 +413,21 @@ object RelationalQueries {
           col("last_purchase_id"))
     }),
 
+    // ── FORWARD as-of: every event gets the same user's earliest purchase
+    // at or after its timestamp — the time-to-event label (q51 mirrored in
+    // time; AsOfJoin.asOfForward scaladoc). Same one-shuffle carry window.
+    "q175_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.AsOfJoin.asOfForward(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValue = "event_id", asName = "next_purchase_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("next_purchase_id"))
+    }),
+
     // ── Incremental JOIN maintenance (the join-side twin of q110's
     // aggregate IVM): a materialized orders⋈lineitem result kept current
     // under row deltas by the delta-join algebra
@@ -1048,6 +1063,30 @@ object RelationalQueries {
         |  FROM u)
         |SELECT probe_id AS event_id, user_id, probe_type AS event_type,
         |  last_purchase_id
+        |FROM w WHERE tag = 1""".stripMargin,
+
+    // q175: q51's carry traversed in DESCENDING time — at equal ts anchors
+    // still precede probes (tag asc), so the at-or-after match is inclusive
+    // and equal-time anchor ties resolve to the max id, mirroring q51.
+    "q175_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |    event_id, event_type
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts, NULL AS probe_id, NULL AS probe_type,
+        |    event_id AS aid, 0 AS tag
+        |  FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, event_type, NULL, 1 FROM ev),
+        |w AS (
+        |  SELECT *, last_value(aid IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, tag, aid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS next_purchase_id
+        |  FROM u)
+        |SELECT probe_id AS event_id, user_id, probe_type AS event_type,
+        |  next_purchase_id
         |FROM w WHERE tag = 1""".stripMargin,
 
     // q160: the oracle is the ONE-SHOT join — if the four-term delta

@@ -112,4 +112,35 @@ class AsOfJoinSpec extends SparkTestBase {
     // one exchange for the window partitioning (plus AQE reads), no join node
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("asOfForward picks the earliest anchor at-or-after, inclusive, per key") {
+    val anchors = Seq(
+      (1L, ts(10), 100L), (1L, ts(30), 101L), (2L, ts(20), 200L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq(
+      (10L, 1L, ts(5)),   // before both -> nearest ahead is 100
+      (11L, 1L, ts(10)),  // equal-time -> inclusive match 100
+      (12L, 1L, ts(25)),  // between -> 101
+      (13L, 1L, ts(40)),  // after the last anchor -> null
+      (14L, 2L, ts(15)),  // other key -> 200
+      (15L, 3L, ts(1)))   // key with no anchors -> null
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfForward(probes, anchors, Seq("user_id"), "ts", "ts",
+        "event_id", "next_id")
+      .select(col("event_id"), col("next_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(
+      10L -> Some(100L), 11L -> Some(100L), 12L -> Some(101L), 13L -> None,
+      14L -> Some(200L), 15L -> None))
+  }
+
+  test("asOfForward equal-time anchors tie-break to the max value, like asOf") {
+    val anchors = Seq((1L, ts(10), 7L), (1L, ts(10), 9L), (1L, ts(10), 8L))
+      .toDF("user_id", "ts", "event_id")
+    val probes = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfForward(probes, anchors, Seq("user_id"), "ts", "ts",
+        "event_id", "next_id")
+      .select(col("next_id")).as[Long].collect().toSeq
+    assert(out === Seq(9L))
+  }
 }
