@@ -3,7 +3,7 @@ package graft.queries
 import graft.model.{TableRegistry, TableSpec}
 import graft.operators.Compaction
 import graft.parse.{DebeziumParser, MaxwellParser, Projection}
-import graft.sources.{JdbcTableStore, MorTableStore, ParquetTableStore}
+import graft.sources.{IndexedTableStore, JdbcTableStore, MorTableStore, ParquetTableStore}
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -244,6 +244,32 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Secondary-index lookup (IndexedTableStore): find rows by a
+    // NON-KEY value without a table scan — In-probed (value, pk) index →
+    // pks → bucket-pruned primary fetch, the index maintained through the
+    // same compacted batch as the table (old pairs deleted via a
+    // batch-sized pre-image read). The batch moves %13 customers into
+    // MACHINERY and deletes %17; the lookup must see moved-in rows, drop
+    // moved-out and deleted ones.
+    "q176_indexed_lookup" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_ix", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new IndexedTableStore(s, rootDir, spec, "c_mktsegment",
+          numBuckets = 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        store.merge(graft.operators.CompactedBatch(
+          deletes = base.filter(col("c_custkey") % 17 === 0).select("c_custkey"),
+          upserts = base
+            .filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+            .withColumn("c_mktsegment", lit("MACHINERY"))))
+        store.lookup(Seq("MACHINERY")).localCheckpoint() // eager, pre-delete
+      } finally deleteDir(s, rootDir)
+    }),
+
     // The same Maxwell path through the MERGE-ON-READ store: parse →
     // compact → O(batch) delta append (no existing bucket rewritten) →
     // mid-sequence compact() folding threshold-crossing stacks → resolved
@@ -433,6 +459,18 @@ object CdcQueries {
     "q171_fast_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows
         |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
+
+    // q176: the post-batch table restated declaratively, filtered to the
+    // looked-up segment.
+    "q176_indexed_lookup" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_nationkey,
+        |  c_acctbal,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 17 <> 0
+        |  AND (CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+        |            ELSE c_mktsegment END) = 'MACHINERY'""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

@@ -52,6 +52,40 @@ class CdcPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxwell stream into the merge-on-read sink converges like the CoW sink") {
+    val in = tmpDir("cdc-mor-in")
+    val ckpt = tmpDir("cdc-mor-ckpt")
+    val store = new graft.sources.MorTableStore(
+      spark, tmpDir("cdc-mor-store"), spec, numBuckets = 4, compactThreshold = 2)
+
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes,
+        StandardOpenOption.CREATE)
+
+    writeBatch("b0.json", Seq(
+      """{"database":"demo","table":"test","type":"insert","ts":1,"data":{"id":1,"name":"a"}}""",
+      """{"database":"demo","table":"test","type":"insert","ts":2,"data":{"id":2,"name":"b"}}"""))
+
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.test" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.json", Seq(
+        """{"database":"demo","table":"test","type":"update","ts":3,"data":{"id":2,"name":"b2"},"old":{"name":"b"}}""",
+        """{"database":"demo","table":"test","type":"delete","ts":4,"data":{"id":1,"name":"a"}}""",
+        """{"database":"demo","table":"test","type":"insert","ts":5,"data":{"id":3,"name":"c"}}"""))
+      q.processAllAvailable()
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(2 -> "b2", 3 -> "c"))
+      // each micro-batch appended deltas; compacting folds them without
+      // changing the table
+      assert(store.compact() >= 1)
+      assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+        Map(2 -> "b2", 3 -> "c"))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes where the stream left off (C1 effectively-once)") {
     val in = tmpDir("cdc-in3")
     val ckpt = tmpDir("cdc-ckpt3")
