@@ -250,4 +250,36 @@ final class MorTableStore(
     */
   def stackDepths(): Map[Int, Int] =
     readManifest()._1.map { case (b, ds) => b -> ds.size }
+
+  /** Bucket-pruned point lookup — [[ParquetTableStore.snapshotForKeys]]'
+    * MOR twin: the key set resolves to bucket ids (one bounded aggregate),
+    * ONLY those buckets' dir stacks are read, and newest-wins resolution
+    * runs over that pruned slice alone — a point lookup pays the MOR
+    * resolution cost for a handful of buckets, never the table. The final
+    * semi join on the key set is the exact membership test. `keys` must
+    * carry exactly the primary-key columns; it is evaluated twice (bucket
+    * probe + semi join) — persist it under the caller's CacheScope when
+    * its upstream is expensive, the same contract as the CoW lookup.
+    */
+  def snapshotForKeys(keys: DataFrame): DataFrame = {
+    val pk = spec.pkCols
+    val keyDf = keys.select(pk.map(col): _*)
+    val affected = keyDf
+      .select(pmod(hash(pk.map(col): _*), lit(numBuckets)).as("_bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (manifest, _) = readManifest()
+    val hit = manifest.filter(e => affected(e._1))
+    if (hit.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
+    val (flat, stacked) = hit.values.partition(_.lengthCompare(1) == 0)
+    val parts = Seq(
+      if (flat.nonEmpty)
+        Some(readDirs(flat.flatten.toSeq).filter(col("_op") === "u")
+          .select(spec.dataCols.map(col): _*))
+      else None,
+      if (stacked.nonEmpty) Some(resolve(readDirs(stacked.flatten.toSeq)))
+      else None).flatten
+    parts.reduce(_ unionByName _).join(keyDf.hint("broadcast"), pk, "left_semi")
+  }
 }

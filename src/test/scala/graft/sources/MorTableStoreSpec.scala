@@ -86,6 +86,15 @@ class MorTableStoreSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotForKeys resolves only the probed buckets, newest wins") {
+    val s = newStore(threshold = 4)
+    s.init((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(5).toDF("id"), Seq((6, "x")).toDF("id", "v")))
+    val got = s.snapshotForKeys(Seq(5, 6, 7, 99).toDF("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(6 -> "x", 7 -> "v7"), "tombstoned 5 and absent 99 must miss")
+  }
+
   test("reopening with a different bucket count fails loudly") {
     val root = tmpDir("mor-buckets")
     val s4 = new MorTableStore(spark, root, spec, numBuckets = 4)
