@@ -216,14 +216,14 @@ object Dedup {
     * Output: (id_a, id_b, inter, uni) — same exact-integer contract as
     * [[minhashPairs]].
     */
-  def ngramJaccardPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      thresholdNum: Int = 3,
-      thresholdDen: Int = 5,
-      maxShingleDf: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+  /** Shared candidate machinery for the exact shingle-set joins: hashed
+    * shingle sets per doc (cached under `scope`) and the df-capped
+    * candidate pair list, joined back to both sides' full sets. Returns
+    * (id_a, id_b, hs_a, hs_b) with id_a < id_b.
+    */
+  private def shingleCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxShingleDf: Int, scope: CacheScope): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docs = scope.own(
@@ -250,21 +250,61 @@ object Dedup {
       .select("h")
     val postings = ex.join(keepH, Seq("h")).select("h", "id")
 
-    val pairs = postings.select(col("h"), col("id").as("id_a"))
+    postings.select(col("h"), col("id").as("id_a"))
       .join(postings.select(col("h"), col("id").as("id_b")), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-
-    pairs
       .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 5,
+      maxShingleDf: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    shingleCandidates(df, idCol, textCol, maxShingleDf, scope)
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("uni",
         (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
       .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
-  }
+
+  /** DIRECTIONAL containment pairs — the asymmetric near-dup measure
+    * Jaccard cannot see: containment(A→B) = |A∩B| / |A| is high when A's
+    * shingles mostly appear inside B even if B is far larger (a quoted
+    * article inside a page, a doc embedded in a crawl dump), exactly the
+    * sub-document duplication case where Jaccard(A,B) stays tiny because
+    * the union is dominated by B. A pair is emitted when EITHER direction
+    * reaches thresholdNum/thresholdDen; both directions are reported as
+    * exact integer ppm (inter·10⁶ div |side|) so ranking needs no float.
+    *
+    * Same df-capped candidate machinery and scale posture as
+    * [[ngramJaccardPairs]] (one pre-aggregate guard, posting join on rare
+    * shingles, full-set verification join). Output: (id_a, id_b, inter,
+    * n_a, n_b, cont_ab_ppm, cont_ba_ppm), id_a < id_b.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5,
+      maxShingleDf: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    shingleCandidates(df, idCol, textCol, maxShingleDf, scope)
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_a", size(col("hs_a")).cast("long"))
+      .withColumn("n_b", size(col("hs_b")).cast("long"))
+      .filter(col("inter") * thresholdDen >= col("n_a") * thresholdNum ||
+        col("inter") * thresholdDen >= col("n_b") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter * 1000000 div n_a").as("cont_ab_ppm"),
+        expr("inter * 1000000 div n_b").as("cont_ba_ppm"))
 
   /** Connected components over a near-duplicate pair list: labels every
     * document that appears in a pair with the smallest id reachable through

@@ -357,6 +357,14 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text")
     }),
 
+    // ── Directional containment pairs over the same planted corpus —
+    // the asymmetric sub-document duplication measure (quoted article in
+    // a page) Jaccard misses when the union is dominated by the larger
+    // side; exact integer ppm both ways (Dedup.containmentPairs scaladoc).
+    "q177_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(withNearDups(docs(s, dir)), "doc_id", "text")
+    }),
+
     // ── Exact Jaccard join via PREFIX FILTERING (AllPairs/PPJoin): each
     // doc indexes only its rarest |d|−⌈τ|d|⌉+1 shingles in one global
     // (df, shingle) order — recall 1 by theorem, no df-cap tuning, and
@@ -2305,6 +2313,33 @@ object PipelineQueries {
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
         |$jaccardTail""".stripMargin,
+
+    // q177: q39's candidate chain verified by DIRECTIONAL containment
+    // (inter/|side| as exact integer ppm, emitted when either direction
+    // reaches 4/5).
+    "q177_containment" ->
+      s"""WITH $shingleCtes,
+        |post AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfreq
+        |    FROM (SELECT doc_id, unnest(hs) AS h FROM hsh))
+        |  WHERE dfreq <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(ha.hs, h -> list_contains(hb.hs, h)))
+        |      AS BIGINT) AS inter,
+        |    CAST(len(ha.hs) AS BIGINT) AS n_a,
+        |    CAST(len(hb.hs) AS BIGINT) AS n_b
+        |  FROM cand c
+        |  JOIN hsh ha ON ha.doc_id = c.id_a
+        |  JOIN hsh hb ON hb.doc_id = c.id_b)
+        |SELECT id_a, id_b, inter, n_a, n_b,
+        |  inter * 1000000 // n_a AS cont_ab_ppm,
+        |  inter * 1000000 // n_b AS cont_ba_ppm
+        |FROM v WHERE inter * 5 >= n_a * 4 OR inter * 5 >= n_b * 4""".stripMargin,
 
     "q40_dedup_embed" ->
       """WITH e AS (

@@ -66,6 +66,26 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() === 0)
   }
 
+  test("containmentPairs catches a sub-document that Jaccard misses") {
+    val base = (1 to 20).map(i => (i.toLong, doc(i)))
+    // doc 205: doc 5 embedded inside ~3x unrelated padding — containment
+    // 5→205 is ~1 while Jaccard drowns in the big side's union
+    val host = (205L, doc(5) + " " + doc(305).replace("alpha305", "pad1") +
+      " " + doc(306).replace("alpha306", "pad2") + " " + doc(307))
+    val all = (base :+ host).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(all, "doc_id", "text")
+      .select("id_a", "id_b", "cont_ab_ppm", "cont_ba_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val hit = cont.find(p => p._1 == 5L && p._2 == 205L)
+    assert(hit.nonEmpty, s"sub-document pair missing from ${cont.toSeq}")
+    assert(hit.get._3 >= 800000L, "containment 5->205 must be near 1")
+    // Jaccard at the same 4/5 threshold does NOT pair them
+    val jac = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+      thresholdNum = 4, thresholdDen = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((5L, 205L)))
+  }
+
   test("simhashPairs finds planted near-dups within the Hamming budget") {
     val base = (1 to 30).map(i => (i.toLong, doc(i)))
     val near = (105L, doc(5).replace("alpha5", "ALTERED"))
