@@ -478,6 +478,32 @@ object PipelineQueries {
         TextFunctions.bpeTokenEstimate(col("text")).as("n_tokens_est"))
     }),
 
+    // ── Training-mixture epoch plan: given per-source BPE-estimate token
+    // inventories, a 10M-token budget, and fixed mixture weights (ppm),
+    // how many passes (milli-epochs, exact integer: target·1000 div
+    // natural) each source must run and whether it exceeds the 4-epoch
+    // upsampling guideline — the data-mix planning artifact behind every
+    // "how many epochs of source X" decision. One aggregate over the
+    // corpus; weights are broadcast literals.
+    "q178_epoch_plan" -> ((s, dir) => {
+      val budget = 10000000L
+      val weightsPpm = Map( // mixture shares in exact ppm over 4 upweighted
+        // sources; the other 16 default to 0 (dropped from the mix)
+        "src0" -> 400000L, "src1" -> 250000L, "src2" -> 200000L,
+        "src3" -> 150000L)
+      val w = typedLit(weightsPpm)
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextFunctions.bpeTokenEstimate(col("text"))).as("natural_tokens"))
+        .withColumn("weight_ppm", coalesce(w(col("source")), lit(0L)))
+        .withColumn("target_tokens",
+          expr(s"$budget * weight_ppm div 1000000"))
+        .withColumn("milli_epochs",
+          when(col("natural_tokens") > 0,
+            expr("target_tokens * 1000 div natural_tokens")).otherwise(lit(0L)))
+        .withColumn("over_4_epochs", (col("milli_epochs") > 4000L).cast("int"))
+    }),
+
     // ── Deterministic stratified sampling (corpus mixing): keep 'en' at
     // 50%, everything else at 20%, by md5 key-hash bucket.
     "q44_sample_stratified" -> ((s, dir) => {
@@ -2160,6 +2186,40 @@ object PipelineQueries {
         |    + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT)
         |    AS n_tokens_est
         |FROM tok""".stripMargin,
+
+    // q178: q43's token estimate aggregated per source, mixed by the same
+    // ppm weights; every derived quantity an exact integer division.
+    "q178_epoch_plan" ->
+      """WITH tok AS (
+        |  SELECT source, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |nat AS (
+        |  SELECT source,
+        |    CAST(sum(coalesce(list_sum(list_transform(toks,
+        |        t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')))
+        |      AS BIGINT) AS natural_tokens
+        |  FROM tok GROUP BY source),
+        |wt AS (
+        |  SELECT source, natural_tokens,
+        |    CAST(CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 250000
+        |      WHEN 'src2' THEN 200000 WHEN 'src3' THEN 150000
+        |      ELSE 0 END AS BIGINT) AS weight_ppm
+        |  FROM nat),
+        |m AS (
+        |  SELECT source, natural_tokens, weight_ppm,
+        |    10000000 * weight_ppm // 1000000 AS target_tokens,
+        |    CASE WHEN natural_tokens > 0
+        |      THEN (10000000 * weight_ppm // 1000000) * 1000 // natural_tokens
+        |      ELSE 0 END AS milli_epochs
+        |  FROM wt)
+        |SELECT source, natural_tokens, weight_ppm, target_tokens,
+        |  milli_epochs,
+        |  CAST(CASE WHEN milli_epochs > 4000 THEN 1 ELSE 0 END AS INT)
+        |    AS over_4_epochs
+        |FROM m""".stripMargin,
 
     "q44_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
