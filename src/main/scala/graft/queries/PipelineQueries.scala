@@ -548,6 +548,26 @@ object PipelineQueries {
       graft.operators.Sharding.packByBudget(d, "doc_id", "w", budget = 4000L)
     }),
 
+    // ── Shard MANIFEST — the reproducibility artifact an exported
+    // training set ships with: per shard, doc count, token count, and an
+    // order-insensitive integer content checksum (Σ md5h60(doc_id:w),
+    // exact in DECIMAL(38,0), emitted as a string so both engines compare
+    // the full integer). Auditing "did we train on exactly this data"
+    // reduces to re-deriving this table. Rides q48's packing; one extra
+    // aggregate.
+    "q179_shard_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("w"))
+      graft.operators.Sharding.packByBudget(d, "doc_id", "w", budget = 4000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_tokens"),
+          sum(TextFunctions.md5Hash60(
+              concat(col("doc_id").cast("string"), lit(":"),
+                col("w").cast("string")))
+            .cast("decimal(38,0)")).cast("string").as("checksum"))
+    }),
+
     // ── PII redaction: the corpus has no natural PII, so both engines build
     // the SAME deterministic PII-bearing string from (text, doc_id) and the
     // operator under test is the redaction chain + per-pattern counts
@@ -2346,6 +2366,30 @@ object PipelineQueries {
         |SELECT doc_id, w,
         |  CAST((sum(w) OVER (ORDER BY h, doc_id) - w) // 4000 AS BIGINT) AS shard
         |FROM t""".stripMargin,
+
+    // q179: q48's packing aggregated into the manifest; HUGEINT sum of
+    // the same 60-bit hashes, emitted as VARCHAR like Spark's decimal.
+    "q179_shard_manifest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id, w,
+        |    CAST((sum(w) OVER (ORDER BY h, doc_id) - w) // 4000 AS BIGINT) AS shard
+        |  FROM t)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(w AS VARCHAR)), 1, 15)) AS BIGINT)) AS VARCHAR) AS checksum
+        |FROM sh GROUP BY shard""".stripMargin,
 
     "q123_prefix_jaccard" ->
       s"""WITH $shingleCtes,
