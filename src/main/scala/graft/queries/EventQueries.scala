@@ -75,6 +75,26 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // ── DYNAMIC-GAP session windows: the gap is a PER-EVENT expression
+    // (purchases hold a session open 60 min, everything else 15) —
+    // Spark's session_window(ts, gapColumn) form, where the engine merges
+    // each event's [ts, ts+gap) interval per key. The semantic is exactly
+    // interval UNION (q134's running-max-end rule with a variable end),
+    // which is what the oracle restates — and why tie order at equal ts
+    // cannot flip the result. Same one-shuffle posture as q129.
+    "q180_session_dynamic_gap" -> ((s, dir) => {
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("15 minutes"))
+      RelationalQueries.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"),
+          RelationalQueries.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // ── Ordered funnel signup → view → click → purchase: each stage
     // counted only when STRICTLY after the actor's previous stage. One
     // bounded per-actor aggregate per stage, all keyed on user_id.
@@ -476,6 +496,33 @@ object EventQueries {
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // q180: variable-end interval union — a session breaks when the event
+    // starts at-or-after the RUNNING MAX of previous interval ends (the
+    // fixed-gap lag() shortcut is wrong here: a long-gap purchase can hold
+    // the session open past several short-gap events).
+    "q180_session_dynamic_gap" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000
+        |         ELSE 900000000 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM ev),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM m),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(us) AS start_us, max(us + gap) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q106_funnel" ->
       """WITH ev AS (
