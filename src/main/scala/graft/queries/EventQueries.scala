@@ -95,6 +95,27 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // ── Grid-blocked spatial radius join: every purchase point within
+    // 500 m of each click point, on a synthetic 100 km planar grid (both
+    // engines derive coordinates from the same md5 chain — the corpus has
+    // no geo columns, so the operator under test is the blocking join +
+    // EXACT int64 distance test; see Spatial.radiusJoin for the ×9
+    // neighborhood shape that replaces a cross join at 100 TB).
+    "q181_spatial_radius" -> ((s, dir) => {
+      import graft.functions.TextFunctions.md5Hash60
+      def pts(tag: String) = RelationalQueries.events(s, dir)
+        .filter(col("event_type") === tag)
+        .select(col("event_id"),
+          pmod(md5Hash60(concat(lit("x:"), col("event_id").cast("string"))),
+            lit(100000L)).as("x"),
+          pmod(md5Hash60(concat(lit("y:"), col("event_id").cast("string"))),
+            lit(100000L)).as("y"))
+      graft.operators.Spatial.radiusJoin(
+          pts("click"), pts("purchase"), "event_id", "x", "y", radius = 500L)
+        .select(col("id_l").as("click_id"), col("id_r").as("purchase_id"),
+          col("dist2"))
+    }),
+
     // ── Ordered funnel signup → view → click → purchase: each stage
     // counted only when STRICTLY after the actor's previous stage. One
     // bounded per-actor aggregate per stage, all keyed on user_id.
@@ -496,6 +517,24 @@ object EventQueries {
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // q181: same md5-derived planar coordinates; DuckDB verifies by
+    // brute-force distance filter (the blocking is Spark's optimization,
+    // not the semantic), every term exact int64.
+    "q181_spatial_radius" ->
+      """WITH p AS (
+        |  SELECT event_id, event_type,
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100000 AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT c.event_id AS click_id, b.event_id AS purchase_id,
+        |  (c.x - b.x) * (c.x - b.x) + (c.y - b.y) * (c.y - b.y) AS dist2
+        |FROM p c JOIN p b
+        |  ON c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND (c.x - b.x) * (c.x - b.x) + (c.y - b.y) * (c.y - b.y) <= 250000
+        |""".stripMargin,
 
     // q180: variable-end interval union — a session breaks when the event
     // starts at-or-after the RUNNING MAX of previous interval ends (the
