@@ -116,6 +116,29 @@ object EventQueries {
           col("dist2"))
     }),
 
+    // ── Nearest-neighbor spatial join: each click's CLOSEST purchase
+    // within 500 m (ties by purchase id) — radius candidates from the
+    // grid join, then a WindowGroupLimit rank per click; clicks with no
+    // in-radius purchase are absent by contract (mirror in the oracle).
+    "q182_spatial_nearest" -> ((s, dir) => {
+      import graft.functions.TextFunctions.md5Hash60
+      def pts(tag: String) = RelationalQueries.events(s, dir)
+        .filter(col("event_type") === tag)
+        .select(col("event_id"),
+          pmod(md5Hash60(concat(lit("x:"), col("event_id").cast("string"))),
+            lit(100000L)).as("x"),
+          pmod(md5Hash60(concat(lit("y:"), col("event_id").cast("string"))),
+            lit(100000L)).as("y"))
+      val cand = graft.operators.Spatial.radiusJoin(
+        pts("click"), pts("purchase"), "event_id", "x", "y", radius = 500L)
+      val w = Window.partitionBy(col("id_l"))
+        .orderBy(col("dist2"), col("id_r"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_l").as("click_id"), col("id_r").as("nearest_purchase"),
+          col("dist2"))
+    }),
+
     // ── Ordered funnel signup → view → click → purchase: each stage
     // counted only when STRICTLY after the actor's previous stage. One
     // bounded per-actor aggregate per stage, all keyed on user_id.
@@ -535,6 +558,27 @@ object EventQueries {
         |  ON c.event_type = 'click' AND b.event_type = 'purchase'
         | AND (c.x - b.x) * (c.x - b.x) + (c.y - b.y) * (c.y - b.y) <= 250000
         |""".stripMargin,
+
+    // q182: brute candidates + the same (dist2, id) rank.
+    "q182_spatial_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, event_type,
+        |    CAST(('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100000 AS x,
+        |    CAST(('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100000 AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |cand AS (
+        |  SELECT c.event_id AS click_id, b.event_id AS purchase_id,
+        |    (c.x - b.x) * (c.x - b.x) + (c.y - b.y) * (c.y - b.y) AS dist2
+        |  FROM p c JOIN p b
+        |    ON c.event_type = 'click' AND b.event_type = 'purchase'
+        |   AND (c.x - b.x) * (c.x - b.x) + (c.y - b.y) * (c.y - b.y) <= 250000)
+        |SELECT click_id, purchase_id AS nearest_purchase, dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY click_id
+        |    ORDER BY dist2, purchase_id) AS rn
+        |  FROM cand)
+        |WHERE rn = 1""".stripMargin,
 
     // q180: variable-end interval union — a session breaks when the event
     // starts at-or-after the RUNNING MAX of previous interval ends (the
