@@ -419,4 +419,57 @@ object Graph {
     und.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("u"), col("mn")).as("component"))
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the standard graph-density filter (core nodes of a co-purchase /
+    * citation / social graph survive; tendrils and leaves peel away).
+    * Input: (a, b) edge list (any orientation, duplicates fine); output:
+    * (node, core_degree) for every node of the k-core, core_degree = the
+    * node's degree WITHIN the core (≥ k by definition).
+    *
+    * Algorithm: synchronous peeling — drop every node with current degree
+    * < k, delete its edges, repeat to fixpoint. Each round is one degree
+    * aggregate + two semi-joins over the surviving edge list; the result
+    * is the same for any peeling order (the k-core is unique), so the
+    * synchronous rounds need no ordering coordination across executors —
+    * the property that makes peeling embarrassingly distributable.
+    *
+    * Scale shape: the edge list only ever SHRINKS, so round cost is
+    * monotonically decreasing; each round is node-keyed aggregate +
+    * semi-joins (AQE broadcasts the alive set once it fits). One action
+    * per round — the convergence test reuses the checkpointed edge count:
+    * `next ⊆ cur`, so equal COUNT implies equal SET, no except() shuffle.
+    * Rounds are O(peel depth) ≤ O(max degeneracy ordering length); dense
+    * cores converge in a handful of rounds. Each round `localCheckpoint`s
+    * the survivor set — the same lineage cut as [[bfsHops]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxIterations: Int = 60,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val e0 = ownedEdges(edges, scope)
+    var cur = e0.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var m = cur.count()
+    var converged = m == 0L
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val alive = degrees(cur).where(col("degree") >= k).select(col("node"))
+      val next = cur
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m2 = next.count()
+      converged = m2 == m // next ⊆ cur: equal count ⇔ no node peeled
+      m = m2
+      cur = next
+    }
+    require(converged, s"kCore did not converge in $maxIterations rounds")
+    degrees(cur).withColumnRenamed("degree", "core_degree")
+  }
 }

@@ -82,6 +82,16 @@ object GraphQueries {
       Graph.ccLargeSmallStar(edges(s, dir, minWeight = 2).select("a", "b"))
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_part"))
+    }),
+
+    // ── 3-core of the ≥2-order co-purchase graph: peel until every
+    // surviving part links to ≥3 other parts within the core — the dense
+    // backbone of the basket graph (Graph.kCore scaladoc: synchronous
+    // peeling, shrink-only edge list, one action per round). Emits each
+    // core node with its within-core degree.
+    "q183_kcore" -> ((s, dir) => {
+      Graph.kCore(edges(s, dir, minWeight = 2).select("a", "b"), k = 3)
+        .withColumnRenamed("node", "part")
     }))
 
   private val graphCte =
@@ -155,5 +165,31 @@ object GraphQueries {
          |  SELECT re.node, e.b FROM reach re JOIN e ON e.a = re.r),
          |lab AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
          |SELECT component, count(*) AS n_nodes, max(node) AS max_part
-         |FROM lab GROUP BY 1""".stripMargin)
+         |FROM lab GROUP BY 1""".stripMargin,
+
+    // q183: the peel unrolled as a fixed CTE chain (the idempotent-extra-
+    // rounds device of q122/q173 — once the peel converges, further rounds
+    // are no-ops, so 30 rounds covers any depth the corpus reaches; sf0.01
+    // converges in 11). Round i: alive_i = degree ≥ 3 over e_{i-1},
+    // e_i = both-endpoint semi-filter. MATERIALIZED is load-bearing: each
+    // round references its predecessor three times, so default CTE
+    // inlining would expand the chain exponentially (observed as a
+    // too-many-open-files blowup); q122's linear single-reference chain
+    // doesn't need it.
+    "q183_kcore" -> {
+      val rounds = (1 to 30).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${i - 1}
+           |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1
+           |  HAVING count(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN a$i x ON e.a = x.node JOIN a$i y ON e.b = y.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM ew WHERE w >= 2),
+         |$rounds
+         |SELECT node AS part, count(*) AS core_degree FROM
+         |  (SELECT a AS node FROM e30 UNION ALL SELECT b FROM e30)
+         |GROUP BY 1""".stripMargin
+    })
 }

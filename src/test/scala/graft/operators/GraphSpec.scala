@@ -193,4 +193,54 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(star == prop)
   }
+
+  test("kCore: triangle with a pendant chain — chain peels, triangle stays") {
+    // triangle {1,2,3} (2-core) + chain 3-4-5 hanging off it
+    val out = Graph.kCore(
+      edgeDf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: cascading peel — removing a leaf drops its support below k") {
+    // path 1-2-3-4: every node eventually peels at k=2 (ends have degree 1,
+    // and each removal exposes the next) — multi-round convergence to empty
+    val out = Graph.kCore(edgeDf((1L, 2L), (2L, 3L), (3L, 4L)), k = 2)
+    assert(out.isEmpty)
+  }
+
+  test("kCore: K4 with k=3 survives whole; k=4 empties it") {
+    val k4 = edgeDf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val core3 = Graph.kCore(k4, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCore(k4, k = 4).isEmpty)
+  }
+
+  test("kCore: duplicate and reversed edges don't inflate degrees") {
+    // (1,2) listed twice + reversed: still a single edge — k=2 must peel it
+    val out = Graph.kCore(edgeDf((1L, 2L), (2L, 1L), (1L, 2L)), k = 2)
+    assert(out.isEmpty)
+  }
+
+  test("kCore: differential vs iterated brute peel on a random graph") {
+    val rnd = new scala.util.Random(43)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def brutePeel(es: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val alive = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => alive(e._1) && alive(e._2))
+      if (next == es) es else brutePeel(next, k)
+    }
+    for (k <- 2 to 5) {
+      val want = brutePeel(edges.toSet, k).toSeq
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val got = Graph.kCore(edges.toDF("a", "b"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"k=$k")
+    }
+  }
 }
