@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed sketches with INTEGER-EXACT arithmetic, so a re-statement of
   * the same formulas in another engine (the DuckDB oracle) reproduces every
@@ -302,6 +303,73 @@ object Sketches {
     * δ = e^−4 ≈ 1.8%. */
   val CmsDepth: Int = 4
   val CmsWidth: Int = 512
+
+  /** EXACT 1/s-heavy hitters — every key whose count × s strictly exceeds
+    * the stream length n, with its exact count — in two passes:
+    *
+    *   1. Misra-Gries candidates: each partition runs the s-counter MG
+    *      summary (increment if tracked, insert if room, else decrement
+    *      every counter — FOCS'82 via the Cormode survey). MG guarantees a
+    *      partition keeps every key with LOCAL count > n_p/(s+1); by
+    *      pigeonhole any key with GLOBAL count > n/s beats n_p/s ≥
+    *      n_p/(s+1) in at least one partition, so the UNION of partition
+    *      candidate sets is a guaranteed superset of the answer — no
+    *      cross-partition summary merge needed, and the intermediate's
+    *      partition-dependence cannot leak: pass 2 recounts exactly.
+    *   2. Exact recount: semi-join the scan against the broadcast
+    *      candidate set (≤ s × partitions keys — a few MB at any scale),
+    *      one map-side-combined count, threshold `cnt × s > n` in pure
+    *      integers (no float ever carries a value, the oracle-determinism
+    *      contract of this file).
+    *
+    * The MG pass also tallies each partition's row count (one null-key row
+    * per partition), so n needs no third scan. Counter work is O(n)
+    * amortized — each decrement event pays for itself with previously
+    * banked increments — with O(s) state per task: the shape that survives
+    * a 100 TB stream where an exact groupBy of ALL keys would shuffle
+    * billions of distinct-key rows to find thirty frequent ones.
+    *
+    * Output: (keyCol, cnt), exact, independent of partitioning. Null keys
+    * are dropped (they are absent from n too, matching a SQL restatement
+    * that unnests non-null items).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, s: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(s >= 2, s"heavyHitters: s must be >= 2, got $s")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(keyCol).cast("string").as("_k"))
+      .where(col("_k").isNotNull)
+    // (key=None, n_p) once per partition + (key=Some(candidate), 0) rows;
+    // persisted — both the total and the candidate projection read it, and
+    // unpersisted the MG scan would execute once per consumer
+    val sketch = scope.own(items.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { x =>
+        n += 1
+        counters.get(x) match {
+          case Some(c) => counters.update(x, c + 1)
+          case None if counters.size < s => counters.update(x, 1L)
+          case None =>
+            counters.mapValuesInPlace((_, v) => v - 1)
+            counters.filterInPlace((_, v) => v > 0)
+        }
+      }
+      Iterator.single((Option.empty[String], n)) ++
+        counters.keysIterator.map(k => (Option(k), 0L))
+    }.toDF("_k", "_n").persist(StorageLevel.MEMORY_AND_DISK))
+    val total = sketch.where(col("_k").isNull)
+      .agg(sum(col("_n")).as("_total"))
+    val cands = sketch.where(col("_k").isNotNull).select(col("_k")).distinct()
+    items
+      .join(broadcast(cands), Seq("_k"), "left_semi")
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * s > col("_total"))
+      .select(col("_k").as(keyCol), col("cnt"))
+  }
 
   private def cmsBucket(i: Column, key: Column, width: Int): Column =
     pmod(TextFunctions.md5Hash60(

@@ -125,6 +125,20 @@ object PipelineQueries {
       graft.operators.Sketches.hllDistinct(docs(s, dir), "lang", "text")
     }),
 
+    // ── Exact 1/800-heavy-hitter tokens over the corpus: per-partition
+    // Misra-Gries candidates (union is a guaranteed superset — no merge),
+    // then an exact broadcast-semi-join recount; output is exact and
+    // partitioning-independent despite the approximate intermediate. The
+    // shape that finds the ~30 frequent words in a 100 TB corpus without
+    // shuffling billions of distinct-token rows. See
+    // [[graft.operators.Sketches.heavyHitters]].
+    "q184_heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir).select(
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      graft.operators.Sketches.heavyHitters(toks, "tok", s = 800)
+    }),
+
     // ── Bloom membership sweep: a 4096-bit filter built over src0's texts
     // (one 512-byte bitmap via word-OR merge — the constant-state build),
     // probed against the whole corpus as a codegen'd bit test. True =
@@ -1402,6 +1416,18 @@ object PipelineQueries {
 
     // HLL restated in HUGEINT: same md5-derived registers, same fixed-point
     // sum (2^(53-M_j) by bit-shift), same scaled-α integral divide, and the
+    // q184: the oracle states the SPEC (exact counts over the full token
+    // stream, integer threshold cnt×800 > n) — the MG candidate pass is an
+    // implementation device invisible in the answer.
+    "q184_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+        |SELECT c.tok, c.cnt FROM c, n WHERE c.cnt * 800 > n.n""".stripMargin,
+
     // SAME linear-counting integers — the list literal below is rendered
     // from graft.operators.Sketches.HllLinearCount, so both engines consult
     // one table instead of each evaluating ln.

@@ -160,4 +160,45 @@ class SketchesSpec extends SparkTestBase {
     assert(perRow.keySet == Set(0, 1, 2, 3))
     assert(perRow.values.forall(_ == 777L))
   }
+
+  test("heavyHitters equals the exact groupBy threshold on a Zipf-ish stream") {
+    // key k appears 400/k times: exact answer enumerable in-memory
+    val data = (1 to 40).flatMap(k => Seq.fill(400 / k)(s"k$k"))
+    val n = data.size
+    for (s <- Seq(5, 20, 100)) {
+      val want = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * s > n }.toMap
+      val got = Sketches.heavyHitters(data.toDF("k"), "k", s)
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"s=$s")
+    }
+  }
+
+  test("heavyHitters is exact under adversarial partitioning (small s, many partitions)") {
+    // s=3 counters against 97 distinct noise keys: the MG intermediate is
+    // garbage per-partition, but the union-superset + recount must still be
+    // exact for any partition layout
+    val rnd = new scala.util.Random(7)
+    val noise = (1 to 3000).map(_ => s"n${rnd.nextInt(97)}")
+    val heavy = Seq.fill(1500)("HOT") ++ Seq.fill(1200)("WARM")
+    val data = rnd.shuffle(noise ++ heavy)
+    val n = data.size
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 3 > n }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sketches.heavyHitters(
+        data.toDF("k").repartition(parts), "k", s = 3)
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("heavyHitters drops null keys from candidates and from n") {
+    val data = (Seq.fill(30)(Some("x")) ++ Seq.fill(20)(Option.empty[String]))
+      .toDF("k")
+    // n must be 30 (nulls excluded), so x qualifies at s=2 (30×2 > 30)
+    val got = Sketches.heavyHitters(data, "k", s = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 30L))
+  }
 }
