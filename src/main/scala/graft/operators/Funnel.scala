@@ -59,4 +59,57 @@ object Funnel {
       .select(explode(col("rows")).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.actors"))
   }
+
+  /** MATCH_RECOGNIZE-style contiguous pattern `start mid* end` per actor:
+    * every `end`-typed event whose nearest preceding `start`-typed event
+    * (same actor, time order) is separated from it ONLY by events whose
+    * type is in `mid`, with end − start ≤ `maxSpanUs`. The contiguity
+    * requirement is what [[stageTimes]] cannot express — a funnel ignores
+    * interleaved noise; a pattern match rejects it.
+    *
+    * Mechanics (one shuffle on the actor key, shared by every window):
+    * over the (ts, id)-ordered per-actor stream, carry three running
+    * values — a row number, the running count of non-`mid` rows (`ncu`),
+    * and the most recent `start` row's (rn, us, ncu) via ignore-nulls
+    * last(). An `end` row matches iff its nearest start exists and
+    * `ncu(end) − 1 = ncu(start)`: the only non-mid row in (start, end] is
+    * the end itself, so everything strictly between is mid-typed. All
+    * integer µs arithmetic — the oracle restates the chain verbatim.
+    *
+    * Output: (actorCol, match_id = the end event's `idCol`, start_us,
+    * end_us, n_mid = rows strictly between). At 100 TB this is the
+    * sessionize shape: one hash exchange on the actor, windows ride the
+    * same sort, no self-join of the event table against itself.
+    */
+  def matchPattern(df: DataFrame, actorCol: String, tsCol: String,
+      idCol: String, typeCol: String, startType: String, midTypes: Seq[String],
+      endType: String, maxSpanUs: Long): DataFrame = {
+    require(maxSpanUs >= 0, s"maxSpanUs must be >= 0, got $maxSpanUs")
+    require(startType != endType,
+      "startType == endType would shadow every true match with the end row itself")
+    require(!midTypes.contains(startType) && !midTypes.contains(endType),
+      s"midTypes $midTypes must not contain the start/end types")
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(col(actorCol), col(idCol),
+      col(typeCol).as("_ty"), unix_micros(col(tsCol)).as("_us"))
+    val ord = Window.partitionBy(actorCol).orderBy(col("_us"), col(idCol))
+    // explicit ROWS frame: the default RANGE frame is illegal under a
+    // two-column ordering
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isStart = col("_ty") === startType
+    val marked = ev
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_ncu",
+        sum(when(col("_ty").isInCollection(midTypes), 0).otherwise(1)).over(run))
+      .withColumn("_sv_rn", last(when(isStart, col("_rn")), ignoreNulls = true).over(run))
+      .withColumn("_sv_us", last(when(isStart, col("_us")), ignoreNulls = true).over(run))
+      .withColumn("_sv_ncu", last(when(isStart, col("_ncu")), ignoreNulls = true).over(run))
+    marked
+      .where(col("_ty") === endType && col("_sv_rn").isNotNull &&
+        col("_ncu") - 1 === col("_sv_ncu") &&
+        col("_us") - col("_sv_us") <= maxSpanUs)
+      .select(col(actorCol), col(idCol).as("match_id"),
+        col("_sv_us").as("start_us"), col("_us").as("end_us"),
+        (col("_rn") - col("_sv_rn") - 1).cast("long").as("n_mid"))
+  }
 }

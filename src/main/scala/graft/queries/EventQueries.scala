@@ -36,6 +36,18 @@ object EventQueries {
           RelationalQueries.dsum(col("value")).as("sum_value")))
     }),
 
+    // ── MATCH_RECOGNIZE-lite: contiguous `view click* purchase` within 30
+    // minutes per user — purchases reached from the nearest prior view
+    // through clicks ONLY (any other interleaved event kills the match,
+    // which the q106 funnel deliberately ignores). One shuffle on user_id;
+    // see [[graft.operators.Funnel.matchPattern]].
+    "q185_event_pattern" -> ((s, dir) => {
+      Funnel.matchPattern(RelationalQueries.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        startType = "view", midTypes = Seq("click"), endType = "purchase",
+        maxSpanUs = 1800000000L)
+    }),
+
     // ── Interval union: each event covers [ts, ts+30 min); overlapping or
     // adjacent coverage merges into maximal per-user spans — total-time-
     // covered semantics (exposure/uptime), which the gap rule of q105
@@ -448,6 +460,36 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // q185: the matchPattern chain restated — running non-click count +
+    // ignore-nulls carry of the nearest view's (rn, us, ncu); an end row
+    // matches iff ncu-1 equals the view's ncu (everything strictly between
+    // is click) within 30 integer-µs minutes.
+    "q185_event_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER w AS rn,
+        |    sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncu
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |l AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN rn END IGNORE NULLS)
+        |      OVER w AS sv_rn,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |      OVER w AS sv_us,
+        |    last_value(CASE WHEN event_type = 'view' THEN ncu END IGNORE NULLS)
+        |      OVER w AS sv_ncu
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS match_id, sv_us AS start_us,
+        |  us AS end_us, CAST(rn - sv_rn - 1 AS BIGINT) AS n_mid
+        |FROM l
+        |WHERE event_type = 'purchase' AND sv_rn IS NOT NULL
+        |  AND ncu - 1 = sv_ncu AND us - sv_us <= 1800000000""".stripMargin,
+
     "q105_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, value,

@@ -216,4 +216,80 @@ class EventOpsSpec extends SparkTestBase {
       .map(_.getMessage).mkString("; ")
     assert(msgs.contains("null"), s"expected the null-ts guard, got: $msgs")
   }
+
+  // ── matchPattern ────────────────────────────────────────────────────────
+
+  private def patternDf(rows: (Long, Long, Long, String)*) =
+    rows.map { case (u, id, min, ty) => (u, id, ts(min), ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+
+  private def matches(df: org.apache.spark.sql.DataFrame) =
+    Funnel.matchPattern(df, "user_id", "ts", "event_id", "event_type",
+      "view", Seq("click"), "purchase", maxSpanUs = 30L * 60000000L)
+      .select("match_id", "n_mid")
+      .as[(Long, Long)].collect().toMap
+
+  test("matchPattern: view click* purchase matches with 0 and 2 mids") {
+    val df = patternDf(
+      (1L, 1L, 0L, "view"), (1L, 2L, 5L, "purchase"), // direct: n_mid=0
+      (2L, 3L, 0L, "view"), (2L, 4L, 1L, "click"), (2L, 5L, 2L, "click"),
+      (2L, 6L, 3L, "purchase")) // through clicks: n_mid=2
+    assert(matches(df) == Map(2L -> 0L, 6L -> 2L))
+  }
+
+  test("matchPattern: an interleaved non-mid event kills the match (vs funnel)") {
+    val df = patternDf(
+      (1L, 1L, 0L, "view"), (1L, 2L, 1L, "signup"), (1L, 3L, 2L, "purchase"))
+    assert(matches(df).isEmpty)
+    // the FUNNEL over the same rows does count it — the operators differ
+    // exactly on contiguity
+    val funnel = Funnel.stageTimes(df, "user_id", "ts", "event_type",
+      Seq("view", "purchase")).where(col("t2").isNotNull).count()
+    assert(funnel == 1L)
+  }
+
+  test("matchPattern: span bound is inclusive; one µs over fails") {
+    val base = Seq((1L, 1L, ts(0), "view"),
+      (2L, 3L, ts(0), "view")).toDF("user_id", "event_id", "ts", "event_type")
+    val ends = Seq(
+      (1L, 2L, new java.sql.Timestamp(30L * 60000L), "purchase"), // == bound
+      (2L, 4L, new java.sql.Timestamp(30L * 60000L + 1L), "purchase")) // over
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(matches(base.unionByName(ends)) == Map(2L -> 0L))
+  }
+
+  test("matchPattern: nearest view wins; an intervening purchase resets") {
+    val df = patternDf(
+      // v(1) c p(4): second purchase p(5) sees p(4) as non-mid → no match
+      (1L, 1L, 0L, "view"), (1L, 2L, 1L, "click"), (1L, 4L, 2L, "purchase"),
+      (1L, 5L, 3L, "purchase"),
+      // two views: purchase pairs with the NEARER view id=7 (n_mid=0)
+      (2L, 6L, 0L, "view"), (2L, 7L, 1L, "view"), (2L, 8L, 2L, "purchase"))
+    val got = Funnel.matchPattern(df, "user_id", "ts", "event_id",
+      "event_type", "view", Seq("click"), "purchase", 30L * 60000000L)
+      .select("match_id", "start_us", "n_mid")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((4L, 0L, 1L), (8L, 60000000L, 0L)))
+  }
+
+  test("matchPattern: purchase with no prior view never matches; guards fire") {
+    assert(matches(patternDf((1L, 1L, 0L, "purchase"))).isEmpty)
+    intercept[IllegalArgumentException](
+      Funnel.matchPattern(patternDf(), "user_id", "ts", "event_id",
+        "event_type", "view", Seq("view"), "purchase", 1L))
+    intercept[IllegalArgumentException](
+      Funnel.matchPattern(patternDf(), "user_id", "ts", "event_id",
+        "event_type", "view", Seq("click"), "view", 1L))
+  }
+
+  test("matchPattern: result is partition-count invariant") {
+    val rnd = new scala.util.Random(11)
+    val types = Array("view", "click", "purchase", "signup")
+    val rows = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(200).toLong,
+        types(rnd.nextInt(4))))
+    val one = matches(patternDf(rows: _*).repartition(1))
+    val many = matches(patternDf(rows: _*).repartition(13))
+    assert(one == many && one.nonEmpty)
+  }
 }
