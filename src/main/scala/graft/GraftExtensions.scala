@@ -5,13 +5,20 @@ import org.apache.spark.sql.graft.GraftFunctions
 
 /** `SparkSessionExtensions` entry point: build sessions with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get graft's
-  * native SQL functions (`graft_dot`, ...) in every new session — the
-  * standard deployment path for Catalyst extension libraries. No custom
-  * rules or strategies are injected: SURVEY §7.4 concluded every graft
-  * operator is expressible through built-in plan shapes, so functions are
-  * the only extension surface.
+  * native SQL functions (`graft_dot`, ...) plus the materialized-view
+  * rollup rewrite ([[graft.plans.MvRewriteRule]]) in every new session —
+  * the standard deployment path for Catalyst extension libraries. The MV
+  * rule is the one case where an optimizer hook earns its keep (SURVEY
+  * §7.4: operators themselves stay on built-in plan shapes): rerouting a
+  * registered aggregate to its summary is an optimizer SERVICE spanning
+  * all queries, not an operator. The rule is a no-op until
+  * [[graft.plans.MaterializedView.build]]/`register` populate the
+  * registry; `MaterializedView.install` offers the same rule to sessions
+  * built without extensions via `spark.experimental.extraOptimizations`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.expressions.foreach(extensions.injectFunction)
+    extensions.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+  }
 }

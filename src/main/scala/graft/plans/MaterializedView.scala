@@ -1,0 +1,245 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Materialized-view rollup rewrite: a registered summary table (per-group
+  * partial aggregates over a parquet base table) plus a Catalyst optimizer
+  * rule that rewrites matching `Aggregate` plans to re-aggregate the
+  * summary instead of scanning the base — the classic OLAP accelerator the
+  * reference's users get from Greenplum MVs over CDC-synced tables
+  * (reference: README.md:9,15), here as a `Rule[LogicalPlan]` so EVERY
+  * query phrased against the base table speeds up with zero query changes.
+  *
+  * What rewrites: `Aggregate` whose grouping keys are bare columns ⊆ the
+  * MV's group columns (any SUBSET — coarser rollups re-aggregate the
+  * summary), whose aggregates are sum/min/max/count over covered measure
+  * columns or count(*), with at most attribute-pruning Projects and
+  * Filters referencing ONLY group columns between the Aggregate and the
+  * base relation (the filter replays on the summary's group columns).
+  * Anything else — distinct aggregates, FILTER clauses, expressions in
+  * grouping position, predicates on measures — leaves the plan untouched:
+  * the rule must never widen semantics, only reroute them.
+  *
+  * Re-aggregation algebra (all decomposable): sum(x) → sum(s_x);
+  * count(*) → coalesce(sum(cnt), 0) (the coalesce covers the GLOBAL
+  * aggregate over an empty summary, where count must be 0 while sum is
+  * null); count(x) → coalesce(sum(c_x), 0); min/max(x) → min/max of the
+  * partial min/max. Every rewritten output keeps the original alias AND
+  * exprId — parents reference outputs by exprId, so a fresh id would
+  * detach the subtree — and a Cast restores the original dataType when
+  * re-aggregation widens it (sum over decimal partials grows precision).
+  *
+  * Scale: this is the 100 TB shape — the base scan (hours) happens once at
+  * build; every rollup thereafter reads groups × partials rows (KB–MB).
+  * Staleness is the caller's contract, as with any MV: rebuild after base
+  * loads, or unregister. [[MaterializedView.build]] unregisters before it
+  * recomputes so a rebuild can never be satisfied from its own stale
+  * summary.
+  *
+  * Deployment: `GraftExtensions` injects [[MvRewriteRule]] for sessions
+  * built with `spark.sql.extensions=graft.GraftExtensions`;
+  * [[MaterializedView.install]] hooks the same rule into an existing
+  * session via `spark.experimental.extraOptimizations`. The rule is
+  * idempotent (a rewritten plan scans the summary path, which is never a
+  * registered base), so double installation is harmless. Kill switch:
+  * `spark.graft.mv.enabled=false`.
+  */
+object MaterializedView {
+
+  /** A registered summary: `summaryPath` holds, per distinct combination
+    * of `groupCols`, the partial columns `s_<m>, c_<m>, mn_<m>, mx_<m>`
+    * for every measure m plus `cnt` = count(*).
+    */
+  final case class MvDef(basePath: String, groupCols: Seq[String],
+      measureCols: Seq[String], summaryPath: String)
+
+  /** base path (scheme-stripped, absolute) → definition. Scheme-stripped
+    * matching means a file:/ and an hdfs:/ path with identical string
+    * forms would collide — acceptable for a single-filesystem deployment,
+    * documented here for the day it isn't.
+    */
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  private[plans] def normalize(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  def register(d: MvDef): Unit = { registry.put(normalize(d.basePath), d); () }
+  def unregister(basePath: String): Unit = { registry.remove(normalize(basePath)); () }
+  def clear(): Unit = registry.clear()
+  private[plans] def lookup(path: String): Option[MvDef] = Option(registry.get(path))
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  /** Compute the summary for (groupCols, measureCols) over the parquet
+    * base, write it to `summaryPath`, and register the MV. One full base
+    * scan with map-side partial aggregation — the one-time cost every
+    * later rollup amortizes.
+    */
+  def build(spark: SparkSession, basePath: String, groupCols: Seq[String],
+      measureCols: Seq[String], summaryPath: String): MvDef = {
+    require(groupCols.nonEmpty, "MV needs at least one group column")
+    require((groupCols ++ measureCols).distinct.size ==
+      groupCols.size + measureCols.size,
+      s"group/measure overlap or duplicates in $groupCols / $measureCols")
+    // a stale registration for this base must not satisfy the build scan
+    unregister(basePath)
+    val base = spark.read.parquet(basePath)
+    val partials = measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
+      count(lit(1)).as("cnt")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .write.mode("overwrite").parquet(summaryPath)
+    val d = MvDef(basePath, groupCols, measureCols, summaryPath)
+    register(d)
+    d
+  }
+
+  /** Hook [[MvRewriteRule]] into an existing session (idempotent). */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+  }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  import MaterializedView.{MvDef, lookup}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedView.isEmpty ||
+      !conf.getConfString("spark.graft.mv.enabled", "true").toBoolean) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, _, _) =>
+        tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** child walk: collect at-most-attribute Projects and group-col-only
+    * Filters down to a single parquet LogicalRelation; anything else bails.
+    */
+  private def strip(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+    p match {
+      case rel: LogicalRelation => Some((Nil, rel))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case Filter(cond, c) =>
+        strip(c).map { case (conds, rel) => (cond +: conds, rel) }
+      case _ => None
+    }
+
+  private def relationPath(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        Some(fs.location.rootPaths.head.toUri.getPath)
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (conds, rel) <- strip(agg.child)
+      path <- relationPath(rel)
+      mv <- lookup(path)
+      plan <- rewriteWith(agg, conds, mv)
+    } yield plan
+  }
+
+  private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+      mv: MvDef): Option[LogicalPlan] = {
+    val groupSet = mv.groupCols.toSet
+    val measureSet = mv.measureCols.toSet
+    val groupingsOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => groupSet.contains(a.name)
+      case _ => false
+    }
+    val filtersOk = conds.forall(_.references.forall(a => groupSet.contains(a.name)))
+    if (!groupingsOk || !filtersOk) return None
+
+    // analyzed summary relation with fresh attributes, mapped by name
+    val sumPlan = SparkSession.active.read.parquet(mv.summaryPath)
+      .queryExecution.analyzed
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    def attrOf(name: String): Option[AttributeReference] =
+      byName.get(name).collect { case a: AttributeReference => a }
+
+    def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
+      e.aggregateFunction match {
+        case s: Sum => s.child match {
+          case a: AttributeReference if measureSet.contains(a.name) =>
+            attrOf(s"s_${a.name}").map(p => Sum(p).toAggregateExpression())
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference if measureSet.contains(a.name) =>
+            attrOf(s"mn_${a.name}").map(p => Min(p).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference if measureSet.contains(a.name) =>
+            attrOf(s"mx_${a.name}").map(p => Max(p).toAggregateExpression())
+          case _ => None
+        }
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null =>
+            attrOf("cnt").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case Seq(a: AttributeReference) if measureSet.contains(a.name) =>
+            attrOf(s"c_${a.name}").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case _ => None
+        }
+        case _ => None
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae @ AggregateExpression(_, _, false, None, _) => rewriteAggFunc(ae)
+      case _: AggregateExpression => None // distinct / FILTER-clause aggs
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        attrOf(a.name)
+      case l: Literal => Some(l)
+      case _ if e.children.nonEmpty =>
+        val rewritten = e.children.map(rewriteExpr)
+        if (rewritten.forall(_.isDefined))
+          Some(e.withNewChildren(rewritten.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        attrOf(a.name).map(p => Alias(p, a.name)(exprId = a.exprId))
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map { c =>
+          // re-aggregation can widen the type (decimal sum-of-sums grows
+          // precision); the output attribute must keep its original type
+          val typed = if (c.dataType == al.dataType) c else Cast(c, al.dataType)
+          Alias(typed, name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+
+    val newGroupings = agg.groupingExpressions.map {
+      case a: AttributeReference => attrOf(a.name)
+      case _ => None
+    }
+    val newResults = agg.aggregateExpressions.map(rewriteNamed)
+    if (newGroupings.exists(_.isEmpty) || newResults.exists(_.isEmpty)) None
+    else {
+      val child = conds.foldLeft(sumPlan) { (p, cond) =>
+        Filter(cond.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, a)
+        }, p)
+      }
+      Some(Aggregate(newGroupings.map(_.get), newResults.map(_.get), child))
+    }
+  }
+}

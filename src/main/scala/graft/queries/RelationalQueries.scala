@@ -537,6 +537,31 @@ object RelationalQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // ── Materialized-view rollup rewrite e2e: build the
+    // (l_returnflag, l_linestatus) summary once, register it, and phrase a
+    // COARSER filtered rollup against the BASE table — the
+    // [[graft.plans.MvRewriteRule]] optimizer rule reroutes the plan to
+    // re-aggregate the summary (MvRewriteSpec pins the reroute on the
+    // plan; this query pins that the rerouted VALUES are the base table's
+    // truth). Measures avoid float accumulation (int sum, double min/max)
+    // so rewritten and direct paths are bit-identical by construction. At
+    // 100 TB: the base scan happens once at build; every rollup after
+    // reads a few dozen summary rows.
+    "q186_mv_rewrite" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      graft.plans.MaterializedView.build(s, s"$dir/lineitem.parquet",
+        Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber", "l_quantity"),
+        QueryScratch.dir(s"mv_${java.lang.Integer.toHexString(dir.hashCode)}"))
+      t(s, dir, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          count(col("l_quantity")).as("n_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Count-Min frequency sketch over lineitem's part key: the sketch
     // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
     // matrix (map-side combine bounds every task's output at ~2k rows), then
@@ -1145,6 +1170,16 @@ object RelationalQueries {
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+
+    // q186: the oracle states the BASE-table truth — the MV summary is an
+    // implementation detour the rewrite must make invisible.
+    "q186_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  count(l_quantity) AS n_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1""".stripMargin,
 
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an

@@ -1,0 +1,164 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The materialized-view rewrite: plans that MUST reroute to the summary
+  * (asserted on the physical scan's path — results alone can't distinguish
+  * a fired rewrite from a correct fallback), plans that must NOT, and
+  * differential value checks against the unrewritten computation.
+  */
+class MvRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  MaterializedView.install(spark)
+
+  private def writeBase(rows: Seq[(String, String, Int, Double)]): String = {
+    val dir = tmpDir("mv_base")
+    rows.toDF("g1", "g2", "m1", "m2").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Relation paths of the OPTIMIZED logical plan — the level the rewrite
+    * operates at (and AQE-proof: no physical wrapper to unwrap).
+    */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+    }.flatten
+
+  private val rows = Seq(
+    ("a", "x", 1, 2.0), ("a", "x", 3, 1.5), ("a", "y", 5, 9.0),
+    ("b", "x", 7, -1.0), ("b", "y", 2, 4.0), ("b", "y", 4, 0.5))
+
+  private def withMv[A](rows: Seq[(String, String, Int, Double)])(
+      f: (String, String) => A): A = {
+    val base = writeBase(rows)
+    val summary = tmpDir("mv_sum")
+    MaterializedView.build(spark, base, Seq("g1", "g2"), Seq("m1", "m2"), summary)
+    try f(base, summary)
+    finally MaterializedView.unregister(base)
+  }
+
+  test("rollup to a coarser grouping rewrites to the summary and matches") {
+    withMv(rows) { (base, summary) =>
+      val q = spark.read.parquet(base).groupBy("g1")
+        .agg(count(lit(1)).as("n"), sum(col("m1")).as("s1"),
+          min(col("m2")).as("mn2"), max(col("m2")).as("mx2"),
+          count(col("m2")).as("c2"))
+      val paths = scanPaths(q)
+      assert(paths.contains(MaterializedView.normalize(summary)), s"scan: $paths")
+      assert(!paths.contains(MaterializedView.normalize(base)))
+      val got = q.as[(String, Long, Long, Double, Double, Long)].collect().toSet
+      assert(got == Set(("a", 3L, 9L, 1.5, 9.0, 3L), ("b", 3L, 13L, -1.0, 4.0, 3L)))
+    }
+  }
+
+  test("group-column filter replays on the summary; measure filter does not rewrite") {
+    withMv(rows) { (base, summary) =>
+      val filtered = spark.read.parquet(base).filter(col("g2") === "y")
+        .groupBy("g1").agg(sum(col("m1")).as("s1"))
+      assert(scanPaths(filtered).contains(MaterializedView.normalize(summary)))
+      assert(filtered.as[(String, Long)].collect().toSet ==
+        Set(("a", 5L), ("b", 6L)))
+
+      val onMeasure = spark.read.parquet(base).filter(col("m1") > 2)
+        .groupBy("g1").agg(sum(col("m1")).as("s1"))
+      assert(scanPaths(onMeasure) == Seq(MaterializedView.normalize(base)))
+      assert(onMeasure.as[(String, Long)].collect().toSet ==
+        Set(("a", 8L), ("b", 11L)))
+    }
+  }
+
+  test("global aggregate rewrites; count survives an empty summary as 0") {
+    withMv(rows) { (base, summary) =>
+      val q = spark.read.parquet(base)
+        .agg(count(lit(1)).as("n"), sum(col("m1")).as("s1"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)))
+      assert(q.as[(Long, Long)].collect().toSeq == Seq((6L, 22L)))
+    }
+    // empty base → empty summary: count must be 0, sum null
+    withMv(Seq.empty) { (base, summary) =>
+      val q = spark.read.parquet(writeBaseSchemaOnly(base))
+        .agg(count(lit(1)).as("n"), sum(col("m1")).as("s1"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)))
+      val row = q.collect()(0)
+      assert(row.getLong(0) == 0L && row.isNullAt(1))
+    }
+  }
+
+  // writing an empty Seq still produces a parquet dir with schema
+  private def writeBaseSchemaOnly(base: String): String = base
+
+  test("non-rewritable shapes fall through untouched") {
+    withMv(rows) { (base, _) =>
+      val basePath = MaterializedView.normalize(base)
+      // distinct aggregate
+      val q1 = spark.read.parquet(base).groupBy("g1")
+        .agg(countDistinct(col("m1")).as("d"))
+      assert(scanPaths(q1) == Seq(basePath))
+      // grouping by an expression
+      val q2 = spark.read.parquet(base).groupBy(upper(col("g1")).as("gu"))
+        .agg(sum(col("m1")).as("s1"))
+      assert(scanPaths(q2) == Seq(basePath))
+      // aggregate over an uncovered expression
+      val q3 = spark.read.parquet(base).groupBy("g1")
+        .agg(sum(col("m1") + 1).as("s1"))
+      assert(scanPaths(q3) == Seq(basePath))
+      // avg is not decomposable from these partials
+      val q4 = spark.read.parquet(base).groupBy("g1")
+        .agg(avg(col("m1")).as("a1"))
+      assert(scanPaths(q4) == Seq(basePath))
+      // all still CORRECT, just unaccelerated
+      assert(q1.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 3L)))
+    }
+  }
+
+  test("kill switch and unregister both disable the rewrite") {
+    withMv(rows) { (base, summary) =>
+      val q = () => spark.read.parquet(base).groupBy("g1").agg(sum(col("m1")).as("s"))
+      assert(scanPaths(q()).contains(MaterializedView.normalize(summary)))
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      try assert(scanPaths(q()) == Seq(MaterializedView.normalize(base)))
+      finally spark.conf.unset("spark.graft.mv.enabled")
+      MaterializedView.unregister(base)
+      assert(scanPaths(q()) == Seq(MaterializedView.normalize(base)))
+    }
+  }
+
+  test("differential: rewritten rollups equal direct computation on random data") {
+    val rnd = new scala.util.Random(19)
+    val data = (1 to 400).map(_ => (s"g${rnd.nextInt(7)}", s"h${rnd.nextInt(5)}",
+      rnd.nextInt(100) - 50, rnd.nextDouble() * 10 - 5))
+    withMv(data) { (base, summary) =>
+      val grouped = spark.read.parquet(base).groupBy("g1", "g2")
+        .agg(sum(col("m1")).as("s1"), count(lit(1)).as("n"),
+          min(col("m1")).as("mn"), max(col("m2")).as("mx"))
+      assert(scanPaths(grouped).contains(MaterializedView.normalize(summary)))
+      val expect = data.groupBy(r => (r._1, r._2)).map { case ((g1, g2), rs) =>
+        (g1, g2, rs.map(_._3.toLong).sum, rs.size.toLong,
+          rs.map(_._3).min.toLong, rs.map(_._4).max)
+      }.toSet
+      assert(grouped.as[(String, String, Long, Long, Long, Double)]
+        .collect().toSet == expect)
+    }
+  }
+
+  test("build unregisters first: a rebuild never reads its own stale summary") {
+    val base = writeBase(rows)
+    val summary = tmpDir("mv_sum")
+    MaterializedView.build(spark, base, Seq("g1"), Seq("m1"), summary)
+    // base changes; rebuild must rescan the BASE, not the stale summary
+    Seq(("a", "x", 100, 0.0)).toDF("g1", "g2", "m1", "m2")
+      .write.mode("overwrite").parquet(base)
+    MaterializedView.build(spark, base, Seq("g1"), Seq("m1"), summary)
+    val q = spark.read.parquet(base).groupBy("g1").agg(sum(col("m1")).as("s"))
+    try assert(q.as[(String, Long)].collect().toSet == Set(("a", 100L)))
+    finally MaterializedView.unregister(base)
+  }
+}
