@@ -109,6 +109,60 @@ object MaterializedView {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewriteRule
   }
+
+  /** INCREMENTAL refresh for an insert-only delta: fold the delta's
+    * partials into the existing summary without rescanning the base —
+    * sum/count/cnt partials add, min/max partials min/max — and swap the
+    * registration to a new versioned path (`<summaryPath>_v<n>`). The old
+    * summary files stay untouched until the swap completes, so a reader
+    * planned against the old registration never sees half-written files,
+    * and a crashed refresh leaves the registry (and every future query) on
+    * the old, consistent version — the same atomic-commit posture as the
+    * table stores' `_current` manifest.
+    *
+    * Insert-only is a real contract, not a shortcut: under deletes the
+    * min/max partials are NOT maintainable from a summary (removing the
+    * row holding a group's min needs the base). A CDC pipeline with
+    * deletes rebuilds instead ([[build]]) or drops min/max from the MV.
+    * This is the maintenance path the reference's users get from
+    * `REFRESH MATERIALIZED VIEW` after each merge interval — here it costs
+    * one scan OF THE DELTA (batch-sized) plus a groups-sized merge, never
+    * a base rescan.
+    *
+    * Returns the updated definition. The delta must carry the MV's group
+    * and measure columns.
+    */
+  def refresh(spark: SparkSession, basePath: String, delta: DataFrame): MvDef = {
+    val d = lookup(normalize(basePath)).getOrElse(
+      throw new IllegalArgumentException(s"no MV registered for $basePath"))
+    val partials = d.measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
+      count(lit(1)).as("cnt")
+    val deltaSummary = delta.groupBy(d.groupCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    // per group ≤2 rows here (old summary + delta partial), so even the
+    // double-typed sum partials merge with ONE IEEE addition — no
+    // accumulation-order freedom
+    val mergeAggs = d.measureCols.flatMap(m => Seq(
+      sum(col(s"s_$m")).as(s"s_$m"), sum(col(s"c_$m")).as(s"c_$m"),
+      min(col(s"mn_$m")).as(s"mn_$m"), max(col(s"mx_$m")).as(s"mx_$m"))) :+
+      sum(col("cnt")).as("cnt")
+    val merged = spark.read.parquet(d.summaryPath)
+      .unionByName(deltaSummary)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    // versioned path: never overwrite the summary a planned query may read
+    val base = d.summaryPath.replaceAll("_v\\d+$", "")
+    val next = d.summaryPath match {
+      case p if p == base => s"${base}_v1"
+      case p => s"$base" + "_v" + (p.substring(p.lastIndexOf("_v") + 2).toInt + 1)
+    }
+    merged.write.mode("overwrite").parquet(next)
+    val nd = d.copy(summaryPath = next)
+    register(nd)
+    nd
+  }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {

@@ -562,6 +562,36 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── Incremental MV maintenance e2e: build the summary over 90% of
+    // lineitem, land the remaining 10% as a CDC-style insert batch
+    // (appended to the base AND folded into the summary via
+    // [[graft.plans.MaterializedView.refresh]] — one delta-sized scan, no
+    // base rescan, versioned-path swap), then run a rollup against the
+    // base. The rewrite answers from the refreshed summary; the oracle is
+    // the FULL table's truth, so a refresh that lost or double-counted the
+    // delta hash-fails.
+    "q187_mv_refresh" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvr_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 10 =!= 0)
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber", "l_quantity"),
+        s"$scratch/summary")
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      delta.write.mode("append").parquet(basePath)
+      graft.plans.MaterializedView.refresh(s, basePath, delta)
+      s.read.parquet(basePath)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Count-Min frequency sketch over lineitem's part key: the sketch
     // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
     // matrix (map-side combine bounds every task's output at ~2k rows), then
@@ -1170,6 +1200,15 @@ object RelationalQueries {
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+
+    // q187: the oracle is the WHOLE table — base 90% + refreshed 10% must
+    // reconstitute it exactly.
+    "q187_mv_refresh" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
 
     // q186: the oracle states the BASE-table truth — the MV summary is an
     // implementation detour the rewrite must make invisible.

@@ -149,6 +149,38 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("refresh folds an insert delta: new groups appear, partials add, version bumps") {
+    val base = writeBase(rows)
+    val summary = tmpDir("mv_sum")
+    val d0 = MaterializedView.build(spark, base,
+      Seq("g1", "g2"), Seq("m1", "m2"), summary)
+    val delta = Seq(("a", "x", 10, 20.0), ("c", "z", 1, -9.0))
+      .toDF("g1", "g2", "m1", "m2")
+    delta.write.mode("append").parquet(base)
+    val d1 = MaterializedView.refresh(spark, base, delta)
+    assert(d1.summaryPath == s"${d0.summaryPath}_v1")
+    val d2 = MaterializedView.refresh(spark, base,
+      Seq(("c", "z", 2, 0.0)).toDF("g1", "g2", "m1", "m2"))
+    assert(d2.summaryPath == s"${d0.summaryPath}_v2")
+    Seq(("c", "z", 2, 0.0)).toDF("g1", "g2", "m1", "m2")
+      .write.mode("append").parquet(base)
+    val q = spark.read.parquet(base).groupBy("g1")
+      .agg(sum(col("m1")).as("s"), count(lit(1)).as("n"),
+        min(col("m2")).as("mn"), max(col("m2")).as("mx"))
+    try {
+      assert(scanPaths(q).contains(MaterializedView.normalize(d2.summaryPath)))
+      assert(q.as[(String, Long, Long, Double, Double)].collect().toSet == Set(
+        ("a", 19L, 4L, 1.5, 20.0), ("b", 13L, 3L, -1.0, 4.0),
+        ("c", 3L, 2L, -9.0, 0.0)))
+    } finally MaterializedView.unregister(base)
+  }
+
+  test("refresh without a registration fails loudly") {
+    intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, tmpDir("mv_none"),
+        Seq(("a", "x", 1, 1.0)).toDF("g1", "g2", "m1", "m2")))
+  }
+
   test("build unregisters first: a rebuild never reads its own stale summary") {
     val base = writeBase(rows)
     val summary = tmpDir("mv_sum")
