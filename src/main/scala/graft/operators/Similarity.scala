@@ -239,6 +239,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** PRODUCT-QUANTIZATION top-k via asymmetric distance computation (ADC;
+    * Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): vectors are split into `subspaces` contiguous
+    * sub-vectors, each encoded as the index of its nearest codeword, and a
+    * query ranks the whole corpus from a per-subspace lookup table of
+    * query-to-codeword distances — the memory-compression path at 100 TB,
+    * where the scan carries `subspaces` small ints per vector (the CODES)
+    * instead of hundreds of floats, and the exchange-free ADC rides it
+    * with broadcast lookup tables.
+    *
+    * Determinism (the oracle-replay contract): codewords are the same
+    * hash-ordered corpus sample as [[ivfTopK]]'s codebook, sliced per
+    * subspace; "nearest codeword" minimizes the RANKING form of squared L2
+    * (‖c‖² − 2·v_sub·c — the ‖v_sub‖² constant cancels inside an argmin),
+    * with ties to the LOWest codeword index (array_position returns the
+    * first minimum); the ADC score sums the per-subspace table entries
+    * left-to-right. Every float op is a pinned-order dot product, so the
+    * SQL restatement reproduces each comparison bit-for-bit.
+    *
+    * Output: (query_id, neighbor_id, rank ≤ k) by ascending ADC score —
+    * APPROXIMATE ranks by construction (that is the PQ trade; the exact
+    * baseline is [[bruteForceTopK]]).
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, subspaces: Int = 4, codewords: Int = 16): DataFrame = {
+    require(k > 0 && subspaces > 0 && codewords > 0,
+      s"pqTopK: k=$k, subspaces=$subspaces, codewords=$codewords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val picked = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && dot(col("v"), col("v")) > 0)
+      .withColumn("h",
+        graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(codewords)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(picked.nonEmpty, "pqTopK: no non-null, non-zero corpus vectors")
+    require(picked.map(_.length).distinct.length == 1,
+      s"pqTopK: mixed embedding dimensions in codeword sample: " +
+        picked.map(_.length).distinct.sorted.mkString(", "))
+    val dim = picked.head.length
+    require(dim % subspaces == 0,
+      s"pqTopK: dimension $dim not divisible into $subspaces subspaces")
+    val sd = dim / subspaces
+    // codeword sub-vectors and their ‖c‖² — Scala-folded left-to-right,
+    // bit-identical to the oracle's list_dot_product(cv, cv)
+    val sub = Array.tabulate(subspaces, picked.length)((m, j) =>
+      picked(j).slice(m * sd, (m + 1) * sd))
+    val norm2 = sub.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    def scoreArr(vec: Column, m: Int): Column = array(
+      sub(m).indices.map { j =>
+        lit(norm2(m)(j)) -
+          lit(2.0) * dot(slice(vec, m * sd + 1, sd), typedlit(sub(m)(j).toSeq))
+      }: _*)
+    // corpus → (id, code_0 … code_{M-1}): the narrow table that is PQ's
+    // entire point — nothing wider ever leaves this projection
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id") +: (0 until subspaces).map { m =>
+        val sc = scoreArr(col("cv"), m)
+        (array_position(sc, array_min(sc)) - 1).cast("int").as(s"code_$m")
+      }: _*)
+    // query → per-subspace lookup tables, broadcast to the code scan
+    val qs = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id") +: (0 until subspaces).map(m =>
+        scoreArr(col("qv"), m).as(s"lut_$m")): _*))
+    val scored = codes.crossJoin(qs)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad2", (0 until subspaces)
+        .map(m => element_at(col(s"lut_$m"), col(s"code_$m") + 1))
+        .reduceLeft(_ + _))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ad2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Corpus-wide kNN GRAPH: the top-k nearest neighbors of EVERY vector —
     * the all-to-all sibling of [[lshTopK]] (whose query side is a small
     * broadcast set). Used for graph-based curation: semantic dedup beyond

@@ -737,6 +737,18 @@ object PipelineQueries {
         cells = 16, probes = 4)
     }),
 
+    // ── Product-quantization ADC top-10: 4 subspaces × 16 codewords —
+    // the corpus compresses to 4 small ints per vector and queries rank
+    // the whole corpus from broadcast per-subspace lookup tables riding
+    // the code scan with zero exchanges (the PQ memory story at 100 TB;
+    // Similarity.pqTopK scaladoc pins the determinism contract the oracle
+    // replays).
+    "q188_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, subspaces = 4, codewords = 16)
+    }),
+
     // ── Corpus-wide kNN graph: top-5 neighbors of EVERY vector via the
     // bucket self-join (multi-probe on the query side, id-only candidate
     // shuffle, exact cosine rescore).
@@ -2311,6 +2323,54 @@ object PipelineQueries {
         |  min(CASE WHEN cum >= ceil(tot * 0.9) THEN n END) AS p90,
         |  min(CASE WHEN cum >= ceil(tot * 0.99) THEN n END) AS p99
         |FROM cum GROUP BY lang""".stripMargin,
+
+    // q188: the PQ chain replayed — hash-ranked codeword pick, per-
+    // subspace slices (DuckDB's [a:b] is 1-based inclusive = Spark's
+    // slice(v, a, b-a+1)), argmin by the ‖c‖²−2·v·c ranking form with
+    // lowest-j ties, ADC as a left-associated 4-term sum. Every float
+    // comparison reruns through list_dot_product exactly as the Spark side
+    // pinned it.
+    "q188_ann_pq" -> {
+      val m = (0 until 4).map(i => (i, i * 16 + 1, (i + 1) * 16))
+      val subCte = m.map { case (i, lo, hi) =>
+        s"cw$i AS (SELECT CAST(rn - 1 AS INT) AS j, v[$lo:$hi] AS cv, " +
+          s"list_dot_product(v[$lo:$hi], v[$lo:$hi]) AS n2 FROM ranked WHERE rn <= 16)"
+      }.mkString(",\n")
+      val scCte = m.map { case (i, lo, hi) =>
+        s"""sc$i AS (SELECT e.vec_id, c.j,
+           |  c.n2 - 2 * list_dot_product(e.v[$lo:$hi], c.cv) AS s
+           |  FROM e CROSS JOIN cw$i c),
+           |code$i AS (SELECT vec_id, j AS code FROM (
+           |  SELECT vec_id, j, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY s, j) AS r FROM sc$i) WHERE r = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ranked AS (
+         |  SELECT vec_id, v, row_number() OVER (
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |             vec_id) AS rn
+         |  FROM e WHERE list_dot_product(v, v) > 0),
+         |$subCte,
+         |$scCte,
+         |adc AS (
+         |  SELECT l0.vec_id AS query_id, c0.vec_id AS neighbor_id,
+         |    l0.s + l1.s + l2.s + l3.s AS ad2
+         |  FROM code0 c0
+         |  JOIN code1 c1 ON c1.vec_id = c0.vec_id
+         |  JOIN code2 c2 ON c2.vec_id = c0.vec_id
+         |  JOIN code3 c3 ON c3.vec_id = c0.vec_id
+         |  JOIN sc0 l0 ON l0.vec_id < 8 AND l0.j = c0.code
+         |  JOIN sc1 l1 ON l1.vec_id = l0.vec_id AND l1.j = c1.code
+         |  JOIN sc2 l2 ON l2.vec_id = l0.vec_id AND l2.j = c2.code
+         |  JOIN sc3 l3 ON l3.vec_id = l0.vec_id AND l3.j = c3.code
+         |  WHERE l0.vec_id <> c0.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "q47_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -372,4 +372,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(e3.getMessage.contains("corrupt embedding") ||
       Option(e3.getCause).exists(_.getMessage.contains("corrupt embedding")))
   }
+
+  test("pqTopK ranks a planted near-copy first and is partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    val v = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val near = v.map(x => x + 0.001f)
+    val df = corpus.union(Seq((900L, v), (901L, near)).toDF("vec_id", "embedding"))
+    def run(parts: Int) = Similarity.pqTopK(
+      df.repartition(parts), df.filter($"vec_id" === 900L),
+      "vec_id", "embedding", k = 5, subspaces = 4, codewords = 8)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    val one = run(1)
+    // an exact-ish copy shares every codeword with its original, so its
+    // ADC distance is the global minimum (possibly tied at 0 with other
+    // same-code vectors — near the top either way)
+    assert(one(901L) <= 2, s"near-copy ranked ${one(901L)}")
+    assert(run(7) == one, "PQ ranks must not depend on partitioning")
+  }
+
+  test("pqTopK recall@10 vs exact brute force clears a floor") {
+    val q = corpus.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+      k = 10, subspaces = 4, codewords = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 16 codewords × 4 subspaces on random data is a coarse quantizer;
+    // cosine-vs-L2 metric mismatch also costs some — anything ≥ 0.2 shows
+    // the codes carry real signal (random ranking would recall ~10/200)
+    assert(recall >= 0.2, s"PQ recall@10 = $recall")
+  }
+
+  test("pqTopK guards: dimension divisibility and empty codebook fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus, corpus.limit(1), "vec_id", "embedding",
+        subspaces = 5)
+    }
+    assert(e1.getMessage.contains("divisible"))
+    val zeros = Seq((1L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(zeros, zeros, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("no non-null"))
+  }
 }
