@@ -99,6 +99,75 @@ object RobustStats {
         sum(col("v").cast("decimal(18,2)")).cast("double").as("vsum"))
   }
 
+  /** EXACT order-statistic quantiles WITHOUT a global sort — the
+    * distributed-selection algorithm: one histogram pass locates the
+    * bucket holding each requested rank, then a second pass sorts ONLY the
+    * located buckets (expected n/buckets rows each) and picks the ranked
+    * element. At 100 TB a global `ORDER BY` is a whole-corpus exchange
+    * into a rank-merged write; this touches the data twice with one
+    * bounded aggregate (≤ `buckets` rows of driver state) and one filtered
+    * window over a sliver.
+    *
+    * Quantiles are PERMILLE ranks (the winsorize convention — integer rank
+    * arithmetic, rank = (permille·n + 999) div 1000, no float rank math
+    * anywhere), and the result is a DATA VALUE (percentile_disc
+    * semantics), so any engine replays the answer bit-for-bit. Bucket
+    * assignment `floor((v − min)/width)` uses float division, but ONLY
+    * monotonicity of the bucket function matters for correctness — counts
+    * are exact, so the located (bucket, offset) pair identifies the same
+    * order statistic no matter how the boundaries round; the oracle
+    * restates rank selection directly and never sees the buckets.
+    *
+    * Degenerate spread (min = max) short-circuits to that value. NULLs are
+    * excluded by contract. A pathological distribution that lands most
+    * mass in one bucket degrades pass 2 toward a single-bucket sort —
+    * still correct, and only reachable when the value range is orders of
+    * magnitude wider than the data's bulk.
+    *
+    * Output: (permille, value), one row per requested permille.
+    */
+  def exactQuantilesSelect(df: DataFrame, valCol: String,
+      permilles: Seq[Int], buckets: Int = 65536,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(permilles.nonEmpty, "exactQuantilesSelect: no permilles requested")
+    require(permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // cached: the stats probe, the histogram, and the final bucket-local
+    // selection all read this projection
+    val v = scope.own(df.select(col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val st = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val n = st.getLong(2)
+    if (n == 0L) return Seq.empty[(Long, Double)].toDF("permille", "value")
+    val lo = st.getDouble(0)
+    val hi = st.getDouble(1)
+    val ks = permilles.map(p => p.toLong -> math.max(1L, (p.toLong * n + 999) / 1000))
+    if (lo == hi) return ks.map { case (p, _) => (p, lo) }.toDF("permille", "value")
+    val width = (hi - lo) / buckets
+    val bucketCol =
+      least(lit(buckets - 1), floor((col("v") - lit(lo)) / lit(width))).cast("int")
+    val hist = v.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val before = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val targets = ks.map { case (p, k) =>
+      val (b, _) = hist(hist.indexWhere { case (b, c) => before(b) < k && k <= before(b) + c })
+      (p, b, k - before(b)) // 1-based offset of the rank inside its bucket
+    }
+    val wanted = targets.toDF("permille", "tb", "off")
+    val w = Window.partitionBy("b").orderBy(col("v"))
+    v.withColumn("b", bucketCol)
+      .where(col("b").isInCollection(targets.map(_._2).distinct))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(wanted),
+        col("b") === col("tb") && col("rn") === col("off"))
+      .select(col("permille"), col("v").as("value"))
+  }
+
   /** Per-group least-squares SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²)
     * over integer-valued x/y columns — the distributed half of a linear
     * trend fit. The statistics sum exactly in int64 in any order and MERGE

@@ -457,9 +457,33 @@ object EventQueries {
     "q126_equidepth" -> ((s, dir) => {
       RobustStats.equidepthHistogram(RelationalQueries.events(s, dir),
         "value", "event_id", floor(col("value")).cast("long"), buckets = 10)
+    }),
+
+    // ── Exact p50/p90/p99/p99.9 of the value distribution WITHOUT a
+    // global sort: histogram pass locates each rank's bucket, a filtered
+    // window sorts only those buckets — the distributed-selection shape
+    // that replaces a whole-corpus ORDER BY exchange at 100 TB. Ranks are
+    // integer permille arithmetic; the answers are data values, so the
+    // oracle replays them by direct rank selection. See
+    // [[graft.operators.RobustStats.exactQuantilesSelect]].
+    "q189_exact_quantiles" -> ((s, dir) => {
+      RobustStats.exactQuantilesSelect(RelationalQueries.events(s, dir),
+        "value", permilles = Seq(500, 900, 990, 999))
     }))
 
   val oracles: Map[String, String] = Map(
+    // q189: the SPEC, not the algorithm — the k-th order statistic at
+    // rank (permille·n + 999) // 1000 selected directly; the histogram/
+    // bucket machinery is invisible in the answer by design.
+    "q189_exact_quantiles" ->
+      """WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |p AS (SELECT unnest([500, 900, 990, 999]) AS permille)
+        |SELECT CAST(p.permille AS BIGINT) AS permille, r.v AS value
+        |FROM p, n JOIN r
+        |  ON r.rn = greatest(1, (p.permille * n.n + 999) // 1000)""".stripMargin,
+
     // q185: the matchPattern chain restated — running non-click count +
     // ignore-nulls carry of the nearest view's (rn, us, ncu); an end row
     // matches iff ncu-1 equals the view's ncu (everything strictly between

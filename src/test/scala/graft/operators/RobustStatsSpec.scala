@@ -138,4 +138,60 @@ class RobustStatsSpec extends SparkTestBase {
       Seq("cell"), col("s")).collect().map(r => r.isNullAt(3))
     assert(nulls.toSeq === Seq(true, true))
   }
+
+  test("exactQuantilesSelect equals full-sort rank selection on random data") {
+    val rnd = new scala.util.Random(31)
+    val vals = (1 to 5000).map(_ => rnd.nextDouble() * 200 - 100)
+    val sorted = vals.sorted
+    val n = vals.size.toLong
+    for (buckets <- Seq(4, 64, 1024)) {
+      val got = RobustStats.exactQuantilesSelect(
+        vals.toDF("value"), "value", Seq(1, 250, 500, 900, 999, 1000), buckets)
+        .as[(Long, Double)].collect().toMap
+      val want = Seq(1, 250, 500, 900, 999, 1000).map { p =>
+        p.toLong -> sorted((math.max(1L, (p * n + 999) / 1000) - 1).toInt)
+      }.toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("exactQuantilesSelect: duplicates, constant column, nulls, empty") {
+    // heavy duplicates: rank falls inside a tie run — value still exact
+    val dup = (Seq.fill(70)(5.0) ++ Seq.fill(30)(9.0)).map(Tuple1(_))
+    val g1 = RobustStats.exactQuantilesSelect(
+      dup.toDF("value"), "value", Seq(500, 800), buckets = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(g1 == Map(500L -> 5.0, 800L -> 9.0))
+    // constant column short-circuits
+    val const = Seq.fill(10)(Tuple1(3.25))
+    val g2 = RobustStats.exactQuantilesSelect(
+      const.toDF("value"), "value", Seq(500)).as[(Long, Double)].collect().toMap
+    assert(g2 == Map(500L -> 3.25))
+    // nulls excluded from n
+    val withNulls = (Seq[Option[Double]](None, None) ++
+      (1 to 10).map(i => Some(i.toDouble))).map(Tuple1(_))
+    val g3 = RobustStats.exactQuantilesSelect(
+      withNulls.toDF("value"), "value", Seq(500), buckets = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(g3 == Map(500L -> 5.0))
+    // empty input → empty output
+    assert(RobustStats.exactQuantilesSelect(
+      Seq.empty[Tuple1[Double]].toDF("value"), "value", Seq(500)).isEmpty)
+  }
+
+  test("exactQuantilesSelect is partition-invariant and guards bad input") {
+    val rnd = new scala.util.Random(37)
+    val vals = (1 to 999).map(_ => rnd.nextDouble() * 10)
+    val a = RobustStats.exactQuantilesSelect(
+      vals.toDF("value").repartition(1), "value", Seq(500, 990), 64)
+      .as[(Long, Double)].collect().toMap
+    val b = RobustStats.exactQuantilesSelect(
+      vals.toDF("value").repartition(13), "value", Seq(500, 990), 64)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](RobustStats.exactQuantilesSelect(
+      vals.toDF("value"), "value", Seq(0)))
+    intercept[IllegalArgumentException](RobustStats.exactQuantilesSelect(
+      vals.toDF("value"), "value", Seq.empty))
+  }
 }
