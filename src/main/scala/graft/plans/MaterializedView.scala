@@ -163,6 +163,155 @@ object MaterializedView {
     register(nd)
     nd
   }
+
+  /** INCREMENTAL refresh for a general CDC batch: `inserts` appended to the
+    * base and `deletes` removed from it (both carrying the MV's group and
+    * measure columns; a delete row must restate the deleted row's values —
+    * the CDC delete image). Call AFTER the batch has landed in the base:
+    * the min/max repair scan reads the CURRENT base.
+    *
+    * Maintenance per partial:
+    *   - `s_m`/`c_m`/`cnt` merge by SIGNED addition — old + insert partials
+    *     − delete partials, one fixed op sequence per group. Exact for
+    *     integer/decimal measures; float sums inherit the standard IVM
+    *     caveat that a−b+b need not bit-equal a (min/max never do
+    *     arithmetic, so they stay exact for every type).
+    *   - `mn_m`/`mx_m` are NOT maintainable from partials under deletes
+    *     (removing the row holding a group's min needs the base), so the
+    *     candidate min(old, insert) is kept only for groups the deletes
+    *     cannot have affected: a group is AFFECTED iff some deleted value
+    *     touches the stored extreme (del-min ≤ mn_m or del-max ≥ mx_m).
+    *     Affected groups' min/max are recomputed from the post-batch base
+    *     in ONE scan, column-pruned to group+measure columns and filtered
+    *     by a broadcast join on the (delete-batch-bounded) affected key
+    *     set; when the affected set is ≤ `recomputeKeyCap`, per-column IN
+    *     predicates are additionally pushed into the parquet scan so
+    *     row-group stats prune before the join even runs.
+    *   - a group whose `cnt` reaches 0 leaves the summary; a negative
+    *     `cnt` (deleting rows the base never had) fails loudly in-plan
+    *     rather than silently corrupting every later rollup.
+    *
+    * Cost: delta-sized partials + groups-sized merge + a pruned base scan
+    * proportional to the affected groups — never a full rebuild. Same
+    * versioned-path swap and crash posture as [[refresh]].
+    */
+  def refreshDelta(spark: SparkSession, basePath: String, inserts: DataFrame,
+      deletes: DataFrame, recomputeKeyCap: Int = 1000): MvDef = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, concat, concat_ws, raise_error, when}
+    val d = lookup(normalize(basePath)).getOrElse(
+      throw new IllegalArgumentException(s"no MV registered for $basePath"))
+    val g = d.groupCols.map(col)
+    val old = spark.read.parquet(d.summaryPath)
+    val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
+
+    val insP = inserts.groupBy(g: _*).agg(
+      d.measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+        min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))).head,
+      (d.measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+        min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))).tail :+
+        count(lit(1)).as("cnt")): _*)
+    // delete partials twice: signed (for the sum merge — min/max nulled so
+    // they can't contaminate the candidate extremes) and raw extremes (for
+    // affected-group detection)
+    val delP = deletes.groupBy(g: _*).agg(
+      d.measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
+        min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))).head,
+      (d.measureCols.flatMap(m => Seq(
+        sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
+        min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))).tail :+
+        count(lit(1)).as("dcnt")): _*)
+    val delSigned = delP.select(g ++ d.measureCols.flatMap(m => Seq(
+      (-col(s"ds_$m")).cast(oldTypes(s"s_$m")).as(s"s_$m"),
+      (-col(s"dc_$m")).as(s"c_$m"),
+      lit(null).cast(oldTypes(s"mn_$m")).as(s"mn_$m"),
+      lit(null).cast(oldTypes(s"mx_$m")).as(s"mx_$m"))) :+
+      (-col("dcnt")).as("cnt"): _*)
+
+    val mergeAggs = d.measureCols.flatMap(m => Seq(
+      sum(col(s"s_$m")).as(s"s_$m"), sum(col(s"c_$m")).as(s"c_$m"),
+      min(col(s"mn_$m")).as(s"mn_$m"), max(col(s"mx_$m")).as(s"mx_$m"))) :+
+      sum(col("cnt")).as("cnt")
+    val merged = old.unionByName(insP.selectExpr(old.columns.map(c => s"`$c`"): _*))
+      .unionByName(delSigned.selectExpr(old.columns.map(c => s"`$c`"): _*))
+      .groupBy(g: _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .withColumn("cnt", when(col("cnt") < 0, raise_error(concat(
+        lit("refreshDelta: negative count for group ("),
+        concat_ws(",", g.map(_.cast("string")): _*),
+        lit(") — deletes reference rows the base never had"))))
+        .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+
+    // affected = stored extreme possibly removed; detection against the OLD
+    // summary (the candidate min/max in `merged` still references values
+    // the batch may have deleted)
+    val touched = d.measureCols.map(m =>
+      coalesce(col(s"dmn_$m") <= col(s"mn_$m"), lit(false)) ||
+        coalesce(col(s"dmx_$m") >= col(s"mx_$m"), lit(false)))
+      .reduce(_ || _)
+    val affected = delP.join(old, d.groupCols, "inner")
+      .filter(touched).select(g: _*).distinct().cache()
+    val nAffected = affected.count() // bounded by the delete batch's groups
+
+    val repaired = if (nAffected == 0) {
+      // no extreme touched — widen with the repair columns finalCols expects
+      merged.select(merged.columns.map(col) ++
+        (lit(null).cast("int").as("_aff") +:
+          d.measureCols.flatMap(m => Seq(
+            lit(null).cast(oldTypes(s"mn_$m")).as(s"r_mn_$m"),
+            lit(null).cast(oldTypes(s"mx_$m")).as(s"r_mx_$m")))): _*)
+    } else {
+      // one pruned scan of the post-batch base: only group+measure columns,
+      // only affected groups. ≤ cap → per-column IN predicates pushed to
+      // the parquet footer stats; the broadcast join stays the exact gate.
+      var scan = spark.read.parquet(d.basePath)
+        .select((d.groupCols ++ d.measureCols).map(col): _*)
+      if (nAffected <= recomputeKeyCap) {
+        val keyRows = affected.collect() // ≤ cap rows of group keys only
+        d.groupCols.zipWithIndex.foreach { case (gc, i) =>
+          val vals = keyRows.map(_.get(i)).distinct.toSeq
+          if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))
+        }
+      }
+      val recomputed = scan.join(broadcast(affected), d.groupCols, "inner")
+        .groupBy(g: _*)
+        .agg(d.measureCols.flatMap(m => Seq(
+          min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).head,
+          d.measureCols.flatMap(m => Seq(
+            min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).tail: _*)
+      merged.join(broadcast(affected.withColumn("_aff", lit(1))),
+          d.groupCols, "left")
+        .join(broadcast(recomputed), d.groupCols, "left")
+    }
+
+    val finalCols = g ++ d.measureCols.flatMap(m => Seq(
+      // a measure whose every value left the group must render NULL, not 0
+      when(col(s"c_$m") === 0, lit(null).cast(oldTypes(s"s_$m")))
+        .otherwise(col(s"s_$m")).as(s"s_$m"),
+      col(s"c_$m"),
+      when(col("_aff") === 1, col(s"r_mn_$m"))
+        .otherwise(when(col(s"c_$m") === 0,
+          lit(null).cast(oldTypes(s"mn_$m"))).otherwise(col(s"mn_$m")))
+        .as(s"mn_$m"),
+      when(col("_aff") === 1, col(s"r_mx_$m"))
+        .otherwise(when(col(s"c_$m") === 0,
+          lit(null).cast(oldTypes(s"mx_$m"))).otherwise(col(s"mx_$m")))
+        .as(s"mx_$m"))) :+ col("cnt")
+    val next = {
+      val b = d.summaryPath.replaceAll("_v\\d+$", "")
+      if (d.summaryPath == b) s"${b}_v1"
+      else b + "_v" + (d.summaryPath.substring(
+        d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
+    }
+    repaired.select(finalCols: _*).write.mode("overwrite").parquet(next)
+    affected.unpersist()
+    val nd = d.copy(summaryPath = next)
+    register(nd)
+    nd
+  }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {

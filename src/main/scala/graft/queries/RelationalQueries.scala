@@ -592,6 +592,42 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── DELETE-aware incremental MV maintenance e2e: build the summary
+    // over the FULL base, land a CDC batch that DELETES every
+    // l_orderkey%9==0 row and re-INSERTS copies of the %11==5 rows, fold
+    // both into the summary via
+    // [[graft.plans.MaterializedView.refreshDelta]] — signed-partial merge
+    // for sums/counts, min/max REPAIRED for affected groups only from a
+    // pruned post-batch base scan — then roll up against the base. The
+    // delete batch contains group extremes with near-certainty (quantity
+    // spans its full range inside every %9 slice), so the repair path, not
+    // just the candidate merge, is what the oracle's full truth checks.
+    "q190_mv_refresh_delete" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvd_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      val li = t(s, dir, "lineitem")
+      li.write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber", "l_quantity"),
+        s"$scratch/summary")
+      val deletes = li.filter(col("l_orderkey") % 9 === 0)
+      val inserts = li.filter(col("l_orderkey") % 11 === 5)
+      // the new base content derives from the SOURCE table, so overwriting
+      // the base path mid-plan is safe
+      li.filter(col("l_orderkey") % 9 =!= 0).unionByName(inserts)
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.refreshDelta(s, basePath, inserts, deletes)
+      s.read.parquet(basePath)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          count(col("l_quantity")).as("n_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Count-Min frequency sketch over lineitem's part key: the sketch
     // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
     // matrix (map-side combine bounds every task's output at ~2k rows), then
@@ -1208,6 +1244,20 @@ object RelationalQueries {
         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+
+    // q190: the oracle restates the POST-BATCH base (deletes removed,
+    // inserts appended) — a summary that mis-merged a signed partial or
+    // kept a deleted extreme hash-fails.
+    "q190_mv_refresh_delete" ->
+      """WITH b AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 9 <> 0
+        |  UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 11 = 5)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  count(l_quantity) AS n_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM b
         |GROUP BY 1""".stripMargin,
 
     // q186: the oracle states the BASE-table truth — the MV summary is an
