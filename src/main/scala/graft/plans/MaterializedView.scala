@@ -57,9 +57,21 @@ object MaterializedView {
   /** A registered summary: `summaryPath` holds, per distinct combination
     * of `groupCols`, the partial columns `s_<m>, c_<m>, mn_<m>, mx_<m>`
     * for every measure m plus `cnt` = count(*).
+    *
+    * `derivedGroups` maps group-column names that are EXPRESSIONS over the
+    * base (name → SQL text, e.g. `"day" -> "cast(ts as date)"`) — the
+    * time-hierarchy MV shape, where the base has no materialized day
+    * column but every dashboard groups by one. The rewrite matches a query
+    * grouping by the same (analyzed) expression and reroutes it to the
+    * summary's column; the matching is against the post-analysis form, so
+    * a query phrasing the semantically-equal expression differently
+    * (`date(ts)` vs `cast(ts as date)` normalize alike; an optimizer
+    * rewrite that ELIMINATES the expression before our rule runs falls
+    * back to the base — correct, just unaccelerated).
     */
   final case class MvDef(basePath: String, groupCols: Seq[String],
-      measureCols: Seq[String], summaryPath: String)
+      measureCols: Seq[String], summaryPath: String,
+      derivedGroups: Seq[(String, String)] = Nil)
 
   /** base path (scheme-stripped, absolute) → definition. Scheme-stripped
     * matching means a file:/ and an hdfs:/ path with identical string
@@ -83,14 +95,18 @@ object MaterializedView {
     * later rollup amortizes.
     */
   def build(spark: SparkSession, basePath: String, groupCols: Seq[String],
-      measureCols: Seq[String], summaryPath: String): MvDef = {
+      measureCols: Seq[String], summaryPath: String,
+      derivedGroups: Seq[(String, String)] = Nil): MvDef = {
     require(groupCols.nonEmpty, "MV needs at least one group column")
     require((groupCols ++ measureCols).distinct.size ==
       groupCols.size + measureCols.size,
       s"group/measure overlap or duplicates in $groupCols / $measureCols")
+    require(derivedGroups.forall(d => groupCols.contains(d._1)),
+      s"derived names ${derivedGroups.map(_._1)} must appear in $groupCols")
     // a stale registration for this base must not satisfy the build scan
     unregister(basePath)
-    val base = spark.read.parquet(basePath)
+    val d0 = MvDef(basePath, groupCols, measureCols, summaryPath, derivedGroups)
+    val base = withDerived(spark.read.parquet(basePath), d0)
     val partials = measureCols.flatMap(m => Seq(
       sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
       min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
@@ -98,10 +114,17 @@ object MaterializedView {
     base.groupBy(groupCols.map(col): _*)
       .agg(partials.head, partials.tail: _*)
       .write.mode("overwrite").parquet(summaryPath)
-    val d = MvDef(basePath, groupCols, measureCols, summaryPath)
-    register(d)
-    d
+    register(d0)
+    d0
   }
+
+  /** Materialize an MV's derived group columns on a base/delta-shaped
+    * DataFrame — every maintenance path must compute deltas at the SAME
+    * granularity the summary was built at.
+    */
+  private[plans] def withDerived(df: DataFrame, d: MvDef): DataFrame =
+    d.derivedGroups.foldLeft(df) { case (acc, (name, sql)) =>
+      acc.withColumn(name, org.apache.spark.sql.functions.expr(sql)) }
 
   /** Hook [[MvRewriteRule]] into an existing session (idempotent). */
   def install(spark: SparkSession): Unit = synchronized {
@@ -139,7 +162,7 @@ object MaterializedView {
       sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
       min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
       count(lit(1)).as("cnt")
-    val deltaSummary = delta.groupBy(d.groupCols.map(col): _*)
+    val deltaSummary = withDerived(delta, d).groupBy(d.groupCols.map(col): _*)
       .agg(partials.head, partials.tail: _*)
     // per group ≤2 rows here (old summary + delta partial), so even the
     // double-typed sum partials merge with ONE IEEE addition — no
@@ -204,7 +227,7 @@ object MaterializedView {
     val old = spark.read.parquet(d.summaryPath)
     val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
 
-    val insP = inserts.groupBy(g: _*).agg(
+    val insP = withDerived(inserts, d).groupBy(g: _*).agg(
       d.measureCols.flatMap(m => Seq(
         sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
         min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))).head,
@@ -215,7 +238,7 @@ object MaterializedView {
     // delete partials twice: signed (for the sum merge — min/max nulled so
     // they can't contaminate the candidate extremes) and raw extremes (for
     // affected-group detection)
-    val delP = deletes.groupBy(g: _*).agg(
+    val delP = withDerived(deletes, d).groupBy(g: _*).agg(
       d.measureCols.flatMap(m => Seq(
         sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
         min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))).head,
@@ -267,7 +290,7 @@ object MaterializedView {
       // one pruned scan of the post-batch base: only group+measure columns,
       // only affected groups. ≤ cap → per-column IN predicates pushed to
       // the parquet footer stats; the broadcast join stays the exact gate.
-      var scan = spark.read.parquet(d.basePath)
+      var scan = withDerived(spark.read.parquet(d.basePath), d)
         .select((d.groupCols ++ d.measureCols).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
         val keyRows = affected.collect() // ≤ cap rows of group keys only
@@ -327,16 +350,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** child walk: collect at-most-attribute Projects and group-col-only
-    * Filters down to a single parquet LogicalRelation; anything else bails.
+  /** child walk: collect Projects (attribute pruning AND alias bindings —
+    * the optimizer's PullOutGroupingExpressions extracts complex grouping
+    * expressions into `_groupingexpression` aliases below the Aggregate,
+    * and withColumn leaves named aliases) and Filters down to a single
+    * parquet LogicalRelation; anything else bails. Alias bindings are
+    * returned for the caller to inline — matching happens on the
+    * fully-inlined expressions, so an alias detour can't hide a matching
+    * (or a non-matching) shape.
     */
-  private def strip(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+  private def strip(p: LogicalPlan): Option[
+      (Seq[Expression], Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression], LogicalRelation)] =
     p match {
-      case rel: LogicalRelation => Some((Nil, rel))
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        strip(c)
+      case rel: LogicalRelation => Some((Nil, Map.empty, rel))
+      case Project(pl, c) if pl.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        strip(c).map { case (conds, aliases, rel) =>
+          (conds, aliases ++ pl.collect {
+            case a @ Alias(child, _) => a.exprId -> child }, rel)
+        }
       case Filter(cond, c) =>
-        strip(c).map { case (conds, rel) => (cond +: conds, rel) }
+        strip(c).map { case (conds, aliases, rel) =>
+          (cond +: conds, aliases, rel) }
       case _ => None
     }
 
@@ -349,23 +384,64 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (conds, rel) <- strip(agg.child)
+      (conds, aliases, rel) <- strip(agg.child)
       path <- relationPath(rel)
       mv <- lookup(path)
-      plan <- rewriteWith(agg, conds, mv)
+      plan <- rewriteWith(agg, conds, aliases, mv)
     } yield plan
   }
 
+  /** Analyzed, name-rendered form of a registered derived-group SQL
+    * expression — resolved once against the base's schema (one footer
+    * read), then compared with query expressions via [[renderForm]].
+    */
+  private val derivedFormCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def derivedForm(basePath: String, sql: String): Option[String] = {
+    val rendered = derivedFormCache.computeIfAbsent((basePath, sql), { _ =>
+      scala.util.Try {
+        val analyzed = SparkSession.active.read.parquet(basePath)
+          .select(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed.expressions.head
+        renderForm(analyzed).getOrElse("")
+      }.getOrElse("") // unrenderable/unresolvable → never matches
+    })
+    Some(rendered).filter(_.nonEmpty)
+  }
+
+  /** exprId/qualifier/alias-insensitive rendering for expression matching:
+    * two analyzed expressions over the same base match iff their SQL text
+    * matches after stripping the outer alias and attribute qualifiers.
+    */
+  private def renderForm(e: Expression): Option[String] = {
+    val noAlias = e match { case a: Alias => a.child; case x => x }
+    scala.util.Try(noAlias.transform {
+      case ar: AttributeReference => ar.withQualifier(Nil)
+    }.sql).toOption
+  }
+
   private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
+      aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
       mv: MvDef): Option[LogicalPlan] = {
+    // inline collected Project aliases to fixpoint (stacked withColumns /
+    // PullOutGroupingExpressions chains), so matching always sees the
+    // base-column form of every expression
+    def inline(e: Expression): Expression = {
+      var cur = e
+      var i = 0
+      while (i < 10) {
+        val next = cur.transformUp {
+          case a: AttributeReference if aliases.contains(a.exprId) =>
+            aliases(a.exprId)
+        }
+        if (next.fastEquals(cur)) return cur
+        cur = next; i += 1
+      }
+      cur
+    }
     val groupSet = mv.groupCols.toSet
     val measureSet = mv.measureCols.toSet
-    val groupingsOk = agg.groupingExpressions.forall {
-      case a: AttributeReference => groupSet.contains(a.name)
-      case _ => false
-    }
-    val filtersOk = conds.forall(_.references.forall(a => groupSet.contains(a.name)))
-    if (!groupingsOk || !filtersOk) return None
 
     // analyzed summary relation with fresh attributes, mapped by name
     val sumPlan = SparkSession.active.read.parquet(mv.summaryPath)
@@ -373,6 +449,30 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     def attrOf(name: String): Option[AttributeReference] =
       byName.get(name).collect { case a: AttributeReference => a }
+
+    // derived-group matcher: query expression → summary attribute
+    val derivedByForm: Map[String, String] = mv.derivedGroups.flatMap {
+      case (name, sql) => derivedForm(mv.basePath, sql).map(_ -> name)
+    }.toMap
+    def derivedMatch(e: Expression): Option[AttributeReference] =
+      if (derivedByForm.isEmpty) None
+      else renderForm(e).flatMap(derivedByForm.get).flatMap(attrOf)
+
+    val groupingsOk = agg.groupingExpressions.map(inline).forall {
+      case a: AttributeReference => groupSet.contains(a.name)
+      case e => derivedMatch(e).isDefined
+    }
+    // a filter may reference plain group columns AND derived expressions;
+    // substitute matched derived subtrees by their summary column first,
+    // then every remaining reference must be a group column
+    def substituteDerived(cond: Expression): Expression = cond.transformDown {
+      case e if derivedMatch(e).isDefined => derivedMatch(e).get
+    }
+    val condsSub = conds.map(c => substituteDerived(inline(c)))
+    val filtersOk = condsSub.forall(_.collect {
+      case a: AttributeReference => groupSet.contains(a.name)
+    }.forall(identity))
+    if (!groupingsOk || !filtersOk) return None
 
     def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
       e.aggregateFunction match {
@@ -408,6 +508,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _: AggregateExpression => None // distinct / FILTER-clause aggs
       case a: AttributeReference if groupSet.contains(a.name) =>
         attrOf(a.name)
+      case e if derivedMatch(e).isDefined => derivedMatch(e)
       case l: Literal => Some(l)
       case _ if e.children.nonEmpty =>
         val rewritten = e.children.map(rewriteExpr)
@@ -418,10 +519,18 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
     def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
-      case a: AttributeReference if groupSet.contains(a.name) =>
+      case a: AttributeReference
+          if groupSet.contains(a.name) && !aliases.contains(a.exprId) =>
         attrOf(a.name).map(p => Alias(p, a.name)(exprId = a.exprId))
+      case a: AttributeReference if aliases.contains(a.exprId) =>
+        // output attr that names a Project alias (e.g. a pulled-out
+        // grouping expression surfacing bare): rewrite its inlined form
+        rewriteExpr(inline(a)).map { c =>
+          val typed = if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+          Alias(typed, a.name)(exprId = a.exprId)
+        }
       case al @ Alias(child, name) =>
-        rewriteExpr(child).map { c =>
+        rewriteExpr(inline(child)).map { c =>
           // re-aggregation can widen the type (decimal sum-of-sums grows
           // precision); the output attribute must keep its original type
           val typed = if (c.dataType == al.dataType) c else Cast(c, al.dataType)
@@ -430,14 +539,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    val newGroupings = agg.groupingExpressions.map {
+    val newGroupings = agg.groupingExpressions.map(inline).map {
       case a: AttributeReference => attrOf(a.name)
-      case _ => None
+      case e => derivedMatch(e)
     }
     val newResults = agg.aggregateExpressions.map(rewriteNamed)
     if (newGroupings.exists(_.isEmpty) || newResults.exists(_.isEmpty)) None
     else {
-      val child = conds.foldLeft(sumPlan) { (p, cond) =>
+      val child = condsSub.foldLeft(sumPlan) { (p, cond) =>
         Filter(cond.transform {
           case a: AttributeReference => byName.getOrElse(a.name, a)
         }, p)

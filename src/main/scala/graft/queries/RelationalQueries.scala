@@ -592,6 +592,37 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── Derived-group (time-hierarchy) MV e2e: the base has no day column,
+    // but the MV is built with `day = cast(ts as date)` as a DERIVED group
+    // — the rule matches queries grouping by the same analyzed expression
+    // (inlining the optimizer's pulled-out `_groupingexpression` aliases)
+    // and reroutes them to the daily summary. The dashboard shape at
+    // 100 TB: every per-day rollup reads days × types summary rows instead
+    // of re-scanning the corpus. Measures ride an exact decimal column so
+    // partial re-aggregation is bit-identical to the oracle's one-shot sum.
+    "q191_mv_derived_day" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvday_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      // events() normalizes ts across corpus shapes; snapshot it once so
+      // the MV base is a plain µs-timestamp parquet whatever the corpus is
+      events(s, dir)
+        .select(col("event_type"), col("ts"),
+          col("value").cast("decimal(18,2)").as("value_dec"))
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("event_type", "day"), Seq("value_dec"), s"$scratch/summary",
+        derivedGroups = Seq("day" -> "cast(ts as date)"))
+      s.read.parquet(basePath)
+        .filter(col("event_type") =!= "view")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_dec")).cast("double").as("sum_value"),
+          min(col("value_dec")).cast("double").as("min_value"),
+          max(col("value_dec")).cast("double").as("max_value"))
+    }),
+
     // ── DELETE-aware incremental MV maintenance e2e: build the summary
     // over the FULL base, land a CDC batch that DELETES every
     // l_orderkey%9==0 row and re-INSERTS copies of the %11==5 rows, fold
@@ -1245,6 +1276,16 @@ object RelationalQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q191: the oracle is the per-day truth straight off events — the
+    // derived-group summary detour must be invisible in the values.
+    "q191_mv_derived_day" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY 1, 2""".stripMargin,
 
     // q190: the oracle restates the POST-BATCH base (deletes removed,
     // inserts appended) — a summary that mis-merged a signed partial or
