@@ -386,4 +386,106 @@ object Sketches {
       sequence(lit(1), col("weight")),
       r => TextFunctions.md5Hash60(
         concat(lit("wps:"), col(keyCol).cast("string"), lit(":"), r.cast("string")))))
+
+  /** 2^60 — the md5h60 hash space, as a DECIMAL literal for exact integer
+    * estimate arithmetic ((k−1)·2^60 overflows int64 for k > 8).
+    */
+  private val HashSpace = "1152921504606846976"
+
+  /** KMV (k-minimum-values) distinct sketch: per group, the `k` smallest
+    * md5h60 hashes of the DISTINCT values — (group, h, rn) rows, rn the
+    * hash's rank within its group. The direct-estimate sibling of the HLL
+    * registers: HLL composes by max-merge (union only), while KMV sketches
+    * support UNION *and* INTERSECTION/Jaccard directly
+    * ([[kmvOverlapPairs]]) — inclusion–exclusion on HLL estimates
+    * ([[hllIntersectPairs]]) loses all precision when |A∩B| ≪ |A∪B|, which
+    * is exactly the contamination-screening regime.
+    *
+    * Scale shape: one distinct shuffle on (group, hash) — dedup happens
+    * BEFORE ranking, so a hot value adds one row, not its multiplicity —
+    * then a per-group bottom-k rank the optimizer executes as a
+    * WindowGroupLimit (every partition keeps only k rows pre-shuffle).
+    * State is groups × k rows, persistable and mergeable (merging two
+    * sketches = union, re-rank, cut at k).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        TextFunctions.md5Hash60(concat(lit("kmv:"),
+          col(valueCol).cast("string"))).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Distinct-cardinality estimate from a KMV sketch: exact when the group
+    * holds fewer than k distinct values (the sketch IS the value set);
+    * otherwise the k-th-minimum estimator (k−1)·2^60 / h_k, evaluated in
+    * DECIMAL so both engines divide the same exact integers. Standard
+    * error ≈ 1/√(k−2).
+    */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_k"),
+        max(when(col("rn") === k, col("h"))).as("h_k"))
+      .select(col(groupCol),
+        when(col("n_k") < k, col("n_k"))
+          // `div` (IntegralDivide) — truncating like DuckDB's `//`; a true
+          // division would HALF_UP-round at result scale first
+          .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            s"CAST($HashSpace AS DECIMAL(38,0)) div CAST(h_k AS DECIMAL(38,0))"))
+          .cast("long").as("est_distinct"))
+
+  /** Pairwise overlap estimates between every two groups from ONE KMV
+    * sketch build: for each unordered pair, the union sketch is the k
+    * smallest of the two hash sets combined; with t its largest retained
+    * hash, ρ = |{h ∈ A∩B : h ≤ t}| / |union sketch| estimates the Jaccard
+    * similarity and ρ·est(|A∪B|) the intersection size (Beyer et al.,
+    * "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations", SIGMOD'07). When the combined distinct count is under k
+    * the sketches are complete and every output is EXACT — one formula
+    * covers both regimes because t is then the union maximum and the
+    * denominator is the true union size.
+    *
+    * Emitted as exact integers (est counts, jaccard in ppm): group count
+    * is bounded, so per-group sorted hash arrays (≤ k elements) broadcast
+    * and the |groups|²/2 pair arithmetic is array ops on tiny lists —
+    * nothing rescans rows.
+    */
+  def kmvOverlapPairs(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    val arrs = kmvSketch(df, groupCol, valueCol, k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val pairs = broadcast(arrs.select(col(groupCol).as("src_a"),
+        col("hs").as("ha")))
+      .crossJoin(broadcast(arrs.select(col(groupCol).as("src_b"),
+        col("hs").as("hb"))))
+      .filter(col("src_a") < col("src_b"))
+    val u = slice(array_sort(array_distinct(concat(col("ha"), col("hb")))),
+      1, k)
+    val pairCols = pairs
+      .withColumn("u", u)
+      .withColumn("nu", size(col("u")))
+      .withColumn("t", element_at(col("u"), col("nu")))
+      .withColumn("matches", size(filter(array_intersect(col("ha"), col("hb")),
+        h => h <= col("t"))))
+    val estUnion = when(col("nu") < k, col("nu").cast("long"))
+      .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+        s"CAST($HashSpace AS DECIMAL(38,0)) div CAST(t AS DECIMAL(38,0))")
+        .cast("long"))
+    pairCols
+      .withColumn("est_union", estUnion)
+      .withColumn("jaccard_ppm",
+        expr("CAST(matches AS DECIMAL(38,0)) * 1000000 div " +
+          "CAST(nu AS DECIMAL(38,0))").cast("long"))
+      .withColumn("est_intersect",
+        expr("CAST(jaccard_ppm AS DECIMAL(38,0)) * " +
+          "CAST(est_union AS DECIMAL(38,0)) div 1000000").cast("long"))
+      .select(col("src_a"), col("src_b"), col("nu").cast("long").as("n_union_k"),
+        col("est_union"), col("jaccard_ppm"), col("est_intersect"))
+  }
 }

@@ -344,6 +344,28 @@ object PipelineQueries {
       graft.operators.Sketches.hllIntersectPairs(docs(s, dir), "source", "text")
     }),
 
+    // ── KMV distinct estimate: per-lang k-minimum-values sketch (k=64) —
+    // the direct-estimate sibling of q131's HLL registers, exact below k
+    // and (k−1)·2^60/h_k above, all integer arithmetic. See
+    // [[graft.operators.Sketches.kmvSketch]].
+    "q192_kmv_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvSketch(docs(s, dir), "lang", "text", k = 64),
+        "lang", k = 64)
+    }),
+
+    // ── KMV pairwise overlap: per-source sketches → union/Jaccard/
+    // intersection estimates per source pair. The reason KMV exists next
+    // to q149's HLL inclusion–exclusion: when |A∩B| ≪ |A∪B| (the
+    // contamination-screening regime) incl–excl is the difference of two
+    // large noisy numbers, while the KMV ratio estimator reads the overlap
+    // directly off the union sketch. See
+    // [[graft.operators.Sketches.kmvOverlapPairs]].
+    "q193_kmv_overlap" -> ((s, dir) => {
+      graft.operators.Sketches.kmvOverlapPairs(docs(s, dir), "source", "text",
+        k = 64)
+    }),
+
     // ── Weighted priority sample: k docs with odds ∝ length-derived weight,
     // via min-of-w-uniforms integer priorities (the Efraimidis–Spirakis
     // shape without cross-engine transcendentals). See
@@ -1681,6 +1703,64 @@ object PipelineQueries {
         |            least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
         |          FROM documents)))
         |WHERE rk <= 20""".stripMargin,
+
+    // q192: the same bottom-k rank + (k−1)·2^60/h_k estimator in HUGEINT —
+    // exact below k, truncating division above.
+    "q192_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT lang, count(*) AS n_k,
+        |    max(CASE WHEN rn = 64 THEN h END) AS h_k
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT lang,
+        |  CASE WHEN n_k < 64 THEN CAST(n_k AS BIGINT)
+        |       ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+        |                 // h_k::HUGEINT AS BIGINT) END AS est_distinct
+        |FROM s""".stripMargin,
+
+    // q193: union sketch = k smallest of the combined hash lists; t its
+    // last element; matches = shared hashes at-or-below t. One formula
+    // covers the exact (<k) and estimated regimes on both engines.
+    "q193_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5('kmv:' || text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |a AS (
+        |  SELECT source, list(h ORDER BY h) AS hs
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |p AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, x.hs AS ha, y.hs AS hb,
+        |    list_slice(list_sort(list_distinct(x.hs || y.hs)), 1, 64) AS u
+        |  FROM a x JOIN a y ON x.source < y.source),
+        |q AS (
+        |  SELECT src_a, src_b, len(u) AS nu, u[len(u)] AS t,
+        |    len(list_filter(list_intersect(ha, hb),
+        |        x -> x <= u[len(u)])) AS matches
+        |  FROM p),
+        |e AS (
+        |  SELECT src_a, src_b, nu, t, matches,
+        |    CASE WHEN nu < 64 THEN CAST(nu AS BIGINT)
+        |         ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+        |                   // t::HUGEINT AS BIGINT) END AS est_union,
+        |    CAST((matches::HUGEINT * 1000000::HUGEINT) // nu::HUGEINT
+        |         AS BIGINT) AS jaccard_ppm
+        |  FROM q)
+        |SELECT src_a, src_b, CAST(nu AS BIGINT) AS n_union_k, est_union,
+        |  jaccard_ppm,
+        |  CAST((jaccard_ppm::HUGEINT * est_union::HUGEINT) // 1000000
+        |       AS BIGINT) AS est_intersect
+        |FROM e""".stripMargin,
 
     // q149: per-source registers, singles estimated directly, pair unions
     // from max-merged registers, inclusion–exclusion at the end — the same

@@ -201,4 +201,56 @@ class SketchesSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("x" -> 30L))
   }
+
+  test("kmv estimates known cardinalities; exact below k; duplicates ignored") {
+    val rows =
+      (1 to 8000).map(i => ("big", s"v$i")) ++
+      (1 to 8000).map(i => ("small", s"v${i % 40}")) // 40 distinct, 200× dup
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(rows.toDF("g", "v"), "g", "v", k = 256), "g", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k=256 → σ ≈ 1/√254 ≈ 6.3%; allow 4σ
+    assert(math.abs(est("big") - 8000) < 8000 * 0.25, s"big: ${est("big")}")
+    assert(est("small") == 40L, s"small must be EXACT below k: ${est("small")}")
+  }
+
+  test("kmv sketch is partition-invariant and bounded at k rows per group") {
+    val df = (1 to 3000).map(i => ("g", s"v$i")).toDF("g", "v")
+    def sketch(parts: Int): Seq[(Long, Int)] =
+      Sketches.kmvSketch(df.repartition(parts), "g", "v", k = 64)
+        .select("h", "rn").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    val s1 = sketch(1)
+    assert(s1 == sketch(13) && s1 == sketch(64))
+    assert(s1.size == 64 && s1.map(_._2) == (1 to 64))
+  }
+
+  test("kmvOverlapPairs: identical groups → jaccard 1e6; disjoint → 0; planted overlap tracks") {
+    val a = (1 to 2000).map(i => ("a", s"v$i"))
+    val sameAsA = (1 to 2000).map(i => ("b", s"v$i"))
+    val disjoint = (1 to 2000).map(i => ("c", s"w$i"))
+    val half = (1001 to 3000).map(i => ("d", s"v$i")) // |∩a| = 1000 of 3000 ∪
+    val out = Sketches.kmvOverlapPairs(
+      (a ++ sameAsA ++ disjoint ++ half).toDF("g", "v"), "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    val (jAb, iAb) = out(("a", "b"))
+    assert(jAb == 1000000L && math.abs(iAb - 2000) < 500, s"a~b: $jAb $iAb")
+    val (jAc, iAc) = out(("a", "c"))
+    assert(jAc == 0L && iAc == 0L, s"a~c: $jAc $iAc")
+    val (jAd, iAd) = out(("a", "d"))
+    // true J = 1000/3000 = 333333 ppm; ratio estimator σ ≈ √(J(1−J)/k) ≈ 3%
+    assert(math.abs(jAd - 333333) < 120000, s"a~d jaccard: $jAd")
+    assert(math.abs(iAd - 1000) < 400, s"a~d intersect: $iAd")
+  }
+
+  test("kmvOverlapPairs is exact when the combined distinct count is under k") {
+    val rows = Seq("x", "y", "z", "w").map(("a", _)) ++
+      Seq("y", "z", "q").map(("b", _)) ++
+      Seq("x", "x", "y").map(("a", _)) // duplicates must not shift anything
+    val r = Sketches.kmvOverlapPairs(rows.toDF("g", "v"), "g", "v", k = 64)
+      .collect()(0)
+    // union {x,y,z,w,q} = 5, intersect {y,z} = 2 → jaccard 400000 ppm
+    assert(r.getLong(2) == 5L && r.getLong(3) == 5L)
+    assert(r.getLong(4) == 400000L && r.getLong(5) == 2L, r.toString)
+  }
 }
