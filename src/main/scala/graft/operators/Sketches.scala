@@ -371,6 +371,64 @@ object Sketches {
       .select(col("_k").as(keyCol), col("cnt"))
   }
 
+  /** Per-GROUP exact 1/s-heavy hitters — [[heavyHitters]] with the MG
+    * candidate pass and the threshold both scoped to each group: every
+    * (group, key) whose count × s strictly exceeds the GROUP's row count
+    * n_g, with its exact count. The trending-terms-per-day / stopwords-
+    * per-language shape.
+    *
+    * The superset guarantee holds per group: within each partition an
+    * s-counter MG summary runs per group seen there, keeping every key
+    * with local count > n_{p,g}/(s+1); a globally heavy key of group g
+    * beats n_{p,g}/s in at least one partition by pigeonhole over that
+    * group's partials. Task state is O(groups-seen-by-task × s) — bounded
+    * for natural group columns (days, languages, sources); if the group
+    * cardinality is huge, repartition the input by `groupCol` first so
+    * each task holds only its own groups' counters. The recount join is
+    * left to Catalyst/AQE: per-group candidate sets can exceed the
+    * broadcast threshold, and AQE picks broadcast at runtime when they
+    * don't. Group totals (one row per group) always broadcast.
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      s: Int, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(s >= 2, s"heavyHittersPerGroup: s must be >= 2, got $s")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(groupCol).cast("string").as("_g"),
+        col(keyCol).cast("string").as("_k"))
+      .where(col("_g").isNotNull && col("_k").isNotNull)
+    val sketch = scope.own(items.as[(String, String)].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
+      val ns = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (g, x) =>
+        ns.update(g, ns.getOrElse(g, 0L) + 1)
+        val c = counters.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        c.get(x) match {
+          case Some(v) => c.update(x, v + 1)
+          case None if c.size < s => c.update(x, 1L)
+          case None =>
+            c.mapValuesInPlace((_, v) => v - 1)
+            c.filterInPlace((_, v) => v > 0)
+        }
+      }
+      ns.iterator.map { case (g, n) => (g, Option.empty[String], n) } ++
+        counters.iterator.flatMap { case (g, c) =>
+          c.keysIterator.map(k => (g, Option(k), 0L)) }
+    }.toDF("_g", "_k", "_n").persist(StorageLevel.MEMORY_AND_DISK))
+    val totals = sketch.where(col("_k").isNull)
+      .groupBy(col("_g")).agg(sum(col("_n")).as("_total"))
+    val cands = sketch.where(col("_k").isNotNull)
+      .select(col("_g"), col("_k")).distinct()
+    items.join(cands, Seq("_g", "_k"), "left_semi")
+      .groupBy(col("_g"), col("_k"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("_g"))
+      .where(col("cnt") * s > col("_total"))
+      .select(col("_g").as(groupCol), col("_k").as(keyCol), col("cnt"))
+  }
+
   private def cmsBucket(i: Column, key: Column, width: Int): Column =
     pmod(TextFunctions.md5Hash60(
       concat(lit("cms"), i.cast("string"), lit(":"), key)), lit(width.toLong))

@@ -344,6 +344,17 @@ object PipelineQueries {
       graft.operators.Sketches.hllIntersectPairs(docs(s, dir), "source", "text")
     }),
 
+    // ── Per-GROUP exact heavy hitters: each language's 1/400-frequent
+    // tokens — the stopword/trending-terms shape, q184 with the MG
+    // candidate pass and the threshold scoped per group. See
+    // [[graft.operators.Sketches.heavyHittersPerGroup]].
+    "q194_heavy_hitters_lang" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("lang"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .where(col("tok") =!= "")
+      graft.operators.Sketches.heavyHittersPerGroup(toks, "lang", "tok", s = 400)
+    }),
+
     // ── KMV distinct estimate: per-lang k-minimum-values sketch (k=64) —
     // the direct-estimate sibling of q131's HLL registers, exact below k
     // and (k−1)·2^60/h_k above, all integer arithmetic. See
@@ -1703,6 +1714,19 @@ object PipelineQueries {
         |            least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
         |          FROM documents)))
         |WHERE rk <= 20""".stripMargin,
+
+    // q194: exact per-group threshold — the MG machinery is invisible in
+    // the answer by design.
+    "q194_heavy_hitters_lang" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> t <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT c.lang, c.tok, c.cnt FROM c JOIN n USING (lang)
+        |WHERE c.cnt * 400 > n.n""".stripMargin,
 
     // q192: the same bottom-k rank + (k−1)·2^60/h_k estimator in HUGEINT —
     // exact below k, truncating division above.

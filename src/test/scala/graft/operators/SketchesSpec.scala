@@ -243,6 +243,47 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(iAd - 1000) < 400, s"a~d intersect: $iAd")
   }
 
+  test("heavyHittersPerGroup equals per-group exact thresholds; partitioning-proof") {
+    val rnd = new scala.util.Random(7)
+    // group A: zipf-ish skew; group B: uniform (no hitters at s=5); group C
+    // tiny with one dominant key
+    val rows =
+      (1 to 4000).map(_ => ("A", s"k${(4000 / (rnd.nextInt(200) + 1)) % 37}")) ++
+      (1 to 2000).map(i => ("B", s"u${i % 500}")) ++
+      Seq.fill(30)(("C", "dom")) ++ (1 to 10).map(i => ("C", s"r$i"))
+    val df = rows.toDF("g", "k")
+    def exact(s: Int): Set[(String, String, Long)] = {
+      val byG = rows.groupBy(_._1)
+      byG.flatMap { case (g, rs) =>
+        rs.groupBy(_._2).collect {
+          case (k, ks) if ks.size.toLong * s > rs.size => (g, k, ks.size.toLong)
+        }
+      }.toSet
+    }
+    Seq(1, 7, 32).foreach { parts =>
+      val got = Sketches.heavyHittersPerGroup(df.repartition(parts), "g", "k", s = 5)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == exact(5), s"parts=$parts")
+    }
+    // adversarial: sorted input (each partition sees few groups/keys), tiny s
+    val sorted = df.orderBy("g", "k").coalesce(3)
+    assert(Sketches.heavyHittersPerGroup(sorted, "g", "k", s = 5)
+      .as[(String, String, Long)].collect().toSet == exact(5))
+  }
+
+  test("heavyHittersPerGroup: null groups and keys drop; thresholds stay per group") {
+    val data = (Seq.fill(20)((Some("g1"), Some("x"))) ++
+      Seq.fill(5)((Some("g1"), Some("y"))) ++
+      Seq.fill(4)((Option.empty[String], Some("x"))) ++
+      Seq.fill(4)((Some("g2"), Option.empty[String])) ++
+      Seq.fill(3)((Some("g2"), Some("z")))).toDF("g", "k")
+    val got = Sketches.heavyHittersPerGroup(data, "g", "k", s = 2)
+      .as[(String, String, Long)].collect().toSet
+    // g1: n=25, x=20 qualifies (40>25), y=5 doesn't; g2: n=3 (nulls out),
+    // z=3 qualifies (6>3)
+    assert(got == Set(("g1", "x", 20L), ("g2", "z", 3L)))
+  }
+
   test("kmvOverlapPairs is exact when the combined distinct count is under k") {
     val rows = Seq("x", "y", "z", "w").map(("a", _)) ++
       Seq("y", "z", "q").map(("b", _)) ++
