@@ -268,4 +268,51 @@ object RobustStats {
       Some((slope, (sumY - slope * sumX) / n))
     }
   }
+
+  /** Per-group MAD outlier sweep — the robust alternative to z-scores,
+    * immune to the outliers it hunts: med = exact LOWER median of the
+    * group's values (rank (n+1) div 2 in (value, tie) order), mad = lower
+    * median of |v − med| in (dev, tie) order, and a row is flagged when
+    * dev × 1000 > factorPermille × mad (default 3×MAD; no 1.4826
+    * normal-consistency scaling — fold it into `factorPermille` if normal
+    * calibration is wanted, keeping the contract integer). Every selected
+    * median is a DATA value (rank-based, no interpolation) and the only
+    * float ops are one subtraction, one abs and two single multiplies —
+    * a fixed IEEE sequence every engine rounds alike, so the flag set
+    * replays bit-identically cross-engine.
+    *
+    * Note mad = 0 collapses the rule to `dev > 0` only when factor > 0 —
+    * a constant-valued majority flags EVERY deviating row, the documented
+    * MAD failure mode; winsorizedSummary is the bound-based alternative.
+    *
+    * Scale shape: two window passes on the SAME group key (the ranked
+    * median selections) plus two broadcast joins of the groups-sized
+    * median/mad tables — row data shuffles only on the group key, never
+    * globally. Output: (group, tie, value, med, mad, dev) for flagged
+    * rows. Null groups/values are dropped by contract.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String, factorPermille: Int = 3000): DataFrame = {
+    require(factorPermille >= 1,
+      s"madOutliers: factorPermille must be positive, got $factorPermille")
+    val rows = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"), col(tieCol).as("tie"))
+      .where(col("grp").isNotNull && col("v").isNotNull)
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(col(vCol), col("tie"))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("grp"), col(vCol).as(out))
+    }
+    val med = lowerMedian(rows, "v", "med")
+    val dev = rows.join(broadcast(med), Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("grp"), col("dev"), col("tie")),
+      "dev", "mad")
+    dev.join(broadcast(mad), Seq("grp"))
+      .filter(col("dev") * 1000 > lit(factorPermille) * col("mad"))
+      .select(col("grp").as(groupCol), col("tie").as(tieCol),
+        col("v").as(valCol), col("med"), col("mad"), col("dev"))
+  }
 }

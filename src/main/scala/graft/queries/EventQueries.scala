@@ -459,6 +459,16 @@ object EventQueries {
         "value", "event_id", floor(col("value")).cast("long"), buckets = 10)
     }),
 
+    // ── Per-type MAD outliers: |v − median| > 3×MAD with exact rank-based
+    // lower medians — the robust anomaly sweep z-scores can't do (the mean
+    // and stddev are dragged by the outliers being hunted). Flag set is
+    // bit-replayable: medians are data values, the float ops are one fixed
+    // IEEE sequence. See [[graft.operators.RobustStats.madOutliers]].
+    "q195_mad_outliers" -> ((s, dir) => {
+      RobustStats.madOutliers(RelationalQueries.events(s, dir),
+        "event_type", "value", "event_id", factorPermille = 3000)
+    }),
+
     // ── Exact p50/p90/p99/p99.9 of the value distribution WITHOUT a
     // global sort: histogram pass locates each rank's bucket, a filtered
     // window sorts only those buckets — the distributed-selection shape
@@ -472,6 +482,32 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // q195: the same two rank-based median selections and the same fixed
+    // IEEE comparison — flag-set equality is the whole point.
+    "q195_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type AS grp, value AS v, event_id AS tie FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT grp, v AS med FROM (
+        |    SELECT grp, v,
+        |      row_number() OVER (PARTITION BY grp ORDER BY v, tie) AS rn,
+        |      count(*) OVER (PARTITION BY grp) AS n FROM r)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT r.grp, r.v, r.tie, m.med, abs(r.v - m.med) AS dev
+        |  FROM r JOIN m USING (grp)),
+        |md AS (
+        |  SELECT grp, dev AS mad FROM (
+        |    SELECT grp, dev,
+        |      row_number() OVER (PARTITION BY grp ORDER BY dev, tie) AS rn,
+        |      count(*) OVER (PARTITION BY grp) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.grp AS event_type, d.tie AS event_id, d.v AS value,
+        |  d.med, md.mad, d.dev
+        |FROM d JOIN md USING (grp)
+        |WHERE d.dev * 1000 > 3000 * md.mad""".stripMargin,
+
     // q189: the SPEC, not the algorithm — the k-th order statistic at
     // rank (permille·n + 999) // 1000 selected directly; the histogram/
     // bucket machinery is invisible in the answer by design.

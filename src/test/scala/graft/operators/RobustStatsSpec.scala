@@ -194,4 +194,43 @@ class RobustStatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](RobustStats.exactQuantilesSelect(
       vals.toDF("value"), "value", Seq.empty))
   }
+
+  test("madOutliers: hand case — only the planted outlier flags; z-score would drag") {
+    // group a: 1..9 (med=5, devs {0..4} -> mad=2) plus outlier 100
+    // (n=10, lower-median rank 5): med = 5th of (1..9,100) = 5; devs
+    // sorted: 0,1,1,2,2,3,3,4,4,95 -> mad = dev-rank-5 = 2; flag needs
+    // dev*1000 > 3000*2 = dev > 6 -> only 100 (dev 95).
+    val rows = ((1 to 9).map(v => ("a", v.toDouble, v)) :+ (("a", 100.0, 10)))
+      .toDF("g", "v", "id")
+    val got = RobustStats.madOutliers(rows, "g", "v", "id")
+      .as[(String, Int, Double, Double, Double, Double)].collect().toSet
+    assert(got == Set(("a", 10, 100.0, 5.0, 2.0, 95.0)))
+  }
+
+  test("madOutliers: constant group flags nothing; mad-zero group flags every deviator") {
+    val rows = (Seq.fill(8)(("const", 7.0)) ++
+      Seq.fill(9)(("spiky", 1.0)) ++ Seq(("spiky", 1.5), ("spiky", 0.9)))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i) }
+      .toDF("g", "v", "id")
+    val got = RobustStats.madOutliers(rows, "g", "v", "id")
+      .as[(String, Int, Double, Double, Double, Double)].collect()
+    // const: dev = 0 everywhere, 0 > 0 false. spiky: med=1, mad=0 ->
+    // every row with v != 1 flags (the documented failure mode).
+    assert(got.forall(_._1 == "spiky"))
+    assert(got.map(_._3).sorted.toSeq == Seq(0.9, 1.5))
+  }
+
+  test("madOutliers is partition-invariant and drops nulls") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 3}", if (i % 97 == 0) Option.empty[Double]
+       else Some(rnd.nextDouble() * 10 + (if (i % 151 == 0) 500 else 0)), i))
+      .toDF("g", "v", "id")
+    def run(parts: Int) = RobustStats.madOutliers(rows.repartition(parts),
+      "g", "v", "id").as[(String, Int, Double, Double, Double, Double)]
+      .collect().toSet
+    val r1 = run(1)
+    assert(r1 == run(17) && r1.nonEmpty)
+    assert(r1.forall(_._3 > 400), "only the planted +500 spikes should flag")
+  }
 }
