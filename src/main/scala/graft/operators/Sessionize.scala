@@ -105,4 +105,79 @@ object Sessionize {
         count(lit(1)).as("n_intervals"),
         (max(col("_e")) - min(col("_us"))).as("span_us"))
   }
+
+  /** INCREMENTAL sessionization: fold a batch of new events into an
+    * existing [[sessions]] table without rescanning history — the session-
+    * store maintenance path (at 100 TB the history is years of events; a
+    * micro-batch must cost O(batch + touched sessions), not O(history)).
+    *
+    * Stored sessions become blocks (start_us, end_us, n_events, sums);
+    * each delta event is a single-event block. Per actor, blocks sorted by
+    * start merge under the SAME gap rule as [[assign]] (new session iff
+    * start − running-max-end ≥ gap): inside a stored block every gap is
+    * < gap by construction and stays merged, and every cross-block gap is
+    * between KNOWN event times (a stored end/start or a delta event), so
+    * the block chain reproduces the full event-level recompute exactly —
+    * including a late event bridging two stored sessions into one, or
+    * landing inside a stored interval. Adding events can only merge
+    * sessions, never split them, which is why block granularity loses
+    * nothing.
+    *
+    * `sumCols` maps a stored sum column name → the per-event expression
+    * over the delta (e.g. `"sum_value" -> col("value").cast("decimal(18,2)")`).
+    * Sums must be EXACT-typed (integer/decimal) in the stored table:
+    * re-merging double partials would make the result depend on merge
+    * order. Session ids are re-densified per actor in time order, matching
+    * a from-scratch [[sessions]] run.
+    *
+    * Scale: the delta's actors are the only ones whose blocks re-chain —
+    * stored sessions of untouched actors pass through unchanged via an
+    * anti join; one window shuffle on the touched subset's actor key.
+    */
+  def mergeSessions(stored: DataFrame, deltaEvents: DataFrame,
+      actorCol: String, tsCol: String, gapSeconds: Long,
+      sumCols: Map[String, Column] = Map.empty): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val sumNames = sumCols.keys.toSeq.sorted
+    val us = when(col(tsCol).isNull,
+      raise_error(lit(s"mergeSessions: timestamp column $tsCol is null")))
+      .otherwise(unix_micros(col(tsCol)))
+    val deltaBlocks = deltaEvents.select(
+      (col(actorCol) +: (us.as("start_us") +: us.as("end_us") +:
+        lit(1L).as("n_events") +:
+        sumNames.map(n => sumCols(n).as(n)))): _*)
+    val touchedActors = deltaBlocks.select(col(actorCol)).distinct()
+    val storedBlocks = stored.select(
+      (col(actorCol) +: col("start_us") +: col("end_us") +:
+        col("n_events") +: sumNames.map(col)): _*)
+    // untouched actors: sessions pass through, no re-chaining work
+    val untouched = stored.join(touchedActors, Seq(actorCol), "left_anti")
+    val byActor = Window.partitionBy(col(actorCol))
+      .orderBy(col("start_us"), col("end_us"))
+    val prevMaxEnd = max(col("end_us"))
+      .over(byActor.rowsBetween(Window.unboundedPreceding, -1))
+    val rechained = storedBlocks
+      .join(touchedActors, Seq(actorCol), "left_semi")
+      .unionByName(deltaBlocks)
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("start_us") - prevMaxEnd >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(byActor.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(actorCol), col("session_id"))
+      .agg(
+        min(col("start_us")).as("start_us"),
+        (max(col("end_us")).as("end_us") +:
+          sum(col("n_events")).as("n_events") +:
+          sumNames.map(n => sum(col(n)).as(n))): _*)
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .select((col(actorCol) +: col("session_id") +: col("start_us") +:
+        col("end_us") +: col("n_events") +: col("dur_us") +:
+        sumNames.map(col)): _*)
+    untouched.select((col(actorCol) +: col("session_id") +:
+        col("start_us") +: col("end_us") +: col("n_events") +:
+        col("dur_us") +: sumNames.map(col)): _*)
+      .unionByName(rechained)
+  }
 }

@@ -459,6 +459,30 @@ object EventQueries {
         "value", "event_id", floor(col("value")).cast("long"), buckets = 10)
     }),
 
+    // ── INCREMENTAL sessionization: history sessions (events older than 7
+    // days before the corpus max) are stored as blocks, then the last-week
+    // delta folds in via [[graft.operators.Sessionize.mergeSessions]] —
+    // O(batch + touched sessions), never a history rescan; late events
+    // bridging two stored sessions merge them exactly. The oracle is the
+    // FULL recompute, so any divergence between the incremental and
+    // from-scratch paths hash-fails. Sums stay decimal until the final
+    // double cast (double partials would re-merge order-dependently).
+    "q196_session_incremental" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutUs = maxUs - 7L * 86400L * 1000000L
+      val hist = ev.filter(unix_micros(col("ts")) < cutUs)
+      val delta = ev.filter(unix_micros(col("ts")) >= cutUs)
+      val stored = Sessionize.sessions(hist, "user_id", "ts", gapSeconds = 1800,
+        extras = Seq(sum(col("value").cast("decimal(18,2)")).as("sum_value")))
+      Sessionize.mergeSessions(stored, delta, "user_id", "ts",
+        gapSeconds = 1800,
+        sumCols = Map("sum_value" -> col("value").cast("decimal(18,2)")))
+        .select(col("user_id"), col("session_id"), col("start_us"),
+          col("end_us"), col("n_events"), col("dur_us"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // ── Per-type MAD outliers: |v − median| > 3×MAD with exact rank-based
     // lower medians — the robust anomaly sweep z-scores can't do (the mean
     // and stddev are dragged by the outliers being hunted). Flag set is
@@ -482,6 +506,25 @@ object EventQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // q196: the oracle recomputes sessions from scratch over ALL events —
+    // the incremental block merge must be indistinguishable from it.
+    "q196_session_incremental" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events, max(us) - min(us) AS dur_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
     // q195: the same two rank-based median selections and the same fixed
     // IEEE comparison — flag-set equality is the whole point.
     "q195_mad_outliers" ->

@@ -292,4 +292,62 @@ class EventOpsSpec extends SparkTestBase {
     val many = matches(patternDf(rows: _*).repartition(13))
     assert(one == many && one.nonEmpty)
   }
+
+  // ── mergeSessions ──────────────────────────────────────────────────────
+
+  private def sessOf(df: org.apache.spark.sql.DataFrame) =
+    Sessionize.sessions(df, "user_id", "ts", gapSeconds = 1800,
+      extras = Seq(sum(col("v").cast("decimal(18,2)")).as("sv")))
+
+  private def mergedVsFull(hist: Seq[(Long, java.sql.Timestamp, Double)],
+      delta: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+    val histDf = hist.toDF("user_id", "ts", "v")
+    val deltaDf = delta.toDF("user_id", "ts", "v")
+    val full = sessOf(histDf.unionByName(deltaDf))
+      .select("user_id", "session_id", "start_us", "end_us", "n_events",
+        "dur_us", "sv")
+      .as[(Long, Long, Long, Long, Long, Long, BigDecimal)].collect().toSet
+    val inc = Sessionize.mergeSessions(sessOf(histDf), deltaDf,
+      "user_id", "ts", gapSeconds = 1800,
+      sumCols = Map("sv" -> col("v").cast("decimal(18,2)")))
+      .select("user_id", "session_id", "start_us", "end_us", "n_events",
+        "dur_us", "sv")
+      .as[(Long, Long, Long, Long, Long, Long, BigDecimal)].collect().toSet
+    assert(inc == full, s"incremental diverged\nfull: $full\ninc: $inc")
+  }
+
+  test("mergeSessions: a late event BRIDGES two stored sessions into one") {
+    // stored: [0,10] and [50,60] (gap 40 min >= 30 splits); late 25 and 35
+    // chain 10→25 (15'), 25→35 (10'), 35→50 (15') — all < 30 → ONE session
+    mergedVsFull(
+      hist = Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 3.0),
+        (1L, ts(60), 4.0)),
+      delta = Seq((1L, ts(25), 5.0), (1L, ts(35), 6.0)))
+  }
+
+  test("mergeSessions: inside-interval and at-gap-boundary deltas") {
+    // event inside a stored interval merges; an event exactly 30 min after
+    // a session end starts a NEW session (>= rule), as in a full recompute
+    mergedVsFull(
+      hist = Seq((1L, ts(0), 1.0), (1L, ts(20), 2.0)),
+      delta = Seq((1L, ts(10), 3.0), (1L, ts(50), 4.0)))
+  }
+
+  test("mergeSessions: new actors appear; untouched actors pass through") {
+    mergedVsFull(
+      hist = Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0), (2L, ts(15), 2.5)),
+      delta = Seq((3L, ts(7), 9.0), (1L, ts(12), 1.5)))
+  }
+
+  test("mergeSessions: randomized differential vs full recompute") {
+    val rnd = new scala.util.Random(23)
+    val all = (1 to 600).map(_ => (rnd.nextInt(12).toLong,
+      ts(rnd.nextInt(3000).toLong), rnd.nextInt(100) / 10.0))
+    // time-based split plus some straggler late events in the delta
+    val cut = 2000L * 60000L
+    val (hist, late) = all.partition(_._2.getTime < cut)
+    val stragglers = (1 to 40).map(_ => (rnd.nextInt(12).toLong,
+      ts(rnd.nextInt(3000).toLong), 1.0))
+    mergedVsFull(hist, late ++ stragglers)
+  }
 }
