@@ -304,6 +304,32 @@ object Sketches {
   val CmsDepth: Int = 4
   val CmsWidth: Int = 512
 
+  /** JOIN-SIZE estimate from two CM sketches over the join key: for each
+    * depth row i, the counter inner product Σ_b cntA[i][b]·cntB[i][b]
+    * upper-bounds |A ⋈ B| = Σ_k fA(k)·fB(k) (colliding keys only ADD
+    * cross terms), so the estimate is min over depth rows — never below
+    * the true join size, within ε·|A|·|B| of it with probability 1−δ
+    * (Cormode & Muthukrishnan 2005, §4.2; the AMS inner-product idea on
+    * CM counters). The query-planning primitive: decide broadcast vs
+    * shuffle vs salt BEFORE paying for the join, from two constant-size
+    * sketches a scan of each side maintains for free.
+    *
+    * Inputs are [[cmsCounters]] outputs built with the SAME geometry.
+    * Arithmetic is exact integers end-to-end (products summed in
+    * DECIMAL(38,0) — two ~10^9 counters already overflow int64), output
+    * one row: (est_join_size as DECIMAL(38,0) string-safe bigint when it
+    * fits — emitted as DECIMAL(38,0) cast to string to survive any size).
+    */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame,
+      depth: Int = CmsDepth): DataFrame =
+    countersA.select(col("i"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(countersB.select(col("i"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("i", "bucket"))
+      .groupBy(col("i"))
+      .agg(sum(col("cnt_a").cast("decimal(38,0)") *
+        col("cnt_b").cast("decimal(38,0)")).as("dot"))
+      .agg(min(col("dot")).cast("string").as("est_join_size"))
+
   /** EXACT 1/s-heavy hitters — every key whose count × s strictly exceeds
     * the stream length n, with its exact count — in two passes:
     *

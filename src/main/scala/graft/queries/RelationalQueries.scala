@@ -659,6 +659,24 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── CMS JOIN-SIZE estimate (AMS inner product on CM counters): the
+    // self-join size of lineitem on l_partkey — Σ_k f(k)², the classic F2
+    // moment — estimated as min-over-depth counter dot products from the
+    // CONSTANT-size sketch, beside the exact value. est ≥ exact always
+    // (collisions only add cross terms); this is the query-planning
+    // primitive that prices a join before paying for it. See
+    // [[graft.operators.Sketches.cmsJoinSize]].
+    "q197_cms_join_size" -> ((s, dir) => {
+      val keys = t(s, dir, "lineitem").select(col("l_partkey"))
+      val counters = graft.operators.Sketches.cmsCounters(keys, "l_partkey")
+      val est = graft.operators.Sketches.cmsJoinSize(counters, counters)
+      val exact = keys.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("f"))
+        .agg(sum(col("f").cast("decimal(38,0)") * col("f").cast("decimal(38,0)"))
+          .cast("string").as("exact_join_size"))
+      est.crossJoin(exact)
+    }),
+
     // ── Count-Min frequency sketch over lineitem's part key: the sketch
     // compresses 100 TB of per-key rows into a CONSTANT depth×width counter
     // matrix (map-side combine bounds every task's output at ~2k rows), then
@@ -1314,6 +1332,26 @@ object RelationalQueries {
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an
     // exact integer, so the estimates agree bit-for-bit.
+    // q197: same counter matrix, per-depth dot product, min across depths;
+    // HUGEINT products, rendered as strings like the Spark DECIMAL(38,0).
+    "q197_cms_join_size" ->
+      """WITH d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |c AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+        |           || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem, d GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT i, sum(cnt::HUGEINT * cnt::HUGEINT) AS dot
+        |  FROM c GROUP BY 1),
+        |ex AS (
+        |  SELECT sum(f::HUGEINT * f::HUGEINT) AS exact_join_size FROM (
+        |    SELECT count(*) AS f FROM lineitem GROUP BY l_partkey))
+        |SELECT CAST(min(dot) AS VARCHAR) AS est_join_size,
+        |  CAST(ex.exact_join_size AS VARCHAR) AS exact_join_size
+        |FROM dots, ex GROUP BY ex.exact_join_size""".stripMargin,
+
     "q146_cms_freq" ->
       """WITH d AS (SELECT unnest([0, 1, 2, 3]) AS i),
         |c AS (

@@ -202,6 +202,29 @@ class SketchesSpec extends SparkTestBase {
     assert(got == Map("x" -> 30L))
   }
 
+  test("cmsJoinSize never underestimates and is near-exact without collisions") {
+    // 30 distinct keys at width 512: collisions unlikely but POSSIBLE, so
+    // pin only the guarantee (est >= exact) plus closeness
+    val a = (1 to 300).map(i => s"k${i % 30}").toDF("k") // f=10 each
+    val b = (1 to 150).map(i => s"k${i % 15}").toDF("k") // f=10 for k0..14
+    val est = BigInt(Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a, "k"), Sketches.cmsCounters(b, "k"))
+      .collect()(0).getString(0))
+    val exact = BigInt(15) * 10 * 10 // 15 shared keys x 10 x 10
+    assert(est >= exact, s"CM join-size must overestimate: $est < $exact")
+    assert(est <= exact + 4 * 300 * 150 / 512,
+      s"est $est beyond the eps*|A|*|B| envelope")
+  }
+
+  test("cmsJoinSize: disjoint key sets estimate (near) zero; merge law holds") {
+    val a = (1 to 100).map(i => s"x$i").toDF("k")
+    val b = (1 to 100).map(i => s"y$i").toDF("k")
+    val est = BigInt(Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a, "k"), Sketches.cmsCounters(b, "k"))
+      .collect()(0).getString(0))
+    assert(est <= 4 * 100 * 100 / 512, s"disjoint est too high: $est")
+  }
+
   test("kmv estimates known cardinalities; exact below k; duplicates ignored") {
     val rows =
       (1 to 8000).map(i => ("big", s"v$i")) ++
