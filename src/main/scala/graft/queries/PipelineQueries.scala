@@ -344,6 +344,17 @@ object PipelineQueries {
       graft.operators.Sketches.hllIntersectPairs(docs(s, dir), "source", "text")
     }),
 
+    // ── BPE merge TRAINER: learn the corpus's top-8 symbol merges — the
+    // vocabulary-building pass of tokenizer training, run as N iterations
+    // of (pair-count argmax over the CACHED word-frequency table → two-pass
+    // replace). The corpus is scanned once; every iteration touches only
+    // distinct words. The oracle re-learns the merges in DuckDB with the
+    // same counting, tie-break and replace chain, so the LEARNED TABLE
+    // itself is the differential. See [[graft.operators.BpeTrainer]].
+    "q198_bpe_train" -> ((s, dir) => {
+      graft.operators.BpeTrainer.train(docs(s, dir), "text", merges = 8)
+    }),
+
     // ── Per-GROUP exact heavy hitters: each language's 1/400-frequent
     // tokens — the stopword/trending-terms shape, q184 with the MG
     // candidate pass and the threshold scoped per group. See
@@ -1456,7 +1467,58 @@ object PipelineQueries {
       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
       |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
 
+  /** q198's oracle, GENERATED per merge count: DuckDB re-learns the BPE
+    * merge table with the same word counting, pair counting (overlapping,
+    * frequency-weighted, lateral index join), (count DESC, lhs, rhs)
+    * tie-break, and the same two-pass replace application — stage i+1's
+    * replace pattern comes from stage i's argmax via scalar subqueries, so
+    * the whole training loop runs inside one SQL statement and the learned
+    * table is the cross-engine differential.
+    */
+  private def bpeOracle(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, count(*) AS f FROM (
+        |    SELECT unnest(list_filter(
+        |        string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> t <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT f,
+        |    ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' '
+        |      AS seg
+        |  FROM w)""".stripMargin)
+    for (i <- 1 to merges) {
+      val prev = s"s${i - 1}"
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, sum(f) AS c
+        |  FROM (SELECT f,
+        |          list_filter(string_split(seg, ' '), t -> t <> '') AS sym
+        |        FROM $prev),
+        |    UNNEST(generate_series(1, len(sym) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT f, replace(replace(seg,
+        |      (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM b$i),
+        |      (SELECT ' ' || lhs || rhs || ' ' FROM b$i)),
+        |      (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM b$i),
+        |      (SELECT ' ' || lhs || rhs || ' ' FROM b$i)) AS seg
+        |  FROM $prev)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to merges).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, lhs, rhs, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q198_bpe_train" -> bpeOracle(8),
     "q50_pii_redact" -> piiOracle,
 
     // HLL restated in HUGEINT: same md5-derived registers, same fixed-point
