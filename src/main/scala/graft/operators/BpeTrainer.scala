@@ -101,4 +101,35 @@ object BpeTrainer {
     * [a-z0-9]+ so this is belt-and-braces only).
     */
   private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** ENCODE side: train `merges` merges, apply them in rank order, and
+    * return the resulting token-usage table (token, cnt) — cnt the total
+    * occurrence count across the corpus (word occurrences × per-word
+    * occurrences of the token). The vocabulary-coverage artifact: what the
+    * tokenizer would actually emit, and how often, after adopting the
+    * learned vocab. Same cost shape as [[train]] plus one final
+    * vocab-sized explode — the corpus is never rescanned.
+    */
+  def segmentCounts(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val mergeRows = train(df, textCol, merges)
+      .collect().sortBy(_.getInt(0)) // N rows of driver state, rank order
+    val words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val seg0 = words.withColumn("seg",
+      concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")))
+    val segged = mergeRows.foldLeft(seg0) { (acc, row) =>
+      val pat = s" ${row.getString(1)} ${row.getString(2)} "
+      val rep = s" ${row.getString(1)}${row.getString(2)} "
+      acc.withColumn("seg",
+        expr(s"replace(replace(seg, '${sqlLit(pat)}', '${sqlLit(rep)}'), " +
+          s"'${sqlLit(pat)}', '${sqlLit(rep)}')"))
+    }
+    segged
+      .select(col("f"),
+        explode(expr("filter(split(seg, ' '), x -> x <> '')")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("f")).as("cnt"))
+  }
 }

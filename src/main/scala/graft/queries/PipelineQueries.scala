@@ -355,6 +355,15 @@ object PipelineQueries {
       graft.operators.BpeTrainer.train(docs(s, dir), "text", merges = 8)
     }),
 
+    // ── BPE ENCODE: apply the 8 learned merges in rank order and emit
+    // the token-usage table — what the tokenizer would emit, and how
+    // often, after adopting the learned vocab. The oracle re-learns AND
+    // re-applies in DuckDB, so training and encoding are both
+    // differentials. See [[graft.operators.BpeTrainer.segmentCounts]].
+    "q199_bpe_tokens" -> ((s, dir) => {
+      graft.operators.BpeTrainer.segmentCounts(docs(s, dir), "text", merges = 8)
+    }),
+
     // ── Per-GROUP exact heavy hitters: each language's 1/400-frequent
     // tokens — the stopword/trending-terms shape, q184 with the MG
     // candidate pass and the threshold scoped per group. See
@@ -1517,8 +1526,24 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** q199's oracle: the q198 chain re-run to its final segmentation, then
+    * the token-usage rollup off the last stage — the encode-side twin.
+    */
+  private def bpeTokensOracle(merges: Int): String = {
+    val chain = bpeOracle(merges)
+    val upToStages = chain.substring(0, chain.lastIndexOf("\nSELECT CAST(1"))
+    upToStages +
+      s"""
+        |SELECT token, CAST(sum(f) AS BIGINT) AS cnt FROM (
+        |  SELECT f, unnest(list_filter(string_split(seg, ' '),
+        |      t -> t <> '')) AS token
+        |  FROM s$merges)
+        |GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q198_bpe_train" -> bpeOracle(8),
+    "q199_bpe_tokens" -> bpeTokensOracle(8),
     "q50_pii_redact" -> piiOracle,
 
     // HLL restated in HUGEINT: same md5-derived registers, same fixed-point

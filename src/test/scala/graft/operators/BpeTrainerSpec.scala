@@ -63,6 +63,17 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(a == b && a.size == 6)
   }
 
+  test("segmentCounts: tokens and counts after applying learned merges") {
+    // low x5, lower x2, lowest x1 with 4 merges (l,o)(lo,w)(low,e)(lowe,r):
+    // low → [low]; lower → [lower]... wait: lower = l o w e r → lo w e r →
+    // low e r → lowe r → merge4 gives [lower]; lowest → lowe s t.
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq("lowest")
+    val got = BpeTrainer.segmentCounts(texts.toDF("text"), "text", 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("low" -> 5L, "lower" -> 2L, "lowe" -> 1L,
+      "s" -> 1L, "t" -> 1L), got.toString)
+  }
+
   test("merges beyond exhaustion stop early instead of emitting junk") {
     // single word "ab" x4 → merge1 (a,b); then every word is one symbol,
     // no pairs remain → the trainer stops at 1 row even when asked for 5
