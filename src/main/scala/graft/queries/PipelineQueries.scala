@@ -212,6 +212,30 @@ object PipelineQueries {
           array_join(transform(col("ps"), _.cast("string")), ",").as("postings"))
     }),
 
+    // ── Boolean retrieval OVER the index: take the 3 most-frequent
+    // indexed phrases (df desc, phrase asc — deterministic), explode their
+    // posting lists and score each document by hit count — the OR-search
+    // with AND visible as n_hits = 3. The search never touches the corpus:
+    // it reads 3 index rows and explodes ≤ 150 posting entries, which is
+    // the point of materializing the index at 100 TB. Postings are
+    // complete for the indexed tier (df ≤ 50 = the aggregator cap), so
+    // the result is exact, not approximate.
+    "q200_index_search" -> ((s, dir) => {
+      val bounded = udaf(new graft.functions.BoundedDistinctAggregator(50),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val idx = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.TextFunctions.bigrams(col("text")))).as("phrase"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("df"), bounded(col("doc_id")).as("ps"))
+        .where(col("df").between(5, 50))
+      idx.orderBy(col("df").desc, col("phrase")).limit(3)
+        .select(explode(col("ps")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
     // ── Padding-waste report: the training-batch efficiency argument for
     // length bucketing, measured — assemble 16-doc batches per language
     // under two policies (arrival order by doc_id vs length-sorted) and
@@ -1669,6 +1693,28 @@ object PipelineQueries {
         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM bg GROUP BY 1)
         |SELECT phrase, df, postings FROM g WHERE df BETWEEN 5 AND 50""".stripMargin,
+
+    // q200: the same bigram/df tier, top-3 by (df DESC, phrase), hits off
+    // the distinct (doc, phrase) pairs — the postings' defining relation.
+    "q200_index_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, phrase FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks)),
+        |                            i -> toks[i] || ' ' || toks[i + 1])) AS phrase
+        |    FROM tok WHERE len(toks) >= 2)),
+        |g AS (
+        |  SELECT phrase, count(*) AS df FROM bg GROUP BY 1
+        |  HAVING count(*) BETWEEN 5 AND 50),
+        |top3 AS (SELECT phrase FROM g ORDER BY df DESC, phrase LIMIT 3)
+        |SELECT doc_id, count(*) AS n_hits FROM bg
+        |WHERE phrase IN (SELECT phrase FROM top3)
+        |GROUP BY 1""".stripMargin,
 
     // q165: q43's token-estimate formula, both batch policies as identical
     // rank/div-16 chains differing only in ORDER BY.
