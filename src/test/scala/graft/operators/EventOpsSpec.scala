@@ -339,6 +339,34 @@ class EventOpsSpec extends SparkTestBase {
       delta = Seq((3L, ts(7), 9.0), (1L, ts(12), 1.5)))
   }
 
+  test("mergeSessions: five chained micro-batches stay equal to full recompute") {
+    // the session-store maintenance loop: each batch folds into the store
+    // produced by the previous merge — drift would compound, so equality
+    // is checked after EVERY batch
+    val rnd = new scala.util.Random(41)
+    val batches = (0 until 5).map { b =>
+      (1 to 120).map(_ => (rnd.nextInt(8).toLong,
+        ts((b * 500 + rnd.nextInt(700)).toLong), rnd.nextInt(50) / 10.0))
+    }
+    var store = sessOf(batches(0).toDF("user_id", "ts", "v"))
+    var seen = batches(0)
+    batches.drop(1).foreach { batch =>
+      store = Sessionize.mergeSessions(store, batch.toDF("user_id", "ts", "v"),
+        "user_id", "ts", gapSeconds = 1800,
+        sumCols = Map("sv" -> col("v").cast("decimal(18,2)")))
+      seen = seen ++ batch
+      val full = sessOf(seen.toDF("user_id", "ts", "v"))
+        .select("user_id", "session_id", "start_us", "end_us", "n_events",
+          "dur_us", "sv")
+        .as[(Long, Long, Long, Long, Long, Long, BigDecimal)].collect().toSet
+      val inc = store
+        .select("user_id", "session_id", "start_us", "end_us", "n_events",
+          "dur_us", "sv")
+        .as[(Long, Long, Long, Long, Long, Long, BigDecimal)].collect().toSet
+      assert(inc == full, s"drift after folding a batch")
+    }
+  }
+
   test("mergeSessions: randomized differential vs full recompute") {
     val rnd = new scala.util.Random(23)
     val all = (1 to 600).map(_ => (rnd.nextInt(12).toLong,
