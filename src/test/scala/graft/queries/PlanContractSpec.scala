@@ -174,4 +174,45 @@ class PlanContractSpec extends SparkTestBase {
     assert(m.getAs[Long]("sum_chars") == direct.getLong(1))
     assert(m.getAs[Long]("max_chars") == direct.getLong(2))
   }
+
+  test("q192: KMV bottom-k plans as a WindowGroupLimit pair around one rank exchange") {
+    val p = plan("q192_kmv_distinct")
+    // partial limit before the shuffle, final after — each partition ships
+    // at most k rows per group to the rank exchange
+    assert(countNodes(p, "WindowGroupLimit") == 2,
+      s"pre+post-shuffle group limits expected:\n$p")
+    assert(countNodes(p, "Scan parquet") == 1,
+      "the corpus must be scanned exactly once")
+  }
+
+  test("q195: MAD medians broadcast back; row data shuffles only on the group key") {
+    val p = plan("q195_mad_outliers")
+    // med and mad tables are groups-sized and must broadcast; the dev
+    // branch is evaluated twice (feeding mad AND the final filter), so
+    // the med join appears twice — 3 broadcasts total, zero SMJs
+    assert(countNodes(p, "BroadcastHashJoin") == 3,
+      s"median/mad joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ here re-shuffles the event rows for a groups-sized table")
+  }
+
+  test("q191: the derived-day rollup never scans the MV base") {
+    val df = SparkEntry.queries("q191_mv_derived_day")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("summary")),
+      s"rollup must read ONLY the summary, got: $scans")
+  }
+
+  test("q196: untouched actors anti-join; only delta actors re-chain through a window") {
+    val p = plan("q196_session_incremental")
+    assert(p.contains("LeftAnti"), "untouched sessions must pass through an anti join")
+    assert(p.contains("LeftSemi"), "touched stored sessions must arrive via a semi join")
+  }
 }
