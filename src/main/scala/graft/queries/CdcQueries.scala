@@ -270,6 +270,33 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Secondary-index RANGE scan: the BETWEEN twin of q176 — the index
+    // on the numeric account balance resolves a selective band without a
+    // table scan (value-leading index pk → row-group stats prune the
+    // BETWEEN at the scan → pks → bucket-pruned primary fetch). The batch
+    // rewrites %13 customers' balances into [1000, 2000) (exact integer-
+    // derived doubles) and deletes %17; the band [1200, 1300] must see
+    // moved-in rows, original in-band rows, and none of the deleted.
+    "q201_indexed_range" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_ixr", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new IndexedTableStore(s, rootDir, spec, "c_acctbal",
+          numBuckets = 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        store.merge(graft.operators.CompactedBatch(
+          deletes = base.filter(col("c_custkey") % 17 === 0).select("c_custkey"),
+          upserts = base
+            .filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 17 =!= 0)
+            .withColumn("c_acctbal",
+              (col("c_custkey") % 1000).cast("double") + lit(1000.0))))
+        store.lookupRange(1200.0, 1300.0).localCheckpoint() // eager, pre-delete
+      } finally deleteDir(s, rootDir)
+    }),
+
     // The same Maxwell path through the MERGE-ON-READ store: parse →
     // compact → O(batch) delta append (no existing bucket rewritten) →
     // mid-sequence compact() folding threshold-crossing stacks → resolved
@@ -471,6 +498,19 @@ object CdcQueries {
         |WHERE c_custkey % 17 <> 0
         |  AND (CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
         |            ELSE c_mktsegment END) = 'MACHINERY'""".stripMargin,
+
+    // q201: the post-batch table restated declaratively, filtered to the
+    // looked-up balance band.
+    "q201_indexed_range" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 13 = 0
+        |         THEN CAST(c_custkey % 1000 AS DOUBLE) + 1000.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM t WHERE c_acctbal BETWEEN 1200.0 AND 1300.0""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

@@ -90,6 +90,25 @@ final class IndexedTableStore(
       .filter(col(indexedCol).isin(values: _*))
   }
 
+  /** Rows whose indexed column currently lies in [lo, hi] (inclusive):
+    * the RANGE twin of [[lookup]] — a BETWEEN on the index's leading
+    * column pushes into the parquet scan, where the value-sorted bucket
+    * files skip every row group outside the range (the stats give real
+    * pruning precisely because the index pk leads with the value), then
+    * the resolved pks fetch through the primary's bucket-pruned lookup.
+    * Same stale-extra re-verification as [[lookup]]. The selective-band
+    * query ("orders between 100 and 200 dollars") a pk-bucketed primary
+    * can only answer by full scan.
+    */
+  def lookupRange(lo: Any, hi: Any): DataFrame = {
+    require(lo != null && hi != null, "lookupRange bounds must be non-null")
+    val pks = index.snapshot()
+      .filter(col(indexedCol) >= lit(lo) && col(indexedCol) <= lit(hi))
+      .select(pk.map(col): _*)
+    primary.snapshotForKeys(pks)
+      .filter(col(indexedCol) >= lit(lo) && col(indexedCol) <= lit(hi))
+  }
+
   /** Recreate the index from the primary — the recovery path for the
     * documented crash window between the two merge commits.
     */

@@ -81,4 +81,45 @@ class IndexedTableStoreSpec extends SparkTestBase {
       assert(ids(s.lookup(Seq("A"))) == want, s"diverged at round $round")
     }
   }
+
+  private val numSpec = TableSpec(
+    "public.ixr",
+    StructType(Seq(StructField("id", IntegerType),
+      StructField("bal", DoubleType), StructField("v", StringType))),
+    Seq("id"))
+
+  test("lookupRange: inclusive bounds, value moves, deletes, null exclusion") {
+    val s = new IndexedTableStore(spark, tmpDir("ixrstore"), numSpec, "bal",
+      numBuckets = 4)
+    s.init(Seq((1, Option(10.0), "a"), (2, Option(20.0), "b"),
+      (3, Option(30.0), "c"), (4, Option(40.0), "d"),
+      (5, Option.empty[Double], "e")).toDF("id", "bal", "v"))
+    assert(ids(s.lookupRange(20.0, 30.0)) == Set(2, 3), "bounds are inclusive")
+    assert(ids(s.lookupRange(20.0, 20.0)) == Set(2), "point range works")
+    // move 2 out of range, 4 in; delete 3
+    s.merge(CompactedBatch(
+      deletes = Seq(3).toDF("id"),
+      upserts = Seq((2, Option(99.0), "b"), (4, Option(25.0), "d"))
+        .toDF("id", "bal", "v")))
+    assert(ids(s.lookupRange(20.0, 30.0)) == Set(4),
+      "moved-out and deleted rows must leave the band; moved-in must appear")
+    intercept[IllegalArgumentException](s.lookupRange(null, 1.0))
+  }
+
+  test("lookupRange randomized differential vs snapshot filter") {
+    val s = new IndexedTableStore(spark, tmpDir("ixrstore2"), numSpec, "bal",
+      numBuckets = 4)
+    val rnd = new scala.util.Random(29)
+    s.init((1 to 40).map(i => (i, Option(rnd.nextInt(100).toDouble), s"v$i"))
+      .toDF("id", "bal", "v"))
+    for (round <- 1 to 3) {
+      val dels = rnd.shuffle((1 to 40).toList).take(4)
+      val ups = rnd.shuffle((1 to 44).toList).take(6).filterNot(dels.contains)
+        .map(i => (i, Option(rnd.nextInt(100).toDouble), s"r$round"))
+      s.merge(CompactedBatch(dels.toDF("id"), ups.toDF("id", "bal", "v")))
+      val want = ids(s.snapshot()
+        .filter(col("bal") >= 25.0 && col("bal") <= 75.0))
+      assert(ids(s.lookupRange(25.0, 75.0)) == want, s"diverged at round $round")
+    }
+  }
 }
