@@ -45,7 +45,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object BpeTrainer {
 
-  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    trainWithSeg(df, textCol, merges, needSeg = false)._1
+
+  /** [[train]] plus the FINAL segmentation table (word, f, seg) — shared
+    * by [[segmentCounts]] so the encode side never re-applies merges from
+    * scratch. Every iteration's table stays cached until the last (each
+    * feeds its successor's pair count AND would otherwise be recomputed
+    * through the whole replace chain); all are released at the end except
+    * the returned final stage, whose blocks the ContextCleaner reclaims
+    * once the caller's plan is dropped.
+    */
+  private def trainWithSeg(df: DataFrame, textCol: String,
+      merges: Int, needSeg: Boolean): (DataFrame, DataFrame) = {
     require(merges >= 1 && merges <= 64,
       s"merges must be in [1, 64], got $merges")
     val spark = df.sparkSession
@@ -56,45 +68,47 @@ object BpeTrainer {
     val seg0 = words.withColumn("seg",
       concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")))
     var cur = seg0.persist(StorageLevel.MEMORY_AND_DISK)
+    val stages = scala.collection.mutable.ArrayBuffer(cur)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    try {
-      var i = 1
-      var exhausted = false
-      while (i <= merges && !exhausted) {
-        // adjacent symbol pairs (overlapping), weighted by word frequency
-        val top = cur
-          .select(col("f"),
-            expr("filter(split(seg, ' '), x -> x <> '')").as("sym"))
-          .where(size(col("sym")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(0, size(sym) - 2), " +
-              "j -> struct(element_at(sym, j + 1) AS lhs, " +
-              "element_at(sym, j + 2) AS rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("f")).as("c"))
-          .orderBy(col("c").desc, col("lhs"), col("rhs"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (l, r, c) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          learned += ((i, l, r, c))
-          val pat = s" $l $r "
-          val rep = s" $l$r "
-          val applied = cur.withColumn("seg",
-              expr(s"replace(replace(seg, '${sqlLit(pat)}', '${sqlLit(rep)}'), " +
-                s"'${sqlLit(pat)}', '${sqlLit(rep)}')"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          applied.count() // materialize before dropping the parent
-          cur.unpersist()
-          cur = applied
-          i += 1
-        }
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
+      // adjacent symbol pairs (overlapping), weighted by word frequency;
+      // this action also materializes cur's cache for the next stage
+      val top = cur
+        .select(col("f"),
+          expr("filter(split(seg, ' '), x -> x <> '')").as("sym"))
+        .where(size(col("sym")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(sym) - 2), " +
+            "j -> struct(element_at(sym, j + 1) AS lhs, " +
+            "element_at(sym, j + 2) AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((i, l, r, c))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        cur = cur.withColumn("seg",
+            expr(s"replace(replace(seg, '${sqlLit(pat)}', '${sqlLit(rep)}'), " +
+              s"'${sqlLit(pat)}', '${sqlLit(rep)}')"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stages += cur
+        i += 1
       }
-    } finally cur.unpersist()
+    }
+    if (needSeg) {
+      cur.count() // pin the final stage before its parents' caches drop
+      stages.dropRight(1).foreach(_.unpersist(blocking = false))
+    } else stages.foreach(_.unpersist(blocking = false))
     import spark.implicits._
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), cur)
   }
 
   /** Escape a string for a single-quoted SQL literal (symbols are
@@ -111,21 +125,7 @@ object BpeTrainer {
     * vocab-sized explode — the corpus is never rescanned.
     */
   def segmentCounts(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val mergeRows = train(df, textCol, merges)
-      .collect().sortBy(_.getInt(0)) // N rows of driver state, rank order
-    val words = df
-      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
-      .where(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("f"))
-    val seg0 = words.withColumn("seg",
-      concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")))
-    val segged = mergeRows.foldLeft(seg0) { (acc, row) =>
-      val pat = s" ${row.getString(1)} ${row.getString(2)} "
-      val rep = s" ${row.getString(1)}${row.getString(2)} "
-      acc.withColumn("seg",
-        expr(s"replace(replace(seg, '${sqlLit(pat)}', '${sqlLit(rep)}'), " +
-          s"'${sqlLit(pat)}', '${sqlLit(rep)}')"))
-    }
+    val (_, segged) = trainWithSeg(df, textCol, merges, needSeg = true)
     segged
       .select(col("f"),
         explode(expr("filter(split(seg, ' '), x -> x <> '')")).as("token"))
