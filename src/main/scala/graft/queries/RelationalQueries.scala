@@ -659,6 +659,46 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── ANALYZE-style per-column statistics: row count, non-null count,
+    // HLL NDV estimate, and TYPED min/max (rendered through cross-engine-
+    // stable string forms: integers, decimals, dates — never raw doubles)
+    // for five lineitem columns, in ONE wide aggregate + ONE stacked HLL
+    // pass — the optimizer-statistics artifact (`ANALYZE TABLE`) every
+    // cost-based planner feeds on. At 100 TB both passes are single scans
+    // with constant-size outputs (5 columns × 256 registers).
+    "q202_analyze_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // (name, string form for NDV hashing, typed column for min/max)
+      val specs: Seq[(String, Column, Column)] = Seq(
+        ("l_orderkey", col("l_orderkey").cast("string"), col("l_orderkey")),
+        ("l_linenumber", col("l_linenumber").cast("string"), col("l_linenumber")),
+        ("l_returnflag", col("l_returnflag"), col("l_returnflag")),
+        ("l_quantity", col("l_quantity").cast("decimal(18,2)").cast("string"),
+          col("l_quantity").cast("decimal(18,2)")),
+        ("l_shipdate", col("l_shipdate").cast("date").cast("string"),
+          col("l_shipdate").cast("date")))
+      val wide = li.agg(
+        count(lit(1)).as("n_rows"),
+        specs.flatMap { case (n, _, typed) => Seq(
+          count(typed).as(s"nn_$n"),
+          min(typed).cast("string").as(s"mn_$n"),
+          max(typed).cast("string").as(s"mx_$n")) }: _*)
+      val exact = wide.select(explode(array(specs.map { case (n, _, _) =>
+        struct(lit(n).as("col_name"), col("n_rows"),
+          col(s"nn_$n").as("n_nonnull"), col(s"mn_$n").as("min_str"),
+          col(s"mx_$n").as("max_str")) }: _*)).as("kv"))
+        .select(col("kv.*"))
+      val stacked = li.select(explode(array(specs.map { case (n, sv, _) =>
+        struct(lit(n).as("col_name"), sv.as("val")) }: _*)).as("kv"))
+        .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"))
+        .where(col("val").isNotNull)
+      val ndv = graft.operators.Sketches.hllDistinct(stacked, "col_name", "val")
+        .select(col("col_name"), col("est_distinct").as("ndv_est"))
+      exact.join(broadcast(ndv), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("ndv_est"), col("min_str"), col("max_str"))
+    }),
+
     // ── CMS JOIN-SIZE estimate (AMS inner product on CM counters): the
     // self-join size of lineitem on l_partkey — Σ_k f(k)², the classic F2
     // moment — estimated as min-over-depth counter dot products from the
@@ -1332,6 +1372,65 @@ object RelationalQueries {
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an
     // exact integer, so the estimates agree bit-for-bit.
+    // q202: the exact stats restated per column, the NDV through the q131
+    // HLL chain (same 'hll:' domain, registers, fixed-point estimator and
+    // Scala-rendered linear-counting table) over the stacked string forms.
+    "q202_analyze_stats" ->
+      s"""WITH v AS (
+        |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate',
+        |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem),
+        |h AS (
+        |  SELECT col_name,
+        |    CAST(('0x' || substr(md5('hll:' || val), 1, 15)) AS BIGINT) AS h
+        |  FROM v WHERE val IS NOT NULL),
+        |reg AS (
+        |  SELECT col_name, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 53
+        |             ELSE 53 - length(bin(h // 256)) END) AS m_j
+        |  FROM h GROUP BY col_name, h % 256),
+        |agg AS (
+        |  SELECT col_name,
+        |    sum(1::BIGINT << CAST(53 - m_j AS INT)) AS s_present,
+        |    count(*) AS present
+        |  FROM reg GROUP BY col_name),
+        |est AS (
+        |  SELECT col_name,
+        |    CAST((CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << 53))
+        |         // ((s_present + (256 - present) * (1::BIGINT << 53))::HUGEINT
+        |             * 1000000) AS BIGINT) AS raw_estimate,
+        |    CAST(256 - present AS BIGINT) AS zero_registers
+        |  FROM agg),
+        |ndv AS (
+        |  SELECT col_name,
+        |    CASE WHEN raw_estimate < 640 AND zero_registers > 0
+        |         THEN ([${graft.operators.Sketches.HllLinearCount.mkString(",")}])
+        |                [CAST(zero_registers + 1 AS INT)]
+        |         ELSE raw_estimate END AS ndv_est
+        |  FROM est),
+        |ex AS (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(l_orderkey) AS n_nonnull,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', count(*), count(l_linenumber),
+        |    CAST(min(l_linenumber) AS VARCHAR),
+        |    CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |    min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', count(*), count(l_quantity),
+        |    CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+        |    CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', count(*), count(l_shipdate),
+        |    CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |    CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem)
+        |SELECT ex.col_name, n_rows, n_nonnull, ndv.ndv_est, min_str, max_str
+        |FROM ex JOIN ndv USING (col_name)""".stripMargin,
+
     // q197: same counter matrix, per-depth dot product, min across depths;
     // HUGEINT products, rendered as strings like the Spark DECIMAL(38,0).
     "q197_cms_join_size" ->
