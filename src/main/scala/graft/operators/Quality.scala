@@ -68,6 +68,39 @@ object Quality {
         .otherwise(0L)), lit(0L))
   }
 
+  /** ENFORCEMENT twin of [[check]]: per-ROW rule evaluation — every input
+    * row annotated with the sorted array of rule names it violates
+    * (`violated`) and a `pass` flag, so a pipeline can split clean rows
+    * from a quarantine stream instead of only counting. Semantics match
+    * [[check]] with one deliberate difference: [[Unique]] flags EVERY row
+    * of a duplicated (or NULL) key, not just the surplus copies — row
+    * enforcement cannot pick the innocent duplicate, so none of them may
+    * pass.
+    *
+    * Scale: scalar rules ride the scan; each [[Unique]] rule adds one
+    * window count on its key columns (a shuffle on that key). The flag
+    * array is tiny (≤ |rules| names).
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val flags = rules.map { r =>
+      val hit: Column = r match {
+        case NotNull(c) => col(c).isNull
+        case InRange(c, lo, hi) =>
+          col(c).isNotNull && (col(c) < lo || col(c) > hi)
+        case InSet(c, vs) => col(c).isNotNull && !col(c).isin(vs: _*)
+        case Unique(cs) =>
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(cs.map(col): _*)) > 1 ||
+            cs.map(col(_).isNull).reduce(_ || _)
+      }
+      when(hit, lit(r.name))
+    }
+    df.withColumn("violated",
+        sort_array(filter(array(flags: _*), x => x.isNotNull)))
+      .withColumn("pass", size(col("violated")) === 0)
+  }
+
   /** @return one row per rule: (rule, violations, n_rows, pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")

@@ -659,6 +659,35 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── Row-level QUARANTINE: the q99 rule engine's enforcement twin —
+    // orders deterministically corrupted (key collisions for %31, negated
+    // prices for %23, nulled priorities for %19), then every violating row
+    // emitted with the sorted list of rules it broke. Unique flags EVERY
+    // copy of a duplicated key (enforcement can't pick the innocent one);
+    // the clean InSet rule shows non-firing rules cost nothing. See
+    // [[graft.operators.Quality.quarantine]].
+    "q203_quarantine" -> ((s, dir) => {
+      import graft.operators.Quality
+      val corrupted = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 31 === 0, lit(7L))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"),
+        when(col("o_orderkey") % 23 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 19 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        col("o_orderstatus"))
+      Quality.quarantine(corrupted, Seq(
+          Quality.Unique(Seq("o_orderkey")),
+          Quality.NotNull("o_orderpriority"),
+          Quality.InRange("o_totalprice", 0.0, 1000000000.0),
+          Quality.InSet("o_orderstatus", Seq("F", "O", "P"))))
+        .filter(!col("pass"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_orderstatus"),
+          array_join(col("violated"), "|").as("violations"))
+    }),
+
     // ── ANALYZE-style per-column statistics: row count, non-null count,
     // HLL NDV estimate, and TYPED min/max (rendered through cross-engine-
     // stable string forms: integers, decimals, dates — never raw doubles)
@@ -1372,6 +1401,40 @@ object RelationalQueries {
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an
     // exact integer, so the estimates agree bit-for-bit.
+    // q203: the corrupted table and each rule's per-row predicate restated;
+    // the violation list rebuilt as a sorted filtered array.
+    "q203_quarantine" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(CASE WHEN o_orderkey % 31 = 0 THEN 7
+        |              ELSE o_orderkey END AS BIGINT) AS o_orderkey,
+        |    o_custkey,
+        |    CASE WHEN o_orderkey % 23 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderstatus
+        |  FROM orders),
+        |d AS (SELECT o_orderkey FROM c GROUP BY 1 HAVING count(*) > 1),
+        |f AS (
+        |  SELECT c.*,
+        |    list_sort(list_filter([
+        |      CASE WHEN c.o_orderkey IN (SELECT o_orderkey FROM d)
+        |             OR c.o_orderkey IS NULL THEN 'unique(o_orderkey)' END,
+        |      CASE WHEN o_orderpriority IS NULL
+        |           THEN 'not_null(o_orderpriority)' END,
+        |      CASE WHEN o_totalprice IS NOT NULL
+        |             AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+        |           THEN 'in_range(o_totalprice)' END,
+        |      CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('F', 'O', 'P')
+        |           THEN 'in_set(o_orderstatus)' END
+        |    ], x -> x IS NOT NULL)) AS v
+        |  FROM c)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |  o_orderstatus, array_to_string(v, '|') AS violations
+        |FROM f WHERE len(v) > 0""".stripMargin,
+
     // q202: the exact stats restated per column, the NDV through the q131
     // HLL chain (same 'hll:' domain, registers, fixed-point estimator and
     // Scala-rendered linear-counting table) over the stacked string forms.

@@ -64,5 +64,38 @@ class QualitySpec extends SparkTestBase {
     intercept[IllegalArgumentException](InRange("v", 5.0, 1.0))
     intercept[IllegalArgumentException](Unique(Seq.empty))
     intercept[IllegalArgumentException](InSet("s", Seq.empty))
+    intercept[IllegalArgumentException](quarantine(rows, Seq.empty))
+  }
+
+  test("quarantine annotates each row with the sorted rules it breaks") {
+    val got = quarantine(rows, Seq(
+      Unique(Seq("id")), NotNull("value"),
+      InRange("value", 0.0, 10.0), InSet("status", Seq("ok"))))
+      .select("id", "value", "violated", "pass")
+      .as[(Long, Option[Double], Seq[String], Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // BOTH rows of the duplicated key flag (enforcement can't pick one)
+    assert(got((1L, Some(5.0))) == ((Seq("unique(id)"), false)))
+    assert(got((1L, Some(6.0))) == ((Seq("unique(id)"), false)))
+    assert(got((2L, None)) == ((Seq("not_null(value)"), false)))
+    // multi-violation row: names sorted ascending
+    assert(got((3L, Some(99.0))) ==
+      ((Seq("in_range(value)", "in_set(status)"), false)))
+    assert(got((4L, Some(-1.0))) == ((Seq("in_range(value)"), false)))
+  }
+
+  test("quarantine passes a clean table untouched and splits cleanly") {
+    val clean = Seq((1L, Option(1.0), "ok"), (2L, Option(2.0), "ok"))
+      .toDF("id", "value", "status")
+    val q = quarantine(clean, Seq(Unique(Seq("id")), NotNull("value")))
+    assert(q.filter(!org.apache.spark.sql.functions.col("pass")).count() == 0)
+    assert(q.count() == 2)
+    // quarantine totals agree with check()'s counted violations where
+    // semantics coincide (scalar rules)
+    val counted = check(rows, Seq(NotNull("value"))).collect()(0).getLong(1)
+    val flagged = quarantine(rows, Seq(NotNull("value")))
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("violated")) > 0).count()
+    assert(counted == flagged)
   }
 }
