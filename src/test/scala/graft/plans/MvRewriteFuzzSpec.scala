@@ -18,6 +18,16 @@ class MvRewriteFuzzSpec extends SparkTestBase {
 
   MaterializedView.install(spark)
 
+  private def snap(df: DataFrame): Set[String] =
+    df.collect().map { row =>
+      (0 until row.length).map { i =>
+        row.get(i) match {
+          case d: Double => f"$d%.9f" // avg emits doubles; pin formatting
+          case other => String.valueOf(other)
+        }
+      }.mkString("|")
+    }.toSet
+
   test("random aggregates: registry on vs off never changes a result") {
     val rnd = new scala.util.Random(101)
     val data = (1 to 600).map(_ => (
@@ -55,16 +65,6 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       src.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
 
-    def snap(df: DataFrame): Set[String] =
-      df.collect().map { row =>
-        (0 until row.length).map { i =>
-          row.get(i) match {
-            case d: Double => f"$d%.9f" // avg emits doubles; pin formatting
-            case other => String.valueOf(other)
-          }
-        }.mkString("|")
-      }.toSet
-
     val shapes = (1 to 60).map(seed => seed -> snap(runShape(seed))).toMap
     MaterializedView.build(spark, base, Seq("g1", "g2", "g3"),
       Seq("m1", "m2"), summary)
@@ -86,6 +86,70 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       }
       // the fuzz must actually exercise the rewrite, not just the fallback
       assert(rewrote >= 15, s"only $rewrote/60 shapes rewrote — pool too weak")
+    } finally MaterializedView.unregister(base)
+  }
+
+  test("random aggregates over a DERIVED-day MV: registry on vs off never diverges") {
+    val rnd = new scala.util.Random(211)
+    val data = (1 to 500).map { _ =>
+      (s"g${rnd.nextInt(5)}",
+        new java.sql.Timestamp(
+          // ten distinct days, random intra-day offsets
+          86400000L * (20000 + rnd.nextInt(10)) + rnd.nextInt(86400000)),
+        rnd.nextInt(1000) - 500)
+    }
+    val base = tmpDir("mvdz_base")
+    data.toDF("g", "ts", "m").write.mode("overwrite").parquet(base)
+    val summary = tmpDir("mvdz_sum")
+
+    val dayCol: () => Column = () => col("ts").cast("date").as("day")
+    // mix of derived-matching shapes, plain-group shapes, and shapes that
+    // must fall through (finer truncation, raw ts, measure filters)
+    val groupPools: Seq[() => Seq[Column]] = Seq(
+      () => Seq(col("g"), dayCol()),
+      () => Seq(dayCol()),
+      () => Seq(col("g")),
+      () => Seq(date_trunc("hour", col("ts")).as("h")), // finer — no capture
+      () => Seq(col("ts")))                             // raw — no capture
+    val aggPool: Seq[Int => Column] = Seq(
+      i => sum(col("m")).as(s"a$i"),
+      i => count(lit(1)).as(s"a$i"),
+      i => min(col("m")).as(s"a$i"),
+      i => max(col("m")).as(s"a$i"),
+      i => avg(col("m")).as(s"a$i"))  // non-decomposable — fall-through
+    val filterPool: Seq[Option[Column]] = Seq(
+      None, Some(col("g") =!= "g0"), Some(col("m") > 0))
+
+    def runShape(seed: Int): DataFrame = {
+      val r = new scala.util.Random(seed)
+      val groups = groupPools(r.nextInt(groupPools.size))()
+      val aggs = (0 until 1 + r.nextInt(2)).map(i =>
+        aggPool(r.nextInt(aggPool.size))(i))
+      val filt = filterPool(r.nextInt(filterPool.size))
+      val src = filt.foldLeft(spark.read.parquet(base))(_ filter _)
+      src.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val shapes = (1 to 50).map(seed => seed -> snap(runShape(seed))).toMap
+    MaterializedView.build(spark, base, Seq("g", "day"), Seq("m"), summary,
+      derivedGroups = Seq("day" -> "cast(ts as date)"))
+    try {
+      var rewrote = 0
+      (1 to 50).foreach { seed =>
+        val df = runShape(seed)
+        val usesSummary = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("mvdz_sum"))
+              case _ => false
+            }
+        }.exists(identity)
+        if (usesSummary) rewrote += 1
+        assert(snap(df) == shapes(seed),
+          s"seed=$seed diverged (rewritten=$usesSummary)")
+      }
+      assert(rewrote >= 10, s"only $rewrote/50 shapes rewrote — pool too weak")
     } finally MaterializedView.unregister(base)
   }
 }
