@@ -410,6 +410,32 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     Some(rendered).filter(_.nonEmpty)
   }
 
+  /** When a derived group is exactly `cast(<tsCol> as date)`, the name of
+    * that timestamp column — the day-hierarchy case whose FILTERS the
+    * optimizer rewrites into raw-ts bounds (cast(ts as date) >= d becomes
+    * ts >= midnight(d) before this rule runs), which [[rewriteWith]]
+    * converts back to day bounds.
+    */
+  private val derivedTsColCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def derivedTsCol(basePath: String, sql: String): Option[String] = {
+    val name = derivedTsColCache.computeIfAbsent((basePath, sql), { _ =>
+      scala.util.Try {
+        val analyzed = SparkSession.active.read.parquet(basePath)
+          .select(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed.expressions.head
+        val stripped = analyzed match { case a: Alias => a.child; case x => x }
+        stripped match {
+          case Cast(a: AttributeReference,
+            org.apache.spark.sql.types.DateType, _, _) => a.name
+          case _ => ""
+        }
+      }.getOrElse("")
+    })
+    Some(name).filter(_.nonEmpty)
+  }
+
   /** exprId/qualifier/alias-insensitive rendering for expression matching:
     * two analyzed expressions over the same base match iff their SQL text
     * matches after stripping the outer alias and attribute qualifiers.
@@ -468,11 +494,70 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     def substituteDerived(cond: Expression): Expression = cond.transformDown {
       case e if derivedMatch(e).isDefined => derivedMatch(e).get
     }
-    val condsSub = conds.map(c => substituteDerived(inline(c)))
-    val filtersOk = condsSub.forall(_.collect {
-      case a: AttributeReference => groupSet.contains(a.name)
-    }.forall(identity))
-    if (!groupingsOk || !filtersOk) return None
+    // day-hierarchy filter recovery: the optimizer rewrites
+    // `cast(ts as date) >= date d` into `ts >= timestamp midnight(d)`
+    // BEFORE this rule runs, so a dashboard's day-range filter arrives as
+    // raw-ts bounds. A conjunct bounding ts at an exact session-TZ
+    // midnight is equivalent to the day bound (ts >= mid(d) ⇔ day >= d;
+    // ts < mid(d) ⇔ day < d) whenever the zone has a fixed offset —
+    // under DST a day's first instant need not be 00:00, so non-fixed
+    // zones fall back rather than risk an off-by-one day.
+    val dayOfTs: Map[String, String] = mv.derivedGroups.flatMap {
+      case (name, sql) => derivedTsCol(mv.basePath, sql).map(_ -> name)
+    }.toMap
+    def splitConj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConj(l) ++ splitConj(r)
+      case x => Seq(x)
+    }
+    def tsBoundToDay(e: Expression): Option[Expression] = {
+      if (dayOfTs.isEmpty) return None
+      val zone = scala.util.Try(
+        java.time.ZoneId.of(conf.sessionLocalTimeZone)).getOrElse(return None)
+      if (!zone.getRules.isFixedOffset) return None
+      def dayAttr(a: AttributeReference): Option[AttributeReference] =
+        dayOfTs.get(a.name).flatMap(attrOf)
+      def midnightDate(l: Literal): Option[Literal] = l match {
+        case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+          val zdt = java.time.Instant.EPOCH
+            .plus(micros, java.time.temporal.ChronoUnit.MICROS).atZone(zone)
+          if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+            Some(Literal(zdt.toLocalDate.toEpochDay.toInt,
+              org.apache.spark.sql.types.DateType))
+          else None
+        case _ => None
+      }
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => dayAttr(a).map(
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(_))
+        case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          a: AttributeReference, l: Literal) =>
+          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          a: AttributeReference, l: Literal) =>
+          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+            org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
+        case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          l: Literal, a: AttributeReference) =>
+          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
+        case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          l: Literal, a: AttributeReference) =>
+          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+            org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
+        case _ => None
+      }
+    }
+    val conjuncts = conds.flatMap(c => splitConj(inline(c))).map { conj =>
+      val sub = substituteDerived(conj)
+      val groupOnly = sub.collect {
+        case a: AttributeReference => groupSet.contains(a.name)
+      }.forall(identity)
+      if (groupOnly) Some(sub) else tsBoundToDay(conj)
+    }
+    if (!groupingsOk || conjuncts.exists(_.isEmpty)) return None
+    val condsSub = conjuncts.flatten
 
     def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
       e.aggregateFunction match {

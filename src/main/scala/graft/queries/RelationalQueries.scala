@@ -623,6 +623,38 @@ object RelationalQueries {
           max(col("value_dec")).cast("double").as("max_value"))
     }),
 
+    // ── Derived-day MV answering a day-RANGE dashboard rollup: the filter
+    // is phrased on cast(ts as date) and the OPTIMIZER rewrites it into
+    // raw-ts midnight bounds before the MV rule runs — the rule converts
+    // those bounds back to day bounds (exact at fixed-offset session TZs)
+    // and the whole week-window rollup answers from the summary
+    // (MvDerivedSpec pins the reroute AND the non-midnight fallback). The
+    // range is data-adaptive: [corpus-min-day + 2, + 9) — the oracle
+    // derives the same window in SQL.
+    "q204_mv_day_range" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvdr_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      events(s, dir)
+        .select(col("event_type"), col("ts"),
+          col("value").cast("decimal(18,2)").as("value_dec"))
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("event_type", "day"), Seq("value_dec"), s"$scratch/summary",
+        derivedGroups = Seq("day" -> "cast(ts as date)"))
+      val minDay = s.read.parquet(basePath)
+        .agg(min(col("ts").cast("date"))).head().getDate(0).toLocalDate
+      val lo = java.sql.Date.valueOf(minDay.plusDays(2))
+      val hi = java.sql.Date.valueOf(minDay.plusDays(9))
+      s.read.parquet(basePath)
+        .filter(col("ts").cast("date") >= lit(lo) &&
+          col("ts").cast("date") < lit(hi))
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_dec")).cast("double").as("sum_value"))
+    }),
+
     // ── DELETE-aware incremental MV maintenance e2e: build the summary
     // over the FULL base, land a CDC batch that DELETES every
     // l_orderkey%9==0 row and re-INSERTS copies of the %11==5 rows, fold
@@ -1363,6 +1395,16 @@ object RelationalQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q204: the same data-adaptive week window derived in SQL; the summary
+    // detour and the bound conversion must be invisible in the values.
+    "q204_mv_day_range" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+        |SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE CAST(ts AS DATE) >= d0 + 2 AND CAST(ts AS DATE) < d0 + 9
+        |GROUP BY 1, 2""".stripMargin,
 
     // q191: the oracle is the per-day truth straight off events — the
     // derived-group summary detour must be invisible in the values.

@@ -103,6 +103,34 @@ class MvDerivedSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("a day-RANGE filter (optimizer-rewritten to ts bounds) still reroutes") {
+    val base = setup("range")
+    try {
+      // the optimizer turns these date-cast bounds into raw ts bounds at
+      // session-TZ midnight; the rule must convert them back to day bounds
+      val q = spark.read.parquet(base)
+        .filter(col("ts").cast("date") >= lit(java.sql.Date.valueOf("2024-03-01")) &&
+          col("ts").cast("date") < lit(java.sql.Date.valueOf("2024-03-03")))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      assert(!scanPaths(q).contains(MaterializedView.normalize(base)),
+        s"day-range rollup must answer from the summary: ${scanPaths(q)}")
+      assert(q.as[(java.sql.Date, Long, Long)].collect().toSet ==
+        Set((java.sql.Date.valueOf("2024-03-01"), 35L, 3L),
+          (java.sql.Date.valueOf("2024-03-02"), 7L, 1L)))
+      // a NON-midnight ts bound is not a day bound — must fall back
+      val q2 = spark.read.parquet(base)
+        .filter(col("ts") >= lit(ts("2024-03-01 12:00:00")))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("v")).as("s"))
+      assert(scanPaths(q2) == Seq(MaterializedView.normalize(base)))
+      assert(q2.as[(java.sql.Date, Long)].collect().toSet ==
+        Set((java.sql.Date.valueOf("2024-03-01"), 20L),
+          (java.sql.Date.valueOf("2024-03-02"), 7L),
+          (java.sql.Date.valueOf("2024-03-03"), 1L)))
+    } finally MaterializedView.unregister(base)
+  }
+
   test("refreshDelta maintains a derived-group summary at day granularity") {
     val base = setup("delta")
     try {
