@@ -484,16 +484,38 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       if (derivedByForm.isEmpty) None
       else renderForm(e).flatMap(derivedByForm.get).flatMap(attrOf)
 
-    val groupingsOk = agg.groupingExpressions.map(inline).forall {
-      case a: AttributeReference => groupSet.contains(a.name)
-      case e => derivedMatch(e).isDefined
-    }
     // a filter may reference plain group columns AND derived expressions;
     // substitute matched derived subtrees by their summary column first,
     // then every remaining reference must be a group column
     def substituteDerived(cond: Expression): Expression = cond.transformDown {
       case e if derivedMatch(e).isDefined => derivedMatch(e).get
     }
+    // a grouping expression qualifies when, after alias inlining and
+    // derived substitution, EVERY leaf it references is a group column:
+    // grouping base rows by f(group cols) partitions exactly as grouping
+    // summary rows by the same f — the hierarchy-rollup case (month/year
+    // from a day summary, bucketed ranges of a group key) — so the
+    // decomposable re-aggregation stays correct. Non-deterministic or
+    // aggregate-bearing expressions never qualify.
+    def rewriteGrouping(e0: Expression): Option[Expression] = {
+      val sub = substituteDerived(inline(e0))
+      if (!sub.deterministic ||
+        sub.exists(_.isInstanceOf[AggregateExpression])) None
+      else {
+        val bound = sub.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, a)
+        }
+        // every reference must be a summary GROUP attribute (plain or
+        // derived); a measure/partial column in grouping position would be
+        // a semantics change, not a rollup
+        val refsAreGroups = bound.references.forall(a =>
+          groupSet.contains(a.name) &&
+            byName.get(a.name).exists(_.exprId == a.exprId))
+        if (refsAreGroups) Some(bound) else None
+      }
+    }
+    val newGroupingsResolved = agg.groupingExpressions.map(rewriteGrouping)
+    val groupingsOk = newGroupingsResolved.forall(_.isDefined)
     // day-hierarchy filter recovery: the optimizer rewrites
     // `cast(ts as date) >= date d` into `ts >= timestamp midnight(d)`
     // BEFORE this rule runs, so a dashboard's day-range filter arrives as
@@ -624,10 +646,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    val newGroupings = agg.groupingExpressions.map(inline).map {
-      case a: AttributeReference => attrOf(a.name)
-      case e => derivedMatch(e)
-    }
+    val newGroupings = newGroupingsResolved
     val newResults = agg.aggregateExpressions.map(rewriteNamed)
     if (newGroupings.exists(_.isEmpty) || newResults.exists(_.isEmpty)) None
     else {

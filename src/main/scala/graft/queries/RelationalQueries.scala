@@ -655,6 +655,31 @@ object RelationalQueries {
           sum(col("value_dec")).cast("double").as("sum_value"))
     }),
 
+    // ── Time-HIERARCHY rollup from the day MV: the query groups by
+    // trunc(cast(ts as date), 'mon') — an EXPRESSION over the derived day
+    // — and the rule re-aggregates the day summary under it (grouping base
+    // rows by f(group cols) partitions exactly as grouping summary rows by
+    // f), so month/quarter/year dashboards all ride one day-grain MV.
+    "q205_mv_month_rollup" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvmo_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      events(s, dir)
+        .select(col("event_type"), col("ts"),
+          col("value").cast("decimal(18,2)").as("value_dec"))
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("event_type", "day"), Seq("value_dec"), s"$scratch/summary",
+        derivedGroups = Seq("day" -> "cast(ts as date)"))
+      s.read.parquet(basePath)
+        .groupBy(trunc(col("ts").cast("date"), "mon").as("month"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_dec")).cast("double").as("sum_value"),
+          min(col("value_dec")).cast("double").as("min_value"))
+    }),
+
     // ── DELETE-aware incremental MV maintenance e2e: build the summary
     // over the FULL base, land a CDC batch that DELETES every
     // l_orderkey%9==0 row and re-INSERTS copies of the %11==5 rows, fold
@@ -1395,6 +1420,16 @@ object RelationalQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q205: the month truth straight off events — the day-summary detour
+    // and the f(day) re-aggregation must be invisible.
+    "q205_mv_month_rollup" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     // q204: the same data-adaptive week window derived in SQL; the summary
     // detour and the bound conversion must be invisible in the values.

@@ -131,6 +131,19 @@ class MvDerivedSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("a MONTH rollup (expression over the derived day) re-aggregates the summary") {
+    val base = setup("month")
+    try {
+      val q = spark.read.parquet(base)
+        .groupBy(trunc(col("ts").cast("date"), "mon").as("month"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      assert(!scanPaths(q).contains(MaterializedView.normalize(base)),
+        s"month hierarchy must answer from the day summary: ${scanPaths(q)}")
+      assert(q.as[(java.sql.Date, Long, Long)].collect().toSet ==
+        Set((java.sql.Date.valueOf("2024-03-01"), 43L, 5L)))
+    } finally MaterializedView.unregister(base)
+  }
+
   test("refreshDelta maintains a derived-group summary at day granularity") {
     val base = setup("delta")
     try {

@@ -102,10 +102,12 @@ class MvRewriteSpec extends SparkTestBase {
       val q1 = spark.read.parquet(base).groupBy("g1")
         .agg(countDistinct(col("m1")).as("d"))
       assert(scanPaths(q1) == Seq(basePath))
-      // grouping by an expression
-      val q2 = spark.read.parquet(base).groupBy(upper(col("g1")).as("gu"))
-        .agg(sum(col("m1")).as("s1"))
-      assert(scanPaths(q2) == Seq(basePath))
+      // grouping by an expression OF GROUP COLUMNS is a valid coarsening
+      // and now rewrites (values checked below); an expression touching a
+      // MEASURE in grouping position must still fall through
+      val q2m = spark.read.parquet(base).groupBy((col("m1") % 2).as("parity"))
+        .agg(sum(col("m2")).as("s2"))
+      assert(scanPaths(q2m) == Seq(basePath))
       // aggregate over an uncovered expression
       val q3 = spark.read.parquet(base).groupBy("g1")
         .agg(sum(col("m1") + 1).as("s1"))
@@ -116,6 +118,17 @@ class MvRewriteSpec extends SparkTestBase {
       assert(scanPaths(q4) == Seq(basePath))
       // all still CORRECT, just unaccelerated
       assert(q1.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 3L)))
+    }
+  }
+
+  test("grouping by an expression of group columns rewrites as a coarsening") {
+    withMv(rows) { (base, summary) =>
+      val q = spark.read.parquet(base).groupBy(upper(col("g1")).as("gu"))
+        .agg(sum(col("m1")).as("s1"), min(col("m2")).as("mn2"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)),
+        s"f(group col) grouping must reroute: ${scanPaths(q)}")
+      assert(q.as[(String, Long, Double)].collect().toSet ==
+        Set(("A", 9L, 1.5), ("B", 13L, -1.0)))
     }
   }
 
