@@ -132,6 +132,19 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("HAVING composes: the filter above the rewritten aggregate stays attached") {
+    withMv(rows) { (base, summary) =>
+      // Filter(Aggregate) references the aggregate's outputs by exprId —
+      // the rewrite preserves output ids, so HAVING must survive intact
+      val q = spark.read.parquet(base).groupBy("g1")
+        .agg(sum(col("m1")).as("s1"), count(lit(1)).as("n"))
+        .filter(col("s1") > 10)
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)),
+        s"HAVING rollup must reroute: ${scanPaths(q)}")
+      assert(q.as[(String, Long, Long)].collect().toSet == Set(("b", 13L, 3L)))
+    }
+  }
+
   test("kill switch and unregister both disable the rewrite") {
     withMv(rows) { (base, summary) =>
       val q = () => spark.read.parquet(base).groupBy("g1").agg(sum(col("m1")).as("s"))
