@@ -125,6 +125,69 @@ class MvDeltaSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("CDC loop: refreshDelta after each store merge keeps the MV at table truth") {
+    // the reference's user workflow — REFRESH MATERIALIZED VIEW after each
+    // merge interval — composed from this engine's parts: a compacted
+    // batch's UPSERTS contribute their PRE-IMAGE rows (bucket-pruned read,
+    // cost ∝ batch) as MV deletes plus themselves as inserts; delete
+    // tombstones contribute their pre-image only.
+    import graft.model.TableSpec
+    import graft.operators.CompactedBatch
+    import graft.sources.ParquetTableStore
+    import org.apache.spark.sql.types._
+    val spec = TableSpec("public.mvcdc",
+      StructType(Seq(StructField("id", LongType), StructField("g", StringType),
+        StructField("m", LongType))), Seq("id"))
+    val store = new ParquetTableStore(spark, tmpDir("mvcdc_store"), spec, 4)
+    val rnd = new scala.util.Random(59)
+    var rows = (1L to 200L).map(i => (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+    store.init(rows.toDF("id", "g", "m"))
+    val base = tmpDir("mvcdc_base") // MV registry keys on a parquet path
+    store.snapshot().write.mode("overwrite").parquet(base)
+    var mv = MaterializedView.build(spark, base, Seq("g"), Seq("m"),
+      tmpDir("mvcdc_sum"))
+    try {
+      (1 to 3).foreach { round =>
+        val delIds = rnd.shuffle(rows.map(_._1).toList).take(10)
+        val upserts = rnd.shuffle((1L to 210L).toList).take(15)
+          .filterNot(delIds.contains)
+          .map(i => (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+        val batch = CompactedBatch(delIds.toDF("id"),
+          upserts.toDF("id", "g", "m"))
+        // pre-image of every touched key BEFORE the merge
+        val touched = batch.deletes.select("id")
+          .unionByName(batch.upserts.select("id"))
+        val preImage = store.snapshotForKeys(touched).localCheckpoint()
+        store.merge(batch)
+        // keep the MV base path in lockstep with the store's snapshot
+        store.snapshot().write.mode("overwrite").parquet(base)
+        mv = MaterializedView.refreshDelta(spark, base,
+          inserts = batch.upserts, deletes = preImage)
+        // the rollup THROUGH the rewrite must equal the table truth
+        rows = rows.filterNot(r => delIds.contains(r._1))
+          .filterNot(r => upserts.exists(_._1 == r._1)) ++ upserts
+        val want = rows.groupBy(_._2).map { case (g, rs) =>
+          (g, rs.size.toLong, rs.map(_._3).sum, rs.map(_._3).min, rs.map(_._3).max)
+        }.toSet
+        val q = spark.read.parquet(base).groupBy("g")
+          .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+            min(col("m")).as("mn"), max(col("m")).as("mx"))
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Nil
+            }
+        }.flatten
+        assert(scans.forall(_.contains("mvcdc_sum")),
+          s"round $round must answer from the refreshed summary: $scans")
+        assert(q.as[(String, Long, Long, Long, Long)].collect().toSet == want,
+          s"MV drifted from table truth at round $round")
+      }
+    } finally MaterializedView.unregister(base)
+  }
+
   test("differential: random batches equal a from-scratch build, v-path bumps") {
     val rnd = new scala.util.Random(83)
     var rows = (1 to 300).map(_ =>
