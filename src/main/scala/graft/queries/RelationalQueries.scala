@@ -300,6 +300,22 @@ object RelationalQueries {
     // underlying q07/q08's rollup/cube, through the SQL facade (synced tables
     // are first-class spark.sql views; SURVEY §7.1.6). Single shuffle: Spark
     // expands the 4 sets map-side, partials combine before the exchange.
+    // ── Native ordered string aggregation (Spark 4's listagg WITHIN
+    // GROUP): per region, the lexicographically-ordered CSV of its nation
+    // names — the report/export shape that previously needed a custom
+    // aggregator; the explicit ORDER BY inside the aggregate makes the
+    // scalar deterministic on both engines.
+    "q206_listagg" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("q206_nation")
+      t(s, dir, "region").createOrReplaceTempView("q206_region")
+      s.sql(
+        """SELECT r.r_name,
+          |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+          |  count(*) AS n_nations
+          |FROM q206_region r JOIN q206_nation n ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)
+    }),
+
     "q62_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("q62_lineitem")
       s.sql(
@@ -1420,6 +1436,14 @@ object RelationalQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q206: DuckDB's ordered string_agg is the same WITHIN GROUP semantic.
+    "q206_listagg" ->
+      """SELECT r.r_name,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin,
 
     // q205: the month truth straight off events — the day-summary detour
     // and the f(day) re-aggregation must be invisible.
