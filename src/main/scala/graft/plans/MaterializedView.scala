@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   * (reference: README.md:9,15), here as a `Rule[LogicalPlan]` so EVERY
   * query phrased against the base table speeds up with zero query changes.
   *
-  * What rewrites: `Aggregate` whose grouping keys are bare columns ⊆ the
-  * MV's group columns (any SUBSET — coarser rollups re-aggregate the
-  * summary), whose aggregates are sum/min/max/count over covered measure
-  * columns or count(*), with at most attribute-pruning Projects and
-  * Filters referencing ONLY group columns between the Aggregate and the
-  * base relation (the filter replays on the summary's group columns).
-  * Anything else — distinct aggregates, FILTER clauses, expressions in
-  * grouping position, predicates on measures — leaves the plan untouched:
-  * the rule must never widen semantics, only reroute them.
+  * What rewrites: `Aggregate` whose grouping keys are group columns of
+  * the MV, registered DERIVED expressions (`day = cast(ts as date)` time
+  * hierarchies), or any deterministic EXPRESSION over those (month/year
+  * rollups from a day summary — grouping base rows by f(group cols)
+  * partitions exactly as grouping summary rows by f); whose aggregates
+  * are sum/min/max/count over covered measure columns or count(*); with
+  * Projects (attribute pruning and alias bindings, which are inlined to
+  * fixpoint) and Filters between the Aggregate and the base relation.
+  * Filter conjuncts must reference only group columns or derived
+  * expressions — plus, for a `cast(ts as date)` derived group, raw-ts
+  * bounds at exact session-TZ midnights (the form the optimizer rewrites
+  * day-range filters into), which convert back to day bounds under a
+  * fixed-offset zone. Anything else — distinct aggregates, FILTER
+  * clauses, measure references in grouping position or predicates —
+  * leaves the plan untouched: the rule must never widen semantics, only
+  * reroute them.
   *
   * Re-aggregation algebra (all decomposable): sum(x) → sum(s_x);
   * count(*) → coalesce(sum(cnt), 0) (the coalesce covers the GLOBAL
