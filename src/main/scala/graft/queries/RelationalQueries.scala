@@ -300,6 +300,29 @@ object RelationalQueries {
     // underlying q07/q08's rollup/cube, through the SQL facade (synced tables
     // are first-class spark.sql views; SURVEY §7.1.6). Single shuffle: Spark
     // expands the 4 sets map-side, partials combine before the exchange.
+    // ── Error-safe arithmetic (the try_ family): division by zero,
+    // int64 overflow and failed casts all land as NULL instead of
+    // poisoning the job — the semantics a 100 TB batch needs, where one
+    // bad row must not kill hour N of an N+1-hour job. The oracle
+    // restates each null condition declaratively, so the NULL sets (and
+    // the surviving doubles' exact min/max) must agree bit-for-bit.
+    "q207_try_arithmetic" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q207_lineitem")
+      s.sql(
+        """SELECT count(*) AS n_rows,
+          |  count(CASE WHEN up IS NULL THEN 1 END) AS n_div_null,
+          |  min(up) AS min_unit_price, max(up) AS max_unit_price,
+          |  count(CASE WHEN mu IS NULL THEN 1 END) AS n_mul_null,
+          |  count(ci) AS n_cast_ok
+          |FROM (
+          |  SELECT
+          |    try_divide(l_extendedprice, l_quantity - 1) AS up,
+          |    try_multiply(l_orderkey, 9223372036854775807L) AS mu,
+          |    try_cast(CASE WHEN l_returnflag = 'A' THEN '12'
+          |                  ELSE 'oops' END AS INT) AS ci
+          |  FROM q207_lineitem)""".stripMargin)
+    }),
+
     // ── Native ordered string aggregation (Spark 4's listagg WITHIN
     // GROUP): per region, the lexicographically-ordered CSV of its nation
     // names — the report/export shape that previously needed a custom
@@ -1436,6 +1459,24 @@ object RelationalQueries {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q207: each try_ null condition restated declaratively — zero
+    // denominator, |k| >= 2 overflow of k·int64max, unparseable string.
+    "q207_try_arithmetic" ->
+      """WITH t AS (
+        |  SELECT
+        |    CASE WHEN l_quantity - 1 = 0 THEN NULL
+        |         ELSE l_extendedprice / (l_quantity - 1) END AS up,
+        |    CASE WHEN l_orderkey >= 2 THEN NULL
+        |         ELSE l_orderkey * 9223372036854775807 END AS mu,
+        |    CASE WHEN l_returnflag = 'A' THEN 12 END AS ci
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  count(CASE WHEN up IS NULL THEN 1 END) AS n_div_null,
+        |  min(up) AS min_unit_price, max(up) AS max_unit_price,
+        |  count(CASE WHEN mu IS NULL THEN 1 END) AS n_mul_null,
+        |  count(ci) AS n_cast_ok
+        |FROM t""".stripMargin,
 
     // q206: DuckDB's ordered string_agg is the same WITHIN GROUP semantic.
     "q206_listagg" ->
