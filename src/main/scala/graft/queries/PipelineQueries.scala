@@ -368,6 +368,24 @@ object PipelineQueries {
       graft.operators.Sketches.hllIntersectPairs(docs(s, dir), "source", "text")
     }),
 
+    // ── Per-language QUANTILE NORMALIZATION: each document's token-length
+    // score mapped to its within-language percentile (exact integer ppm of
+    // rank over group size) — the calibration step before cross-lingual
+    // mixing, where raw score distributions differ per language but a
+    // "keep the top 30%" policy must mean the same thing everywhere. One
+    // window shuffle on the language key; (score, doc_id) ordering makes
+    // ties deterministic.
+    "q208_quantile_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("score"))
+      d.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .select(col("doc_id"), col("lang"), col("score"),
+          expr("rnk * 1000000 div n").as("pct_ppm"))
+    }),
+
     // ── BPE merge TRAINER: learn the corpus's top-8 symbol merges — the
     // vocabulary-building pass of tokenizer training, run as N iterations
     // of (pair-count argmax over the CACHED word-frequency table → two-pass
@@ -1847,6 +1865,26 @@ object PipelineQueries {
         |            least(8, greatest(1, CAST(1 + n_chars // 500 AS INT))) AS w
         |          FROM documents)))
         |WHERE rk <= 20""".stripMargin,
+
+    // q208: q43's token-estimate formula + the same rank/ppm chain.
+    "q208_quantile_normalize" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                  t -> t <> ''),
+        |      t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s)
+        |SELECT doc_id, lang, score,
+        |  CAST(rnk * 1000000 // n AS BIGINT) AS pct_ppm
+        |FROM r""".stripMargin,
 
     // q194: exact per-group threshold — the MG machinery is invisible in
     // the answer by design.
