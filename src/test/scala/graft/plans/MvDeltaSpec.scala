@@ -115,6 +115,7 @@ class MvDeltaSpec extends SparkTestBase {
     val deletes = Seq(("a", 1, 1), ("a", 2, 2)).toDF("g", "m1", "m2")
     Seq.empty[(String, Int, Int)].toDF("g", "m1", "m2")
       .write.mode("overwrite").parquet(base)
+    val before = MaterializedView.lookup(MaterializedView.normalize(base)).get
     try {
       val e = intercept[Exception](
         MaterializedView.refreshDelta(spark, base, deletes.limit(0), deletes))
@@ -122,6 +123,10 @@ class MvDeltaSpec extends SparkTestBase {
         Option(t).toSeq.flatMap(x =>
           Option(x.getMessage).toSeq ++ messages(x.getCause))
       assert(messages(e).exists(_.contains("negative count")), s"got: $e")
+      // crash posture: a failed refresh must leave the registry (and
+      // every future query) on the old consistent version
+      assert(MaterializedView.lookup(MaterializedView.normalize(base))
+        .contains(before), "failed refresh must not move the registration")
     } finally MaterializedView.unregister(base)
   }
 
