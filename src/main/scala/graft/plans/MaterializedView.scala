@@ -619,7 +619,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae @ AggregateExpression(_, _, false, None, _) => rewriteAggFunc(ae)
-      case _: AggregateExpression => None // distinct / FILTER-clause aggs
+      // COUNT(DISTINCT <group columns/expressions>) is EXACTLY answerable
+      // from the summary: the summary holds every distinct group
+      // combination, so distinct-counting group values over summary rows
+      // equals doing it over base rows (a finer summary grouping only adds
+      // rows the DISTINCT collapses). Distinct over measures stays refused
+      // — their per-row values are gone.
+      case AggregateExpression(c: Count, _, true, None, _)
+          if c.children.nonEmpty =>
+        val kids = c.children.map { e =>
+          val sub = substituteDerived(inline(e))
+          val bound = sub.transform {
+            case a: AttributeReference => byName.getOrElse(a.name, a)
+          }
+          val ok = sub.deterministic && bound.references.forall(a =>
+            groupSet.contains(a.name) &&
+              byName.get(a.name).exists(_.exprId == a.exprId))
+          if (ok) Some(bound) else None
+        }
+        if (kids.forall(_.isDefined))
+          Some(Count(kids.map(_.get)).toAggregateExpression(isDistinct = true))
+        else None
+      case _: AggregateExpression => None // other distinct / FILTER-clause aggs
       case a: AttributeReference if groupSet.contains(a.name) =>
         attrOf(a.name)
       case e if derivedMatch(e).isDefined => derivedMatch(e)

@@ -701,6 +701,29 @@ object RelationalQueries {
           sum(col("value_dec")).cast("double").as("sum_value"))
     }),
 
+    // ── COUNT(DISTINCT group col) from the MV: distinct event types per
+    // day answered from the derived-day summary — the summary holds every
+    // distinct (type, day) combination, so distinct-counting a group
+    // column over summary rows is EXACT, not a sketch. Composes the
+    // derived-day matching with the distinct-group rewrite.
+    "q209_mv_distinct_types" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvdt_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val basePath = s"$scratch/base"
+      events(s, dir)
+        .select(col("event_type"), col("ts"),
+          col("value").cast("decimal(18,2)").as("value_dec"))
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedView.build(s, basePath,
+        Seq("event_type", "day"), Seq("value_dec"), s"$scratch/summary",
+        derivedGroups = Seq("day" -> "cast(ts as date)"))
+      s.read.parquet(basePath)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // ── Time-HIERARCHY rollup from the day MV: the query groups by
     // trunc(cast(ts as date), 'mon') — an EXPRESSION over the derived day
     // — and the rule re-aggregates the day summary under it (grouping base
@@ -1492,6 +1515,14 @@ object RelationalQueries {
         |  count(*) AS n_nations
         |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name""".stripMargin,
+
+    // q209: the per-day distinct-type truth straight off events.
+    "q209_mv_distinct_types" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY 1""".stripMargin,
 
     // q205: the month truth straight off events — the day-summary detour
     // and the f(day) re-aggregation must be invisible.

@@ -132,6 +132,21 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("COUNT(DISTINCT group col) rewrites exactly; over a measure it refuses") {
+    withMv(rows) { (base, summary) =>
+      val q = spark.read.parquet(base).groupBy("g1")
+        .agg(countDistinct(col("g2")).as("d2"), sum(col("m1")).as("s1"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)),
+        s"distinct over a group column must reroute: ${scanPaths(q)}")
+      assert(q.as[(String, Long, Long)].collect().toSet ==
+        Set(("a", 2L, 9L), ("b", 2L, 13L)))
+      val qm = spark.read.parquet(base).groupBy("g1")
+        .agg(countDistinct(col("m1")).as("dm"))
+      assert(scanPaths(qm) == Seq(MaterializedView.normalize(base)),
+        "distinct over a measure has no summary answer")
+    }
+  }
+
   test("HAVING composes: the filter above the rewritten aggregate stays attached") {
     withMv(rows) { (base, summary) =>
       // Filter(Aggregate) references the aggregate's outputs by exprId —
