@@ -598,12 +598,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case m: Min => m.child match {
           case a: AttributeReference if measureSet.contains(a.name) =>
             attrOf(s"mn_${a.name}").map(p => Min(p).toAggregateExpression())
-          case _ => None
+          // min over an expression of GROUP columns: the extreme over base
+          // rows equals the extreme over the distinct group combinations
+          // the summary holds — no arithmetic, any type, exact (the
+          // "earliest active day per type" dashboard shape)
+          case e => rewriteGrouping(e).map(b => Min(b).toAggregateExpression())
         }
         case m: Max => m.child match {
           case a: AttributeReference if measureSet.contains(a.name) =>
             attrOf(s"mx_${a.name}").map(p => Max(p).toAggregateExpression())
-          case _ => None
+          case e => rewriteGrouping(e).map(b => Max(b).toAggregateExpression())
         }
         case c: Count => c.children match {
           case Seq(l: Literal) if l.value != null =>

@@ -144,6 +144,23 @@ class MvDerivedSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("min/max over the derived day (first/last active) answer from the summary") {
+    val base = setup("actv")
+    try {
+      val q = spark.read.parquet(base).groupBy("etype")
+        .agg(min(col("ts").cast("date")).as("first_day"),
+          max(col("ts").cast("date")).as("last_day"),
+          sum(col("v")).as("s"))
+      assert(!scanPaths(q).contains(MaterializedView.normalize(base)),
+        s"group-expression extremes must reroute: ${scanPaths(q)}")
+      assert(q.as[(String, java.sql.Date, java.sql.Date, Long)].collect().toSet ==
+        Set(("click", java.sql.Date.valueOf("2024-03-01"),
+            java.sql.Date.valueOf("2024-03-02"), 37L),
+          ("view", java.sql.Date.valueOf("2024-03-01"),
+            java.sql.Date.valueOf("2024-03-03"), 6L)))
+    } finally MaterializedView.unregister(base)
+  }
+
   test("refreshDelta maintains a derived-group summary at day granularity") {
     val base = setup("delta")
     try {
