@@ -47,10 +47,14 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       i => max(col("m1")).as(s"a$i"),
       i => min(col("m1")).as(s"a$i"),
       i => max(col("m2")).as(s"a$i"),
+      // group-expression aggregates — the distinct/extreme rewrites
+      i => countDistinct(col("g3")).as(s"a$i"),
+      i => min(upper(col("g2"))).as(s"a$i"),
+      i => max(concat(col("g1"), col("g3"))).as(s"a$i"),
       // non-rewritable shapes — must fall through, still correct
       i => avg(col("m1")).as(s"a$i"),
       i => sum(col("m1") + 1).as(s"a$i"),
-      i => countDistinct(col("g3")).as(s"a$i"))
+      i => countDistinct(col("m2")).as(s"a$i"))
     val filterPool: Seq[Option[Column]] = Seq(
       None, Some(col("g1") =!= "g0"), Some(col("g2") === "h1"),
       Some(col("g1").isin("g1", "g2", "g3")), Some(col("m1") > 0))
