@@ -224,15 +224,15 @@ object RobustStats {
     * chi2 rather than a division error.
     */
   def chiSquareDrift(df: DataFrame, cellCols: Seq[String],
-      split: Column): DataFrame = {
-    val cells = df
+      split: Column, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cells = scope.own(df
       .withColumn("_s", split)
       .groupBy(cellCols.map(col): _*)
       .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("_s") =!= 0, 1L).otherwise(0L)).as("n_b"))
       // the |cells|-row table anchors BOTH the split-total aggregate and
       // the join back — without the cache the full-corpus count runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = cells.agg(sum("n_a").as("na_tot"), sum("n_b").as("nb_tot"))
     cells.crossJoin(broadcast(totals))
       .withColumn("chi2", expr(

@@ -234,25 +234,23 @@ object MaterializedView {
     val old = spark.read.parquet(d.summaryPath)
     val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
 
-    val insP = withDerived(inserts, d).groupBy(g: _*).agg(
-      d.measureCols.flatMap(m => Seq(
-        sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
-        min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))).head,
-      (d.measureCols.flatMap(m => Seq(
-        sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
-        min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))).tail :+
-        count(lit(1)).as("cnt")): _*)
+    // appending cnt BEFORE the head/tail split keeps a count-only MV
+    // (empty measureCols) on the same code path as build()/refresh()
+    val insAggs = d.measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
+      count(lit(1)).as("cnt")
+    val insP = withDerived(inserts, d).groupBy(g: _*)
+      .agg(insAggs.head, insAggs.tail: _*)
     // delete partials twice: signed (for the sum merge — min/max nulled so
     // they can't contaminate the candidate extremes) and raw extremes (for
     // affected-group detection)
-    val delP = withDerived(deletes, d).groupBy(g: _*).agg(
-      d.measureCols.flatMap(m => Seq(
-        sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
-        min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))).head,
-      (d.measureCols.flatMap(m => Seq(
-        sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
-        min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))).tail :+
-        count(lit(1)).as("dcnt")): _*)
+    val delAggs = d.measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
+      min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))) :+
+      count(lit(1)).as("dcnt")
+    val delP = withDerived(deletes, d).groupBy(g: _*)
+      .agg(delAggs.head, delAggs.tail: _*)
     val delSigned = delP.select(g ++ d.measureCols.flatMap(m => Seq(
       (-col(s"ds_$m")).cast(oldTypes(s"s_$m")).as(s"s_$m"),
       (-col(s"dc_$m")).as(s"c_$m"),
@@ -277,14 +275,21 @@ object MaterializedView {
 
     // affected = stored extreme possibly removed; detection against the OLD
     // summary (the candidate min/max in `merged` still references values
-    // the batch may have deleted)
-    val touched = d.measureCols.map(m =>
-      coalesce(col(s"dmn_$m") <= col(s"mn_$m"), lit(false)) ||
-        coalesce(col(s"dmx_$m") >= col(s"mx_$m"), lit(false)))
-      .reduce(_ || _)
-    val affected = delP.join(old, d.groupCols, "inner")
-      .filter(touched).select(g: _*).distinct().cache()
-    val nAffected = affected.count() // bounded by the delete batch's groups
+    // the batch may have deleted). NULL is a legal group-key value and SQL
+    // equi-joins never match NULL keys, so every maintenance join here is
+    // null-safe (<=>) — otherwise deleting the extreme of a NULL-keyed
+    // group would silently skip repair and serve stale min/max forever.
+    // A count-only MV (no measures) has no min/max to repair at all.
+    val affectedOpt = if (d.measureCols.isEmpty) None else {
+      val touched = d.measureCols.map(m =>
+        coalesce(col(s"dmn_$m") <= col(s"mn_$m"), lit(false)) ||
+          coalesce(col(s"dmx_$m") >= col(s"mx_$m"), lit(false)))
+        .reduce(_ || _)
+      Some(delP.join(old,
+          d.groupCols.map(gc => delP(gc) <=> old(gc)).reduce(_ && _), "inner")
+        .filter(touched).select(d.groupCols.map(delP(_)): _*).distinct().cache())
+    }
+    val nAffected = affectedOpt.map(_.count()).getOrElse(0L) // ≤ delete batch's groups
 
     val repaired = if (nAffected == 0) {
       // no extreme touched — widen with the repair columns finalCols expects
@@ -294,9 +299,12 @@ object MaterializedView {
             lit(null).cast(oldTypes(s"mn_$m")).as(s"r_mn_$m"),
             lit(null).cast(oldTypes(s"mx_$m")).as(s"r_mx_$m")))): _*)
     } else {
+      val affected = affectedOpt.get
       // one pruned scan of the post-batch base: only group+measure columns,
       // only affected groups. ≤ cap → per-column IN predicates pushed to
       // the parquet footer stats; the broadcast join stays the exact gate.
+      // (an IN list can't express "or NULL", so columns whose affected keys
+      // include NULL skip the pushdown and rely on the semi join alone)
       var scan = withDerived(spark.read.parquet(d.basePath), d)
         .select((d.groupCols ++ d.measureCols).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
@@ -306,15 +314,28 @@ object MaterializedView {
           if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))
         }
       }
-      val recomputed = scan.join(broadcast(affected), d.groupCols, "inner")
+      val scanF = scan
+      val recomputed = scanF.join(broadcast(affected),
+          d.groupCols.map(gc => scanF(gc) <=> affected(gc)).reduce(_ && _),
+          "left_semi")
         .groupBy(g: _*)
         .agg(d.measureCols.flatMap(m => Seq(
           min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).head,
           d.measureCols.flatMap(m => Seq(
             min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).tail: _*)
-      merged.join(broadcast(affected.withColumn("_aff", lit(1))),
-          d.groupCols, "left")
-        .join(broadcast(recomputed), d.groupCols, "left")
+      // attach joins: rename right-side keys so the null-safe condition is
+      // unambiguous; finalCols' select drops the _ak_/_rk_ columns again
+      val affT = d.groupCols.foldLeft(affected.withColumn("_aff", lit(1)))(
+        (df, gc) => df.withColumnRenamed(gc, s"_ak_$gc"))
+      val recT = d.groupCols.foldLeft(recomputed)(
+        (df, gc) => df.withColumnRenamed(gc, s"_rk_$gc"))
+      merged
+        .join(broadcast(affT),
+          d.groupCols.map(gc => col(gc) <=> col(s"_ak_$gc")).reduce(_ && _),
+          "left")
+        .join(broadcast(recT),
+          d.groupCols.map(gc => col(gc) <=> col(s"_rk_$gc")).reduce(_ && _),
+          "left")
     }
 
     val finalCols = g ++ d.measureCols.flatMap(m => Seq(
@@ -337,7 +358,7 @@ object MaterializedView {
         d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
     }
     repaired.select(finalCols: _*).write.mode("overwrite").parquet(next)
-    affected.unpersist()
+    affectedOpt.foreach(_.unpersist())
     val nd = d.copy(summaryPath = next)
     register(nd)
     nd
@@ -580,7 +601,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     val conjuncts = conds.flatMap(c => splitConj(inline(c))).map { conj =>
       val sub = substituteDerived(conj)
-      val groupOnly = sub.collect {
+      // determinism is required even for attribute-free conjuncts: a
+      // predicate like rand() < 0.1 applied per SUMMARY row would sample
+      // whole groups instead of base rows — a silent semantics change
+      val groupOnly = sub.deterministic && sub.collect {
         case a: AttributeReference => groupSet.contains(a.name)
       }.forall(identity)
       if (groupOnly) Some(sub) else tsBoundToDay(conj)

@@ -110,6 +110,48 @@ class MvDeltaSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("deleting the extreme of a NULL-keyed group repairs it (null-safe joins)") {
+    // NULL is a legal dimension value in CDC bases; equi-joins skip NULL
+    // keys, so the affected-detection and repair joins must be null-safe
+    val rows = Seq((null.asInstanceOf[String], 1, 10),
+      (null.asInstanceOf[String], 5, 20), (null.asInstanceOf[String], 9, 30),
+      ("b", 4, 40))
+    val base = setup(rows, "nullkey")
+    val deletes = Seq((null.asInstanceOf[String], 1, 10)).toDF("g", "m1", "m2")
+    rows.filterNot(_ == ((null, 1, 10))).toDF("g", "m1", "m2")
+      .write.mode("overwrite").parquet(base)
+    val nd = MaterializedView.refreshDelta(spark, base, deletes.limit(0), deletes)
+    try {
+      val got = spark.read.parquet(nd.summaryPath)
+        .select("g", "mn_m1", "mx_m1", "s_m1", "cnt")
+        .as[(Option[String], Int, Int, Long, Long)].collect().toSet
+      assert(got == Set((None, 5, 9, 14L, 2L), (Some("b"), 4, 4, 4L, 1L)),
+        s"NULL-keyed group's min must be repaired, got $got")
+    } finally MaterializedView.unregister(base)
+  }
+
+  test("count-only MV (no measures) refreshes through deltas") {
+    val base = tmpDir("mvd_cntonly_base")
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x")
+      .write.mode("overwrite").parquet(base)
+    MaterializedView.build(spark, base, Seq("g"), Seq.empty,
+      tmpDir("mvd_cntonly_sum"))
+    val inserts = Seq(("c", 9), ("a", 7)).toDF("g", "x")
+    val deletes = Seq(("b", 3)).toDF("g", "x")
+    Seq(("a", 1), ("a", 2), ("c", 9), ("a", 7)).toDF("g", "x")
+      .write.mode("overwrite").parquet(base)
+    val nd = MaterializedView.refreshDelta(spark, base, inserts, deletes)
+    try {
+      val got = spark.read.parquet(nd.summaryPath)
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("a", 3L), ("c", 1L)), s"got $got")
+      // and the rewrite still answers counts from it
+      val q = spark.read.parquet(base).groupBy("g").agg(count(lit(1)).as("n"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(nd.summaryPath)))
+      assert(q.as[(String, Long)].collect().toSet == Set(("a", 3L), ("c", 1L)))
+    } finally MaterializedView.unregister(base)
+  }
+
   test("deleting rows the base never had fails loudly, not silently") {
     val base = setup(Seq(("a", 1, 1)), "neg")
     val deletes = Seq(("a", 1, 1), ("a", 2, 2)).toDF("g", "m1", "m2")

@@ -116,6 +116,15 @@ class MvRewriteSpec extends SparkTestBase {
       val q4 = spark.read.parquet(base).groupBy("g1")
         .agg(avg(col("m1")).as("a1"))
       assert(scanPaths(q4) == Seq(basePath))
+      // a non-deterministic filter references no attributes at all, but
+      // applying it per SUMMARY row would sample whole groups instead of
+      // base rows — must fall through (a trivially-true rand() < 2.0 is
+      // constant-folded away by the optimizer before our rule, so use a
+      // bound that survives)
+      val q5 = spark.read.parquet(base).filter(rand(7) < lit(0.5))
+        .groupBy("g1").agg(sum(col("m1")).as("s1"))
+      assert(scanPaths(q5) == Seq(basePath),
+        "rand() filter must refuse the rewrite")
       // all still CORRECT, just unaccelerated
       assert(q1.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 3L)))
     }
