@@ -370,11 +370,11 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   import MaterializedView.{MvDef, lookup}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MaterializedView.isEmpty ||
+    if ((MaterializedView.isEmpty && StarMv.isEmpty) ||
       !conf.getConfString("spark.graft.mv.enabled", "true").toBoolean) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg).getOrElse(agg)
+        tryRewrite(agg).orElse(StarMv.tryRewrite(agg)).getOrElse(agg)
     }
   }
 
@@ -468,7 +468,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * two analyzed expressions over the same base match iff their SQL text
     * matches after stripping the outer alias and attribute qualifiers.
     */
-  private def renderForm(e: Expression): Option[String] = {
+  private[plans] def renderForm(e: Expression): Option[String] = {
     val noAlias = e match { case a: Alias => a.child; case x => x }
     scala.util.Try(noAlias.transform {
       case ar: AttributeReference => ar.withQualifier(Nil)

@@ -1,0 +1,438 @@
+package graft.plans
+
+import java.util.concurrent.CopyOnWriteArrayList
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
+
+/** Star-schema materialized views: a summary table pre-joining a fact with
+  * its dimensions and pre-aggregating per group, plus a Catalyst rewrite
+  * that reroutes a matching aggregate-over-join query to the summary — the
+  * classic warehouse accelerator the reference's users get from Greenplum
+  * summary tables over CDC-synced star schemas (reference: README.md:9,15).
+  * [[MaterializedView]] covers single-table rollups; this covers the
+  * fact⋈dimension shape (q73-style) where the join itself is the cost.
+  *
+  * Matching is EXACT on the relational algebra, not the plan shape: the
+  * query's inner-equi-join tree is flattened to (leaf set, join-pair set)
+  * and must equal the registered definition's — inner joins are associative
+  * and commutative, so any join order the optimizer picks still matches,
+  * while a missing table, an extra table, an outer join, or a different
+  * join key refuses. Because the summary IS `groupBy(groupCols)` over that
+  * exact join, matching queries re-aggregate it with the same decomposable
+  * algebra as the single-table rule (sum→sum, min/max→min/max of partials,
+  * count→sum of counts) — no PK/FK or multiplicity reasoning needed.
+  *
+  * Filter conjuncts must be deterministic and reference only group columns
+  * (replayed on the summary — a group column's value survives the groupBy,
+  * so filtering summary rows ≡ filtering join rows ≡ filtering the dim
+  * before the join), with one carve-out: `IsNotNull(<join key>)` conjuncts
+  * are DROPPED, because the optimizer infers them from the very equi-joins
+  * the summary already materialized — an inner join's output has no null
+  * keys, so the predicate is vacuous on the summary.
+  *
+  * Measures are plain fact/dimension columns or registered DERIVED
+  * expressions over the join (`revenue = price * (1 - discount)`), matched
+  * against the query's analyzed form exactly as
+  * [[MaterializedView.MvDef.derivedGroups]] matches derived groups.
+  *
+  * Maintenance: rebuild-only. Incremental view maintenance over joins
+  * needs per-table delta joins against the other tables' current states
+  * (the classic IVM join-delta algebra) — a planned extension; today a CDC
+  * pipeline rebuilds after each merge interval, which is exactly the
+  * posture of Greenplum's own non-incremental `REFRESH MATERIALIZED VIEW`.
+  *
+  * Scale: the build pays the big shuffle join ONCE; every rollup after
+  * reads |groups| summary rows instead of re-joining the fact. At 100 TB
+  * the summary (nations × days, say) is MBs — the reroute turns a
+  * multi-minute shuffle join into a broadcast-scale scan.
+  *
+  * Column names across the registered tables' REGISTERED columns (join
+  * keys, groups, measures) must be globally unique — the TPC-H prefix
+  * convention; rename-before-register if a schema reuses names.
+  */
+object StarMv {
+
+  /** A column qualified by its source table's parquet path. */
+  final case class QCol(path: String, name: String) {
+    private[plans] def normalized: QCol =
+      QCol(MaterializedView.normalize(path), name)
+  }
+
+  /** `joins` are unordered equi-join pairs — (QCol, QCol) with either side
+    * listed first; a pair whose tables are already connected through other
+    * pairs is applied as a post-join equality filter (the q73
+    * supplier-nation shape, joined on both l_suppkey and c_nationkey).
+    * `derivedMeasures` are (name, SQL over the joined relation).
+    */
+  final case class StarMvDef(tables: Seq[String], joins: Seq[(QCol, QCol)],
+      groupCols: Seq[QCol], measureCols: Seq[QCol], summaryPath: String,
+      derivedMeasures: Seq[(String, String)] = Nil) {
+    private[plans] lazy val leafSet: Set[String] =
+      tables.map(MaterializedView.normalize).toSet
+    private[plans] lazy val joinPairSet: Set[Set[QCol]] =
+      joins.map { case (a, b) => Set(a.normalized, b.normalized) }.toSet
+    private[plans] lazy val joinKeySet: Set[QCol] =
+      joinPairSet.flatten
+    private[plans] lazy val groupByQ: Map[QCol, String] =
+      groupCols.map(q => q.normalized -> q.name).toMap
+    private[plans] lazy val measureByQ: Map[QCol, String] =
+      measureCols.map(q => q.normalized -> q.name).toMap
+  }
+
+  private val registry = new CopyOnWriteArrayList[StarMvDef]()
+
+  def register(d: StarMvDef): Unit = { registry.add(d); () }
+  def unregister(summaryPath: String): Unit = {
+    registry.removeIf(_.summaryPath == summaryPath); ()
+  }
+  def clear(): Unit = registry.clear()
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+  private[plans] def candidates(leaves: Set[String]): Seq[StarMvDef] =
+    registry.asScala.filter(_.leafSet == leaves).toSeq
+
+  /** render-form of each derived measure, analyzed against the joined
+    * relation once per (summaryPath) and cached — the same
+    * exprId-insensitive matching [[MvRewriteRule]] uses for derived groups.
+    */
+  private val derivedFormCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[plans] def derivedForms(spark: SparkSession, d: StarMvDef): Map[String, String] =
+    derivedFormCache.computeIfAbsent(d.summaryPath, { _ =>
+      if (d.derivedMeasures.isEmpty) Map.empty
+      else {
+        val joined = joinTables(spark, d)
+        d.derivedMeasures.flatMap { case (name, sql) =>
+          scala.util.Try {
+            // OPTIMIZED form, not merely analyzed: the query-side
+            // expression this must match has already been through constant
+            // folding / decimal canonicalization when our rule runs, so
+            // the registered form must take the same trip
+            val opt = joined.select(expr(sql).as("__dm"))
+              .queryExecution.optimizedPlan
+            val e = opt match {
+              case Project(pl, _) => pl.head
+              case other => other.expressions.head
+            }
+            MvRewriteRule.renderForm(e)
+          }.toOption.flatten.map(_ -> name)
+        }.toMap
+      }
+    })
+
+  /** Fold the registered tables into one joined DataFrame, connecting one
+    * new table per step; pairs whose tables are both already connected
+    * become post-join equality filters.
+    */
+  private def joinTables(spark: SparkSession, d: StarMvDef): DataFrame = {
+    val byPath = d.tables.map(p =>
+      MaterializedView.normalize(p) -> spark.read.parquet(p)).toMap
+    var joined = byPath(MaterializedView.normalize(d.tables.head))
+    var in = Set(MaterializedView.normalize(d.tables.head))
+    var pending = d.joins.map { case (a, b) => (a.normalized, b.normalized) }
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      val (connectable, rest) = pending.partition { case (a, b) =>
+        in.contains(a.path) || in.contains(b.path) }
+      val (applied, deferred) = connectable.partition { case (a, b) =>
+        in.contains(a.path) != in.contains(b.path) }
+      applied.groupBy { case (a, b) =>
+        if (in.contains(a.path)) b.path else a.path
+      }.foreach { case (newPath, pairs) =>
+        val cond = pairs.map { case (a, b) =>
+          col(a.name) === col(b.name): Column }.reduce(_ && _)
+        joined = joined.join(byPath(newPath), cond, "inner")
+        in += newPath
+      }
+      // both-sides-connected pairs (cycles) become equality filters
+      val (cycles, stillPending) = deferred.partition { case (a, b) =>
+        in.contains(a.path) && in.contains(b.path) }
+      cycles.foreach { case (a, b) =>
+        joined = joined.filter(col(a.name) === col(b.name)) }
+      pending = rest ++ stillPending
+      progressed = applied.nonEmpty || cycles.nonEmpty
+    }
+    require(pending.isEmpty && in == d.leafSet,
+      s"join graph does not connect all tables: joined=$in pending=$pending")
+    joined
+  }
+
+  /** Compute and write the pre-joined summary, register the definition.
+    * One fact-sized shuffle join + map-side-combined aggregate — the cost
+    * every later rollup amortizes.
+    */
+  def build(spark: SparkSession, d: StarMvDef): StarMvDef = {
+    require(d.groupCols.nonEmpty, "star MV needs at least one group column")
+    val names = d.groupCols.map(_.name) ++ d.measureCols.map(_.name) ++
+      d.derivedMeasures.map(_._1)
+    require(names.distinct.size == names.size,
+      s"group/measure/derived names must be globally unique: $names")
+    require(d.tables.map(MaterializedView.normalize).distinct.size ==
+      d.tables.size, "duplicate table paths in star MV definition")
+    unregister(d.summaryPath) // a stale twin must not satisfy the build scan
+    derivedFormCache.remove(d.summaryPath)
+    derivedForms(spark, d) // analyze derived measures before the build scan
+    val joined0 = joinTables(spark, d)
+    val joined = d.derivedMeasures.foldLeft(joined0) { case (acc, (n, sql)) =>
+      acc.withColumn(n, expr(sql)) }
+    val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)
+    val partials = allMeasures.flatMap(m => Seq(
+      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
+      count(lit(1)).as("cnt")
+    joined.groupBy(d.groupCols.map(q => col(q.name)): _*)
+      .agg(partials.head, partials.tail: _*)
+      .write.mode("overwrite").parquet(d.summaryPath)
+    register(d)
+    d
+  }
+
+  // ───────────────────────── rewrite machinery ─────────────────────────
+
+  /** Flattened query shape under the Aggregate: Project alias bindings,
+    * filter conjuncts, join equi-pairs, and the leaf relations.
+    */
+  private final case class Flat(
+      aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      filters: Seq[Expression],
+      joinConds: Seq[Expression],
+      leaves: Seq[LogicalRelation])
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  private def flatten(p: LogicalPlan): Option[Flat] = p match {
+    case rel: LogicalRelation => Some(Flat(Map.empty, Nil, Nil, Seq(rel)))
+    case Project(pl, c) if pl.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      flatten(c).map(f => f.copy(aliases = f.aliases ++ pl.collect {
+        case a @ Alias(child, _) => a.exprId -> child }))
+    case Filter(cond, c) =>
+      flatten(c).map(f => f.copy(filters = splitConj(cond) ++ f.filters))
+    case Join(l, r, Inner, cond, _) =>
+      for (fl <- flatten(l); fr <- flatten(r)) yield Flat(
+        fl.aliases ++ fr.aliases,
+        fl.filters ++ fr.filters,
+        cond.toSeq.flatMap(splitConj) ++ fl.joinConds ++ fr.joinConds,
+        fl.leaves ++ fr.leaves)
+    case _ => None
+  }
+
+  private def relationPath(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+        Some(fs.location.rootPaths.head.toUri.getPath)
+      case _ => None
+    }
+
+  private[plans] def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      flat <- flatten(agg.child)
+      if flat.leaves.size >= 2 // single-table is MvRewriteRule's job
+      pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
+      if pathed.size == flat.leaves.size
+      paths = pathed.map(_._2)
+      if paths.distinct.size == paths.size // self-joins refuse
+      mv <- candidates(paths.toSet).view
+        .flatMap(d => rewriteWith(agg, flat, pathed, d)).headOption
+    } yield mv
+
+  private def rewriteWith(agg: Aggregate, flat: Flat,
+      pathed: Seq[(LogicalRelation, String)], d: StarMvDef): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    // query attribute (exprId) → qualified column
+    val qcolOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, QCol] =
+      pathed.flatMap { case (rel, path) =>
+        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+
+    def inline(e: Expression): Expression = {
+      var cur = e
+      var i = 0
+      while (i < 10) {
+        val next = cur.transformUp {
+          case a: AttributeReference if flat.aliases.contains(a.exprId) =>
+            flat.aliases(a.exprId)
+        }
+        if (next.fastEquals(cur)) return cur
+        cur = next; i += 1
+      }
+      cur
+    }
+
+    // Join canonicalization by EQUIVALENCE CLASSES, not literal pair sets:
+    // the optimizer freely infers transitive equalities, reorders joins,
+    // and migrates equality conjuncts between join conditions and filters,
+    // so the invariant that survives is the equivalence relation the
+    // equalities generate. Match = the query's equality constraints imply
+    // every registered join pair (coverage), and every query equality is
+    // either implied by the registered pairs (vacuous on the summary) or
+    // replayable as a group-column filter.
+    def asPair(e: Expression): Option[(QCol, QCol)] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        for (qa <- qcolOf.get(a.exprId); qb <- qcolOf.get(b.exprId))
+          yield (qa, qb)
+      case _ => None
+    }
+    final class UnionFind {
+      private val parent = scala.collection.mutable.Map[QCol, QCol]()
+      def find(x: QCol): QCol = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: QCol, b: QCol): Unit = {
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) { parent(ra) = rb; () }
+      }
+      def connected(a: QCol, b: QCol): Boolean = find(a) == find(b)
+    }
+    val joinConjs = flat.joinConds.map(inline)
+    val joinPairs = joinConjs.map(asPair)
+    if (joinPairs.exists(_.isEmpty)) return None // non-equi join conjunct
+    val filterInl = flat.filters.map(inline)
+    val qc = new UnionFind // everything the QUERY constrains equal
+    (joinPairs.flatten ++ filterInl.flatMap(asPair))
+      .foreach { case (a, b) => qc.union(a, b) }
+    val dc = new UnionFind // everything the DEFINITION constrains equal
+    d.joins.foreach { case (a, b) => dc.union(a.normalized, b.normalized) }
+    // coverage: the query must enforce at least the registered join graph
+    if (!d.joins.forall { case (a, b) =>
+      qc.connected(a.normalized, b.normalized) }) return None
+    // a query equality implied by the definition is vacuous on the summary;
+    // one that adds a constraint beyond the definition's must be replayable
+    // as a group filter — route it through the filter gate below
+    def impliedEq(e: Expression): Boolean =
+      asPair(e).exists { case (a, b) => dc.connected(a, b) }
+    val extraJoinConjs = joinConjs.filterNot(impliedEq)
+
+    // summary relation, attributes by name
+    val sumPlan = spark.read.parquet(d.summaryPath).queryExecution.analyzed
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    def attrOf(name: String): Option[AttributeReference] =
+      byName.get(name).collect { case a: AttributeReference => a }
+
+    val dForms = derivedForms(spark, d)
+
+    // rewrite an expression tree whose leaves are group columns into the
+    // summary's attribute space; None = not expressible
+    def rewriteGroupExpr(e0: Expression): Option[Expression] = {
+      val e = inline(e0)
+      if (!e.deterministic || e.exists(_.isInstanceOf[AggregateExpression]))
+        None
+      else {
+        var ok = true
+        val bound = e.transform {
+          case a: AttributeReference =>
+            qcolOf.get(a.exprId).flatMap(d.groupByQ.get).flatMap(attrOf)
+              .getOrElse { ok = false; a }
+        }
+        if (ok) Some(bound) else None
+      }
+    }
+
+    // filter conjuncts (plus any extra-constraint join conjuncts):
+    // implied equalities and join-key IsNotNulls are vacuous on the
+    // summary and drop; everything else must replay as a group filter
+    val conj = (filterInl ++ extraJoinConjs).map { c =>
+      c match {
+        case _ if impliedEq(c) => Some(None) // the join itself — drop
+        case IsNotNull(a: AttributeReference)
+            if qcolOf.get(a.exprId).exists(d.joinKeySet.contains) =>
+          Some(None) // inner join output has no null keys — drop
+        case _ => rewriteGroupExpr(c).map(Some(_))
+      }
+    }
+    if (conj.exists(_.isEmpty)) return None
+    val keptConds = conj.flatten.flatten
+
+    val newGroupings = agg.groupingExpressions.map(rewriteGroupExpr)
+    if (newGroupings.exists(_.isEmpty)) return None
+
+    def measureName(child: Expression): Option[String] = inline(child) match {
+      case a: AttributeReference =>
+        qcolOf.get(a.exprId).flatMap(d.measureByQ.get)
+      case e =>
+        if (dForms.isEmpty) None
+        else MvRewriteRule.renderForm(e.transform {
+          // render against base names so the form matches the build-side
+          // analysis of the derived-measure SQL
+          case a: AttributeReference => a.withQualifier(Nil)
+        }).flatMap(dForms.get)
+    }
+
+    def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
+      e.aggregateFunction match {
+        case s: Sum => measureName(s.child)
+          .flatMap(m => attrOf(s"s_$m"))
+          .map(p => Sum(p).toAggregateExpression())
+        case m: Min => measureName(m.child).flatMap(n => attrOf(s"mn_$n"))
+          .map(p => Min(p).toAggregateExpression())
+          .orElse(rewriteGroupExpr(m.child)
+            .map(b => Min(b).toAggregateExpression()))
+        case m: Max => measureName(m.child).flatMap(n => attrOf(s"mx_$n"))
+          .map(p => Max(p).toAggregateExpression())
+          .orElse(rewriteGroupExpr(m.child)
+            .map(b => Max(b).toAggregateExpression()))
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null =>
+            attrOf("cnt").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case Seq(one) => measureName(one).flatMap(n => attrOf(s"c_$n"))
+            .map(p => Coalesce(Seq(Sum(p).toAggregateExpression(), Literal(0L))))
+          case _ => None
+        }
+        case _ => None
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae @ AggregateExpression(_, _, false, None, _) => rewriteAggFunc(ae)
+      case AggregateExpression(c: Count, _, true, None, _)
+          if c.children.nonEmpty =>
+        // COUNT(DISTINCT group expressions) — exact on the summary, which
+        // holds every distinct group combination
+        val kids = c.children.map(rewriteGroupExpr)
+        if (kids.forall(_.isDefined))
+          Some(Count(kids.map(_.get)).toAggregateExpression(isDistinct = true))
+        else None
+      case _: AggregateExpression => None
+      case a: AttributeReference => rewriteGroupExpr(a)
+      case l: Literal => Some(l)
+      case _ if e.children.nonEmpty =>
+        val rewritten = e.children.map(rewriteExpr)
+        if (rewritten.forall(_.isDefined))
+          Some(e.withNewChildren(rewritten.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference =>
+        rewriteExpr(inline(a)).map { c =>
+          val typed = if (c.dataType == a.dataType) c else Cast(c, a.dataType)
+          Alias(typed, a.name)(exprId = a.exprId)
+        }
+      case al @ Alias(child, name) =>
+        rewriteExpr(inline(child)).map { c =>
+          val typed = if (c.dataType == al.dataType) c else Cast(c, al.dataType)
+          Alias(typed, name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+
+    val newResults = agg.aggregateExpressions.map(rewriteNamed)
+    if (newResults.exists(_.isEmpty)) None
+    else {
+      val child = keptConds.foldLeft(sumPlan)((p, c) => Filter(c, p))
+      Some(Aggregate(newGroupings.map(_.get), newResults.map(_.get), child))
+    }
+  }
+}

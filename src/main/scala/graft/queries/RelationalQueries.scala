@@ -950,6 +950,71 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // ── Star-schema MV: the q73 rollup shape rerouted to a PRE-JOINED
+    // summary ([[graft.plans.StarMv]]). The build pays the six-table
+    // shuffle join ONCE and groups it by (n_name, r_name, o_orderdate);
+    // the query below — q73's own join tree, filters, and revenue
+    // expression — is then matched by equivalence-class join
+    // canonicalization and answered from |nation × day| summary rows with
+    // the fact never rescanned (StarMvSpec pins the reroute on the plan).
+    // The oracle is the plain six-table join: a summary that joined,
+    // grouped, or re-aggregated wrongly hash-fails. At 100 TB this is THE
+    // dashboard accelerator for a CDC-synced star schema — the exact
+    // service Greenplum summary tables give the reference's users.
+    // Measures: the decimal revenue expression (registered as a DERIVED
+    // measure, matched on its optimized form) re-aggregates exactly;
+    // min/max over double l_quantity are order-independent; the float SUM
+    // of l_quantity is deliberately absent (order-dependent).
+    "q210_star_mv" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      // register over scratch COPIES of the six tables, not the shared
+      // corpus paths: the registry is session-global, and a def keyed on
+      // the corpus would silently reroute q73 (and any other star query)
+      // run later in the same session — correct values, but plan pins and
+      // round-over-round bench comparisons would move under them
+      val scratch = QueryScratch.dir(
+        s"starmv_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders", "customer", "supplier",
+        "nation", "region")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      def t2(n: String) = s.read.parquet(s"$scratch/$n")
+      val Seq(li, or, cu, su, na, re) = names.map(n => s"$scratch/$n")
+      StarMv.build(s, StarMvDef(
+        tables = Seq(li, or, cu, su, na, re),
+        joins = Seq(
+          (QCol(li, "l_orderkey"), QCol(or, "o_orderkey")),
+          (QCol(or, "o_custkey"), QCol(cu, "c_custkey")),
+          (QCol(li, "l_suppkey"), QCol(su, "s_suppkey")),
+          (QCol(cu, "c_nationkey"), QCol(su, "s_nationkey")),
+          (QCol(su, "s_nationkey"), QCol(na, "n_nationkey")),
+          (QCol(na, "n_regionkey"), QCol(re, "r_regionkey"))),
+        groupCols = Seq(QCol(na, "n_name"), QCol(re, "r_name"),
+          QCol(or, "o_orderdate")),
+        measureCols = Seq(QCol(li, "l_quantity")),
+        summaryPath = s"$scratch/summary",
+        derivedMeasures = Seq("revenue" -> rev)))
+      t2("lineitem")
+        .join(t2("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t2("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t2("supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t2("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t2("region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr(rev)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -1738,6 +1803,26 @@ object RelationalQueries {
         |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |       AS DOUBLE) AS revenue,
         |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    // q210: the oracle is the plain six-table star join — the pre-joined
+    // summary is an implementation detour the rewrite must make invisible.
+    "q210_star_mv" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_items,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
