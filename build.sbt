@@ -27,5 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
+  // Embedded Derby (the q23/JdbcTableStore test warehouse) defaults to a
+  // 1000-page (~4 MB) page cache; under the bench's executor-parallel
+  // staging reads that thrashes and swings q23 by tens of percent
+  // round-over-round. 8000 pages (~32 MB) pins the working set.
+  "-Dderby.storage.pageCacheSize=8000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -46,9 +46,7 @@ object Bench {
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     // (time, error): a failing query must surface as an "err" entry, never
     // as a ~0 s timing that flatters the total.
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // Materialize the query's own physical plan in full (every output
       // column, every row) — a count() on top would let Catalyst prune the
@@ -66,8 +64,30 @@ object Bench {
       // per-job cluster run ever sees. Via the CacheManager so the plan
       // cache can't hand a later query a gutted InMemoryRelation.
       spark.sharedState.cacheManager.clearCache()
-      name -> (elapsed, err)
+      (elapsed, err)
     }
+    // q23's timing is dominated by the embedded-Derby warehouse, whose
+    // single-JVM page-cache/GC interactions have historically swung it 70%
+    // round-over-round (r8 verdict). Report the MEDIAN of 3 runs so the
+    // round-over-round signal is the merge plan, not the harness; the raw
+    // runs land in the detail file's `median3` field.
+    val medianOf3 = Set("q23_cdc_jdbc_e2e")
+    var median3Raw = Map.empty[String, Seq[Double]]
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val first = runOnce(name, fn)
+        val r = if (!medianOf3.contains(name) || first._2.isDefined) first
+        else {
+          val runs = first +: Seq.fill(2)(runOnce(name, fn))
+          runs.find(_._2.isDefined).getOrElse {
+            val times = runs.map(_._1).sorted
+            median3Raw += name -> runs.map(_._1)
+            (times(1), None)
+          }
+        }
+        name -> r
+      }
     // 3-decimal seconds: the driver captures a bounded stdout TAIL — full
     // double precision across 120+ queries risks cutting the line's head
     // (both r6 and r7 lost the leading "total" field to exactly that).
@@ -87,8 +107,12 @@ object Bench {
     // headline subset + every errored query, ≲1500 chars.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     val all = results.toSeq.sortBy(_._1)
+    val median3Json = median3Raw.toSeq.sortBy(_._1).map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map(sec).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","errors":$errCount,""" +
+        s""""median3":$median3Json,""" +
         s""""queries":${all.map { case (k, r) => entry(k, r) }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -113,7 +137,7 @@ object Bench {
       "q111_orc_roundtrip", "q118_triangles", "q121_bfs_hops",
       "q122_pagerank", "q123_prefix_jaccard", "q128_semdedup_e2e",
       "q131_hll_distinct", "q146_cms_freq", "q147_ann_rerank",
-      "q153_inverted_index", "q157_entity_resolution")
+      "q153_inverted_index", "q157_entity_resolution", "q210_star_mv")
     // Cap the error entries at 10 with hard-truncated messages: a
     // wide-blast failure (e.g. a corpus drift) must not push the line back
     // over the tail window — `errors`:N plus the detail file carry the rest.

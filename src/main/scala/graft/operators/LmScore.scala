@@ -131,8 +131,13 @@ object LmScore {
     val top = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
+    // rank over the ≤ topK survivors: partitioning by a literal keeps the
+    // same single-partition execution over the bounded set but declares the
+    // boundedness in-plan — an unpartitioned window would emit the WindowExec
+    // all-to-one warning every reader/scan tool must then re-derive as safe
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))).cast("long"))
       .select("rank", "tok_a", "tok_b", "cnt")
   }
