@@ -347,6 +347,47 @@ object CdcQueries {
       } finally dropDerby(dbUrl)
     }),
 
+    // ── Catalog-level consistent snapshot across TWO CDC-synced tables:
+    // init orders+customer stores, commit the catalog boundary, then merge
+    // a batch into ORDERS ONLY and "crash" before the customer merge and
+    // the catalog commit — exactly the torn-read window per-table
+    // manifests leave open. The query joins BOTH tables through
+    // [[graft.sources.SnapshotCatalog.snapshotAll]]: the oracle is the
+    // PRE-BATCH join, so a catalog that leaked the orders merge (RUSH
+    // priorities, deleted %10=3 keys) hash-fails. The reference's users
+    // get only per-table transactions from Greenplum; this exceeds that.
+    "q211_catalog_snapshot" -> ((s, dir) => {
+      val rootDir = tempRoot()
+      try {
+        val oSpec = TableSpec("public.orders_cat", ordersSchema, Seq("o_orderkey"))
+        val cSpec = TableSpec("public.customer_cat", customerSchema, Seq("c_custkey"))
+        val so = new ParquetTableStore(s, rootDir, oSpec, 16, retainedVersions = 2)
+        val sc = new ParquetTableStore(s, rootDir, cSpec, 16, retainedVersions = 2)
+        val cat = new graft.sources.SnapshotCatalog(s, rootDir,
+          Map(oSpec.name -> so, cSpec.name -> sc))
+        def typed(df: DataFrame, schema: StructType) =
+          df.select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val o = typed(s.read.parquet(s"$dir/orders.parquet"), ordersSchema)
+        val c = typed(s.read.parquet(s"$dir/customer.parquet"), customerSchema)
+        so.init(o); sc.init(c)
+        cat.commit() // boundary 1: the raw tables, both committed together
+        // the batch lands in orders, then the writer dies before customer
+        so.merge(graft.operators.CompactedBatch(
+          deletes = o.filter(col("o_orderkey") % 10 === 3).select("o_orderkey"),
+          upserts = o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderpriority", lit("RUSH"))))
+        val snap = cat.snapshotAll() // both tables at boundary 1
+        snap(oSpec.name).join(snap(cSpec.name),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── Time travel on the bucketed store: init from the customer table,
     // merge a deterministic delete/upsert batch, then DIFF the RETAINED
     // pre-merge version (snapshotAt — the lakehouse snapshot-isolation
@@ -511,6 +552,15 @@ object CdcQueries {
         |  FROM customer WHERE c_custkey % 17 <> 0)
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM t WHERE c_acctbal BETWEEN 1200.0 AND 1300.0""".stripMargin,
+
+    // q211: the oracle is the PRE-BATCH two-table join — the orders merge
+    // that already landed in the store must be invisible through the
+    // catalog boundary. A leak shifts priorities/keys and hash-fails.
+    "q211_catalog_snapshot" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog-level consistent snapshots across CDC-synced tables.
+  *
+  * Each [[ParquetTableStore]] commits its own per-table manifest, so a query
+  * joining two synced tables mid-batch can see table A post-merge and table
+  * B pre-merge — a torn cross-table read. The reference never hits this
+  * only because Greenplum applies each table's batch in its own DB
+  * transaction and its users accept per-table consistency
+  * (ChangeLoader.java:211-344 is strictly per-table); this catalog EXCEEDS
+  * that: one atomically-committed file records every table's version at a
+  * micro-batch boundary, and [[snapshotAll]] resolves all tables from that
+  * single record — every reader sees one batch boundary across the whole
+  * schema.
+  *
+  * Protocol per micro-batch (single catalog writer, same contract as the
+  * stores):
+  *
+  *  1. merge every table's batch (each store commits `_vN` per table);
+  *  2. [[commit]] — write `"<table>\t<version>"` lines to a temp file and
+  *     atomically rename over `_catalog/_current`. The rename is THE
+  *     cross-table commit point.
+  *
+  * A crash after some table merges but before [[commit]] leaves the catalog
+  * on the previous record: [[snapshotAll]] still serves the last CONSISTENT
+  * boundary (the crashed batch's versions exist but are unreferenced), and
+  * the streaming replay re-merges the batch — per-key delete+upsert is
+  * idempotent — after which [[commit]] advances every table together.
+  *
+  * Stores must retain ≥ 2 versions: between a store's merge and the
+  * catalog commit, readers resolve the PREVIOUS version, which
+  * `retainedVersions = 1` would let the merge's gc delete.
+  *
+  * Scale: the catalog file is |tables| lines — trivially atomic on any
+  * filesystem with atomic rename; reads cost one small-file read plus the
+  * per-table manifest resolution [[ParquetTableStore.snapshotAt]] already
+  * does. Nothing here touches data files.
+  */
+final class SnapshotCatalog(
+    spark: SparkSession,
+    root: String,
+    stores: Map[String, ParquetTableStore]) {
+  require(stores.nonEmpty, "SnapshotCatalog needs at least one store")
+  require(stores.values.forall(_.retainedVersions >= 2),
+    "SnapshotCatalog requires every store to retain >= 2 versions: between " +
+      "a table's merge and the catalog commit, catalog readers resolve the " +
+      "previous version, which retainedVersions = 1 would gc mid-batch")
+
+  private val catDir = new Path(root, "_catalog")
+  private val curPath = new Path(catDir, "_current")
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fs = catDir.getFileSystem(hadoopConf)
+
+  /** Record every store's CURRENT version as the new consistent boundary
+    * (atomic rename — all tables move together or none do). Call after all
+    * of the batch's merges have committed. Returns what was recorded.
+    */
+  def commit(): Map[String, Long] = {
+    val versions = stores.map { case (t, st) => t -> st.currentVersion }
+    val body = versions.toSeq.sorted.map { case (t, v) => s"$t\t$v" }
+      .mkString("\n").getBytes("UTF-8")
+    fs.mkdirs(catDir)
+    val tmp = new Path(catDir, s"_current.tmp.${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    FileContext.getFileContext(tmp.toUri, hadoopConf)
+      .rename(tmp, curPath, Options.Rename.OVERWRITE)
+    versions
+  }
+
+  /** The last committed (table → version) record; empty before the first
+    * [[commit]].
+    */
+  def current(): Map[String, Long] = {
+    if (!fs.exists(curPath)) return Map.empty
+    val in = fs.open(curPath)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(t, v) = line.split('\t')
+      t -> v.toLong
+    }.toMap
+  }
+
+  /** One table at the last committed boundary. */
+  def snapshot(table: String): DataFrame = {
+    val versions = current()
+    require(versions.nonEmpty, "catalog has no committed boundary yet")
+    require(versions.contains(table), s"catalog has no table $table " +
+      s"(has: ${versions.keys.toSeq.sorted.mkString(",")})")
+    stores(table).snapshotAt(versions(table))
+  }
+
+  /** EVERY table at the same committed boundary — the consistent
+    * cross-table read. All snapshots resolve from one catalog record read
+    * once, so no concurrent merge/commit can tear the set.
+    */
+  def snapshotAll(): Map[String, DataFrame] = {
+    val versions = current()
+    require(versions.nonEmpty, "catalog has no committed boundary yet")
+    versions.map { case (t, v) => t -> stores(t).snapshotAt(v) }
+  }
+}

@@ -90,7 +90,7 @@ final class ParquetTableStore(
     numBuckets: Int = 64,
     broadcastKeyLimit: Long = 1000000L,
     inFilterLimit: Long = 1024L,
-    retainedVersions: Int = 1)
+    val retainedVersions: Int = 1)
   extends TableStore {
   require(retainedVersions >= 1,
     s"retainedVersions must be >= 1, got $retainedVersions")
@@ -152,6 +152,13 @@ final class ParquetTableStore(
     else fs.listStatus(tablePath).map(_.getPath.getName)
       .filter(n => n.startsWith("_v") && n.drop(2).forall(_.isDigit))
       .map(_.drop(2).toLong).toSeq.sorted
+
+  /** Newest committed version — what [[SnapshotCatalog.commit]] records
+    * per table. Fails loudly on an uninitialized store (no commit yet).
+    */
+  def currentVersion: Long = history().lastOption.getOrElse(
+    throw new IllegalStateException(
+      s"table ${spec.name} has no committed version yet — init() first"))
 
   /** Time-travel read: the table exactly as committed at `version` (one of
     * [[history]]). Same lazy-evaluation contract as [[snapshot]] — the

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.TableSpec
+import graft.operators.CompactedBatch
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-table consistent snapshots ([[SnapshotCatalog]]): a reader must
+  * see every table at ONE committed micro-batch boundary, even while the
+  * writer is mid-batch — the torn-read window the per-table manifests
+  * leave open.
+  */
+class SnapshotCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val specA = TableSpec("public.ta",
+    StructType(Seq(StructField("id", LongType), StructField("v", LongType))),
+    Seq("id"))
+  private val specB = TableSpec("public.tb",
+    StructType(Seq(StructField("id", LongType), StructField("w", LongType))),
+    Seq("id"))
+
+  private def mkStores(tag: String): (ParquetTableStore, ParquetTableStore, SnapshotCatalog, String) = {
+    val root = tmpDir(s"cat_$tag")
+    val sa = new ParquetTableStore(spark, root, specA, 4, retainedVersions = 2)
+    val sb = new ParquetTableStore(spark, root, specB, 4, retainedVersions = 2)
+    val cat = new SnapshotCatalog(spark, root,
+      Map("public.ta" -> sa, "public.tb" -> sb))
+    (sa, sb, cat, root)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSet
+
+  test("snapshotAll serves one committed boundary across both tables") {
+    val (sa, sb, cat, _) = mkStores("basic")
+    sa.init((1L to 10L).map(i => (i, i * 10)).toDF("id", "v"))
+    sb.init((1L to 10L).map(i => (i, i * 100)).toDF("id", "w"))
+    cat.commit()
+    val snap = cat.snapshotAll()
+    assert(rows(snap("public.ta")) == (1L to 10L).map(i => (i, i * 10)).toSet)
+    assert(rows(snap("public.tb")) == (1L to 10L).map(i => (i, i * 100)).toSet)
+  }
+
+  test("mid-batch crash: catalog readers stay on the previous consistent pair") {
+    val (sa, sb, cat, _) = mkStores("crash")
+    sa.init((1L to 10L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 10L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit()
+    // batch merges table A, then the writer dies BEFORE merging B /
+    // committing the catalog
+    sa.merge(CompactedBatch(
+      deletes = Seq(1L).toDF("id"),
+      upserts = Seq((2L, 999L)).toDF("id", "v")))
+    // direct store read sees the torn state...
+    assert(rows(sa.snapshot()).contains((2L, 999L)))
+    // ...but the catalog still serves the consistent pre-batch boundary
+    val snap = cat.snapshotAll()
+    assert(rows(snap("public.ta")) == (1L to 10L).map(i => (i, i)).toSet,
+      "catalog must not see table A's uncommitted batch")
+    assert(rows(snap("public.tb")) == (1L to 10L).map(i => (i, i)).toSet)
+    // recovery: the replay re-merges A (idempotent), merges B, commits —
+    // the catalog then moves BOTH tables to the new boundary together
+    sa.merge(CompactedBatch(
+      deletes = Seq(1L).toDF("id"),
+      upserts = Seq((2L, 999L)).toDF("id", "v")))
+    sb.merge(CompactedBatch(
+      deletes = Seq(1L).toDF("id"),
+      upserts = Seq((2L, 888L)).toDF("id", "w")))
+    cat.commit()
+    val snap2 = cat.snapshotAll()
+    assert(rows(snap2("public.ta")) ==
+      ((2L to 10L).map(i => (i, i)).toSet - ((2L, 2L)) + ((2L, 999L))))
+    assert(rows(snap2("public.tb")) ==
+      ((2L to 10L).map(i => (i, i)).toSet - ((2L, 2L)) + ((2L, 888L))))
+  }
+
+  test("a snapshotAll resolved BEFORE a batch still reads the old boundary after it") {
+    val (sa, sb, cat, _) = mkStores("stable")
+    sa.init((1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 5L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit()
+    val before = cat.snapshotAll() // resolve versions NOW
+    sa.merge(CompactedBatch(Seq(1L).toDF("id"), Seq.empty[(Long, Long)].toDF("id", "v")))
+    sb.merge(CompactedBatch(Seq(1L).toDF("id"), Seq.empty[(Long, Long)].toDF("id", "w")))
+    cat.commit()
+    // the pre-batch resolution still evaluates the old retained versions
+    assert(rows(before("public.ta")) == (1L to 5L).map(i => (i, i)).toSet)
+    assert(rows(before("public.tb")) == (1L to 5L).map(i => (i, i)).toSet)
+  }
+
+  test("guard rails: retention requirement, empty catalog, unknown table") {
+    val root = tmpDir("cat_guard")
+    val s1 = new ParquetTableStore(spark, root, specA, 4) // retainedVersions = 1
+    intercept[IllegalArgumentException] {
+      new SnapshotCatalog(spark, root, Map("public.ta" -> s1))
+    }
+    val (sa, sb, cat, _) = mkStores("guard2")
+    intercept[IllegalArgumentException](cat.snapshotAll()) // nothing committed
+    sa.init(Seq((1L, 1L)).toDF("id", "v"))
+    sb.init(Seq((1L, 1L)).toDF("id", "w"))
+    cat.commit()
+    intercept[IllegalArgumentException](cat.snapshot("public.nope"))
+  }
+}
