@@ -40,6 +40,23 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
 
   private val states = TrieMap.empty[UUID, PipelineState]
 
+  // Mid-stream schema-drift counters (see [[graft.parse.SchemaDrift]]):
+  // (table, column) → cumulative rows that carried a data-map key the
+  // spec doesn't cover. The loud per-table signal the reference lacks —
+  // its fixed-schema parse silently drops new columns forever.
+  private val drift = TrieMap.empty[(String, String), Long]
+
+  /** Accumulate a drift observation (called per batch by the pipelines'
+    * drift hook; see [[graft.streaming.CdcPipeline.applyBatch]]).
+    */
+  def recordDrift(table: String, column: String, nEvents: Long): Unit = {
+    drift.updateWith((table, column))(p => Some(p.getOrElse(0L) + nEvents))
+    ()
+  }
+
+  /** Current (table, column) → rows-seen drift counters. */
+  def driftCounters: Map[(String, String), Long] = drift.toMap
+
   // Listener registration is SESSION-global: with several per-source
   // listeners on one SparkSession (the multi-source deployment), every
   // listener would otherwise record every source's queries — the
@@ -140,8 +157,17 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
         s""""batch_ms": ${s.lastBatchDurMs}, "batch_ms_max": ${s.maxBatchDurMs}, """ +
         s""""state": "${s.state}"${s.error.map(e => s""", "error": "${esc(e)}"""").getOrElse("")}}"""
     }.mkString(s",$nl")
+    // schema_drift appears only once something drifted, so the steady-state
+    // payload (and the reference's shape, README.md:138-167) is unchanged
+    val driftJson = {
+      val d = driftCounters
+      if (d.isEmpty) ""
+      else d.toSeq.sorted.map { case ((t, c), n) =>
+        s"""$ind$ind{"table": "${esc(t)}", "column": "${esc(c)}", "rows": $n}"""
+      }.mkString(s",$nl$ind\"schema_drift\": [$nl", s",$nl", s"$nl$ind]")
+    }
     s"""{$nl$ind"source_name": "${esc(source)}",$nl$ind"type": "spark",$nl""" +
-      s"""$ind"pipelines": [$nl$ps$nl$ind]$nl}"""
+      s"""$ind"pipelines": [$nl$ps$nl$ind]$driftJson$nl}"""
   }
 }
 

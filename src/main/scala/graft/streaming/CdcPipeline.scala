@@ -40,7 +40,8 @@ object CdcPipeline {
       stores: Map[String, TableStore],
       flavor: Projection.Flavor = Projection.Maxwell,
       stagingThreshold: Int = 8,
-      stagingDir: Option[String] = None): Unit = {
+      stagingDir: Option[String] = None,
+      driftHook: Option[(String, String, Long) => Unit] = None): Unit = {
     val targets = registry.targets
     def applyTo(df: DataFrame, target: String): Unit = {
       // the merge consumes the compacted batch in several jobs; cache the
@@ -50,11 +51,18 @@ object CdcPipeline {
         Compaction.compact(Projection.typed(df, stores(target).spec, flavor), scope))
       finally scope.release()
     }
+    // mid-stream DDL detection (see [[graft.parse.SchemaDrift]]): one tiny
+    // aggregate over the already-pinned batch; the collect is bounded by
+    // tables × drifted columns, never by rows
+    def detectDrift(df: DataFrame): Unit = driftHook.foreach { hook =>
+      graft.parse.SchemaDrift.detect(df, registry).collect()
+        .foreach(r => hook(r.getString(0), r.getString(1), r.getLong(2)))
+    }
 
     if (targets.size < stagingThreshold) {
       // One pass over the (possibly Kafka-backed) batch feeds every table.
       events.persist()
-      try targets.foreach(applyTo(events, _))
+      try { detectDrift(events); targets.foreach(applyTo(events, _)) }
       finally events.unpersist()
     } else {
       val spark = events.sparkSession
@@ -71,6 +79,7 @@ object CdcPipeline {
         // Explicit schema: keeps an all-empty batch readable and pins the
         // partition column's type.
         val staged = spark.read.schema(events.schema).parquet(staging)
+        detectDrift(staged)
         targets.foreach(applyTo(staged, _))
       } finally {
         val p = new org.apache.hadoop.fs.Path(staging)
@@ -103,9 +112,10 @@ object CdcPipeline {
       batch: DataFrame,
       registry: TableRegistry,
       stores: Map[String, TableStore],
-      stagingDir: Option[String] = None): Unit =
+      stagingDir: Option[String] = None,
+      driftHook: Option[(String, String, Long) => Unit] = None): Unit =
     applyBatch(MaxwellParser.events(batch, registry, col("offset")), registry, stores,
-      stagingDir = stagingDir)
+      stagingDir = stagingDir, driftHook = driftHook)
 
   /** Debezium twin of [[applyMaxwellKafkaBatch]]: topic supplies routing.
     * `namespace` (when known) strips the exact — possibly dotted — topic
@@ -212,7 +222,8 @@ object CdcPipeline {
       stores: Map[String, TableStore],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      driftMetrics: Option[graft.obs.PipelineMetrics] = None): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
     // Back-pressure for the bulk-replay case, the file twin of the Kafka
     // paths' maxOffsetsPerTrigger: without a cap a replay dir's ENTIRE
@@ -230,7 +241,8 @@ object CdcPipeline {
         try {
           val ordered = sequenceReplayBatch(batch, batchId, scope)
           applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
-            stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
+            stagingDir = Some(s"$checkpointDir/_graft_batch_staging"),
+            driftHook = driftMetrics.map(m => m.recordDrift _))
         } finally scope.release()
       }
       .start()
