@@ -55,7 +55,8 @@ final class MorTableStore(
     root: String,
     val spec: TableSpec,
     numBuckets: Int = 64,
-    compactThreshold: Int = 8)
+    compactThreshold: Int = 8,
+    autoCompact: Boolean = false)
   extends TableStore {
   require(compactThreshold >= 2,
     s"compactThreshold must be >= 2, got $compactThreshold")
@@ -217,9 +218,21 @@ final class MorTableStore(
     val rows = upserts.unionByName(tombstones).withColumn("_seq", lit(seq))
     val written = writeBucketDirs(rows, seq)
     if (written.isEmpty) return
-    commitManifest(manifest ++ written.map { case (b, d) =>
+    val next = manifest ++ written.map { case (b, d) =>
       b -> (manifest.getOrElse(b, Seq.empty) :+ d)
-    })
+    }
+    commitManifest(next)
+    // Self-compaction policy (`autoCompact = true`): fold threshold-deep
+    // stacks right after the merge COMMITS — the batch is already durable
+    // and visible, so a crash mid-compaction costs nothing (the next
+    // merge/compact gc's the staged dirs), and the steady-state CDC
+    // pipeline never needs an external compaction scheduler. The policy
+    // check is manifest-only (no data read); compact() itself touches only
+    // the qualifying buckets.
+    if (autoCompact &&
+        next.values.exists(_.lengthCompare(compactThreshold) >= 0)) {
+      compact(); ()
+    }
   }
 
   /** Fold every bucket whose stack reached `compactThreshold` dirs back to

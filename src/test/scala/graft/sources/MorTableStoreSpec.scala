@@ -95,6 +95,46 @@ class MorTableStoreSpec extends SparkTestBase {
     assert(got == Map(6 -> "x", 7 -> "v7"), "tombstoned 5 and absent 99 must miss")
   }
 
+  test("autoCompact: a streaming replay self-compacts by policy, snapshot converges") {
+    import graft.model.TableRegistry
+    val registry = TableRegistry(Map("demo.m" -> "public.m"),
+      Map("public.m" -> spec))
+    val store = new MorTableStore(spark, tmpDir("mor-auto"), spec,
+      numBuckets = 2, compactThreshold = 2, autoCompact = true)
+    store.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    // six replay files → six micro-batches at maxFilesPerTrigger = 1; each
+    // merge adds a delta dir per touched bucket, so WITHOUT the policy the
+    // stacks would reach depth 7
+    val in = tmpDir("mor-auto-in")
+    def env(i: Int, op: String, v: String) =
+      s"""{"database":"demo","table":"m","type":"$op","ts":1,""" +
+        s""""data":{"id":$i,"v":"$v"}}"""
+    val files = Seq(
+      Seq(env(1, "update", "a1"), env(4, "insert", "d")),
+      Seq(env(2, "delete", "b")),
+      Seq(env(3, "update", "c1")),
+      Seq(env(2, "insert", "b2")),
+      Seq(env(4, "update", "d1")),
+      Seq(env(5, "insert", "e")))
+    files.zipWithIndex.foreach { case (lines, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(in, f"f$i%03d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5) // distinct mtimes → deterministic arrival order
+    }
+    val q = graft.streaming.CdcPipeline.fileMaxwellStream(
+      spark, in, registry, Map("public.m" -> store),
+      checkpointDir = tmpDir("mor-auto-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1)
+    assert(q.awaitTermination(120000), "replay must drain")
+    assert(state(store) ==
+      Map(1 -> "a1", 3 -> "c1", 2 -> "b2", 4 -> "d1", 5 -> "e"))
+    // the policy kept every stack below the threshold with NO manual call
+    assert(store.stackDepths().values.forall(_ < 2),
+      s"auto-compaction must hold stacks under threshold: ${store.stackDepths()}")
+  }
+
   test("reopening with a different bucket count fails loudly") {
     val root = tmpDir("mor-buckets")
     val s4 = new MorTableStore(spark, root, spec, numBuckets = 4)

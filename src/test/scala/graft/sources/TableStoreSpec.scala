@@ -350,4 +350,32 @@ class TableStoreSpec extends SparkTestBase {
       .map(_.split('\t')(1)).toSet finally manifest.close()
     assert(data.list().toSet == liveDirs)
   }
+
+  test("analyze persists version-stamped stats; staleBy tracks later commits") {
+    val s = new ParquetTableStore(spark, tmpDir("store-stats"), spec, 4,
+      retainedVersions = 3)
+    s.init(Seq((1, "a"), (2, "b"), (3, null.asInstanceOf[String]))
+      .toDF("id", "v"))
+    assert(s.stats().isEmpty, "no stats before the first analyze")
+    val t0 = s.analyze()
+    assert(t0.nRows == 3 && t0.staleBy == 0)
+    val byName = t0.columns.map(c => c.name -> c).toMap
+    assert(byName("id").nNonNull == 3 && byName("v").nNonNull == 2)
+    assert(byName("id").ndvEst == 3 && byName("v").ndvEst == 2)
+    assert(byName("id").minStr.contains("1") && byName("id").maxStr.contains("3"))
+    assert(byName("v").minStr.contains("a") && byName("v").maxStr.contains("b"))
+    // two more commits: the persisted record stays, staleness is reported
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((4, "d")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq.empty[Int].toDF("id"), Seq((5, "e")).toDF("id", "v")))
+    val stale = s.stats().get
+    assert(stale.version == t0.version && stale.staleBy == 2,
+      s"stats must report exactly how far behind they are: $stale")
+    assert(stale.nRows == 3, "the record still describes ITS version")
+    // the stats describe snapshotAt(version) exactly (version retained)
+    assert(s.snapshotAt(stale.version).count() == stale.nRows)
+    // re-analyze: fresh record at the current version
+    val t1 = s.analyze()
+    assert(t1.staleBy == 0 && t1.nRows == 4)
+    assert(s.stats().get.version == t1.version)
+  }
 }
