@@ -185,23 +185,31 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int = 10, cells: Int = 16, probes: Int = 4): DataFrame = {
+      k: Int = 10, cells: Int = 16, probes: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     require(k > 0 && cells > 0 && probes > 0,
       s"ivfTopK: k=$k, cells=$cells, probes=$probes must all be positive")
+    require(trainIters >= 0, s"ivfTopK: trainIters must be >= 0, got $trainIters")
     import org.apache.spark.sql.expressions.Window
     // codebook candidates must be usable centroids: a NULL vector would NPE
     // the driver collect, and a zero-norm one would normalize to all-NaN —
     // and since NaN sorts greatest and NaN==NaN, the NaN cell would win
-    // argmax for EVERY row, silently collapsing IVF into brute force
-    val picked = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && dot(col("v"), col("v")) > 0)
-      .withColumn("h",
-        graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
-      .orderBy(col("h"), col("id"))
-      .limit(cells)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // argmax for EVERY row, silently collapsing IVF into brute force.
+    // The codebook is [[Clustering.kmeansCentroids]] over the filtered
+    // corpus: trainIters = 0 keeps the historical hash-ordered sample (the
+    // k-means SEEDS are exactly that sample — deterministic, no RNG), while
+    // trainIters > 0 runs that many Lloyd updates so cells track density —
+    // measurably better recall at the same probe budget (AnnRecallSpec).
+    val filtered = corpus
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .filter(col(vecCol).isNotNull && dot(col(vecCol), col(vecCol)) > 0)
+    val picked = (try Clustering
+      .kmeansCentroids(filtered, idCol, vecCol, cells, trainIters)
+    catch { case e: IllegalArgumentException if e.getMessage.contains("empty") =>
+      throw new IllegalArgumentException(
+        "requirement failed: ivfTopK: no non-null, non-zero corpus vectors")
+    }).filter(c => c.foldLeft(0.0)((a, x) => a + x * x) > 0)
     require(picked.nonEmpty, "ivfTopK: no non-null, non-zero corpus vectors")
     require(picked.map(_.length).distinct.length == 1,
       s"ivfTopK: mixed embedding dimensions in codebook sample: " +
@@ -265,19 +273,27 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int = 10, subspaces: Int = 4, codewords: Int = 16): DataFrame = {
+      k: Int = 10, subspaces: Int = 4, codewords: Int = 16,
+      trainIters: Int = 0): DataFrame = {
     require(k > 0 && subspaces > 0 && codewords > 0,
       s"pqTopK: k=$k, subspaces=$subspaces, codewords=$codewords must be positive")
+    require(trainIters >= 0, s"pqTopK: trainIters must be >= 0, got $trainIters")
     import org.apache.spark.sql.expressions.Window
-    val picked = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && dot(col("v"), col("v")) > 0)
-      .withColumn("h",
-        graft.functions.TextFunctions.md5Hash60(col("id").cast("string")))
-      .orderBy(col("h"), col("id"))
-      .limit(codewords)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // same codebook contract as [[ivfTopK]]: trainIters = 0 is the
+    // hash-ordered sample (k-means seeds), > 0 Lloyd-refines on the full
+    // vectors (sub-sliced below — centroid slices ARE the per-subspace
+    // means of the induced assignment, a PQ-flavored initialization that
+    // keeps one training pass for all subspaces)
+    val filteredPq = corpus
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .filter(col(vecCol).isNotNull && dot(col(vecCol), col(vecCol)) > 0)
+    val picked = try Clustering
+      .kmeansCentroids(filteredPq, idCol, vecCol, codewords, trainIters)
+    catch { case e: IllegalArgumentException if e.getMessage.contains("empty") =>
+      throw new IllegalArgumentException(
+        "requirement failed: pqTopK: no non-null, non-zero corpus vectors")
+    }
     require(picked.nonEmpty, "pqTopK: no non-null, non-zero corpus vectors")
     require(picked.map(_.length).distinct.length == 1,
       s"pqTopK: mixed embedding dimensions in codeword sample: " +
