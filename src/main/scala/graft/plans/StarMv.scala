@@ -166,9 +166,35 @@ object StarMv {
     joined
   }
 
+  /** Recompute the summary from the CURRENT base tables and swap the
+    * registration to a fresh versioned path (`<path>_v<n>`) — the
+    * post-CDC-merge refresh. The OLD registration is removed BEFORE the
+    * recompute (a rebuild must never be satisfied from its own stale
+    * summary — the same posture as [[MaterializedView.build]]), and the
+    * old summary files are never overwritten, so a query planned against
+    * them keeps evaluating; queries planned mid-rebuild fall back to the
+    * base join — correct, just unaccelerated for that window.
+    */
+  def rebuild(spark: SparkSession, d: StarMvDef): StarMvDef = {
+    val base = d.summaryPath.replaceAll("_v\\d+$", "")
+    val next =
+      if (d.summaryPath == base) s"${base}_v1"
+      else base + "_v" + (d.summaryPath.substring(
+        d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
+    unregister(d.summaryPath)
+    build(spark, d.copy(summaryPath = next))
+  }
+
   /** Compute and write the pre-joined summary, register the definition.
     * One fact-sized shuffle join + map-side-combined aggregate — the cost
-    * every later rollup amortizes.
+    * every later rollup amortizes. First build only: refreshing an
+    * existing registration goes through [[rebuild]], which never
+    * overwrites a summary path a planned reader may still evaluate.
+    *
+    * Note: the build's own aggregate can be captured by a DIFFERENT
+    * registered definition over the same leaf set — correct iff that
+    * sibling is fresh, which is already the staleness contract every MV
+    * query lives under; unregister stale siblings before building.
     */
   def build(spark: SparkSession, d: StarMvDef): StarMvDef = {
     require(d.groupCols.nonEmpty, "star MV needs at least one group column")

@@ -205,6 +205,32 @@ class StarMvSpec extends SparkTestBase {
     assert(on == off, s"rewrite changed q210's values:\n on=$on\noff=$off")
   }
 
+  test("rebuild after a base mutation: versioned swap, fresh values, no self-capture") {
+    val (f, c, i, s) = setup("rebuild")
+    var d = StarMv.build(spark, defFor(f, c, i, s))
+    try {
+      // mutate the fact: append rows for customer 1 / item 1
+      Seq((1L, 1L, 100, 10L)).toDF("f_cust", "f_item", "f_qty", "f_price")
+        .write.mode("append").parquet(f)
+      d = StarMv.rebuild(spark, d)
+      assert(d.summaryPath == s"${s}_v1", d.summaryPath)
+      val q = joined(f, c, i).groupBy("c_region")
+        .agg(sum(col("f_qty")).as("sq"), max(col("f_qty")).as("mx"))
+      assert(scanPaths(q) == Seq(MaterializedView.normalize(d.summaryPath)),
+        "post-rebuild queries must reroute to the NEW version")
+      // the appended row must be in the rerouted answer — a rebuild that
+      // read its own stale summary would miss it
+      val got = q.as[(String, Long, Int)].collect()
+        .map { case (k, v, m) => k -> (v, m) }.toMap
+      val want = (factRows :+ (1L, 1L, 100, 10L))
+        .groupBy { case (fc, _, _, _) => custRows(fc.toInt - 1)._2 }
+        .map { case (r, rs) => r -> (rs.map(_._3.toLong).sum, rs.map(_._3).max) }
+      assert(got == want)
+      d = StarMv.rebuild(spark, d)
+      assert(d.summaryPath == s"${s}_v2", d.summaryPath)
+    } finally StarMv.unregister(d.summaryPath)
+  }
+
   test("build refuses non-unique registered names and disconnected graphs") {
     val (f, c, i, s) = setup("req")
     intercept[IllegalArgumentException] {
