@@ -130,11 +130,17 @@ object StarMv {
 
   /** Fold the registered tables into one joined DataFrame, connecting one
     * new table per step; pairs whose tables are both already connected
-    * become post-join equality filters.
+    * become post-join equality filters. `replaced` substitutes a table's
+    * DataFrame (the join-delta maintenance path: inner joins distribute
+    * over bag union/difference table-by-table, so joining a DELTA of one
+    * table against the others' current states IS the summary's delta).
     */
-  private def joinTables(spark: SparkSession, d: StarMvDef): DataFrame = {
-    val byPath = d.tables.map(p =>
-      MaterializedView.normalize(p) -> spark.read.parquet(p)).toMap
+  private def joinTables(spark: SparkSession, d: StarMvDef,
+      replaced: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val byPath = d.tables.map { p =>
+      val n = MaterializedView.normalize(p)
+      n -> replaced.getOrElse(n, spark.read.parquet(p))
+    }.toMap
     var joined = byPath(MaterializedView.normalize(d.tables.head))
     var in = Set(MaterializedView.normalize(d.tables.head))
     var pending = d.joins.map { case (a, b) => (a.normalized, b.normalized) }
@@ -183,6 +189,166 @@ object StarMv {
         d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
     unregister(d.summaryPath)
     build(spark, d.copy(summaryPath = next))
+  }
+
+  /** INCREMENTAL refresh for a CDC batch on ONE of the registered tables
+    * (`tablePath`), the others unchanged — real join-delta IVM, not a
+    * rebuild: inner joins distribute over bag union/difference per table,
+    * so `J(T₁ … Tᵢ±Δ … Tₙ) = J(old) + (T₁…Δ⁺…Tₙ) − (T₁…Δ⁻…Tₙ)` and the
+    * summary folds DELTA-JOIN-sized partials instead of re-joining the
+    * fact. `inserts`/`deletes` carry the changed table's columns (a delete
+    * row restates the deleted row's values — the CDC delete image); call
+    * AFTER the batch landed in that table (the min/max repair reads the
+    * CURRENT join).
+    *
+    * Maintenance algebra = [[MaterializedView.refreshDelta]]'s, lifted to
+    * the join: sum/count/cnt partials merge by signed addition; min/max
+    * are unmaintainable under deletes, so groups whose stored extreme a
+    * deleted value touches are recomputed from the post-batch join in one
+    * pruned pass (broadcast semi join on the batch-bounded affected key
+    * set; per-column IN pushdown under `recomputeKeyCap`). All
+    * maintenance joins are null-safe — NULL dimension values are legal
+    * group keys. A group whose cnt reaches 0 leaves the summary; negative
+    * cnt (deleting join rows that never existed) fails loudly in-plan.
+    * Same versioned-path swap and crash posture as [[rebuild]].
+    *
+    * Changing a DIMENSION's join-key or group columns mid-stream is the
+    * one shape this cannot maintain cheaply (it re-keys history) — batch
+    * deltas on such a table still work through this path (the delta join
+    * computes exactly the affected join rows), but the deletes must
+    * restate the OLD dimension rows, and a simpler operational answer is
+    * [[rebuild]].
+    *
+    * Cost: two delta joins (delta × bounded dims — broadcast-sized in the
+    * star shape) + a groups-sized merge + a pruned recompute ∝ affected
+    * groups. Never a full re-join.
+    */
+  def refreshTableDelta(spark: SparkSession, d: StarMvDef, tablePath: String,
+      inserts: DataFrame, deletes: DataFrame,
+      recomputeKeyCap: Int = 1000): StarMvDef = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, concat, concat_ws, raise_error, when}
+    val path = MaterializedView.normalize(tablePath)
+    require(d.tables.map(MaterializedView.normalize).contains(path),
+      s"$tablePath is not one of the MV's tables")
+    require(registry.contains(d), "refreshTableDelta needs the CURRENTLY " +
+      "registered definition (register/build first)")
+    val g = d.groupCols.map(q => col(q.name))
+    val gNames = d.groupCols.map(_.name)
+    val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)
+    val old = spark.read.parquet(d.summaryPath)
+    val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
+    def deltaJoin(delta: DataFrame): DataFrame = {
+      val joined = joinTables(spark, d, Map(path -> delta))
+      d.derivedMeasures.foldLeft(joined) { case (acc, (n, sql)) =>
+        acc.withColumn(n, expr(sql)) }
+    }
+    val insAggs = allMeasures.flatMap(m => Seq(
+      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
+      count(lit(1)).as("cnt")
+    val insP = deltaJoin(inserts).groupBy(g: _*)
+      .agg(insAggs.head, insAggs.tail: _*)
+    val delAggs = allMeasures.flatMap(m => Seq(
+      sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
+      min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))) :+
+      count(lit(1)).as("dcnt")
+    val delP = deltaJoin(deletes).groupBy(g: _*)
+      .agg(delAggs.head, delAggs.tail: _*)
+    val delSigned = delP.select(g ++ allMeasures.flatMap(m => Seq(
+      (-col(s"ds_$m")).cast(oldTypes(s"s_$m")).as(s"s_$m"),
+      (-col(s"dc_$m")).as(s"c_$m"),
+      lit(null).cast(oldTypes(s"mn_$m")).as(s"mn_$m"),
+      lit(null).cast(oldTypes(s"mx_$m")).as(s"mx_$m"))) :+
+      (-col("dcnt")).as("cnt"): _*)
+    val mergeAggs = allMeasures.flatMap(m => Seq(
+      sum(col(s"s_$m")).as(s"s_$m"), sum(col(s"c_$m")).as(s"c_$m"),
+      min(col(s"mn_$m")).as(s"mn_$m"), max(col(s"mx_$m")).as(s"mx_$m"))) :+
+      sum(col("cnt")).as("cnt")
+    val merged = old.unionByName(insP.selectExpr(old.columns.map(c => s"`$c`"): _*))
+      .unionByName(delSigned.selectExpr(old.columns.map(c => s"`$c`"): _*))
+      .groupBy(g: _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .withColumn("cnt", when(col("cnt") < 0, raise_error(concat(
+        lit("refreshTableDelta: negative count for group ("),
+        concat_ws(",", g.map(_.cast("string")): _*),
+        lit(") — deletes reference join rows that never existed"))))
+        .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+
+    val affectedOpt = if (allMeasures.isEmpty) None else {
+      val touched = allMeasures.map(m =>
+        coalesce(col(s"dmn_$m") <= col(s"mn_$m"), lit(false)) ||
+          coalesce(col(s"dmx_$m") >= col(s"mx_$m"), lit(false)))
+        .reduce(_ || _)
+      Some(delP.join(old,
+          gNames.map(n => delP(n) <=> old(n)).reduce(_ && _), "inner")
+        .filter(touched).select(gNames.map(delP(_)): _*).distinct().cache())
+    }
+    val nAffected = affectedOpt.map(_.count()).getOrElse(0L)
+
+    val repaired = if (nAffected == 0) {
+      merged.select(merged.columns.map(col) ++
+        (lit(null).cast("int").as("_aff") +:
+          allMeasures.flatMap(m => Seq(
+            lit(null).cast(oldTypes(s"mn_$m")).as(s"r_mn_$m"),
+            lit(null).cast(oldTypes(s"mx_$m")).as(s"r_mx_$m")))): _*)
+    } else {
+      val affected = affectedOpt.get
+      var scan = joinTables(spark, d)
+      scan = d.derivedMeasures.foldLeft(scan) { case (acc, (n, sql)) =>
+        acc.withColumn(n, expr(sql)) }
+      scan = scan.select((gNames ++ allMeasures).map(col): _*)
+      if (nAffected <= recomputeKeyCap) {
+        val keyRows = affected.collect()
+        gNames.zipWithIndex.foreach { case (gc, i) =>
+          val vals = keyRows.map(_.get(i)).distinct.toSeq
+          if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))
+        }
+      }
+      val scanF = scan
+      val recomputed = scanF.join(broadcast(affected),
+          gNames.map(n => scanF(n) <=> affected(n)).reduce(_ && _),
+          "left_semi")
+        .groupBy(g: _*)
+        .agg(allMeasures.flatMap(m => Seq(
+          min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).head,
+          allMeasures.flatMap(m => Seq(
+            min(col(m)).as(s"r_mn_$m"), max(col(m)).as(s"r_mx_$m"))).tail: _*)
+      val affT = gNames.foldLeft(affected.withColumn("_aff", lit(1)))(
+        (df, gc) => df.withColumnRenamed(gc, s"_ak_$gc"))
+      val recT = gNames.foldLeft(recomputed)(
+        (df, gc) => df.withColumnRenamed(gc, s"_rk_$gc"))
+      merged
+        .join(broadcast(affT),
+          gNames.map(gc => col(gc) <=> col(s"_ak_$gc")).reduce(_ && _), "left")
+        .join(broadcast(recT),
+          gNames.map(gc => col(gc) <=> col(s"_rk_$gc")).reduce(_ && _), "left")
+    }
+    val finalCols = g ++ allMeasures.flatMap(m => Seq(
+      when(col(s"c_$m") === 0, lit(null).cast(oldTypes(s"s_$m")))
+        .otherwise(col(s"s_$m")).as(s"s_$m"),
+      col(s"c_$m"),
+      when(col("_aff") === 1, col(s"r_mn_$m"))
+        .otherwise(when(col(s"c_$m") === 0,
+          lit(null).cast(oldTypes(s"mn_$m"))).otherwise(col(s"mn_$m")))
+        .as(s"mn_$m"),
+      when(col("_aff") === 1, col(s"r_mx_$m"))
+        .otherwise(when(col(s"c_$m") === 0,
+          lit(null).cast(oldTypes(s"mx_$m"))).otherwise(col(s"mx_$m")))
+        .as(s"mx_$m"))) :+ col("cnt")
+    val next = {
+      val b = d.summaryPath.replaceAll("_v\\d+$", "")
+      if (d.summaryPath == b) s"${b}_v1"
+      else b + "_v" + (d.summaryPath.substring(
+        d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
+    }
+    repaired.select(finalCols: _*).write.mode("overwrite").parquet(next)
+    affectedOpt.foreach(_.unpersist())
+    val nd = d.copy(summaryPath = next)
+    unregister(d.summaryPath)
+    derivedFormCache.remove(nd.summaryPath)
+    register(nd)
+    nd
   }
 
   /** Compute and write the pre-joined summary, register the definition.

@@ -1015,6 +1015,53 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── Star-MV incremental maintenance e2e (join-delta IVM): build the
+    // pre-joined summary over 90% of lineitem ⋈ orders ⋈ customer, land a
+    // CDC batch on the FACT copy (insert the %10 tail, delete every
+    // %13 row — extremes included, so the min/max repair path runs), fold
+    // it with [[graft.plans.StarMv.refreshTableDelta]] — TWO delta-sized
+    // joins plus a pruned repair, never a fact re-join — then roll up
+    // through the rewrite. The oracle is the POST-BATCH three-table join:
+    // a refresh that lost, double-counted, or failed to repair an extreme
+    // hash-fails. At 100 TB this is the REFRESH MATERIALIZED VIEW cadence
+    // on a star schema at delta cost.
+    "q212_star_mv_refresh" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starmvr_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 10 =!= 0)
+        .write.mode("overwrite").parquet(s"$scratch/lineitem")
+      Seq("orders", "customer").foreach(n =>
+        t(s, dir, n).write.mode("overwrite").parquet(s"$scratch/$n"))
+      val (lp, op, cp) = (s"$scratch/lineitem", s"$scratch/orders",
+        s"$scratch/customer")
+      var d = StarMv.build(s, StarMvDef(
+        tables = Seq(lp, op, cp),
+        joins = Seq((QCol(lp, "l_orderkey"), QCol(op, "o_orderkey")),
+          (QCol(op, "o_custkey"), QCol(cp, "c_custkey"))),
+        groupCols = Seq(QCol(lp, "l_returnflag"),
+          QCol(op, "o_orderpriority"), QCol(cp, "c_mktsegment")),
+        measureCols = Seq(QCol(lp, "l_linenumber"), QCol(lp, "l_quantity")),
+        summaryPath = s"$scratch/summary"))
+      // the batch lands in the fact copy, THEN the summary folds the delta
+      li.filter(col("l_orderkey") % 13 =!= 0)
+        .write.mode("overwrite").parquet(lp)
+      d = StarMv.refreshTableDelta(s, d, lp,
+        inserts = li.filter(col("l_orderkey") % 10 === 0),
+        deletes = li.filter(col("l_orderkey") % 13 === 0))
+      s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(cp), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -1833,6 +1880,17 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    // q212: the oracle is the POST-BATCH three-table join — the summary's
+    // delta maintenance (fold + extreme repair) must be invisible.
+    "q212_star_mv_refresh" ->
+      """SELECT l_returnflag, o_orderpriority, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey % 13 <> 0) l
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
     "q75_map_funcs" ->

@@ -29,9 +29,11 @@ class StarMvSpec extends SparkTestBase {
   private val rnd = new scala.util.Random(17)
   private val custRows = (1 to 8).map(i => (i.toLong, s"r${i % 3}"))
   private val itemRows = (1 to 6).map(i => (i.toLong, s"cat${i % 2}"))
-  private val factRows = (1 to 300).map { _ =>
+  // unique price per row → unique tuples, so bag-delete tests can remove
+  // exactly one row by value
+  private val factRows = (1 to 300).map { idx =>
     (rnd.nextInt(8).toLong + 1, rnd.nextInt(6).toLong + 1,
-      rnd.nextInt(20) + 1, (rnd.nextInt(900) + 100).toLong)
+      rnd.nextInt(20) + 1, (100 + idx).toLong)
   }
 
   private def setup(tag: String): (String, String, String, String) = {
@@ -228,6 +230,69 @@ class StarMvSpec extends SparkTestBase {
       assert(got == want)
       d = StarMv.rebuild(spark, d)
       assert(d.summaryPath == s"${s}_v2", d.summaryPath)
+    } finally StarMv.unregister(d.summaryPath)
+  }
+
+  test("refreshTableDelta on the fact: partials fold, deleted extremes repair") {
+    val (f, c, i, s) = setup("tdelta")
+    // build over 80% of the fact; the rest arrives as the CDC batch
+    val (tail, head) = factRows.zipWithIndex.partition(_._2 % 5 == 0)
+    val headRows = head.map(_._1)
+    val tailRows = tail.map(_._1)
+    headRows.toDF("f_cust", "f_item", "f_qty", "f_price")
+      .write.mode("overwrite").parquet(f)
+    var d = StarMv.build(spark, defFor(f, c, i, s))
+    // the batch: insert the tail AND delete each region's current max-qty
+    // row (forces the min/max repair path)
+    val byRegion = headRows.groupBy { case (fc, _, _, _) =>
+      custRows(fc.toInt - 1)._2 }
+    val delRows = byRegion.values.map(_.maxBy(_._3)).toSeq
+    val newFact = headRows.filterNot(delRows.contains) ++ tailRows
+    newFact.toDF("f_cust", "f_item", "f_qty", "f_price")
+      .write.mode("overwrite").parquet(f) // the batch lands in the fact
+    d = StarMv.refreshTableDelta(spark, d, f,
+      inserts = tailRows.toDF("f_cust", "f_item", "f_qty", "f_price"),
+      deletes = delRows.toDF("f_cust", "f_item", "f_qty", "f_price"))
+    assert(d.summaryPath.endsWith("_v1"), d.summaryPath)
+    try {
+      val q = joined(f, c, i).groupBy("c_region")
+        .agg(count(lit(1)).as("n"), sum(col("f_qty")).as("sq"),
+          min(col("f_qty")).as("mnq"), max(col("f_qty")).as("mxq"),
+          sum(col("f_qty") * col("f_price")).as("srev"))
+      assert(scanPaths(q) == Seq(MaterializedView.normalize(d.summaryPath)),
+        "post-refresh queries must reroute to the new version")
+      val want = newFact
+        .map { case (fc, fi, q0, p) => (custRows(fc.toInt - 1)._2, q0, p) }
+        .groupBy(_._1).map { case (r, rs) =>
+          (r, rs.size.toLong, rs.map(_._2.toLong).sum, rs.map(_._2).min,
+            rs.map(_._2).max, rs.map(x => x._2 * x._3).sum) }.toSet
+      assert(q.as[(String, Long, Long, Int, Int, Long)].collect().toSet == want,
+        "refreshed summary diverged from the post-batch join")
+    } finally StarMv.unregister(d.summaryPath)
+  }
+
+  test("refreshTableDelta on a DIMENSION: deleting a customer drops its join rows") {
+    val (fp, c, i, s) = setup("ddelta")
+    var d = StarMv.build(spark, defFor(fp, c, i, s))
+    // customer 3 leaves; its fact rows fall out of the join entirely
+    val gone = custRows(2)
+    custRows.filterNot(_ == gone).toDF("c_id", "c_region")
+      .write.mode("overwrite").parquet(c)
+    d = StarMv.refreshTableDelta(spark, d, c,
+      inserts = Seq.empty[(Long, String)].toDF("c_id", "c_region"),
+      deletes = Seq(gone).toDF("c_id", "c_region"))
+    try {
+      val q = joined(fp, c, i).groupBy("c_region", "i_cat")
+        .agg(sum(col("f_qty")).as("sq"), count(lit(1)).as("n"),
+          max(col("f_qty")).as("mx"))
+      assert(scanPaths(q) == Seq(MaterializedView.normalize(d.summaryPath)))
+      val want = factRows.filter(_._1 != gone._1)
+        .map { case (fc, fi, q0, _) =>
+          (custRows(fc.toInt - 1)._2, itemRows(fi.toInt - 1)._2, q0) }
+        .groupBy(r => (r._1, r._2)).map { case ((r1, r2), rs) =>
+          (r1, r2, rs.map(_._3.toLong).sum, rs.size.toLong, rs.map(_._3).max)
+        }.toSet
+      assert(q.as[(String, String, Long, Long, Int)].collect().toSet == want)
     } finally StarMv.unregister(d.summaryPath)
   }
 
