@@ -3,8 +3,9 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, If, IsNull, Literal, Multiply, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -23,7 +24,9 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   * hierarchies), or any deterministic EXPRESSION over those (month/year
   * rollups from a day summary — grouping base rows by f(group cols)
   * partitions exactly as grouping summary rows by f); whose aggregates
-  * are sum/min/max/count over covered measure columns or count(*); with
+  * are sum/avg/min/max/count over covered measure columns, count(*), or
+  * sum/avg/count/min/max over expressions of group columns (weighted by
+  * the summary's per-group cnt where the aggregate is additive); with
   * Projects (attribute pruning and alias bindings, which are inlined to
   * fixpoint) and Filters between the Aggregate and the base relation.
   * Filter conjuncts must reference only group columns or derived
@@ -39,7 +42,8 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   * count(*) → coalesce(sum(cnt), 0) (the coalesce covers the GLOBAL
   * aggregate over an empty summary, where count must be 0 while sum is
   * null); count(x) → coalesce(sum(c_x), 0); min/max(x) → min/max of the
-  * partial min/max. Every rewritten output keeps the original alias AND
+  * partial min/max; avg(x) → sum(s_x)/sum(c_x) at [[Average]]'s own
+  * internal types. Every rewritten output keeps the original alias AND
   * exprId — parents reference outputs by exprId, so a fresh id would
   * detach the subtree — and a Cast restores the original dataType when
   * re-aggregation widens it (sum over decimal partials grows precision).
@@ -475,6 +479,68 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }.sql).toOption
   }
 
+  /** avg(x) from the summary's (Σ s_x, Σ c_x): mirrors [[Average]]'s own
+    * evaluation — a decimal measure divides at Average's exact internal
+    * types (sum at decimal(p+10,s), count at decimal(20,0), result cast to
+    * Average.resultType), everything else at double — so a rerouted avg
+    * renders the value the base scan would. Float/double measures inherit
+    * the usual decomposition caveat (the base sums in row order, the
+    * summary pre-sums per group: equal in exact arithmetic, last-ulp free
+    * under IEEE — the same freedom sum(x) already has). TRY-mode averages
+    * refuse: their overflow-to-null points differ from the re-aggregated
+    * shape's.
+    */
+  private[plans] def avgFromPartials(a: Average, sumOfSums: Expression,
+      sumOfCounts: Expression): Option[Expression] =
+    if (a.evalMode == EvalMode.TRY) None
+    else a.child.dataType match {
+      // a.dataType IS Average.resultType (decimal(p+4,s+4) bounded);
+      // the internal sum buffer type is decimal(p+10,s) bounded
+      case dt: DecimalType =>
+        val sumType = DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+        Some(Cast(Divide(Cast(sumOfSums, sumType),
+          Cast(sumOfCounts, DecimalType(20, 0))), a.dataType))
+      case _: NumericType => Some(Cast(Divide(Cast(sumOfSums, DoubleType),
+        Cast(sumOfCounts, DoubleType)), a.dataType))
+      case _ => None // interval averages keep their own algebra — refuse
+    }
+
+  /** sum/count/avg over an EXPRESSION OF GROUP COLUMNS, weighted by the
+    * summary's per-group `cnt`: f(group cols) is constant within a group,
+    * so Σ_base f = Σ_groups f·cnt, count_base(f) = Σ_{f≠null} cnt, and avg
+    * is their quotient. Integral f stays bit-exact (long arithmetic both
+    * ways); float/double inherit the reassociation caveat; decimal f
+    * refuses — mirroring the precision walk of f·cnt is not worth the rule
+    * surface.
+    */
+  private[plans] def sumOfGroupExpr(b: Expression,
+      cnt: AttributeReference): Option[Expression] =
+    b.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Sum(Multiply(Cast(b, LongType), cnt)).toAggregateExpression())
+      case DoubleType | FloatType =>
+        Some(Sum(Multiply(Cast(b, DoubleType), Cast(cnt, DoubleType)))
+          .toAggregateExpression())
+      case _ => None
+    }
+
+  private[plans] def countOfGroupExpr(b: Expression,
+      cnt: AttributeReference): Expression =
+    Coalesce(Seq(Sum(If(IsNull(b), Literal(0L), cnt)).toAggregateExpression(),
+      Literal(0L)))
+
+  private[plans] def avgOfGroupExpr(a: Average, b: Expression,
+      cnt: AttributeReference): Option[Expression] =
+    if (a.evalMode == EvalMode.TRY) None
+    else b.dataType match {
+      case dt: NumericType if !dt.isInstanceOf[DecimalType] =>
+        val w = Sum(Multiply(Cast(b, DoubleType), Cast(cnt, DoubleType)))
+          .toAggregateExpression()
+        val n = Sum(If(IsNull(b), Literal(0L), cnt)).toAggregateExpression()
+        Some(Cast(Divide(w, Cast(n, DoubleType)), a.dataType))
+      case _ => None
+    }
+
   private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
       aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
       mv: MvDef): Option[LogicalPlan] = {
@@ -614,10 +680,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
     def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
       e.aggregateFunction match {
+        // TRY-mode sums refuse: try_sum's overflow-to-null point depends on
+        // per-row accumulation order, which the pre-summed partials erase
+        case s: Sum if s.evalContext.evalMode == EvalMode.TRY => None
         case s: Sum => s.child match {
           case a: AttributeReference if measureSet.contains(a.name) =>
             attrOf(s"s_${a.name}").map(p => Sum(p).toAggregateExpression())
-          case _ => None
+          // sum over an expression of GROUP columns: constant per group,
+          // so the base total is the cnt-weighted total over summary rows
+          case ge => for {
+            b <- rewriteGrouping(ge)
+            cnt <- attrOf("cnt")
+            r <- sumOfGroupExpr(b, cnt)
+          } yield r
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference if measureSet.contains(ar.name) =>
+            for {
+              s <- attrOf(s"s_${ar.name}")
+              c <- attrOf(s"c_${ar.name}")
+              r <- avgFromPartials(a, Sum(s).toAggregateExpression(),
+                Sum(c).toAggregateExpression())
+            } yield r
+          case ge => for {
+            b <- rewriteGrouping(ge)
+            cnt <- attrOf("cnt")
+            r <- avgOfGroupExpr(a, b, cnt)
+          } yield r
         }
         case m: Min => m.child match {
           case a: AttributeReference if measureSet.contains(a.name) =>
@@ -640,6 +729,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           case Seq(a: AttributeReference) if measureSet.contains(a.name) =>
             attrOf(s"c_${a.name}").map(p => Coalesce(Seq(
               Sum(p).toAggregateExpression(), Literal(0L))))
+          // count over an expression of group columns (incl. count(NULL)):
+          // Σ cnt over summary rows where the expression is non-null
+          case Seq(one) => for {
+            b <- rewriteGrouping(one)
+            cnt <- attrOf("cnt")
+          } yield countOfGroupExpr(b, cnt)
           case _ => None
         }
         case _ => None

@@ -5,8 +5,8 @@ import java.util.concurrent.CopyOnWriteArrayList
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, EvalMode, Expression, IsNotNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   * join key refuses. Because the summary IS `groupBy(groupCols)` over that
   * exact join, matching queries re-aggregate it with the same decomposable
   * algebra as the single-table rule (sum→sum, min/max→min/max of partials,
-  * count→sum of counts) — no PK/FK or multiplicity reasoning needed.
+  * count→sum of counts, avg→sum of sums over sum of counts at Average's
+  * own internal types) — no PK/FK or multiplicity reasoning needed.
   *
   * Filter conjuncts must be deterministic and reference only group columns
   * (replayed on the summary — a group column's value survives the groupBy,
@@ -563,9 +564,28 @@ object StarMv {
 
     def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
       e.aggregateFunction match {
+        case s: Sum if s.evalContext.evalMode == EvalMode.TRY => None // see MvRewriteRule
         case s: Sum => measureName(s.child)
           .flatMap(m => attrOf(s"s_$m"))
           .map(p => Sum(p).toAggregateExpression())
+          // sum over an expression of group columns, cnt-weighted
+          .orElse(for {
+            b <- rewriteGroupExpr(s.child)
+            cnt <- attrOf("cnt")
+            r <- MvRewriteRule.sumOfGroupExpr(b, cnt)
+          } yield r)
+        case a: Average => measureName(a.child).flatMap { m =>
+          for {
+            s <- attrOf(s"s_$m")
+            c <- attrOf(s"c_$m")
+            r <- MvRewriteRule.avgFromPartials(a,
+              Sum(s).toAggregateExpression(), Sum(c).toAggregateExpression())
+          } yield r
+        }.orElse(for {
+          b <- rewriteGroupExpr(a.child)
+          cnt <- attrOf("cnt")
+          r <- MvRewriteRule.avgOfGroupExpr(a, b, cnt)
+        } yield r)
         case m: Min => measureName(m.child).flatMap(n => attrOf(s"mn_$n"))
           .map(p => Min(p).toAggregateExpression())
           .orElse(rewriteGroupExpr(m.child)
@@ -580,6 +600,11 @@ object StarMv {
               Sum(p).toAggregateExpression(), Literal(0L))))
           case Seq(one) => measureName(one).flatMap(n => attrOf(s"c_$n"))
             .map(p => Coalesce(Seq(Sum(p).toAggregateExpression(), Literal(0L))))
+            // count over an expression of group columns, cnt-weighted
+            .orElse(for {
+              b <- rewriteGroupExpr(one)
+              cnt <- attrOf("cnt")
+            } yield MvRewriteRule.countOfGroupExpr(b, cnt))
           case _ => None
         }
         case _ => None

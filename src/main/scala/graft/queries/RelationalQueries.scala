@@ -724,6 +724,28 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // ── AVG + group-expression aggregates from the MV: avg(x) decomposes
+    // to Σ s_x / Σ c_x at Average's own internal types, and aggregates over
+    // EXPRESSIONS OF GROUP COLUMNS (constant within a group) weight by the
+    // summary's per-group cnt — Σ_base f = Σ_groups f·cnt. Measures are
+    // integer-valued (int linenumber, integral-valued double quantity), so
+    // every double sum is exact below 2^53 and the rewritten and direct
+    // paths are bit-identical. The dashboard shape this serves at 100 TB:
+    // per-flag averages and status mixes off a few dozen summary rows.
+    "q213_mv_avg_rollup" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      graft.plans.MaterializedView.build(s, s"$dir/lineitem.parquet",
+        Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber", "l_quantity"),
+        QueryScratch.dir(s"mvavg_${java.lang.Integer.toHexString(dir.hashCode)}"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_linenumber")).as("avg_lines"),
+          sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          avg(ascii(col("l_linestatus"))).as("avg_status_code"),
+          count(lit(1)).as("n"))
+    }),
+
     // ── Time-HIERARCHY rollup from the day MV: the query groups by
     // trunc(cast(ts as date), 'mon') — an EXPRESSION over the derived day
     // — and the rule re-aggregates the day summary under it (grouping base
@@ -1060,6 +1082,38 @@ object RelationalQueries {
           sum(col("l_linenumber")).as("sum_lines"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
+    }),
+
+    // ── AVG through the star-MV rewrite: per-segment average quantity and
+    // line number over the three-table star, answered from the pre-joined
+    // summary's (Σ s_x, Σ c_x). Both measures are integer-valued, so the
+    // double sums are exact and the rerouted division renders the join's
+    // own truth bit-for-bit. Composes q210's join canonicalization with
+    // q213's avg decomposition — the per-dimension-average dashboard tier.
+    "q214_star_mv_avg" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starmva_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders", "customer")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op, cp) = names.map(n => s"$scratch/$n")
+      StarMv.build(s, StarMvDef(
+        tables = Seq(lp, op, cp),
+        joins = Seq((QCol(lp, "l_orderkey"), QCol(op, "o_orderkey")),
+          (QCol(op, "o_custkey"), QCol(cp, "c_custkey"))),
+        groupCols = Seq(QCol(lp, "l_returnflag"), QCol(cp, "c_mktsegment")),
+        measureCols = Seq(QCol(lp, "l_linenumber"), QCol(lp, "l_quantity")),
+        summaryPath = s"$scratch/summary"))
+      s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(cp), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_linenumber")).as("avg_lines"),
+          count(lit(1)).as("n"))
     }),
 
     // ── Map-typed columns and their function family (construction, keys/
@@ -1690,6 +1744,19 @@ object RelationalQueries {
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY 1""".stripMargin,
 
+    // q213: base-table averages and status mix — the avg and cnt-weighted
+    // group-expression decompositions must be invisible.
+    "q213_mv_avg_rollup" ->
+      """SELECT l_returnflag,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_linenumber) AS avg_lines,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_f,
+        |  avg(ascii(l_linestatus)) AS avg_status_code,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an
     // exact integer, so the estimates agree bit-for-bit.
@@ -1891,6 +1958,18 @@ object RelationalQueries {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // q214: the plain three-table join's averages — the pre-joined
+    // summary's Σs/Σc decomposition must be invisible.
+    "q214_star_mv_avg" ->
+      """SELECT c_mktsegment,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_linenumber) AS avg_lines,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
     "q75_map_funcs" ->

@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * random base must produce IDENTICAL results with the registry populated
   * and empty — a plan-rewriting rule's failure mode is silent wrongness,
   * so the guard is breadth, not hand-picked cases. Shapes deliberately mix
-  * rewritable forms (covered sums/counts/min/max over group subsets,
+  * rewritable forms (covered sums/counts/min/max/avgs over group subsets,
   * group-col filters) with non-rewritable ones (measure filters,
-  * expression aggregates, avg, distinct) — the rule must accelerate the
-  * former and leave the latter byte-identical too.
+  * measure-expression aggregates, distinct over measures) — the rule must
+  * accelerate the former and leave the latter byte-identical too.
   */
 class MvRewriteFuzzSpec extends SparkTestBase {
   import spark.implicits._
@@ -51,8 +51,8 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       i => countDistinct(col("g3")).as(s"a$i"),
       i => min(upper(col("g2"))).as(s"a$i"),
       i => max(concat(col("g1"), col("g3"))).as(s"a$i"),
-      // non-rewritable shapes — must fall through, still correct
       i => avg(col("m1")).as(s"a$i"),
+      // non-rewritable shapes — must fall through, still correct
       i => sum(col("m1") + 1).as(s"a$i"),
       i => countDistinct(col("m2")).as(s"a$i"))
     val filterPool: Seq[Option[Column]] = Seq(
@@ -120,7 +120,7 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       i => count(lit(1)).as(s"a$i"),
       i => min(col("m")).as(s"a$i"),
       i => max(col("m")).as(s"a$i"),
-      i => avg(col("m")).as(s"a$i"))  // non-decomposable — fall-through
+      i => avg(col("m")).as(s"a$i"))  // decomposes to Σs/Σc
     val filterPool: Seq[Option[Column]] = Seq(
       None, Some(col("g") =!= "g0"), Some(col("m") > 0))
 

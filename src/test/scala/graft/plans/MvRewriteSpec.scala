@@ -108,14 +108,19 @@ class MvRewriteSpec extends SparkTestBase {
       val q2m = spark.read.parquet(base).groupBy((col("m1") % 2).as("parity"))
         .agg(sum(col("m2")).as("s2"))
       assert(scanPaths(q2m) == Seq(basePath))
-      // aggregate over an uncovered expression
+      // aggregate over an uncovered expression (mixes a measure)
       val q3 = spark.read.parquet(base).groupBy("g1")
         .agg(sum(col("m1") + 1).as("s1"))
       assert(scanPaths(q3) == Seq(basePath))
-      // avg is not decomposable from these partials
+      // avg with DISTINCT has no summary answer
       val q4 = spark.read.parquet(base).groupBy("g1")
-        .agg(avg(col("m1")).as("a1"))
+        .agg(expr("avg(DISTINCT m1)").as("a1"))
       assert(scanPaths(q4) == Seq(basePath))
+      // TRY-mode aggregates: overflow-to-null points depend on per-row
+      // accumulation, which the summary's pre-summed partials erase
+      val q4t = spark.read.parquet(base).groupBy("g1")
+        .agg(expr("try_sum(m1)").as("s1"), expr("try_avg(m2)").as("a2"))
+      assert(scanPaths(q4t) == Seq(basePath))
       // a non-deterministic filter references no attributes at all, but
       // applying it per SUMMARY row would sample whole groups instead of
       // base rows — must fall through (a trivially-true rand() < 2.0 is
@@ -153,6 +158,70 @@ class MvRewriteSpec extends SparkTestBase {
         .agg(countDistinct(col("m1")).as("dm"))
       assert(scanPaths(qm) == Seq(MaterializedView.normalize(base)),
         "distinct over a measure has no summary answer")
+    }
+  }
+
+  test("avg over a measure rewrites to sum-of-sums over sum-of-counts") {
+    withMv(rows) { (base, summary) =>
+      val q = spark.read.parquet(base).groupBy("g1")
+        .agg(avg(col("m1")).as("a1"), avg(col("m2")).as("a2"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)),
+        s"avg must reroute: ${scanPaths(q)}")
+      val direct = rows.groupBy(_._1).map { case (g, rs) =>
+        (g, rs.map(_._3).sum.toDouble / rs.size, rs.map(_._4).sum / rs.size)
+      }.toSet
+      assert(q.as[(String, Double, Double)].collect().toSet == direct)
+      // global avg over the summary too
+      val g = spark.read.parquet(base).agg(avg(col("m1")).as("a"))
+      assert(scanPaths(g).contains(MaterializedView.normalize(summary)))
+      assert(g.as[Double].collect().toSeq ==
+        Seq(rows.map(_._3).sum.toDouble / rows.size))
+    }
+  }
+
+  test("avg over a decimal measure matches the base bit-exactly") {
+    val dir = tmpDir("mv_dec_base")
+    val sumDir = tmpDir("mv_dec_sum")
+    spark.sql(
+      """SELECT g, CAST(v AS DECIMAL(12,2)) AS m FROM VALUES
+        |('a', 1.25), ('a', 2.10), ('a', 0.01), ('b', -3.33), ('b', 7.77)
+        |AS t(g, v)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    MaterializedView.build(spark, dir, Seq("g"), Seq("m"), sumDir)
+    try {
+      val q = spark.read.parquet(dir).groupBy("g").agg(avg(col("m")).as("a"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(sumDir)))
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val direct =
+        try spark.read.parquet(dir).groupBy("g").agg(avg(col("m")).as("a"))
+          .as[(String, java.math.BigDecimal)].collect().toSet
+        finally spark.conf.unset("spark.graft.mv.enabled")
+      assert(q.as[(String, java.math.BigDecimal)].collect().toSet == direct)
+      // same type out of both plans (decimal(16,6) per Average's widening)
+      assert(q.schema("a").dataType.simpleString == "decimal(16,6)")
+    } finally MaterializedView.unregister(dir)
+  }
+
+  test("sum/count/avg over a group expression weight by cnt") {
+    // g2 length is an integral function of a group column; weighting by the
+    // summary's cnt must reproduce base-row semantics exactly
+    val data = rows ++ Seq(("c", null.asInstanceOf[String], 5, 1.0))
+    withMv(data) { (base, summary) =>
+      val q = spark.read.parquet(base).groupBy("g1")
+        .agg(sum(length(col("g2"))).as("s"),
+          count(col("g2")).as("c"),
+          avg(length(col("g2"))).as("a"))
+      assert(scanPaths(q).contains(MaterializedView.normalize(summary)),
+        s"group-expr aggregates must reroute: ${scanPaths(q)}")
+      val direct = data.groupBy(_._1).map { case (g, rs) =>
+        val lens = rs.flatMap(r => Option(r._2)).map(_.length)
+        (g, if (lens.isEmpty) null else lens.sum.toLong,
+          lens.size.toLong,
+          if (lens.isEmpty) null else lens.sum.toDouble / lens.size)
+      }.toSet
+      assert(q.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet == direct)
     }
   }
 

@@ -130,12 +130,31 @@ class StarMvSpec extends SparkTestBase {
       // aggregate over an uncovered expression
       assert(baseOnly(joined(f, c, i)
         .groupBy("c_region").agg(sum(col("f_qty") + 1).as("sq"))))
-      // avg is not decomposable
+      // avg over an UNCOVERED column (f_price is neither measure nor group)
       assert(baseOnly(joined(f, c, i)
-        .groupBy("c_region").agg(avg(col("f_qty")).as("aq"))))
+        .groupBy("c_region").agg(avg(col("f_price")).as("ap"))))
       // measure in grouping position
       assert(baseOnly(joined(f, c, i)
         .groupBy("f_qty").agg(count(lit(1)).as("n"))))
+    } finally StarMv.unregister(s)
+  }
+
+  test("avg over a plain and a derived measure reroutes and matches the join") {
+    val (f, c, i, s) = setup("avg")
+    StarMv.build(spark, defFor(f, c, i, s))
+    try {
+      val q = joined(f, c, i)
+        .groupBy("c_region")
+        .agg(avg(col("f_qty")).as("aq"),
+          avg(col("f_qty") * col("f_price")).as("arev"))
+      assert(scanPaths(q) == Seq(MaterializedView.normalize(s)),
+        s"avg must reroute: ${scanPaths(q)}")
+      val want = factRows
+        .map { case (fc, _, q0, p) => (custRows(fc.toInt - 1)._2, q0, p) }
+        .groupBy(_._1).map { case (r, rs) =>
+          (r, rs.map(_._2).sum.toDouble / rs.size,
+            rs.map(x => x._2 * x._3).sum.toDouble / rs.size) }.toSet
+      assert(q.as[(String, Double, Double)].collect().toSet == want)
     } finally StarMv.unregister(s)
   }
 
