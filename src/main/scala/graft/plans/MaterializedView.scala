@@ -378,7 +378,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       !conf.getConfString("spark.graft.mv.enabled", "true").toBoolean) plan
     else plan.transformUp {
       case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg).orElse(StarMv.tryRewrite(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteExpand(agg))
+          .orElse(StarMv.tryRewrite(agg)).getOrElse(agg)
     }
   }
 
@@ -421,6 +422,266 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       mv <- lookup(path)
       plan <- rewriteWith(agg, conds, aliases, mv)
     } yield plan
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS over a registered base: the analyzer
+    * plants an [[Expand]] below the Aggregate — one projection per grouping
+    * set, group columns nulled per set plus a distinct grouping-id literal
+    * — so the plain `strip` walk never reaches the relation. This path
+    * rebuilds the SAME Expand over the summary instead: each summary row
+    * replicates once per grouping set exactly as each base row did, so
+    * within every (grouping-set, keys) partition the decomposable algebra
+    * holds unchanged — sum(x)→sum(s_x), count(*)→sum(cnt), avg→Σs/Σc, and
+    * aggregates over expressions of the expanded group columns cnt-weight
+    * (Σ_base f = Σ_summary f·cnt needs no per-group constancy: it holds
+    * row-for-row under the replication). Aggregate outputs referencing the
+    * grouping-id (grouping()/grouping_id() compile to shifts over it) keep
+    * working because every non-measure Expand output attribute survives
+    * with its exprId; only measure passthroughs are swapped for partials.
+    * Derived-group and day-bound filter recovery are deliberately absent
+    * here (single-table shape only); such plans fall back to the base —
+    * correct, just unaccelerated.
+    */
+  private def tryRewriteExpand(agg: Aggregate): Option[LogicalPlan] =
+    agg.child match {
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        for {
+          (conds, aliases, rel) <- strip(ex.child)
+          path <- relationPath(rel)
+          mv <- lookup(path)
+          plan <- rewriteExpandWith(agg, ex, conds, aliases, mv)
+        } yield plan
+      case _ => None
+    }
+
+  /** Per-position classification of an Expand's projection matrix. */
+  private sealed trait ExCol
+  /** same expression in every projection (measures, constants, pre-nulled
+    * group expressions) */
+  private final case class ExPass(e: Expression) extends ExCol
+  /** nulled in some projections, the same expression in the rest — a
+    * grouping-sets key column */
+  private final case class ExGrouped(e: Expression) extends ExCol
+  /** a distinct non-null literal per projection — the grouping id */
+  private case object ExGid extends ExCol
+
+  private def classifyExpand(
+      projs: Seq[Seq[Expression]], out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Seq[ExCol]] = {
+    if (projs.isEmpty || projs.exists(_.size != out.size)) return None
+    val cols = out.indices.map { j =>
+      val colExprs = projs.map(_(j))
+      val allLits = colExprs.forall {
+        case Literal(v, t) => v != null &&
+          (t == LongType || t == IntegerType || t == ShortType || t == ByteType)
+        case _ => false
+      }
+      if (allLits &&
+        colExprs.map(_.asInstanceOf[Literal].value).distinct.size == colExprs.size)
+        Some(ExGid)
+      else {
+        val nonNull = colExprs.filter {
+          case Literal(null, _) => false
+          case _ => true
+        }
+        if (nonNull.isEmpty) None // a column nulled in EVERY set — refuse
+        else if (!nonNull.forall(_.semanticEquals(nonNull.head))) None
+        else if (nonNull.size == colExprs.size) Some(ExPass(nonNull.head))
+        else Some(ExGrouped(nonNull.head))
+      }
+    }
+    if (cols.exists(_.isEmpty)) None else Some(cols.map(_.get))
+  }
+
+  private def rewriteExpandWith(agg: Aggregate,
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      conds: Seq[Expression],
+      aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      mv: MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.ExprId
+    def inline(e: Expression): Expression = inlineAliases(e, aliases)
+    val groupSet = mv.groupCols.toSet
+    val measureSet = mv.measureCols.toSet
+
+    val sumPlan = SparkSession.active.read.parquet(mv.summaryPath)
+      .queryExecution.analyzed
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    def attrOf(name: String): Option[AttributeReference] =
+      byName.get(name).collect { case a: AttributeReference => a }
+
+    // a base-side expression (an Expand projection entry, a filter
+    // conjunct) rebound to the summary: after alias inlining every
+    // reference must be an MV group column
+    def toSummary(e0: Expression): Option[Expression] = {
+      val sub = inline(e0)
+      if (!sub.deterministic ||
+        sub.exists(_.isInstanceOf[AggregateExpression])) None
+      else {
+        val bound = sub.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, a)
+        }
+        val ok = bound.references.forall(a =>
+          groupSet.contains(a.name) &&
+            byName.get(a.name).exists(_.exprId == a.exprId))
+        if (ok) Some(bound) else None
+      }
+    }
+
+    val cols = classifyExpand(ex.projections, ex.output).getOrElse(return None)
+
+    // bind every position: measures drop out (their partials ride along
+    // instead), everything else must rebind to the summary
+    val measureByOutId = scala.collection.mutable.Map[ExprId, String]()
+    val boundByIdx = scala.collection.mutable.Map[Int, Expression]()
+    cols.zipWithIndex.foreach {
+      case (ExGid, _) => ()
+      case (ExPass(e), j) => inline(e) match {
+        case a: AttributeReference if measureSet.contains(a.name) =>
+          measureByOutId(ex.output(j).exprId) = a.name
+        case _ => toSummary(e) match {
+          case Some(se) if se.dataType == ex.output(j).dataType =>
+            boundByIdx(j) = se
+          case _ => return None
+        }
+      }
+      case (ExGrouped(e), j) => toSummary(e) match {
+        case Some(se) if se.dataType == ex.output(j).dataType =>
+          boundByIdx(j) = se
+        case _ => return None
+      }
+    }
+    val keepIdx = ex.output.indices.filterNot(j =>
+      measureByOutId.contains(ex.output(j).exprId))
+    // attrs the rewritten aggregates may reference freely (everything the
+    // new Expand still emits with its original exprId)
+    val expandableIds: Set[ExprId] = keepIdx.map(ex.output(_).exprId).toSet
+    def refsOk(e: Expression): Boolean =
+      e.deterministic && !e.exists(_.isInstanceOf[AggregateExpression]) &&
+        e.references.forall(a => expandableIds.contains(a.exprId))
+
+    // groupings must survive on the new Expand's outputs untouched
+    if (!agg.groupingExpressions.forall(refsOk)) return None
+
+    // filter conjuncts below the Expand: deterministic, group-column-only,
+    // replayed on the summary before it expands
+    def splitConj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConj(l) ++ splitConj(r)
+      case x => Seq(x)
+    }
+    val condsSub = conds.flatMap(splitConj).map(toSummary)
+    if (condsSub.exists(_.isEmpty)) return None
+
+    def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
+      e.aggregateFunction match {
+        case s: Sum if s.evalContext.evalMode == EvalMode.TRY => None
+        case s: Sum => s.child match {
+          case a: AttributeReference if measureByOutId.contains(a.exprId) =>
+            attrOf(s"s_${measureByOutId(a.exprId)}")
+              .map(p => Sum(p).toAggregateExpression())
+          case ge if refsOk(ge) => for {
+            cnt <- attrOf("cnt")
+            r <- sumOfGroupExpr(ge, cnt)
+          } yield r
+          case _ => None
+        }
+        case a: Average => a.child match {
+          case ar: AttributeReference if measureByOutId.contains(ar.exprId) =>
+            for {
+              s <- attrOf(s"s_${measureByOutId(ar.exprId)}")
+              c <- attrOf(s"c_${measureByOutId(ar.exprId)}")
+              r <- avgFromPartials(a, Sum(s).toAggregateExpression(),
+                Sum(c).toAggregateExpression())
+            } yield r
+          case ge if refsOk(ge) => for {
+            cnt <- attrOf("cnt")
+            r <- avgOfGroupExpr(a, ge, cnt)
+          } yield r
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference if measureByOutId.contains(a.exprId) =>
+            attrOf(s"mn_${measureByOutId(a.exprId)}")
+              .map(p => Min(p).toAggregateExpression())
+          // extremes over expressions of the expanded keys need no
+          // weighting — the summary enumerates the same value set
+          case ge if refsOk(ge) => Some(e)
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference if measureByOutId.contains(a.exprId) =>
+            attrOf(s"mx_${measureByOutId(a.exprId)}")
+              .map(p => Max(p).toAggregateExpression())
+          case ge if refsOk(ge) => Some(e)
+          case _ => None
+        }
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null =>
+            attrOf("cnt").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case Seq(a: AttributeReference) if measureByOutId.contains(a.exprId) =>
+            attrOf(s"c_${measureByOutId(a.exprId)}").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case Seq(one) if refsOk(one) => for {
+            cnt <- attrOf("cnt")
+          } yield countOfGroupExpr(one, cnt)
+          case _ => None
+        }
+        case _ => None
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae @ AggregateExpression(_, _, false, None, _) => rewriteAggFunc(ae)
+      // DISTINCT over expanded key columns is multiplicity-free — the
+      // original aggregate keeps working verbatim on the rebuilt Expand
+      case ae @ AggregateExpression(c: Count, _, true, None, _)
+          if c.children.nonEmpty && c.children.forall(refsOk) => Some(ae)
+      case _: AggregateExpression => None
+      case a: AttributeReference if expandableIds.contains(a.exprId) => Some(a)
+      case l: Literal => Some(l)
+      case _ if e.children.nonEmpty =>
+        val rewritten = e.children.map(rewriteExpr)
+        if (rewritten.forall(_.isDefined))
+          Some(e.withNewChildren(rewritten.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if expandableIds.contains(a.exprId) => Some(a)
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map { c =>
+          val typed = if (c.dataType == al.dataType) c else Cast(c, al.dataType)
+          Alias(typed, name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+
+    val newResults = agg.aggregateExpressions.map(rewriteNamed)
+    if (newResults.exists(_.isEmpty)) return None
+
+    // partial/cnt attrs the rewritten aggregates actually read ride
+    // through every projection unchanged (the passthrough pattern)
+    val sumOutIds = sumPlan.outputSet
+    val usedPartials = newResults.flatMap(_.get.references)
+      .filter(sumOutIds.contains).distinct
+      .collect { case a: AttributeReference => a }
+
+    val filtered = condsSub.flatten.foldLeft(sumPlan)((p, c) => Filter(c, p))
+    val newOut = keepIdx.map(ex.output) ++ usedPartials
+    val newProjs = ex.projections.map { proj =>
+      keepIdx.map { j =>
+        cols(j) match {
+          case ExGid => proj(j)
+          case ExGrouped(_) => proj(j) match {
+            case Literal(null, dt) => Literal(null, dt)
+            case _ => boundByIdx(j)
+          }
+          case ExPass(_) => boundByIdx(j)
+        }
+      } ++ usedPartials
+    }
+    Some(Aggregate(agg.groupingExpressions, newResults.map(_.get),
+      org.apache.spark.sql.catalyst.plans.logical.Expand(
+        newProjs, newOut, filtered)))
   }
 
   /** Analyzed, name-rendered form of a registered derived-group SQL
@@ -541,25 +802,29 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Inline collected Project aliases to fixpoint (stacked withColumns /
+    * PullOutGroupingExpressions chains), so matching always sees the
+    * base-column form of every expression.
+    */
+  private def inlineAliases(e: Expression,
+      aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 10) {
+      val next = cur.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) =>
+          aliases(a.exprId)
+      }
+      if (next.fastEquals(cur)) return cur
+      cur = next; i += 1
+    }
+    cur
+  }
+
   private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
       aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
       mv: MvDef): Option[LogicalPlan] = {
-    // inline collected Project aliases to fixpoint (stacked withColumns /
-    // PullOutGroupingExpressions chains), so matching always sees the
-    // base-column form of every expression
-    def inline(e: Expression): Expression = {
-      var cur = e
-      var i = 0
-      while (i < 10) {
-        val next = cur.transformUp {
-          case a: AttributeReference if aliases.contains(a.exprId) =>
-            aliases(a.exprId)
-        }
-        if (next.fastEquals(cur)) return cur
-        cur = next; i += 1
-      }
-      cur
-    }
+    def inline(e: Expression): Expression = inlineAliases(e, aliases)
     val groupSet = mv.groupCols.toSet
     val measureSet = mv.measureCols.toSet
 

@@ -746,6 +746,31 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ── ROLLUP through the MV rewrite: the analyzer plants an Expand below
+    // the Aggregate (one projection per grouping set, keys nulled per set
+    // plus a grouping-id literal), and the rule rebuilds that SAME Expand
+    // over the summary — each summary row replicates once per tier exactly
+    // as each base row did, so every tier re-aggregates partials
+    // (sum→Σs, count(*)→Σcnt, avg→Σs/Σc, min/max→extremes of partials).
+    // grouping() indicators compile to shifts over the grouping-id, which
+    // survives with its exprId. The cube/grand-total dashboard at 100 TB:
+    // ALL tiers from one pass over |groups| summary rows, zero base scans.
+    "q215_mv_rollup" -> ((s, dir) => {
+      graft.plans.MaterializedView.install(s)
+      graft.plans.MaterializedView.build(s, s"$dir/lineitem.parquet",
+        Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber", "l_quantity"),
+        QueryScratch.dir(s"mvru_${java.lang.Integer.toHexString(dir.hashCode)}"))
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+    }),
+
     // ── Time-HIERARCHY rollup from the day MV: the query groups by
     // trunc(cast(ts as date), 'mon') — an EXPRESSION over the derived day
     // — and the rule re-aggregates the day summary under it (grouping base
@@ -1756,6 +1781,18 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+
+    // q215: the full rollup restated — the Expand-over-summary rebuild
+    // must render every tier exactly as the base would.
+    "q215_mv_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     // q146: the same depth×width counter matrix and min-over-rows probe,
     // restated with DuckDB's md5/% — every bucket index and counter is an

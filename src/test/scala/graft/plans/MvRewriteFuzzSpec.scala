@@ -156,4 +156,69 @@ class MvRewriteFuzzSpec extends SparkTestBase {
       assert(rewrote >= 10, s"only $rewrote/50 shapes rewrote — pool too weak")
     } finally MaterializedView.unregister(base)
   }
+
+  test("random rollup/cube shapes: registry on vs off never diverges") {
+    val rnd = new scala.util.Random(307)
+    val data = (1 to 600).map(_ => (
+      s"g${rnd.nextInt(6)}", s"h${rnd.nextInt(4)}", s"i${rnd.nextInt(3)}",
+      rnd.nextInt(1000) - 500, rnd.nextDouble() * 100 - 50))
+    val base = tmpDir("mvxz_base")
+    data.toDF("g1", "g2", "g3", "m1", "m2").write.mode("overwrite").parquet(base)
+    val summary = tmpDir("mvxz_sum")
+
+    val groupPools = Seq(Seq("g1"), Seq("g1", "g2"), Seq("g2", "g3"),
+      Seq("g1", "g2", "g3"), Seq("g1", "m1")) // measure key — must fall back
+    val aggPool: Seq[Int => Column] = Seq(
+      i => sum(col("m1")).as(s"a$i"),
+      i => sum(col("m2")).as(s"a$i"),
+      i => count(lit(1)).as(s"a$i"),
+      i => count(col("m2")).as(s"a$i"),
+      i => min(col("m1")).as(s"a$i"),
+      i => max(col("m2")).as(s"a$i"),
+      i => avg(col("m1")).as(s"a$i"),
+      i => countDistinct(col("g3")).as(s"a$i"),
+      i => max(upper(col("g2"))).as(s"a$i"),
+      i => sum(length(col("g2"))).as(s"a$i"),
+      // fall-through shapes — must stay byte-identical off the base
+      i => sum(col("m1") + 1).as(s"a$i"),
+      i => countDistinct(col("m1")).as(s"a$i"))
+    val filterPool: Seq[Option[Column]] = Seq(
+      None, Some(col("g1") =!= "g0"), Some(col("g2") === "h1"),
+      Some(col("m1") > 0))
+
+    def runShape(seed: Int): DataFrame = {
+      val r = new scala.util.Random(seed)
+      val groups = groupPools(r.nextInt(groupPools.size))
+      val aggs = (0 until 1 + r.nextInt(3)).map(i =>
+        aggPool(r.nextInt(aggPool.size))(i))
+      val filt = filterPool(r.nextInt(filterPool.size))
+      val src = filt.foldLeft(spark.read.parquet(base))(_ filter _)
+      val grouped =
+        if (r.nextBoolean()) src.rollup(groups.map(col): _*)
+        else src.cube(groups.map(col): _*)
+      grouped.agg(aggs.head, aggs.tail: _*)
+    }
+
+    val shapes = (1 to 60).map(seed => seed -> snap(runShape(seed))).toMap
+    MaterializedView.build(spark, base, Seq("g1", "g2", "g3"),
+      Seq("m1", "m2"), summary)
+    try {
+      var rewrote = 0
+      (1 to 60).foreach { seed =>
+        val df = runShape(seed)
+        val usesSummary = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains("mvxz_sum"))
+              case _ => false
+            }
+        }.exists(identity)
+        if (usesSummary) rewrote += 1
+        assert(snap(df) == shapes(seed),
+          s"seed=$seed diverged (rewritten=$usesSummary)")
+      }
+      assert(rewrote >= 15, s"only $rewrote/60 shapes rewrote — pool too weak")
+    } finally MaterializedView.unregister(base)
+  }
 }
