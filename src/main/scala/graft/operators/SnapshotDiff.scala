@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset-version delta report: classify every key as added / removed /
@@ -52,5 +52,66 @@ object SnapshotDiff {
       .withColumn("change", change)
       .filter(col("change").isNotNull)
       .select(keys.map(k => col(s"_k.$k").as(k)) :+ col("change"): _*)
+  }
+
+  /** Row-valued change feed between two snapshots — the CDF (change data
+    * feed) rendering of [[diff]]: full pre/post images instead of key
+    * classifications. Every emitted row carries the complete row values
+    * plus `_change`:
+    *
+    *  - key only in `newDf`            → one `insert` row (post image)
+    *  - key only in `oldDf`            → one `delete` row (pre image)
+    *  - key in both, any value differs → `update_pre` (old values) AND
+    *    `update_post` (new values)
+    *  - key in both, values equal (null-safe) → nothing
+    *
+    * This output is exactly what downstream incremental consumers need —
+    * [[graft.plans.MaterializedView.refreshFromFeed]] treats
+    * insert/update_post as summary inserts and delete/update_pre as
+    * summary deletes, so a summary table stays convergent without ever
+    * seeing the base again.
+    *
+    * Both snapshots must carry the same column SET (this is one table at
+    * two versions, not a schema migration); values compare and emit in
+    * `newDf`'s types — the old side casts up under ordinary widening.
+    * Scale shape matches [[diff]]: one full-outer shuffle join, unchanged
+    * keys dropped in-plan, output proportional to the delta.
+    */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeFeed needs at least one key column")
+    require(oldDf.columns.toSet == newDf.columns.toSet,
+      s"changeFeed needs identical column sets, got ${oldDf.columns.toSeq} " +
+        s"vs ${newDf.columns.toSeq} — it diffs one table at two versions")
+    val cols = newDf.columns.toSeq
+    val newTypes = newDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    val o = oldDf.select(
+      struct(keys.map(col): _*).as("_k"),
+      struct(cols.map(c => col(c).cast(newTypes(c)).as(c)): _*).as("_vo"))
+    val n = newDf.select(
+      struct(keys.map(col): _*).as("_k"),
+      struct(cols.map(col): _*).as("_vn"))
+    val joined = o.join(n, Seq("_k"), "full_outer")
+    def tagged(row: Column, tag: String) =
+      struct(row.as("_row"), lit(tag).as("_change"))
+    // an unchanged key emits an EMPTY array — typed explicitly, since a
+    // bare array() would not unify with the tagged-struct branches
+    val emptyArr = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_row",
+          newDf.select(cols.map(col): _*).schema),
+        org.apache.spark.sql.types.StructField("_change",
+          org.apache.spark.sql.types.StringType)))))
+    val rows = when(col("_vo").isNull && col("_vn").isNotNull,
+        array(tagged(col("_vn"), "insert")))
+      .when(col("_vn").isNull && col("_vo").isNotNull,
+        array(tagged(col("_vo"), "delete")))
+      .when(!(col("_vo") <=> col("_vn")),
+        array(tagged(col("_vo"), "update_pre"),
+          tagged(col("_vn"), "update_post")))
+      .otherwise(emptyArr)
+    joined
+      .select(explode(rows).as("_e"))
+      .select(cols.map(c => col(s"_e._row.$c").as(c)) :+
+        col("_e._change").as("_change"): _*)
   }
 }

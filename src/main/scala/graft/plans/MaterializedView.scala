@@ -95,10 +95,49 @@ object MaterializedView {
     new org.apache.hadoop.fs.Path(path).toUri.getPath
 
   def register(d: MvDef): Unit = { registry.put(normalize(d.basePath), d); () }
-  def unregister(basePath: String): Unit = { registry.remove(normalize(basePath)); () }
-  def clear(): Unit = registry.clear()
+  def unregister(basePath: String): Unit = {
+    val key = normalize(basePath)
+    registry.remove(key)
+    dirRegistry.entrySet().removeIf(_.getValue == key)
+    ()
+  }
+  def clear(): Unit = { registry.clear(); dirRegistry.clear() }
   private[plans] def lookup(path: String): Option[MvDef] = Option(registry.get(path))
   private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  /** Exact scan-root-set registry for snapshot serving: a versioned store's
+    * snapshot reads the manifest's data DIRS (many roots, no single
+    * registered path), so [[MvMaintainer]] registers the dir set its
+    * summary exactly reflects, mapped to the MV's base key. Matching is
+    * EXACT set equality — that is the staleness guard: any later merge
+    * rewrites at least one bucket dir, the new snapshot's root set no
+    * longer matches, and the query silently falls back to the base until
+    * the maintainer syncs again. A time-travel read of an older version
+    * misses the same way. Registered sets are bounded by the store's
+    * bucket count.
+    */
+  private val dirRegistry = new ConcurrentHashMap[Set[String], String]()
+
+  def registerDirs(dirs: Seq[String], basePath: String): Unit = {
+    require(dirs.nonEmpty, "registerDirs needs at least one scan root")
+    dirRegistry.put(dirs.map(normalize).toSet, normalize(basePath)); ()
+  }
+  def unregisterDirs(dirs: Seq[String]): Unit = {
+    dirRegistry.remove(dirs.map(normalize).toSet); ()
+  }
+
+  /** Make `dirs` the ONLY registered dir set for `basePath` — what a
+    * maintainer calls per sync, so superseded snapshot sets (whose
+    * summaries may be gc'd, and whose content the new summary does NOT
+    * reflect) can never be served again.
+    */
+  def replaceDirs(basePath: String, dirs: Seq[String]): Unit = {
+    val key = normalize(basePath)
+    dirRegistry.entrySet().removeIf(_.getValue == key)
+    registerDirs(dirs, basePath)
+  }
+  private[plans] def lookupDirs(dirs: Set[String]): Option[MvDef] =
+    Option(dirRegistry.get(dirs)).flatMap(k => Option(registry.get(k)))
 
   /** Compute the summary for (groupCols, measureCols) over the parquet
     * base, write it to `summaryPath`, and register the MV. One full base
@@ -230,7 +269,8 @@ object MaterializedView {
     * versioned-path swap and crash posture as [[refresh]].
     */
   def refreshDelta(spark: SparkSession, basePath: String, inserts: DataFrame,
-      deletes: DataFrame, recomputeKeyCap: Int = 1000): MvDef = {
+      deletes: DataFrame, recomputeKeyCap: Int = 1000,
+      base: Option[DataFrame] = None): MvDef = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, concat, concat_ws, raise_error, when}
     val d = lookup(normalize(basePath)).getOrElse(
       throw new IllegalArgumentException(s"no MV registered for $basePath"))
@@ -309,7 +349,7 @@ object MaterializedView {
       // the parquet footer stats; the broadcast join stays the exact gate.
       // (an IN list can't express "or NULL", so columns whose affected keys
       // include NULL skip the pushdown and rely on the semi join alone)
-      var scan = withDerived(spark.read.parquet(d.basePath), d)
+      var scan = withDerived(base.getOrElse(spark.read.parquet(d.basePath)), d)
         .select((d.groupCols ++ d.measureCols).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
         val keyRows = affected.collect() // ≤ cap rows of group keys only
@@ -367,6 +407,42 @@ object MaterializedView {
     register(nd)
     nd
   }
+
+  /** Apply a row-valued change feed (the
+    * [[graft.operators.SnapshotDiff.changeFeed]] schema: base columns +
+    * `_change` ∈ insert / delete / update_pre / update_post) as ONE
+    * incremental refresh: insert/update_post rows are summary inserts,
+    * delete/update_pre rows are summary deletes — an update contributes
+    * its pre-image to the subtraction and its post-image to the addition,
+    * which is exactly the signed-partial algebra [[refreshDelta]] runs.
+    *
+    * This closes the CDC→summary maintenance loop over a versioned store:
+    * merge the micro-batch, read
+    * [[graft.sources.ParquetTableStore.changeFeedBetween]] across the
+    * merge's version step, hand it here — the summary stays convergent
+    * without ever rescanning the base. `base` overrides the min/max
+    * repair scan's source for bases that aren't a single parquet path
+    * (pass the store's post-batch snapshot); without it the registered
+    * `basePath` is read as usual.
+    *
+    * The feed is evaluated twice (insert and delete split) and therefore
+    * persisted for the span of this call — at steady state it is
+    * delta-sized by construction.
+    */
+  def refreshFromFeed(spark: SparkSession, basePath: String, feed: DataFrame,
+      recomputeKeyCap: Int = 1000, base: Option[DataFrame] = None): MvDef = {
+    require(feed.columns.contains("_change"),
+      s"feed must carry a _change column (got ${feed.columns.toSeq}) — " +
+        "produce it with SnapshotDiff.changeFeed / changeFeedBetween")
+    val f = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ins = f.filter(col("_change").isin("insert", "update_post"))
+        .drop("_change")
+      val del = f.filter(col("_change").isin("delete", "update_pre"))
+        .drop("_change")
+      refreshDelta(spark, basePath, ins, del, recomputeKeyCap, base)
+    } finally { f.unpersist(blocking = false); () }
+  }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {
@@ -408,18 +484,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def relationPath(rel: LogicalRelation): Option[String] =
+  /** The MV serving this relation, two lookups: a single root matching a
+    * registered base path (the plain-parquet shape), else the FULL root
+    * set matching a registered snapshot dir set (a versioned store's
+    * snapshot — see [[MaterializedView.registerDirs]]).
+    */
+  private def relationMv(rel: LogicalRelation): Option[MvDef] =
     rel.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        Some(fs.location.rootPaths.head.toUri.getPath)
+      case fs: HadoopFsRelation =>
+        val roots = fs.location.rootPaths.map(_.toUri.getPath)
+        (if (roots.size == 1) lookup(roots.head) else None)
+          .orElse(MaterializedView.lookupDirs(roots.toSet))
       case _ => None
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (conds, aliases, rel) <- strip(agg.child)
-      path <- relationPath(rel)
-      mv <- lookup(path)
+      mv <- relationMv(rel)
       plan <- rewriteWith(agg, conds, aliases, mv)
     } yield plan
   }
@@ -447,8 +529,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         for {
           (conds, aliases, rel) <- strip(ex.child)
-          path <- relationPath(rel)
-          mv <- lookup(path)
+          mv <- relationMv(rel)
           plan <- rewriteExpandWith(agg, ex, conds, aliases, mv)
         } yield plan
       case _ => None

@@ -496,6 +496,36 @@ object CdcQueries {
           Projection.Debezium)
         store.snapshot().localCheckpoint() // eager: detached before the delete
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── Row-valued change feed (CDF) between two retained versions: init
+    // orders, merge ONE deterministic batch — deletes (%10=3), priority
+    // updates (%10=0 → '0-RUSH'), byte-identical NO-OP upserts (%10=5,
+    // which must NOT appear in the feed), and brand-new keys (%10=7
+    // shifted by KeyShift) — then read changeFeedBetween(v1, v2). Updates
+    // emit BOTH images (update_pre/update_post); the no-op slice proves
+    // the feed is value-driven, not key-driven. This is the incremental
+    // read a downstream summary applies via refreshFromFeed without
+    // rescanning the table. Oracle: the four slices restated.
+    "q216_change_feed" -> ((s, dir) => {
+      val spec = TableSpec("public.orders_cf", ordersSchema, Seq("o_orderkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16,
+          retainedVersions = 2)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        store.init(o)
+        store.merge(graft.operators.CompactedBatch(
+          deletes = o.filter(mod === 3).select("o_orderkey"),
+          upserts = o.filter(mod === 0)
+              .withColumn("o_orderpriority", lit("0-RUSH"))
+            .unionByName(o.filter(mod === 5))
+            .unionByName(o.filter(mod === 7)
+              .withColumn("o_orderkey", col("o_orderkey") + KeyShift))))
+        val Seq(v1, v2) = store.history()
+        store.changeFeedBetween(v1, v2)
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -561,6 +591,26 @@ object CdcQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // q216: the feed IS the batch, pre/post images included — deletes
+    // surface the full deleted row, updates surface both images, no-op
+    // upserts (%10=5) surface nothing, new keys surface as inserts.
+    "q216_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS _change
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'update_pre'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, '0-RUSH', 'update_post'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority, 'insert'
+        |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

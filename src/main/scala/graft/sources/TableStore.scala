@@ -174,6 +174,23 @@ final class ParquetTableStore(
     readDirs(readManifestAt(p)._1.values.toSeq)
   }
 
+  /** Absolute data-dir paths the manifest of `version` references — the
+    * exact scan roots a [[snapshotAt]] (or, for the current version,
+    * [[snapshot]]) of that version reads. What
+    * [[graft.plans.MvMaintainer]] registers so rollup queries over the
+    * live snapshot reroute to its summary
+    * ([[graft.plans.MaterializedView.registerDirs]]). Bounded by the
+    * bucket count.
+    */
+  def dataDirsAt(version: Long): Seq[String] = {
+    val p = versionPath(version)
+    require(fs.exists(p),
+      s"table ${spec.name} has no retained version $version " +
+        s"(retained: ${history().mkString(",")})")
+    readManifestAt(p)._1.values.toSeq.sorted
+      .map(d => new Path(dataPath, d).toString)
+  }
+
   /** Change feed between two retained versions: every key added / removed /
     * changed from `fromVersion` to `toVersion`, classified per
     * [[graft.operators.SnapshotDiff.diff]] — the CDC-style incremental
@@ -185,6 +202,22 @@ final class ParquetTableStore(
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
     graft.operators.SnapshotDiff.diff(
+      snapshotAt(fromVersion), snapshotAt(toVersion), spec.pkCols)
+  }
+
+  /** Row-valued change feed between two retained versions: full pre/post
+    * images tagged `_change` ∈ insert / delete / update_pre / update_post
+    * (see [[graft.operators.SnapshotDiff.changeFeed]]) — what an
+    * incremental downstream consumer (a summary table via
+    * [[graft.plans.MaterializedView.refreshFromFeed]], a replica, an
+    * audit log) applies WITHOUT rescanning the table. Cost: one
+    * full-outer shuffle join on the key across the two retained
+    * snapshots; output proportional to the delta.
+    */
+  def changeFeedBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changeFeedBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    graft.operators.SnapshotDiff.changeFeed(
       snapshotAt(fromVersion), snapshotAt(toVersion), spec.pkCols)
   }
 

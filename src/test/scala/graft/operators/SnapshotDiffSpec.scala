@@ -59,4 +59,48 @@ class SnapshotDiffSpec extends SparkTestBase {
       SnapshotDiff.diff(Seq((1, 2)).toDF("a", "b"), Seq((1, 2)).toDF("a", "b"), Nil)
     }
   }
+
+  // ── changeFeed: the row-valued (pre/post image) rendering ───────────────
+
+  test("changeFeed emits insert, delete, and both update images; drops no-ops") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "s", "n")
+    val next = Seq((2L, "b", 20), (3L, "C", 30), (4L, "d", 40))
+      .toDF("id", "s", "n")
+    val out = SnapshotDiff.changeFeed(old, next, Seq("id"))
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(out === Set(
+      (1L, "a", 10, "delete"),
+      (3L, "c", 30, "update_pre"),
+      (3L, "C", 30, "update_post"),
+      (4L, "d", 40, "insert")))
+  }
+
+  test("changeFeed null-safe values: null==null suppressed, null-to-value is an update") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("id", "s")
+    val next = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "s")
+    val out = SnapshotDiff.changeFeed(old, next, Seq("id"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(out === Set(
+      (2L, Option("x"), "update_pre"),
+      (2L, Option.empty[String], "update_post")))
+  }
+
+  test("changeFeed refuses mismatched column sets") {
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.changeFeed(
+        Seq((1L, "a", 9)).toDF("id", "s", "old_only"),
+        Seq((1L, "a")).toDF("id", "s"), Seq("id"))
+    }
+  }
+
+  test("changeFeed widens drifted column types to the new side") {
+    val old = Seq((1L, 5), (2L, 7)).toDF("id", "n")
+    val next = Seq((1L, 5L), (2L, 8L)).toDF("id", "n")
+    val out = SnapshotDiff.changeFeed(old, next, Seq("id"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === Set((2L, 7L, "update_pre"), (2L, 8L, "update_post")))
+  }
 }

@@ -235,6 +235,68 @@ class MvDeltaSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("CDC loop via change feed: refreshFromFeed keeps the MV at table truth") {
+    // the same loop as above, but the maintenance input is the store's OWN
+    // row-valued change feed (changeFeedBetween across the merge's version
+    // step) — the consumer never computes pre-images itself and never
+    // rescans the base: update_pre/delete rows are the subtraction,
+    // update_post/insert rows the addition. The min/max repair scan reads
+    // the store's post-batch snapshot through the `base` override.
+    import graft.model.TableSpec
+    import graft.operators.CompactedBatch
+    import graft.sources.ParquetTableStore
+    import org.apache.spark.sql.types._
+    val spec = TableSpec("public.mvfeed",
+      StructType(Seq(StructField("id", LongType), StructField("g", StringType),
+        StructField("m", LongType))), Seq("id"))
+    val store = new ParquetTableStore(spark, tmpDir("mvfeed_store"), spec, 4,
+      retainedVersions = 2)
+    val rnd = new scala.util.Random(67)
+    var rows = (1L to 200L).map(i => (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+    store.init(rows.toDF("id", "g", "m"))
+    val base = tmpDir("mvfeed_base") // MV registry keys on a parquet path
+    store.snapshot().write.mode("overwrite").parquet(base)
+    MaterializedView.build(spark, base, Seq("g"), Seq("m"),
+      tmpDir("mvfeed_sum"))
+    try {
+      (1 to 3).foreach { round =>
+        val delIds = rnd.shuffle(rows.map(_._1).toList).take(10)
+        val upserts = rnd.shuffle((1L to 210L).toList).take(15)
+          .filterNot(delIds.contains)
+          .map(i => (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+        val vBefore = store.currentVersion
+        store.merge(CompactedBatch(delIds.toDF("id"),
+          upserts.toDF("id", "g", "m")))
+        val feed = store.changeFeedBetween(vBefore, store.currentVersion)
+        MaterializedView.refreshFromFeed(spark, base, feed,
+          base = Some(store.snapshot()))
+        store.snapshot().write.mode("overwrite").parquet(base)
+        rows = rows.filterNot(r => delIds.contains(r._1))
+          .filterNot(r => upserts.exists(_._1 == r._1)) ++ upserts
+        val want = rows.groupBy(_._2).map { case (g, rs) =>
+          (g, rs.size.toLong, rs.map(_._3).sum, rs.map(_._3).min, rs.map(_._3).max)
+        }.toSet
+        val q = spark.read.parquet(base).groupBy("g")
+          .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+            min(col("m")).as("mn"), max(col("m")).as("mx"))
+        assert(scanPaths(q).forall(_.contains("mvfeed_sum")),
+          s"round $round must answer from the refreshed summary")
+        assert(q.as[(String, Long, Long, Long, Long)].collect().toSet == want,
+          s"feed-maintained MV drifted from table truth at round $round")
+      }
+    } finally MaterializedView.unregister(base)
+  }
+
+  test("refreshFromFeed refuses a frame without _change") {
+    val base = setup(Seq(("a", 1, 1)), "feedbad")
+    try {
+      intercept[IllegalArgumentException] {
+        MaterializedView.refreshFromFeed(spark, base,
+          Seq(("a", 1, 1)).toDF("g", "m1", "m2"))
+      }
+    } finally MaterializedView.unregister(base)
+  }
+
   test("differential: random batches equal a from-scratch build, v-path bumps") {
     val rnd = new scala.util.Random(83)
     // ~10% NULL group keys: NULL dimensions are routine in CDC bases and
