@@ -129,12 +129,14 @@ object MaterializedView {
   /** Make `dirs` the ONLY registered dir set for `basePath` — what a
     * maintainer calls per sync, so superseded snapshot sets (whose
     * summaries may be gc'd, and whose content the new summary does NOT
-    * reflect) can never be served again.
+    * reflect) can never be served again. An EMPTY `dirs` (a store version
+    * with no data files — e.g. a fresh empty table) just clears: an empty
+    * snapshot plans no file relation, so there is nothing to match.
     */
   def replaceDirs(basePath: String, dirs: Seq[String]): Unit = {
     val key = normalize(basePath)
     dirRegistry.entrySet().removeIf(_.getValue == key)
-    registerDirs(dirs, basePath)
+    if (dirs.nonEmpty) registerDirs(dirs, basePath)
   }
   private[plans] def lookupDirs(dirs: Set[String]): Option[MvDef] =
     Option(dirRegistry.get(dirs)).flatMap(k => Option(registry.get(k)))

@@ -526,6 +526,59 @@ object CdcQueries {
         store.changeFeedBetween(v1, v2)
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── The full CDC→summary maintenance loop (MvMaintainer): init orders
+    // into a versioned store, build a (priority → totalprice) summary,
+    // then TWO merge+sync rounds — round 1 updates %10=0 to a new
+    // priority group and deletes %10=3; round 2 deletes %10=6 (removing
+    // per-group extremes, forcing the min/max repair against the store
+    // snapshot) and inserts shifted copies of %10=1. The final rollup
+    // runs over store.snapshot() and is served FROM THE SUMMARY via the
+    // exact dir-set match (plan pinned in MvMaintainerSpec; values here).
+    // The measure is decimal(18,2) so incremental signed sums stay exact
+    // against DuckDB. Oracle: the final table restated, then rolled up.
+    "q217_streaming_mv_loop" -> ((s, dir) => {
+      val cfSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DecimalType(18, 2)),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType)))
+      val spec = TableSpec("public.orders_mvl", cfSchema, Seq("o_orderkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16,
+          retainedVersions = 2)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(18, 2)))
+        store.init(o)
+        val base = s"$rootDir/mv_base"
+        store.snapshot().write.parquet(base)
+        val mv = graft.plans.MaterializedView.build(s, base,
+          Seq("o_orderpriority"), Seq("o_totalprice"), s"$rootDir/mv_sum")
+        val m = graft.plans.MvMaintainer.create(s, store, mv,
+          s"$rootDir/mv_state")
+        try {
+          store.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 3).select("o_orderkey"),
+            upserts = o.filter(mod === 0)
+              .withColumn("o_orderpriority", lit("0-RUSH"))))
+          m.sync()
+          store.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 6).select("o_orderkey"),
+            upserts = o.filter(mod === 1)
+              .withColumn("o_orderkey", col("o_orderkey") + KeyShift)))
+          m.sync()
+          store.snapshot().groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")).cast("double").as("sum_price"),
+              min(col("o_totalprice")).cast("double").as("min_price"),
+              max(col("o_totalprice")).cast("double").as("max_price"))
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally graft.plans.MaterializedView.unregister(base)
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -611,6 +664,23 @@ object CdcQueries {
         |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
         |  o_totalprice, o_orderdate, o_orderpriority, 'insert'
         |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin,
+
+    // q217: the post-loop table restated (survivors with round-1 priority
+    // rewrite, plus round-2 shifted inserts), rolled up by priority.
+    "q217_streaming_mv_loop" ->
+      """WITH final AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN '0-RUSH'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 6)
+        |  UNION ALL
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) AS DOUBLE) AS sum_price,
+        |  CAST(min(p) AS DOUBLE) AS min_price,
+        |  CAST(max(p) AS DOUBLE) AS max_price
+        |FROM final GROUP BY 1""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority

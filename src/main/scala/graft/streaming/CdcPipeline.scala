@@ -154,7 +154,8 @@ object CdcPipeline {
       stores: Map[String, TableStore],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxOffsetsPerTrigger: Long = 50000L): StreamingQuery = {
+      maxOffsetsPerTrigger: Long = 50000L,
+      postBatch: Option[Long => Unit] = None): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -166,9 +167,10 @@ object CdcPipeline {
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyMaxwellKafkaBatch(batch, registry, stores,
           stagingDir = Some(s"$checkpointDir/_graft_batch_staging"))
+        postBatch.foreach(_(batchId)) // see fileMaxwellStream's hook contract
       }
       .start()
   }
@@ -223,7 +225,8 @@ object CdcPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxFilesPerTrigger: Int = 1000,
-      driftMetrics: Option[graft.obs.PipelineMetrics] = None): StreamingQuery = {
+      driftMetrics: Option[graft.obs.PipelineMetrics] = None,
+      postBatch: Option[Long => Unit] = None): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
     // Back-pressure for the bulk-replay case, the file twin of the Kafka
     // paths' maxOffsetsPerTrigger: without a cap a replay dir's ENTIRE
@@ -243,6 +246,12 @@ object CdcPipeline {
           applyBatch(MaxwellParser.events(ordered, registry, col("_seq")), registry, stores,
             stagingDir = Some(s"$checkpointDir/_graft_batch_staging"),
             driftHook = driftMetrics.map(m => m.recordDrift _))
+          // runs AFTER every table's merge committed, INSIDE the batch (a
+          // failure here fails the batch, and the replay re-runs both the
+          // idempotent merges and the hook): where a SnapshotCatalog
+          // commits its cross-table boundary and an MvMaintainer syncs its
+          // summary — both are themselves crash-safe re-run targets.
+          postBatch.foreach(_(batchId))
         } finally scope.release()
       }
       .start()
@@ -334,7 +343,8 @@ object CdcPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxOffsetsPerTrigger: Long = 50000L,
-      namespace: Option[String] = None): StreamingQuery = {
+      namespace: Option[String] = None,
+      postBatch: Option[Long => Unit] = None): StreamingQuery = {
     sweepStaging(spark, checkpointDir)
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -348,10 +358,11 @@ object CdcPipeline {
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyDebeziumKafkaBatch(batch, registry, stores,
           stagingDir = Some(s"$checkpointDir/_graft_batch_staging"),
           namespace = namespace)
+        postBatch.foreach(_(batchId)) // see fileMaxwellStream's hook contract
       }
       .start()
   }

@@ -341,4 +341,77 @@ class CdcPipelineSpec extends SparkTestBase {
     assert(store.snapshot().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
       Map(1 -> "a2"))
   }
+
+  test("postBatch hook keeps an MvMaintainer summary live per micro-batch") {
+    import graft.plans.{MaterializedView, MvMaintainer}
+    import org.apache.spark.sql.functions.{count, lit, min, max, sum}
+    MaterializedView.install(spark) // idempotent; this suite runs standalone too
+    // a measure-carrying table: the summary tracks sum/min/max(v) by name
+    val mSpec = TableSpec("public.mvt",
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType), StructField("v", LongType))),
+      Seq("id"))
+    val mReg = TableRegistry(
+      Map("demo.mvt" -> "public.mvt"), Map("public.mvt" -> mSpec))
+    val in = tmpDir("cdc-mv-in")
+    val ckpt = tmpDir("cdc-mv-ckpt")
+    val store = new ParquetTableStore(spark, tmpDir("cdc-mv-store"), mSpec, 4,
+      retainedVersions = 3)
+    store.init(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mSpec.schema))
+    val base = tmpDir("cdc-mv-base")
+    store.snapshot().write.mode("overwrite").parquet(base)
+    val mv = MaterializedView.build(spark, base, Seq("name"), Seq("v"),
+      tmpDir("cdc-mv-sum"))
+    val maintainer = MvMaintainer.create(spark, store, mv,
+      tmpDir("cdc-mv-state") + "/state")
+
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name), String.join("\n", lines: _*).getBytes,
+        StandardOpenOption.CREATE)
+    def rollup = store.snapshot().groupBy("name")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def values = rollup.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    def summaryScanned = rollup.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten.forall(_.contains("cdc-mv-sum"))
+
+    writeBatch("m0.json", Seq(
+      """{"database":"demo","table":"mvt","type":"insert","ts":1,"data":{"id":1,"name":"a","v":5}}""",
+      """{"database":"demo","table":"mvt","type":"insert","ts":2,"data":{"id":2,"name":"a","v":9}}""",
+      """{"database":"demo","table":"mvt","type":"insert","ts":3,"data":{"id":3,"name":"b","v":2}}"""))
+    val q = CdcPipeline.fileMaxwellStream(
+      spark, in, mReg, Map("public.mvt" -> store), ckpt,
+      Trigger.ProcessingTime("1 second"),
+      postBatch = Some(_ => { maintainer.sync(); () }))
+    try {
+      q.processAllAvailable()
+      assert(maintainer.syncedVersion === store.currentVersion)
+      assert(summaryScanned, "batch-1 rollup must serve from the summary")
+      assert(values === Set(("a", 2L, 14L, 5L, 9L), ("b", 1L, 2L, 2L, 2L)))
+
+      // update + delete + new group in the next batch; the delete removes
+      // group a's max, forcing the repair path against the store snapshot
+      writeBatch("m1.json", Seq(
+        """{"database":"demo","table":"mvt","type":"delete","ts":4,"data":{"id":2,"name":"a","v":9}}""",
+        """{"database":"demo","table":"mvt","type":"update","ts":5,"data":{"id":1,"name":"a","v":7},"old":{"v":5}}""",
+        """{"database":"demo","table":"mvt","type":"insert","ts":6,"data":{"id":4,"name":"c","v":1}}"""))
+      q.processAllAvailable()
+      assert(maintainer.syncedVersion === store.currentVersion)
+      assert(summaryScanned, "batch-2 rollup must serve from the refreshed summary")
+      assert(values === Set(("a", 1L, 7L, 7L, 7L), ("c", 1L, 1L, 1L, 1L),
+        ("b", 1L, 2L, 2L, 2L)))
+    } finally {
+      q.stop()
+      MaterializedView.unregister(base)
+    }
+  }
 }
