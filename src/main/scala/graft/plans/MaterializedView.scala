@@ -141,6 +141,14 @@ object MaterializedView {
   private[plans] def lookupDirs(dirs: Set[String]): Option[MvDef] =
     Option(dirRegistry.get(dirs)).flatMap(k => Option(registry.get(k)))
 
+  /** The raw base KEY a dir set is registered under — [[StarMv]]'s leaf
+    * matching uses this to identify a store snapshot with the table path
+    * a [[StarMv.StarMvDef]] names, without requiring a single-table MvDef
+    * for it.
+    */
+  private[plans] def lookupDirKey(dirs: Set[String]): Option[String] =
+    Option(dirRegistry.get(dirs))
+
   /** Compute the summary for (groupCols, measureCols) over the parquet
     * base, write it to `summaryPath`, and register the MV. One full base
     * scan with map-side partial aggregation — the one-time cost every

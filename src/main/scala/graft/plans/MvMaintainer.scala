@@ -67,13 +67,15 @@ final class MvMaintainer private (
       val feed = store.changeFeedBetween(synced, v)
       val nd = MaterializedView.refreshFromFeed(spark, d.basePath, feed,
         recomputeKeyCap, base = Some(store.snapshotAt(v)))
+      // serving first (in-process consistency: the refresh just registered
+      // the new definition, so the dir sets must move with it — queries
+      // over the NEW version's set reroute to the refreshed summary, every
+      // superseded set is dropped, and a time-travel read of an old
+      // version is never served the new summary), then the durable state
+      // commit; a crash between the two re-runs this sync idempotently.
+      MaterializedView.replaceDirs(nd.basePath, store.dataDirsAt(v))
       MvMaintainer.writeState(spark, statePath, nd, v)
       val stale = MvMaintainer.olderSummaries(nd.summaryPath, keepSummaries)
-      // snapshot serving follows the sync: queries over the NEW version's
-      // dir set now reroute to the refreshed summary, and every superseded
-      // set is dropped (a time-travel read of an old version must never be
-      // served the new summary).
-      MaterializedView.replaceDirs(nd.basePath, store.dataDirsAt(v))
       d = nd
       synced = v
       val fs = new Path(statePath)

@@ -226,11 +226,28 @@ object StarMv {
     */
   def refreshTableDelta(spark: SparkSession, d: StarMvDef, tablePath: String,
       inserts: DataFrame, deletes: DataFrame,
-      recomputeKeyCap: Int = 1000): StarMvDef = {
+      recomputeKeyCap: Int = 1000,
+      tableOverrides: Map[String, DataFrame] = Map.empty): StarMvDef = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, concat, concat_ws, raise_error, when}
     val path = MaterializedView.normalize(tablePath)
     require(d.tables.map(MaterializedView.normalize).contains(path),
       s"$tablePath is not one of the MV's tables")
+    // `tableOverrides` substitutes table CONTENT without touching the
+    // definition (keys are table paths; values typically versioned-store
+    // snapshots). This is what makes MULTI-table batches sequence
+    // correctly: J(T₁",T₂") − J(T₁,T₂) = Δ₁⋈T₂ + T₁"⋈Δ₂ — each table's
+    // delta must join the PREVIOUS tables at their NEW state and the
+    // REMAINING tables at their OLD state, which only a caller holding
+    // both versions (StarMvMaintainer over versioned stores) can supply.
+    // Applying deltas sequentially with every path already merged on disk
+    // would instead double-count Δ₁⋈Δ₂. The overrides also feed the
+    // min/max repair join, which must see exactly the state the summary
+    // represents AFTER this delta.
+    val overrides = tableOverrides.map { case (p, df) =>
+      MaterializedView.normalize(p) -> df }
+    overrides.keys.foreach { p =>
+      require(d.tables.map(MaterializedView.normalize).contains(p),
+        s"override $p is not one of the MV's tables") }
     require(registry.contains(d), "refreshTableDelta needs the CURRENTLY " +
       "registered definition (register/build first)")
     val g = d.groupCols.map(q => col(q.name))
@@ -239,7 +256,7 @@ object StarMv {
     val old = spark.read.parquet(d.summaryPath)
     val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
     def deltaJoin(delta: DataFrame): DataFrame = {
-      val joined = joinTables(spark, d, Map(path -> delta))
+      val joined = joinTables(spark, d, overrides + (path -> delta))
       d.derivedMeasures.foldLeft(joined) { case (acc, (n, sql)) =>
         acc.withColumn(n, expr(sql)) }
     }
@@ -295,7 +312,7 @@ object StarMv {
             lit(null).cast(oldTypes(s"mx_$m")).as(s"r_mx_$m")))): _*)
     } else {
       val affected = affectedOpt.get
-      var scan = joinTables(spark, d)
+      var scan = joinTables(spark, d, overrides)
       scan = d.derivedMeasures.foldLeft(scan) { case (acc, (n, sql)) =>
         acc.withColumn(n, expr(sql)) }
       scan = scan.select((gNames ++ allMeasures).map(col): _*)
@@ -350,6 +367,30 @@ object StarMv {
     derivedFormCache.remove(nd.summaryPath)
     register(nd)
     nd
+  }
+
+  /** Apply a row-valued change feed on ONE registered table (the
+    * [[graft.operators.SnapshotDiff.changeFeed]] schema) as one
+    * incremental refresh: insert/update_post rows are the table's delta
+    * inserts, delete/update_pre its delta deletes — the star lift of
+    * [[MaterializedView.refreshFromFeed]]. The feed is persisted for the
+    * span of the call (both delta joins consume it).
+    */
+  def refreshTableFromFeed(spark: SparkSession, d: StarMvDef,
+      tablePath: String, feed: DataFrame, recomputeKeyCap: Int = 1000,
+      tableOverrides: Map[String, DataFrame] = Map.empty): StarMvDef = {
+    require(feed.columns.contains("_change"),
+      s"feed must carry a _change column (got ${feed.columns.toSeq}) — " +
+        "produce it with SnapshotDiff.changeFeed / changeFeedBetween")
+    val f = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ins = f.filter(col("_change").isin("insert", "update_post"))
+        .drop("_change")
+      val del = f.filter(col("_change").isin("delete", "update_pre"))
+        .drop("_change")
+      refreshTableDelta(spark, d, tablePath, ins, del, recomputeKeyCap,
+        tableOverrides)
+    } finally { f.unpersist(blocking = false); () }
   }
 
   /** Compute and write the pre-joined summary, register the definition.
@@ -422,10 +463,22 @@ object StarMv {
     case _ => None
   }
 
+  /** The table KEY a leaf relation stands for: its single root path, or —
+    * for a versioned store's snapshot (many roots, no stable path) — the
+    * table path its exact dir set is registered under
+    * ([[MaterializedView.registerDirs]], maintained per sync by
+    * [[StarMvMaintainer]]). The exact-set match is the per-table
+    * staleness guard: a leaf merged past its last sync matches nothing
+    * and the whole star falls back to the live join.
+    */
   private def relationPath(rel: LogicalRelation): Option[String] =
     rel.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-        Some(fs.location.rootPaths.head.toUri.getPath)
+      case fs: HadoopFsRelation =>
+        val roots = fs.location.rootPaths.map(_.toUri.getPath)
+        // explicit dir-set registration wins (a one-bucket snapshot has a
+        // single root that is a data dir, not the table's key)
+        MaterializedView.lookupDirKey(roots.toSet)
+          .orElse(if (roots.size == 1) Some(roots.head) else None)
       case _ => None
     }
 

@@ -579,6 +579,91 @@ object CdcQueries {
             .localCheckpoint() // eager: detached before the finally deletes
         } finally graft.plans.MaterializedView.unregister(base)
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── CDC-maintained STAR summary (StarMvMaintainer): orders (fact) and
+    // customer (dim) each sync through store merges; ONE maintainer
+    // absorbs BOTH change feeds with version-pinned sequencing — the
+    // batch deliberately OVERLAPS the deltas (new orders referencing a
+    // customer inserted in the same round), the shape a naive
+    // apply-against-current-disk loop double-counts. Dim updates move
+    // whole segments (forcing the min/max repair through the pinned
+    // join); the final rollup joins the LIVE snapshots and is served
+    // from the summary via the per-table dir-set match (plan pinned in
+    // StarMvMaintainerSpec). Decimal measure keeps incremental sums
+    // exact. Oracle: final states of both tables restated, joined,
+    // rolled up.
+    "q218_star_mv_cdc" -> ((s, dir) => {
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DecimalType(18, 2))))
+      val cSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType)))
+      val rootDir = tempRoot()
+      val NewCust = 99999991L
+      try {
+        val os = new ParquetTableStore(s, rootDir,
+          TableSpec("public.orders_smv", oSchema, Seq("o_orderkey")), 16,
+          retainedVersions = 2)
+        val cs = new ParquetTableStore(s, rootDir,
+          TableSpec("public.customer_smv", cSchema, Seq("c_custkey")), 16,
+          retainedVersions = 2)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_mktsegment"))
+        os.init(o); cs.init(c)
+        val factKey = s"$rootDir/fact_key"
+        val dimKey = s"$rootDir/dim_key"
+        os.snapshot().write.parquet(factKey)
+        cs.snapshot().write.parquet(dimKey)
+        import graft.plans.StarMv.{QCol, StarMvDef}
+        val mv = graft.plans.StarMv.build(s, StarMvDef(
+          tables = Seq(factKey, dimKey),
+          joins = Seq((QCol(factKey, "o_custkey"), QCol(dimKey, "c_custkey"))),
+          groupCols = Seq(QCol(dimKey, "c_mktsegment")),
+          measureCols = Seq(QCol(factKey, "o_totalprice")),
+          summaryPath = s"$rootDir/star_sum"))
+        val m = graft.plans.StarMvMaintainer.create(s,
+          Map(factKey -> os, dimKey -> cs), mv, s"$rootDir/star_state")
+        try {
+          os.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 3).select("o_orderkey"),
+            upserts = o.filter(mod === 0)
+                .withColumn("o_totalprice",
+                  lit("1234.56").cast(DecimalType(18, 2)))
+              .unionByName(o.filter(mod === 1)
+                .withColumn("o_orderkey", col("o_orderkey") + KeyShift)
+                .withColumn("o_custkey", lit(NewCust)))))
+          cs.merge(graft.operators.CompactedBatch(
+            deletes = c.filter(col("c_custkey") % 10 === 7)
+              .select("c_custkey"),
+            upserts = {
+              import s.implicits._
+              c.filter(col("c_custkey") % 10 === 4)
+                .withColumn("c_mktsegment", lit("SEG_X"))
+                .unionByName(
+                  Seq((NewCust, "SEG_NEW")).toDF("c_custkey", "c_mktsegment"))
+            }))
+          m.sync()
+          os.snapshot()
+            .join(cs.snapshot(), col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")).cast("double").as("sum_price"),
+              min(col("o_totalprice")).cast("double").as("min_price"),
+              max(col("o_totalprice")).cast("double").as("max_price"))
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally {
+          graft.plans.StarMv.unregister(m.definition.summaryPath)
+          graft.plans.MaterializedView.replaceDirs(factKey, Nil)
+          graft.plans.MaterializedView.replaceDirs(dimKey, Nil)
+        }
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -681,6 +766,33 @@ object CdcQueries {
         |  CAST(min(p) AS DOUBLE) AS min_price,
         |  CAST(max(p) AS DOUBLE) AS max_price
         |FROM final GROUP BY 1""".stripMargin,
+
+    // q218: both tables' final states restated (orders: %10=3 deleted,
+    // %10=0 repriced, shifted %10=1 copies pointed at the new customer;
+    // customer: %10=7 deleted, %10=4 re-segmented, the new customer
+    // added), joined, rolled up by segment.
+    "q218_star_mv_cdc" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'SEG_X'
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 10 <> 7
+        |  UNION ALL SELECT 99999991, 'SEG_NEW'
+        |), ord AS (
+        |  SELECT o_custkey AS ck,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(1234.56 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 99999991, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |)
+        |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) AS DOUBLE) AS sum_price,
+        |  CAST(min(p) AS DOUBLE) AS min_price,
+        |  CAST(max(p) AS DOUBLE) AS max_price
+        |FROM ord JOIN cust ON ord.ck = cust.ck
+        |GROUP BY 1""".stripMargin,
 
     "q20_cdc_compact" ->
       """SELECT 'delete' AS action, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderpriority
