@@ -42,8 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class SnapshotCatalog(
     spark: SparkSession,
     root: String,
-    stores: Map[String, ParquetTableStore]) {
+    stores: Map[String, ParquetTableStore],
+    retainedBoundaries: Int = 1) {
   require(stores.nonEmpty, "SnapshotCatalog needs at least one store")
+  require(retainedBoundaries >= 1,
+    s"retainedBoundaries must be >= 1, got $retainedBoundaries")
   require(stores.values.forall(_.retainedVersions >= 2),
     "SnapshotCatalog requires every store to retain >= 2 versions: between " +
       "a table's merge and the catalog commit, catalog readers resolve the " +
@@ -51,12 +54,24 @@ final class SnapshotCatalog(
 
   private val catDir = new Path(root, "_catalog")
   private val curPath = new Path(catDir, "_current")
+  private def boundaryPath(b: Long) = new Path(catDir, s"_b$b")
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
   private def fs = catDir.getFileSystem(hadoopConf)
 
   /** Record every store's CURRENT version as the new consistent boundary
     * (atomic rename — all tables move together or none do). Call after all
     * of the batch's merges have committed. Returns what was recorded.
+    *
+    * Boundary history: the record is also kept as `_b<seq>` (same
+    * best-effort posture as the stores' `_v<seq>` — `_current` is THE
+    * commit point; a crash between the rename and the history write loses
+    * the `_b` entry, never the boundary), and entries beyond
+    * `retainedBoundaries` are pruned. Cross-table TIME TRAVEL
+    * ([[snapshotAllAt]]) and consistent incremental reads
+    * ([[changeFeedsBetween]]) only reach as far as BOTH the boundary
+    * window and every store's own version retention — size
+    * `retainedVersions` to cover the boundary window plus the in-flight
+    * batch.
     */
   def commit(): Map[String, Long] = {
     val versions = stores.map { case (t, st) => t -> st.currentVersion }
@@ -66,29 +81,87 @@ final class SnapshotCatalog(
     val tmp = new Path(catDir, s"_current.tmp.${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(body) finally out.close()
+    val nextB = boundaries().lastOption.getOrElse(0L) + 1
     FileContext.getFileContext(tmp.toUri, hadoopConf)
       .rename(tmp, curPath, Options.Rename.OVERWRITE)
+    val bout = fs.create(boundaryPath(nextB), true)
+    try bout.write(body) finally bout.close()
+    val bs = boundaries()
+    bs.dropRight(retainedBoundaries).foreach(b =>
+      fs.delete(boundaryPath(b), false))
     versions
   }
 
-  /** The last committed (table → version) record; empty before the first
-    * [[commit]].
+  /** Committed boundary ids currently retained, ascending. */
+  def boundaries(): Seq[Long] =
+    if (!fs.exists(catDir)) Seq.empty
+    else fs.listStatus(catDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_b") && n.drop(2).forall(_.isDigit))
+      .map(_.drop(2).toLong).toSeq.sorted
+
+  /** The (table → version) record of one retained boundary. */
+  def at(boundary: Long): Map[String, Long] = {
+    val p = boundaryPath(boundary)
+    require(fs.exists(p),
+      s"catalog has no retained boundary $boundary " +
+        s"(retained: ${boundaries().mkString(",")}) — raise " +
+        "retainedBoundaries to keep more history")
+    parseRecord(readFile(p))
+  }
+
+  /** EVERY table as of one retained boundary — cross-table time travel.
+    * Each table's version must additionally still be inside its store's
+    * own retention ([[ParquetTableStore.snapshotAt]] fails loudly if
+    * not).
     */
-  def current(): Map[String, Long] = {
-    if (!fs.exists(curPath)) return Map.empty
-    val in = fs.open(curPath)
-    val body = try {
+  def snapshotAllAt(boundary: Long): Map[String, DataFrame] =
+    at(boundary).map { case (t, v) => t -> stores(t).snapshotAt(v) }
+
+  /** Consistent cross-table incremental read: each table's row-valued
+    * change feed ([[ParquetTableStore.changeFeedBetween]]) across the
+    * SAME two committed boundaries — what a downstream consumer applies
+    * to advance a multi-table replica (or a star summary through
+    * [[graft.plans.StarMvMaintainer]]) from one batch boundary to
+    * another without tearing. Tables whose version did not move between
+    * the boundaries are omitted. Scan input per table is bucket-pruned to
+    * the dirs that differ between its two versions.
+    */
+  def changeFeedsBetween(fromBoundary: Long,
+      toBoundary: Long): Map[String, DataFrame] = {
+    require(fromBoundary < toBoundary,
+      s"changeFeedsBetween needs fromBoundary < toBoundary, got " +
+        s"$fromBoundary >= $toBoundary")
+    val a = at(fromBoundary)
+    val b = at(toBoundary)
+    require(a.keySet == b.keySet,
+      s"boundaries cover different table sets: ${a.keySet} vs ${b.keySet}")
+    b.collect { case (t, vTo) if vTo != a(t) =>
+      t -> stores(t).changeFeedBetween(a(t), vTo)
+    }
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  private def parseRecord(body: String): Map[String, Long] =
     body.linesIterator.filter(_.nonEmpty).map { line =>
       val Array(t, v) = line.split('\t')
       t -> v.toLong
     }.toMap
-  }
+
+  /** The last committed (table → version) record; empty before the first
+    * [[commit]].
+    */
+  def current(): Map[String, Long] =
+    if (!fs.exists(curPath)) Map.empty else parseRecord(readFile(curPath))
 
   /** One table at the last committed boundary. */
   def snapshot(table: String): DataFrame = {

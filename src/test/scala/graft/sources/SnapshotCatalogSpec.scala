@@ -103,4 +103,46 @@ class SnapshotCatalogSpec extends SparkTestBase {
     cat.commit()
     intercept[IllegalArgumentException](cat.snapshot("public.nope"))
   }
+
+  test("boundary history: cross-table time travel and pruning") {
+    val root = tmpDir("cat_hist")
+    val sa = new ParquetTableStore(spark, root, specA, 4, retainedVersions = 4)
+    val sb = new ParquetTableStore(spark, root, specB, 4, retainedVersions = 4)
+    val cat = new SnapshotCatalog(spark, root,
+      Map("public.ta" -> sa, "public.tb" -> sb), retainedBoundaries = 2)
+    sa.init((1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 5L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit() // b1
+    sa.merge(CompactedBatch(Seq(1L).toDF("id"), Seq((6L, 6L)).toDF("id", "v")))
+    cat.commit() // b2
+    sb.merge(CompactedBatch(Seq(2L).toDF("id"), Seq((7L, 7L)).toDF("id", "w")))
+    cat.commit() // b3 — prunes b1
+    assert(cat.boundaries() === Seq(2L, 3L))
+    intercept[IllegalArgumentException](cat.at(1L))
+    // b2: ta post-batch-1, tb still initial
+    val snapB2 = cat.snapshotAllAt(2L)
+    assert(rows(snapB2("public.ta")) ==
+      ((2L to 5L).map(i => (i, i)) :+ (6L, 6L)).toSet)
+    assert(rows(snapB2("public.tb")) == (1L to 5L).map(i => (i, i)).toSet)
+  }
+
+  test("changeFeedsBetween: consistent per-table feeds, unchanged tables omitted") {
+    val root = tmpDir("cat_feed")
+    val sa = new ParquetTableStore(spark, root, specA, 4, retainedVersions = 4)
+    val sb = new ParquetTableStore(spark, root, specB, 4, retainedVersions = 4)
+    val cat = new SnapshotCatalog(spark, root,
+      Map("public.ta" -> sa, "public.tb" -> sb), retainedBoundaries = 3)
+    sa.init((1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 5L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit() // b1
+    sa.merge(CompactedBatch(Seq(3L).toDF("id"), Seq((8L, 80L)).toDF("id", "v")))
+    cat.commit() // b2: only ta moved
+    val feeds = cat.changeFeedsBetween(1L, 2L)
+    assert(feeds.keySet === Set("public.ta"),
+      "unchanged tb must be omitted from the feed map")
+    val fa = feeds("public.ta").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fa === Set((3L, 3L, "delete"), (8L, 80L, "insert")))
+    intercept[IllegalArgumentException](cat.changeFeedsBetween(2L, 1L))
+  }
 }

@@ -378,4 +378,40 @@ class TableStoreSpec extends SparkTestBase {
     assert(t1.staleBy == 0 && t1.nRows == 4)
     assert(s.stats().get.version == t1.version)
   }
+
+  test("version diffs scan only the buckets whose manifest entry changed") {
+    val s = new ParquetTableStore(spark, tmpDir("store"), spec, 8,
+      retainedVersions = 2)
+    s.init((1 to 400).map(i => (i, s"v$i")).toDF("id", "v"))
+    // a one-key batch touches ONE bucket of eight
+    s.merge(CompactedBatch(Seq(7).toDF("id"),
+      Seq((401, "new")).toDF("id", "v")))
+    val Seq(v1, v2) = s.history()
+    val feed = s.changeFeedBetween(v1, v2)
+    // the feed's scan roots must all be CHANGED dirs — dirs shared by both
+    // manifests (the other seven buckets) must not appear in the plan
+    def dirNames(v: Long) =
+      s.dataDirsAt(v).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val shared = dirNames(v1).intersect(dirNames(v2))
+    assert(shared.nonEmpty, "fixture must leave untouched buckets to prove pruning")
+    val roots = feed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName)
+          case _ => Nil
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(d => !shared.contains(d)),
+      s"feed must scan only changed bucket dirs, scanned: $roots")
+    // and the pruned feed still equals the full-snapshot diff
+    val full = graft.operators.SnapshotDiff.changeFeed(
+      s.snapshotAt(v1), s.snapshotAt(v2), Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val pruned = feed
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(pruned === full)
+    assert(pruned.map(t => (t._1, t._3)) ===
+      Set((7, "delete"), (401, "insert")))
+  }
 }
