@@ -90,10 +90,14 @@ final class ParquetTableStore(
     numBuckets: Int = 64,
     broadcastKeyLimit: Long = 1000000L,
     inFilterLimit: Long = 1024L,
-    val retainedVersions: Int = 1)
+    val retainedVersions: Int = 1,
+    clusterCols: Seq[String] = Nil)
   extends TableStore {
   require(retainedVersions >= 1,
     s"retainedVersions must be >= 1, got $retainedVersions")
+  require(clusterCols.forall(spec.dataCols.contains),
+    s"clusterCols ${clusterCols.filterNot(spec.dataCols.contains)} are not " +
+      s"columns of ${spec.name} (${spec.dataCols})")
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
   private val dataPath = new Path(tablePath, "data")
@@ -333,8 +337,21 @@ final class ParquetTableStore(
     // Parquet-level bloom filters on each key column cover the case stats
     // cannot: a probe key INSIDE a row group's min/max range but absent —
     // the reader drops the group on the bloom test without decoding it.
+    //
+    // CLUSTERED layout (`clusterCols` nonempty — the OPTIMIZE/CLUSTER BY
+    // tier): the within-bucket sort leads with the cluster columns
+    // instead, so a 100 TB bucket file's row groups carry tight min/max
+    // ranges on the clustering dimension (a time column under a retention
+    // or dashboard range scan — deleteWhere's probe pass and any pushed
+    // range predicate then skip row groups instead of decoding the
+    // bucket). PK point lookups keep the bloom filters (exact membership
+    // per row group); what they give up is the pk-stat skip scan — choose
+    // the layout by the dominant read pattern. Same cost either way: the
+    // sort rides the bucket exchange.
+    val sortCols =
+      if (clusterCols.isEmpty) spec.pkCols else clusterCols ++ spec.pkCols
     val writer = withBucket(df).repartition(col("_bucket"))
-      .sortWithinPartitions(col("_bucket") +: spec.pkCols.map(col): _*)
+      .sortWithinPartitions(col("_bucket") +: sortCols.map(col): _*)
       .write.mode("overwrite").partitionBy("_bucket")
     spec.pkCols.foldLeft(writer) { (w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true")

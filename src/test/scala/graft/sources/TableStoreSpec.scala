@@ -379,6 +379,62 @@ class TableStoreSpec extends SparkTestBase {
     assert(s.stats().get.version == t1.version)
   }
 
+  test("clusterCols layout: bucket files sort and row-group stats band by the cluster column") {
+    import scala.jdk.CollectionConverters._
+    val cSpec = TableSpec("public.tc",
+      StructType(Seq(StructField("id", IntegerType), StructField("ts", LongType),
+        StructField("v", StringType))), Seq("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = conf.get("parquet.block.size")
+    conf.set("parquet.block.size", "16384") // force several row groups per file
+    try {
+      val s = new ParquetTableStore(spark, tmpDir("store"), cSpec, 2,
+        clusterCols = Seq("ts"))
+      // ts deliberately uncorrelated with pk and scrambled
+      val rows = scala.util.Random.shuffle((1 to 6000).toList)
+        .map(i => (i, ((i * 2654435761L) % 1000000L), s"pad-$i-${"x" * 40}"))
+      s.init(rows.toDF("id", "ts", "v"))
+      // a merge must preserve the clustered layout too
+      s.merge(CompactedBatch(Seq(5).toDF("id"),
+        Seq((6001, 123L, "m")).toDF("id", "ts", "v")))
+      var multiGroup = false
+      s.snapshot().inputFiles.foreach { f =>
+        val ts = spark.read.parquet(f).select("ts").collect().map(_.getLong(0)).toSeq
+        assert(ts == ts.sorted, s"bucket file $f not cluster-sorted")
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          if (blocks.size > 1) {
+            multiGroup = true
+            val ranges = blocks.map { b =>
+              val c = b.getColumns.asScala.find(_.getPath.toDotString == "ts").get
+              val st = c.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+            ranges.sliding(2).foreach { case Seq((_, max1), (min2, _)) =>
+              assert(max1 <= min2,
+                s"row-group ts ranges must not interleave in $f: $ranges")
+            }
+          }
+        } finally reader.close()
+      }
+      assert(multiGroup, "fixture must produce multi-row-group files to prove banding")
+    } finally {
+      if (oldBlock == null) conf.unset("parquet.block.size")
+      else conf.set("parquet.block.size", oldBlock)
+    }
+  }
+
+  test("clusterCols must be table columns") {
+    intercept[IllegalArgumentException] {
+      new ParquetTableStore(spark, tmpDir("store"), spec, 4,
+        clusterCols = Seq("nope"))
+    }
+  }
+
   test("version diffs scan only the buckets whose manifest entry changed") {
     val s = new ParquetTableStore(spark, tmpDir("store"), spec, 8,
       retainedVersions = 2)
