@@ -75,25 +75,33 @@ final class MorTableStore(
 
   def exists: Boolean = fs.exists(manifestPath)
 
-  private def readManifest(): (Map[Int, Seq[String]], Option[Int]) =
-    if (!fs.exists(manifestPath)) (Map.empty, None)
+  /** Manifest: `#buckets=` header, optional `#feedfloor=<seq>` (the
+    * newest compaction's fold seq — see [[changeFeedSince]]; absent on
+    * pre-feature manifests, where the floor falls back to a conservative
+    * per-bucket estimate), then `bucket<TAB>dir,dir,…` stack lines.
+    */
+  private def readManifest(): (Map[Int, Seq[String]], Option[Int], Option[Long]) =
+    if (!fs.exists(manifestPath)) (Map.empty, None, None)
     else {
       val in = fs.open(manifestPath)
       val body =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val lines = body.split("\n").filter(_.nonEmpty)
-      val header = lines.headOption.filter(_.startsWith("#buckets="))
+      val header = lines.find(_.startsWith("#buckets="))
         .map(_.stripPrefix("#buckets=").toInt)
+      val floor = lines.find(_.startsWith("#feedfloor="))
+        .map(_.stripPrefix("#feedfloor=").toLong)
       val entries = lines.filterNot(_.startsWith("#")).map { l =>
         val Array(b, dirs) = l.split("\t", 2)
         b.toInt -> dirs.split(",").toSeq
       }.toMap
-      (entries, header)
+      (entries, header, floor)
     }
 
-  private def commitManifest(manifest: Map[Int, Seq[String]]): Unit = {
-    val body = (s"#buckets=$numBuckets" +:
+  private def commitManifest(manifest: Map[Int, Seq[String]],
+      feedFloor: Long): Unit = {
+    val body = (Seq(s"#buckets=$numBuckets", s"#feedfloor=$feedFloor") ++
       manifest.toSeq.sortBy(_._1)
         .map { case (b, ds) => s"$b\t${ds.mkString(",")}" })
       .mkString("\n").getBytes("UTF-8")
@@ -104,6 +112,22 @@ final class MorTableStore(
     FileContext.getFileContext(tmp.toUri, hadoopConf)
       .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
   }
+
+  /** The oldest `fromSeq` [[changeFeedSince]] can serve: compaction folds
+    * per-row history at-or-below its fold seq, so feeds must start at or
+    * after the newest fold. Pre-feature manifests (no recorded floor)
+    * estimate conservatively from the stack shapes: any bucket whose
+    * FIRST dir carries seq > 0 might be a compacted base, so the floor is
+    * the max such seq (a never-compacted table with all-seq-0 bases
+    * yields 0 — full history).
+    */
+  private def feedFloorOf(manifest: Map[Int, Seq[String]],
+      recorded: Option[Long]): Long =
+    recorded.getOrElse {
+      val firstSeqs = manifest.values.flatMap(_.headOption)
+        .map(_.split("-")(1).toLong)
+      if (firstSeqs.isEmpty) 0L else firstSeqs.max
+    }
 
   private def gcUnreferenced(manifest: Map[Int, Seq[String]]): Unit = {
     if (!fs.exists(dataPath)) return
@@ -171,7 +195,8 @@ final class MorTableStore(
     gcUnreferenced(readManifest()._1)
     val rows = df.select(spec.dataCols.map(col): _*)
       .withColumn("_op", lit("u")).withColumn("_seq", lit(0L))
-    commitManifest(writeBucketDirs(rows, 0L).map { case (b, d) => b -> Seq(d) })
+    commitManifest(writeBucketDirs(rows, 0L).map { case (b, d) => b -> Seq(d) },
+      feedFloor = 0L)
   }
 
   /** Current table: single-dir buckets stream straight off the scan (a
@@ -180,7 +205,7 @@ final class MorTableStore(
     * resolution window.
     */
   def snapshot(): DataFrame = {
-    val (manifest, _) = readManifest()
+    val (manifest, _, _) = readManifest()
     val (flat, stacked) = manifest.values.partition(_.lengthCompare(1) == 0)
     val parts = Seq(
       if (flat.nonEmpty)
@@ -200,7 +225,7 @@ final class MorTableStore(
     * appended to those buckets' stacks. Nothing existing is rewritten.
     */
   def merge(batch: CompactedBatch): Unit = {
-    val (manifest, manifestBuckets) = readManifest()
+    val (manifest, manifestBuckets, floor) = readManifest()
     manifestBuckets.foreach { b =>
       require(b == numBuckets,
         s"table ${spec.name} was written with $b buckets but this store " +
@@ -221,7 +246,7 @@ final class MorTableStore(
     val next = manifest ++ written.map { case (b, d) =>
       b -> (manifest.getOrElse(b, Seq.empty) :+ d)
     }
-    commitManifest(next)
+    commitManifest(next, feedFloorOf(manifest, floor))
     // Self-compaction policy (`autoCompact = true`): fold threshold-deep
     // stacks right after the merge COMMITS — the batch is already durable
     // and visible, so a crash mid-compaction costs nothing (the next
@@ -244,7 +269,7 @@ final class MorTableStore(
     * number of buckets compacted.
     */
   def compact(): Int = {
-    val (manifest, _) = readManifest()
+    val (manifest, _, floor) = readManifest()
     val targets = manifest.filter(_._2.lengthCompare(compactThreshold) >= 0)
     if (targets.isEmpty) return 0
     val seq = nextSeq(manifest)
@@ -253,8 +278,12 @@ final class MorTableStore(
     val written = writeBucketDirs(resolved, seq)
     // a bucket whose rows were all deleted folds to nothing and leaves the
     // manifest entirely
+    // history at-or-below the fold seq is gone for the folded buckets;
+    // the recorded floor advances so changeFeedSince fails loudly instead
+    // of serving a reconstruction that silently misses pre-images
     commitManifest((manifest -- targets.keys) ++
-      written.map { case (b, d) => b -> Seq(d) })
+      written.map { case (b, d) => b -> Seq(d) },
+      feedFloor = math.max(feedFloorOf(manifest, floor), seq))
     targets.size
   }
 
@@ -263,6 +292,55 @@ final class MorTableStore(
     */
   def stackDepths(): Map[Int, Int] =
     readManifest()._1.map { case (b, ds) => b -> ds.size }
+
+  /** Newest committed `_seq` — the cursor a change-feed consumer records
+    * after each read. Manifest-only (no data access).
+    */
+  def currentSeq: Long = nextSeq(readManifest()._1) - 1L
+
+  /** Oldest `fromSeq` [[changeFeedSince]] can currently serve. */
+  def feedFloor: Long = {
+    val (manifest, _, floor) = readManifest()
+    feedFloorOf(manifest, floor)
+  }
+
+  /** Row-valued change feed since `fromSeq` (exclusive — pass the
+    * [[currentSeq]] recorded at the previous read): full pre/post images
+    * tagged `_change`, the MOR rendering of
+    * [[ParquetTableStore.changeFeedBetween]]. The delta stacks ARE the
+    * history, so the feed needs no retained versions: the pre state is
+    * the stack resolved at `_seq <= fromSeq`, the post state the full
+    * resolution, and [[graft.operators.SnapshotDiff.changeFeed]] nets
+    * them — multiple ops on one key since the cursor collapse to their
+    * net effect, and the delete/update pre-images come from the resolved
+    * old state. Input is bucket-pruned to stacks that carry any dir with
+    * seq > `fromSeq` (manifest-only detection).
+    *
+    * Compaction folds history: a feed from before the newest fold
+    * ([[feedFloor]]) fails loudly — size `compactThreshold` (or the
+    * consumer's cadence) so feeds are read before their history folds.
+    */
+  def changeFeedSince(fromSeq: Long): DataFrame = {
+    val (manifest, _, floorRec) = readManifest()
+    val cur = nextSeq(manifest) - 1L
+    require(fromSeq >= 0 && fromSeq <= cur,
+      s"changeFeedSince needs 0 <= fromSeq <= $cur, got $fromSeq")
+    val floor = feedFloorOf(manifest, floorRec)
+    require(fromSeq >= floor,
+      s"table ${spec.name} compacted its history up to seq $floor — a feed " +
+        s"from $fromSeq cannot reconstruct pre-images; re-baseline the " +
+        "consumer (full read) or compact less aggressively")
+    val touched = manifest.filter(_._2.exists(_.split("-")(1).toLong > fromSeq))
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(spec.schema.fields.toSeq :+
+          StructField("_change", StringType)))
+    val stack = readDirs(touched.values.flatten.toSeq)
+    val pre = resolve(stack.filter(col("_seq") <= fromSeq))
+    val post = resolve(stack)
+    graft.operators.SnapshotDiff.changeFeed(pre, post, spec.pkCols)
+  }
 
   /** Bucket-pruned point lookup — [[ParquetTableStore.snapshotForKeys]]'
     * MOR twin: the key set resolves to bucket ids (one bounded aggregate),
@@ -280,7 +358,7 @@ final class MorTableStore(
     val affected = keyDf
       .select(pmod(hash(pk.map(col): _*), lit(numBuckets)).as("_bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val (manifest, _) = readManifest()
+    val (manifest, _, _) = readManifest()
     val hit = manifest.filter(e => affected(e._1))
     if (hit.isEmpty)
       return spark.createDataFrame(

@@ -146,4 +146,109 @@ class MorTableStoreSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("bucket"))
   }
+
+  // ── change feed from the delta stacks ────────────────────────────────────
+
+  private def feedRows(df: org.apache.spark.sql.DataFrame): Set[(Int, String, String)] =
+    df.collect().map(r => (r.getInt(0),
+      Option(r.getString(1)).getOrElse("∅"), r.getString(2))).toSet
+
+  test("changeFeedSince nets multi-op history into pre/post images") {
+    val s = newStore()
+    s.init((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c0 = s.currentSeq
+    // two merges between cursor reads: 1 updated twice (net = one update
+    // pair), 2 deleted, 60 inserted-then-updated (net = one insert),
+    // 3 updated then deleted (net = one delete), 4 upserted byte-identical
+    // (net = NOTHING)
+    s.merge(CompactedBatch(Seq(2).toDF("id"),
+      Seq((1, "x1"), (60, "n1"), (3, "x3"), (4, "v4")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq(3).toDF("id"),
+      Seq((1, "x2"), (60, "n2")).toDF("id", "v")))
+    assert(feedRows(s.changeFeedSince(c0)) === Set(
+      (1, "v1", "update_pre"), (1, "x2", "update_post"),
+      (2, "v2", "delete"),
+      (60, "n2", "insert"),
+      (3, "v3", "delete")))
+    // cursor advance: a feed from the new cursor is empty
+    assert(s.changeFeedSince(s.currentSeq).count() === 0L)
+  }
+
+  test("changeFeedSince reads only stacks with deltas past the cursor") {
+    val s = newStore()
+    s.init((1 to 200).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c0 = s.currentSeq
+    s.merge(CompactedBatch(Seq.empty[Int].toDF("id"),
+      Seq((7, "u7")).toDF("id", "v"))) // one key → one bucket's stack
+    val feed = s.changeFeedSince(c0)
+    val roots = feed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName)
+          case _ => Nil
+        }
+    }.flatten
+    // 4 buckets exist; only the touched bucket's stack (base + delta = 2
+    // dirs of one bucket id) may be scanned
+    val bucketIds = roots.map(_.split("-")(0)).distinct
+    assert(bucketIds.size === 1,
+      s"feed must read one bucket's stack, scanned: $roots")
+    assert(feedRows(feed) === Set((7, "v7", "update_pre"), (7, "u7", "update_post")))
+  }
+
+  test("compaction advances the feed floor and old cursors fail loudly") {
+    val s = newStore(threshold = 2)
+    s.init((1 to 30).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c0 = s.currentSeq
+    s.merge(CompactedBatch(Seq(1).toDF("id"), Seq((31, "n")).toDF("id", "v")))
+    assert(s.feedFloor === 0L)
+    assert(s.compact() >= 1)
+    assert(s.feedFloor > c0, "fold must advance the floor")
+    val e = intercept[IllegalArgumentException](s.changeFeedSince(c0))
+    assert(e.getMessage.contains("compacted"))
+    // a consumer re-baselined at the floor reads fresh changes fine
+    val c1 = s.currentSeq
+    s.merge(CompactedBatch(Seq(5).toDF("id"), Seq.empty[(Int, String)].toDF("id", "v")))
+    assert(feedRows(s.changeFeedSince(c1)) === Set((5, "v5", "delete")))
+  }
+
+  test("MOR feed drives single-table MV maintenance to table truth") {
+    import graft.plans.MaterializedView
+    import org.apache.spark.sql.functions._
+    val mSpec = TableSpec("public.mfm", StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", LongType))), Seq("id"))
+    val s = new MorTableStore(spark, tmpDir("mor-mv"), mSpec, numBuckets = 4)
+    val rnd = new scala.util.Random(71)
+    var rows = (1L to 150L).map(i => (i, s"g${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+    s.init(rows.toDF("id", "g", "m"))
+    val base = tmpDir("mor-mv-base")
+    s.snapshot().write.mode("overwrite").parquet(base)
+    var d = MaterializedView.build(spark, base, Seq("g"), Seq("m"),
+      tmpDir("mor-mv-sum"))
+    try {
+      var cursor = s.currentSeq
+      (1 to 3).foreach { round =>
+        val delIds = rnd.shuffle(rows.map(_._1).toList).take(8)
+        val ups = rnd.shuffle((1L to 160L).toList).take(10)
+          .filterNot(delIds.contains)
+          .map(i => (i, s"g${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+        s.merge(CompactedBatch(delIds.toDF("id"), ups.toDF("id", "g", "m")))
+        rows = rows.filterNot(r => delIds.contains(r._1))
+          .filterNot(r => ups.exists(_._1 == r._1)) ++ ups
+        d = MaterializedView.refreshFromFeed(spark, base,
+          s.changeFeedSince(cursor), base = Some(s.snapshot()))
+        cursor = s.currentSeq
+        val want = rows.groupBy(_._2).map { case (g, rs) =>
+          (g, rs.size.toLong, rs.map(_._3).sum, rs.map(_._3).min, rs.map(_._3).max)
+        }.toSet
+        val got = spark.read.parquet(d.summaryPath)
+          .select(col("g"), col("cnt"), col("s_m"), col("mn_m"), col("mx_m"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(got === want, s"MOR-fed MV diverged at round $round")
+      }
+    } finally MaterializedView.unregister(base)
+  }
 }
