@@ -156,7 +156,8 @@ object MaterializedView {
     */
   def build(spark: SparkSession, basePath: String, groupCols: Seq[String],
       measureCols: Seq[String], summaryPath: String,
-      derivedGroups: Seq[(String, String)] = Nil): MvDef = {
+      derivedGroups: Seq[(String, String)] = Nil,
+      base: Option[DataFrame] = None): MvDef = {
     require(groupCols.nonEmpty, "MV needs at least one group column")
     require((groupCols ++ measureCols).distinct.size ==
       groupCols.size + measureCols.size,
@@ -166,12 +167,15 @@ object MaterializedView {
     // a stale registration for this base must not satisfy the build scan
     unregister(basePath)
     val d0 = MvDef(basePath, groupCols, measureCols, summaryPath, derivedGroups)
-    val base = withDerived(spark.read.parquet(basePath), d0)
+    // `base` overrides the build scan's source for bases that aren't a
+    // single parquet path (a versioned store's snapshot registered for
+    // dir-set serving) — `basePath` is then purely the registry key.
+    val baseDf = withDerived(base.getOrElse(spark.read.parquet(basePath)), d0)
     val partials = measureCols.flatMap(m => Seq(
       sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
       min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
       count(lit(1)).as("cnt")
-    base.groupBy(groupCols.map(col): _*)
+    baseDf.groupBy(groupCols.map(col): _*)
       .agg(partials.head, partials.tail: _*)
       .write.mode("overwrite").parquet(summaryPath)
     register(d0)

@@ -44,11 +44,12 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   * against the query's analyzed form exactly as
   * [[MaterializedView.MvDef.derivedGroups]] matches derived groups.
   *
-  * Maintenance: rebuild-only. Incremental view maintenance over joins
-  * needs per-table delta joins against the other tables' current states
-  * (the classic IVM join-delta algebra) — a planned extension; today a CDC
-  * pipeline rebuilds after each merge interval, which is exactly the
-  * posture of Greenplum's own non-incremental `REFRESH MATERIALIZED VIEW`.
+  * Maintenance: [[rebuild]] (Greenplum's non-incremental `REFRESH` posture)
+  * or real join-delta IVM — [[refreshTableDelta]] applies one table's CDC
+  * batch via delta joins against the other tables (version-pinnable
+  * through `tableOverrides` for multi-table batches), and
+  * [[StarMvMaintainer]] runs that loop durably over versioned stores'
+  * change feeds.
   *
   * Scale: the build pays the big shuffle join ONCE; every rollup after
   * reads |groups| summary rows instead of re-joining the fact. At 100 TB
@@ -404,7 +405,8 @@ object StarMv {
     * sibling is fresh, which is already the staleness contract every MV
     * query lives under; unregister stale siblings before building.
     */
-  def build(spark: SparkSession, d: StarMvDef): StarMvDef = {
+  def build(spark: SparkSession, d: StarMvDef,
+      tableOverrides: Map[String, DataFrame] = Map.empty): StarMvDef = {
     require(d.groupCols.nonEmpty, "star MV needs at least one group column")
     val names = d.groupCols.map(_.name) ++ d.measureCols.map(_.name) ++
       d.derivedMeasures.map(_._1)
@@ -415,7 +417,14 @@ object StarMv {
     unregister(d.summaryPath) // a stale twin must not satisfy the build scan
     derivedFormCache.remove(d.summaryPath)
     derivedForms(spark, d) // analyze derived measures before the build scan
-    val joined0 = joinTables(spark, d)
+    // `tableOverrides` substitutes table content (versioned-store
+    // snapshots) so the table paths can be pure registry keys — same
+    // contract as refreshTableDelta. Derived-measure form analysis above
+    // still reads the paths (it needs only schemas); pass real paths or
+    // no derivedMeasures when tables are stores.
+    val joined0 = joinTables(spark, d,
+      tableOverrides.map { case (pth, df) =>
+        MaterializedView.normalize(pth) -> df })
     val joined = d.derivedMeasures.foldLeft(joined0) { case (acc, (n, sql)) =>
       acc.withColumn(n, expr(sql)) }
     val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)

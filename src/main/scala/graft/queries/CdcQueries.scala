@@ -554,10 +554,13 @@ object CdcQueries {
         val o = s.read.parquet(s"$dir/orders.parquet")
           .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(18, 2)))
         store.init(o)
+        // basePath is purely the registry key — the build scan, the repair
+        // scan, and serving all run off the store (snapshot override +
+        // dir-set registration); no base dump is ever written
         val base = s"$rootDir/mv_base"
-        store.snapshot().write.parquet(base)
         val mv = graft.plans.MaterializedView.build(s, base,
-          Seq("o_orderpriority"), Seq("o_totalprice"), s"$rootDir/mv_sum")
+          Seq("o_orderpriority"), Seq("o_totalprice"), s"$rootDir/mv_sum",
+          base = Some(store.snapshot()))
         val m = graft.plans.MvMaintainer.create(s, store, mv,
           s"$rootDir/mv_state")
         try {
@@ -617,17 +620,19 @@ object CdcQueries {
           .select(col("c_custkey").cast("long").as("c_custkey"),
             col("c_mktsegment"))
         os.init(o); cs.init(c)
+        // table paths are pure registry keys — build, refresh, and serving
+        // all run off the stores (overrides + dir-set registration); no
+        // snapshot dumps are ever written
         val factKey = s"$rootDir/fact_key"
         val dimKey = s"$rootDir/dim_key"
-        os.snapshot().write.parquet(factKey)
-        cs.snapshot().write.parquet(dimKey)
         import graft.plans.StarMv.{QCol, StarMvDef}
         val mv = graft.plans.StarMv.build(s, StarMvDef(
           tables = Seq(factKey, dimKey),
           joins = Seq((QCol(factKey, "o_custkey"), QCol(dimKey, "c_custkey"))),
           groupCols = Seq(QCol(dimKey, "c_mktsegment")),
           measureCols = Seq(QCol(factKey, "o_totalprice")),
-          summaryPath = s"$rootDir/star_sum"))
+          summaryPath = s"$rootDir/star_sum"),
+          tableOverrides = Map(factKey -> os.snapshot(), dimKey -> cs.snapshot()))
         val m = graft.plans.StarMvMaintainer.create(s,
           Map(factKey -> os, dimKey -> cs), mv, s"$rootDir/star_state")
         try {
