@@ -469,7 +469,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(_, _, _, _) =>
         tryRewrite(agg).orElse(tryRewriteExpand(agg))
-          .orElse(StarMv.tryRewrite(agg)).getOrElse(agg)
+          .orElse(StarMv.tryRewrite(agg))
+          .orElse(StarMv.tryRewriteExpand(agg)).getOrElse(agg)
     }
   }
 
@@ -550,17 +551,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Per-position classification of an Expand's projection matrix. */
-  private sealed trait ExCol
+  private[plans] sealed trait ExCol
   /** same expression in every projection (measures, constants, pre-nulled
     * group expressions) */
-  private final case class ExPass(e: Expression) extends ExCol
+  private[plans] final case class ExPass(e: Expression) extends ExCol
   /** nulled in some projections, the same expression in the rest — a
     * grouping-sets key column */
-  private final case class ExGrouped(e: Expression) extends ExCol
+  private[plans] final case class ExGrouped(e: Expression) extends ExCol
   /** a distinct non-null literal per projection — the grouping id */
-  private case object ExGid extends ExCol
+  private[plans] case object ExGid extends ExCol
 
-  private def classifyExpand(
+  private[plans] def classifyExpand(
       projs: Seq[Seq[Expression]], out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Seq[ExCol]] = {
     if (projs.isEmpty || projs.exists(_.size != out.size)) return None
     val cols = out.indices.map { j =>

@@ -503,6 +503,313 @@ object StarMv {
         .flatMap(d => rewriteWith(agg, flat, pathed, d)).headOption
     } yield mv
 
+  /** ROLLUP / CUBE / GROUPING SETS over a registered star: the analyzer
+    * plants an [[org.apache.spark.sql.catalyst.plans.logical.Expand]]
+    * between the Aggregate and the JOIN TREE, so neither the flat star
+    * path above nor [[MvRewriteRule]]'s single-table Expand path reaches
+    * it. This is the star lift of `MvRewriteRule.tryRewriteExpand`: match
+    * the join tree below the Expand against a registered definition, then
+    * rebuild the SAME Expand over the summary — each summary row
+    * replicates once per grouping set exactly as each join row did, so
+    * the per-set partial re-aggregation algebra is unchanged.
+    */
+  private[plans] def tryRewriteExpand(agg: Aggregate): Option[LogicalPlan] =
+    agg.child match {
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        for {
+          flat <- flatten(ex.child)
+          if flat.leaves.size >= 2
+          pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
+          if pathed.size == flat.leaves.size
+          paths = pathed.map(_._2)
+          if paths.distinct.size == paths.size
+          mv <- candidates(paths.toSet).view
+            .flatMap(d => rewriteExpandStar(agg, ex, flat, pathed, d))
+            .headOption
+        } yield mv
+      case _ => None
+    }
+
+  /** The Expand twin of [[rewriteWith]] — the join-matching prelude is
+    * deliberately duplicated from there (same canonicalization contract;
+    * see the comments in [[rewriteWith]]) and the Expand machinery mirrors
+    * `MvRewriteRule.rewriteExpandWith` with name-set lookups replaced by
+    * qualified-column lookups.
+    */
+  private def rewriteExpandStar(agg: Aggregate,
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      flat: Flat, pathed: Seq[(LogicalRelation, String)],
+      d: StarMvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.ExprId
+    val spark = SparkSession.active
+    val qcolOf: Map[ExprId, QCol] =
+      pathed.flatMap { case (rel, path) =>
+        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+
+    def inline(e: Expression): Expression = {
+      var cur = e
+      var i = 0
+      while (i < 10) {
+        val next = cur.transformUp {
+          case a: AttributeReference if flat.aliases.contains(a.exprId) =>
+            flat.aliases(a.exprId)
+        }
+        if (next.fastEquals(cur)) return cur
+        cur = next; i += 1
+      }
+      cur
+    }
+
+    def asPair(e: Expression): Option[(QCol, QCol)] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        for (qa <- qcolOf.get(a.exprId); qb <- qcolOf.get(b.exprId))
+          yield (qa, qb)
+      case _ => None
+    }
+    final class UnionFind {
+      private val parent = scala.collection.mutable.Map[QCol, QCol]()
+      def find(x: QCol): QCol = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: QCol, b: QCol): Unit = {
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) { parent(ra) = rb; () }
+      }
+      def connected(a: QCol, b: QCol): Boolean = find(a) == find(b)
+    }
+    val joinConjs = flat.joinConds.map(inline)
+    val joinPairs = joinConjs.map(asPair)
+    if (joinPairs.exists(_.isEmpty)) return None
+    val filterInl = flat.filters.map(inline)
+    val qc = new UnionFind
+    (joinPairs.flatten ++ filterInl.flatMap(asPair))
+      .foreach { case (a, b) => qc.union(a, b) }
+    val dc = new UnionFind
+    d.joins.foreach { case (a, b) => dc.union(a.normalized, b.normalized) }
+    if (!d.joins.forall { case (a, b) =>
+      qc.connected(a.normalized, b.normalized) }) return None
+    def impliedEq(e: Expression): Boolean =
+      asPair(e).exists { case (a, b) => dc.connected(a, b) }
+    val extraJoinConjs = joinConjs.filterNot(impliedEq)
+
+    val sumPlan = spark.read.parquet(d.summaryPath).queryExecution.analyzed
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    def attrOf(name: String): Option[AttributeReference] =
+      byName.get(name).collect { case a: AttributeReference => a }
+    val dForms = derivedForms(spark, d)
+
+    def rewriteGroupExpr(e0: Expression): Option[Expression] = {
+      val e = inline(e0)
+      if (!e.deterministic || e.exists(_.isInstanceOf[AggregateExpression]))
+        None
+      else {
+        var ok = true
+        val bound = e.transform {
+          case a: AttributeReference =>
+            qcolOf.get(a.exprId).flatMap(d.groupByQ.get).flatMap(attrOf)
+              .getOrElse { ok = false; a }
+        }
+        if (ok) Some(bound) else None
+      }
+    }
+
+    def measureName(child: Expression): Option[String] = inline(child) match {
+      case a: AttributeReference =>
+        qcolOf.get(a.exprId).flatMap(d.measureByQ.get)
+      case e =>
+        if (dForms.isEmpty) None
+        else MvRewriteRule.renderForm(e.transform {
+          case a: AttributeReference => a.withQualifier(Nil)
+        }).flatMap(dForms.get)
+    }
+
+    // classify the Expand's projection matrix and bind every position:
+    // measure passthroughs drop out (their partials ride along), grouping
+    // entries rebind to the summary's attribute space, and OTHER
+    // passthroughs (e.g. the factors of a derived measure the analyzer
+    // passes through separately — `f_price` for `sum(f_qty * f_price)`)
+    // stay UNBOUND: they also drop from the new Expand, and an aggregate
+    // child built from them must match a registered derived measure at
+    // the aggregate level below (or the rewrite refuses via refsOk).
+    val cols = MvRewriteRule.classifyExpand(ex.projections, ex.output)
+      .getOrElse(return None)
+    val measureByOutId = scala.collection.mutable.Map[ExprId, String]()
+    val boundByIdx = scala.collection.mutable.Map[Int, Expression]()
+    val baseExprByOutId = scala.collection.mutable.Map[ExprId, Expression]()
+    cols.zipWithIndex.foreach {
+      case (MvRewriteRule.ExGid, _) => ()
+      case (MvRewriteRule.ExPass(e), j) =>
+        baseExprByOutId(ex.output(j).exprId) = e
+        measureName(e) match {
+          case Some(m) => measureByOutId(ex.output(j).exprId) = m
+          case None => rewriteGroupExpr(e) match {
+            case Some(se) if se.dataType == ex.output(j).dataType =>
+              boundByIdx(j) = se
+            case _ => () // unbound passthrough — see above
+          }
+        }
+      case (MvRewriteRule.ExGrouped(e), j) =>
+        baseExprByOutId(ex.output(j).exprId) = e
+        rewriteGroupExpr(e) match {
+          case Some(se) if se.dataType == ex.output(j).dataType =>
+            boundByIdx(j) = se
+          case _ => return None // a grouping-set key MUST rebind
+        }
+    }
+    val keepIdx = ex.output.indices.filter(j =>
+      cols(j) == MvRewriteRule.ExGid || boundByIdx.contains(j))
+    val expandableIds: Set[ExprId] = keepIdx.map(ex.output(_).exprId).toSet
+
+    /** an aggregate child rendered back in BASE attribute space (Expand
+      * outputs replaced by the base-side expressions they pass through),
+      * so whole-child derived-measure matching can run */
+    def baseForm(child: Expression): Option[Expression] = {
+      var ok = true
+      val subbed = child.transform {
+        case a: AttributeReference if !qcolOf.contains(a.exprId) =>
+          baseExprByOutId.getOrElse(a.exprId, { ok = false; a })
+      }
+      if (ok) Some(subbed) else None
+    }
+
+    /** measure name for an aggregate child: a measure passthrough attr,
+      * or a whole expression matching a plain/derived measure in base
+      * space */
+    def measureOf(child: Expression): Option[String] = child match {
+      case a: AttributeReference if measureByOutId.contains(a.exprId) =>
+        Some(measureByOutId(a.exprId))
+      case _ => baseForm(child).flatMap(measureName)
+    }
+    def refsOk(e: Expression): Boolean =
+      e.deterministic && !e.exists(_.isInstanceOf[AggregateExpression]) &&
+        e.references.forall(a => expandableIds.contains(a.exprId))
+    if (!agg.groupingExpressions.forall(refsOk)) return None
+
+    // filters below the Expand (plus extra-constraint join conjuncts):
+    // implied equalities and join-key IsNotNulls drop, everything else
+    // replays as a group filter on the summary BEFORE it expands
+    val conj = (filterInl ++ extraJoinConjs).map { c =>
+      c match {
+        case _ if impliedEq(c) => Some(None)
+        case IsNotNull(a: AttributeReference)
+            if qcolOf.get(a.exprId).exists(d.joinKeySet.contains) =>
+          Some(None)
+        case _ => rewriteGroupExpr(c).map(Some(_))
+      }
+    }
+    if (conj.exists(_.isEmpty)) return None
+    val keptConds = conj.flatten.flatten
+
+    def rewriteAggFunc(e: AggregateExpression): Option[Expression] =
+      e.aggregateFunction match {
+        case s: Sum if s.evalContext.evalMode == EvalMode.TRY => None
+        case s: Sum => measureOf(s.child)
+          .flatMap(m => attrOf(s"s_$m"))
+          .map(p => Sum(p).toAggregateExpression())
+          .orElse(s.child match {
+            case ge if refsOk(ge) => for {
+              cnt <- attrOf("cnt")
+              r <- MvRewriteRule.sumOfGroupExpr(ge, cnt)
+            } yield r
+            case _ => None
+          })
+        case a: Average => measureOf(a.child).flatMap { m =>
+          for {
+            s <- attrOf(s"s_$m")
+            c <- attrOf(s"c_$m")
+            r <- MvRewriteRule.avgFromPartials(a,
+              Sum(s).toAggregateExpression(), Sum(c).toAggregateExpression())
+          } yield r
+        }.orElse(a.child match {
+          case ge if refsOk(ge) => for {
+            cnt <- attrOf("cnt")
+            r <- MvRewriteRule.avgOfGroupExpr(a, ge, cnt)
+          } yield r
+          case _ => None
+        })
+        case m: Min => measureOf(m.child)
+          .flatMap(n => attrOf(s"mn_$n"))
+          .map(p => Min(p).toAggregateExpression())
+          .orElse(m.child match {
+            case ge if refsOk(ge) => Some(e)
+            case _ => None
+          })
+        case m: Max => measureOf(m.child)
+          .flatMap(n => attrOf(s"mx_$n"))
+          .map(p => Max(p).toAggregateExpression())
+          .orElse(m.child match {
+            case ge if refsOk(ge) => Some(e)
+            case _ => None
+          })
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null =>
+            attrOf("cnt").map(p => Coalesce(Seq(
+              Sum(p).toAggregateExpression(), Literal(0L))))
+          case Seq(one) => measureOf(one).flatMap(n => attrOf(s"c_$n"))
+            .map(p => Coalesce(Seq(Sum(p).toAggregateExpression(), Literal(0L))))
+            .orElse(one match {
+              case _ if refsOk(one) => for {
+                cnt <- attrOf("cnt")
+              } yield MvRewriteRule.countOfGroupExpr(one, cnt)
+              case _ => None
+            })
+          case _ => None
+        }
+        case _ => None
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae @ AggregateExpression(_, _, false, None, _) => rewriteAggFunc(ae)
+      case ae @ AggregateExpression(c: Count, _, true, None, _)
+          if c.children.nonEmpty && c.children.forall(refsOk) => Some(ae)
+      case _: AggregateExpression => None
+      case a: AttributeReference if expandableIds.contains(a.exprId) => Some(a)
+      case l: Literal => Some(l)
+      case _ if e.children.nonEmpty =>
+        val rewritten = e.children.map(rewriteExpr)
+        if (rewritten.forall(_.isDefined))
+          Some(e.withNewChildren(rewritten.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if expandableIds.contains(a.exprId) => Some(a)
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map { c =>
+          val typed = if (c.dataType == al.dataType) c else Cast(c, al.dataType)
+          Alias(typed, name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+
+    val newResults = agg.aggregateExpressions.map(rewriteNamed)
+    if (newResults.exists(_.isEmpty)) return None
+
+    val sumOutIds = sumPlan.outputSet
+    val usedPartials = newResults.flatMap(_.get.references)
+      .filter(sumOutIds.contains).distinct
+      .collect { case a: AttributeReference => a }
+
+    val filtered = keptConds.foldLeft(sumPlan)((p, c) => Filter(c, p))
+    val newOut = keepIdx.map(ex.output) ++ usedPartials
+    val newProjs = ex.projections.map { proj =>
+      keepIdx.map { j =>
+        cols(j) match {
+          case MvRewriteRule.ExGid => proj(j)
+          case MvRewriteRule.ExGrouped(_) => proj(j) match {
+            case Literal(null, dt) => Literal(null, dt)
+            case _ => boundByIdx(j)
+          }
+          case MvRewriteRule.ExPass(_) => boundByIdx(j)
+        }
+      } ++ usedPartials
+    }
+    Some(Aggregate(agg.groupingExpressions, newResults.map(_.get),
+      org.apache.spark.sql.catalyst.plans.logical.Expand(
+        newProjs, newOut, filtered)))
+  }
+
   private def rewriteWith(agg: Aggregate, flat: Flat,
       pathed: Seq[(LogicalRelation, String)], d: StarMvDef): Option[LogicalPlan] = {
     val spark = SparkSession.active
