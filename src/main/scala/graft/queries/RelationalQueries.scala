@@ -1141,6 +1141,52 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ── ROLLUP over the star through the Expand rewrite
+    // ([[graft.plans.StarMv.tryRewriteExpand]]): the analyzer plants an
+    // Expand between the Aggregate and the three-table join, the rule
+    // matches the join tree below it against the registered star and
+    // rebuilds the SAME Expand over the pre-joined summary — every tier
+    // (cells, per-flag subtotals, grand total) re-aggregates |groups|
+    // summary rows with the fact never rescanned. grouping() indicators
+    // compile to shifts over the grouping-id literal, which survives in
+    // the rebuilt projections. SQL is the surface (vanilla Spark rejects
+    // Dataset-API rollup over a join via DetectAmbiguousSelfJoin); the
+    // oracle restates the full join + ROLLUP, so a rebuilt Expand that
+    // mis-nulled a tier or double-counted a partial hash-fails. At 100 TB
+    // this is the all-tiers star dashboard from one summary pass.
+    "q219_star_mv_rollup" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starrol_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders", "customer")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op, cp) = names.map(n => s"$scratch/$n")
+      StarMv.build(s, StarMvDef(
+        tables = Seq(lp, op, cp),
+        joins = Seq((QCol(lp, "l_orderkey"), QCol(op, "o_orderkey")),
+          (QCol(op, "o_custkey"), QCol(cp, "c_custkey"))),
+        groupCols = Seq(QCol(lp, "l_returnflag"), QCol(cp, "c_mktsegment")),
+        measureCols = Seq(QCol(lp, "l_linenumber"), QCol(lp, "l_quantity")),
+        summaryPath = s"$scratch/summary"))
+      s.read.parquet(lp).createOrReplaceTempView("q219_lineitem")
+      s.read.parquet(op).createOrReplaceTempView("q219_orders")
+      s.read.parquet(cp).createOrReplaceTempView("q219_customer")
+      s.sql(
+        """SELECT l_returnflag, c_mktsegment, count(*) AS n,
+          |  sum(l_linenumber) AS sum_lines,
+          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+          |  avg(l_quantity) AS avg_qty,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg
+          |FROM q219_lineitem
+          |JOIN q219_orders ON l_orderkey = o_orderkey
+          |JOIN q219_customer ON o_custkey = c_custkey
+          |GROUP BY ROLLUP(l_returnflag, c_mktsegment)""".stripMargin)
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -2007,6 +2053,20 @@ object RelationalQueries {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // q219: the full join + ROLLUP restated — the Expand rebuilt over the
+    // pre-joined summary must render every tier exactly as the join would.
+    "q219_star_mv_rollup" ->
+      """SELECT l_returnflag, c_mktsegment, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (l_returnflag, c_mktsegment)""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
     "q75_map_funcs" ->
