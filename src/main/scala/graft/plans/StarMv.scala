@@ -73,10 +73,25 @@ object StarMv {
     * pairs is applied as a post-join equality filter (the q73
     * supplier-nation shape, joined on both l_suppkey and c_nationkey).
     * `derivedMeasures` are (name, SQL over the joined relation).
+    *
+    * `losslessTables` declares tables whose join is a LOSSLESS 1:1
+    * extension of the rest — their join key is unique and every partner
+    * row matches exactly one of their rows (the dimension-key/FK contract
+    * of a star schema). [[build]] VERIFIES the declaration against the
+    * data (peeling outside-in: a declared table must touch exactly one
+    * other table once tables behind it are peeled) and refuses a build
+    * that can't prove it. A verified declaration widens the rewrite to
+    * SUB-JOINS: a query joining any peelable subset of the tables — down
+    * to the bare fact — is served from the same summary, because each
+    * peeled extension contributed exactly one row per retained join row
+    * (aggregate navigation / join elimination). [[refreshTableDelta]]
+    * re-checks the contract delta-sized on every refresh and fails
+    * loudly rather than silently serving wrong sub-join answers.
     */
   final case class StarMvDef(tables: Seq[String], joins: Seq[(QCol, QCol)],
       groupCols: Seq[QCol], measureCols: Seq[QCol], summaryPath: String,
-      derivedMeasures: Seq[(String, String)] = Nil) {
+      derivedMeasures: Seq[(String, String)] = Nil,
+      losslessTables: Seq[String] = Nil) {
     private[plans] lazy val leafSet: Set[String] =
       tables.map(MaterializedView.normalize).toSet
     private[plans] lazy val joinPairSet: Set[Set[QCol]] =
@@ -87,6 +102,8 @@ object StarMv {
       groupCols.map(q => q.normalized -> q.name).toMap
     private[plans] lazy val measureByQ: Map[QCol, String] =
       measureCols.map(q => q.normalized -> q.name).toMap
+    private[plans] lazy val losslessSet: Set[String] =
+      losslessTables.map(MaterializedView.normalize).toSet
   }
 
   private val registry = new CopyOnWriteArrayList[StarMvDef]()
@@ -97,8 +114,81 @@ object StarMv {
   }
   def clear(): Unit = registry.clear()
   private[plans] def isEmpty: Boolean = registry.isEmpty
-  private[plans] def candidates(leaves: Set[String]): Seq[StarMvDef] =
-    registry.asScala.filter(_.leafSet == leaves).toSeq
+
+  /** Definitions servable for a query over exactly `leaves`: exact
+    * leaf-set matches first (no multiplicity reasoning needed), then
+    * SUB-JOIN matches — defs whose extra tables are all declared lossless
+    * and peel outside-in down to `leaves` ([[peelsTo]]).
+    */
+  private[plans] def candidatesFor(leaves: Set[String]): Seq[StarMvDef] = {
+    val all = registry.asScala.toSeq
+    val exact = all.filter(_.leafSet == leaves)
+    val sub = all.filter(d => d.losslessSet.nonEmpty &&
+      d.leafSet != leaves && leaves.subsetOf(d.leafSet) && peelsTo(d, leaves))
+    exact ++ sub
+  }
+
+  /** One outside-in peel step: a declared-lossless table whose remaining
+    * edges all reach ONE other table. Peeling it removes those edges —
+    * exactly the order [[verifyLossless]] proved 1:1 on the data.
+    */
+  private def peelsTo(d: StarMvDef, retained: Set[String]): Boolean = {
+    var removed = d.leafSet -- retained
+    if (!removed.subsetOf(d.losslessSet)) return false
+    var edges = d.joins.map { case (a, b) => (a.normalized, b.normalized) }
+    var progressed = true
+    while (removed.nonEmpty && progressed) {
+      progressed = false
+      removed.find { e =>
+        val touching = edges.filter { case (a, b) =>
+          a.path == e || b.path == e }
+        touching.nonEmpty && touching.map { case (a, b) =>
+          if (a.path == e) b.path else a.path }.distinct.size == 1
+      } match {
+        case Some(e) =>
+          edges = edges.filterNot { case (a, b) => a.path == e || b.path == e }
+          removed -= e; progressed = true
+        case None => ()
+      }
+    }
+    removed.isEmpty
+  }
+
+  /** The verification/guard plan behind `losslessTables`: peel every
+    * declared table outside-in over the FULL join graph, yielding
+    * (table, partner, (partnerCol, tableCol) pairs) per step. None if a
+    * declared table never reaches a single partner — e.g. a bridge table
+    * two retained tables both join (removing it would silently drop the
+    * transitive equality it enforces), or a member of a join cycle.
+    */
+  private[plans] def peelPlan(
+      d: StarMvDef): Option[Seq[(String, String, Seq[(QCol, QCol)])]] = {
+    var edges = d.joins.map { case (a, b) => (a.normalized, b.normalized) }
+    var toPeel = d.losslessSet
+    val plan = Seq.newBuilder[(String, String, Seq[(QCol, QCol)])]
+    var progressed = true
+    while (toPeel.nonEmpty && progressed) {
+      progressed = false
+      toPeel.find { e =>
+        val touching = edges.filter { case (a, b) =>
+          a.path == e || b.path == e }
+        touching.nonEmpty && touching.map { case (a, b) =>
+          if (a.path == e) b.path else a.path }.distinct.size == 1
+      } match {
+        case Some(e) =>
+          val touching = edges.filter { case (a, b) =>
+            a.path == e || b.path == e }
+          val partner = touching.map { case (a, b) =>
+            if (a.path == e) b.path else a.path }.head
+          plan += ((e, partner, touching.map { case (a, b) =>
+            if (a.path == e) (b, a) else (a, b) }))
+          edges = edges.filterNot { case (a, b) => a.path == e || b.path == e }
+          toPeel -= e; progressed = true
+        case None => ()
+      }
+    }
+    if (toPeel.isEmpty) Some(plan.result()) else None
+  }
 
   /** render-form of each derived measure, analyzed against the joined
     * relation once per (summaryPath) and cached — the same
@@ -251,6 +341,49 @@ object StarMv {
         s"override $p is not one of the MV's tables") }
     require(registry.contains(d), "refreshTableDelta needs the CURRENTLY " +
       "registered definition (register/build first)")
+    // Lossless-integrity guards: the sub-join serving contract was proved
+    // at build; a delta can break it two ways, both checked here at delta
+    // cost and failing LOUDLY (rebuild, or drop the declaration) rather
+    // than letting the summary silently serve wrong sub-join answers.
+    if (d.losslessSet.nonEmpty) {
+      def cur(p: String): DataFrame =
+        overrides.getOrElse(p, spark.read.parquet(
+          d.tables.find(t => MaterializedView.normalize(t) == p).get))
+      peelPlan(d).toSeq.flatten.foreach { case (e, partner, pairs) =>
+        val eKeys = pairs.map(_._2.name)
+        val pKeys = pairs.map(_._1.name)
+        if (partner == path && !inserts.isEmpty) {
+          // new partner rows must still match the extension exactly once
+          val orphan = inserts.select(pKeys.map(col): _*).join(
+            cur(e).select(eKeys.map(col): _*),
+            pKeys.zip(eKeys).map { case (p2, k) => col(p2) === col(k) }
+              .reduce(_ && _), "left_anti").limit(1)
+          require(orphan.isEmpty, s"refreshTableDelta: inserted $partner " +
+            s"rows have no match in lossless table $e — rebuild or drop " +
+            "the losslessTables declaration")
+        }
+        if (e == path) {
+          if (!inserts.isEmpty) { // the extension must stay unique
+            val dup = cur(e).groupBy(eKeys.map(col): _*)
+              .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+            require(dup.isEmpty, s"refreshTableDelta: $e is no longer " +
+              s"unique on (${eKeys.mkString(", ")}) — rebuild or drop the " +
+              "losslessTables declaration")
+          }
+          if (!deletes.isEmpty) { // deleted keys must not orphan partners
+            val goneKeys = deletes.select(eKeys.map(col): _*).distinct()
+              .exceptAll(cur(e).select(eKeys.map(col): _*).distinct())
+            val pDf = cur(partner)
+            val orphaned = pDf.join(goneKeys,
+              pKeys.zip(eKeys).map { case (p2, k) => pDf(p2) === goneKeys(k) }
+                .reduce(_ && _), "left_semi").limit(1)
+            require(orphaned.isEmpty, s"refreshTableDelta: deleting keys " +
+              s"from lossless table $e orphans $partner rows — rebuild or " +
+              "drop the losslessTables declaration")
+          }
+        }
+      }
+    }
     val g = d.groupCols.map(q => col(q.name))
     val gNames = d.groupCols.map(_.name)
     val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)
@@ -414,6 +547,8 @@ object StarMv {
       s"group/measure/derived names must be globally unique: $names")
     require(d.tables.map(MaterializedView.normalize).distinct.size ==
       d.tables.size, "duplicate table paths in star MV definition")
+    verifyLossless(spark, d, tableOverrides.map { case (p, df) =>
+      MaterializedView.normalize(p) -> df })
     unregister(d.summaryPath) // a stale twin must not satisfy the build scan
     derivedFormCache.remove(d.summaryPath)
     derivedForms(spark, d) // analyze derived measures before the build scan
@@ -437,6 +572,44 @@ object StarMv {
       .write.mode("overwrite").parquet(d.summaryPath)
     register(d)
     d
+  }
+
+  /** Prove every `losslessTables` declaration against the data, in peel
+    * order: per peeled table its join key combination must be UNIQUE, and
+    * every partner row must MATCH (non-null keys included — a null key
+    * falls out of the anti-join as an orphan). Each check is one
+    * dimension-sized aggregate plus one partner-scan anti-join, paid once
+    * at build next to the fact-sized summary join itself. A failed check
+    * refuses the whole build: a summary registered with an unprovable
+    * declaration would silently serve wrong sub-join answers.
+    */
+  private def verifyLossless(spark: SparkSession, d: StarMvDef,
+      overrides: Map[String, DataFrame]): Unit = {
+    if (d.losslessTables.isEmpty) return
+    require(d.losslessSet.subsetOf(d.leafSet),
+      s"losslessTables not all registered tables: ${d.losslessTables}")
+    val plan = peelPlan(d).getOrElse(throw new IllegalArgumentException(
+      "losslessTables must peel outside-in to a single partner each — a " +
+        s"bridge or cycle member cannot be lossless: ${d.losslessTables}"))
+    def tableDf(p: String): DataFrame =
+      overrides.getOrElse(p, spark.read.parquet(p))
+    plan.foreach { case (e, partner, pairs) =>
+      val eDf = tableDf(e)
+      val pDf = tableDf(partner)
+      val eKeys = pairs.map(_._2.name)
+      val pKeys = pairs.map(_._1.name)
+      val dup = eDf.groupBy(eKeys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+      require(dup.isEmpty, s"losslessTables: $e is not unique on " +
+        s"(${eKeys.mkString(", ")}) — the extension can duplicate join rows")
+      val orphan = pDf.select(pKeys.map(col): _*).join(
+        eDf.select(eKeys.map(col): _*),
+        pKeys.zip(eKeys).map { case (p, k) => col(p) === col(k) }
+          .reduce(_ && _), "left_anti").limit(1)
+      require(orphan.isEmpty, s"losslessTables: $partner has rows with no " +
+        s"match in $e on (${pKeys.mkString(", ")}) — the extension drops " +
+        "join rows (null or dangling keys)")
+    }
   }
 
   // ───────────────────────── rewrite machinery ─────────────────────────
@@ -494,12 +667,15 @@ object StarMv {
   private[plans] def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
       flat <- flatten(agg.child)
-      if flat.leaves.size >= 2 // single-table is MvRewriteRule's job
+      // single-leaf shapes are MvRewriteRule's job first (it runs before
+      // us in the orElse chain) — but a bare-fact query can still be a
+      // lossless SUB-JOIN of a registered star, so they are matched here
+      if flat.leaves.nonEmpty
       pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
       if pathed.size == flat.leaves.size
       paths = pathed.map(_._2)
       if paths.distinct.size == paths.size // self-joins refuse
-      mv <- candidates(paths.toSet).view
+      mv <- candidatesFor(paths.map(MaterializedView.normalize).toSet).view
         .flatMap(d => rewriteWith(agg, flat, pathed, d)).headOption
     } yield mv
 
@@ -518,12 +694,12 @@ object StarMv {
       case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         for {
           flat <- flatten(ex.child)
-          if flat.leaves.size >= 2
+          if flat.leaves.nonEmpty // single leaf = lossless sub-join rollup
           pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
           if pathed.size == flat.leaves.size
           paths = pathed.map(_._2)
           if paths.distinct.size == paths.size
-          mv <- candidates(paths.toSet).view
+          mv <- candidatesFor(paths.map(MaterializedView.normalize).toSet).view
             .flatMap(d => rewriteExpandStar(agg, ex, flat, pathed, d))
             .headOption
         } yield mv
@@ -586,8 +762,12 @@ object StarMv {
       .foreach { case (a, b) => qc.union(a, b) }
     val dc = new UnionFind
     d.joins.foreach { case (a, b) => dc.union(a.normalized, b.normalized) }
+    // retained-only coverage — see the comment in rewriteWith
+    val retained = pathed.map(p => MaterializedView.normalize(p._2)).toSet
     if (!d.joins.forall { case (a, b) =>
-      qc.connected(a.normalized, b.normalized) }) return None
+      !(retained.contains(a.normalized.path) &&
+        retained.contains(b.normalized.path)) ||
+        qc.connected(a.normalized, b.normalized) }) return None
     def impliedEq(e: Expression): Boolean =
       asPair(e).exists { case (a, b) => dc.connected(a, b) }
     val extraJoinConjs = joinConjs.filterNot(impliedEq)
@@ -866,9 +1046,17 @@ object StarMv {
       .foreach { case (a, b) => qc.union(a, b) }
     val dc = new UnionFind // everything the DEFINITION constrains equal
     d.joins.foreach { case (a, b) => dc.union(a.normalized, b.normalized) }
-    // coverage: the query must enforce at least the registered join graph
+    // coverage: the query must enforce the registered join graph AMONG THE
+    // TABLES IT RETAINS — a sub-join match already proved (candidatesFor)
+    // that the absent tables peel losslessly, and their edges exist on the
+    // summary by construction. dc keeps ALL definition joins: an equality
+    // the definition implies only THROUGH a peeled table still held on
+    // every row the summary aggregated.
+    val retained = pathed.map(p => MaterializedView.normalize(p._2)).toSet
     if (!d.joins.forall { case (a, b) =>
-      qc.connected(a.normalized, b.normalized) }) return None
+      !(retained.contains(a.normalized.path) &&
+        retained.contains(b.normalized.path)) ||
+        qc.connected(a.normalized, b.normalized) }) return None
     // a query equality implied by the definition is vacuous on the summary;
     // one that adds a constraint beyond the definition's must be replayable
     // as a group filter — route it through the filter gate below

@@ -165,7 +165,10 @@ object StarMvMaintainer {
       measureCols = split(kv("measures")).map(qcol),
       summaryPath = dec(kv("summary")),
       derivedMeasures = split(kv("derived")).map { pair =>
-        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) })
+        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) },
+      // absent in pre-lossless state files → Nil (sub-join serving off,
+      // which is the conservative direction)
+      losslessTables = split(kv.getOrElse("lossless", "")).map(dec))
     val synced = split(kv("syncedVersions")).map { pair =>
       val Array(t, v) = pair.split("=", 2); dec(t) -> v.toLong }.toMap
     val tables = d.tables.map(MaterializedView.normalize)
@@ -194,6 +197,7 @@ object StarMvMaintainer {
       "summary" -> enc(d.summaryPath),
       "derived" -> d.derivedMeasures
         .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
+      "lossless" -> d.losslessTables.map(enc).mkString(","),
       "syncedVersions" -> synced.toSeq.sorted
         .map { case (t, v) => s"${enc(t)}=$v" }.mkString(","))
       .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")

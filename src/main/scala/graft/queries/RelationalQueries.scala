@@ -1187,6 +1187,45 @@ object RelationalQueries {
           |GROUP BY ROLLUP(l_returnflag, c_mktsegment)""".stripMargin)
     }),
 
+    // ── Lossless SUB-JOIN serving (aggregate navigation): the MV
+    // pre-joins lineitem ⋈ orders ⋈ customer, with orders and customer
+    // DECLARED lossless extensions — [[graft.plans.StarMv.build]] VERIFIES
+    // on the data that each peels 1:1 (unique key, every partner row
+    // matched) and refuses otherwise. The query below joins only
+    // lineitem ⋈ orders; the rewrite peels customer and serves it from
+    // the same summary. The oracle is the plain TWO-table join — if
+    // peeling customer changed any multiplicity, every value hash-fails.
+    // At 100 TB this is why one star summary replaces a whole family of
+    // per-subset summaries: every peelable dashboard cut shares it.
+    "q220_star_mv_subjoin" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starsub_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders", "customer")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op, cp) = names.map(n => s"$scratch/$n")
+      StarMv.build(s, StarMvDef(
+        tables = Seq(lp, op, cp),
+        joins = Seq((QCol(lp, "l_orderkey"), QCol(op, "o_orderkey")),
+          (QCol(op, "o_custkey"), QCol(cp, "c_custkey"))),
+        groupCols = Seq(QCol(lp, "l_returnflag"),
+          QCol(op, "o_orderpriority"), QCol(cp, "c_mktsegment")),
+        measureCols = Seq(QCol(lp, "l_linenumber"), QCol(lp, "l_quantity")),
+        summaryPath = s"$scratch/summary",
+        losslessTables = Seq(op, cp)))
+      s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          avg(col("l_quantity")).as("avg_qty"))
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -2067,6 +2106,17 @@ object RelationalQueries {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP (l_returnflag, c_mktsegment)""".stripMargin,
+
+    // q220: the plain two-table join — the three-table summary the rewrite
+    // peeled customer out of must be invisible.
+    "q220_star_mv_subjoin" ->
+      """SELECT l_returnflag, o_orderpriority, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  avg(l_quantity) AS avg_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
     "q75_map_funcs" ->
