@@ -825,6 +825,73 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     Some(name).filter(_.nonEmpty)
   }
 
+  /** Day-hierarchy filter recovery, shared between the single-table and
+    * STAR rewrites: the optimizer rewrites `cast(ts as date) >= date d`
+    * into `ts >= timestamp midnight(d)` BEFORE our rules run, so a
+    * dashboard's day-range filter arrives as raw-ts bounds. A conjunct
+    * bounding ts at an exact session-TZ midnight converts back to the day
+    * bound (ts >= mid(d) ⇔ day >= d; ts < mid(d) ⇔ day < d) whenever the
+    * zone has a fixed offset — under DST a day's first instant need not
+    * be 00:00, so non-fixed zones refuse rather than risk an off-by-one
+    * day. `dayOfTs` maps a timestamp column NAME to its derived day
+    * column; `attrOf` resolves summary attributes by name.
+    */
+  private[plans] def tsBoundToDayShared(e: Expression,
+      dayOfTs: Map[String, String],
+      attrOf: String => Option[AttributeReference],
+      zoneIdStr: String): Option[Expression] = {
+    if (dayOfTs.isEmpty) return None
+    def dayAttr(a: AttributeReference): Option[AttributeReference] =
+      dayOfTs.get(a.name).flatMap(attrOf)
+    def midnightDate(l: Literal): Option[Literal] = l match {
+      case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
+        // zoned: only a fixed-offset session zone makes midnight(d) ⇔ d
+        val zone = scala.util.Try(
+          java.time.ZoneId.of(zoneIdStr)).getOrElse(return None)
+        if (!zone.getRules.isFixedOffset) return None
+        val zdt = java.time.Instant.EPOCH
+          .plus(micros, java.time.temporal.ChronoUnit.MICROS).atZone(zone)
+        if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(Literal(zdt.toLocalDate.toEpochDay.toInt,
+            org.apache.spark.sql.types.DateType))
+        else None
+      case Literal(micros: Long, org.apache.spark.sql.types.TimestampNTZType) =>
+        // NTZ is pure wall-clock — cast(ntz as date) is its date part in
+        // EVERY zone, so the conversion is exact with no DST caveat
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(micros, 1000000L),
+          (java.lang.Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(Literal(ldt.toLocalDate.toEpochDay.toInt,
+            org.apache.spark.sql.types.DateType))
+        else None
+      case _ => None
+    }
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => dayAttr(a).map(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(_))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        a: AttributeReference, l: Literal) =>
+        for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+        a: AttributeReference, l: Literal) =>
+        for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+          org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+        l: Literal, a: AttributeReference) =>
+        for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+        l: Literal, a: AttributeReference) =>
+        for (d <- dayAttr(a); dl <- midnightDate(l)) yield
+          org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
+      case _ => None
+    }
+  }
+
   /** exprId/qualifier/alias-insensitive rendering for expression matching:
     * two analyzed expressions over the same base match iff their SQL text
     * matches after stripping the outer alias and attribute qualifiers.
@@ -986,46 +1053,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case And(l, r) => splitConj(l) ++ splitConj(r)
       case x => Seq(x)
     }
-    def tsBoundToDay(e: Expression): Option[Expression] = {
-      if (dayOfTs.isEmpty) return None
-      val zone = scala.util.Try(
-        java.time.ZoneId.of(conf.sessionLocalTimeZone)).getOrElse(return None)
-      if (!zone.getRules.isFixedOffset) return None
-      def dayAttr(a: AttributeReference): Option[AttributeReference] =
-        dayOfTs.get(a.name).flatMap(attrOf)
-      def midnightDate(l: Literal): Option[Literal] = l match {
-        case Literal(micros: Long, org.apache.spark.sql.types.TimestampType) =>
-          val zdt = java.time.Instant.EPOCH
-            .plus(micros, java.time.temporal.ChronoUnit.MICROS).atZone(zone)
-          if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
-            Some(Literal(zdt.toLocalDate.toEpochDay.toInt,
-              org.apache.spark.sql.types.DateType))
-          else None
-        case _ => None
-      }
-      e match {
-        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-          a: AttributeReference) => dayAttr(a).map(
-            org.apache.spark.sql.catalyst.expressions.IsNotNull(_))
-        case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
-          a: AttributeReference, l: Literal) =>
-          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
-            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
-        case org.apache.spark.sql.catalyst.expressions.LessThan(
-          a: AttributeReference, l: Literal) =>
-          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
-            org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
-        case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
-          l: Literal, a: AttributeReference) =>
-          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
-            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(d, dl)
-        case org.apache.spark.sql.catalyst.expressions.GreaterThan(
-          l: Literal, a: AttributeReference) =>
-          for (d <- dayAttr(a); dl <- midnightDate(l)) yield
-            org.apache.spark.sql.catalyst.expressions.LessThan(d, dl)
-        case _ => None
-      }
-    }
+    def tsBoundToDay(e: Expression): Option[Expression] =
+      MvRewriteRule.tsBoundToDayShared(e, dayOfTs, attrOf,
+        conf.sessionLocalTimeZone)
     val conjuncts = conds.flatMap(c => splitConj(inline(c))).map { conj =>
       val sub = substituteDerived(conj)
       // determinism is required even for attribute-free conjuncts: a

@@ -91,7 +91,8 @@ object StarMv {
   final case class StarMvDef(tables: Seq[String], joins: Seq[(QCol, QCol)],
       groupCols: Seq[QCol], measureCols: Seq[QCol], summaryPath: String,
       derivedMeasures: Seq[(String, String)] = Nil,
-      losslessTables: Seq[String] = Nil) {
+      losslessTables: Seq[String] = Nil,
+      derivedGroups: Seq[(String, String)] = Nil) {
     private[plans] lazy val leafSet: Set[String] =
       tables.map(MaterializedView.normalize).toSet
     private[plans] lazy val joinPairSet: Set[Set[QCol]] =
@@ -104,6 +105,13 @@ object StarMv {
       measureCols.map(q => q.normalized -> q.name).toMap
     private[plans] lazy val losslessSet: Set[String] =
       losslessTables.map(MaterializedView.normalize).toSet
+    /** summary group-key column names: plain group columns then derived
+      * groups (`day -> "cast(o_orderdate as date)"` time hierarchies, the
+      * shape that keeps a star summary at day grain instead of
+      * per-timestamp — i.e. MBs instead of fact-sized).
+      */
+    private[plans] lazy val groupNames: Seq[String] =
+      groupCols.map(_.name) ++ derivedGroups.map(_._1)
   }
 
   private val registry = new CopyOnWriteArrayList[StarMvDef]()
@@ -199,22 +207,63 @@ object StarMv {
 
   private[plans] def derivedForms(spark: SparkSession, d: StarMvDef): Map[String, String] =
     derivedFormCache.computeIfAbsent(d.summaryPath, { _ =>
-      if (d.derivedMeasures.isEmpty) Map.empty
+      renderedForms(spark, d, d.derivedMeasures) })
+
+  /** render-form → derived-GROUP name, same mechanism as [[derivedForms]]
+    * but for the grouping side — a query expression whose optimized form
+    * matches binds to the summary's derived group column.
+    */
+  private val derivedGroupFormCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[plans] def derivedGroupForms(spark: SparkSession, d: StarMvDef): Map[String, String] =
+    derivedGroupFormCache.computeIfAbsent(d.summaryPath, { _ =>
+      renderedForms(spark, d, d.derivedGroups) })
+
+  private def renderedForms(spark: SparkSession, d: StarMvDef,
+      defs: Seq[(String, String)]): Map[String, String] =
+    if (defs.isEmpty) Map.empty
+    else {
+      val joined = joinTables(spark, d)
+      defs.flatMap { case (name, sql) =>
+        scala.util.Try {
+          // OPTIMIZED form, not merely analyzed: the query-side
+          // expression this must match has already been through constant
+          // folding / decimal canonicalization when our rule runs, so
+          // the registered form must take the same trip
+          val opt = joined.select(expr(sql).as("__dm"))
+            .queryExecution.optimizedPlan
+          val e = opt match {
+            case Project(pl, _) => pl.head
+            case other => other.expressions.head
+          }
+          MvRewriteRule.renderForm(e)
+        }.toOption.flatten.map(_ -> name)
+      }.toMap
+    }
+
+  /** derived groups that are exactly `cast(<ts> as date)`: ts column name
+    * → day group name, feeding the shared day-range filter recovery.
+    */
+  private val derivedTsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[plans] def derivedTsCols(spark: SparkSession, d: StarMvDef): Map[String, String] =
+    derivedTsCache.computeIfAbsent(d.summaryPath, { _ =>
+      if (d.derivedGroups.isEmpty) Map.empty
       else {
         val joined = joinTables(spark, d)
-        d.derivedMeasures.flatMap { case (name, sql) =>
+        d.derivedGroups.flatMap { case (name, sql) =>
           scala.util.Try {
-            // OPTIMIZED form, not merely analyzed: the query-side
-            // expression this must match has already been through constant
-            // folding / decimal canonicalization when our rule runs, so
-            // the registered form must take the same trip
-            val opt = joined.select(expr(sql).as("__dm"))
-              .queryExecution.optimizedPlan
-            val e = opt match {
-              case Project(pl, _) => pl.head
-              case other => other.expressions.head
+            val analyzed = joined.select(expr(sql).as("__dg"))
+              .queryExecution.analyzed.expressions.head
+            val stripped = analyzed match {
+              case a: Alias => a.child; case x => x }
+            stripped match {
+              case Cast(a: AttributeReference,
+                org.apache.spark.sql.types.DateType, _, _) => Some(a.name)
+              case _ => None
             }
-            MvRewriteRule.renderForm(e)
           }.toOption.flatten.map(_ -> name)
         }.toMap
       }
@@ -384,15 +433,15 @@ object StarMv {
         }
       }
     }
-    val g = d.groupCols.map(q => col(q.name))
-    val gNames = d.groupCols.map(_.name)
+    val g = d.groupNames.map(col)
+    val gNames = d.groupNames
     val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)
     val old = spark.read.parquet(d.summaryPath)
     val oldTypes = old.schema.map(f => f.name -> f.dataType).toMap
     def deltaJoin(delta: DataFrame): DataFrame = {
       val joined = joinTables(spark, d, overrides + (path -> delta))
-      d.derivedMeasures.foldLeft(joined) { case (acc, (n, sql)) =>
-        acc.withColumn(n, expr(sql)) }
+      (d.derivedMeasures ++ d.derivedGroups).foldLeft(joined) {
+        case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
     }
     val insAggs = allMeasures.flatMap(m => Seq(
       sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
@@ -447,8 +496,8 @@ object StarMv {
     } else {
       val affected = affectedOpt.get
       var scan = joinTables(spark, d, overrides)
-      scan = d.derivedMeasures.foldLeft(scan) { case (acc, (n, sql)) =>
-        acc.withColumn(n, expr(sql)) }
+      scan = (d.derivedMeasures ++ d.derivedGroups).foldLeft(scan) {
+        case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
       scan = scan.select((gNames ++ allMeasures).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
         val keyRows = affected.collect()
@@ -499,6 +548,8 @@ object StarMv {
     val nd = d.copy(summaryPath = next)
     unregister(d.summaryPath)
     derivedFormCache.remove(nd.summaryPath)
+    derivedGroupFormCache.remove(nd.summaryPath)
+    derivedTsCache.remove(nd.summaryPath)
     register(nd)
     nd
   }
@@ -540,9 +591,10 @@ object StarMv {
     */
   def build(spark: SparkSession, d: StarMvDef,
       tableOverrides: Map[String, DataFrame] = Map.empty): StarMvDef = {
-    require(d.groupCols.nonEmpty, "star MV needs at least one group column")
+    require(d.groupCols.nonEmpty || d.derivedGroups.nonEmpty,
+      "star MV needs at least one group column")
     val names = d.groupCols.map(_.name) ++ d.measureCols.map(_.name) ++
-      d.derivedMeasures.map(_._1)
+      d.derivedMeasures.map(_._1) ++ d.derivedGroups.map(_._1)
     require(names.distinct.size == names.size,
       s"group/measure/derived names must be globally unique: $names")
     require(d.tables.map(MaterializedView.normalize).distinct.size ==
@@ -551,7 +603,11 @@ object StarMv {
       MaterializedView.normalize(p) -> df })
     unregister(d.summaryPath) // a stale twin must not satisfy the build scan
     derivedFormCache.remove(d.summaryPath)
+    derivedGroupFormCache.remove(d.summaryPath)
+    derivedTsCache.remove(d.summaryPath)
     derivedForms(spark, d) // analyze derived measures before the build scan
+    derivedGroupForms(spark, d)
+    derivedTsCols(spark, d)
     // `tableOverrides` substitutes table content (versioned-store
     // snapshots) so the table paths can be pure registry keys — same
     // contract as refreshTableDelta. Derived-measure form analysis above
@@ -560,14 +616,14 @@ object StarMv {
     val joined0 = joinTables(spark, d,
       tableOverrides.map { case (pth, df) =>
         MaterializedView.normalize(pth) -> df })
-    val joined = d.derivedMeasures.foldLeft(joined0) { case (acc, (n, sql)) =>
-      acc.withColumn(n, expr(sql)) }
+    val joined = (d.derivedMeasures ++ d.derivedGroups)
+      .foldLeft(joined0) { case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
     val allMeasures = d.measureCols.map(_.name) ++ d.derivedMeasures.map(_._1)
     val partials = allMeasures.flatMap(m => Seq(
       sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
       min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
       count(lit(1)).as("cnt")
-    joined.groupBy(d.groupCols.map(q => col(q.name)): _*)
+    joined.groupBy(d.groupNames.map(col): _*)
       .agg(partials.head, partials.tail: _*)
       .write.mode("overwrite").parquet(d.summaryPath)
     register(d)
@@ -777,15 +833,29 @@ object StarMv {
     def attrOf(name: String): Option[AttributeReference] =
       byName.get(name).collect { case a: AttributeReference => a }
     val dForms = derivedForms(spark, d)
+    val dgForms = derivedGroupForms(spark, d)
+    val dayOfTs = derivedTsCols(spark, d)
+
+    def derivedGroupMatch(e: Expression): Option[AttributeReference] =
+      if (dgForms.isEmpty) None
+      else MvRewriteRule.renderForm(e.transform {
+        case a: AttributeReference => a.withQualifier(Nil)
+      }).flatMap(dgForms.get).flatMap(attrOf)
+    def substituteDerivedGroups(e: Expression): Expression =
+      if (dgForms.isEmpty) e
+      else e.transformDown {
+        case x if derivedGroupMatch(x).isDefined => derivedGroupMatch(x).get
+      }
 
     def rewriteGroupExpr(e0: Expression): Option[Expression] = {
-      val e = inline(e0)
-      if (!e.deterministic || e.exists(_.isInstanceOf[AggregateExpression]))
+      val e1 = inline(e0)
+      if (!e1.deterministic || e1.exists(_.isInstanceOf[AggregateExpression]))
         None
       else {
+        val e = substituteDerivedGroups(e1)
         var ok = true
         val bound = e.transform {
-          case a: AttributeReference =>
+          case a: AttributeReference if !sumPlan.outputSet.contains(a) =>
             qcolOf.get(a.exprId).flatMap(d.groupByQ.get).flatMap(attrOf)
               .getOrElse { ok = false; a }
         }
@@ -874,7 +944,10 @@ object StarMv {
         case IsNotNull(a: AttributeReference)
             if qcolOf.get(a.exprId).exists(d.joinKeySet.contains) =>
           Some(None)
-        case _ => rewriteGroupExpr(c).map(Some(_))
+        case _ => rewriteGroupExpr(c)
+          .orElse(MvRewriteRule.tsBoundToDayShared(inline(c), dayOfTs,
+            attrOf, spark.sessionState.conf.sessionLocalTimeZone))
+          .map(Some(_))
       }
     }
     if (conj.exists(_.isEmpty)) return None
@@ -1071,17 +1144,33 @@ object StarMv {
       byName.get(name).collect { case a: AttributeReference => a }
 
     val dForms = derivedForms(spark, d)
+    val dgForms = derivedGroupForms(spark, d)
+    val dayOfTs = derivedTsCols(spark, d)
 
-    // rewrite an expression tree whose leaves are group columns into the
-    // summary's attribute space; None = not expressible
+    // derived-group matcher: a query subtree whose optimized render-form
+    // matches a registered derived group binds to its summary column
+    def derivedGroupMatch(e: Expression): Option[AttributeReference] =
+      if (dgForms.isEmpty) None
+      else MvRewriteRule.renderForm(e.transform {
+        case a: AttributeReference => a.withQualifier(Nil)
+      }).flatMap(dgForms.get).flatMap(attrOf)
+    def substituteDerivedGroups(e: Expression): Expression =
+      if (dgForms.isEmpty) e
+      else e.transformDown {
+        case x if derivedGroupMatch(x).isDefined => derivedGroupMatch(x).get
+      }
+
+    // rewrite an expression tree whose leaves are group columns (plain or
+    // derived) into the summary's attribute space; None = not expressible
     def rewriteGroupExpr(e0: Expression): Option[Expression] = {
-      val e = inline(e0)
-      if (!e.deterministic || e.exists(_.isInstanceOf[AggregateExpression]))
+      val e1 = inline(e0)
+      if (!e1.deterministic || e1.exists(_.isInstanceOf[AggregateExpression]))
         None
       else {
+        val e = substituteDerivedGroups(e1)
         var ok = true
         val bound = e.transform {
-          case a: AttributeReference =>
+          case a: AttributeReference if !sumPlan.outputSet.contains(a) =>
             qcolOf.get(a.exprId).flatMap(d.groupByQ.get).flatMap(attrOf)
               .getOrElse { ok = false; a }
         }
@@ -1091,14 +1180,19 @@ object StarMv {
 
     // filter conjuncts (plus any extra-constraint join conjuncts):
     // implied equalities and join-key IsNotNulls are vacuous on the
-    // summary and drop; everything else must replay as a group filter
+    // summary and drop; everything else must replay as a group filter —
+    // including raw-ts bounds the optimizer rewrote a day filter into,
+    // recovered to day bounds by the shared midnight conversion
     val conj = (filterInl ++ extraJoinConjs).map { c =>
       c match {
         case _ if impliedEq(c) => Some(None) // the join itself — drop
         case IsNotNull(a: AttributeReference)
             if qcolOf.get(a.exprId).exists(d.joinKeySet.contains) =>
           Some(None) // inner join output has no null keys — drop
-        case _ => rewriteGroupExpr(c).map(Some(_))
+        case _ => rewriteGroupExpr(c)
+          .orElse(MvRewriteRule.tsBoundToDayShared(inline(c), dayOfTs,
+            attrOf, spark.sessionState.conf.sessionLocalTimeZone))
+          .map(Some(_))
       }
     }
     if (conj.exists(_.isEmpty)) return None
@@ -1181,10 +1275,14 @@ object StarMv {
       case a: AttributeReference => rewriteGroupExpr(a)
       case l: Literal => Some(l)
       case _ if e.children.nonEmpty =>
-        val rewritten = e.children.map(rewriteExpr)
-        if (rewritten.forall(_.isDefined))
-          Some(e.withNewChildren(rewritten.map(_.get)))
-        else None
+        // whole-subtree first: a derived group (`cast(ts as date)`) binds
+        // as a unit — its LEAF (raw ts) is not a group column
+        rewriteGroupExpr(e).orElse {
+          val rewritten = e.children.map(rewriteExpr)
+          if (rewritten.forall(_.isDefined))
+            Some(e.withNewChildren(rewritten.map(_.get)))
+          else None
+        }
       case _ => None
     }
 

@@ -168,7 +168,9 @@ object StarMvMaintainer {
         val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) },
       // absent in pre-lossless state files → Nil (sub-join serving off,
       // which is the conservative direction)
-      losslessTables = split(kv.getOrElse("lossless", "")).map(dec))
+      losslessTables = split(kv.getOrElse("lossless", "")).map(dec),
+      derivedGroups = split(kv.getOrElse("derivedGroups", "")).map { pair =>
+        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) })
     val synced = split(kv("syncedVersions")).map { pair =>
       val Array(t, v) = pair.split("=", 2); dec(t) -> v.toLong }.toMap
     val tables = d.tables.map(MaterializedView.normalize)
@@ -198,6 +200,8 @@ object StarMvMaintainer {
       "derived" -> d.derivedMeasures
         .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
       "lossless" -> d.losslessTables.map(enc).mkString(","),
+      "derivedGroups" -> d.derivedGroups
+        .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
       "syncedVersions" -> synced.toSeq.sorted
         .map { case (t, v) => s"${enc(t)}=$v" }.mkString(","))
       .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")

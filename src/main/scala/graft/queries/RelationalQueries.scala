@@ -1226,6 +1226,45 @@ object RelationalQueries {
           avg(col("l_quantity")).as("avg_qty"))
     }),
 
+    // ── Derived-GROUP star MV (day-grain summary over a timestamp fact):
+    // the summary for lineitem ⋈ orders is keyed at day = cast(o_orderdate
+    // as date) — NOT at raw timestamps, where it would be fact-sized. The
+    // query below groups by the MONTH hierarchy over that derived day and
+    // filters a day range; the optimizer has already rewritten the day
+    // filter into raw-ts midnight bounds when the rule runs, and the
+    // shared recovery converts them back to day bounds on the summary.
+    // The oracle restates the raw two-table join. At 100 TB: one
+    // |flags × days| summary serves every month/quarter/year dashboard.
+    "q221_star_mv_day" -> ((s, dir) => {
+      import graft.plans.StarMv
+      import graft.plans.StarMv.{QCol, StarMvDef}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starday_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op) = names.map(n => s"$scratch/$n")
+      StarMv.build(s, StarMvDef(
+        tables = Seq(lp, op),
+        joins = Seq((QCol(lp, "l_orderkey"), QCol(op, "o_orderkey"))),
+        groupCols = Seq(QCol(lp, "l_returnflag")),
+        measureCols = Seq(QCol(lp, "l_linenumber"), QCol(lp, "l_quantity")),
+        summaryPath = s"$scratch/summary",
+        losslessTables = Seq(op),
+        derivedGroups = Seq("day" -> "cast(o_orderdate as date)")))
+      s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+          col("o_orderdate").cast("date") < lit("1998-01-01"))
+        .groupBy(trunc(col("o_orderdate").cast("date"), "mon").as("month"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -2116,6 +2155,21 @@ object RelationalQueries {
         |  avg(l_quantity) AS avg_qty
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q221: the raw join + month rollup + day range restated — the
+    // day-grain summary, the peeled orders table, and the midnight-bound
+    // recovery must all be invisible in the values.
+    "q221_star_mv_day" ->
+      """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS month,
+        |  l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
         |GROUP BY 1, 2""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
