@@ -630,6 +630,162 @@ object StarMv {
     d
   }
 
+  /** `CREATE MATERIALIZED VIEW … AS <query>`: derive the definition FROM
+    * the aggregate-over-join query the caller wants accelerated — the UX
+    * the reference's users have in Greenplum — then [[build]] it. The
+    * query must be one `Aggregate` over an inner-equi-join tree of
+    * parquet relations with no residual filters (an MV built over a
+    * filtered base would silently under-serve unfiltered queries, so
+    * filters refuse). Extraction rules:
+    *
+    *   - plain grouping attributes → `groupCols`;
+    *   - grouping EXPRESSIONS (e.g. `cast(ts as date)`) → `derivedGroups`
+    *     named by the query's own output alias;
+    *   - sum/min/max/avg/count over a plain column → `measureCols`;
+    *   - over a deterministic expression → `derivedMeasures` named
+    *     `dm<i>` in first-seen order (dedup by rendered form);
+    *   - `count(*)` and aggregates over group expressions ride `cnt`.
+    *
+    * Anything else — outer joins, non-equi conjuncts, distinct
+    * aggregates over measures, FILTER clauses — refuses with the reason.
+    * The def's tables/joins/groups are exactly what the rewrite will
+    * match, so the registered query (and every sibling it implies) is
+    * served from the summary immediately after this returns.
+    */
+  def fromQuery(spark: SparkSession, query: DataFrame, summaryPath: String,
+      losslessTables: Seq[String] = Nil): StarMvDef = {
+    val plan = query.queryExecution.optimizedPlan
+    val agg = plan match {
+      case a: Aggregate => a
+      case Project(_, a: Aggregate) => a
+      case other => throw new IllegalArgumentException(
+        s"fromQuery needs one Aggregate at the root, got ${other.nodeName}")
+    }
+    val flat = flatten(agg.child).getOrElse(throw new IllegalArgumentException(
+      "fromQuery needs an inner-equi-join tree of parquet relations under " +
+        "the Aggregate (outer joins / other operators refuse)"))
+    val pathed = flat.leaves.flatMap(l => relationPath(l).map(l -> _))
+    require(pathed.size == flat.leaves.size,
+      "every leaf must be a single-root parquet relation")
+    val paths = pathed.map(_._2)
+    require(paths.distinct.size == paths.size, "self-joins refuse")
+    val qcolOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, QCol] =
+      pathed.flatMap { case (rel, path) =>
+        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+    def inline(e: Expression): Expression = {
+      var cur = e; var i = 0
+      while (i < 10) {
+        val next = cur.transformUp {
+          case a: AttributeReference if flat.aliases.contains(a.exprId) =>
+            flat.aliases(a.exprId) }
+        if (next.fastEquals(cur)) return cur
+        cur = next; i += 1
+      }
+      cur
+    }
+    def asPair(e: Expression): Option[(QCol, QCol)] = inline(e) match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if qcolOf.contains(a.exprId) && qcolOf.contains(b.exprId) &&
+            qcolOf(a.exprId).path != qcolOf(b.exprId).path =>
+        Some((qcolOf(a.exprId), qcolOf(b.exprId)))
+      case _ => None
+    }
+    val joinPairs = (flat.joinConds ++ flat.filters).flatMap(asPair)
+    val joinKeyIds = joinPairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+    // residual filters: inferred IsNotNull on join keys is vacuous noise;
+    // anything else means the query is NOT the whole join — refuse
+    val residual = (flat.joinConds ++ flat.filters).filter { c =>
+      asPair(c).isEmpty && (inline(c) match {
+        case IsNotNull(a: AttributeReference) =>
+          !qcolOf.get(a.exprId).exists(joinKeyIds.contains)
+        case _ => true
+      })
+    }
+    require(residual.isEmpty,
+      s"fromQuery refuses residual filters/conjuncts (an MV over a filtered " +
+        s"base would under-serve): ${residual.map(_.sql)}")
+    def stripped(e: Expression): Expression = e.transform {
+      case a: AttributeReference => a.withQualifier(Nil) }
+    // groupings: attrs → groupCols; expressions → derivedGroups named by
+    // the query's own output aliases
+    val outAliasByForm: Map[String, String] = agg.aggregateExpressions.collect {
+      case al @ Alias(child, name)
+          if !child.exists(_.isInstanceOf[AggregateExpression]) =>
+        MvRewriteRule.renderForm(stripped(inline(child))).map(_ -> name)
+    }.flatten.toMap
+    val groupCols = Seq.newBuilder[QCol]
+    val derivedGroups = Seq.newBuilder[(String, String)]
+    agg.groupingExpressions.zipWithIndex.foreach { case (g0, i) =>
+      inline(g0) match {
+        case a: AttributeReference if qcolOf.contains(a.exprId) =>
+          groupCols += qcolOf(a.exprId)
+        case e if e.deterministic =>
+          val form = MvRewriteRule.renderForm(stripped(e)).getOrElse(
+            throw new IllegalArgumentException(
+              s"unrenderable grouping expression: ${e.sql}"))
+          derivedGroups += ((outAliasByForm.getOrElse(form, s"dg$i"),
+            stripped(e).sql))
+        case e => throw new IllegalArgumentException(
+          s"non-deterministic grouping expression refuses: ${e.sql}")
+      }
+    }
+    // aggregate children: plain columns → measures; deterministic
+    // expressions over non-group leaves → derived measures (dedup by form)
+    val groupIdSet = agg.groupingExpressions.flatMap {
+      case a: AttributeReference => Some(a.exprId); case _ => None }.toSet
+    val measures = scala.collection.mutable.LinkedHashSet[QCol]()
+    val derivedMeasures = scala.collection.mutable.LinkedHashMap[String, String]()
+    def groupOnly(e: Expression): Boolean = e.references.forall(a =>
+      groupIdSet.contains(a.exprId) ||
+        inline(a).references.forall(r => groupIdSet.contains(r.exprId)))
+    agg.aggregateExpressions.foreach { ne =>
+      ne.foreach {
+        case ae: AggregateExpression =>
+          require(!ae.isDistinct && ae.filter.isEmpty,
+            s"distinct/FILTER aggregates refuse: ${ae.sql}")
+          ae.aggregateFunction match {
+            case f @ (_: Sum | _: Min | _: Max | _: Average) =>
+              inline(f.children.head) match {
+                case a: AttributeReference if qcolOf.contains(a.exprId) =>
+                  measures += qcolOf(a.exprId); ()
+                case e if groupOnly(e) => () // rides cnt at serve time
+                case e if e.deterministic =>
+                  val form = MvRewriteRule.renderForm(stripped(e)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"unrenderable measure expression: ${e.sql}"))
+                  if (!derivedMeasures.contains(form)) {
+                    derivedMeasures += form -> stripped(e).sql; ()
+                  }
+                case e => throw new IllegalArgumentException(
+                  s"non-deterministic measure refuses: ${e.sql}")
+              }
+            case c: Count => c.children.map(inline) match {
+              case Seq(_: Literal) => () // count(*) rides cnt
+              case Seq(a: AttributeReference) if qcolOf.contains(a.exprId) =>
+                measures += qcolOf(a.exprId); ()
+              case Seq(e) if groupOnly(e) => ()
+              case other => throw new IllegalArgumentException(
+                s"count over ${other.map(_.sql)} refuses")
+            }
+            case other => throw new IllegalArgumentException(
+              s"unsupported aggregate for an MV: ${other.prettyName}")
+          }
+        case _ => ()
+      }
+    }
+    val dms = derivedMeasures.values.toSeq.zipWithIndex.map {
+      case (sql, i) => (s"dm$i", sql) }
+    build(spark, StarMvDef(
+      tables = paths,
+      joins = joinPairs.distinct,
+      groupCols = groupCols.result().distinct,
+      measureCols = measures.toSeq,
+      summaryPath = summaryPath,
+      derivedMeasures = dms,
+      losslessTables = losslessTables,
+      derivedGroups = derivedGroups.result().distinct))
+  }
+
   /** Prove every `losslessTables` declaration against the data, in peel
     * order: per peeled table its join key combination must be UNIQUE, and
     * every partner row must MATCH (non-null keys included — a null key
