@@ -372,9 +372,16 @@ object MaterializedView {
           if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))
         }
       }
+      // rename the probe keys first: when the caller's `base`/`deletes`
+      // DataFrames share lineage, `affected`'s group attrs can be the very
+      // attribute instances the scan carries, and a same-attribute <=>
+      // only works through dataset-id disambiguation (with a "trivially
+      // true predicate" warning). Distinct names are unambiguous.
+      val affK = d.groupCols.foldLeft(affected)(
+        (df, gc) => df.withColumnRenamed(gc, s"_ck_$gc"))
       val scanF = scan
-      val recomputed = scanF.join(broadcast(affected),
-          d.groupCols.map(gc => scanF(gc) <=> affected(gc)).reduce(_ && _),
+      val recomputed = scanF.join(broadcast(affK),
+          d.groupCols.map(gc => col(gc) <=> col(s"_ck_$gc")).reduce(_ && _),
           "left_semi")
         .groupBy(g: _*)
         .agg(d.measureCols.flatMap(m => Seq(

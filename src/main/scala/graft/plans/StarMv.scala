@@ -506,9 +506,17 @@ object StarMv {
           if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))
         }
       }
+      // rename the probe keys before joining: `affected`'s group attrs can
+      // be the VERY SAME attribute instances as the repair scan's (both
+      // sides derive from the caller's override DataFrames), and a
+      // same-attribute <=> only works through dataset-id disambiguation —
+      // with a "trivially true predicate" warning. Distinct names make the
+      // join unambiguous by construction.
+      val affK = gNames.foldLeft(affected)(
+        (df, gc) => df.withColumnRenamed(gc, s"_ck_$gc"))
       val scanF = scan
-      val recomputed = scanF.join(broadcast(affected),
-          gNames.map(n => scanF(n) <=> affected(n)).reduce(_ && _),
+      val recomputed = scanF.join(broadcast(affK),
+          gNames.map(n => col(n) <=> col(s"_ck_$n")).reduce(_ && _),
           "left_semi")
         .groupBy(g: _*)
         .agg(allMeasures.flatMap(m => Seq(
