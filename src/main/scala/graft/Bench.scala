@@ -137,7 +137,8 @@ object Bench {
       "q111_orc_roundtrip", "q118_triangles", "q121_bfs_hops",
       "q122_pagerank", "q123_prefix_jaccard", "q128_semdedup_e2e",
       "q131_hll_distinct", "q146_cms_freq", "q147_ann_rerank",
-      "q153_inverted_index", "q157_entity_resolution", "q210_star_mv")
+      "q153_inverted_index", "q157_entity_resolution", "q210_star_mv",
+      "q219_star_mv_rollup", "q220_star_mv_subjoin", "q221_star_mv_day")
     // Cap the error entries at 10 with hard-truncated messages: a
     // wide-blast failure (e.g. a corpus drift) must not push the line back
     // over the tail window — `errors`:N plus the detail file carry the rest.

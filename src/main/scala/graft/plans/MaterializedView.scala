@@ -102,6 +102,10 @@ object MaterializedView {
     ()
   }
   def clear(): Unit = { registry.clear(); dirRegistry.clear() }
+  private[plans] def registered: Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq
+  }
   private[plans] def lookup(path: String): Option[MvDef] = Option(registry.get(path))
   private[plans] def isEmpty: Boolean = registry.isEmpty
 

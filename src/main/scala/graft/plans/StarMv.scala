@@ -122,6 +122,7 @@ object StarMv {
   }
   def clear(): Unit = registry.clear()
   private[plans] def isEmpty: Boolean = registry.isEmpty
+  private[plans] def registered: Seq[StarMvDef] = registry.asScala.toSeq
 
   /** Definitions servable for a query over exactly `leaves`: exact
     * leaf-set matches first (no multiplicity reasoning needed), then
