@@ -59,9 +59,34 @@ final class StarMvMaintainer private (
     * summary generations. No-op when every table is current.
     */
   def sync(recomputeKeyCap: Int = 1000, keepSummaries: Int = 2): StarMvDef =
+    syncTo(d.tables.map(MaterializedView.normalize)
+      .map(p => p -> stores(p).currentVersion).toMap,
+      recomputeKeyCap, keepSummaries)
+
+  /** Sync to the versions a [[graft.sources.SnapshotCatalog]] last
+    * COMMITTED instead of each store's current version: the summary then
+    * never reflects a torn multi-table batch — a writer that died after
+    * merging table A but before table B (or before the catalog commit)
+    * leaves the maintainer, the catalog readers, and the summary all at
+    * the same consistent boundary. Dir-set serving is armed for the
+    * boundary versions, so rollups over `catalog.snapshotAll()` reroute
+    * while live torn `store.snapshot()` reads structurally fall back.
+    */
+  def syncToBoundary(catalog: graft.sources.SnapshotCatalog,
+      recomputeKeyCap: Int = 1000, keepSummaries: Int = 2): StarMvDef = {
+    val rec = catalog.current()
+    syncTo(stores.map { case (p, s) =>
+      p -> rec.getOrElse(s.spec.name, throw new IllegalArgumentException(
+        s"catalog has no entry for table ${s.spec.name} — commit() the " +
+          "catalog at least once over all the MV's tables"))
+    }, recomputeKeyCap, keepSummaries)
+  }
+
+  private def syncTo(target: Map[String, Long], recomputeKeyCap: Int,
+      keepSummaries: Int): StarMvDef =
     synchronized {
       val tables = d.tables.map(MaterializedView.normalize)
-      val current = tables.map(p => p -> stores(p).currentVersion).toMap
+      val current = target
       if (current == synced) return d
       tables.foreach { p =>
         require(current(p) >= synced(p),

@@ -181,6 +181,44 @@ class StarMvMaintainerSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("syncToBoundary: a torn multi-table batch never reaches the summary") {
+    val f = new Fixture("bnd", 29)
+    try {
+      val cat = new graft.sources.SnapshotCatalog(spark, tmpDir("smv_bnd_cat"),
+        Map(f.factStore.spec.name -> f.factStore,
+          f.dimStore.spec.name -> f.dimStore))
+      cat.commit() // boundary 1: the initial, consistent state
+      val truthAtB1 = f.truth
+      // the writer applies the FACT half of a two-table batch, then dies:
+      // no dim merge, no catalog commit
+      f.mergeFact(deletes = Seq(1L), upserts = Seq((300L, 2L, 77L)))
+      f.maintainer.syncToBoundary(cat) // must be a no-op at boundary 1
+      val snaps = cat.snapshotAll()
+      def boundaryRollup = snaps(f.factStore.spec.name)
+        .join(snaps(f.dimStore.spec.name), col("f_cust") === col("c_cust"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      assert(f.values(boundaryRollup) === truthAtB1,
+        "catalog reads stay on the consistent boundary")
+      assert(scanPaths(boundaryRollup).forall(_.contains("smv_bnd_sum")),
+        "the boundary rollup must serve from the summary")
+      // the live (torn) rollup must NOT serve — its fact dirs moved past
+      // the boundary — but evaluates correctly against the live join
+      assert(scanPaths(f.rollup).exists(!_.contains("smv_bnd_sum")),
+        "a torn live read must fall back to the base join")
+      assert(f.values(f.rollup) === f.truth)
+      // recovery: the dim half lands, the catalog commits boundary 2
+      f.mergeDim(deletes = Nil, upserts = Seq((2L, "s_moved")))
+      cat.commit()
+      f.maintainer.syncToBoundary(cat)
+      assert(f.values(f.rollup) === f.truth,
+        "post-recovery summary equals the recomputed join truth")
+      assert(scanPaths(f.rollup).forall(_.contains("smv_bnd_sum")),
+        "the live rollup serves again once the boundary catches up")
+    } finally f.close()
+  }
+
   test("crash between refresh and state commit: re-apply converges") {
     val f = new Fixture("crash", 53)
     try {
