@@ -669,10 +669,114 @@ object CdcQueries {
           graft.plans.MaterializedView.replaceDirs(dimKey, Nil)
         }
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── BOUNDARY-consistent star summary: the maintainer syncs to the
+    // SnapshotCatalog's last committed boundary, never a torn multi-table
+    // state. One full round (orders reprice + customer segment moves,
+    // catalog commit) is absorbed through the version-pinned feeds; then
+    // a TORN round lands on orders only (writer dies before customer and
+    // the commit) — syncToBoundary must ignore it, and the rollup over
+    // catalog snapshots serves from the summary at the boundary truth.
+    // The oracle restates ONLY the committed round's transforms: a
+    // summary that absorbed any part of the torn batch hash-fails. This
+    // is the consistency contract Greenplum gives the reference's users
+    // per TABLE, extended across tables and into the MV tier.
+    "q222_star_mv_boundary" -> ((s, dir) => {
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DecimalType(18, 2))))
+      val cSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType)))
+      val rootDir = tempRoot()
+      try {
+        val os = new ParquetTableStore(s, rootDir,
+          TableSpec("public.orders_bnd", oSchema, Seq("o_orderkey")), 16,
+          retainedVersions = 3)
+        val cs = new ParquetTableStore(s, rootDir,
+          TableSpec("public.customer_bnd", cSchema, Seq("c_custkey")), 16,
+          retainedVersions = 3)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_mktsegment"))
+        os.init(o); cs.init(c)
+        val cat = new graft.sources.SnapshotCatalog(s, rootDir,
+          Map("public.orders_bnd" -> os, "public.customer_bnd" -> cs))
+        cat.commit() // boundary 1: the raw tables
+        val factKey = s"$rootDir/fact_key"
+        val dimKey = s"$rootDir/dim_key"
+        import graft.plans.StarMv.{QCol, StarMvDef}
+        val mv = graft.plans.StarMv.build(s, StarMvDef(
+          tables = Seq(factKey, dimKey),
+          joins = Seq((QCol(factKey, "o_custkey"), QCol(dimKey, "c_custkey"))),
+          groupCols = Seq(QCol(dimKey, "c_mktsegment")),
+          measureCols = Seq(QCol(factKey, "o_totalprice")),
+          summaryPath = s"$rootDir/star_sum"),
+          tableOverrides = Map(factKey -> os.snapshot(), dimKey -> cs.snapshot()))
+        val m = graft.plans.StarMvMaintainer.create(s,
+          Map(factKey -> os, dimKey -> cs), mv, s"$rootDir/star_state")
+        try {
+          // round 2 — COMPLETE: both tables merge, the catalog commits
+          os.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 3).select("o_orderkey"),
+            upserts = o.filter(mod === 0).withColumn("o_totalprice",
+              lit("1234.56").cast(DecimalType(18, 2)))))
+          cs.merge(graft.operators.CompactedBatch(
+            deletes = c.limit(0).select("c_custkey"),
+            upserts = c.filter(col("c_custkey") % 10 === 4)
+              .withColumn("c_mktsegment", lit("SEG_X"))))
+          cat.commit() // boundary 2
+          // round 3 — TORN: orders merges, the writer dies before
+          // customer and before the catalog commit
+          os.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 1).select("o_orderkey"),
+            upserts = o.limit(0)))
+          m.syncToBoundary(cat) // absorbs boundary 2, ignores the tear
+          val snaps = cat.snapshotAll() // both tables AT boundary 2
+          snaps("public.orders_bnd")
+            .join(snaps("public.customer_bnd"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")).cast("double").as("sum_price"),
+              min(col("o_totalprice")).cast("double").as("min_price"),
+              max(col("o_totalprice")).cast("double").as("max_price"))
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally {
+          graft.plans.StarMv.unregister(m.definition.summaryPath)
+          graft.plans.MaterializedView.replaceDirs(factKey, Nil)
+          graft.plans.MaterializedView.replaceDirs(dimKey, Nil)
+        }
+      } finally deleteDir(s, rootDir)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // q222: ONLY the committed round's transforms restated — the torn
+    // orders delete (%10=1) must be invisible at the boundary.
+    "q222_star_mv_boundary" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST('1234.56' AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'SEG_X'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
     // q164: the diff IS the batch — deleted keys surface as removed unless
     // the upsert slice re-added them (delete-then-upsert => changed), and
     // every upserted key's acctbal moved by exactly +100 (never a no-op,
