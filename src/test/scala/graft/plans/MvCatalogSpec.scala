@@ -28,6 +28,9 @@ class MvCatalogSpec extends SparkTestBase {
     }.flatten
 
   test("save → clear → load restores single-table and star serving") {
+    // the catalog persists the WHOLE registry — start from an empty one so
+    // defs leaked by sibling suites in the shared JVM can't skew counts
+    MaterializedView.clear(); StarMv.clear()
     val rnd = new scala.util.Random(7)
     // single-table MV
     val base = tmpDir("mvc_base")
@@ -71,6 +74,7 @@ class MvCatalogSpec extends SparkTestBase {
   }
 
   test("load skips definitions whose summary files vanished") {
+    MaterializedView.clear(); StarMv.clear()
     val rnd = new scala.util.Random(9)
     val base = tmpDir("mvc_gone_base")
     (1 to 100).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(10)))

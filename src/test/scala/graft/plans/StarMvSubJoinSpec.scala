@@ -113,6 +113,20 @@ class StarMvSubJoinSpec extends SparkTestBase {
     } finally StarMv.unregister(s)
   }
 
+  test("bare-fact ROLLUP (Expand path + both peels) serves from the summary") {
+    val (f, _, _, s, _) = setup("broll")
+    try {
+      spark.read.parquet(f).createOrReplaceTempView("ssj_bare_fact")
+      def q = spark.sql(
+        """SELECT f_flag, count(*) AS n, sum(v) AS sv, avg(v) AS av
+          |FROM ssj_bare_fact
+          |GROUP BY ROLLUP(f_flag)""".stripMargin)
+      val (on, off) = servedRows(q, s)
+      assert(on === off)
+      assert(on.size === 2 + 1)
+    } finally StarMv.unregister(s)
+  }
+
   test("sub-join with a group filter on a retained dim serves and filters") {
     val (f, m, _, s, _) = setup("filt")
     try {
