@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Durable MV catalog: persist every registered [[MaterializedView.MvDef]]
@@ -68,20 +68,15 @@ object MvCatalog {
     val body = lines
       .map(_.map { case (k, v) => s"$k\t$v" }.mkString("\u0001"))
       .mkString("\n").getBytes("UTF-8")
-    val p = new Path(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    Option(p.getParent).foreach(fs.mkdirs(_))
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    FileContext.getFileContext(tmp.toUri, conf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    graft.sources.AtomicFiles.write(
+      spark.sparkContext.hadoopConfiguration, new Path(path), body)
   }
 
   /** Re-register every definition recorded at `path` whose summary still
-    * exists; returns (loaded, skipped-summary-paths). Additive — existing
-    * registrations for other bases/summaries stay.
+    * exists AND whose base (mv) / leaf set (star) has no live
+    * registration — live wins, so loading next to a maintainer's `open()`
+    * never shadows a newer generation with the catalog's stale copy.
+    * Returns (loaded, skipped-summary-paths).
     */
   def load(spark: SparkSession, path: String): (Int, Seq[String]) = {
     val p = new Path(path)
@@ -100,16 +95,28 @@ object MvCatalog {
           .exists(sPath)) {
         skipped += summary; ()
       } else {
+        // LIVE registrations win: a maintainer's open() may already have
+        // re-registered a NEWER generation of the same MV — overwriting
+        // (mv) or shadowing (star, where insertion order decides) it with
+        // the catalog's stale copy would serve superseded summaries whose
+        // files the maintainer's gc may delete
         m("kind") match {
           case "mv" =>
-            MaterializedView.register(MaterializedView.MvDef(
-              basePath = dec(m("base")),
-              groupCols = split(m("groups")).map(dec),
-              measureCols = split(m("measures")).map(dec),
-              summaryPath = summary,
-              derivedGroups = pairsDec(m.getOrElse("derivedGroups", ""))))
+            val base = dec(m("base"))
+            if (MaterializedView.lookup(
+                MaterializedView.normalize(base)).isDefined) {
+              skipped += summary; ()
+            } else {
+              MaterializedView.register(MaterializedView.MvDef(
+                basePath = base,
+                groupCols = split(m("groups")).map(dec),
+                measureCols = split(m("measures")).map(dec),
+                summaryPath = summary,
+                derivedGroups = pairsDec(m.getOrElse("derivedGroups", ""))))
+              loaded += 1
+            }
           case "star" =>
-            StarMv.register(StarMv.StarMvDef(
+            val d = StarMv.StarMvDef(
               tables = split(m("tables")).map(dec),
               joins = split(m("joins")).map { pr =>
                 val Array(a, b) = pr.split("~", 2); (qdec(a), qdec(b)) },
@@ -118,11 +125,16 @@ object MvCatalog {
               summaryPath = summary,
               derivedMeasures = pairsDec(m.getOrElse("derivedMeasures", "")),
               losslessTables = split(m.getOrElse("lossless", "")).map(dec),
-              derivedGroups = pairsDec(m.getOrElse("derivedGroups", ""))))
+              derivedGroups = pairsDec(m.getOrElse("derivedGroups", "")))
+            if (StarMv.registered.exists(_.leafSet == d.leafSet)) {
+              skipped += summary; ()
+            } else {
+              StarMv.register(d)
+              loaded += 1
+            }
           case other =>
             throw new IllegalArgumentException(s"unknown catalog kind $other")
         }
-        loaded += 1
       }
     }
     (loaded, skipped.result())

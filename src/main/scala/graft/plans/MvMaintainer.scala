@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.plans.MaterializedView.MvDef
 import graft.sources.ParquetTableStore
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Durable, crash-safe maintenance of one materialized view over one
@@ -65,16 +65,42 @@ final class MvMaintainer private (
           s"already synced $synced — state file $statePath belongs to a " +
           "different store lineage")
       val feed = store.changeFeedBetween(synced, v)
-      val nd = MaterializedView.refreshFromFeed(spark, d.basePath, feed,
-        recomputeKeyCap, base = Some(store.snapshotAt(v)))
-      // serving first (in-process consistency: the refresh just registered
-      // the new definition, so the dir sets must move with it — queries
-      // over the NEW version's set reroute to the refreshed summary, every
-      // superseded set is dropped, and a time-travel read of an old
-      // version is never served the new summary), then the durable state
-      // commit; a crash between the two re-runs this sync idempotently.
-      MaterializedView.replaceDirs(nd.basePath, store.dataDirsAt(v))
-      MvMaintainer.writeState(spark, statePath, nd, v)
+      // the signed algebra is NOT idempotent, so a refresh must start
+      // from the summary this maintainer COMMITTED — refuse if some other
+      // actor moved the registration (refreshing from an uncommitted
+      // summary would re-apply this feed on the already-refreshed state,
+      // double-subtracting its deletes)
+      val reg = MaterializedView.lookup(MaterializedView.normalize(d.basePath))
+      require(reg.contains(d),
+        s"registry for ${d.basePath} holds ${reg.map(_.summaryPath)} but " +
+          s"the maintainer committed ${d.summaryPath} — state file " +
+          s"$statePath is not the owner of this MV")
+      val nd = try {
+        val nd0 = MaterializedView.refreshFromFeed(spark, d.basePath, feed,
+          recomputeKeyCap, base = Some(store.snapshotAt(v)))
+        // serving first (in-process consistency: the refresh just
+        // registered the new definition, so the dir sets must move with
+        // it — queries over the NEW version's set reroute to the
+        // refreshed summary, every superseded set is dropped, and a
+        // time-travel read of an old version is never served the new
+        // summary), then the durable state commit; a crash between the
+        // two re-runs this sync idempotently.
+        MaterializedView.replaceDirs(nd0.basePath, store.dataDirsAt(v))
+        MvMaintainer.writeState(spark, statePath, nd0, v)
+        nd0
+      } catch {
+        // refreshFromFeed registers the refreshed def as it runs; if
+        // anything up to and including the state commit fails, restore
+        // the COMMITTED registration (and its serving dirs, best-effort)
+        // so the documented batch re-run re-applies the same feed against
+        // the state the state file actually points at — instead of
+        // double-applying it on the uncommitted summary
+        case t: Throwable =>
+          MaterializedView.register(d)
+          scala.util.Try(
+            MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(synced)))
+          throw t
+      }
       val stale = MvMaintainer.olderSummaries(nd.summaryPath, keepSummaries)
       d = nd
       synced = v
@@ -148,15 +174,8 @@ object MvMaintainer {
         .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
       "storeVersion" -> storeVersion.toString)
       .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")
-    val p = new Path(statePath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    Option(p.getParent).foreach(fs.mkdirs(_))
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    FileContext.getFileContext(tmp.toUri, conf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    graft.sources.AtomicFiles.write(
+      spark.sparkContext.hadoopConfiguration, new Path(statePath), body)
   }
 
   /** Summary dirs of the same stem at least `keep` generations behind

@@ -413,8 +413,14 @@ object StarMv {
             "the losslessTables declaration")
         }
         if (e == path) {
-          if (!inserts.isEmpty) { // the extension must stay unique
-            val dup = cur(e).groupBy(eKeys.map(col): _*)
+          if (!inserts.isEmpty) {
+            // the extension must stay unique — checked DELTA-SIZED: only
+            // the inserted key combinations can newly violate uniqueness
+            // (the rest was proved at build / the previous refresh), so
+            // restrict the aggregate to them via a semi join first
+            val insKeys = inserts.select(eKeys.map(col): _*).distinct()
+            val dup = cur(e).join(insKeys, eKeys, "left_semi")
+              .groupBy(eKeys.map(col): _*)
               .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
             require(dup.isEmpty, s"refreshTableDelta: $e is no longer " +
               s"unique on (${eKeys.mkString(", ")}) — rebuild or drop the " +
@@ -556,9 +562,12 @@ object StarMv {
     affectedOpt.foreach(_.unpersist())
     val nd = d.copy(summaryPath = next)
     unregister(d.summaryPath)
-    derivedFormCache.remove(nd.summaryPath)
-    derivedGroupFormCache.remove(nd.summaryPath)
-    derivedTsCache.remove(nd.summaryPath)
+    // drop the RETIRED path's cached forms (the new path has none yet) —
+    // a per-micro-batch maintainer would otherwise leak one dead entry
+    // per sync in each cache for the session's lifetime
+    derivedFormCache.remove(d.summaryPath)
+    derivedGroupFormCache.remove(d.summaryPath)
+    derivedTsCache.remove(d.summaryPath)
     register(nd)
     nd
   }

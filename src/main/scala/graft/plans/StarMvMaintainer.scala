@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.plans.StarMv.{QCol, StarMvDef}
 import graft.sources.ParquetTableStore
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable, crash-safe maintenance of a STAR materialized view over a set
@@ -110,23 +110,38 @@ final class StarMvMaintainer private (
               recomputeKeyCap, overrides)
           }
         }
+        // serving first (in-process consistency: new dir sets → new
+        // summary), then the durable commit; a crash between the two
+        // re-runs this sync idempotently from the old state. These two
+        // steps sit INSIDE the try: a transient failure here must also
+        // restore the committed registration, or every later sync()
+        // would fail refreshTableDelta's currently-registered require —
+        // wedging the maintainer until a process restart
+        tables.foreach(p =>
+          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p))))
+        StarMvMaintainer.writeState(spark, statePath, nd, current)
       } catch {
         // a mid-sequence failure leaves refreshTableDelta's LAST
         // registration half-synced (some tables' deltas absorbed, not
-        // all) — restore the pre-sync registration, whose summary files
-        // are untouched until the gc below, and let the caller retry
+        // all) — restore the pre-sync registration (and its serving
+        // dirs, best-effort), whose summary files are untouched until
+        // the gc below, and let the caller retry
         case t: Throwable =>
           StarMv.unregister(nd.summaryPath)
           StarMv.register(d)
+          tables.foreach(p => scala.util.Try(
+            MaterializedView.replaceDirs(p, stores(p).dataDirsAt(synced(p)))))
           throw t
       }
-      // serving first (in-process consistency: new dir sets → new
-      // summary), then the durable commit; a crash between the two
-      // re-runs this sync idempotently from the old state
-      tables.foreach(p =>
-        MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p))))
-      StarMvMaintainer.writeState(spark, statePath, nd, current)
-      val stale = MvMaintainer.olderSummaries(nd.summaryPath, keepSummaries)
+      // gc relative to the PREVIOUS committed summary, not the new head:
+      // one sync advances one path generation PER CHANGED TABLE, so a
+      // head-based count would delete the last committed generation right
+      // after any multi-table sync — breaking the "a query planned
+      // against it keeps evaluating" contract. keepSummaries counts
+      // COMMITTED generations: 2 (default) retains the previous committed
+      // one plus everything after it.
+      val stale = MvMaintainer.olderSummaries(
+        d.summaryPath, (keepSummaries - 1).max(1))
       d = nd
       synced = current
       val fs = new Path(statePath)
@@ -230,14 +245,7 @@ object StarMvMaintainer {
       "syncedVersions" -> synced.toSeq.sorted
         .map { case (t, v) => s"${enc(t)}=$v" }.mkString(","))
       .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")
-    val p = new Path(statePath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    Option(p.getParent).foreach(fs.mkdirs(_))
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    FileContext.getFileContext(tmp.toUri, conf)
-      .rename(tmp, p, Options.Rename.OVERWRITE)
+    graft.sources.AtomicFiles.write(
+      spark.sparkContext.hadoopConfiguration, new Path(statePath), body)
   }
 }

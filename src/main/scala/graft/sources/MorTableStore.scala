@@ -105,12 +105,7 @@ final class MorTableStore(
       manifest.toSeq.sortBy(_._1)
         .map { case (b, ds) => s"$b\t${ds.mkString(",")}" })
       .mkString("\n").getBytes("UTF-8")
-    val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body)
-    finally out.close()
-    FileContext.getFileContext(tmp.toUri, hadoopConf)
-      .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
+    AtomicFiles.write(hadoopConf, manifestPath, body)
   }
 
   /** The oldest `fromSeq` [[changeFeedSince]] can serve: compaction folds
@@ -151,7 +146,8 @@ final class MorTableStore(
     * `<bucket>-<seq>-<token>`, return bucket → dir. PK-sorted within each
     * bucket for footer-stats point lookups, same as the CoW store.
     */
-  private def writeBucketDirs(rows: DataFrame, seq: Long): Map[Int, String] = {
+  private def writeBucketDirs(rows: DataFrame, seq: Long,
+      seqOf: Map[Int, Long] = Map.empty): Map[Int, String] = {
     val token = System.nanoTime()
     val staging = new Path(tablePath, s".staging_$token")
     rows.withColumn("_bucket", bucketCol)
@@ -164,7 +160,7 @@ final class MorTableStore(
       .filter(_.getPath.getName.startsWith("_bucket="))
       .map { st =>
         val b = st.getPath.getName.stripPrefix("_bucket=").toInt
-        val dir = s"$b-$seq-$token"
+        val dir = s"$b-${seqOf.getOrElse(b, seq)}-$token"
         require(fs.rename(st.getPath, new Path(dataPath, dir)),
           s"staging rename failed for bucket $b (${st.getPath} -> $dir)")
         b -> dir
@@ -256,34 +252,67 @@ final class MorTableStore(
     // the qualifying buckets.
     if (autoCompact &&
         next.values.exists(_.lengthCompare(compactThreshold) >= 0)) {
-      compact(); ()
+      // keepNewest = 1: fold only the stack PREFIX, keeping the delta this
+      // very merge just committed. A full fold here would advance the feed
+      // floor past the batch before any changeFeedSince consumer could
+      // read it — stranding even consumers that sync after EVERY merge.
+      // With the prefix fold the floor lands at the previous merge, so a
+      // per-merge-cadence consumer never misses a batch.
+      compact(keepNewest = 1); ()
     }
   }
 
   /** Fold every bucket whose stack reached `compactThreshold` dirs back to
     * ONE resolved base dir (deletes become final — no tombstone survives a
-    * compaction). One write job covers all qualifying buckets; replaced
-    * dirs stay on disk until the next merge/compact's gc so in-flight
-    * snapshots resolved against the old manifest keep evaluating — the
-    * same deferred-reclamation contract as the CoW store. Returns the
-    * number of buckets compacted.
+    * compaction), optionally keeping the newest `keepNewest` delta dirs
+    * per bucket unfolded (the auto-compaction mode — see [[merge]]).
+    * Folded rows are stamped with their bucket's max folded seq, so
+    * last-wins resolution keeps them strictly older than the kept deltas,
+    * and the feed floor advances only to the highest seq actually folded.
+    * One write job covers all qualifying buckets; replaced dirs stay on
+    * disk until the next merge/compact's gc so in-flight snapshots
+    * resolved against the old manifest keep evaluating — the same
+    * deferred-reclamation contract as the CoW store. Returns the number
+    * of buckets compacted.
     */
-  def compact(): Int = {
+  def compact(keepNewest: Int = 0): Int = {
     val (manifest, _, floor) = readManifest()
-    val targets = manifest.filter(_._2.lengthCompare(compactThreshold) >= 0)
+    // fold the prefix only when it still collapses ≥2 dirs — rewriting a
+    // lone base dir would churn data for nothing
+    val targets = manifest
+      .filter(_._2.lengthCompare(compactThreshold) >= 0)
+      .map { case (b, ds) => b -> ds.dropRight(keepNewest) }
+      .filter(_._2.lengthCompare(2) >= 0)
     if (targets.isEmpty) return 0
-    val seq = nextSeq(manifest)
-    val resolved = resolve(readDirs(targets.values.flatten.toSeq))
-      .withColumn("_op", lit("u")).withColumn("_seq", lit(seq))
-    val written = writeBucketDirs(resolved, seq)
-    // a bucket whose rows were all deleted folds to nothing and leaves the
-    // manifest entirely
-    // history at-or-below the fold seq is gone for the folded buckets;
-    // the recorded floor advances so changeFeedSince fails loudly instead
-    // of serving a reconstruction that silently misses pre-images
-    commitManifest((manifest -- targets.keys) ++
-      written.map { case (b, d) => b -> Seq(d) },
-      feedFloor = math.max(feedFloorOf(manifest, floor), seq))
+    def dirSeq(dir: String): Long = dir.split("-")(1).toLong
+    val cutByBucket = targets.map { case (b, ds) => b -> ds.map(dirSeq).max }
+    val cut = cutByBucket.values.max
+    val folded = resolve(readDirs(targets.values.flatten.toSeq))
+    val cutExpr = cutByBucket.foldLeft(lit(cut)) { case (acc, (b, c)) =>
+      when(col("_bucket_cut_probe") === b, lit(c)).otherwise(acc) }
+    val resolved = folded
+      .withColumn("_bucket_cut_probe", bucketCol)
+      .withColumn("_op", lit("u"))
+      .withColumn("_seq", cutExpr)
+      .drop("_bucket_cut_probe")
+    // each bucket's folded dir is NAMED with its own cut (dir-name seqs
+    // drive bucket pruning and the legacy floor fallback; the row-level
+    // _seq above drives resolution)
+    val written = writeBucketDirs(resolved, cut, cutByBucket)
+    // a bucket whose folded rows were all deleted folds to nothing; with
+    // keepNewest > 0 its kept deltas stay as the whole stack. History
+    // at-or-below each bucket's cut is gone; the recorded floor advances
+    // to the HIGHEST folded seq so changeFeedSince fails loudly instead
+    // of serving a reconstruction that silently misses pre-images.
+    val next = manifest.flatMap { case (b, ds) =>
+      if (!targets.contains(b)) Some(b -> ds)
+      else {
+        val kept = if (keepNewest == 0) Nil else ds.takeRight(keepNewest)
+        val stack = written.get(b).toSeq ++ kept
+        if (stack.isEmpty) None else Some(b -> stack)
+      }
+    }
+    commitManifest(next, feedFloor = math.max(feedFloorOf(manifest, floor), cut))
     targets.size
   }
 

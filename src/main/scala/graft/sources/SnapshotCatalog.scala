@@ -78,14 +78,14 @@ final class SnapshotCatalog(
     val body = versions.toSeq.sorted.map { case (t, v) => s"$t\t$v" }
       .mkString("\n").getBytes("UTF-8")
     fs.mkdirs(catDir)
-    val tmp = new Path(catDir, s"_current.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
     val nextB = boundaries().lastOption.getOrElse(0L) + 1
-    FileContext.getFileContext(tmp.toUri, hadoopConf)
-      .rename(tmp, curPath, Options.Rename.OVERWRITE)
-    val bout = fs.create(boundaryPath(nextB), true)
-    try bout.write(body) finally bout.close()
+    AtomicFiles.write(hadoopConf, curPath, body)
+    // the history entry gets the SAME atomic treatment: at()/
+    // snapshotAllAt()/changeFeedsBetween() read these concurrently with
+    // commits, and a direct create would let them observe a half-flushed
+    // record — a torn 'consistent' snapshot, the exact failure this
+    // class exists to prevent
+    AtomicFiles.write(hadoopConf, boundaryPath(nextB), body)
     val bs = boundaries()
     bs.dropRight(retainedBoundaries).foreach(b =>
       fs.delete(boundaryPath(b), false))

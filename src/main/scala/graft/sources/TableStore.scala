@@ -264,16 +264,14 @@ final class ParquetTableStore(
     val body = (s"#buckets=$numBuckets" +:
       manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
       .mkString("\n").getBytes("UTF-8")
-    val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body)
-    finally out.close()
     val nextVersion = history().lastOption.getOrElse(0L) + 1
-    FileContext.getFileContext(tmp.toUri, hadoopConf)
-      .rename(tmp, manifestPath, Options.Rename.OVERWRITE)
-    val vout = fs.create(versionPath(nextVersion), true)
-    try vout.write(body)
-    finally vout.close()
+    AtomicFiles.write(hadoopConf, manifestPath, body)
+    // the history record is best-effort ORDER-wise (a crash between the
+    // two writes loses the version from history, never the data) but must
+    // still be ATOMIC content-wise: snapshotAt/dataDirsAt/changeFeedBetween
+    // read _v files concurrently with commits, and a half-flushed record
+    // would resolve a partial dir list — silently wrong time travel
+    AtomicFiles.write(hadoopConf, versionPath(nextVersion), body)
   }
 
   /** Drop data/ directories no manifest references: leftovers of crashed
@@ -531,11 +529,7 @@ final class ParquetTableStore(
         cs.minStr.map(enc).getOrElse(" null"),
         cs.maxStr.map(enc).getOrElse(" null")).mkString("\t")))
       .mkString("\n").getBytes("UTF-8")
-    val tmp = new Path(tablePath, s"_current.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    FileContext.getFileContext(tmp.toUri, hadoopConf)
-      .rename(tmp, statsPath(ver), Options.Rename.OVERWRITE)
+    AtomicFiles.write(hadoopConf, statsPath(ver), body)
     TableStats(ver, nRows, colStats, staleBy = 0L)
   }
 

@@ -147,6 +147,24 @@ class MvMaintainerSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("sync refuses when another actor moved the registration") {
+    // the signed feed algebra is not idempotent: refreshing from a summary
+    // this maintainer did NOT commit would re-apply feeds on top of it —
+    // silent corruption. The maintainer must refuse, not proceed.
+    val f = new Fixture("owner", 43)
+    try {
+      f.mergeRandom()
+      MaterializedView.register(
+        f.maintainer.definition.copy(summaryPath = tmpDir("mvm_owner_rogue")))
+      val e = intercept[IllegalArgumentException] { f.maintainer.sync() }
+      assert(e.getMessage.contains("not the owner"))
+      // restoring the committed registration un-wedges the maintainer
+      MaterializedView.register(f.maintainer.definition)
+      f.maintainer.sync()
+      assert(f.values(f.rollup) === f.truth)
+    } finally f.close()
+  }
+
   test("summary generations gc to keepSummaries; older dirs are gone") {
     val f = new Fixture("gc", 41)
     try {

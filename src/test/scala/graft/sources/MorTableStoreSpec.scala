@@ -130,9 +130,19 @@ class MorTableStoreSpec extends SparkTestBase {
     assert(q.awaitTermination(120000), "replay must drain")
     assert(state(store) ==
       Map(1 -> "a1", 3 -> "c1", 2 -> "b2", 4 -> "d1", 5 -> "e"))
-    // the policy kept every stack below the threshold with NO manual call
-    assert(store.stackDepths().values.forall(_ < 2),
-      s"auto-compaction must hold stacks under threshold: ${store.stackDepths()}")
+    // the policy kept every stack bounded with NO manual call — the
+    // prefix fold leaves at most (folded base + the newest kept delta),
+    // never the unbounded depth-7 the replay would otherwise build
+    assert(store.stackDepths().values.forall(_ <= 2),
+      s"auto-compaction must bound stacks: ${store.stackDepths()}")
+    // and BECAUSE it folds only the prefix, the floor never outran the
+    // last merge: a consumer that synced through the previous merge can
+    // still read the feed of the batch that triggered the compaction
+    assert(store.feedFloor < store.currentSeq,
+      s"auto-compaction must not strand a per-merge-cadence consumer: " +
+        s"floor=${store.feedFloor} current=${store.currentSeq}")
+    assert(store.changeFeedSince(store.currentSeq - 1).columns
+      .contains("_change"))
   }
 
   test("reopening with a different bucket count fails loudly") {
