@@ -57,8 +57,26 @@ final class MvMaintainer private (
     * post-sync definition.
     */
   def sync(recomputeKeyCap: Int = 1000, keepSummaries: Int = 2): MvDef =
+    syncTo(store.currentVersion, recomputeKeyCap, keepSummaries)
+
+  /** Sync to the version a [[graft.sources.SnapshotCatalog]] last
+    * COMMITTED for this table instead of the store's current version —
+    * the single-table face of [[StarMvMaintainer.syncToBoundary]]: the
+    * summary then always reflects a catalog boundary, so rollups over
+    * `catalog.snapshot(table)` reroute while reads of versions past the
+    * boundary structurally fall back.
+    */
+  def syncToBoundary(catalog: graft.sources.SnapshotCatalog,
+      recomputeKeyCap: Int = 1000, keepSummaries: Int = 2): MvDef =
+    syncTo(catalog.current().getOrElse(store.spec.name,
+      throw new IllegalArgumentException(
+        s"catalog has no entry for table ${store.spec.name} — commit() " +
+          "the catalog at least once")),
+      recomputeKeyCap, keepSummaries)
+
+  private def syncTo(v: Long, recomputeKeyCap: Int,
+      keepSummaries: Int): MvDef =
     synchronized {
-      val v = store.currentVersion
       if (v == synced) return d
       require(v > synced,
         s"store ${store.spec.name} is at version $v but the maintainer " +

@@ -147,6 +147,33 @@ class MvMaintainerSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("syncToBoundary: the summary stops at the catalog's committed version") {
+    val f = new Fixture("bound", 47)
+    try {
+      val cat = new graft.sources.SnapshotCatalog(spark,
+        tmpDir("mvm_bound_cat"), Map(f.store.spec.name -> f.store))
+      f.mergeRandom()
+      cat.commit() // the boundary: one merge in
+      val truthAtBoundary = f.truth
+      f.mergeRandom() // a later, uncommitted merge
+      f.maintainer.syncToBoundary(cat)
+      def boundaryRollup = cat.snapshot(f.store.spec.name).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+          min(col("m")).as("mn"), max(col("m")).as("mx"))
+      assert(f.values(boundaryRollup) === truthAtBoundary)
+      assert(scanPaths(boundaryRollup).forall(_.contains("mvm_bound_sum")),
+        "the boundary rollup must serve from the summary")
+      // the live read past the boundary falls back but stays correct
+      assert(scanPaths(f.rollup).exists(!_.contains("mvm_bound_sum")))
+      assert(f.values(f.rollup) === f.truth)
+      // commit + re-sync catches up
+      cat.commit()
+      f.maintainer.syncToBoundary(cat)
+      assert(f.values(f.rollup) === f.truth)
+      assert(scanPaths(f.rollup).forall(_.contains("mvm_bound_sum")))
+    } finally f.close()
+  }
+
   test("sync refuses when another actor moved the registration") {
     // the signed feed algebra is not idempotent: refreshing from a summary
     // this maintainer did NOT commit would re-apply feeds on top of it —

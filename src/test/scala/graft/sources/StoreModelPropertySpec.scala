@@ -54,4 +54,55 @@ class StoreModelPropertySpec extends SparkTestBase {
     }
     assert(model.nonEmpty, "the random walk should end with live rows")
   }
+
+  test("MOR random walk: merges + prefix/full compactions == model; " +
+      "a lagging feed consumer converges whenever the floor permits") {
+    val rnd = new scala.util.Random(777)
+    val mor = new MorTableStore(spark, tmpDir("prop-mor"), spec,
+      numBuckets = 4, compactThreshold = 3)
+    var model = Map.empty[Int, String]
+    mor.init(Seq.empty[(Int, String)].toDF("id", "v"))
+    // an independent consumer replaying the change feed into its own map —
+    // must reconstruct the model from ANY cursor the floor still covers
+    var consumer = Map.empty[Int, String]
+    var cursor = mor.currentSeq
+
+    (1 to 15).foreach { step =>
+      val keySpace = 0 until 20
+      val deletes = keySpace.filter(_ => rnd.nextDouble() < 0.2)
+      val upserts = keySpace.filter(_ => rnd.nextDouble() < 0.3)
+        .map(k => (k, s"v$step-$k"))
+      model = (model -- deletes) -- upserts.map(_._1) ++ upserts
+      mor.merge(CompactedBatch(deletes.toDF("id"), upserts.toDF("id", "v")))
+      // random compactions, full (deletes final) and prefix (feed-safe)
+      if (rnd.nextDouble() < 0.4) { mor.compact(keepNewest = rnd.nextInt(2)); () }
+      assert(state(mor) == model, s"MOR diverged from model at step $step")
+      // the consumer catches up at random times, skipping rounds — a fold
+      // may outrun a cursor this lagged; the contract is then a LOUD
+      // refusal (floor check), never a silently incomplete feed
+      if (rnd.nextDouble() < 0.6) {
+        if (cursor >= mor.feedFloor) {
+          val feed = mor.changeFeedSince(cursor)
+            .select("id", "v", "_change").collect()
+          feed.foreach { r =>
+            r.getString(2) match {
+              case "insert" | "update_post" =>
+                consumer += r.getInt(0) -> r.getString(1)
+              case "delete" => consumer -= r.getInt(0)
+              case "update_pre" => () // pre-image; the post row follows
+            }
+          }
+          assert(consumer == model,
+            s"feed consumer diverged from model at step $step (cursor $cursor)")
+          cursor = mor.currentSeq
+        } else {
+          intercept[IllegalArgumentException] { mor.changeFeedSince(cursor) }
+          // the documented recovery: restart from the full current state
+          consumer = state(mor)
+          cursor = mor.currentSeq
+        }
+      }
+    }
+    assert(model.nonEmpty, "the random walk should end with live rows")
+  }
 }
