@@ -1265,6 +1265,35 @@ object RelationalQueries {
           max(col("l_quantity")).as("max_qty"))
     }),
 
+    // ── CREATE MATERIALIZED VIEW … AS SELECT, graded end-to-end: the MV
+    // definition is DERIVED from the query itself ([[StarMv.fromQuery]] —
+    // tables, join graph, the day derived group named by the query's own
+    // alias, plain + expression measures), built, and then the exact same
+    // query runs again — served from the summary it just defined. The
+    // oracle restates the query over the raw tables: an extraction that
+    // mis-derived any part of the definition hash-fails. This is the
+    // one-call UX the reference's users have in Greenplum.
+    "q223_star_mv_fromquery" -> ((s, dir) => {
+      import graft.plans.StarMv
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"starfq_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op) = names.map(n => s"$scratch/$n")
+      def q = s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_lines"),
+          avg(col("l_quantity")).as("avg_qty"),
+          max(col("l_quantity") * col("l_linenumber")).as("max_ql"))
+      StarMv.fromQuery(s, q, s"$scratch/summary")
+      q
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -2170,6 +2199,18 @@ object RelationalQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q223: the registered query restated over the raw tables — the
+    // derived-from-itself summary must be invisible in the values.
+    "q223_star_mv_fromquery" ->
+      """SELECT l_returnflag, CAST(o_orderdate AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
+        |  avg(l_quantity) AS avg_qty,
+        |  max(l_quantity * l_linenumber) AS max_ql
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
 
     // q75: the map ops restated as per-group conditional aggregates.
