@@ -131,14 +131,20 @@ object LmScore {
     val top = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
-    // rank over the ≤ topK survivors: partitioning by a literal keeps the
-    // same single-partition execution over the bounded set but declares the
-    // boundedness in-plan — an unpartitioned window would emit the WindowExec
-    // all-to-one warning every reader/scan tool must then re-derive as safe
-    top.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0))
-          .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))).cast("long"))
+    // rank over the ≤ topK survivors WITHOUT a window: orderBy+limit plans
+    // as TakeOrderedAndProject, whose output RDD is already globally
+    // sorted, so zipWithIndex numbers it directly. A global window here
+    // emits the WindowExec all-to-one warning (a literal partitionBy gets
+    // constant-folded away before execution, so it can't silence it), and
+    // every log reader would have to re-derive the post-limit boundedness.
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        top.schema.fields)
+    spark.createDataFrame(
+      top.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq((i + 1L) +: r.toSeq) },
+      schema)
       .select("rank", "tok_a", "tok_b", "cnt")
   }
 }

@@ -670,8 +670,59 @@ object StarMv {
     * match, so the registered query (and every sibling it implies) is
     * served from the summary immediately after this returns.
     */
+  /** The maximal set of tables PROVABLY lossless for the given join
+    * graph: peel greedily outside-in, keeping each candidate only when
+    * its single-partner shape holds and the data checks pass (unique
+    * join keys; every partner row matched). The same checks
+    * [[verifyLossless]] runs on declarations — here used to DISCOVER the
+    * declaration, so `fromQuery(..., autoLossless = true)` gets sub-join
+    * serving with zero schema knowledge from the caller. Cost: one
+    * dim-sized aggregate + one partner anti-join per candidate, paid once
+    * next to the build's fact-sized join itself.
+    */
+  private def detectLossless(spark: SparkSession, tables: Seq[String],
+      joins: Seq[(QCol, QCol)]): Seq[String] = {
+    var edges = joins.map { case (a, b) => (a.normalized, b.normalized) }
+    val normToOrig = tables.map(t => MaterializedView.normalize(t) -> t).toMap
+    var candidates = tables.map(MaterializedView.normalize).toSet
+    val detected = Seq.newBuilder[String]
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      candidates.find { e =>
+        val touching = edges.filter { case (a, b) =>
+          a.path == e || b.path == e }
+        touching.nonEmpty && touching.map { case (a, b) =>
+          if (a.path == e) b.path else a.path }.distinct.size == 1 && {
+          val pairs = touching.map { case (a, b) =>
+            if (a.path == e) (b, a) else (a, b) }
+          val partner = pairs.head._1.path
+          val eDf = spark.read.parquet(e)
+          val pDf = spark.read.parquet(partner)
+          val eKeys = pairs.map(_._2.name)
+          val pKeys = pairs.map(_._1.name)
+          eDf.groupBy(eKeys.map(col): _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+            .limit(1).isEmpty &&
+          pDf.select(pKeys.map(col): _*).join(
+            eDf.select(eKeys.map(col): _*),
+            pKeys.zip(eKeys).map { case (p, k) => col(p) === col(k) }
+              .reduce(_ && _), "left_anti").limit(1).isEmpty
+        }
+      } match {
+        case Some(e) =>
+          detected += normToOrig(e)
+          edges = edges.filterNot { case (a, b) => a.path == e || b.path == e }
+          candidates -= e; progressed = true
+        case None => ()
+      }
+    }
+    detected.result()
+  }
+
   def fromQuery(spark: SparkSession, query: DataFrame, summaryPath: String,
-      losslessTables: Seq[String] = Nil): StarMvDef = {
+      losslessTables: Seq[String] = Nil,
+      autoLossless: Boolean = false): StarMvDef = {
     val plan = query.queryExecution.optimizedPlan
     val agg = plan match {
       case a: Aggregate => a
@@ -793,6 +844,12 @@ object StarMv {
     }
     val dms = derivedMeasures.values.toSeq.zipWithIndex.map {
       case (sql, i) => (s"dm$i", sql) }
+    val lossless =
+      if (autoLossless) {
+        require(losslessTables.isEmpty,
+          "pass either losslessTables or autoLossless, not both")
+        detectLossless(spark, paths, joinPairs.distinct)
+      } else losslessTables
     build(spark, StarMvDef(
       tables = paths,
       joins = joinPairs.distinct,
@@ -800,7 +857,7 @@ object StarMv {
       measureCols = measures.toSeq,
       summaryPath = summaryPath,
       derivedMeasures = dms,
-      losslessTables = losslessTables,
+      losslessTables = lossless,
       derivedGroups = derivedGroups.result().distinct))
   }
 

@@ -431,7 +431,12 @@ object RelationalQueries {
     "q135_recursive_rollup" -> ((s, dir) => {
       s.sql(
         s"""WITH RECURSIVE closure(anc, node, d, bal) AS (
-          |  SELECT c_custkey, c_custkey, 0, c_acctbal
+          |  -- anchor columns aliased DISTINCTLY: an anchor carrying the
+          |  -- same attribute twice (c_custkey, c_custkey) trips Spark's
+          |  -- internal LogicalRDD output check when the recursion
+          |  -- materializes each level, spamming WARNs per iteration
+          |  SELECT c_custkey AS anc, c_custkey AS node, 0 AS d,
+          |         c_acctbal AS bal
           |  FROM parquet.`$dir/customer.parquet`
           |  UNION ALL
           |  SELECT cl.anc, c.c_custkey, cl.d + 1, c.c_acctbal

@@ -101,6 +101,38 @@ class StarMvFromQuerySpec extends SparkTestBase {
     } finally StarMv.unregister(s)
   }
 
+  test("autoLossless detects provable extensions; dirty dims stay undeclared") {
+    val (f, dm) = tables("auto")
+    val s = tmpDir("sfq_auto_sum")
+    StarMv.fromQuery(spark, query(f, dm), s, autoLossless = true)
+    try {
+      val d = StarMv.registered.find(_.summaryPath == s).get
+      assert(d.losslessTables.map(MaterializedView.normalize) ===
+        Seq(MaterializedView.normalize(dm)))
+      def bare = spark.read.parquet(f)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("qty")).as("sq"))
+      assert(scanPaths(bare) == Seq(MaterializedView.normalize(s)),
+        "auto-detected losslessness must enable bare-fact serving")
+    } finally StarMv.unregister(s)
+    // a dim with a duplicate key is NOT detected: the build succeeds
+    // (nothing declared), and the sub-join falls back to the base
+    val (f2, dm2) = tables("auto2")
+    dimRows.++(Seq((1L, "cDUP"))).toDF("d_k", "cat")
+      .write.mode("overwrite").parquet(dm2)
+    val s2 = tmpDir("sfq_auto2_sum")
+    StarMv.fromQuery(spark, query(f2, dm2), s2, autoLossless = true)
+    try {
+      assert(StarMv.registered.find(_.summaryPath == s2)
+        .get.losslessTables.isEmpty)
+      val bare2 = spark.read.parquet(f2)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("qty")).as("sq"))
+      assert(scanPaths(bare2).exists(_ != MaterializedView.normalize(s2)),
+        "an undetectable extension must not serve sub-joins")
+    } finally StarMv.unregister(s2)
+  }
+
   test("refusals name the reason: filters, outer joins, distinct aggs") {
     val (f, dm) = tables("ref")
     val s = tmpDir("sfq_ref_sum")
