@@ -51,14 +51,19 @@ class StarMvFuzzSpec extends SparkTestBase {
 
   test("random star shapes: rewrite on vs off never diverges") {
     val rnd = new scala.util.Random(313)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
     // join KEYS stay non-null/unique (the verified lossless contract);
-    // GROUP columns and measures go null freely
+    // GROUP columns and measures go null freely; ts feeds the derived
+    // day group (null sometimes — day groups must survive null days)
     val factRows = (1 to 800).map { _ =>
       (if (rnd.nextInt(10) == 0) null else s"f${rnd.nextInt(4)}",
         rnd.nextInt(12).toLong + 1,
         if (rnd.nextInt(10) == 0) null
         else java.lang.Integer.valueOf(rnd.nextInt(1000) - 500),
-        (rnd.nextInt(900) - 450).toDouble)
+        (rnd.nextInt(900) - 450).toDouble,
+        if (rnd.nextInt(12) == 0) null
+        else new java.sql.Timestamp(t0 + rnd.nextInt(10) * 86400000L +
+          rnd.nextInt(86400) * 1000L))
     }
     val midRows = (1 to 12).map(m => (m.toLong, (m % 4).toLong + 1,
       if (m % 5 == 0) null else s"s${m % 3}"))
@@ -66,7 +71,7 @@ class StarMvFuzzSpec extends SparkTestBase {
       if (o == 3) null else s"r${o % 2}"))
     val (f, m, o, s) = (tmpDir("ssfz_fact"), tmpDir("ssfz_mid"),
       tmpDir("ssfz_outer"), tmpDir("ssfz_sum"))
-    factRows.toDF("f_flag", "f_m", "v1", "v2")
+    factRows.toDF("f_flag", "f_m", "v1", "v2", "ts")
       .write.mode("overwrite").parquet(f)
     midRows.toDF("m_k", "m_o", "seg").write.mode("overwrite").parquet(m)
     outerRows.toDF("o_k", "region").write.mode("overwrite").parquet(o)
@@ -74,12 +79,16 @@ class StarMvFuzzSpec extends SparkTestBase {
     spark.read.parquet(m).createOrReplaceTempView("ssfz_mid")
     spark.read.parquet(o).createOrReplaceTempView("ssfz_outer")
 
-    // retained subset -> (FROM clause, available group cols)
+    // retained subset -> (FROM clause, available group exprs). The day
+    // expression is a DERIVED group (registered below) available in every
+    // subset — it lives on the fact.
+    val day = "CAST(ts AS DATE)"
     val retainedPool = Seq(
       ("ssfz_fact JOIN ssfz_mid ON f_m = m_k JOIN ssfz_outer ON m_o = o_k",
-        Seq("f_flag", "seg", "region"), "full"),
-      ("ssfz_fact JOIN ssfz_mid ON f_m = m_k", Seq("f_flag", "seg"), "sub"),
-      ("ssfz_fact", Seq("f_flag"), "bare"))
+        Seq("f_flag", "seg", "region", day), "full"),
+      ("ssfz_fact JOIN ssfz_mid ON f_m = m_k",
+        Seq("f_flag", "seg", day), "sub"),
+      ("ssfz_fact", Seq("f_flag", day), "bare"))
     val aggPool: Seq[Int => String] = Seq(
       i => s"sum(v1) AS a$i",
       i => s"sum(v2) AS a$i",
@@ -96,7 +105,10 @@ class StarMvFuzzSpec extends SparkTestBase {
       i => s"count(DISTINCT v1) AS a$i")
     val filterPool: Seq[Option[String]] = Seq(
       None, None, Some("f_flag <> 'f0'"), Some("seg = 's1'"),
-      Some("region IS NOT NULL"), Some("v1 > 0"))
+      Some("region IS NOT NULL"), Some("v1 > 0"),
+      // the optimizer rewrites this into raw-ts midnight bounds before
+      // the rule runs — the shared recovery must convert it back
+      Some("CAST(ts AS DATE) >= DATE '2024-06-03'"))
 
     def shape(seed: Int): (String, String) = {
       val r = new scala.util.Random(seed)
@@ -133,7 +145,8 @@ class StarMvFuzzSpec extends SparkTestBase {
       groupCols = Seq(QCol(f, "f_flag"), QCol(m, "seg"), QCol(o, "region")),
       measureCols = Seq(QCol(f, "v1"), QCol(f, "v2")),
       summaryPath = s,
-      losslessTables = Seq(m, o)))
+      losslessTables = Seq(m, o),
+      derivedGroups = Seq("day" -> "cast(ts as date)")))
     try {
       var rewrote = 0
       var subRewrote = 0
