@@ -54,6 +54,42 @@ class PlanContractSpec extends SparkTestBase {
       s"one-shuffle contract broken (${countNodes(p, "Exchange")} exchanges)")
   }
 
+  test("q210: star-MV reroute — join tree GONE, one summary scan, one exchange") {
+    val p = plan("q210_star_mv")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") == 0,
+      s"the six-table join must be gone from the served plan:\n$p")
+    assert(p.contains("/summary"), "scan must read the summary")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "group filter must push into the summary's parquet footer")
+    assert(countNodes(p, "Exchange") == 1,
+      s"one-exchange contract broken (${countNodes(p, "Exchange")})")
+  }
+
+  test("q219: star ROLLUP — the Expand rebuilt over the summary, no joins") {
+    val p = plan("q219_star_mv_rollup")
+    assert(countNodes(p, "Expand") == 1, "the rollup Expand must survive")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") == 0, s"join tree must be gone:\n$p")
+    assert(p.contains("/summary"), "scan must read the summary")
+  }
+
+  test("q220: lossless sub-join — served joinless from the 3-table summary") {
+    val p = plan("q220_star_mv_subjoin")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") == 0, s"join tree must be gone:\n$p")
+    assert(p.contains("/summary"), "scan must read the summary")
+  }
+
+  test("q221: day-grain star MV — recovered day bounds push into the summary") {
+    val p = plan("q221_star_mv_day")
+    assert(p.contains("/summary"), "scan must read the summary")
+    assert(p.contains("GreaterThanOrEqual(day,") && p.contains("LessThan(day,"),
+      s"recovered day-range bounds must reach the summary footer:\n$p")
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") == 0, s"join tree must be gone:\n$p")
+  }
+
   test("q142: per-group sample rank plans as WindowGroupLimit") {
     val p = plan("q142_weighted_sample_grouped")
     assert(p.contains("WindowGroupLimit"),
