@@ -155,6 +155,9 @@ class StarMvFromQuerySpec extends SparkTestBase {
     val e3 = intercept[IllegalArgumentException] {
       StarMv.fromQuery(spark, distinctAgg, s) }
     assert(e3.getMessage.contains("distinct"))
-    assert(StarMv.isEmpty, "refused fromQuery must not register anything")
+    // scoped to THIS test's paths — global emptiness would couple the
+    // assertion to every other suite's registry hygiene
+    assert(!StarMv.registered.exists(_.summaryPath == s),
+      "refused fromQuery must not register anything")
   }
 }

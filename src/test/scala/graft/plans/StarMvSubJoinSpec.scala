@@ -191,7 +191,9 @@ class StarMvSubJoinSpec extends SparkTestBase {
       losslessTables = Seq(m, o))
     val e1 = intercept[IllegalArgumentException] { StarMv.build(spark, defn) }
     assert(e1.getMessage.contains("not unique"))
-    assert(StarMv.isEmpty, "a refused build must not register")
+    // scoped to THIS test's path — see StarMvFromQuerySpec's twin
+    assert(!StarMv.registered.exists(_.summaryPath == s),
+      "a refused build must not register")
     // fix the dup, dangle a fact FK instead (f_m = 99 matches nothing)
     midRows.toDF("m_k", "m_o", "seg").write.mode("overwrite").parquet(m)
     (factRows :+ (("f9", 99L, 1L))).toDF("f_flag", "f_m", "v")

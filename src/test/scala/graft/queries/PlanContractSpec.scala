@@ -10,9 +10,17 @@ import graft.SparkEntry
   * String-level checks on `explain` output are deliberate: they assert
   * the same artifact a human plan review reads.
   */
-class PlanContractSpec extends SparkTestBase {
+class PlanContractSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // the star-MV queries register defs the query surface (by design) never
+  // unregisters — Verify's session ends, this suite's JVM doesn't. Clear
+  // them so later suites' registry-state assertions see only their own.
+  override def afterAll(): Unit = {
+    try graft.plans.StarMv.clear() finally super.afterAll()
+  }
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
