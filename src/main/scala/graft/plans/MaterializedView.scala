@@ -94,14 +94,21 @@ object MaterializedView {
   private[plans] def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath
 
-  def register(d: MvDef): Unit = { registry.put(normalize(d.basePath), d); () }
+  def register(d: MvDef): Unit = {
+    // a (re)written summary — and possibly a grown base — voids the cost
+    // model's cached row counts for both paths
+    MvCost.evict(d.summaryPath)
+    MvCost.evict(d.basePath)
+    registry.put(normalize(d.basePath), d); ()
+  }
   def unregister(basePath: String): Unit = {
     val key = normalize(basePath)
+    Option(registry.get(key)).foreach(d => MvCost.evict(d.summaryPath))
     registry.remove(key)
     dirRegistry.entrySet().removeIf(_.getValue == key)
     ()
   }
-  def clear(): Unit = { registry.clear(); dirRegistry.clear() }
+  def clear(): Unit = { registry.clear(); dirRegistry.clear(); MvCost.clear() }
   private[plans] def registered: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     registry.values.asScala.toSeq
@@ -524,10 +531,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The [[MvCost]] gate for one single-table candidate: refuse serving
+    * when the summary is provably no smaller than the base scan (an MV
+    * grouped by a near-unique key) — re-aggregating it would read no less
+    * than the query it replaces. Unknown counts serve.
+    */
+  private def worthIt(rel: LogicalRelation, mv: MvDef): Boolean = {
+    val spark = SparkSession.active
+    val roots = rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Nil
+    }
+    MvCost.worthServing(spark, mv.summaryPath,
+      MvCost.leafRows(spark, mv.basePath, roots))
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (conds, aliases, rel) <- strip(agg.child)
       mv <- relationMv(rel)
+      if worthIt(rel, mv)
       plan <- rewriteWith(agg, conds, aliases, mv)
     } yield plan
   }
@@ -556,6 +579,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         for {
           (conds, aliases, rel) <- strip(ex.child)
           mv <- relationMv(rel)
+          if worthIt(rel, mv)
           plan <- rewriteExpandWith(agg, ex, conds, aliases, mv)
         } yield plan
       case _ => None

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.plans.MaterializedView.MvDef
-import graft.sources.ParquetTableStore
+import graft.sources.VersionedTableStore
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -40,7 +40,7 @@ import org.apache.spark.sql.SparkSession
   */
 final class MvMaintainer private (
     spark: SparkSession,
-    store: ParquetTableStore,
+    store: VersionedTableStore,
     statePath: String,
     private var d: MvDef,
     private var synced: Long) {
@@ -134,7 +134,7 @@ object MvMaintainer {
   /** Start maintaining `d` (already built — its summary reflects the
     * store's CURRENT version) and write the initial state file.
     */
-  def create(spark: SparkSession, store: ParquetTableStore, d: MvDef,
+  def create(spark: SparkSession, store: VersionedTableStore, d: MvDef,
       statePath: String): MvMaintainer = {
     MaterializedView.register(d)
     val v = store.currentVersion
@@ -147,7 +147,7 @@ object MvMaintainer {
     * MvDef (the rewrite rule serves queries again immediately) and
     * continues syncing from the recorded store version.
     */
-  def open(spark: SparkSession, store: ParquetTableStore,
+  def open(spark: SparkSession, store: VersionedTableStore,
       statePath: String): MvMaintainer = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

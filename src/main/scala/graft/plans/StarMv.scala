@@ -116,8 +116,12 @@ object StarMv {
 
   private val registry = new CopyOnWriteArrayList[StarMvDef]()
 
-  def register(d: StarMvDef): Unit = { registry.add(d); () }
+  def register(d: StarMvDef): Unit = {
+    MvCost.evict(d.summaryPath) // a (re)written summary voids cached counts
+    registry.add(d); ()
+  }
   def unregister(summaryPath: String): Unit = {
+    MvCost.evict(summaryPath)
     registry.removeIf(_.summaryPath == summaryPath); ()
   }
   def clear(): Unit = registry.clear()
@@ -733,7 +737,12 @@ object StarMv {
     val flat = flatten(agg.child).getOrElse(throw new IllegalArgumentException(
       "fromQuery needs an inner-equi-join tree of parquet relations under " +
         "the Aggregate (outer joins / other operators refuse)"))
-    val pathed = flat.leaves.flatMap(l => relationPath(l).map(l -> _))
+    // fromQuery derives a definition to BUILD from — store-resolution
+    // leaves (MOR snapshots) refuse here: the build scan reads paths, and
+    // a maintained MOR star is created explicitly over its stores
+    val pathed = flat.leaves
+      .collect { case r: RelLeaf => r }
+      .flatMap(l => l.pathKey.map(l -> _))
     require(pathed.size == flat.leaves.size,
       "every leaf must be a single-root parquet relation")
     val paths = pathed.map(_._2)
@@ -901,6 +910,33 @@ object StarMv {
 
   // ───────────────────────── rewrite machinery ─────────────────────────
 
+  /** A table leaf of the flattened join tree: a plain (possibly
+    * dir-set-registered) parquet relation, or a whole store-resolution
+    * subplan matched as one unit (a MOR snapshot — see
+    * [[StoreResolvePlan]]). Both expose the output attributes the plan
+    * above references and the table KEY they stand for.
+    */
+  private[plans] sealed trait LeafRel {
+    def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]
+    def pathKey: Option[String]
+    /** the leaf's physical scan roots — [[MvCost]] footer-counts them */
+    def scanRoots: Seq[String]
+  }
+  private[plans] final case class RelLeaf(rel: LogicalRelation) extends LeafRel {
+    def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      rel.output
+    def pathKey: Option[String] = relationPath(rel)
+    def scanRoots: Seq[String] = rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Nil
+    }
+  }
+  private[plans] final case class StoreLeaf(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      key: String, scanRoots: Seq[String]) extends LeafRel {
+    def pathKey: Option[String] = Some(key)
+  }
+
   /** Flattened query shape under the Aggregate: Project alias bindings,
     * filter conjuncts, join equi-pairs, and the leaf relations.
     */
@@ -908,7 +944,7 @@ object StarMv {
       aliases: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
       filters: Seq[Expression],
       joinConds: Seq[Expression],
-      leaves: Seq[LogicalRelation])
+      leaves: Seq[LeafRel])
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
@@ -916,7 +952,13 @@ object StarMv {
   }
 
   private def flatten(p: LogicalPlan): Option[Flat] = p match {
-    case rel: LogicalRelation => Some(Flat(Map.empty, Nil, Nil, Seq(rel)))
+    case rel: LogicalRelation => Some(Flat(Map.empty, Nil, Nil, Seq(RelLeaf(rel))))
+    // a whole MOR-resolution subplan is ONE leaf — matched before the
+    // generic Project/Filter walk would descend into its internals. Its
+    // inferred-not-null residue re-emits as ordinary leaf filters.
+    case StoreResolvePlan(leaf) =>
+      Some(Flat(Map.empty, leaf.extraFilters, Nil,
+        Seq(StoreLeaf(leaf.output, leaf.key, leaf.roots.toSeq))))
     case Project(pl, c) if pl.forall(e =>
         e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
       flatten(c).map(f => f.copy(aliases = f.aliases ++ pl.collect {
@@ -958,13 +1000,31 @@ object StarMv {
       // us in the orElse chain) — but a bare-fact query can still be a
       // lossless SUB-JOIN of a registered star, so they are matched here
       if flat.leaves.nonEmpty
-      pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
+      pathed <- Some(flat.leaves.flatMap(l => l.pathKey.map(l -> _)))
       if pathed.size == flat.leaves.size
       paths = pathed.map(_._2)
       if paths.distinct.size == paths.size // self-joins refuse
-      mv <- candidatesFor(paths.map(MaterializedView.normalize).toSet).view
+      mv <- servable(pathed).view
         .flatMap(d => rewriteWith(agg, flat, pathed, d)).headOption
     } yield mv
+
+  /** Candidates for the query's leaf set, cheapest summary first, with
+    * the [[MvCost]] gate applied: a summary no smaller than the leaves'
+    * total scan rows refuses (re-aggregating it reads no less than the
+    * join it replaces — e.g. an MV grouped by a near-unique key). Ties
+    * and unknown counts keep registration order and serve.
+    */
+  private def servable(pathed: Seq[(LeafRel, String)]): Seq[StarMvDef] = {
+    val cands = candidatesFor(
+      pathed.map(p => MaterializedView.normalize(p._2)).toSet)
+    if (cands.isEmpty) return cands
+    val spark = SparkSession.active
+    val perLeaf = pathed.map { case (l, key) =>
+      MvCost.leafRows(spark, key, l.scanRoots) }
+    val baseRows =
+      if (perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum) else None
+    MvCost.orderAndGate(spark, cands, baseRows)
+  }
 
   /** ROLLUP / CUBE / GROUPING SETS over a registered star: the analyzer
     * plants an [[org.apache.spark.sql.catalyst.plans.logical.Expand]]
@@ -982,11 +1042,11 @@ object StarMv {
         for {
           flat <- flatten(ex.child)
           if flat.leaves.nonEmpty // single leaf = lossless sub-join rollup
-          pathed <- Some(flat.leaves.flatMap(l => relationPath(l).map(l -> _)))
+          pathed <- Some(flat.leaves.flatMap(l => l.pathKey.map(l -> _)))
           if pathed.size == flat.leaves.size
           paths = pathed.map(_._2)
           if paths.distinct.size == paths.size
-          mv <- candidatesFor(paths.map(MaterializedView.normalize).toSet).view
+          mv <- servable(pathed).view
             .flatMap(d => rewriteExpandStar(agg, ex, flat, pathed, d))
             .headOption
         } yield mv
@@ -1001,7 +1061,7 @@ object StarMv {
     */
   private def rewriteExpandStar(agg: Aggregate,
       ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
-      flat: Flat, pathed: Seq[(LogicalRelation, String)],
+      flat: Flat, pathed: Seq[(LeafRel, String)],
       d: StarMvDef): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.ExprId
     val spark = SparkSession.active
@@ -1295,7 +1355,7 @@ object StarMv {
   }
 
   private def rewriteWith(agg: Aggregate, flat: Flat,
-      pathed: Seq[(LogicalRelation, String)], d: StarMvDef): Option[LogicalPlan] = {
+      pathed: Seq[(LeafRel, String)], d: StarMvDef): Option[LogicalPlan] = {
     val spark = SparkSession.active
     // query attribute (exprId) → qualified column
     val qcolOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, QCol] =

@@ -1,12 +1,15 @@
 package graft.plans
 
 import graft.plans.StarMv.{QCol, StarMvDef}
-import graft.sources.ParquetTableStore
+import graft.sources.VersionedTableStore
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable, crash-safe maintenance of a STAR materialized view over a set
-  * of CDC-synced [[ParquetTableStore]]s — the full Greenplum-user story:
+  * of CDC-synced [[VersionedTableStore]]s (copy-on-write
+  * [[graft.sources.ParquetTableStore]] or merge-on-read
+  * [[graft.sources.MorTableStore]], freely mixed) — the full
+  * Greenplum-user story:
   * fact and dimensions each sync through CDC merges, the pre-joined
   * summary absorbs every table's change feed incrementally, and rollup
   * queries that join the LIVE snapshots reroute to the summary while each
@@ -41,7 +44,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class StarMvMaintainer private (
     spark: SparkSession,
-    stores: Map[String, ParquetTableStore],
+    stores: Map[String, VersionedTableStore],
     statePath: String,
     private var d: StarMvDef,
     private var synced: Map[String, Long]) {
@@ -50,6 +53,18 @@ final class StarMvMaintainer private (
     * normalized table paths).
     */
   def syncedVersions: Map[String, Long] = synced
+
+  /** Publish each store's persisted ANALYZE row count (when one exists)
+    * to the serving cost model under the MV's table key — plan-time cost
+    * then needs no filesystem probe for these tables. Re-run per sync so
+    * the counts track the stats records' own staleness, no tighter.
+    */
+  private def publishStats(): Unit = stores.foreach {
+    case (p, ps: graft.sources.ParquetTableStore) =>
+      ps.stats().foreach(st => MvCost.registerRowCount(p, st.nRows))
+    case _ => () // MOR: no persisted ANALYZE record yet — footer tier
+  }
+  publishStats()
 
   /** The current definition (summary path advances per sync). */
   def definition: StarMvDef = d
@@ -87,7 +102,16 @@ final class StarMvMaintainer private (
     synchronized {
       val tables = d.tables.map(MaterializedView.normalize)
       val current = target
-      if (current == synced) return d
+      if (current == synced) {
+        // version-level no-op, but the dir sets can still have moved: a
+        // MOR compaction folds a stack into new dirs WITHOUT advancing
+        // the seq (the summary stays exactly right — resolution is
+        // unchanged), so re-arm serving for the current layout instead
+        // of leaving the reroute dead until the next real merge
+        tables.foreach(p =>
+          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p))))
+        return d
+      }
       tables.foreach { p =>
         require(current(p) >= synced(p),
           s"store for $p is at version ${current(p)} but the maintainer " +
@@ -147,6 +171,7 @@ final class StarMvMaintainer private (
       val fs = new Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       stale.foreach(s => fs.delete(new Path(s), true))
+      publishStats()
       d
     }
 }
@@ -158,7 +183,7 @@ object StarMvMaintainer {
     * state, and arm snapshot serving for the current dir sets. `stores`
     * is keyed by the definition's table paths.
     */
-  def create(spark: SparkSession, stores: Map[String, ParquetTableStore],
+  def create(spark: SparkSession, stores: Map[String, VersionedTableStore],
       d: StarMvDef, statePath: String): StarMvMaintainer = {
     val byKey = stores.map { case (p, s) => MaterializedView.normalize(p) -> s }
     val tables = d.tables.map(MaterializedView.normalize)
@@ -179,7 +204,7 @@ object StarMvMaintainer {
     * next [[StarMvMaintainer.sync]] then fails loudly, the rebuild
     * signal).
     */
-  def open(spark: SparkSession, stores: Map[String, ParquetTableStore],
+  def open(spark: SparkSession, stores: Map[String, VersionedTableStore],
       statePath: String): StarMvMaintainer = {
     val byKey = stores.map { case (p, s) => MaterializedView.normalize(p) -> s }
     val p = new Path(statePath)

@@ -671,6 +671,98 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── CDC-maintained STAR summary over MERGE-ON-READ stores: the same
+    // maintainer loop as q218, but both tables are MOR (O(batch) writes,
+    // read-time newest-wins resolution) with the fact AUTO-COMPACTING by
+    // policy mid-replay — the write-amplification posture a steady CDC
+    // trickle wants at 100 TB. Two rounds: reprice/delete + overlapping
+    // new-customer inserts, then a fact-only delete wave whose merge
+    // triggers the self-compaction (the incremental feed then reads
+    // pre-images across the fold boundary). The final rollup joins the
+    // LIVE MOR snapshots — StoreResolvePlan matches the resolution plan
+    // as a leaf and the query serves from the summary (plan pinned in
+    // StarMvMorSpec). Oracle: both final states restated, joined, rolled
+    // up.
+    "q224_star_mv_mor" -> ((s, dir) => {
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DecimalType(18, 2))))
+      val cSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType)))
+      val rootDir = tempRoot()
+      val NewCust = 99999991L
+      try {
+        val os = new graft.sources.MorTableStore(s, rootDir,
+          TableSpec("public.orders_mmv", oSchema, Seq("o_orderkey")), 16,
+          compactThreshold = 3, autoCompact = true)
+        val cs = new graft.sources.MorTableStore(s, rootDir,
+          TableSpec("public.customer_mmv", cSchema, Seq("c_custkey")), 16)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_mktsegment"))
+        os.init(o); cs.init(c)
+        val factKey = s"$rootDir/fact_key"
+        val dimKey = s"$rootDir/dim_key"
+        import graft.plans.StarMv.{QCol, StarMvDef}
+        val mv = graft.plans.StarMv.build(s, StarMvDef(
+          tables = Seq(factKey, dimKey),
+          joins = Seq((QCol(factKey, "o_custkey"), QCol(dimKey, "c_custkey"))),
+          groupCols = Seq(QCol(dimKey, "c_mktsegment")),
+          measureCols = Seq(QCol(factKey, "o_totalprice")),
+          summaryPath = s"$rootDir/star_sum"),
+          tableOverrides = Map(factKey -> os.snapshot(), dimKey -> cs.snapshot()))
+        val m = graft.plans.StarMvMaintainer.create(s,
+          Map(factKey -> os, dimKey -> cs), mv, s"$rootDir/star_state")
+        try {
+          // round 1: overlapping deltas (shifted orders reference the
+          // customer inserted in the same round)
+          os.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 3).select("o_orderkey"),
+            upserts = o.filter(mod === 0)
+                .withColumn("o_totalprice",
+                  lit("1234.56").cast(DecimalType(18, 2)))
+              .unionByName(o.filter(mod === 1)
+                .withColumn("o_orderkey", col("o_orderkey") + KeyShift)
+                .withColumn("o_custkey", lit(NewCust)))))
+          cs.merge(graft.operators.CompactedBatch(
+            deletes = c.filter(col("c_custkey") % 10 === 7)
+              .select("c_custkey"),
+            upserts = {
+              import s.implicits._
+              c.filter(col("c_custkey") % 10 === 4)
+                .withColumn("c_mktsegment", lit("SEG_X"))
+                .unionByName(
+                  Seq((NewCust, "SEG_NEW")).toDF("c_custkey", "c_mktsegment"))
+            }))
+          m.sync()
+          // round 2: a fact delete wave; this merge crosses the fact's
+          // compactThreshold and self-compacts (keepNewest = 1), so the
+          // next feed reads its pre-images across the fold boundary
+          os.merge(graft.operators.CompactedBatch(
+            deletes = o.filter(mod === 5).select("o_orderkey"),
+            upserts = o.limit(0)))
+          m.sync()
+          os.snapshot()
+            .join(cs.snapshot(), col("o_custkey") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")).cast("double").as("sum_price"),
+              min(col("o_totalprice")).cast("double").as("min_price"),
+              max(col("o_totalprice")).cast("double").as("max_price"))
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally {
+          graft.plans.StarMv.unregister(m.definition.summaryPath)
+          graft.plans.MaterializedView.replaceDirs(factKey, Nil)
+          graft.plans.MaterializedView.replaceDirs(dimKey, Nil)
+        }
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── BOUNDARY-consistent star summary: the maintainer syncs to the
     // SnapshotCatalog's last committed boundary, never a torn multi-table
     // state. One full round (orders reprice + customer segment moves,
@@ -892,6 +984,33 @@ object CdcQueries {
         |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(1234.56 AS DECIMAL(18,2))
         |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
         |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 99999991, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |)
+        |SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(p) AS DOUBLE) AS sum_price,
+        |  CAST(min(p) AS DOUBLE) AS min_price,
+        |  CAST(max(p) AS DOUBLE) AS max_price
+        |FROM ord JOIN cust ON ord.ck = cust.ck
+        |GROUP BY 1""".stripMargin,
+
+    // q224: both MOR tables' final states restated (orders: %10 ∈ {3,5}
+    // deleted, %10=0 repriced, shifted %10=1 copies — whose keys stay ≡1
+    // mod 10 — pointed at the new customer; customer: %10=7 deleted,
+    // %10=4 re-segmented, the new customer added), joined, rolled up.
+    "q224_star_mv_mor" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'SEG_X'
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 10 <> 7
+        |  UNION ALL SELECT 99999991, 'SEG_NEW'
+        |), ord AS (
+        |  SELECT o_custkey AS ck,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST(1234.56 AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 5)
         |  UNION ALL
         |  SELECT 99999991, CAST(o_totalprice AS DECIMAL(18,2))
         |  FROM orders WHERE o_orderkey % 10 = 1

@@ -57,9 +57,16 @@ final class MorTableStore(
     numBuckets: Int = 64,
     compactThreshold: Int = 8,
     autoCompact: Boolean = false)
-  extends TableStore {
+  extends VersionedTableStore {
   require(compactThreshold >= 2,
     s"compactThreshold must be >= 2, got $compactThreshold")
+
+  /** The delta stacks ARE the history: every seq back to the compaction
+    * floor stays readable, unbounded by any fixed retention count — the
+    * floor guard in [[snapshotAt]]/[[changeFeedBetween]] fails loudly when
+    * compaction folded past a requested version.
+    */
+  def versionWindow: Int = Int.MaxValue
 
   private val tablePath = new Path(root, spec.name.replace('.', '_'))
   private val dataPath = new Path(tablePath, "data")
@@ -195,25 +202,124 @@ final class MorTableStore(
       feedFloor = 0L)
   }
 
-  /** Current table: single-dir buckets stream straight off the scan (a
-    * lone dir is either a compacted base or one self-consistent batch —
-    * filter the tombstones, done); only multi-dir buckets pay the
-    * resolution window.
+  /** Resolve a set of per-bucket dir stacks to current rows: single-dir
+    * buckets stream straight off the scan (a lone dir is either a
+    * compacted base or one self-consistent batch — filter the tombstones,
+    * done); only multi-dir buckets pay the resolution window.
+    *
+    * SERVING CONTRACT: this exact shape — Union of [Filter(_op = 'u')
+    * over scan] and [Filter(_rn = 1 ∧ _op = 'u') over a pk-partitioned
+    * (_seq desc, _op desc) row_number Window over scan] — is what
+    * [[graft.plans.StoreResolvePlan]] pattern-matches to serve star-MV
+    * rollups over a maintained MOR snapshot. Changing the plan here
+    * without updating that matcher silently degrades serving to the live
+    * join (never wrong answers — the matcher refuses what it doesn't
+    * recognize).
     */
-  def snapshot(): DataFrame = {
-    val (manifest, _, _) = readManifest()
-    val (flat, stacked) = manifest.values.partition(_.lengthCompare(1) == 0)
+  private def resolveStacks(stacks: Seq[Seq[String]]): DataFrame = {
+    val (flat, stacked) = stacks.partition(_.lengthCompare(1) == 0)
     val parts = Seq(
       if (flat.nonEmpty)
-        Some(readDirs(flat.flatten.toSeq).filter(col("_op") === "u")
+        Some(readDirs(flat.flatten).filter(col("_op") === "u")
           .select(spec.dataCols.map(col): _*))
       else None,
-      if (stacked.nonEmpty) Some(resolve(readDirs(stacked.flatten.toSeq)))
+      if (stacked.nonEmpty) Some(resolve(readDirs(stacked.flatten)))
       else None).flatten
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.schema)
     else parts.reduce(_ unionByName _)
+  }
+
+  def snapshot(): DataFrame = resolveStacks(readManifest()._1.values.toSeq)
+
+  // ── versioned surface: the delta `_seq` IS the version ──────────────────
+
+  private def dirSeqOf(dir: String): Long = dir.split("-")(1).toLong
+
+  /** Newest committed seq (= [[currentSeq]], surfaced under the
+    * [[VersionedTableStore]] name). Fails loudly before [[init]].
+    */
+  def currentVersion: Long = {
+    val (manifest, _, _) = readManifest()
+    require(manifest.nonEmpty,
+      s"table ${spec.name} has no committed version yet — init() first")
+    nextSeq(manifest) - 1L
+  }
+
+  /** Readable versions: every seq from the compaction floor to the head —
+    * the stacks retain full history until a fold advances the floor.
+    */
+  def history(): Seq[Long] = {
+    val (manifest, _, floorRec) = readManifest()
+    if (manifest.isEmpty) Seq.empty
+    else feedFloorOf(manifest, floorRec) to (nextSeq(manifest) - 1L)
+  }
+
+  /** Time-travel read: the table as of seq `version` — each bucket's
+    * stack truncated to the dirs committed at-or-below it, resolved
+    * newest-wins. History below the compaction floor is folded and fails
+    * loudly (compact less aggressively, or re-baseline the reader).
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    val (manifest, _, floorRec) = readManifest()
+    requireReadable(manifest, floorRec, version)
+    resolveStacks(manifest.values
+      .map(_.filter(dirSeqOf(_) <= version)).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Absolute dir paths a [[snapshotAt]] of `version` scans — the stack
+    * prefixes at-or-below it. What [[graft.plans.StarMvMaintainer]]
+    * registers per sync so rollups over the live [[snapshot]] serve from
+    * the maintained summary while the manifest still matches.
+    */
+  def dataDirsAt(version: Long): Seq[String] = {
+    val (manifest, _, floorRec) = readManifest()
+    requireReadable(manifest, floorRec, version)
+    manifest.values.flatten.filter(dirSeqOf(_) <= version).toSeq.sorted
+      .map(d => new Path(dataPath, d).toString)
+  }
+
+  private def requireReadable(manifest: Map[Int, Seq[String]],
+      floorRec: Option[Long], version: Long): Unit = {
+    require(manifest.nonEmpty,
+      s"table ${spec.name} has no committed version yet — init() first")
+    val cur = nextSeq(manifest) - 1L
+    val floor = feedFloorOf(manifest, floorRec)
+    require(version >= floor && version <= cur,
+      s"table ${spec.name} cannot serve version $version — the readable " +
+        s"window is [$floor, $cur] (compaction folds history below the floor)")
+  }
+
+  /** Row-valued change feed across (fromVersion, toVersion] — the bounded
+    * twin of [[changeFeedSince]], which delegates here. Input is
+    * bucket-pruned to stacks carrying any dir inside the window; the pre
+    * state resolves at `_seq <= fromVersion`, the post at `<= toVersion`,
+    * and [[graft.operators.SnapshotDiff.changeFeed]] nets them.
+    */
+  def changeFeedBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val (manifest, _, floorRec) = readManifest()
+    val cur = nextSeq(manifest) - 1L
+    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
+      s"changeFeedBetween needs 0 <= from <= to <= $cur, got " +
+        s"($fromVersion, $toVersion)")
+    val floor = feedFloorOf(manifest, floorRec)
+    require(fromVersion >= floor,
+      s"table ${spec.name} compacted its history up to seq $floor — a feed " +
+        s"from $fromVersion cannot reconstruct pre-images; re-baseline the " +
+        "consumer (full read) or compact less aggressively")
+    val touched = manifest.filter(_._2.exists { d =>
+      val sq = dirSeqOf(d); sq > fromVersion && sq <= toVersion })
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(spec.schema.fields.toSeq :+
+          StructField("_change", StringType)))
+    val stack = readDirs(touched.values.flatten
+      .filter(dirSeqOf(_) <= toVersion).toSeq)
+    val pre = resolve(stack.filter(col("_seq") <= fromVersion))
+    val post = resolve(stack)
+    graft.operators.SnapshotDiff.changeFeed(pre, post, spec.pkCols)
   }
 
   /** O(batch) write: the batch becomes one delta dir per TOUCHED bucket —
@@ -284,8 +390,7 @@ final class MorTableStore(
       .map { case (b, ds) => b -> ds.dropRight(keepNewest) }
       .filter(_._2.lengthCompare(2) >= 0)
     if (targets.isEmpty) return 0
-    def dirSeq(dir: String): Long = dir.split("-")(1).toLong
-    val cutByBucket = targets.map { case (b, ds) => b -> ds.map(dirSeq).max }
+    val cutByBucket = targets.map { case (b, ds) => b -> ds.map(dirSeqOf).max }
     val cut = cutByBucket.values.max
     val folded = resolve(readDirs(targets.values.flatten.toSeq))
     val cutExpr = cutByBucket.foldLeft(lit(cut)) { case (acc, (b, c)) =>
@@ -349,27 +454,8 @@ final class MorTableStore(
     * ([[feedFloor]]) fails loudly — size `compactThreshold` (or the
     * consumer's cadence) so feeds are read before their history folds.
     */
-  def changeFeedSince(fromSeq: Long): DataFrame = {
-    val (manifest, _, floorRec) = readManifest()
-    val cur = nextSeq(manifest) - 1L
-    require(fromSeq >= 0 && fromSeq <= cur,
-      s"changeFeedSince needs 0 <= fromSeq <= $cur, got $fromSeq")
-    val floor = feedFloorOf(manifest, floorRec)
-    require(fromSeq >= floor,
-      s"table ${spec.name} compacted its history up to seq $floor — a feed " +
-        s"from $fromSeq cannot reconstruct pre-images; re-baseline the " +
-        "consumer (full read) or compact less aggressively")
-    val touched = manifest.filter(_._2.exists(_.split("-")(1).toLong > fromSeq))
-    if (touched.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(spec.schema.fields.toSeq :+
-          StructField("_change", StringType)))
-    val stack = readDirs(touched.values.flatten.toSeq)
-    val pre = resolve(stack.filter(col("_seq") <= fromSeq))
-    val post = resolve(stack)
-    graft.operators.SnapshotDiff.changeFeed(pre, post, spec.pkCols)
-  }
+  def changeFeedSince(fromSeq: Long): DataFrame =
+    changeFeedBetween(fromSeq, nextSeq(readManifest()._1) - 1L)
 
   /** Bucket-pruned point lookup — [[ParquetTableStore.snapshotForKeys]]'
     * MOR twin: the key set resolves to bucket ids (one bounded aggregate),

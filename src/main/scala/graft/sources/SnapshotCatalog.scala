@@ -42,12 +42,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class SnapshotCatalog(
     spark: SparkSession,
     root: String,
-    stores: Map[String, ParquetTableStore],
+    stores: Map[String, VersionedTableStore],
     retainedBoundaries: Int = 1) {
   require(stores.nonEmpty, "SnapshotCatalog needs at least one store")
   require(retainedBoundaries >= 1,
     s"retainedBoundaries must be >= 1, got $retainedBoundaries")
-  require(stores.values.forall(_.retainedVersions >= 2),
+  require(stores.values.forall(_.versionWindow >= 2),
     "SnapshotCatalog requires every store to retain >= 2 versions: between " +
       "a table's merge and the catalog commit, catalog readers resolve the " +
       "previous version, which retainedVersions = 1 would gc mid-batch")

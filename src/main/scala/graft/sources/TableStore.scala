@@ -19,6 +19,50 @@ trait TableStore {
   def merge(batch: CompactedBatch): Unit
 }
 
+/** The versioned-store surface everything above the store layer programs
+  * against — [[graft.sources.SnapshotCatalog]] boundaries,
+  * [[graft.plans.MvMaintainer]] / [[graft.plans.StarMvMaintainer]] summary
+  * maintenance. Both bucketed stores implement it with their native
+  * version notion: the CoW store's version is a retained `_v<seq>`
+  * manifest; the MOR store's is a delta `_seq` (its stacks ARE the
+  * history, so every seq back to the compaction floor is readable).
+  * Versions are opaque, monotonically increasing longs — comparable
+  * within one store, never across stores.
+  */
+trait VersionedTableStore extends TableStore {
+
+  /** Newest committed version. Fails loudly on an uninitialized store. */
+  def currentVersion: Long
+
+  /** Versions currently readable via [[snapshotAt]], ascending. */
+  def history(): Seq[Long]
+
+  /** The table exactly as committed at `version` (one of [[history]]);
+    * fails loudly when the version aged out of the store's retention.
+    */
+  def snapshotAt(version: Long): DataFrame
+
+  /** Absolute data-dir paths a [[snapshotAt]] of `version` scans — what a
+    * maintainer registers for exact dir-set MV serving
+    * ([[graft.plans.MaterializedView.registerDirs]]). Bounded by the
+    * store's bucket count (times the stack depth for MOR).
+    */
+  def dataDirsAt(version: Long): Seq[String]
+
+  /** Row-valued change feed between two readable versions: full pre/post
+    * images tagged `_change` ∈ insert / delete / update_pre / update_post
+    * ([[graft.operators.SnapshotDiff.changeFeed]]) — the incremental read
+    * a downstream summary/replica applies without rescanning the table.
+    */
+  def changeFeedBetween(fromVersion: Long, toVersion: Long): DataFrame
+
+  /** How many committed versions stay readable behind the head — the
+    * guarantee [[SnapshotCatalog]] needs ≥ 2 of (readers resolve the
+    * previous boundary while a batch is in flight).
+    */
+  def versionWindow: Int
+}
+
 /** Parquet-backed store, hash-bucketed by primary key, committed via an
   * atomic manifest pointer (the reference's single-transaction apply, L4).
   *
@@ -92,7 +136,8 @@ final class ParquetTableStore(
     inFilterLimit: Long = 1024L,
     val retainedVersions: Int = 1,
     clusterCols: Seq[String] = Nil)
-  extends TableStore {
+  extends VersionedTableStore {
+  def versionWindow: Int = retainedVersions
   require(retainedVersions >= 1,
     s"retainedVersions must be >= 1, got $retainedVersions")
   require(clusterCols.forall(spec.dataCols.contains),

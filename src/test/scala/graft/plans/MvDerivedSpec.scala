@@ -166,9 +166,13 @@ class MvDerivedSpec extends SparkTestBase {
     try {
       val deletes = Seq(("click", ts("2024-03-01 08:00:00"), 10))
         .toDF("etype", "ts", "v") // removes 03-01's click min
-      val inserts = Seq(("view", ts("2024-03-04 00:00:01"), 99))
-        .toDF("etype", "ts", "v")
-      (rows.filterNot(_._3 == 10) :+ (("view", ts("2024-03-04 00:00:01"), 99)))
+      // TWO same-day inserts: they fold into ONE summary group, keeping
+      // the summary strictly smaller than the base — the MvCost serving
+      // gate refuses a base-sized summary by design
+      val added = Seq(("view", ts("2024-03-04 00:00:01"), 99),
+        ("view", ts("2024-03-04 01:00:00"), 1))
+      val inserts = added.toDF("etype", "ts", "v")
+      (rows.filterNot(_._3 == 10) ++ added)
         .toDF("etype", "ts", "v").write.mode("overwrite").parquet(base)
       MaterializedView.refreshDelta(spark, base, inserts, deletes)
       val q = spark.read.parquet(base)
@@ -180,7 +184,7 @@ class MvDerivedSpec extends SparkTestBase {
         Set((java.sql.Date.valueOf("2024-03-01"), 25L, 5, 2L),
           (java.sql.Date.valueOf("2024-03-02"), 7L, 7, 1L),
           (java.sql.Date.valueOf("2024-03-03"), 1L, 1, 1L),
-          (java.sql.Date.valueOf("2024-03-04"), 99L, 99, 1L)))
+          (java.sql.Date.valueOf("2024-03-04"), 100L, 1, 2L)))
     } finally MaterializedView.unregister(base)
   }
 }

@@ -261,4 +261,54 @@ class MorTableStoreSpec extends SparkTestBase {
       }
     } finally MaterializedView.unregister(base)
   }
+
+  test("versioned surface: snapshotAt replays any seq, history tracks the floor") {
+    val s = newStore(threshold = 2)
+    s.init(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    assert(s.currentVersion == 0L)
+    s.merge(CompactedBatch(Seq(2).toDF("id"), Seq((4, "d")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq.empty[Int].toDF("id"),
+      Seq((1, "a2")).toDF("id", "v")))
+    assert(s.currentVersion == 2L)
+    assert(s.history() == Seq(0L, 1L, 2L))
+    def at(v: Long): Map[Int, String] = s.snapshotAt(v).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(at(0L) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(at(1L) == Map(1 -> "a", 3 -> "c", 4 -> "d"))
+    assert(at(2L) == Map(1 -> "a2", 3 -> "c", 4 -> "d"))
+    assert(at(2L) == state(s))
+    // dataDirsAt(version) is exactly the stack prefix a snapshotAt reads
+    assert(s.dataDirsAt(0L).toSet.subsetOf(s.dataDirsAt(2L).toSet))
+    intercept[IllegalArgumentException](s.snapshotAt(3L))
+    // compaction folds history: the floor advances past seq 0 and 1
+    val folded = s.compact()
+    assert(folded >= 1)
+    intercept[IllegalArgumentException](s.snapshotAt(0L))
+    assert(at(s.currentVersion) == Map(1 -> "a2", 3 -> "c", 4 -> "d"))
+  }
+
+  test("changeFeedBetween bounds the feed at toVersion (vs changeFeedSince)") {
+    val s = newStore()
+    s.init(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    s.merge(CompactedBatch(Seq(2).toDF("id"), Seq((3, "c")).toDF("id", "v")))
+    s.merge(CompactedBatch(Seq.empty[Int].toDF("id"),
+      Seq((1, "a2"), (2, "b2")).toDF("id", "v")))
+    def feed(from: Long, to: Long): Set[(Int, String, String)] =
+      s.changeFeedBetween(from, to).collect()
+        .map(r => (r.getInt(0), Option(r.getString(1)).getOrElse("-"),
+          r.getString(2))).toSet
+    // (0, 1]: the first batch alone — key 2 deleted, key 3 inserted
+    assert(feed(0L, 1L) === Set((2, "b", "delete"), (3, "c", "insert")))
+    // (0, 2]: netted across both batches — key 2's delete+re-upsert nets
+    // to an update pair, key 1's update surfaces, key 3 still an insert
+    assert(feed(0L, 2L) === Set(
+      (1, "a", "update_pre"), (1, "a2", "update_post"),
+      (2, "b", "update_pre"), (2, "b2", "update_post"),
+      (3, "c", "insert")))
+    assert(feed(2L, 2L).isEmpty)
+    intercept[IllegalArgumentException](s.changeFeedBetween(0L, 3L))
+    // the unbounded read is the (cursor, head] special case
+    assert(s.changeFeedSince(0L).collect().length ==
+      s.changeFeedBetween(0L, 2L).collect().length)
+  }
 }
