@@ -57,6 +57,33 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
   /** Current (table, column) → rows-seen drift counters. */
   def driftCounters: Map[(String, String), Long] = drift.toMap
 
+  // MV freshness probes: summary name → () => per-table (synced, current)
+  // store versions. Registered by the maintainers
+  // ([[graft.plans.StarMvMaintainer.attachMetrics]]) so a deployment can
+  // alarm on a stale accelerator: a summary whose lag stays > 0 is being
+  // silently bypassed by every query (the dir-set staleness guard falls
+  // back to the base join — correct, but the speedup is gone).
+  private val mvProbes =
+    TrieMap.empty[String, () => Map[String, (Long, Long)]]
+
+  def registerMvFreshness(name: String,
+      probe: () => Map[String, (Long, Long)]): Unit = {
+    mvProbes.put(name, probe); ()
+  }
+
+  def unregisterMvFreshness(name: String): Unit = { mvProbes.remove(name); () }
+
+  /** Evaluated freshness per registered summary: table → (synced,
+    * current). Probe cost is one manifest listing per table — bounded,
+    * no data access. A probe that throws (store root deleted mid-flight)
+    * reports as an empty table map rather than poisoning the endpoint.
+    */
+  def mvFreshness: Map[String, Map[String, (Long, Long)]] =
+    mvProbes.toMap.map { case (n, probe) =>
+      n -> (try probe() catch { case scala.util.control.NonFatal(_) =>
+        Map.empty[String, (Long, Long)] })
+    }
+
   // Listener registration is SESSION-global: with several per-source
   // listeners on one SparkSession (the multi-source deployment), every
   // listener would otherwise record every source's queries — the
@@ -166,8 +193,22 @@ final class PipelineMetrics(source: String = "graft") extends StreamingQueryList
         s"""$ind$ind{"table": "${esc(t)}", "column": "${esc(c)}", "rows": $n}"""
       }.mkString(s",$nl$ind\"schema_drift\": [$nl", s",$nl", s"$nl$ind]")
     }
+    // mv_freshness appears only when a maintainer attached itself — the
+    // steady-state payload shape stays reference-exact otherwise
+    val mvJson = {
+      val f = mvFreshness
+      if (f.isEmpty) ""
+      else f.toSeq.sortBy(_._1).map { case (name, tables) =>
+        val lag = if (tables.isEmpty) -1L
+          else tables.values.map { case (s, c) => c - s }.max
+        val ts = tables.toSeq.sorted.map { case (t, (s, c)) =>
+          s"""{"table": "${esc(t)}", "synced": $s, "current": $c}"""
+        }.mkString("[", ", ", "]")
+        s"""$ind$ind{"summary": "${esc(name)}", "lag": $lag, "tables": $ts}"""
+      }.mkString(s",$nl$ind\"mv_freshness\": [$nl", s",$nl", s"$nl$ind]")
+    }
     s"""{$nl$ind"source_name": "${esc(source)}",$nl$ind"type": "spark",$nl""" +
-      s"""$ind"pipelines": [$nl$ps$nl$ind]$driftJson$nl}"""
+      s"""$ind"pipelines": [$nl$ps$nl$ind]$driftJson$mvJson$nl}"""
   }
 }
 

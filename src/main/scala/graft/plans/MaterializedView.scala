@@ -84,12 +84,34 @@ object MaterializedView {
       measureCols: Seq[String], summaryPath: String,
       derivedGroups: Seq[(String, String)] = Nil)
 
-  /** base path (scheme-stripped, absolute) → definition. Scheme-stripped
-    * matching means a file:/ and an hdfs:/ path with identical string
-    * forms would collide — acceptable for a single-filesystem deployment,
-    * documented here for the day it isn't.
+  /** REGISTRY SCOPES: registries are keyed by the active session's
+    * `spark.graft.mv.scope` tag (default `"global"`), so two sessions
+    * that set distinct tags register and serve independently — the
+    * isolation boundary that makes a shared JVM (a test suite, a
+    * multi-tenant driver) safe without threading a catalog object through
+    * every call site. The default keeps today's JVM-global behavior:
+    * untagged sessions (including the streaming micro-batch clones, which
+    * copy the session conf) all share the `"global"` scope. The old
+    * register/unregister/lookup API is unchanged — it just resolves the
+    * active scope first.
     */
-  private val registry = new ConcurrentHashMap[String, MvDef]()
+  private val registries =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, MvDef]]()
+  private val dirRegistries =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Set[String], String]]()
+
+  private[plans] def scopeTag: String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.graft.mv.scope", "global"))
+      .getOrElse("global")
+
+  /** base path (scheme-stripped, absolute) → definition, within the
+    * active scope. Scheme-stripped matching means a file:/ and an hdfs:/
+    * path with identical string forms would collide — acceptable for a
+    * single-filesystem deployment, documented here for the day it isn't.
+    */
+  private def registry: ConcurrentHashMap[String, MvDef] =
+    registries.computeIfAbsent(scopeTag, _ => new ConcurrentHashMap())
 
   private[plans] def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath
@@ -108,7 +130,8 @@ object MaterializedView {
     dirRegistry.entrySet().removeIf(_.getValue == key)
     ()
   }
-  def clear(): Unit = { registry.clear(); dirRegistry.clear(); MvCost.clear() }
+  /** Test hygiene: wipes EVERY scope, not just the active one. */
+  def clear(): Unit = { registries.clear(); dirRegistries.clear(); MvCost.clear() }
   private[plans] def registered: Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
     registry.values.asScala.toSeq
@@ -125,9 +148,10 @@ object MaterializedView {
     * longer matches, and the query silently falls back to the base until
     * the maintainer syncs again. A time-travel read of an older version
     * misses the same way. Registered sets are bounded by the store's
-    * bucket count.
+    * bucket count. Scoped like [[registry]].
     */
-  private val dirRegistry = new ConcurrentHashMap[Set[String], String]()
+  private def dirRegistry: ConcurrentHashMap[Set[String], String] =
+    dirRegistries.computeIfAbsent(scopeTag, _ => new ConcurrentHashMap())
 
   def registerDirs(dirs: Seq[String], basePath: String): Unit = {
     require(dirs.nonEmpty, "registerDirs needs at least one scan root")

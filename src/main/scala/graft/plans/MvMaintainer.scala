@@ -45,6 +45,16 @@ final class MvMaintainer private (
     private var d: MvDef,
     private var synced: Long) {
 
+  /** Surface this summary's synced-vs-current version lag in the state
+    * endpoint — see [[StarMvMaintainer.attachMetrics]].
+    */
+  def attachMetrics(metrics: graft.obs.PipelineMetrics): Unit = {
+    val name = d.summaryPath.replaceAll("_v\\d+$", "")
+    metrics.registerMvFreshness(name, () =>
+      Map(MaterializedView.normalize(d.basePath) ->
+        (synced, store.currentVersion)))
+  }
+
   /** The store version the summary currently reflects. */
   def syncedVersion: Long = synced
 

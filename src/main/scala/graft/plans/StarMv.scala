@@ -114,7 +114,15 @@ object StarMv {
       groupCols.map(_.name) ++ derivedGroups.map(_._1)
   }
 
-  private val registry = new CopyOnWriteArrayList[StarMvDef]()
+  /** Scoped like [[MaterializedView]]'s registries: keyed by the active
+    * session's `spark.graft.mv.scope` tag, default `"global"`.
+    */
+  private val registries = new java.util.concurrent.ConcurrentHashMap[
+    String, CopyOnWriteArrayList[StarMvDef]]()
+
+  private def registry: CopyOnWriteArrayList[StarMvDef] =
+    registries.computeIfAbsent(MaterializedView.scopeTag,
+      _ => new CopyOnWriteArrayList[StarMvDef]())
 
   def register(d: StarMvDef): Unit = {
     MvCost.evict(d.summaryPath) // a (re)written summary voids cached counts
@@ -124,7 +132,9 @@ object StarMv {
     MvCost.evict(summaryPath)
     registry.removeIf(_.summaryPath == summaryPath); ()
   }
-  def clear(): Unit = registry.clear()
+
+  /** Test hygiene: wipes EVERY scope, not just the active one. */
+  def clear(): Unit = registries.clear()
   private[plans] def isEmpty: Boolean = registry.isEmpty
   private[plans] def registered: Seq[StarMvDef] = registry.asScala.toSeq
 

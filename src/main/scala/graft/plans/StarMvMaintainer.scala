@@ -69,6 +69,19 @@ final class StarMvMaintainer private (
   /** The current definition (summary path advances per sync). */
   def definition: StarMvDef = d
 
+  /** Surface this summary's per-table synced-vs-current version lag in
+    * the state endpoint (`mv_freshness` in
+    * [[graft.obs.PipelineMetrics.stateJson]]) — the alarm surface for a
+    * stale accelerator: lag > 0 means every rollup is silently falling
+    * back to the live join until the next [[sync]]. Named by the
+    * summary's base path (stable across per-sync `_v<n>` advances).
+    */
+  def attachMetrics(metrics: graft.obs.PipelineMetrics): Unit = {
+    val name = d.summaryPath.replaceAll("_v\\d+$", "")
+    metrics.registerMvFreshness(name, () =>
+      synced.map { case (p, v) => p -> (v, stores(p).currentVersion) })
+  }
+
   /** Absorb every table's versions committed since the last sync, commit
     * the state file, re-arm snapshot serving for the new dir sets, gc old
     * summary generations. No-op when every table is current.

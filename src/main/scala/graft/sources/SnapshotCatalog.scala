@@ -43,7 +43,8 @@ final class SnapshotCatalog(
     spark: SparkSession,
     root: String,
     stores: Map[String, VersionedTableStore],
-    retainedBoundaries: Int = 1) {
+    retainedBoundaries: Int = 1,
+    writerId: String = "") {
   require(stores.nonEmpty, "SnapshotCatalog needs at least one store")
   require(retainedBoundaries >= 1,
     s"retainedBoundaries must be >= 1, got $retainedBoundaries")
@@ -54,9 +55,56 @@ final class SnapshotCatalog(
 
   private val catDir = new Path(root, "_catalog")
   private val curPath = new Path(catDir, "_current")
+  private val writerPath = new Path(catDir, "_writer")
   private def boundaryPath(b: Long) = new Path(catDir, s"_b$b")
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
   private def fs = catDir.getFileSystem(hadoopConf)
+
+  // ── single-writer enforcement ────────────────────────────────────────────
+  //
+  // The single-writer contract used to be documentation only; a second
+  // committer on the same root would silently interleave boundaries. Now
+  // the first commit claims a `_writer` token file (atomic rename, then
+  // re-read — of two concurrent claimants exactly one survives the
+  // last-rename-wins and the other fails its re-read), and every commit
+  // re-validates ownership first. A writer restarted under the SAME
+  // `writerId` reclaims silently (pass a stable deployment identity); a
+  // dead writer's token is fenced out explicitly with [[takeover]]. The
+  // validate-then-commit pair is not one atomic step on a generic
+  // filesystem, so a takeover racing a commit in the same instant can
+  // still interleave once — the token turns every STEADY-state violation
+  // loud, which is the contract deployments actually break.
+
+  private val token =
+    if (writerId.nonEmpty) writerId
+    else java.util.UUID.randomUUID().toString
+
+  private def currentWriter(): Option[String] =
+    if (!fs.exists(writerPath)) None else Some(readFile(writerPath).trim)
+
+  private def ensureWriter(): Unit = currentWriter() match {
+    case Some(t) if t == token => ()
+    case Some(other) => throw new IllegalStateException(
+      s"catalog at $root is owned by writer '$other' (this instance is " +
+        s"'$token') — the catalog is single-writer; reuse that writerId " +
+        "for a restart, or takeover() to fence out a dead writer")
+    case None =>
+      fs.mkdirs(catDir)
+      AtomicFiles.write(hadoopConf, writerPath, token.getBytes("UTF-8"))
+      val now = currentWriter()
+      require(now.contains(token),
+        s"another catalog writer (${now.getOrElse("?")}) claimed $root " +
+          "concurrently — exactly one first-committer wins")
+  }
+
+  /** Fence out the recorded writer and claim this instance as THE writer
+    * (operator action after a writer died without releasing). The fenced
+    * instance's next [[commit]] fails loudly.
+    */
+  def takeover(): Unit = {
+    fs.mkdirs(catDir)
+    AtomicFiles.write(hadoopConf, writerPath, token.getBytes("UTF-8"))
+  }
 
   /** Record every store's CURRENT version as the new consistent boundary
     * (atomic rename — all tables move together or none do). Call after all
@@ -74,6 +122,7 @@ final class SnapshotCatalog(
     * batch.
     */
   def commit(): Map[String, Long] = {
+    ensureWriter()
     val versions = stores.map { case (t, st) => t -> st.currentVersion }
     val body = versions.toSeq.sorted.map { case (t, v) => s"$t\t$v" }
       .mkString("\n").getBytes("UTF-8")

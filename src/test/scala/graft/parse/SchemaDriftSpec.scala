@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
 class SchemaDriftSpec extends SparkTestBase {
   import spark.implicits._
 
+  graft.plans.MaterializedView.install(spark) // the star serving case below
+
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
   private val spec = TableSpec("public.t", schema, Seq("id"))
@@ -95,5 +97,87 @@ class SchemaDriftSpec extends SparkTestBase {
 
   test("evolved refuses existing columns") {
     intercept[IllegalArgumentException](SchemaDrift.evolved(spec, Seq("V")))
+  }
+
+  test("star-MV maintenance survives additive fact evolution mid-stream") {
+    import graft.plans.{MaterializedView, StarMv, StarMvMaintainer}
+    import graft.sources.ParquetTableStore
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val factSchema = StructType(Seq(
+      StructField("o_id", LongType), StructField("f_cust", LongType),
+      StructField("v", LongType)))
+    val dimSchema = StructType(Seq(
+      StructField("c_cust", LongType), StructField("seg", StringType)))
+    val factSpec = TableSpec("public.drift_f", factSchema, Seq("o_id"))
+    val froot = tmpDir("drift_smv_f"); val droot = tmpDir("drift_smv_d")
+    val fs = new ParquetTableStore(spark, froot, factSpec, 4,
+      retainedVersions = 3)
+    val ds = new ParquetTableStore(spark, droot,
+      TableSpec("public.drift_d", dimSchema, Seq("c_cust")), 4,
+      retainedVersions = 3)
+    fs.init((1L to 60L).map(i => (i, 1L + i % 6, i % 10))
+      .toDF("o_id", "f_cust", "v"))
+    ds.init((1L to 6L).map(c => (c, s"s$c")).toDF("c_cust", "seg"))
+    val factKey = tmpDir("drift_smv_fk"); val dimKey = tmpDir("drift_smv_dk")
+    fs.snapshot().write.mode("overwrite").parquet(factKey)
+    ds.snapshot().write.mode("overwrite").parquet(dimKey)
+    import StarMv.{QCol, StarMvDef}
+    val mv = StarMv.build(spark, StarMvDef(
+      tables = Seq(factKey, dimKey),
+      joins = Seq((QCol(factKey, "f_cust"), QCol(dimKey, "c_cust"))),
+      groupCols = Seq(QCol(dimKey, "seg")),
+      measureCols = Seq(QCol(factKey, "v")),
+      summaryPath = tmpDir("drift_smv_sum")))
+    val statePath = tmpDir("drift_smv_state") + "/s"
+    val m0 = StarMvMaintainer.create(spark,
+      Map(factKey -> fs, dimKey -> ds), mv, statePath)
+    var liveSummary = m0.definition.summaryPath
+    try {
+      // mid-stream DDL: the fact grows a column; the store is reopened
+      // under the evolved spec (pre-evolution files surface it as NULL)
+      // and the MAINTAINER is reopened over the evolved store — the
+      // registered pre-evolution definition must keep maintaining and
+      // serving (the new column is simply unused by the summary)
+      val evolvedSpec = SchemaDrift.evolved(factSpec, Seq("note"))
+      val fs2 = new ParquetTableStore(spark, froot, evolvedSpec, 4,
+        retainedVersions = 3)
+      val m = StarMvMaintainer.open(spark,
+        Map(factKey -> fs2, dimKey -> ds), statePath)
+      fs2.merge(graft.operators.CompactedBatch(
+        deletes = Seq(1L, 2L).toDF("o_id"),
+        upserts = Seq((100L, 3L, 42L, "hello"))
+          .toDF("o_id", "f_cust", "v", "note")))
+      m.sync()
+      liveSummary = m.definition.summaryPath
+      def rollup = fs2.snapshot()
+        .join(ds.snapshot(), col("f_cust") === col("c_cust"))
+        .groupBy("seg").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val truth = ((3L to 60L).map(i => (i, 1L + i % 6, i % 10)) :+
+        ((100L, 3L, 42L))).groupBy(_._2).map { case (c, rs) =>
+        (s"s$c", rs.map(_._3).sum, rs.size.toLong) }.toSet
+      assert(rollup.as[(String, Long, Long)].collect().toSet === truth,
+        "post-evolution sync must stay convergent")
+      val paths = rollup.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+      }.flatten
+      assert(paths.nonEmpty && paths.forall(_.contains("drift_smv_sum")),
+        s"evolved-fact rollup must still serve from the summary: $paths")
+      // a query USING the evolved column cannot be served — and is right
+      val q2 = fs2.snapshot()
+        .join(ds.snapshot(), col("f_cust") === col("c_cust"))
+        .groupBy("seg").agg(count(col("note")).as("n_note"))
+      assert(q2.as[(String, Long)].collect().toMap.values.sum === 1L,
+        "the evolved column reads correctly through the live join")
+    } finally {
+      StarMv.unregister(liveSummary)
+      MaterializedView.replaceDirs(factKey, Nil)
+      MaterializedView.replaceDirs(dimKey, Nil)
+    }
   }
 }

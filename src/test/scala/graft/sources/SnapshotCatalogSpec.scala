@@ -145,4 +145,42 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(fa === Set((3L, 3L, "delete"), (8L, 80L, "insert")))
     intercept[IllegalArgumentException](cat.changeFeedsBetween(2L, 1L))
   }
+
+  test("single-writer lease: a second committer fails loudly; takeover fences") {
+    val (sa, sb, cat, root) = mkStores("lease")
+    sa.init((1L to 5L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 5L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit() // claims the writer token
+    // a SECOND catalog instance (fresh random writerId) on the same root:
+    // reads work, its commit must fail loudly instead of interleaving
+    val intruder = new SnapshotCatalog(spark, root,
+      Map("public.ta" -> sa, "public.tb" -> sb))
+    assert(intruder.current().nonEmpty, "reads are never fenced")
+    val e = intercept[IllegalStateException](intruder.commit())
+    assert(e.getMessage.contains("single-writer"))
+    cat.commit() // the owner keeps committing
+    // takeover: the intruder fences the (presumed dead) owner out —
+    // now the OLD owner's commit fails loudly
+    intruder.takeover()
+    intruder.commit()
+    val e2 = intercept[IllegalStateException](cat.commit())
+    assert(e2.getMessage.contains("single-writer"))
+  }
+
+  test("single-writer lease: a restart under the same writerId reclaims silently") {
+    val root = tmpDir("cat_lease2")
+    val sa = new ParquetTableStore(spark, root, specA, 4, retainedVersions = 2)
+    val c1 = new SnapshotCatalog(spark, root, Map("public.ta" -> sa),
+      writerId = "loader-1")
+    sa.init((1L to 3L).map(i => (i, i)).toDF("id", "v"))
+    c1.commit()
+    // the process restarts: a new instance with the SAME deployment
+    // identity continues without any takeover ceremony
+    val c2 = new SnapshotCatalog(spark, root, Map("public.ta" -> sa),
+      writerId = "loader-1")
+    sa.merge(CompactedBatch(Seq(1L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id", "v")))
+    c2.commit()
+    assert(c2.boundaries().last == 2L, "the reclaimed writer advanced the boundary")
+  }
 }

@@ -399,15 +399,18 @@ class CdcPipelineSpec extends SparkTestBase {
       assert(values === Set(("a", 2L, 14L, 5L, 9L), ("b", 1L, 2L, 2L, 2L)))
 
       // update + delete + new group in the next batch; the delete removes
-      // group a's max, forcing the repair path against the store snapshot
+      // group a's max, forcing the repair path against the store snapshot.
+      // TWO c rows keep the summary strictly smaller than the base — the
+      // MvCost gate refuses a base-sized summary by design
       writeBatch("m1.json", Seq(
         """{"database":"demo","table":"mvt","type":"delete","ts":4,"data":{"id":2,"name":"a","v":9}}""",
         """{"database":"demo","table":"mvt","type":"update","ts":5,"data":{"id":1,"name":"a","v":7},"old":{"v":5}}""",
-        """{"database":"demo","table":"mvt","type":"insert","ts":6,"data":{"id":4,"name":"c","v":1}}"""))
+        """{"database":"demo","table":"mvt","type":"insert","ts":6,"data":{"id":4,"name":"c","v":1}}""",
+        """{"database":"demo","table":"mvt","type":"insert","ts":7,"data":{"id":5,"name":"c","v":3}}"""))
       q.processAllAvailable()
       assert(maintainer.syncedVersion === store.currentVersion)
       assert(summaryScanned, "batch-2 rollup must serve from the refreshed summary")
-      assert(values === Set(("a", 1L, 7L, 7L, 7L), ("c", 1L, 1L, 1L, 1L),
+      assert(values === Set(("a", 1L, 7L, 7L, 7L), ("c", 2L, 4L, 1L, 3L),
         ("b", 1L, 2L, 2L, 2L)))
     } finally {
       q.stop()
