@@ -516,19 +516,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** A stripped single-table base: its scan roots (for cost estimation)
+    * and the MvDef that serves it, resolved from either a plain parquet
+    * relation or a whole MOR-resolution subplan matched as one leaf
+    * ([[StoreResolvePlan]] — the single-table twin of the star rewrite's
+    * store-leaf matching).
+    */
+  private final case class BaseLeaf(roots: Seq[String], mv: MvDef)
+
   /** child walk: collect Projects (attribute pruning AND alias bindings —
     * the optimizer's PullOutGroupingExpressions extracts complex grouping
     * expressions into `_groupingexpression` aliases below the Aggregate,
     * and withColumn leaves named aliases) and Filters down to a single
-    * parquet LogicalRelation; anything else bails. Alias bindings are
-    * returned for the caller to inline — matching happens on the
-    * fully-inlined expressions, so an alias detour can't hide a matching
-    * (or a non-matching) shape.
+    * table leaf — a parquet LogicalRelation, or a MOR snapshot's whole
+    * resolution subplan (its inferred-not-null residue re-emitted as
+    * conds); anything else bails. Alias bindings are returned for the
+    * caller to inline — matching happens on the fully-inlined
+    * expressions, so an alias detour can't hide a matching (or a
+    * non-matching) shape.
     */
   private def strip(p: LogicalPlan): Option[
-      (Seq[Expression], Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression], LogicalRelation)] =
+      (Seq[Expression], Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression], BaseLeaf)] =
     p match {
-      case rel: LogicalRelation => Some((Nil, Map.empty, rel))
+      case rel: LogicalRelation => relationMv(rel).map { mv =>
+        (Nil, Map.empty, BaseLeaf(relationRoots(rel), mv)) }
+      case StoreResolvePlan(leaf) =>
+        lookup(MaterializedView.normalize(leaf.key)).map { mv =>
+          (leaf.extraFilters, Map.empty, BaseLeaf(leaf.roots.toSeq, mv)) }
       case Project(pl, c) if pl.forall(e =>
           e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
         strip(c).map { case (conds, aliases, rel) =>
@@ -541,41 +555,40 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def relationRoots(rel: LogicalRelation): Seq[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Nil
+    }
+
   /** The MV serving this relation, two lookups: a single root matching a
     * registered base path (the plain-parquet shape), else the FULL root
     * set matching a registered snapshot dir set (a versioned store's
     * snapshot — see [[MaterializedView.registerDirs]]).
     */
-  private def relationMv(rel: LogicalRelation): Option[MvDef] =
-    rel.relation match {
-      case fs: HadoopFsRelation =>
-        val roots = fs.location.rootPaths.map(_.toUri.getPath)
-        (if (roots.size == 1) lookup(roots.head) else None)
-          .orElse(MaterializedView.lookupDirs(roots.toSet))
-      case _ => None
-    }
+  private def relationMv(rel: LogicalRelation): Option[MvDef] = {
+    val roots = relationRoots(rel)
+    if (roots.isEmpty) None
+    else (if (roots.size == 1) lookup(roots.head) else None)
+      .orElse(MaterializedView.lookupDirs(roots.toSet))
+  }
 
   /** The [[MvCost]] gate for one single-table candidate: refuse serving
     * when the summary is provably no smaller than the base scan (an MV
     * grouped by a near-unique key) — re-aggregating it would read no less
     * than the query it replaces. Unknown counts serve.
     */
-  private def worthIt(rel: LogicalRelation, mv: MvDef): Boolean = {
+  private def worthIt(leaf: BaseLeaf): Boolean = {
     val spark = SparkSession.active
-    val roots = rel.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
-      case _ => Nil
-    }
-    MvCost.worthServing(spark, mv.summaryPath,
-      MvCost.leafRows(spark, mv.basePath, roots))
+    MvCost.worthServing(spark, leaf.mv.summaryPath,
+      MvCost.leafRows(spark, leaf.mv.basePath, leaf.roots))
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      (conds, aliases, rel) <- strip(agg.child)
-      mv <- relationMv(rel)
-      if worthIt(rel, mv)
-      plan <- rewriteWith(agg, conds, aliases, mv)
+      (conds, aliases, leaf) <- strip(agg.child)
+      if worthIt(leaf)
+      plan <- rewriteWith(agg, conds, aliases, leaf.mv)
     } yield plan
   }
 
@@ -601,10 +614,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     agg.child match {
       case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         for {
-          (conds, aliases, rel) <- strip(ex.child)
-          mv <- relationMv(rel)
-          if worthIt(rel, mv)
-          plan <- rewriteExpandWith(agg, ex, conds, aliases, mv)
+          (conds, aliases, leaf) <- strip(ex.child)
+          if worthIt(leaf)
+          plan <- rewriteExpandWith(agg, ex, conds, aliases, leaf.mv)
         } yield plan
       case _ => None
     }

@@ -59,10 +59,8 @@ final class StarMvMaintainer private (
     * then needs no filesystem probe for these tables. Re-run per sync so
     * the counts track the stats records' own staleness, no tighter.
     */
-  private def publishStats(): Unit = stores.foreach {
-    case (p, ps: graft.sources.ParquetTableStore) =>
-      ps.stats().foreach(st => MvCost.registerRowCount(p, st.nRows))
-    case _ => () // MOR: no persisted ANALYZE record yet — footer tier
+  private def publishStats(): Unit = stores.foreach { case (p, s) =>
+    s.stats().foreach(st => MvCost.registerRowCount(p, st.nRows))
   }
   publishStats()
 

@@ -291,6 +291,46 @@ final class MorTableStore(
         s"window is [$floor, $cur] (compaction folds history below the floor)")
   }
 
+  // ── ANALYZE-style per-column statistics (shared codec, see CoW twin) ────
+
+  private def statsPath(v: Long) = new Path(tablePath, s"_stats_v$v")
+
+  /** Per-column statistics of the CURRENT seq, persisted `_stats_v<seq>`
+    * — the MOR twin of [[ParquetTableStore.analyze]] (one resolved-
+    * snapshot scan pair via [[TableStatsIO]]). Older stats records are
+    * dropped on write: MOR seqs advance every merge, so unbounded records
+    * would litter the table dir (the newest is the only one [[stats]]
+    * serves anyway).
+    */
+  def analyze(): TableStats = {
+    val ver = currentVersion
+    val (nRows, colStats) = TableStatsIO.compute(snapshotAt(ver), spec.dataCols)
+    AtomicFiles.write(hadoopConf, statsPath(ver),
+      TableStatsIO.render(ver, nRows, colStats))
+    statsVersions().filter(_ != ver)
+      .foreach(v => fs.delete(statsPath(v), false))
+    TableStats(ver, nRows, colStats, staleBy = 0L)
+  }
+
+  private def statsVersions(): Seq[Long] =
+    if (!fs.exists(tablePath)) Seq.empty
+    else fs.listStatus(tablePath).map(_.getPath.getName)
+      .filter(n => n.startsWith("_stats_v") && n.drop(8).forall(_.isDigit))
+      .map(_.drop(8).toLong).toSeq
+
+  /** Newest persisted stats + staleness in merges; None before the first
+    * [[analyze]].
+    */
+  def stats(): Option[TableStats] = {
+    val versions = statsVersions()
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(statsPath(v))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(TableStatsIO.parse(body, v, staleBy = currentVersion - v))
+  }
+
   /** Row-valued change feed across (fromVersion, toVersion] — the bounded
     * twin of [[changeFeedSince]], which delegates here. Input is
     * bucket-pruned to stacks carrying any dir inside the window; the pre

@@ -61,6 +61,88 @@ trait VersionedTableStore extends TableStore {
     * previous boundary while a batch is in flight).
     */
   def versionWindow: Int
+
+  /** Compute per-column statistics of the CURRENT version and persist
+    * them version-stamped — see [[TableStatsIO.compute]] for the scan
+    * shape. Deliberately NOT run at merge commit: a merge is O(batch) by
+    * contract, stats are O(table); the version stamp keeps the two honest
+    * ([[stats]] reports exactly how many commits the record is behind).
+    */
+  def analyze(): TableStats
+
+  /** The newest persisted stats with their staleness against the current
+    * version; None before the first [[analyze]]. Bounded driver work.
+    */
+  def stats(): Option[TableStats]
+}
+
+/** One column's stats as computed by [[VersionedTableStore.analyze]];
+  * min/max ride STRING renderings (None for all-null columns) —
+  * optimizer-statistics artifacts, not oracle-compared values.
+  */
+final case class ColumnStats(name: String, nNonNull: Long, ndvEst: Long,
+    minStr: Option[String], maxStr: Option[String])
+
+/** A persisted stats record plus how stale it is: `staleBy` = versions
+  * committed since the stats were computed (0 = fresh). The stats
+  * describe the snapshot of `version` EXACTLY — a reader needing current
+  * stats re-runs analyze when the bound is too loose.
+  */
+final case class TableStats(version: Long, nRows: Long,
+    columns: Seq[ColumnStats], staleBy: Long)
+
+/** The ANALYZE computation + `_stats_v<seq>` file codec both stores
+  * share. Two single scans: one wide aggregate for counts + typed
+  * min/max, one stacked HLL pass for NDV (the q202 shape generalized to
+  * the spec's columns). Cost at 100 TB: two column-pruned scans with
+  * constant-size outputs.
+  */
+private[sources] object TableStatsIO {
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def compute(snap: DataFrame, cols: Seq[String]): (Long, Seq[ColumnStats]) = {
+    val wide = snap.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))): _*).head()
+    val nRows = wide.getLong(0)
+    val stacked = snap.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"))
+      .where(col("val").isNotNull)
+    val ndv = graft.operators.Sketches.hllDistinct(stacked, "col_name", "val")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val colStats = cols.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 3
+      ColumnStats(c, wide.getLong(base),
+        ndv.getOrElse(c, 0L),
+        Option(wide.getString(base + 1)), Option(wide.getString(base + 2)))
+    }
+    (nRows, colStats)
+  }
+
+  def render(version: Long, nRows: Long,
+      colStats: Seq[ColumnStats]): Array[Byte] =
+    (s"#version=$version\trows=$nRows" +: colStats.map(cs =>
+      Seq(enc(cs.name), cs.nNonNull, cs.ndvEst,
+        cs.minStr.map(enc).getOrElse(" null"),
+        cs.maxStr.map(enc).getOrElse(" null")).mkString("\t")))
+      .mkString("\n").getBytes("UTF-8")
+
+  def parse(body: String, version: Long, staleBy: Long): TableStats = {
+    val lines = body.split("\n").filter(_.nonEmpty)
+    val nRows = lines.head.split("\t")(1).stripPrefix("rows=").toLong
+    val colStats = lines.tail.map { l =>
+      val f = l.split("\t", -1)
+      def opt(s: String) = if (s == " null") None else Some(dec(s))
+      ColumnStats(dec(f(0)), f(1).toLong, f(2).toLong, opt(f(3)), opt(f(4)))
+    }.toSeq
+    TableStats(version, nRows, colStats, staleBy)
+  }
 }
 
 /** Parquet-backed store, hash-bucketed by primary key, committed via an
@@ -516,65 +598,17 @@ final class ParquetTableStore(
 
   // ── ANALYZE-style per-column statistics, persisted per version ─────────
 
-  /** One column's stats as computed by [[analyze]]; min/max ride STRING
-    * renderings (None for all-null columns) — optimizer-statistics
-    * artifacts, not oracle-compared values.
-    */
-  final case class ColumnStats(name: String, nNonNull: Long, ndvEst: Long,
-      minStr: Option[String], maxStr: Option[String])
-
-  /** A persisted stats record plus how stale it is: `staleBy` = versions
-    * committed since the stats were computed (0 = fresh). The stats
-    * describe [[snapshotAt]] of `version` EXACTLY — a reader needing
-    * current stats re-runs [[analyze]] when the bound is too loose.
-    */
-  final case class TableStats(version: Long, nRows: Long,
-      columns: Seq[ColumnStats], staleBy: Long)
-
   private def statsPath(v: Long) = new Path(tablePath, s"_stats_v$v")
-  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Compute per-column statistics of the CURRENT version in two single
-    * scans (one wide aggregate for counts + typed min/max, one stacked
-    * HLL pass for NDV — the q202 shape generalized to the spec's columns)
-    * and persist them version-stamped (`_stats_v<seq>`, atomic rename).
-    *
-    * Deliberately NOT run at merge commit: a merge is O(batch) by
-    * contract, stats are O(table). The version stamp is what keeps the
-    * two honest — [[stats]] reports exactly how many commits the record
-    * is behind, so a planner can bound its error or trigger a re-analyze.
-    * Cost at 100 TB: two column-pruned scans with constant-size outputs.
+  /** Per-column statistics of the CURRENT version, persisted
+    * version-stamped (`_stats_v<seq>`, atomic rename) — computation and
+    * codec shared with the MOR store in [[TableStatsIO]].
     */
   def analyze(): TableStats = {
     val ver = currentVersion
-    val snap = snapshotAt(ver)
-    val cols = spec.dataCols
-    val wide = snap.agg(
-      count(lit(1)).as("n_rows"),
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))): _*).head()
-    val nRows = wide.getLong(0)
-    val stacked = snap.select(explode(array(cols.map(c =>
-      struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("kv"))
-      .select(col("kv.col_name").as("col_name"), col("kv.val").as("val"))
-      .where(col("val").isNotNull)
-    val ndv = graft.operators.Sketches.hllDistinct(stacked, "col_name", "val")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val colStats = cols.zipWithIndex.map { case (c, i) =>
-      val base = 1 + i * 3
-      ColumnStats(c, wide.getLong(base),
-        ndv.getOrElse(c, 0L),
-        Option(wide.getString(base + 1)), Option(wide.getString(base + 2)))
-    }
-    val body = (s"#version=$ver\trows=$nRows" +: colStats.map(cs =>
-      Seq(enc(cs.name), cs.nNonNull, cs.ndvEst,
-        cs.minStr.map(enc).getOrElse(" null"),
-        cs.maxStr.map(enc).getOrElse(" null")).mkString("\t")))
-      .mkString("\n").getBytes("UTF-8")
-    AtomicFiles.write(hadoopConf, statsPath(ver), body)
+    val (nRows, colStats) = TableStatsIO.compute(snapshotAt(ver), spec.dataCols)
+    AtomicFiles.write(hadoopConf, statsPath(ver),
+      TableStatsIO.render(ver, nRows, colStats))
     TableStats(ver, nRows, colStats, staleBy = 0L)
   }
 
@@ -592,14 +626,7 @@ final class ParquetTableStore(
     val in = fs.open(statsPath(v))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val lines = body.split("\n").filter(_.nonEmpty)
-    val nRows = lines.head.split("\t")(1).stripPrefix("rows=").toLong
-    val colStats = lines.tail.map { l =>
-      val f = l.split("\t", -1)
-      def opt(s: String) = if (s == " null") None else Some(dec(s))
-      ColumnStats(dec(f(0)), f(1).toLong, f(2).toLong, opt(f(3)), opt(f(4)))
-    }.toSeq
-    Some(TableStats(v, nRows, colStats, staleBy = currentVersion - v))
+    Some(TableStatsIO.parse(body, v, staleBy = currentVersion - v))
   }
 
   /** Predicate delete — retention sweeps and right-to-be-forgotten

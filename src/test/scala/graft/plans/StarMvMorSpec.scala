@@ -201,6 +201,55 @@ class StarMvMorSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("single-table MV over a MOR store: MvMaintainer keeps it live and served") {
+    import graft.model.TableSpec
+    import graft.operators.CompactedBatch
+    val store = new MorTableStore(spark, tmpDir("smvm_st_fs"),
+      TableSpec("public.smvm_st_f", factSchema, Seq("o_id")), 4)
+    store.init((1L to 100L).map(i => (i, 1L + i % 8, i % 50))
+      .toDF("o_id", "f_cust", "v"))
+    val base = tmpDir("smvm_st_base")
+    store.snapshot().write.mode("overwrite").parquet(base)
+    val mv = MaterializedView.build(spark, base, Seq("f_cust"), Seq("v"),
+      tmpDir("smvm_st_sum"), base = Some(store.snapshot()))
+    val m = MvMaintainer.create(spark, store, mv, tmpDir("smvm_st_state") + "/s")
+    try {
+      def rollup = store.snapshot().groupBy("f_cust")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      def servedHere = {
+        val paths = scanPaths(rollup)
+        paths.nonEmpty && paths.forall(_.contains("smvm_st_sum")) &&
+          !resolvesWindowed(rollup)
+      }
+      assert(servedHere, "fresh MOR single-table rollup must serve")
+      store.merge(CompactedBatch(Seq(1L, 2L).toDF("o_id"),
+        Seq((200L, 3L, 49L)).toDF("o_id", "f_cust", "v")))
+      assert(!servedHere, "unsynced merge must fall back")
+      m.sync()
+      assert(servedHere, "post-sync rollup must serve from the summary")
+      val truth = ((3L to 100L).map(i => (i, 1L + i % 8, i % 50)) :+
+        ((200L, 3L, 49L))).groupBy(_._2)
+        .map { case (c, rs) => (c, rs.map(_._3).sum, rs.size.toLong) }.toSet
+      assert(rollup.as[(Long, Long, Long)].collect().toSet === truth)
+    } finally MaterializedView.unregister(base)
+  }
+
+  test("MOR analyze persists version-stamped stats; maintainers publish them") {
+    import graft.model.TableSpec
+    import graft.operators.CompactedBatch
+    val store = new MorTableStore(spark, tmpDir("smvm_an_fs"),
+      TableSpec("public.smvm_an_f", factSchema, Seq("o_id")), 4)
+    store.init((1L to 40L).map(i => (i, i % 4, i % 7)).toDF("o_id", "f_cust", "v"))
+    val t0 = store.analyze()
+    assert(t0.nRows == 40L && t0.staleBy == 0L)
+    assert(t0.columns.find(_.name == "o_id").get.nNonNull == 40L)
+    store.merge(CompactedBatch(Seq(1L).toDF("o_id"),
+      Seq.empty[(Long, Long, Long)].toDF("o_id", "f_cust", "v")))
+    assert(store.stats().get.staleBy == 1L, "staleness tracks merges")
+    val t1 = store.analyze()
+    assert(t1.nRows == 39L && store.stats().get.version == t1.version)
+  }
+
   test("restart: open() over MOR stores resumes and catches up") {
     val f = new Fixture("rst", 59, morDim = true)
     try {
