@@ -98,7 +98,7 @@ object Bench {
       "q210_star_mv", "q211_catalog_snapshot", "q212_star_mv_refresh",
       "q216_change_feed", "q217_streaming_mv_loop", "q218_star_mv_cdc",
       "q222_star_mv_boundary", "q223_star_mv_fromquery",
-      "q224_star_mv_mor",
+      "q224_star_mv_mor", "q225_star_mv_jdbc",
       // multi-batch streaming / stateful
       "q129_session_window_native", "q136_transform_with_state",
       "q133_stream_outer_join", "q156_stream_full_outer",

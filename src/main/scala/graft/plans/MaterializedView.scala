@@ -114,7 +114,10 @@ object MaterializedView {
     registries.computeIfAbsent(scopeTag, _ => new ConcurrentHashMap())
 
   private[plans] def normalize(path: String): String =
-    new org.apache.hadoop.fs.Path(path).toUri.getPath
+    // a JDBC serving key ([[graft.sources.JdbcTableStore.servingKey]]) is
+    // an identity, not a path — Path-normalizing it would mangle the URL
+    if (path.startsWith("jdbc::")) path
+    else new org.apache.hadoop.fs.Path(path).toUri.getPath
 
   def register(d: MvDef): Unit = {
     // a (re)written summary — and possibly a grown base — voids the cost

@@ -62,10 +62,17 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, sum}
   */
 object StarMv {
 
-  /** A column qualified by its source table's parquet path. */
+  /** A column qualified by its source table's path (or store identity).
+    * Matching happens on the [[normalized]] form: normalized path AND
+    * lower-cased name — Spark resolves columns case-insensitively, and a
+    * warehouse snapshot surfaces the catalog's casing (Derby/Greenplum
+    * upper-case folding), so a definition registered as `f_cust` must
+    * match a scan emitting `F_CUST`.
+    */
   final case class QCol(path: String, name: String) {
     private[plans] def normalized: QCol =
-      QCol(MaterializedView.normalize(path), name)
+      QCol(MaterializedView.normalize(path),
+        name.toLowerCase(java.util.Locale.ROOT))
   }
 
   /** `joins` are unordered equi-join pairs — (QCol, QCol) with either side
@@ -138,13 +145,36 @@ object StarMv {
   private[plans] def isEmpty: Boolean = registry.isEmpty
   private[plans] def registered: Seq[StarMvDef] = registry.asScala.toSeq
 
+  /** Serving PAUSE set, keyed by the summary's base path (stable across
+    * per-refresh `_v<n>` advances): a [[JdbcStarMaintainer]] mid-sequence
+    * has merged some tables but not refreshed their deltas, and a JDBC
+    * leaf has no snapshot identity to guard freshness on structurally (no
+    * dir set) — so the maintainer pauses serving for the span of the
+    * sequence instead. Paused definitions stay REGISTERED (the refresh
+    * path requires that); they are just never candidates.
+    */
+  private val pausedServing =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[plans] def summaryBase(summaryPath: String): String =
+    summaryPath.replaceAll("_v\\d+$", "")
+
+  private[plans] def pauseServing(summaryPath: String): Unit = {
+    pausedServing.add(summaryBase(summaryPath)); ()
+  }
+  private[plans] def resumeServing(summaryPath: String): Unit = {
+    pausedServing.remove(summaryBase(summaryPath)); ()
+  }
+
   /** Definitions servable for a query over exactly `leaves`: exact
     * leaf-set matches first (no multiplicity reasoning needed), then
     * SUB-JOIN matches — defs whose extra tables are all declared lossless
-    * and peel outside-in down to `leaves` ([[peelsTo]]).
+    * and peel outside-in down to `leaves` ([[peelsTo]]). Paused summaries
+    * are never candidates.
     */
   private[plans] def candidatesFor(leaves: Set[String]): Seq[StarMvDef] = {
     val all = registry.asScala.toSeq
+      .filterNot(d => pausedServing.contains(summaryBase(d.summaryPath)))
     val exact = all.filter(_.leafSet == leaves)
     val sub = all.filter(d => d.losslessSet.nonEmpty &&
       d.leafSet != leaves && leaves.subsetOf(d.leafSet) && peelsTo(d, leaves))
@@ -759,7 +789,10 @@ object StarMv {
     require(paths.distinct.size == paths.size, "self-joins refuse")
     val qcolOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, QCol] =
       pathed.flatMap { case (rel, path) =>
-        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+        // lower-cased like QCol.normalized: a warehouse leaf surfaces
+        // the catalog's case folding, definitions carry the user's
+        rel.output.map(a => a.exprId ->
+          QCol(path, a.name.toLowerCase(java.util.Locale.ROOT))) }.toMap
     def inline(e: Expression): Expression = {
       var cur = e; var i = 0
       while (i < 10) {
@@ -1000,8 +1033,40 @@ object StarMv {
         // single root that is a data dir, not the table's key)
         MaterializedView.lookupDirKey(roots.toSet)
           .orElse(if (roots.size == 1) Some(roots.head) else None)
-      case _ => None
+      case other => jdbcKeyOf(other)
     }
+
+  /** A warehouse snapshot's leaf identity: the (url, table) pair rendered
+    * exactly as [[graft.sources.JdbcTableStore.servingKey]] renders it —
+    * a [[JdbcStarMaintainer]] registers its definition under those keys,
+    * so rollups joining live `store.snapshot()` reads reroute. Accessed
+    * reflectively: `JDBCRelation` is `private[sql]`, so the type cannot
+    * be named here; method handles are cached per relation class.
+    * Freshness note: a JDBC table has no snapshot identity to guard on
+    * (unlike the dir-set match) — the maintainer instead UNREGISTERS the
+    * definition for the span of each sync, so serving only ever sees
+    * fully-synced summaries (see [[JdbcStarMaintainer.sync]]).
+    */
+  private val jdbcAccessors = new java.util.concurrent.ConcurrentHashMap[
+    Class[_], Option[(java.lang.reflect.Method, java.lang.reflect.Method,
+      java.lang.reflect.Method)]]()
+
+  private def jdbcKeyOf(rel: Any): Option[String] = {
+    val ms = jdbcAccessors.computeIfAbsent(rel.getClass, { c =>
+      if (c.getName != "org.apache.spark.sql.execution.datasources.jdbc.JDBCRelation") None
+      else scala.util.Try {
+        val optsM = c.getMethod("jdbcOptions")
+        val optsC = optsM.getReturnType
+        (optsM, optsC.getMethod("url"), optsC.getMethod("tableOrQuery"))
+      }.toOption
+    })
+    ms.flatMap { case (optsM, urlM, tblM) =>
+      scala.util.Try {
+        val opts = optsM.invoke(rel)
+        s"jdbc::${urlM.invoke(opts)}::${tblM.invoke(opts)}"
+      }.toOption
+    }
+  }
 
   private[plans] def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
@@ -1077,7 +1142,10 @@ object StarMv {
     val spark = SparkSession.active
     val qcolOf: Map[ExprId, QCol] =
       pathed.flatMap { case (rel, path) =>
-        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+        // lower-cased like QCol.normalized: a warehouse leaf surfaces
+        // the catalog's case folding, definitions carry the user's
+        rel.output.map(a => a.exprId ->
+          QCol(path, a.name.toLowerCase(java.util.Locale.ROOT))) }.toMap
 
     def inline(e: Expression): Expression = {
       var cur = e
@@ -1370,7 +1438,10 @@ object StarMv {
     // query attribute (exprId) → qualified column
     val qcolOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, QCol] =
       pathed.flatMap { case (rel, path) =>
-        rel.output.map(a => a.exprId -> QCol(path, a.name)) }.toMap
+        // lower-cased like QCol.normalized: a warehouse leaf surfaces
+        // the catalog's case folding, definitions carry the user's
+        rel.output.map(a => a.exprId ->
+          QCol(path, a.name.toLowerCase(java.util.Locale.ROOT))) }.toMap
 
     def inline(e: Expression): Expression = {
       var cur = e

@@ -230,23 +230,7 @@ object StarMvMaintainer {
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     def split(s: String): Seq[String] =
       if (s.isEmpty) Nil else s.split(",", -1).toSeq
-    def qcol(s: String): QCol = {
-      val Array(path, name) = s.split("\\|", 2); QCol(dec(path), dec(name))
-    }
-    val d = StarMvDef(
-      tables = split(kv("tables")).map(dec),
-      joins = split(kv("joins")).map { pair =>
-        val Array(a, b) = pair.split("~", 2); (qcol(a), qcol(b)) },
-      groupCols = split(kv("groups")).map(qcol),
-      measureCols = split(kv("measures")).map(qcol),
-      summaryPath = dec(kv("summary")),
-      derivedMeasures = split(kv("derived")).map { pair =>
-        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) },
-      // absent in pre-lossless state files → Nil (sub-join serving off,
-      // which is the conservative direction)
-      losslessTables = split(kv.getOrElse("lossless", "")).map(dec),
-      derivedGroups = split(kv.getOrElse("derivedGroups", "")).map { pair =>
-        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) })
+    val d = StarMvCodec.parseDef(kv)
     val synced = split(kv("syncedVersions")).map { pair =>
       val Array(t, v) = pair.split("=", 2); dec(t) -> v.toLong }.toMap
     val tables = d.tables.map(MaterializedView.normalize)
@@ -261,12 +245,30 @@ object StarMvMaintainer {
     new StarMvMaintainer(spark, byKey, statePath, d, synced)
   }
 
-  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-
   private def writeState(spark: SparkSession, statePath: String,
       d: StarMvDef, synced: Map[String, Long]): Unit = {
+    val enc = StarMvCodec.enc _
+    val body = (StarMvCodec.renderDef(d) :+
+      ("syncedVersions" -> synced.toSeq.sorted
+        .map { case (t, v) => s"${enc(t)}=$v" }.mkString(",")))
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")
+    graft.sources.AtomicFiles.write(
+      spark.sparkContext.hadoopConfiguration, new Path(statePath), body)
+  }
+}
+
+/** The [[StarMv.StarMvDef]] ↔ state-file codec both durable maintainers
+  * ([[StarMvMaintainer]], [[JdbcStarMaintainer]]) share: one
+  * `key<TAB>value` line per field, values URL-encoded element-wise.
+  */
+private[plans] object StarMvCodec {
+
+  def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def renderDef(d: StarMvDef): Seq[(String, String)] = {
     def qcol(q: QCol) = s"${enc(q.path)}|${enc(q.name)}"
-    val body = Seq(
+    Seq(
       "tables" -> d.tables.map(enc).mkString(","),
       "joins" -> d.joins.map { case (a, b) => s"${qcol(a)}~${qcol(b)}" }
         .mkString(","),
@@ -277,11 +279,28 @@ object StarMvMaintainer {
         .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
       "lossless" -> d.losslessTables.map(enc).mkString(","),
       "derivedGroups" -> d.derivedGroups
-        .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","),
-      "syncedVersions" -> synced.toSeq.sorted
-        .map { case (t, v) => s"${enc(t)}=$v" }.mkString(","))
-      .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")
-    graft.sources.AtomicFiles.write(
-      spark.sparkContext.hadoopConfiguration, new Path(statePath), body)
+        .map { case (n, sql) => s"${enc(n)}=${enc(sql)}" }.mkString(","))
+  }
+
+  def parseDef(kv: Map[String, String]): StarMvDef = {
+    def split(s: String): Seq[String] =
+      if (s.isEmpty) Nil else s.split(",", -1).toSeq
+    def qcol(s: String): QCol = {
+      val Array(path, name) = s.split("\\|", 2); QCol(dec(path), dec(name))
+    }
+    StarMvDef(
+      tables = split(kv("tables")).map(dec),
+      joins = split(kv("joins")).map { pair =>
+        val Array(a, b) = pair.split("~", 2); (qcol(a), qcol(b)) },
+      groupCols = split(kv("groups")).map(qcol),
+      measureCols = split(kv("measures")).map(qcol),
+      summaryPath = dec(kv("summary")),
+      derivedMeasures = split(kv("derived")).map { pair =>
+        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) },
+      // absent in pre-lossless state files → Nil (sub-join serving off,
+      // which is the conservative direction)
+      losslessTables = split(kv.getOrElse("lossless", "")).map(dec),
+      derivedGroups = split(kv.getOrElse("derivedGroups", "")).map { pair =>
+        val Array(n, sql) = pair.split("=", 2); (dec(n), dec(sql)) })
   }
 }

@@ -763,6 +763,93 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── CDC-maintained STAR summary over the JDBC WAREHOUSE sink
+    // (embedded Derby — the Greenplum-parity accelerator): no version
+    // history exists to replay, so JdbcStarMaintainer reconstructs each
+    // table's change feed from a keyed pre-image read + the compacted
+    // batch (staged durably BEFORE the merge), and multi-table pinning
+    // falls out of the stage→merge→refresh apply order. Batch 1 overlaps
+    // the deltas (new customers referencing a nation inserted in the
+    // same batch, repriced balances, renamed nation segments); batch 2
+    // is a fact-only delete wave. The final rollup joins the LIVE
+    // warehouse snapshots and serves from the summary via the
+    // (url, table) leaf identity (plan pinned in
+    // JdbcStarMaintainerSpec). Oracle: both final states restated.
+    "q225_star_mv_jdbc" -> ((s, dir) => {
+      val cSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_nationkey", LongType),
+        StructField("c_acctbal", DecimalType(12, 2))))
+      val nSchema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType)))
+      val dbUrl = s"jdbc:derby:memory:graft_q225_${System.nanoTime()}"
+      val rootDir = tempRoot()
+      val NewNation = 77L
+      try {
+        val cs = new JdbcTableStore(s, dbUrl + ";create=true",
+          TableSpec("public.customer_jmv", cSchema, Seq("c_custkey")),
+          snapshotPartitions = 4)
+        val ns = new JdbcTableStore(s, dbUrl + ";create=true",
+          TableSpec("public.nation_jmv", nSchema, Seq("n_nationkey")),
+          snapshotPartitions = 4)
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"))
+        val n = s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"))
+        cs.init(c); ns.init(n)
+        import graft.plans.StarMv.{QCol, StarMvDef}
+        val fk = cs.servingKey
+        val dk = ns.servingKey
+        val mv = graft.plans.StarMv.build(s, StarMvDef(
+          tables = Seq(fk, dk),
+          joins = Seq((QCol(fk, "c_nationkey"), QCol(dk, "n_nationkey"))),
+          groupCols = Seq(QCol(dk, "n_name")),
+          measureCols = Seq(QCol(fk, "c_acctbal")),
+          summaryPath = s"$rootDir/star_sum"),
+          tableOverrides = Map(fk -> cs.snapshot(), dk -> ns.snapshot()))
+        val m = graft.plans.JdbcStarMaintainer.create(s,
+          Map(fk -> cs, dk -> ns), mv, s"$rootDir/jsm")
+        try {
+          import s.implicits._
+          m.sync(1L, Map(
+            fk -> graft.operators.CompactedBatch(
+              deletes = c.filter(col("c_custkey") % 10 === 3)
+                .select("c_custkey"),
+              upserts = c.filter(col("c_custkey") % 10 === 0)
+                  .withColumn("c_acctbal",
+                    lit("1111.11").cast(DecimalType(12, 2)))
+                .unionByName(c.filter(col("c_custkey") % 10 === 1)
+                  .withColumn("c_custkey", col("c_custkey") + KeyShift)
+                  .withColumn("c_nationkey", lit(NewNation)))),
+            dk -> graft.operators.CompactedBatch(
+              deletes = n.limit(0).select("n_nationkey"),
+              upserts = n.filter(col("n_nationkey") % 5 === 2)
+                  .withColumn("n_name", concat(lit("X_"), col("n_name")))
+                .unionByName(Seq((NewNation, "NOVA"))
+                  .toDF("n_nationkey", "n_name")))))
+          m.sync(2L, Map(fk -> graft.operators.CompactedBatch(
+            deletes = c.filter(col("c_custkey") % 10 === 5)
+              .select("c_custkey"),
+            upserts = c.limit(0))))
+          cs.snapshot()
+            .join(ns.snapshot(),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name").as("n_name"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal")).cast("double").as("sum_bal"),
+              min(col("c_acctbal")).cast("double").as("min_bal"),
+              max(col("c_acctbal")).cast("double").as("max_bal"))
+            .select(col("n_name").as("n_name"), col("n"),
+              col("sum_bal"), col("min_bal"), col("max_bal"))
+            .localCheckpoint() // eager: detached before the finally drops
+        } finally graft.plans.StarMv.unregister(m.definition.summaryPath)
+      } finally { dropDerby(dbUrl); deleteDir(s, rootDir) }
+    }),
+
     // ── BOUNDARY-consistent star summary: the maintainer syncs to the
     // SnapshotCatalog's last committed boundary, never a torn multi-table
     // state. One full round (orders reprice + customer segment moves,
@@ -993,6 +1080,32 @@ object CdcQueries {
         |  CAST(min(p) AS DOUBLE) AS min_price,
         |  CAST(max(p) AS DOUBLE) AS max_price
         |FROM ord JOIN cust ON ord.ck = cust.ck
+        |GROUP BY 1""".stripMargin,
+
+    // q225: both warehouse tables' final states restated (customer:
+    // %10 ∈ {3,5} deleted, %10=0 repriced, shifted %10=1 copies pointed
+    // at the new nation; nation: %5=2 renamed, NOVA added).
+    "q225_star_mv_jdbc" ->
+      """WITH nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |    CASE WHEN n_nationkey % 5 = 2 THEN 'X_' || n_name
+        |         ELSE n_name END AS nname
+        |  FROM nation
+        |  UNION ALL SELECT 77, 'NOVA'
+        |), cust AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(1111.11 AS DECIMAL(12,2))
+        |         ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS bal
+        |  FROM customer WHERE c_custkey % 10 NOT IN (3, 5)
+        |  UNION ALL
+        |  SELECT 77, CAST(c_acctbal AS DECIMAL(12,2))
+        |  FROM customer WHERE c_custkey % 10 = 1
+        |)
+        |SELECT nname AS n_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(bal) AS DOUBLE) AS sum_bal,
+        |  CAST(min(bal) AS DOUBLE) AS min_bal,
+        |  CAST(max(bal) AS DOUBLE) AS max_bal
+        |FROM cust JOIN nat ON cust.nk = nat.nk
         |GROUP BY 1""".stripMargin,
 
     // q224: both MOR tables' final states restated (orders: %10 ∈ {3,5}

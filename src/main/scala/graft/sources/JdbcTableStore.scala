@@ -465,6 +465,38 @@ final class JdbcTableStore(
     }
   }
 
+  /** The identity a [[graft.plans.StarMv.StarMvDef]] names this table by
+    * for MV serving: there is no filesystem path to key on, so the
+    * (url, table) pair IS the identity — [[graft.plans.StarMv]]'s leaf
+    * matcher recognizes a [[snapshot]] scan by the same pair. The
+    * `jdbc::` prefix keeps registry normalization from treating it as a
+    * path.
+    */
+  def servingKey: String = s"jdbc::$url::$table"
+
+  /** Keyed readback — [[ParquetTableStore.snapshotForKeys]]' warehouse
+    * twin: small key sets (≤ `inFilterLimit`, the micro-batch steady
+    * state) push an IN predicate on the LEADING key column into the
+    * warehouse query — a server-side index lookup instead of a table
+    * scan — while large sets fall back to a full snapshot; either way the
+    * final semi join on ALL key columns is the exact membership test.
+    * `keys` must carry the primary-key columns; it is evaluated twice
+    * (count probe + semi join) — persist upstream when it is expensive.
+    */
+  def snapshotForKeys(keys: DataFrame, inFilterLimit: Long = 1024L): DataFrame = {
+    val keyDf = keys.select(pk.map(col): _*)
+    val n = keyDf.count()
+    val base =
+      if (n > 0 && n <= inFilterLimit) {
+        val lead = pkFields.head.name
+        val vals = keyDf.select(col(lead)).distinct()
+          .collect().map(_.get(0))
+        if (vals.contains(null)) snapshot()
+        else snapshot().filter(col(lead).isin(vals: _*))
+      } else snapshot()
+    base.join(keyDf.hint("broadcast"), pk, "left_semi")
+  }
+
   def merge(batch: CompactedBatch): Unit = {
     ensureTable()
     // Cached for the span of this merge: the upserts feed TWO staging jobs
