@@ -174,7 +174,8 @@ object Bench {
       "q131_hll_distinct", "q146_cms_freq", "q147_ann_rerank",
       "q153_inverted_index", "q157_entity_resolution", "q210_star_mv",
       "q219_star_mv_rollup", "q220_star_mv_subjoin", "q221_star_mv_day",
-      "q222_star_mv_boundary", "q223_star_mv_fromquery")
+      "q222_star_mv_boundary", "q223_star_mv_fromquery",
+      "q224_star_mv_mor", "q225_star_mv_jdbc")
     // Cap the error entries at 10 with hard-truncated messages: a
     // wide-blast failure (e.g. a corpus drift) must not push the line back
     // over the tail window — `errors`:N plus the detail file carry the rest.

@@ -60,7 +60,12 @@ final class JdbcStarMaintainer private (
     private var d: StarMvDef,
     private var lastCompleted: Long,
     private var inProgress: Option[Long],
-    private var done: Set[String]) {
+    private var done: Set[String],
+    // the summary path as of the last COMPLETED batch — the gc anchor: a
+    // resumed sync's in-memory d is mid-batch, and counting retained
+    // generations from it would delete the last committed summary a
+    // planned reader may still be evaluating
+    private var completedSummary: String) {
 
   import JdbcStarMaintainer._
 
@@ -86,13 +91,21 @@ final class JdbcStarMaintainer private (
         MaterializedView.normalize(p) -> b }
       byKey.keys.foreach(p => require(tables.contains(p),
         s"$p is not one of the MV's tables (${tables.sorted})"))
-      if (batchId <= lastCompleted) {
-        // crash-replay of a completed batch: the summary already reflects
-        // it — re-apply the idempotent merges only, never the signed
-        // refresh
+      if (batchId == lastCompleted) {
+        // crash-replay of the JUST-completed batch (stream died between
+        // maintainer completion and its checkpoint commit): the summary
+        // already reflects it — re-apply the idempotent merges only,
+        // never the signed refresh
         tables.foreach(p => byKey.get(p).foreach(stores(p).merge))
         return d
       }
+      // an OLDER batch is not a crash-replay — it is a consumer restarted
+      // from a stale checkpoint; re-merging it would rewind the warehouse
+      // under a summary that has moved on (the next feed's pre-images
+      // would subtract contributions the summary never held)
+      require(batchId > lastCompleted,
+        s"batch $batchId precedes the last completed batch $lastCompleted " +
+          "— the consumer replayed past its own history; re-baseline it")
       require(inProgress.forall(_ == batchId),
         s"batch $batchId arrived while batch ${inProgress.get} is " +
           "incomplete — replay the incomplete batch to completion first")
@@ -101,7 +114,7 @@ final class JdbcStarMaintainer private (
         inProgress = Some(batchId); done = Set.empty
         writeState()
       }
-      val keepBase = d.summaryPath // gc reference: last COMPLETED summary
+      val keepBase = completedSummary // gc anchor: last COMPLETED summary
       tables.foreach { p =>
         byKey.get(p).foreach { batch =>
           if (!done.contains(p)) {
@@ -109,8 +122,7 @@ final class JdbcStarMaintainer private (
             if (!committed(feedDir)) {
               // capture BEFORE the merge and make it durable: after the
               // merge the pre-images are gone from the warehouse
-              buildFeed(stores(p), batch)
-                .write.mode("overwrite").parquet(feedDir.toString)
+              stageFeed(stores(p), batch, feedDir)
             }
             stores(p).merge(batch)
             val overrides = tables.map(q => q -> canonical(stores(q))).toMap
@@ -125,7 +137,7 @@ final class JdbcStarMaintainer private (
             try {
               done += p
               JdbcStarMaintainer.writeState(spark, root, nd, lastCompleted,
-                inProgress, done)
+                inProgress, done, completedSummary)
             } catch {
               case t: Throwable =>
                 done -= p
@@ -143,6 +155,7 @@ final class JdbcStarMaintainer private (
       lastCompleted = batchId
       inProgress = None
       done = Set.empty
+      completedSummary = d.summaryPath
       writeState()
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
@@ -153,24 +166,37 @@ final class JdbcStarMaintainer private (
       d
     }
 
-  /** Pre-image slice vs batch upserts, netted into the standard
-    * row-valued change feed: every key the batch touches is read back
-    * from the warehouse ONCE (keyed IN pushdown for micro-batches), and
-    * [[graft.operators.SnapshotDiff.changeFeed]] classifies — a key only
-    * in the pre slice is a delete with its full image, a changed key
-    * emits both images, a new key an insert, a byte-identical upsert
-    * nothing. Restricting both sides to the batch's keys makes the post
-    * slice exactly the upserts (per-key final action is the
-    * CompactedBatch contract).
+  /** Build AND stage the feed parquet for one (batch, table) in a single
+    * scope, so the cached inputs release right after the write: the key
+    * set feeds snapshotForKeys' count probe + IN-value collect + semi
+    * join, and the upserts feed both the key union and the post slice —
+    * without the cache a non-trivial upstream batch plan (the streaming
+    * CDC shape) would re-execute four-plus times. The feed itself is the
+    * pre-image slice diffed against the upserts
+    * ([[graft.operators.SnapshotDiff.changeFeed]]): a key only in the pre
+    * slice is a delete with its full image, a changed key emits both
+    * images, a new key an insert, a byte-identical upsert nothing —
+    * restricting both sides to the batch's keys makes the post slice
+    * exactly the upserts (per-key final action is the CompactedBatch
+    * contract).
     */
-  private def buildFeed(store: JdbcTableStore,
-      batch: CompactedBatch): DataFrame = {
+  private def stageFeed(store: JdbcTableStore, batch: CompactedBatch,
+      feedDir: Path): Unit = {
     val pk = store.spec.pkCols
+    val ups = batch.upserts.select(store.spec.dataCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = batch.deletes.select(pk.map(col): _*)
-      .unionByName(batch.upserts.select(pk.map(col): _*)).distinct()
-    val pre = canonicalize(store.snapshotForKeys(keys), store)
-    val post = batch.upserts.select(store.spec.dataCols.map(col): _*)
-    graft.operators.SnapshotDiff.changeFeed(pre, post, pk)
+      .unionByName(ups.select(pk.map(col): _*)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pre = canonicalize(store.snapshotForKeys(keys), store)
+      graft.operators.SnapshotDiff.changeFeed(pre, ups, pk)
+        .write.mode("overwrite").parquet(feedDir.toString)
+    } finally {
+      keys.unpersist(blocking = false)
+      ups.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** The warehouse surfaces ITS catalog's case folding (Derby/Greenplum
@@ -194,7 +220,7 @@ final class JdbcStarMaintainer private (
 
   private def writeState(): Unit =
     JdbcStarMaintainer.writeState(spark, root, d, lastCompleted,
-      inProgress, done)
+      inProgress, done, completedSummary)
 }
 
 object JdbcStarMaintainer {
@@ -214,9 +240,14 @@ object JdbcStarMaintainer {
     require(tables.toSet == byKey.keySet,
       s"stores must cover exactly the MV's tables: ${tables.sorted} vs " +
         s"${byKey.keySet.toSeq.sorted}")
+    // a rebuilt maintainer over the same summary path must not inherit a
+    // dead predecessor's pause (its state file is being overwritten too)
+    StarMv.resumeServing(d.summaryPath)
     StarMv.register(d)
-    writeState(spark, root, d, lastCompleted = -1L, None, Set.empty)
-    new JdbcStarMaintainer(spark, byKey, root, d, -1L, None, Set.empty)
+    writeState(spark, root, d, lastCompleted = -1L, None, Set.empty,
+      d.summaryPath)
+    new JdbcStarMaintainer(spark, byKey, root, d, -1L, None, Set.empty,
+      d.summaryPath)
   }
 
   /** Resume from the state directory after a restart: re-registers the
@@ -245,10 +276,12 @@ object JdbcStarMaintainer {
     val done = kv.get("done").filter(_.nonEmpty)
       .map(_.split(",", -1).toSeq.map(StarMvCodec.dec).toSet)
       .getOrElse(Set.empty[String])
+    val completedSummary = kv.get("completedSummary")
+      .map(StarMvCodec.dec).getOrElse(d.summaryPath)
     StarMv.register(d)
     if (inProgress.isDefined) StarMv.pauseServing(d.summaryPath)
     new JdbcStarMaintainer(spark, byKey, root, d, lastCompleted,
-      inProgress, done)
+      inProgress, done, completedSummary)
   }
 
   private def statePath(root: String): Path =
@@ -256,11 +289,12 @@ object JdbcStarMaintainer {
 
   private def writeState(spark: SparkSession, root: String, d: StarMvDef,
       lastCompleted: Long, inProgress: Option[Long],
-      done: Set[String]): Unit = {
+      done: Set[String], completedSummary: String): Unit = {
     val body = (StarMvCodec.renderDef(d) ++ Seq(
       "lastCompleted" -> lastCompleted.toString,
       "inProgress" -> inProgress.map(_.toString).getOrElse(""),
-      "done" -> done.toSeq.sorted.map(StarMvCodec.enc).mkString(",")))
+      "done" -> done.toSeq.sorted.map(StarMvCodec.enc).mkString(","),
+      "completedSummary" -> StarMvCodec.enc(completedSummary)))
       .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8")
     graft.sources.AtomicFiles.write(
       spark.sparkContext.hadoopConfiguration, statePath(root), body)

@@ -93,7 +93,14 @@ object MaterializedView {
     * untagged sessions (including the streaming micro-batch clones, which
     * copy the session conf) all share the `"global"` scope. The old
     * register/unregister/lookup API is unchanged — it just resolves the
-    * active scope first.
+    * active scope first. THREAD CONTRACT for non-default scopes: scope
+    * resolution reads the ACTIVE (thread-local, else default) session,
+    * so a tenant using a custom tag must run its registrations,
+    * maintainer syncs, and queries on threads where its session is
+    * active (`SparkSession.setActiveSession`) — a bare scheduler thread
+    * falls back to the default session's scope and would look up the
+    * wrong registry (loud for maintainers: the refresh's
+    * currently-registered require misses).
     */
   private val registries =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, MvDef]]()
@@ -104,6 +111,17 @@ object MaterializedView {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.conf.get("spark.graft.mv.scope", "global"))
       .getOrElse("global")
+
+  /** Scan roots of a file-based relation, scheme-stripped — the ONE
+    * normalization every leaf matcher and the dir registry must share
+    * (a divergence would silently break exact-set matching).
+    */
+  private[plans] def fsRoots(
+      relation: org.apache.spark.sql.sources.BaseRelation): Seq[String] =
+    relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+      case _ => Nil
+    }
 
   /** base path (scheme-stripped, absolute) → definition, within the
     * active scope. Scheme-stripped matching means a file:/ and an hdfs:/
@@ -559,10 +577,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def relationRoots(rel: LogicalRelation): Seq[String] =
-    rel.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
-      case _ => Nil
-    }
+    MaterializedView.fsRoots(rel.relation)
 
   /** The MV serving this relation, two lookups: a single root matching a
     * registered base path (the plain-parquet shape), else the FULL root

@@ -133,15 +133,20 @@ object StarMv {
 
   def register(d: StarMvDef): Unit = {
     MvCost.evict(d.summaryPath) // a (re)written summary voids cached counts
-    registry.add(d); ()
+    val r = registry
+    // idempotent by summary path: build() registers, and a maintainer
+    // created over that build registers again — a duplicate entry would
+    // make candidatesFor evaluate the same definition twice per query
+    r.removeIf(_.summaryPath == d.summaryPath)
+    r.add(d); ()
   }
   def unregister(summaryPath: String): Unit = {
     MvCost.evict(summaryPath)
     registry.removeIf(_.summaryPath == summaryPath); ()
   }
 
-  /** Test hygiene: wipes EVERY scope, not just the active one. */
-  def clear(): Unit = registries.clear()
+  /** Test hygiene: wipes EVERY scope, including serving pauses. */
+  def clear(): Unit = { registries.clear(); pausedServing.clear() }
   private[plans] def isEmpty: Boolean = registry.isEmpty
   private[plans] def registered: Seq[StarMvDef] = registry.asScala.toSeq
 
@@ -969,10 +974,7 @@ object StarMv {
     def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       rel.output
     def pathKey: Option[String] = relationPath(rel)
-    def scanRoots: Seq[String] = rel.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
-      case _ => Nil
-    }
+    def scanRoots: Seq[String] = MaterializedView.fsRoots(rel.relation)
   }
   private[plans] final case class StoreLeaf(
       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -1025,16 +1027,15 @@ object StarMv {
     * staleness guard: a leaf merged past its last sync matches nothing
     * and the whole star falls back to the live join.
     */
-  private def relationPath(rel: LogicalRelation): Option[String] =
-    rel.relation match {
-      case fs: HadoopFsRelation =>
-        val roots = fs.location.rootPaths.map(_.toUri.getPath)
-        // explicit dir-set registration wins (a one-bucket snapshot has a
-        // single root that is a data dir, not the table's key)
-        MaterializedView.lookupDirKey(roots.toSet)
-          .orElse(if (roots.size == 1) Some(roots.head) else None)
-      case other => jdbcKeyOf(other)
-    }
+  private def relationPath(rel: LogicalRelation): Option[String] = {
+    val roots = MaterializedView.fsRoots(rel.relation)
+    if (roots.nonEmpty)
+      // explicit dir-set registration wins (a one-bucket snapshot has a
+      // single root that is a data dir, not the table's key)
+      MaterializedView.lookupDirKey(roots.toSet)
+        .orElse(if (roots.size == 1) Some(roots.head) else None)
+    else jdbcKeyOf(rel.relation)
+  }
 
   /** A warehouse snapshot's leaf identity: the (url, table) pair rendered
     * exactly as [[graft.sources.JdbcTableStore.servingKey]] renders it —
@@ -1043,9 +1044,9 @@ object StarMv {
     * reflectively: `JDBCRelation` is `private[sql]`, so the type cannot
     * be named here; method handles are cached per relation class.
     * Freshness note: a JDBC table has no snapshot identity to guard on
-    * (unlike the dir-set match) — the maintainer instead UNREGISTERS the
-    * definition for the span of each sync, so serving only ever sees
-    * fully-synced summaries (see [[JdbcStarMaintainer.sync]]).
+    * (unlike the dir-set match) — the maintainer instead PAUSES serving
+    * ([[pauseServing]]) for the span of each sync, so serving only ever
+    * sees fully-synced summaries (see [[JdbcStarMaintainer.sync]]).
     */
   private val jdbcAccessors = new java.util.concurrent.ConcurrentHashMap[
     Class[_], Option[(java.lang.reflect.Method, java.lang.reflect.Method,

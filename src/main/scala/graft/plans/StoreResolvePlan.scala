@@ -69,10 +69,11 @@ private[plans] object StoreResolvePlan {
     }
     val rels = p.collect { case r: LogicalRelation => r }
     if (rels.isEmpty) return None
-    val roots = rels.flatMap(_.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
-      case _ => return None
-    }).toSet
+    val roots = rels.flatMap { r =>
+      val rs = MaterializedView.fsRoots(r.relation)
+      if (rs.isEmpty) return None // a non-file scan inside — not ours
+      rs
+    }.toSet
     val key = MaterializedView.lookupDirKey(roots).getOrElse(return None)
     if (p.output.exists(_.name.startsWith("_"))) return None
     val extraNames = core match {

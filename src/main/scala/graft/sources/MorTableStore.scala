@@ -64,7 +64,14 @@ final class MorTableStore(
   /** The delta stacks ARE the history: every seq back to the compaction
     * floor stays readable, unbounded by any fixed retention count — the
     * floor guard in [[snapshotAt]]/[[changeFeedBetween]] fails loudly when
-    * compaction folded past a requested version.
+    * compaction folded past a requested version. NOTE for
+    * [[SnapshotCatalog]] deployments: the catalog's ≥ 2 check is about a
+    * STATIC retention config, which a MOR store does not have — its
+    * window is the compaction policy's. A FULL `compact(keepNewest = 0)`
+    * between a merge and the catalog commit folds the previous boundary's
+    * version and a concurrent boundary reader fails LOUDLY (never a torn
+    * read); size the policy to the boundary cadence (`keepNewest ≥ 1`,
+    * the autoCompact default posture) to keep boundary reads seamless.
     */
   def versionWindow: Int = Int.MaxValue
 

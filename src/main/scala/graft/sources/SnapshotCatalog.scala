@@ -65,15 +65,16 @@ final class SnapshotCatalog(
   // The single-writer contract used to be documentation only; a second
   // committer on the same root would silently interleave boundaries. Now
   // the first commit claims a `_writer` token file (atomic rename, then
-  // re-read — of two concurrent claimants exactly one survives the
-  // last-rename-wins and the other fails its re-read), and every commit
-  // re-validates ownership first. A writer restarted under the SAME
-  // `writerId` reclaims silently (pass a stable deployment identity); a
-  // dead writer's token is fenced out explicitly with [[takeover]]. The
-  // validate-then-commit pair is not one atomic step on a generic
-  // filesystem, so a takeover racing a commit in the same instant can
-  // still interleave once — the token turns every STEADY-state violation
-  // loud, which is the contract deployments actually break.
+  // re-read), and every commit re-validates ownership first. A writer
+  // restarted under the SAME `writerId` reclaims silently (pass a stable
+  // deployment identity); a dead writer's token is fenced out explicitly
+  // with [[takeover]]. BEST-EFFORT by construction: neither
+  // claim-then-re-read nor validate-then-commit is one atomic step on a
+  // generic filesystem, so two claimants (or a takeover racing a commit)
+  // interleaving within the same instant can both pass once — the token
+  // turns every STEADY-state violation loud (the contract deployments
+  // actually break), not the sub-second race, which needs a fencing
+  // primitive the filesystem does not offer.
 
   private val token =
     if (writerId.nonEmpty) writerId

@@ -140,6 +140,13 @@ class JdbcStarMaintainerSpec extends SparkTestBase {
       f.m.sync(1L, Map(f.fk -> b))
       assert(f.values(f.rollup) === after,
         "replay must not double-apply the signed refresh")
+      // a batch OLDER than the last completed one is a consumer restarted
+      // from a stale checkpoint — re-merging it would rewind the
+      // warehouse under a summary that moved on; must fail loudly
+      f.m.sync(2L, Map(f.fk -> f.factBatch(Seq(3L), Nil)))
+      val e = intercept[IllegalArgumentException](
+        f.m.sync(1L, Map(f.fk -> b)))
+      assert(e.getMessage.contains("precedes"))
     } finally f.close()
   }
 
