@@ -75,6 +75,19 @@ final class JdbcStarMaintainer private (
   /** The newest fully-applied batch id; −1 before the first sync. */
   def lastCompletedBatch: Long = lastCompleted
 
+  /** Surface batch progress in the state endpoint (`mv_freshness`) — the
+    * JDBC twin of [[StarMvMaintainer.attachMetrics]]. With no store
+    * versions to diff, the probe reports (last completed, in-progress)
+    * batch ids: lag 0 when idle, lag > 0 exactly while a batch is
+    * mid-sequence — the window serving is paused — so a summary STUCK at
+    * lag > 0 is the alarm for an abandoned batch.
+    */
+  def attachMetrics(metrics: graft.obs.PipelineMetrics): Unit = {
+    val name = StarMv.summaryBase(d.summaryPath)
+    metrics.registerMvFreshness(name, () =>
+      Map("batch" -> (lastCompleted, inProgress.getOrElse(lastCompleted))))
+  }
+
   private val tables = d.tables.map(MaterializedView.normalize)
 
   /** Apply one micro-batch across the star's tables: sequence

@@ -164,10 +164,16 @@ class JdbcStarMaintainerSpec extends SparkTestBase {
         Seq.empty[Long].toDF("c_cust"),
         Seq((5L, "s_moved")).toDF("c_cust", "seg")
           .filter(expr("assert_true(c_cust > 99999) is null")))
+      val metrics = new graft.obs.PipelineMetrics("jsm")
+      f.m.attachMetrics(metrics)
       intercept[Exception](f.m.sync(1L, Map(f.fk -> factB, f.dk -> poison)))
-      // serving is paused while the batch is incomplete
+      // serving is paused while the batch is incomplete — and the
+      // freshness probe reports exactly that window as lag 1
       assert(!servedFromSummary(f.rollup, "jsm_crash_sum"),
         "mid-sequence summary must not serve")
+      assert(metrics.mvFreshness.values.head
+        .values.map { case (s, c) => c - s }.max > 0L,
+        "an abandoned batch must surface as positive lag")
       // restart: open() keeps it paused, replaying the batch completes it
       val m2 = JdbcStarMaintainer.open(spark,
         Map(f.fk -> f.factStore, f.dk -> f.dimStore), f.root)
