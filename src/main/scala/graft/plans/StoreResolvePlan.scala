@@ -91,12 +91,20 @@ private[plans] object StoreResolvePlan {
     Some(ResolvedLeaf(key, p.output, extras, roots))
   }
 
-  /** Descend through attribute-only Projects (column pruning inserts
-    * them); an aliasing Project is not part of the store's plan — refuse.
+  /** Descend through pruning/renaming Projects: attribute references and
+    * pure attribute RENAMES (`Alias(attr, name)` — the Expand machinery's
+    * PullOutGroupingExpressions re-aliases group columns inside the
+    * branches) are semantics-preserving; a Project computing anything
+    * else is not part of the store's plan — refuse.
     */
   private def stripProj(p: LogicalPlan): Option[LogicalPlan] = p match {
     case Project(pl, c) =>
-      if (pl.forall(_.isInstanceOf[AttributeReference])) stripProj(c) else None
+      val pure = pl.forall {
+        case _: AttributeReference => true
+        case Alias(_: AttributeReference, _) => true
+        case _ => false
+      }
+      if (pure) stripProj(c) else None
     case other => Some(other)
   }
 
@@ -178,8 +186,11 @@ private[plans] object StoreResolvePlan {
   @scala.annotation.tailrec
   private def belowWindow(p: LogicalPlan, partCols: Set[String],
       sawLimit: Boolean, extras: Set[String]): Option[Set[String]] = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      belowWindow(c, partCols, sawLimit, extras)
+    case Project(pl, c) if pl.forall {
+        case _: AttributeReference => true
+        case Alias(_: AttributeReference, _) => true
+        case _ => false
+      } => belowWindow(c, partCols, sawLimit, extras)
     case Filter(cond, c) =>
       val names = splitConj(cond).map {
         case IsNotNull(a: AttributeReference) if partCols.contains(a.name) =>

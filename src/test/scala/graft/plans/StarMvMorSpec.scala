@@ -234,6 +234,40 @@ class StarMvMorSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
+  test("ROLLUP over a maintained MOR single-table MV serves via the Expand path") {
+    import graft.model.TableSpec
+    import graft.operators.CompactedBatch
+    val store = new MorTableStore(spark, tmpDir("smvm_ru_fs"),
+      TableSpec("public.smvm_ru_f", factSchema, Seq("o_id")), 4)
+    store.init((1L to 80L).map(i => (i, 1L + i % 6, i % 30))
+      .toDF("o_id", "f_cust", "v"))
+    val base = tmpDir("smvm_ru_base")
+    store.snapshot().write.mode("overwrite").parquet(base)
+    val mv = MaterializedView.build(spark, base, Seq("f_cust"), Seq("v"),
+      tmpDir("smvm_ru_sum"), base = Some(store.snapshot()))
+    val m = MvMaintainer.create(spark, store, mv, tmpDir("smvm_ru_state") + "/s")
+    try {
+      store.merge(CompactedBatch(Seq(1L).toDF("o_id"),
+        Seq((200L, 3L, 29L)).toDF("o_id", "f_cust", "v")))
+      m.sync()
+      // the analyzer plants an Expand between the Aggregate and the MOR
+      // resolve subtree — strip must still recognize the store leaf
+      val q = store.snapshot().rollup("f_cust")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val paths = scanPaths(q)
+      assert(paths.nonEmpty && paths.forall(_.contains("smvm_ru_sum")),
+        s"MOR rollup must serve through the Expand path: $paths")
+      assert(!resolvesWindowed(q))
+      val model = ((2L to 80L).map(i => (1L + i % 6, i % 30)) :+ ((3L, 29L)))
+      val perGroup = model.groupBy(_._1)
+        .map { case (c, rs) => (Option(c), rs.map(_._2).sum, rs.size.toLong) }
+      val total = (Option.empty[Long], model.map(_._2).sum, model.size.toLong)
+      assert(q.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2))).toSet === (perGroup.toSet + total))
+    } finally MaterializedView.unregister(base)
+  }
+
   test("MOR analyze persists version-stamped stats; maintainers publish them") {
     import graft.model.TableSpec
     import graft.operators.CompactedBatch

@@ -167,6 +167,37 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("single-writer"))
   }
 
+  test("MOR stores in the catalog: boundary snapshots and feeds over the trait") {
+    val root = tmpDir("cat_mor")
+    val sa = new MorTableStore(spark, root, specA, 4)
+    val sb = new ParquetTableStore(spark, root, specB, 4, retainedVersions = 3)
+    val cat = new SnapshotCatalog(spark, root,
+      Map("public.ta" -> sa, "public.tb" -> sb), retainedBoundaries = 3)
+    sa.init((1L to 8L).map(i => (i, i)).toDF("id", "v"))
+    sb.init((1L to 8L).map(i => (i, i)).toDF("id", "w"))
+    cat.commit() // b1
+    // a mixed batch: the MOR table merges (seq advances), CoW merges too
+    sa.merge(CompactedBatch(Seq(2L).toDF("id"),
+      Seq((1L, 99L), (9L, 90L)).toDF("id", "v")))
+    sb.merge(CompactedBatch(Seq(3L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id", "w")))
+    cat.commit() // b2
+    // cross-table time travel reaches the MOR store's seq history
+    val atB1 = cat.snapshotAllAt(1L)
+    assert(rows(atB1("public.ta")) === (1L to 8L).map(i => (i, i)).toSet)
+    val atB2 = cat.snapshotAllAt(2L)
+    assert(rows(atB2("public.ta")) ===
+      ((3L to 8L).map(i => (i, i)).toSet + ((1L, 99L)) + ((9L, 90L))))
+    // consistent per-table feeds across the same boundaries, MOR included
+    val feeds = cat.changeFeedsBetween(1L, 2L)
+    assert(feeds.keySet === Set("public.ta", "public.tb"))
+    val fa = feeds("public.ta").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    assert(fa === Set((2L, Some(2L), "delete"),
+      (1L, Some(1L), "update_pre"), (1L, Some(99L), "update_post"),
+      (9L, Some(90L), "insert")))
+  }
+
   test("single-writer lease: a restart under the same writerId reclaims silently") {
     val root = tmpDir("cat_lease2")
     val sa = new ParquetTableStore(spark, root, specA, 4, retainedVersions = 2)
