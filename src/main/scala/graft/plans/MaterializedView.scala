@@ -105,7 +105,17 @@ object MaterializedView {
   private val registries =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, MvDef]]()
   private val dirRegistries =
-    new ConcurrentHashMap[String, ConcurrentHashMap[Set[String], String]]()
+    new ConcurrentHashMap[String, ConcurrentHashMap[Set[String], DirReg]]()
+
+  /** One registered snapshot dir set: the base KEY it serves, plus the
+    * subset of dirs that belong to STACKED (multi-dir) MOR buckets. A
+    * stacked dir still holds unresolved duplicate key versions, so a
+    * whole-table match over a set with any stacked member must carry the
+    * newest-wins resolution Window over exactly those dirs —
+    * [[graft.plans.StoreResolvePlan]] enforces it per branch. Empty for
+    * CoW stores and single-dir MOR buckets.
+    */
+  private[plans] final case class DirReg(key: String, stacked: Set[String])
 
   private[plans] def scopeTag: String =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -148,7 +158,7 @@ object MaterializedView {
     val key = normalize(basePath)
     Option(registry.get(key)).foreach(d => MvCost.evict(d.summaryPath))
     registry.remove(key)
-    dirRegistry.entrySet().removeIf(_.getValue == key)
+    dirRegistry.entrySet().removeIf(_.getValue.key == key)
     ()
   }
   /** Test hygiene: wipes EVERY scope, not just the active one. */
@@ -171,12 +181,21 @@ object MaterializedView {
     * misses the same way. Registered sets are bounded by the store's
     * bucket count. Scoped like [[registry]].
     */
-  private def dirRegistry: ConcurrentHashMap[Set[String], String] =
+  private def dirRegistry: ConcurrentHashMap[Set[String], DirReg] =
     dirRegistries.computeIfAbsent(scopeTag, _ => new ConcurrentHashMap())
 
-  def registerDirs(dirs: Seq[String], basePath: String): Unit = {
+  /** `stackedDirs`: the subset of `dirs` in multi-dir MOR buckets (see
+    * [[DirReg]]) — what [[graft.sources.VersionedTableStore.stackedDirsAt]]
+    * reports. Must be a subset of `dirs`.
+    */
+  def registerDirs(dirs: Seq[String], basePath: String,
+      stackedDirs: Seq[String] = Nil): Unit = {
     require(dirs.nonEmpty, "registerDirs needs at least one scan root")
-    dirRegistry.put(dirs.map(normalize).toSet, normalize(basePath)); ()
+    val all = dirs.map(normalize).toSet
+    val stacked = stackedDirs.map(normalize).toSet
+    require(stacked.subsetOf(all),
+      "stackedDirs must be a subset of the registered dirs")
+    dirRegistry.put(all, DirReg(normalize(basePath), stacked)); ()
   }
   def unregisterDirs(dirs: Seq[String]): Unit = {
     dirRegistry.remove(dirs.map(normalize).toSet); ()
@@ -189,13 +208,14 @@ object MaterializedView {
     * with no data files — e.g. a fresh empty table) just clears: an empty
     * snapshot plans no file relation, so there is nothing to match.
     */
-  def replaceDirs(basePath: String, dirs: Seq[String]): Unit = {
+  def replaceDirs(basePath: String, dirs: Seq[String],
+      stackedDirs: Seq[String] = Nil): Unit = {
     val key = normalize(basePath)
-    dirRegistry.entrySet().removeIf(_.getValue == key)
-    if (dirs.nonEmpty) registerDirs(dirs, basePath)
+    dirRegistry.entrySet().removeIf(_.getValue.key == key)
+    if (dirs.nonEmpty) registerDirs(dirs, basePath, stackedDirs)
   }
   private[plans] def lookupDirs(dirs: Set[String]): Option[MvDef] =
-    Option(dirRegistry.get(dirs)).flatMap(k => Option(registry.get(k)))
+    Option(dirRegistry.get(dirs)).flatMap(r => Option(registry.get(r.key)))
 
   /** The raw base KEY a dir set is registered under — [[StarMv]]'s leaf
     * matching uses this to identify a store snapshot with the table path
@@ -203,6 +223,12 @@ object MaterializedView {
     * for it.
     */
   private[plans] def lookupDirKey(dirs: Set[String]): Option[String] =
+    Option(dirRegistry.get(dirs)).map(_.key)
+
+  /** Full registration record — [[StoreResolvePlan]] needs the stacked
+    * subset to validate which dirs may be matched without the Window.
+    */
+  private[plans] def lookupDirReg(dirs: Set[String]): Option[DirReg] =
     Option(dirRegistry.get(dirs))
 
   /** Compute the summary for (groupCols, measureCols) over the parquet
@@ -599,7 +625,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def worthIt(leaf: BaseLeaf): Boolean = {
     val spark = SparkSession.active
     MvCost.worthServing(spark, leaf.mv.summaryPath,
-      MvCost.leafRows(spark, leaf.mv.basePath, leaf.roots))
+      MvCost.leafSize(spark, leaf.mv.basePath, leaf.roots))
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-/** Row-count cost model for MV serving — what decides WHICH registered
+/** Size-based cost model for MV serving — what decides WHICH registered
   * summary serves a query when several can, and whether serving is worth
   * it at all. A summary accelerates a rollup exactly when re-aggregating
   * its rows beats scanning the base; a summary grouped by a near-unique
@@ -13,7 +13,19 @@ import org.apache.spark.sql.SparkSession
   * rewrite refuses and falls back (correct either way — this is a cost
   * choice, never a correctness one).
   *
-  * Row-count sources, in priority order per table/summary:
+  * Two size tiers per side: ROW COUNTS and ON-DISK BYTES (summed file
+  * lengths off the same dir listing the footer probe does — free). A
+  * summary serves only when it is smaller in EVERY tier where both sides
+  * are known, because each tier catches what the other misses: row counts
+  * mislead when widths diverge (a 40-column summary can have fewer rows
+  * than a 2-column base scan yet read more data — the q220 sub-join
+  * shape), and bytes mislead when compression diverges (a row-tied
+  * summary that merely compresses better still re-aggregates no fewer
+  * tuples). The byte tier engages only for summaries ≥ 1 MiB (below
+  * that, per-file container overhead IS the byte count — see [[serves]]).
+  * A refusal can cost a reroute but never correctness.
+  *
+  * Size sources, in priority order per table/summary:
   *
   *  1. REGISTERED stats — a maintainer (or the deployment's ANALYZE
   *     scheduler) publishes the row count it already knows, e.g. from
@@ -21,10 +33,14 @@ import org.apache.spark.sql.SparkSession
   *     `_stats_v<seq>` records. Bounded driver state, no IO at plan time.
   *  2. PARQUET FOOTER counts — exact, read once and cached by the exact
   *     sorted root set (store data dirs are immutable; a refreshed
-  *     summary gets a NEW path — both make the cache safe). Capped at
-  *     [[footerFileCap]] files: a 100 TB base has ~10⁵ files and footer
-  *     counting on the driver at plan time would be a scan in disguise.
-  *  3. UNKNOWN — above the cap with no registered stats. Serving
+  *     summary gets a NEW path; a PLAIN single-root base that can be
+  *     overwritten in place gets the root's mtime folded into its cache
+  *     key, so an in-place rewrite re-probes instead of serving a stale
+  *     count). Footer opens are capped at [[footerFileCap]] files: a
+  *     100 TB base has ~10⁵ files and footer counting on the driver at
+  *     plan time would be a scan in disguise — byte totals still come
+  *     back (they ride the dir listing, no footer opens), rows do not.
+  *  3. UNKNOWN — no registered stats and nothing probed. Serving
   *     proceeds (at that scale a groups-sized summary is almost always
   *     the win) and candidate ordering falls back to registration order.
   *
@@ -36,24 +52,38 @@ object MvCost {
   /** Footer-count at most this many files per root set at plan time. */
   private val footerFileCap = 512
 
-  /** table/summary KEY (normalized path) → registered row count. */
-  private val registered = new ConcurrentHashMap[String, java.lang.Long]()
+  /** One side's size estimate; either field may be unknown. */
+  private[plans] final case class SizeEst(rows: Option[Long],
+      bytes: Option[Long]) {
+    def +(o: SizeEst): SizeEst = SizeEst(
+      for (a <- rows; b <- o.rows) yield a + b,
+      for (a <- bytes; b <- o.bytes) yield a + b)
+  }
+  private[plans] val unknownSize = SizeEst(None, None)
 
-  /** sorted-root-set fingerprint → footer-counted rows (-1 = unknown,
-    * cached so an over-cap base is probed once, not per query). Capped:
-    * a long-lived session's stores change their dir set EVERY merge, so
-    * per-version fingerprints would otherwise accumulate without bound —
-    * a full reset past the cap just re-counts the live sets once.
+  /** table/summary KEY (normalized path) → registered size. */
+  private val registered = new ConcurrentHashMap[String, SizeEst]()
+
+  /** sorted-root-set fingerprint (single plain roots carry an "@mtime"
+    * suffix — see the header) → probed size. A fully-unknown entry is
+    * cached too, so a nonexistent or unreadable path is probed once per
+    * registration, not per query. Capped: a long-lived session's stores
+    * change their dir set EVERY merge, so per-version fingerprints would
+    * otherwise accumulate without bound — a full reset past the cap just
+    * re-counts the live sets once.
     */
-  private val footerCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private val footerCache = new ConcurrentHashMap[String, SizeEst]()
   private val footerCacheCap = 4096
 
   /** Publish a known row count for a table key or summary path —
     * maintainers call this with store-ANALYZE results so plan-time cost
-    * never touches the filesystem for those tables.
+    * never touches the filesystem for those tables. Byte size rides along
+    * when the caller knows it.
     */
-  def registerRowCount(path: String, rows: Long): Unit = {
-    registered.put(MaterializedView.normalize(path), rows); ()
+  def registerRowCount(path: String, rows: Long,
+      bytes: Option[Long] = None): Unit = {
+    registered.put(MaterializedView.normalize(path),
+      SizeEst(Some(rows), bytes)); ()
   }
 
   def unregisterRowCount(path: String): Unit = {
@@ -65,98 +95,138 @@ object MvCost {
   private[plans] def enabled: Boolean =
     SparkSession.active.conf.get("spark.graft.mv.costBased", "true").toBoolean
 
-  /** Rows under `path` (a summary dir or a table key): registered count,
-    * else cached footer count, else None (over cap / unreadable).
+  /** Size under `path` (a summary dir or a table key): registered size,
+    * else cached footer probe.
     */
-  private[plans] def rowsOf(spark: SparkSession, path: String): Option[Long] = {
+  private[plans] def sizeOf(spark: SparkSession, path: String): SizeEst = {
     val key = MaterializedView.normalize(path)
-    Option(registered.get(key)).map(_.longValue())
-      .orElse(footerRows(spark, Seq(key)))
+    Option(registered.get(key)).getOrElse(footerSize(spark, Seq(key)))
   }
 
-  /** Rows of one query LEAF: registered stats under its table key first
+  /** Size of one query LEAF: registered stats under its table key first
     * (the key need not be a physical path — store-backed tables register
-    * pure keys), else footer counts over its actual scan roots.
+    * pure keys), else footer probe over its actual scan roots.
     */
-  private[plans] def leafRows(spark: SparkSession, key: String,
-      scanRoots: Seq[String]): Option[Long] =
+  private[plans] def leafSize(spark: SparkSession, key: String,
+      scanRoots: Seq[String]): SizeEst =
     Option(registered.get(MaterializedView.normalize(key)))
-      .map(_.longValue())
-      .orElse(if (scanRoots.isEmpty) None else footerRows(spark, scanRoots))
+      .getOrElse(if (scanRoots.isEmpty) unknownSize
+        else footerSize(spark, scanRoots))
 
-  /** Footer-counted rows across `roots` (each a dir or file), cached by
-    * the sorted root-set fingerprint. None when the set exceeds
-    * [[footerFileCap]] files or any footer is unreadable.
+  /** Probed size across `roots` (each a dir or file), cached by the
+    * sorted root-set fingerprint. Rows unknown when the set exceeds
+    * [[footerFileCap]] files or any footer is unreadable; bytes ride the
+    * dir listing and survive the footer cap.
     */
-  private[plans] def footerRows(spark: SparkSession,
-      roots: Seq[String]): Option[Long] = {
-    val key = roots.map(MaterializedView.normalize).sorted.mkString("\u0000")
+  private[plans] def footerSize(spark: SparkSession,
+      roots: Seq[String]): SizeEst = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = roots.map(MaterializedView.normalize).sorted.mkString("\u0000")
+    // a multi-root set is a store's immutable data dirs; a single plain
+    // root can be overwritten in place, so its mtime joins the key (one
+    // extra stat per plan — bounded, and it doubles as the exists probe)
+    val key =
+      if (roots.size != 1) base
+      else try {
+        val p = new Path(roots.head)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) base
+        else s"$base\u0000@${fs.getFileStatus(p).getModificationTime}"
+      } catch { case scala.util.control.NonFatal(_) => base }
     val cached = footerCache.get(key)
-    if (cached != null) return if (cached >= 0) Some(cached.longValue()) else None
-    val counted: Long = try {
-      val conf = spark.sparkContext.hadoopConfiguration
+    if (cached != null) return cached
+    val probed: SizeEst = try {
       val files = roots.flatMap { r =>
         val p = new Path(r)
         val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) return None
-        val st = fs.getFileStatus(p)
-        if (st.isFile) Seq(st)
-        else fs.listStatus(p).toSeq.filter(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val st = fs.getFileStatus(p)
+          if (st.isFile) Seq(st)
+          else fs.listStatus(p).toSeq.filter(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+        }
       }
-      if (files.size > footerFileCap) -1L
-      else files.map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    } catch { case scala.util.control.NonFatal(_) => return None }
+      if (files.isEmpty) unknownSize
+      else {
+        val bytes = Some(files.map(_.getLen).sum)
+        val rows =
+          if (files.size > footerFileCap) None
+          else Some(files.map { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum)
+        SizeEst(rows, bytes)
+      }
+    } catch { case scala.util.control.NonFatal(_) => unknownSize }
     if (footerCache.size >= footerCacheCap) footerCache.clear()
-    footerCache.put(key, counted)
-    if (counted >= 0) Some(counted) else None
+    footerCache.put(key, probed)
+    probed
   }
 
   /** Evict a retired summary path from the caches (refresh moves to a new
-    * versioned path — mirror of the derived-form cache eviction).
+    * versioned path — mirror of the derived-form cache eviction). Also
+    * drops the path's mtime-suffixed footer entries.
     */
   private[plans] def evict(path: String): Unit = {
     val key = MaterializedView.normalize(path)
     registered.remove(key)
-    footerCache.remove(key)
+    footerCache.keySet.removeIf(k => k == key || k.startsWith(key + "\u0000@"))
     ()
   }
 
   /** Order star candidates cheapest-summary-first and drop those provably
-    * NOT worth serving (summary rows ≥ the base scan's total leaf rows —
-    * re-aggregation would read no less than the query it replaces).
-    * Unknown counts keep registration order and always serve.
+    * NOT worth serving ([[serves]]). When every kept candidate has a byte
+    * size the order is by bytes; otherwise by rows; unknowns keep
+    * registration order (sorted last) and always serve.
     */
   private[plans] def orderAndGate(spark: SparkSession,
       cands: Seq[StarMv.StarMvDef],
-      baseRows: Option[Long]): Seq[StarMv.StarMvDef] = {
+      baseSize: SizeEst): Seq[StarMv.StarMvDef] = {
     if (!enabled || cands.size <= 0) return cands
-    val withRows = cands.map(d => d -> rowsOf(spark, d.summaryPath))
-    val kept = withRows.filter { case (_, r) => serves(r, baseRows) }
-    kept.sortBy { case (_, r) => r.getOrElse(Long.MaxValue) }.map(_._1)
+    val withSize = cands.map(d => d -> sizeOf(spark, d.summaryPath))
+    val kept = withSize.filter { case (_, s) => serves(s, baseSize) }
+    val byBytes = kept.forall(_._2.bytes.isDefined)
+    kept.sortBy { case (_, s) =>
+      (if (byBytes) s.bytes else s.rows).getOrElse(Long.MaxValue)
+    }.map(_._1)
   }
 
-  /** Serve iff the summary is SMALLER than the base scan, with two
-    * carve-outs: unknown counts serve (never penalize missing stats), and
-    * an EMPTY base serves (0 ≥ 0 is "not smaller", but there is nothing
-    * to save and refusing would just shift which empty scan runs).
+  /** Serve iff the summary is SMALLER than the base scan in EVERY tier
+    * where both sides are known — rows AND bytes must each win when
+    * comparable; a tier with either side unknown abstains (never penalize
+    * missing stats; no tier known at all serves). Requiring every known
+    * tier keeps the gate conservative both ways: a row-tied summary that
+    * merely compresses better still refuses (re-aggregating it reads no
+    * fewer tuples), and a row-smaller but byte-larger summary refuses
+    * too (the q220 wide-summary shape). An EMPTY base serves (0 ≥ 0 is
+    * "not smaller", but there is nothing to save and refusing would just
+    * shift which empty scan runs).
     */
-  private def serves(summaryRows: Option[Long],
-      baseRows: Option[Long]): Boolean =
-    (summaryRows, baseRows) match {
-      case (Some(s), Some(b)) => s < b || b == 0L
+  private def serves(summary: SizeEst, base: SizeEst): Boolean = {
+    def tier(s: Option[Long], b: Option[Long]): Boolean = (s, b) match {
+      case (Some(sv), Some(bv)) => sv < bv || bv == 0L
       case _ => true
     }
+    // the byte tier abstains for sub-MiB summaries: at that size the
+    // per-file parquet container overhead dominates the payload (a
+    // partials-wide 10-row summary "outweighs" a 3-row base without being
+    // any more expensive to read), so bytes carry no cost signal — only a
+    // summary big enough for width to matter can lose the byte tier
+    val byteTier = summary.bytes.forall(_ < minByteSignal) ||
+      tier(summary.bytes, base.bytes)
+    tier(summary.rows, base.rows) && byteTier
+  }
+
+  /** Byte-tier engagement floor — see [[serves]]. */
+  private val minByteSignal = 1L << 20
 
   /** The single-table gate: serve `mv` only when its summary is smaller
     * than the base scan (or either side is unknown).
     */
   private[plans] def worthServing(spark: SparkSession, summaryPath: String,
-      baseRows: Option[Long]): Boolean =
-    !enabled || serves(rowsOf(spark, summaryPath), baseRows)
+      baseSize: SizeEst): Boolean =
+    !enabled || serves(sizeOf(spark, summaryPath), baseSize)
 }

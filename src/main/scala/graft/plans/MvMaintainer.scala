@@ -42,8 +42,10 @@ final class MvMaintainer private (
     spark: SparkSession,
     store: VersionedTableStore,
     statePath: String,
-    private var d: MvDef,
-    private var synced: Long) {
+    // @volatile: attachMetrics' freshness probe reads these from the
+    // metrics server thread while sync() mutates them under `synchronized`
+    @volatile private var d: MvDef,
+    @volatile private var synced: Long) {
 
   /** Surface this summary's synced-vs-current version lag in the state
     * endpoint — see [[StarMvMaintainer.attachMetrics]].
@@ -113,7 +115,8 @@ final class MvMaintainer private (
         // time-travel read of an old version is never served the new
         // summary), then the durable state commit; a crash between the
         // two re-runs this sync idempotently.
-        MaterializedView.replaceDirs(nd0.basePath, store.dataDirsAt(v))
+        MaterializedView.replaceDirs(nd0.basePath, store.dataDirsAt(v),
+            store.stackedDirsAt(v))
         MvMaintainer.writeState(spark, statePath, nd0, v)
         nd0
       } catch {
@@ -126,7 +129,8 @@ final class MvMaintainer private (
         case t: Throwable =>
           MaterializedView.register(d)
           scala.util.Try(
-            MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(synced)))
+            MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(synced),
+              store.stackedDirsAt(synced)))
           throw t
       }
       val stale = MvMaintainer.olderSummaries(nd.summaryPath, keepSummaries)
@@ -149,7 +153,8 @@ object MvMaintainer {
     MaterializedView.register(d)
     val v = store.currentVersion
     writeState(spark, statePath, d, v)
-    MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(v))
+    MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(v),
+            store.stackedDirsAt(v))
     new MvMaintainer(spark, store, statePath, d, v)
   }
 
@@ -185,7 +190,8 @@ object MvMaintainer {
     // if it aged out, serving stays off and the next sync() fails loudly
     // (the feed needs that version too) — the rebuild signal.
     scala.util.Try(
-      MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(synced)))
+      MaterializedView.replaceDirs(d.basePath, store.dataDirsAt(synced),
+        store.stackedDirsAt(synced)))
     new MvMaintainer(spark, store, statePath, d, synced)
   }
 

@@ -158,17 +158,23 @@ object StarMv {
     * sequence instead. Paused definitions stay REGISTERED (the refresh
     * path requires that); they are just never candidates.
     */
+  // keyed by (scope tag, summary base) like the registries themselves:
+  // a pause in one tenant's scope must not suppress (or a resume unpause)
+  // an identically-named summary in another scope
   private val pausedServing =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   private[plans] def summaryBase(summaryPath: String): String =
     summaryPath.replaceAll("_v\\d+$", "")
 
+  private def pauseKey(summaryPath: String): (String, String) =
+    (MaterializedView.scopeTag, summaryBase(summaryPath))
+
   private[plans] def pauseServing(summaryPath: String): Unit = {
-    pausedServing.add(summaryBase(summaryPath)); ()
+    pausedServing.add(pauseKey(summaryPath)); ()
   }
   private[plans] def resumeServing(summaryPath: String): Unit = {
-    pausedServing.remove(summaryBase(summaryPath)); ()
+    pausedServing.remove(pauseKey(summaryPath)); ()
   }
 
   /** Definitions servable for a query over exactly `leaves`: exact
@@ -179,7 +185,7 @@ object StarMv {
     */
   private[plans] def candidatesFor(leaves: Set[String]): Seq[StarMvDef] = {
     val all = registry.asScala.toSeq
-      .filterNot(d => pausedServing.contains(summaryBase(d.summaryPath)))
+      .filterNot(d => pausedServing.contains(pauseKey(d.summaryPath)))
     val exact = all.filter(_.leafSet == leaves)
     val sub = all.filter(d => d.losslessSet.nonEmpty &&
       d.leafSet != leaves && leaves.subsetOf(d.leafSet) && peelsTo(d, leaves))
@@ -326,7 +332,7 @@ object StarMv {
     * over bag union/difference table-by-table, so joining a DELTA of one
     * table against the others' current states IS the summary's delta).
     */
-  private def joinTables(spark: SparkSession, d: StarMvDef,
+  private[plans] def joinTables(spark: SparkSession, d: StarMvDef,
       replaced: Map[String, DataFrame] = Map.empty): DataFrame = {
     val byPath = d.tables.map { p =>
       val n = MaterializedView.normalize(p)
@@ -772,6 +778,23 @@ object StarMv {
   def fromQuery(spark: SparkSession, query: DataFrame, summaryPath: String,
       losslessTables: Seq[String] = Nil,
       autoLossless: Boolean = false): StarMvDef = {
+    val d0 = deriveDef(query, summaryPath)
+    val lossless =
+      if (autoLossless) {
+        require(losslessTables.isEmpty,
+          "pass either losslessTables or autoLossless, not both")
+        detectLossless(spark, d0.tables, d0.joins)
+      } else losslessTables
+    build(spark, d0.copy(losslessTables = lossless))
+  }
+
+  /** The ANALYSIS half of [[fromQuery]]: derive the definition a query
+    * implies without building it — what [[MvAdvisor]] runs over a whole
+    * workload log before deciding which definitions are worth the build.
+    * Throws with the refusal reason on shapes an MV cannot serve.
+    */
+  private[plans] def deriveDef(query: DataFrame,
+      summaryPath: String): StarMvDef = {
     val plan = query.queryExecution.optimizedPlan
     val agg = plan match {
       case a: Aggregate => a
@@ -901,21 +924,15 @@ object StarMv {
     }
     val dms = derivedMeasures.values.toSeq.zipWithIndex.map {
       case (sql, i) => (s"dm$i", sql) }
-    val lossless =
-      if (autoLossless) {
-        require(losslessTables.isEmpty,
-          "pass either losslessTables or autoLossless, not both")
-        detectLossless(spark, paths, joinPairs.distinct)
-      } else losslessTables
-    build(spark, StarMvDef(
+    StarMvDef(
       tables = paths,
       joins = joinPairs.distinct,
       groupCols = groupCols.result().distinct,
       measureCols = measures.toSeq,
       summaryPath = summaryPath,
       derivedMeasures = dms,
-      losslessTables = lossless,
-      derivedGroups = derivedGroups.result().distinct))
+      losslessTables = Nil,
+      derivedGroups = derivedGroups.result().distinct)
   }
 
   /** Prove every `losslessTables` declaration against the data, in peel
@@ -1095,11 +1112,10 @@ object StarMv {
       pathed.map(p => MaterializedView.normalize(p._2)).toSet)
     if (cands.isEmpty) return cands
     val spark = SparkSession.active
-    val perLeaf = pathed.map { case (l, key) =>
-      MvCost.leafRows(spark, key, l.scanRoots) }
-    val baseRows =
-      if (perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum) else None
-    MvCost.orderAndGate(spark, cands, baseRows)
+    val baseSize = pathed.map { case (l, key) =>
+      MvCost.leafSize(spark, key, l.scanRoots) }
+      .foldLeft(MvCost.SizeEst(Some(0L), Some(0L)))(_ + _)
+    MvCost.orderAndGate(spark, cands, baseSize)
   }
 
   /** ROLLUP / CUBE / GROUPING SETS over a registered star: the analyzer

@@ -46,8 +46,10 @@ final class StarMvMaintainer private (
     spark: SparkSession,
     stores: Map[String, VersionedTableStore],
     statePath: String,
-    private var d: StarMvDef,
-    private var synced: Map[String, Long]) {
+    // @volatile: attachMetrics' freshness probe reads these from the
+    // metrics server thread while syncTo mutates them under `synchronized`
+    @volatile private var d: StarMvDef,
+    @volatile private var synced: Map[String, Long]) {
 
   /** Per-table store versions the summary currently reflects (keys are
     * normalized table paths).
@@ -120,7 +122,8 @@ final class StarMvMaintainer private (
         // unchanged), so re-arm serving for the current layout instead
         // of leaving the reroute dead until the next real merge
         tables.foreach(p =>
-          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p))))
+          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p)),
+            stores(p).stackedDirsAt(current(p))))
         return d
       }
       tables.foreach { p =>
@@ -153,7 +156,8 @@ final class StarMvMaintainer private (
         // would fail refreshTableDelta's currently-registered require —
         // wedging the maintainer until a process restart
         tables.foreach(p =>
-          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p))))
+          MaterializedView.replaceDirs(p, stores(p).dataDirsAt(current(p)),
+            stores(p).stackedDirsAt(current(p))))
         StarMvMaintainer.writeState(spark, statePath, nd, current)
       } catch {
         // a mid-sequence failure leaves refreshTableDelta's LAST
@@ -165,7 +169,8 @@ final class StarMvMaintainer private (
           StarMv.unregister(nd.summaryPath)
           StarMv.register(d)
           tables.foreach(p => scala.util.Try(
-            MaterializedView.replaceDirs(p, stores(p).dataDirsAt(synced(p)))))
+            MaterializedView.replaceDirs(p, stores(p).dataDirsAt(synced(p)),
+              stores(p).stackedDirsAt(synced(p)))))
           throw t
       }
       // gc relative to the PREVIOUS committed summary, not the new head:
@@ -205,7 +210,8 @@ object StarMvMaintainer {
     val current = tables.map(p => p -> byKey(p).currentVersion).toMap
     writeState(spark, statePath, d, current)
     tables.foreach(p =>
-      MaterializedView.replaceDirs(p, byKey(p).dataDirsAt(current(p))))
+      MaterializedView.replaceDirs(p, byKey(p).dataDirsAt(current(p)),
+        byKey(p).stackedDirsAt(current(p))))
     new StarMvMaintainer(spark, byKey, statePath, d, current)
   }
 
@@ -240,7 +246,8 @@ object StarMvMaintainer {
     StarMv.register(d)
     tables.foreach { t =>
       scala.util.Try(
-        MaterializedView.replaceDirs(t, byKey(t).dataDirsAt(synced(t))))
+        MaterializedView.replaceDirs(t, byKey(t).dataDirsAt(synced(t)),
+          byKey(t).stackedDirsAt(synced(t))))
     }
     new StarMvMaintainer(spark, byKey, statePath, d, synced)
   }

@@ -35,6 +35,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     a FILTERED snapshot can never be mistaken for the whole table.
   *  3. NO METADATA LEAK: the subtree's output must be data columns only
   *     (no `_op`/`_seq`/`_rn`), i.e. the resolution is complete.
+  *  4. STACKED-DIR PLACEMENT: the registration records which dirs sit in
+  *     multi-dir (stacked) buckets; the Window branch must scan exactly
+  *     those and the window-less branch exactly the flat ones. A raw
+  *     `_op = 'u'` scan over a dir set containing any stacked bucket
+  *     (unresolved duplicate key versions) is REFUSED — without this
+  *     guard it would be matched as the resolved whole table.
   *
   * Inferred `IsNotNull(<data column>)` conjuncts (the optimizer plants
   * them for every equi-join key and pushes them into both branches) are
@@ -74,21 +80,40 @@ private[plans] object StoreResolvePlan {
       if (rs.isEmpty) return None // a non-file scan inside — not ours
       rs
     }.toSet
-    val key = MaterializedView.lookupDirKey(roots).getOrElse(return None)
+    val reg = MaterializedView.lookupDirReg(roots).getOrElse(return None)
     if (p.output.exists(_.name.startsWith("_"))) return None
-    val extraNames = core match {
-      case u: Union =>
-        val perBranch = u.children.map(branch)
-        if (perBranch.exists(_.isEmpty)) return None
-        val sets = perBranch.map(_.get)
-        if (sets.distinct.size != 1) return None // asymmetric pushdown
-        sets.head
-      case other => branch(other).getOrElse(return None)
+    val branches = core match {
+      case u: Union => u.children
+      case other => Seq(other)
     }
+    val perBranch = branches.map(b => branch(b).map((b, _)))
+    if (perBranch.exists(_.isEmpty)) return None
+    val infos = perBranch.map(_.get)
+    val sets = infos.map(_._2._1)
+    if (sets.distinct.size != 1) return None // asymmetric pushdown
+    // STACKED GUARD: the registration records which dirs belong to
+    // multi-dir (stacked) buckets — those rows carry superseded key
+    // versions until the newest-wins Window runs, so the Window branch
+    // must scan EXACTLY the stacked dirs and the window-less branch
+    // exactly the flat ones. Without this, a raw `_op = 'u'` scan of the
+    // full dir set of a store with any stacked bucket would be matched as
+    // the resolved whole table — wrong results, not just a missed
+    // reroute. At most one branch of each kind (resolveStacks emits one;
+    // two Window branches splitting the stacked dirs would split a pk's
+    // versions across resolutions).
+    val (win, flat) = infos.partition(_._2._2)
+    if (win.size > 1 || flat.size > 1) return None
+    def branchRoots(b: LogicalPlan): Set[String] =
+      b.collect { case r: LogicalRelation =>
+        MaterializedView.fsRoots(r.relation) }.flatten.toSet
+    if (win.flatMap(i => branchRoots(i._1)).toSet != reg.stacked ||
+        flat.flatMap(i => branchRoots(i._1)).toSet != (roots -- reg.stacked))
+      return None
+    val extraNames = sets.head
     val byName = p.output.map(a => a.name -> a).toMap
     val extras = extraNames.toSeq.sorted.map(n =>
       IsNotNull(byName.getOrElse(n, return None)))
-    Some(ResolvedLeaf(key, p.output, extras, roots))
+    Some(ResolvedLeaf(reg.key, p.output, extras, roots))
   }
 
   /** Descend through pruning/renaming Projects: attribute references and
@@ -115,10 +140,11 @@ private[plans] object StoreResolvePlan {
 
   /** One union branch: Filter(markers ∧ inferred-not-nulls) over either a
     * bare scan (single-dir buckets) or the resolution Window (stacked
-    * buckets). Returns the inferred-not-null DATA column names, or None
-    * when anything beyond the exact grammar appears.
+    * buckets). Returns (inferred-not-null DATA column names, whether this
+    * is the Window branch), or None when anything beyond the exact
+    * grammar appears.
     */
-  private def branch(p: LogicalPlan): Option[Set[String]] =
+  private def branch(p: LogicalPlan): Option[(Set[String], Boolean)] =
     stripProj(p).flatMap {
       case Filter(cond, child) =>
         var opEq = false
@@ -141,9 +167,9 @@ private[plans] object StoreResolvePlan {
         }
         if (!opEq) return None
         stripProj(child).flatMap {
-          case _: LogicalRelation if !rnEq => Some(extras.result())
+          case _: LogicalRelation if !rnEq => Some((extras.result(), false))
           case w: Window if rnEq =>
-            windowExtras(w).map(below => extras.result() ++ below)
+            windowExtras(w).map(below => (extras.result() ++ below, true))
           case _ => None
         }
       case _ => None

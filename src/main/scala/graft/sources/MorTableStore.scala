@@ -238,6 +238,15 @@ final class MorTableStore(
     else parts.reduce(_ unionByName _)
   }
 
+  /** Current rows, newest-wins. COMPOSITION NOTE: the returned frame is a
+    * multi-Dataset composition (union of filtered/windowed reads), and
+    * Spark's ambiguous-self-join detector is known to false-positive on
+    * dataset-id-tagged column refs over such plans — if a downstream
+    * `rollup("a", "b")` / `cube(...)` String overload throws
+    * "Column ... are ambiguous", use the `Column`-argument overloads
+    * (`rollup(col("a"), col("b"))`), which carry untagged refs. Same
+    * workaround as for any composed view in stock Spark.
+    */
   def snapshot(): DataFrame = resolveStacks(readManifest()._1.values.toSeq)
 
   // ── versioned surface: the delta `_seq` IS the version ──────────────────
@@ -284,6 +293,20 @@ final class MorTableStore(
     val (manifest, _, floorRec) = readManifest()
     requireReadable(manifest, floorRec, version)
     manifest.values.flatten.filter(dirSeqOf(_) <= version).toSeq.sorted
+      .map(d => new Path(dataPath, d).toString)
+  }
+
+  /** Dirs of buckets whose stack (truncated at `version`) is ≥ 2 deep —
+    * the branches of a [[snapshotAt]] read that carry the resolution
+    * Window. [[graft.plans.StoreResolvePlan]] refuses a window-less match
+    * over any of these (a raw `_op = 'u'` scan of a stacked bucket still
+    * holds superseded key versions).
+    */
+  override def stackedDirsAt(version: Long): Seq[String] = {
+    val (manifest, _, floorRec) = readManifest()
+    requireReadable(manifest, floorRec, version)
+    manifest.values.map(_.filter(dirSeqOf(_) <= version))
+      .filter(_.lengthCompare(1) > 0).flatten.toSeq.sorted
       .map(d => new Path(dataPath, d).toString)
   }
 

@@ -49,6 +49,15 @@ trait VersionedTableStore extends TableStore {
     */
   def dataDirsAt(version: Long): Seq[String]
 
+  /** The subset of [[dataDirsAt]] belonging to STACKED (multi-dir) MOR
+    * buckets at `version` — dirs whose rows still carry unresolved
+    * duplicate key versions until the newest-wins Window runs. Maintainers
+    * pass this through [[graft.plans.MaterializedView.registerDirs]] so
+    * snapshot serving can refuse a raw (window-less) scan of stacked dirs
+    * masquerading as the resolved table. Empty for copy-on-write stores.
+    */
+  def stackedDirsAt(version: Long): Seq[String] = Nil
+
   /** Row-valued change feed between two readable versions: full pre/post
     * images tagged `_change` ∈ insert / delete / update_pre / update_post
     * ([[graft.operators.SnapshotDiff.changeFeed]]) — the incremental read

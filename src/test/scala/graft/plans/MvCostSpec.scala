@@ -98,19 +98,51 @@ class MvCostSpec extends SparkTestBase {
     } finally MaterializedView.unregister(base)
   }
 
-  test("row-count tiers: registered stats beat footers; eviction on re-register") {
+  test("size tiers: registered stats beat footers; eviction on re-register") {
     val p = tmpDir("cost_tier")
     (1L to 50L).map(i => (i, i % 3)).toDF("id", "v")
       .write.mode("overwrite").parquet(p)
-    // footer tier: exact
-    assert(MvCost.footerRows(spark, Seq(p)) === Some(50L))
-    assert(MvCost.leafRows(spark, p, Seq(p)) === Some(50L))
+    // footer tier: exact rows, real on-disk bytes
+    val probed = MvCost.footerSize(spark, Seq(p))
+    assert(probed.rows === Some(50L))
+    assert(probed.bytes.exists(_ > 0L))
+    assert(MvCost.leafSize(spark, p, Seq(p)).rows === Some(50L))
     // registered tier wins without touching the files
     MvCost.registerRowCount(p, 999L)
-    try assert(MvCost.leafRows(spark, p, Seq(p)) === Some(999L))
+    try assert(MvCost.leafSize(spark, p, Seq(p)).rows === Some(999L))
     finally MvCost.unregisterRowCount(p)
-    assert(MvCost.leafRows(spark, p, Seq(p)) === Some(50L))
-    // a missing path is unknown, not an error
-    assert(MvCost.leafRows(spark, p + "_nope", Seq(p + "_nope")).isEmpty)
+    assert(MvCost.leafSize(spark, p, Seq(p)).rows === Some(50L))
+    // a missing path is unknown, not an error — and the not-found probe
+    // is cached (second call hits the cache, same answer)
+    assert(MvCost.leafSize(spark, p + "_nope", Seq(p + "_nope")).rows.isEmpty)
+    assert(MvCost.leafSize(spark, p + "_nope", Seq(p + "_nope")).rows.isEmpty)
+    // an IN-PLACE overwrite (same root, new mtime key) re-probes instead
+    // of serving the stale cached count
+    Thread.sleep(5) // ensure a distinct directory mtime
+    (1L to 80L).map(i => (i, i % 3)).toDF("id", "v")
+      .write.mode("overwrite").parquet(p)
+    assert(MvCost.footerSize(spark, Seq(p)).rows === Some(80L))
+  }
+
+  test("byte tier: a row-count-smaller but byte-larger summary refuses") {
+    val base = tmpDir("cost_bytes_base")
+    // narrow base: 2 small columns, 4000 rows
+    (1L to 4000L).map(i => (i % 40, i % 5)).toDF("g", "v")
+      .write.mode("overwrite").parquet(base)
+    val mv = MaterializedView.build(spark, base, Seq("g"), Seq("v"),
+      tmpDir("cost_bytes_sum"))
+    try {
+      // fewer rows than the base but far wider on disk: register a byte
+      // size above the tier's 1 MiB engagement floor and above the base
+      // (the deployment's ANALYZE would supply real numbers)
+      MvCost.registerRowCount(mv.summaryPath, 40L, Some(8L << 20))
+      def q = spark.read.parquet(base).groupBy("g").agg(sum(col("v")).as("s"))
+      assert(scanPaths(q).forall(_.contains("cost_bytes_base")),
+        s"byte-larger summary must refuse: ${scanPaths(q)}")
+      // drop the byte claim → row tier decides again and the summary serves
+      MvCost.registerRowCount(mv.summaryPath, 40L)
+      assert(scanPaths(q).forall(_.contains("cost_bytes_sum")),
+        s"row tier should serve the 40-row summary: ${scanPaths(q)}")
+    } finally MaterializedView.unregister(base)
   }
 }

@@ -184,6 +184,37 @@ class StarMvMorSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("stacked guard: a raw _op='u' scan of stacked dirs never matches the leaf") {
+    val f = new Fixture("rawscan", 53, morDim = false)
+    try {
+      // leave the fact with STACKED buckets: a merge after init puts a
+      // delta dir on top of each touched bucket's base dir
+      f.mergeFact(deletes = Seq(5L),
+        upserts = Seq((1L, 9L, 77L), (400L, 2L, 13L))) // 1L = overwrite
+      f.maintainer.sync()
+      assert(f.served(f.rollup))
+      val v = f.factStore.currentVersion
+      val dirs = f.factStore.dataDirsAt(v)
+      val stacked = f.factStore.stackedDirsAt(v)
+      assert(stacked.nonEmpty, "fixture must produce stacked buckets")
+      assert(stacked.toSet.subsetOf(dirs.toSet))
+      // the adversarial plan: scan the FULL registered dir set, filter
+      // _op='u', project the data columns — without the resolution
+      // Window. Root-set identity matches the registration exactly, so
+      // only the stacked-dir placement guard can refuse it.
+      val raw = spark.read.parquet(dirs: _*).filter(col("_op") === "u")
+        .select("o_id", "f_cust", "v")
+      // the raw scan still carries the superseded version of key 1L
+      assert(raw.count() > f.factStore.snapshot().count(),
+        "raw scan must hold duplicate key versions for this test to bite")
+      val q = raw.join(f.dimStore.snapshot(), col("f_cust") === col("c_cust"))
+        .groupBy("seg").agg(sum(col("v")).as("s"))
+      assert(!f.served(q),
+        "an unresolved stacked-dir scan must NEVER serve from the summary: " +
+          q.queryExecution.optimizedPlan.toString)
+    } finally f.close()
+  }
+
   test("compaction: serving pauses on the folded dir set, a no-op sync re-arms") {
     val f = new Fixture("cpt", 41, morDim = false, compactThreshold = 2)
     try {
