@@ -47,7 +47,9 @@ import org.apache.spark.sql.functions.col
   * consistency — and never read a summary that is mid-sequence.
   *
   * Scale per sync and per table: one keyed warehouse read (server-side IN
-  * pushdown for micro-batches), one feed-sized diff join, the store's own
+  * pushdown for micro-batches; a staged-key `WHERE EXISTS` semi join
+  * inside the warehouse for large batches — never a full table pull), one
+  * feed-sized diff join, the store's own
   * O(batch) merge, and the feed-sized star refresh with broadcast
   * dimension sides. `derivedMeasures`/`derivedGroups` need their form
   * analysis to read real paths and therefore refuse here (the JDBC keys
@@ -57,9 +59,11 @@ final class JdbcStarMaintainer private (
     spark: SparkSession,
     stores: Map[String, JdbcTableStore],
     root: String,
-    private var d: StarMvDef,
-    private var lastCompleted: Long,
-    private var inProgress: Option[Long],
+    // @volatile: attachMetrics' freshness probe reads these from the
+    // metrics server thread while sync() mutates them under `synchronized`
+    @volatile private var d: StarMvDef,
+    @volatile private var lastCompleted: Long,
+    @volatile private var inProgress: Option[Long],
     private var done: Set[String],
     // the summary path as of the last COMPLETED batch — the gc anchor: a
     // resumed sync's in-memory d is mid-batch, and counting retained
@@ -108,8 +112,12 @@ final class JdbcStarMaintainer private (
         // crash-replay of the JUST-completed batch (stream died between
         // maintainer completion and its checkpoint commit): the summary
         // already reflects it — re-apply the idempotent merges only,
-        // never the signed refresh
+        // never the signed refresh. Resume serving too: if the original
+        // run died AFTER its completion commit but before its own resume
+        // (a gc failure), the pause would otherwise outlive the batch
+        // with no later path ever clearing it.
         tables.foreach(p => byKey.get(p).foreach(stores(p).merge))
+        StarMv.resumeServing(d.summaryPath)
         return d
       }
       // an OLDER batch is not a crash-replay — it is a consumer restarted
@@ -170,28 +178,39 @@ final class JdbcStarMaintainer private (
       done = Set.empty
       completedSummary = d.summaryPath
       writeState()
+      // resume BEFORE the gc: the batch is durably complete, so a gc
+      // failure below must not leave serving paused forever (the replay
+      // of this batchId takes the fast path, which also resumes)
+      StarMv.resumeServing(d.summaryPath)
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(new Path(root), s"feeds/$batchId"), true)
       MvMaintainer.olderSummaries(keepBase, (keepSummaries - 1).max(1))
         .foreach(s => fs.delete(new Path(s), true))
-      StarMv.resumeServing(d.summaryPath)
       d
     }
 
   /** Build AND stage the feed parquet for one (batch, table) in a single
     * scope, so the cached inputs release right after the write: the key
-    * set feeds snapshotForKeys' count probe + IN-value collect + semi
-    * join, and the upserts feed both the key union and the post slice —
-    * without the cache a non-trivial upstream batch plan (the streaming
-    * CDC shape) would re-execute four-plus times. The feed itself is the
-    * pre-image slice diffed against the upserts
+    * set feeds the keyed readback's count probe + IN-value collect (or
+    * stage write) + semi join, and the upserts feed both the key union
+    * and the post slice — without the cache a non-trivial upstream batch
+    * plan (the streaming CDC shape) would re-execute four-plus times. The
+    * feed itself is the pre-image slice diffed against the upserts
     * ([[graft.operators.SnapshotDiff.changeFeed]]): a key only in the pre
     * slice is a delete with its full image, a changed key emits both
     * images, a new key an insert, a byte-identical upsert nothing —
     * restricting both sides to the batch's keys makes the post slice
     * exactly the upserts (per-key final action is the CompactedBatch
     * contract).
+    *
+    * The pre-image read is [[JdbcTableStore.withSnapshotForKeys]] — the
+    * scoped form whose large-batch path stages the key set INTO the
+    * warehouse and reads back `WHERE EXISTS` server-side, so this stays
+    * O(batch) per table per sync at any batch size (the lazy
+    * `snapshotForKeys` would degrade to a full warehouse-table pull past
+    * its IN limit). The parquet write inside the scope is the eager
+    * consumption the scoped contract requires.
     */
   private def stageFeed(store: JdbcTableStore, batch: CompactedBatch,
       feedDir: Path): Unit = {
@@ -202,9 +221,11 @@ final class JdbcStarMaintainer private (
       .unionByName(ups.select(pk.map(col): _*)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pre = canonicalize(store.snapshotForKeys(keys), store)
-      graft.operators.SnapshotDiff.changeFeed(pre, ups, pk)
-        .write.mode("overwrite").parquet(feedDir.toString)
+      store.withSnapshotForKeys(keys) { preRaw =>
+        val pre = canonicalize(preRaw, store)
+        graft.operators.SnapshotDiff.changeFeed(pre, ups, pk)
+          .write.mode("overwrite").parquet(feedDir.toString)
+      }
     } finally {
       keys.unpersist(blocking = false)
       ups.unpersist(blocking = false)

@@ -356,8 +356,8 @@ final class JdbcTableStore(
     }
   }
 
-  /** Drop orphan staging tables (`<TABLE>_SK_*` / `<TABLE>_SR_*`) left by a
-    * JVM that died mid-merge — the JDBC twin of [[ParquetTableStore]]'s
+  /** Drop orphan staging tables (`<TABLE>_SK_*` / `<TABLE>_SR_*` /
+    * `<TABLE>_SQ_*`) left by a JVM that died mid-merge or mid-keyed-read — the JDBC twin of [[ParquetTableStore]]'s
     * `gc()`. Orphans are invisible to the merge protocol (every merge uses
     * a fresh token) but hold warehouse storage forever. ONLY safe when no
     * merge on this table is in flight anywhere: a concurrent merge's live
@@ -376,8 +376,8 @@ final class JdbcTableStore(
     // token and nothing else — decides what is actually an orphan stage;
     // without it the DROP below could destroy a live target table.
     val stageShape = ("(?i)" + java.util.regex.Pattern.quote(table) +
-      "_S[KR]_[0-9a-f]+").r
-    val orphans = Seq(s"${table}_SK_%", s"${table}_SR_%")
+      "_S[KRQ]_[0-9a-f]+").r
+    val orphans = Seq(s"${table}_SK_%", s"${table}_SR_%", s"${table}_SQ_%")
       .flatMap(p => Seq(p, p.toLowerCase(lr)))
       .distinct
       .flatMap { pattern =>
@@ -474,6 +474,14 @@ final class JdbcTableStore(
     */
   def servingKey: String = s"jdbc::$url::$table"
 
+  /** Test-visible record of the last keyed-readback strategy: "in"
+    * (server-side IN pushdown), "staged-exists" (server-side EXISTS
+    * against a staged key table — [[withSnapshotForKeys]] only), or
+    * "full" (whole-table read + Spark-side semi join, this lazy API's
+    * large-set fallback).
+    */
+  @volatile private[graft] var lastKeyedPath: String = ""
+
   /** Keyed readback — [[ParquetTableStore.snapshotForKeys]]' warehouse
     * twin: small key sets (≤ `inFilterLimit`, the micro-batch steady
     * state) push an IN predicate on the LEADING key column into the
@@ -482,19 +490,112 @@ final class JdbcTableStore(
     * final semi join on ALL key columns is the exact membership test.
     * `keys` must carry the primary-key columns; it is evaluated twice
     * (count probe + semi join) — persist upstream when it is expensive.
+    *
+    * SCALE NOTE: the large-set fallback reads the ENTIRE warehouse table
+    * and broadcasts the key set — O(table) per call. A caller that can
+    * consume the result eagerly (the star maintainer's per-batch
+    * pre-image capture) should use [[withSnapshotForKeys]], whose staged
+    * `WHERE EXISTS` readback stays O(batch) server-side at any key count.
     */
   def snapshotForKeys(keys: DataFrame, inFilterLimit: Long = 1024L): DataFrame = {
     val keyDf = keys.select(pk.map(col): _*)
     val n = keyDf.count()
     val base =
-      if (n > 0 && n <= inFilterLimit) {
-        val lead = pkFields.head.name
-        val vals = keyDf.select(col(lead)).distinct()
-          .collect().map(_.get(0))
-        if (vals.contains(null)) snapshot()
-        else snapshot().filter(col(lead).isin(vals: _*))
-      } else snapshot()
+      if (n > 0 && n <= inFilterLimit) inFiltered(keyDf)
+      else { lastKeyedPath = "full"; snapshot() }
     base.join(keyDf.hint("broadcast"), pk, "left_semi")
+  }
+
+  private def inFiltered(keyDf: DataFrame): DataFrame = {
+    val lead = pkFields.head.name
+    val vals = keyDf.select(col(lead)).distinct()
+      .collect().map(_.get(0))
+    if (vals.contains(null)) { lastKeyedPath = "full"; snapshot() }
+    else { lastKeyedPath = "in"; snapshot().filter(col(lead).isin(vals: _*)) }
+  }
+
+  /** Keyed readback at ANY key-set size without a client-side table
+    * pull — the reference's own temp-table trick
+    * (ChangeLoader.java:454-468) turned around for reads: past
+    * `inFilterLimit` the key set is STAGED into a per-call warehouse
+    * table (executor-parallel, the merge path's staging writers) and the
+    * pre-image comes back server-side as
+    * `SELECT t.* FROM target t WHERE EXISTS (SELECT 1 FROM staged k
+    * WHERE k.pk… = t.pk…)` — an O(batch) indexed semi join inside the
+    * warehouse instead of an O(table) network pull. The EXISTS covers
+    * every key column, so no Spark-side membership join is needed.
+    *
+    * Scoped (`f` receives the DataFrame) because the staged table must
+    * outlive every execution of the lazy readback plan: it is dropped
+    * when `f` returns, so `f` must CONSUME the result (write, collect,
+    * aggregate), not return it. Small sets (≤ `inFilterLimit`) skip
+    * staging and use the IN pushdown; the result is identical.
+    *
+    * Consistency matches [[snapshot]]'s caveat: the partitioned readback
+    * uses one connection per range, so the caller must not run a
+    * concurrent merge on this table mid-read (the single-writer contract
+    * all maintainers already hold — they read the pre-image BEFORE their
+    * own merge).
+    */
+  def withSnapshotForKeys[A](keys: DataFrame, inFilterLimit: Long = 1024L)
+      (f: DataFrame => A): A = {
+    val keyDf = keys.select(pk.map(col): _*)
+    val n = keyDf.count()
+    if (n == 0 || !withConnection(tableExists(_, table)))
+      return f(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], spec.schema))
+    if (n <= inFilterLimit)
+      return f(inFiltered(keyDf).join(keyDf.hint("broadcast"), pk, "left_semi"))
+    ensureTable()
+    withConnection { conn =>
+      val token = java.lang.Long.toHexString(System.nanoTime())
+      val sq = s"${table}_SQ_$token"
+      val keyCols = pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}")
+        .mkString(", ")
+      try {
+        conn.createStatement().execute(s"CREATE TABLE $sq ($keyCols)")
+        stage(keyDf.distinct(), sq, pkFields)
+        val cond = pk.map(c => s"$sq.$c = t.$c").mkString(" AND ")
+        val sub = s"(SELECT ${spec.schema.fieldNames.map("t." + _).mkString(", ")} " +
+          s"FROM $table t WHERE EXISTS (SELECT 1 FROM $sq WHERE $cond)) GRAFT_KEYED"
+        lastKeyedPath = "staged-exists"
+        f(keyedReader(sub, keyDf))
+      } finally {
+        try conn.createStatement().execute(s"DROP TABLE $sq")
+        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+      }
+    }
+  }
+
+  /** JDBC reader over the staged-EXISTS subquery, range-partitioned on an
+    * integral leading key so a big pre-image readback scales with the
+    * cluster like [[snapshot]] — bounds come from the key set itself (a
+    * Spark-side aggregate, no extra warehouse round-trip).
+    */
+  private def keyedReader(subquery: String, keyDf: DataFrame): DataFrame = {
+    val reader = {
+      val base = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", subquery)
+      val withUser = user.fold(base)(u => base.option("user", u))
+      passwd.fold(withUser)(p => withUser.option("password", p))
+    }
+    val lead = pkFields.head
+    val integral = lead.dataType == IntegerType || lead.dataType == LongType
+    val bounds = if (!integral) None else {
+      val r = keyDf.agg(org.apache.spark.sql.functions.min(col(lead.name)),
+        org.apache.spark.sql.functions.max(col(lead.name))).head()
+      if (r.isNullAt(0)) None
+      else Some((r.get(0).toString.toLong, r.get(1).toString.toLong))
+    }
+    bounds match {
+      case Some((lo, hi)) if hi > lo =>
+        val n = if (snapshotPartitions > 0) snapshotPartitions
+                else spark.sparkContext.defaultParallelism
+        reader.option("partitionColumn", lead.name)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n).load()
+      case _ => reader.load()
+    }
   }
 
   def merge(batch: CompactedBatch): Unit = {

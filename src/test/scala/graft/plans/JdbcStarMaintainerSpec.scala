@@ -150,6 +150,28 @@ class JdbcStarMaintainerSpec extends SparkTestBase {
     } finally f.close()
   }
 
+  test("a >1024-key batch reads its pre-image via the staged EXISTS, not a table pull") {
+    val f = new Fixture("bigbatch")
+    try {
+      // a bulk-load-sized batch: 1100 fact upserts (some overwriting live
+      // keys, most new) pushes the key set past the IN-filter limit — the
+      // pre-image read must stage the keys into the warehouse and come
+      // back WHERE EXISTS (lastKeyedPath), never snapshot() the table
+      val ups = (1L to 1100L).map(i =>
+        (if (i <= 50) i else 1000L + i, 1L + i % 15, (i * 7) % 90))
+      f.m.sync(1L, Map(f.fk -> f.factBatch(Seq(60L, 61L), ups)))
+      assert(f.factStore.lastKeyedPath == "staged-exists",
+        s"large pre-image read took '${f.factStore.lastKeyedPath}'")
+      assert(f.values(f.rollup) === f.truth,
+        "summary must converge exactly on the bulk batch")
+      assert(servedFromSummary(f.rollup, "jsm_bigbatch_sum"))
+      // follow-up micro-batch still uses the cheap IN path
+      f.m.sync(2L, Map(f.fk -> f.factBatch(Seq(5L), Seq((2000L, 3L, 42L)))))
+      assert(f.factStore.lastKeyedPath == "in")
+      assert(f.values(f.rollup) === f.truth)
+    } finally f.close()
+  }
+
   test("crash mid-sequence: open() resumes from staged feeds, exactly once") {
     val f = new Fixture("crash")
     try {
