@@ -1299,6 +1299,54 @@ object RelationalQueries {
       q
     }),
 
+    // ── MV ADVISOR e2e ([[graft.plans.MvAdvisor]]): feed a 4-query rollup
+    // WORKLOAD (three grains over lineitem ⋈ orders + one unservable
+    // filtered shape) to the advisor — it must collapse the family into
+    // ONE union-grain recommendation, skip the unservable member, and the
+    // accepted build must turn the family's finest query into a summary
+    // scan (require-pinned: a silent fallback fails the query rather than
+    // hiding behind a correct live join). The oracle recomputes the same
+    // rollup — a wrong union grain or a mis-merged measure hash-fails. At
+    // 100 TB this is the "engine recommends" workflow: the advisor's only
+    // data touch is one approx_count_distinct probe per join tree.
+    "q226_mv_advisor" -> ((s, dir) => {
+      import graft.plans.{MvAdvisor, StarMv}
+      graft.plans.MaterializedView.install(s)
+      val scratch = QueryScratch.dir(
+        s"mvadv_${java.lang.Integer.toHexString(dir.hashCode)}")
+      val names = Seq("lineitem", "orders")
+      names.foreach(n => t(s, dir, n).write.mode("overwrite")
+        .parquet(s"$scratch/$n"))
+      val Seq(lp, op) = names.map(n => s"$scratch/$n")
+      def joined = s.read.parquet(lp)
+        .join(s.read.parquet(op), col("l_orderkey") === col("o_orderkey"))
+      def w0 = joined.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+      def w1 = joined.groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      def w2 = joined.groupBy(col("o_orderpriority"))
+        .agg(max(col("l_quantity")).as("max_qty"))
+      def w3 = joined.filter(col("l_discount") > 0.05)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      val recs = MvAdvisor.advise(s, Seq(w0, w1, w2, w3), k = 1)
+      require(recs.nonEmpty && recs.head.hits == 3,
+        s"advisor must cover the 3-query family: $recs")
+      val d = recs.head.buildAs(s, s"$scratch/summary")
+      val out = w1
+      val roots = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(roots.nonEmpty && roots.forall(_.contains("summary")),
+        s"accepted recommendation must serve the family, scanned: $roots")
+      StarMv.unregister(d.summaryPath) // registry hygiene for later queries
+      out
+    }),
+
     // ── Map-typed columns and their function family (construction, keys/
     // values, lookup, filter, transform) — completes §2.2's scalar
     // inventory next to q63's arrays. The map is built per user from the
@@ -2214,6 +2262,13 @@ object RelationalQueries {
         |  CAST(sum(l_linenumber) AS BIGINT) AS sum_lines,
         |  avg(l_quantity) AS avg_qty,
         |  max(l_quantity * l_linenumber) AS max_ql
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q226_mv_advisor" ->
+      """SELECT l_returnflag, o_orderpriority,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,

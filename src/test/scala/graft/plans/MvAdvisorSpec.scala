@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Workload-driven MV recommendation ([[MvAdvisor]]): a log of rollup
+  * queries over two join trees collapses to ≤2 union-grain candidates,
+  * ranked by savings × hits; accepting the top one turns its whole query
+  * family into summary scans with unchanged values.
+  */
+class MvAdvisorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  MaterializedView.install(spark)
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+    }.flatten
+
+  test("advisor proposes ≤2 union-grain summaries; the accepted one serves the family") {
+    val fact = tmpDir("adv_fact")
+    val dim = tmpDir("adv_dim")
+    val dim2 = tmpDir("adv_dim2")
+    (1L to 400L).map(i => (i, 1L + i % 20, 1L + i % 6, i % 100))
+      .toDF("o_id", "f_cust", "f_reg", "v").write.mode("overwrite").parquet(fact)
+    (1L to 20L).map(c => (c, s"s${c % 5}"))
+      .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
+    (1L to 6L).map(r => (r, s"r${r % 3}"))
+      .toDF("r_id", "reg").write.mode("overwrite").parquet(dim2)
+
+    def fd = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+    // defs, not vals: a DataFrame caches its queryExecution, and the
+    // serving assertions below need plans optimized AFTER the build
+    // the q73/q210/q219/q221-style family: one join tree, three grains
+    def w0 = fd.groupBy("seg").agg(sum(col("v")).as("s"))
+    def w1 = fd.groupBy("seg", "c_cust")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    def w2 = fd.groupBy("seg").agg(max(col("v")).as("mx"))
+    // a second join tree (one hit)
+    def w3 = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim2), col("f_reg") === col("r_id"))
+      .groupBy("reg").agg(sum(col("v")).as("s"))
+    // unservable shapes must be SKIPPED, not fatal
+    def w4 = fd.filter(col("v") > 50L).groupBy("seg").agg(sum(col("v")).as("s"))
+
+    val recs = MvAdvisor.advise(spark, Seq(w0, w1, w2, w3, w4), k = 2)
+    assert(recs.size === 2, s"expected 2 candidates, got ${recs.size}")
+    val top = recs.head
+    assert(top.hits === 3 && top.queryIdx === Seq(0, 1, 2),
+      s"the 3-query family must rank first: $top")
+    // union grain: seg ∪ (seg, c_cust) = both; measures = v (sum/max/count ride)
+    assert(top.definition.groupCols.map(_.name).toSet === Set("seg", "c_cust"))
+    assert(top.definition.measureCols.map(_.name) === Seq("v"))
+    assert(top.estSummaryRows <= 40L, s"~20 (seg,cust) pairs: $top")
+    assert(top.baseRows === Some(420L))
+    assert(recs(1).hits === 1 && recs(1).queryIdx === Seq(3))
+
+    // accept the top recommendation → the whole family serves from it
+    val d = top.buildAs(spark, tmpDir("adv_sum"))
+    try {
+      val truthOff = { // rewrite off = ground truth
+        spark.conf.set("spark.graft.mv.enabled", "false")
+        val t = (w0.as[(String, Long)].collect().toSet,
+          w1.as[(String, Long, Long, Long)].collect().toSet,
+          w2.as[(String, Long)].collect().toSet)
+        spark.conf.set("spark.graft.mv.enabled", "true")
+        t
+      }
+      for (q <- Seq(w0, w1, w2)) {
+        val paths = scanPaths(q)
+        assert(paths.nonEmpty && paths.forall(_.contains("adv_sum")),
+          s"family member must serve from the summary: $paths")
+      }
+      assert(w0.as[(String, Long)].collect().toSet === truthOff._1)
+      assert(w1.as[(String, Long, Long, Long)].collect().toSet === truthOff._2)
+      assert(w2.as[(String, Long)].collect().toSet === truthOff._3)
+      // the other tree still runs live (its candidate was not accepted)
+      assert(!scanPaths(w3).forall(_.contains("adv_sum")))
+    } finally StarMv.unregister(d.summaryPath)
+  }
+
+  test("advisor refuses a near-fact-grain family (no shrink, no recommendation)") {
+    val fact = tmpDir("adv2_fact")
+    val dim = tmpDir("adv2_dim")
+    (1L to 300L).map(i => (i, 1L + i % 300, i % 9))
+      .toDF("o_id", "f_cust", "v").write.mode("overwrite").parquet(fact)
+    (1L to 300L).map(c => (c, s"u$c"))
+      .toDF("c_cust", "uniq").write.mode("overwrite").parquet(dim)
+    // grouped by a per-row-unique dim column: summary ≈ base, no savings
+    val w = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+      .groupBy("uniq").agg(sum(col("v")).as("s"))
+    assert(MvAdvisor.advise(spark, Seq(w, w)).isEmpty,
+      "a summary the size of the base must not be recommended")
+  }
+}
