@@ -259,6 +259,44 @@ object Dedup {
       .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
   }
 
+  /** Candidate-pair mass DIAGNOSTIC — the budgeting probe the r11 scaling
+    * soak motivates (SCALING.md): every shingle-candidate near-dup
+    * operator's cost is linear in Σ df·(df−1)/2 over shingle document
+    * frequencies (the number of candidate pairs a posting join emits),
+    * NOT in rows — a vocabulary-saturated corpus grows pair mass
+    * quadratically while row count grows linearly. Run this BEFORE a
+    * near-dup campaign: one row with (n_docs, n_shingles, pair_mass,
+    * max_df); a pair_mass ≫ n_docs says raise the shingle width `n` or
+    * tighten `maxShingleDf` before paying the posting join.
+    *
+    * Shingles are plain whitespace word n-grams (distinct per doc) so the
+    * number is reproducible by any engine; [[shingleCandidates]]' hashed
+    * shingles have the same df profile (the hash is per-shingle). Cost:
+    * one explode + two aggregations with constant-size output — no joins,
+    * no pair materialization.
+    */
+  def pairMassReport(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val perShingle = df
+      .select(col(idCol), explode(sh).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("d"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    perShingle.agg(
+      count(lit(1)).as("n_shingles"),
+      // integer `div`, not `/`: float division would round the mass at
+      // 2^53 pairs — a scale a 100 TB corpus's hot shingles can reach
+      expr("sum(d * (d - 1)) div 2").as("pair_mass"),
+      max(col("d")).as("max_df"))
+      .crossJoin(nDocs) // 1×1 rows — a literal attach, not a real product
+      .select(col("n_docs"), col("n_shingles"), col("pair_mass"),
+        col("max_df"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -56,13 +56,15 @@ final class StarMvMaintainer private (
     */
   def syncedVersions: Map[String, Long] = synced
 
-  /** Publish each store's persisted ANALYZE row count (when one exists)
-    * to the serving cost model under the MV's table key — plan-time cost
-    * then needs no filesystem probe for these tables. Re-run per sync so
-    * the counts track the stats records' own staleness, no tighter.
+  /** Publish each store's persisted ANALYZE row count AND byte size
+    * (when one exists) to the serving cost model under the MV's table
+    * key — plan-time cost then needs no filesystem probe for these
+    * tables, and the byte tier gets a real base-side number. Re-run per
+    * sync so the counts track the stats records' own staleness, no
+    * tighter.
     */
   private def publishStats(): Unit = stores.foreach { case (p, s) =>
-    s.stats().foreach(st => MvCost.registerRowCount(p, st.nRows))
+    s.stats().foreach(st => MvCost.registerRowCount(p, st.nRows, st.bytes))
   }
   publishStats()
 

@@ -466,6 +466,16 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text")
     }),
 
+    // ── Candidate-pair mass diagnostic (SCALING.md's budgeting probe):
+    // Σ df·(df−1)/2 over distinct word-3-gram shingles — the unit every
+    // shingle-candidate near-dup operator's cost is linear in. One
+    // explode + two aggregations, constant-size output, no pair
+    // materialization: at 100 TB this is what you run BEFORE committing
+    // to a posting join, and a pair_mass ≫ n_docs says raise the shingle
+    // width or tighten the df cap first.
+    "q227_pair_mass" -> ((s, dir) =>
+      Dedup.pairMassReport(docs(s, dir), "doc_id", "text")),
+
     // ── Directional containment pairs over the same planted corpus —
     // the asymmetric sub-document duplication measure (quoted article in
     // a page) Jaccard misses when the union is dominated by the larger
@@ -2766,6 +2776,25 @@ object PipelineQueries {
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
         |$jaccardTail""".stripMargin,
+
+    // q227: plain word-3-gram pair mass — shingles distinct per doc,
+    // df over docs, Σ d(d−1)/2 in integer arithmetic (DuckDB's sum is
+    // HUGEINT — cast back to BIGINT for the schema compare).
+    "q227_pair_mass" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx),
+        |df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS pair_mass,
+        |  max(d) AS max_df
+        |FROM df""".stripMargin,
 
     "q39_dedup_ngram" ->
       s"""WITH $shingleCtes,

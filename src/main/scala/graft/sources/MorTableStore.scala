@@ -335,11 +335,15 @@ final class MorTableStore(
   def analyze(): TableStats = {
     val ver = currentVersion
     val (nRows, colStats) = TableStatsIO.compute(snapshotAt(ver), spec.dataCols)
+    // NOTE: MOR data bytes include superseded delta rows still in the
+    // stacks — the honest cost of SCANNING this snapshot (resolution
+    // reads them all), which is exactly what the byte tier prices
+    val bytes = TableStatsIO.dataBytes(hadoopConf, dataDirsAt(ver))
     AtomicFiles.write(hadoopConf, statsPath(ver),
-      TableStatsIO.render(ver, nRows, colStats))
+      TableStatsIO.render(ver, nRows, colStats, Some(bytes)))
     statsVersions().filter(_ != ver)
       .foreach(v => fs.delete(statsPath(v), false))
-    TableStats(ver, nRows, colStats, staleBy = 0L)
+    TableStats(ver, nRows, colStats, staleBy = 0L, bytes = Some(bytes))
   }
 
   private def statsVersions(): Seq[Long] =

@@ -95,10 +95,14 @@ final case class ColumnStats(name: String, nNonNull: Long, ndvEst: Long,
 /** A persisted stats record plus how stale it is: `staleBy` = versions
   * committed since the stats were computed (0 = fresh). The stats
   * describe the snapshot of `version` EXACTLY — a reader needing current
-  * stats re-runs analyze when the bound is too loose.
+  * stats re-runs analyze when the bound is too loose. `bytes` = the
+  * version's on-disk data size (summed file lengths — a dir listing at
+  * analyze time, no data read); None when parsed from a pre-bytes
+  * record. Feeds [[graft.plans.MvCost]]'s byte tier through the
+  * maintainers' stat publication.
   */
 final case class TableStats(version: Long, nRows: Long,
-    columns: Seq[ColumnStats], staleBy: Long)
+    columns: Seq[ColumnStats], staleBy: Long, bytes: Option[Long] = None)
 
 /** The ANALYZE computation + `_stats_v<seq>` file codec both stores
   * share. Two single scans: one wide aggregate for counts + typed
@@ -134,9 +138,10 @@ private[sources] object TableStatsIO {
     (nRows, colStats)
   }
 
-  def render(version: Long, nRows: Long,
-      colStats: Seq[ColumnStats]): Array[Byte] =
-    (s"#version=$version\trows=$nRows" +: colStats.map(cs =>
+  def render(version: Long, nRows: Long, colStats: Seq[ColumnStats],
+      bytes: Option[Long] = None): Array[Byte] =
+    ((s"#version=$version\trows=$nRows" +
+      bytes.map(b => s"\tbytes=$b").getOrElse("")) +: colStats.map(cs =>
       Seq(enc(cs.name), cs.nNonNull, cs.ndvEst,
         cs.minStr.map(enc).getOrElse(" null"),
         cs.maxStr.map(enc).getOrElse(" null")).mkString("\t")))
@@ -144,14 +149,30 @@ private[sources] object TableStatsIO {
 
   def parse(body: String, version: Long, staleBy: Long): TableStats = {
     val lines = body.split("\n").filter(_.nonEmpty)
-    val nRows = lines.head.split("\t")(1).stripPrefix("rows=").toLong
+    val head = lines.head.split("\t")
+    val nRows = head(1).stripPrefix("rows=").toLong
+    // optional third header field — absent in pre-bytes records
+    val bytes = head.lift(2).filter(_.startsWith("bytes="))
+      .map(_.stripPrefix("bytes=").toLong)
     val colStats = lines.tail.map { l =>
       val f = l.split("\t", -1)
       def opt(s: String) = if (s == " null") None else Some(dec(s))
       ColumnStats(dec(f(0)), f(1).toLong, f(2).toLong, opt(f(3)), opt(f(4)))
     }.toSeq
-    TableStats(version, nRows, colStats, staleBy)
+    TableStats(version, nRows, colStats, staleBy, bytes)
   }
+
+  /** Summed file lengths under the version's data dirs — one listing per
+    * dir, no data read; the byte side of the stats record.
+    */
+  def dataBytes(conf: org.apache.hadoop.conf.Configuration,
+      dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }.sum
 }
 
 /** Parquet-backed store, hash-bucketed by primary key, committed via an
@@ -616,9 +637,10 @@ final class ParquetTableStore(
   def analyze(): TableStats = {
     val ver = currentVersion
     val (nRows, colStats) = TableStatsIO.compute(snapshotAt(ver), spec.dataCols)
+    val bytes = TableStatsIO.dataBytes(hadoopConf, dataDirsAt(ver))
     AtomicFiles.write(hadoopConf, statsPath(ver),
-      TableStatsIO.render(ver, nRows, colStats))
-    TableStats(ver, nRows, colStats, staleBy = 0L)
+      TableStatsIO.render(ver, nRows, colStats, Some(bytes)))
+    TableStats(ver, nRows, colStats, staleBy = 0L, bytes = Some(bytes))
   }
 
   /** The newest persisted stats with their staleness against the current

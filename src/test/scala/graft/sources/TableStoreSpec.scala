@@ -359,6 +359,9 @@ class TableStoreSpec extends SparkTestBase {
     assert(s.stats().isEmpty, "no stats before the first analyze")
     val t0 = s.analyze()
     assert(t0.nRows == 3 && t0.staleBy == 0)
+    assert(t0.bytes.exists(_ > 0L), "analyze must record on-disk bytes")
+    assert(s.stats().get.bytes == t0.bytes,
+      "bytes must round-trip through the persisted record")
     val byName = t0.columns.map(c => c.name -> c).toMap
     assert(byName("id").nNonNull == 3 && byName("v").nNonNull == 2)
     assert(byName("id").ndvEst == 3 && byName("v").ndvEst == 2)
