@@ -65,13 +65,31 @@ object MvAdvisor {
         losslessTables = losslessTables))
   }
 
+  /** [[advise]] over an SQL-text query log — the form a deployment's
+    * statement history actually arrives in. Each statement is planned
+    * with `spark.sql` (tables must be resolvable: registered temp views
+    * or `parquet.`path`` references); statements that fail to PARSE are
+    * skipped like statements that refuse analysis.
+    */
+  def adviseSql(spark: SparkSession, workload: Seq[String],
+      k: Int = 2): Seq[Recommendation] =
+    adviseIndexed(spark, workload.zipWithIndex.flatMap { case (q, i) =>
+      // a parse failure drops the statement but keeps every other
+      // statement's ORIGINAL index — queryIdx must point into the log
+      scala.util.Try(spark.sql(q)).toOption.map(i -> _)
+    }, k)
+
   /** Analyze `workload`, return at most `k` recommendations, best first.
     * Queries that refuse analysis are skipped silently (pass them to
     * [[StarMv.fromQuery]] directly to see the refusal reason).
     */
   def advise(spark: SparkSession, workload: Seq[DataFrame],
-      k: Int = 2): Seq[Recommendation] = {
-    val analyzed = workload.zipWithIndex.flatMap { case (q, i) =>
+      k: Int = 2): Seq[Recommendation] =
+    adviseIndexed(spark, workload.zipWithIndex.map(_.swap), k)
+
+  private def adviseIndexed(spark: SparkSession,
+      workload: Seq[(Int, DataFrame)], k: Int): Seq[Recommendation] = {
+    val analyzed = workload.flatMap { case (i, q) =>
       scala.util.Try(StarMv.deriveDef(q, summaryPath = "")).toOption
         .map(d => (i, d))
     }

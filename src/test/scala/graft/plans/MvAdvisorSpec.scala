@@ -86,6 +86,27 @@ class MvAdvisorSpec extends SparkTestBase {
     } finally StarMv.unregister(d.summaryPath)
   }
 
+  test("adviseSql: an SQL-text log advises like the DataFrame form; bad statements keep indices") {
+    val fact = tmpDir("advs_fact")
+    val dim = tmpDir("advs_dim")
+    (1L to 300L).map(i => (i, 1L + i % 10, i % 50))
+      .toDF("o_id", "f_cust", "v").write.mode("overwrite").parquet(fact)
+    (1L to 10L).map(c => (c, s"s${c % 3}"))
+      .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
+    val from = s"FROM parquet.`$fact` JOIN parquet.`$dim` ON f_cust = c_cust"
+    val log = Seq(
+      "THIS IS NOT SQL AT ALL (",                     // parse failure — skipped
+      s"SELECT seg, sum(v) AS s $from GROUP BY seg",
+      s"SELECT seg, c_cust, max(v) AS mx $from GROUP BY seg, c_cust",
+      s"SELECT seg, sum(v) AS s $from WHERE v > 10 GROUP BY seg") // unservable
+    val recs = MvAdvisor.adviseSql(spark, log, k = 1)
+    assert(recs.size === 1)
+    assert(recs.head.hits === 2 && recs.head.queryIdx === Seq(1, 2),
+      s"indices must point into the ORIGINAL log: ${recs.head}")
+    assert(recs.head.definition.groupCols.map(_.name).toSet ===
+      Set("seg", "c_cust"))
+  }
+
   test("advisor refuses a near-fact-grain family (no shrink, no recommendation)") {
     val fact = tmpDir("adv2_fact")
     val dim = tmpDir("adv2_dim")
