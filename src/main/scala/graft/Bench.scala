@@ -52,7 +52,10 @@ object Bench {
     "q210_star_mv", "q211_catalog_snapshot", "q212_star_mv_refresh",
     "q214_star_mv_avg", "q216_change_feed", "q218_star_mv_cdc",
     "q219_star_mv_rollup", "q220_star_mv_subjoin", "q221_star_mv_day",
-    "q222_star_mv_boundary", "q223_star_mv_fromquery", "q224_star_mv_mor")
+    "q222_star_mv_boundary", "q223_star_mv_fromquery", "q224_star_mv_mor",
+    // installs the MV rewrite rule + performs store-style MV builds —
+    // the interference class the per-family split isolates from compute
+    "q226_mv_advisor")
   private def familyOf(name: String): String =
     if (jdbcFam.contains(name)) "jdbc"
     else if (streamFam.contains(name)) "streaming"

@@ -66,17 +66,30 @@ object MvAdvisor {
   }
 
   /** [[advise]] over an SQL-text query log — the form a deployment's
-    * statement history actually arrives in. Each statement is planned
-    * with `spark.sql` (tables must be resolvable: registered temp views
-    * or `parquet.`path`` references); statements that fail to PARSE are
-    * skipped like statements that refuse analysis.
+    * statement history actually arrives in. Each statement is PARSED
+    * first (`sqlParser.parsePlan`) and only query-shaped plans proceed
+    * to `spark.sql` (tables must be resolvable: registered temp views
+    * or `parquet.`path`` references). The parse-first order matters:
+    * `spark.sql` EXECUTES commands eagerly, and a real statement history
+    * contains INSERT/CREATE/DROP — an analysis-only advisor must never
+    * mutate state as a side effect of reading the log. Command and DDL/
+    * DML statement plans are skipped, as are statements that fail to
+    * parse — both like statements that refuse analysis.
     */
   def adviseSql(spark: SparkSession, workload: Seq[String],
       k: Int = 2): Seq[Recommendation] =
     adviseIndexed(spark, workload.zipWithIndex.flatMap { case (q, i) =>
-      // a parse failure drops the statement but keeps every other
+      // a parse failure/skip drops the statement but keeps every other
       // statement's ORIGINAL index — queryIdx must point into the log
-      scala.util.Try(spark.sql(q)).toOption.map(i -> _)
+      scala.util.Try(spark.sessionState.sqlParser.parsePlan(q)).toOption
+        .filter {
+          // Command covers v2 DDL + runnable commands (DROP/SET/…);
+          // ParsedStatement covers the v1 statement shapes (INSERT …)
+          case _: org.apache.spark.sql.catalyst.plans.logical.Command => false
+          case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => false
+          case _ => true
+        }
+        .map(_ => i -> spark.sql(q))
     }, k)
 
   /** Analyze `workload`, return at most `k` recommendations, best first.
@@ -128,21 +141,27 @@ object MvAdvisor {
     val head = defs.head
     val groupCols = defs.flatMap(_.groupCols).distinct
     val measures = defs.flatMap(_.measureCols).distinct
+    // the collision set covers EVERY summary column — group AND measure
+    // names: a derived-group alias colliding with a measure column (or a
+    // renamed dmN landing on a user's own "dm0" alias) would yield a
+    // duplicate-column summary schema and a failed build
     val taken = scala.collection.mutable.Set[String]()
     taken ++= groupCols.map(_.name)
+    taken ++= measures.map(_.name)
+    def claim(name: String): String = {
+      var n = name; var i = 2
+      while (taken.contains(n)) { n = s"${name}_$i"; i += 1 }
+      taken += n
+      n
+    }
     val derivedGroups = scala.collection.mutable.LinkedHashMap[String, String]()
     defs.flatMap(_.derivedGroups).foreach { case (name, sql) =>
-      if (!derivedGroups.contains(sql)) {
-        var n = name; var i = 2
-        while (taken.contains(n)) { n = s"${name}_$i"; i += 1 }
-        taken += n
-        derivedGroups += sql -> n; ()
-      }
+      if (!derivedGroups.contains(sql)) { derivedGroups += sql -> claim(name); () }
     }
     val derivedMeasures = scala.collection.mutable.LinkedHashMap[String, String]()
     defs.flatMap(_.derivedMeasures).foreach { case (_, sql) =>
       if (!derivedMeasures.contains(sql)) {
-        derivedMeasures += sql -> s"dm${derivedMeasures.size}"; ()
+        derivedMeasures += sql -> claim(s"dm${derivedMeasures.size}"); ()
       }
     }
     head.copy(

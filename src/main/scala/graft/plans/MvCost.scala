@@ -122,31 +122,41 @@ object MvCost {
       roots: Seq[String]): SizeEst = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = roots.map(MaterializedView.normalize).sorted.mkString("\u0000")
+    def listRoot(r: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq.filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }
+    }
     // a multi-root set is a store's immutable data dirs; a single plain
-    // root can be overwritten in place, so its mtime joins the key (one
-    // extra stat per plan — bounded, and it doubles as the exists probe)
-    val key =
-      if (roots.size != 1) base
+    // root can be overwritten in place, so its freshness joins the key.
+    // mtime ALONE is only as fresh as the filesystem's timestamp tick
+    // (1 s on ext3/HFS+; some object stores report 0) — an in-place
+    // overwrite within one tick would serve the stale count — so the
+    // file count and summed lengths fold in too; they ride the same
+    // listing the probe needs anyway, which is reused on a miss.
+    val (key, preListed) =
+      if (roots.size != 1) (base, None)
       else try {
         val p = new Path(roots.head)
         val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) base
-        else s"$base\u0000@${fs.getFileStatus(p).getModificationTime}"
-      } catch { case scala.util.control.NonFatal(_) => base }
+        if (!fs.exists(p)) (base, None)
+        else {
+          val mtime = fs.getFileStatus(p).getModificationTime
+          val files = listRoot(roots.head)
+          (s"$base\u0000@$mtime:${files.size}:${files.map(_.getLen).sum}",
+            Some(files))
+        }
+      } catch { case scala.util.control.NonFatal(_) => (base, None) }
     val cached = footerCache.get(key)
     if (cached != null) return cached
     val probed: SizeEst = try {
-      val files = roots.flatMap { r =>
-        val p = new Path(r)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Seq.empty
-        else {
-          val st = fs.getFileStatus(p)
-          if (st.isFile) Seq(st)
-          else fs.listStatus(p).toSeq.filter(s =>
-            s.isFile && s.getPath.getName.endsWith(".parquet"))
-        }
-      }
+      val files = preListed.getOrElse(roots.flatMap(listRoot))
       if (files.isEmpty) unknownSize
       else {
         val bytes = Some(files.map(_.getLen).sum)

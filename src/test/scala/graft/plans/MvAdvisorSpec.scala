@@ -94,17 +94,29 @@ class MvAdvisorSpec extends SparkTestBase {
     (1L to 10L).map(c => (c, s"s${c % 3}"))
       .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
     val from = s"FROM parquet.`$fact` JOIN parquet.`$dim` ON f_cust = c_cust"
+    // DML/DDL probes: a real statement history contains these, and the
+    // advisor must ANALYZE the log without executing any of it — the old
+    // spark.sql-first form would have appended 300 rows to the fact and
+    // dropped the view as side effects of "reading" the history
+    spark.range(3).toDF("x").createOrReplaceTempView("advs_probe")
     val log = Seq(
       "THIS IS NOT SQL AT ALL (",                     // parse failure — skipped
       s"SELECT seg, sum(v) AS s $from GROUP BY seg",
+      s"INSERT INTO parquet.`$fact` SELECT o_id, f_cust, v FROM parquet.`$fact`",
+      "DROP VIEW advs_probe",
       s"SELECT seg, c_cust, max(v) AS mx $from GROUP BY seg, c_cust",
       s"SELECT seg, sum(v) AS s $from WHERE v > 10 GROUP BY seg") // unservable
     val recs = MvAdvisor.adviseSql(spark, log, k = 1)
     assert(recs.size === 1)
-    assert(recs.head.hits === 2 && recs.head.queryIdx === Seq(1, 2),
+    assert(recs.head.hits === 2 && recs.head.queryIdx === Seq(1, 4),
       s"indices must point into the ORIGINAL log: ${recs.head}")
     assert(recs.head.definition.groupCols.map(_.name).toSet ===
       Set("seg", "c_cust"))
+    assert(spark.read.parquet(fact).count() === 300L,
+      "advising over an INSERT statement must not execute it")
+    assert(spark.catalog.tableExists("advs_probe"),
+      "advising over a DROP statement must not execute it")
+    spark.catalog.dropTempView("advs_probe")
   }
 
   test("advisor refuses a near-fact-grain family (no shrink, no recommendation)") {

@@ -116,9 +116,11 @@ class MvCostSpec extends SparkTestBase {
     // is cached (second call hits the cache, same answer)
     assert(MvCost.leafSize(spark, p + "_nope", Seq(p + "_nope")).rows.isEmpty)
     assert(MvCost.leafSize(spark, p + "_nope", Seq(p + "_nope")).rows.isEmpty)
-    // an IN-PLACE overwrite (same root, new mtime key) re-probes instead
-    // of serving the stale cached count
-    Thread.sleep(5) // ensure a distinct directory mtime
+    // an IN-PLACE overwrite re-probes instead of serving the stale cached
+    // count. No sleep needed: the cache key folds in file count + summed
+    // lengths alongside mtime, so even an overwrite landing inside one
+    // mtime tick (1 s on ext3/HFS+) misses — 80 rows have a different
+    // byte total than 50
     (1L to 80L).map(i => (i, i % 3)).toDF("id", "v")
       .write.mode("overwrite").parquet(p)
     assert(MvCost.footerSize(spark, Seq(p)).rows === Some(80L))
