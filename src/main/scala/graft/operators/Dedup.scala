@@ -167,7 +167,8 @@ object Dedup {
       thresholdNum: Int = 3,
       thresholdDen: Int = 5,
       bucketCap: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
 
     val sigs = minhashSigs(df, idCol, textCol, k, bands, scope)
@@ -177,9 +178,15 @@ object Dedup {
     // per distinct bucket crosses the count shuffle, and the flood bucket's
     // rows are dropped by a hash-join probe instead of all sorting into a
     // single window partition first
-    val smallBuckets = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= bucketCap)
-      .select("band", "bkey")
+    val counts0 = banded.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+    // with a budget set the bucket-size aggregate feeds both the gate and
+    // the cap filter — persist it so the band explode + combine runs once
+    val counts =
+      if (budget == PairBudget.Off) counts0
+      else scope.own(counts0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cap = PairBudget.resolveCap(counts, bucketCap, budget, "minhashPairs")
+    val smallBuckets = counts.filter(col("c") <= cap).select("band", "bkey")
     val capped = banded.join(smallBuckets, Seq("band", "bkey"))
       .select("band", "bkey", "id")
 
@@ -223,7 +230,9 @@ object Dedup {
     */
   private def shingleCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxShingleDf: Int, scope: CacheScope): DataFrame = {
+      maxShingleDf: Int, scope: CacheScope,
+      budget: PairBudget = PairBudget.Off,
+      op: String = "shingleCandidates"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docs = scope.own(
@@ -245,9 +254,16 @@ object Dedup {
     // carry (and sort) every posting row of the hottest shingle through
     // one partition, exactly the boilerplate flood the cap exists to guard.
     val ex = docs.select(col("id"), explode(col("hs")).as("h"))
-    val keepH = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("h")
+    val dfAgg0 = ex.groupBy("h").agg(count(lit(1)).as("c"))
+    // with a budget set this aggregate feeds BOTH the gate's histogram
+    // (an eager constant-output job) and the keep filter — persist it so
+    // the postings explode + combine runs once, not per consumer
+    val dfAgg =
+      if (budget == PairBudget.Off) dfAgg0
+      else scope.own(dfAgg0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cap = PairBudget.resolveCap(dfAgg, maxShingleDf, budget, op)
+    val keepH = dfAgg.filter(col("c") <= cap).select("h")
     val postings = ex.join(keepH, Seq("h")).select("h", "id")
 
     postings.select(col("h"), col("id").as("id_a"))
@@ -297,6 +313,29 @@ object Dedup {
         col("max_df"))
   }
 
+  /** Test hook: the HASHED-shingle df histogram (c = document frequency,
+    * n = shingles at that df) the [[PairBudget]] gate's mass arithmetic
+    * runs on — lets a spec replay the gate's cap choice independently.
+    */
+  private[graft] def pairMassHistogramForTest(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = TextHash.tokens(text)
+          if (toks.isEmpty) None else Some((id, TextHash.hashedShingles(toks, md)))
+        }
+      }
+      .toDF("id", "hs")
+      .select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -304,8 +343,10 @@ object Dedup {
       thresholdNum: Int = 3,
       thresholdDen: Int = 5,
       maxShingleDf: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame =
-    shingleCandidates(df, idCol, textCol, maxShingleDf, scope)
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame =
+    shingleCandidates(df, idCol, textCol, maxShingleDf, scope, budget,
+      "ngramJaccardPairs")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("uni",
         (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
@@ -333,8 +374,10 @@ object Dedup {
       thresholdNum: Int = 4,
       thresholdDen: Int = 5,
       maxShingleDf: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame =
-    shingleCandidates(df, idCol, textCol, maxShingleDf, scope)
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame =
+    shingleCandidates(df, idCol, textCol, maxShingleDf, scope, budget,
+      "containmentPairs")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("n_a", size(col("hs_a")).cast("long"))
       .withColumn("n_b", size(col("hs_b")).cast("long"))
@@ -700,10 +743,20 @@ object Dedup {
     * distance 3 share a band by pigeonhole), verified by full-fingerprint
     * Hamming distance ≤ `maxHamming`. The fingerprint is a single long, so
     * carrying it through the band join costs nothing.
+    *
+    * `bucketCap` drops band buckets larger than the cap before the
+    * self-join (the minhash skew guard — a near-identical boilerplate
+    * flood collapses to few fingerprints and would go quadratic in its
+    * bucket); the default is uncapped, the historical behavior. `budget`
+    * gates on Σ c·(c−1)/2 over bucket sizes like [[minhashPairs]]. With
+    * both at their defaults the plan is byte-identical to before — no
+    * extra aggregate or join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      bucketCap: Int = Int.MaxValue,
+      budget: PairBudget = PairBudget.Off): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fps = scope.own(
@@ -717,11 +770,25 @@ object Dedup {
         // consumed by both band-join sides — cache one fingerprint pass
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val banded = fps.select(col("id"), col("fp"),
+    val banded0 = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * 15).bitwiseAND(0x7FFFL).as("bkey"))): _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bkey"))
+    val banded =
+      if (bucketCap == Int.MaxValue && budget == PairBudget.Off) banded0
+      else {
+        val counts0 = banded0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("c"))
+        val counts =
+          if (budget == PairBudget.Off) counts0
+          else scope.own(counts0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cap = PairBudget.resolveCap(counts, bucketCap, budget,
+          "simhashPairs")
+        banded0.join(counts.filter(col("c") <= cap).select("band", "bkey"),
+          Seq("band", "bkey"))
+      }
 
     val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("fp").as("fp_b"))
@@ -876,9 +943,22 @@ object Dedup {
       textCol: String,
       thresholdNum: Int = 3,
       thresholdDen: Int = 5,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame = {
     require(thresholdNum > 0 && thresholdDen >= thresholdNum,
       s"threshold must be in (0, 1]: $thresholdNum/$thresholdDen")
+    // prefix filtering is EXACT (recall 1 by theorem) — there is no skew
+    // cap to tighten without silently breaking that contract, so the only
+    // budget mode is Refuse: measure the prefix-posting pair mass and stop
+    // before the join. A caller who wants auto-tightening wants the capped
+    // operator: ngramJaccardPairs with PairBudget.AutoTighten.
+    budget match {
+      case PairBudget.AutoTighten(_) => throw new IllegalArgumentException(
+        "prefixJaccardPairs is exact (recall 1); AutoTighten would " +
+          "silently break the prefix-filter theorem — use " +
+          "PairBudget.Refuse, or ngramJaccardPairs with AutoTighten")
+      case _ => ()
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val docs = scope.own(
@@ -902,9 +982,22 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("id")
           .orderBy(col("dfreq"), col("h"))))
     // prefix length p = sz − ceil(τ·sz) + 1, all integer arithmetic
-    val prefix = ranked.filter(col("rk") <=
+    val prefix0 = ranked.filter(col("rk") <=
         col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
       .select("h", "id")
+    val prefix = budget match {
+      case PairBudget.Refuse(_) =>
+        // measure Σ df·(df−1)/2 over the PREFIX postings — the exact
+        // candidate volume the self-join below would emit — and throw
+        // before paying it when over budget. The prefix index is persisted
+        // so the rank window runs once for the gate and both join sides.
+        val p = scope.own(prefix0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        PairBudget.resolveCap(p.groupBy("h").agg(count(lit(1)).as("c")),
+          Int.MaxValue, budget, "prefixJaccardPairs")
+        p
+      case _ => prefix0
+    }
 
     val pairs = prefix.select(col("h"), col("id").as("id_a"))
       .join(prefix.select(col("h"), col("id").as("id_b")), Seq("h"))

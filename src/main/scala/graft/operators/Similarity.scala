@@ -136,7 +136,10 @@ object Similarity {
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, planes: Int = 6,
-      maxDim: Int = 1024): DataFrame = {
+      maxDim: Int = 1024,
+      bucketCap: Int = Int.MaxValue,
+      budget: PairBudget = PairBudget.Off,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // Candidate generation shuffles ONLY (id, bucket) through the
     // ×(planes+1) probe explode; vectors are re-attached afterwards, once
     // per candidate (the minhashPairs pattern — carrying the vectors
@@ -146,10 +149,34 @@ object Similarity {
     // at most once (see [[probeBuckets]]).
     val ids = df.select(col(idCol).cast("long").as("id"),
       lshBucket(col(vecCol), planes, maxDim).as("bucket"))
+    // `bucketCap`/`budget` guard the quadratic bucket term like
+    // minhashPairs' cap: the gated unit is the SAME-bucket pair count
+    // Σ c·(c−1)/2 over base buckets (the 0-flip probe's exact candidate
+    // volume; each of the `planes` flip probes adds at most one cross-
+    // bucket candidate set of the same per-bucket shape, so total
+    // candidates ≤ (planes+1)× the gated unit). Capping drops flood
+    // buckets from the BASE side — pairs through a dropped bucket vanish
+    // from both the same-bucket and flipped-probe directions, since
+    // every candidate joins a base-side posting. Defaults keep the
+    // historical uncapped plan with no extra aggregate.
+    val base0 = ids.select(col("id").as("id_b"), col("bucket"))
+    val base =
+      if (bucketCap == Int.MaxValue && budget == PairBudget.Off) base0
+      else {
+        val counts0 = ids.groupBy("bucket").agg(count(lit(1)).as("c"))
+        val counts =
+          if (budget == PairBudget.Off) counts0
+          else scope.own(counts0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cap = PairBudget.resolveCap(counts, bucketCap, budget,
+          "cosinePairs")
+        base0.join(counts.filter(col("c") <= cap).select("bucket"),
+          Seq("bucket"))
+      }
     val probed = ids.select(col("id").as("id_a"),
       probeBuckets(col("bucket"), planes).as("bucket"))
     val cand = probed
-      .join(ids.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .join(base, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     // norms precomputed per VECTOR so the per-PAIR check is one dot fold:

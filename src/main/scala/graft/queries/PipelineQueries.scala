@@ -476,6 +476,22 @@ object PipelineQueries {
     "q227_pair_mass" -> ((s, dir) =>
       Dedup.pairMassReport(docs(s, dir), "doc_id", "text")),
 
+    // ── The q227 diagnostic as AUTOMATIC behavior ([[PairBudget]], r11
+    // verdict #1): the same near-dup corpus as q39 run under a 12k
+    // candidate-pair budget the synthetic vocabulary-saturated shingle
+    // profile EXCEEDS at every test SF — the gate measures Σ df·(df−1)/2
+    // from the df aggregate the operator already materializes and
+    // auto-tightens maxShingleDf to the largest cap fitting the budget
+    // (cap 3 at sf0.01) before paying the posting join. The oracle
+    // replays the histogram arithmetic in SQL (2·mass vs 2·budget, no
+    // division) and the capped join: a gate that picked a different cap,
+    // or tightened when it shouldn't, hash-fails. At 100 TB this is what
+    // keeps a campaign from silently going quadratic on boilerplate.
+    "q228_budget_gate" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(withNearDups(docs(s, dir)), "doc_id", "text",
+        budget = graft.operators.PairBudget.AutoTighten(12000L))
+    }),
+
     // ── Directional containment pairs over the same planted corpus —
     // the asymmetric sub-document duplication measure (quoted article in
     // a page) Jaccard misses when the union is dominated by the larger
@@ -2806,6 +2822,32 @@ object PipelineQueries {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |$jaccardTail""".stripMargin,
+
+    // q228: q39 under PairBudget.AutoTighten(12000) — replay the gate's
+    // cap choice (2·mass cumulative vs 2·budget over the df histogram,
+    // c in [2, 1000]; keep 1000 when the total fits, else the largest
+    // fitting c, else 1) and run the capped posting join.
+    "q228_budget_gate" ->
+      s"""WITH $shingleCtes,
+        |post AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+        |dfh AS (SELECT h, count(*) AS c FROM post GROUP BY 1),
+        |hist AS (
+        |  SELECT c, count(*) AS n FROM dfh
+        |  WHERE c >= 2 AND c <= 1000 GROUP BY 1),
+        |cum AS (SELECT c, sum(n * c * (c - 1)) OVER (ORDER BY c) AS m2
+        |        FROM hist),
+        |cap AS (
+        |  SELECT CASE
+        |    WHEN coalesce((SELECT max(m2) FROM cum), 0) <= 24000 THEN 1000
+        |    ELSE coalesce((SELECT max(c) FROM cum WHERE m2 <= 24000), 1)
+        |  END AS cap),
+        |postc AS (
+        |  SELECT p.doc_id, p.h FROM post p JOIN dfh d USING (h)
+        |  WHERE d.c <= (SELECT cap FROM cap)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM postc a JOIN postc b ON a.h = b.h AND a.doc_id < b.doc_id),
         |$jaccardTail""".stripMargin,
 
     // q177: q39's candidate chain verified by DIRECTIONAL containment
