@@ -90,7 +90,33 @@ object MvCost {
     registered.remove(MaterializedView.normalize(path)); ()
   }
 
-  private[plans] def clear(): Unit = { registered.clear(); footerCache.clear() }
+  /** table key → per-column NDV estimates (lowercased names), published
+    * next to row counts by maintainers from store-ANALYZE records
+    * ([[graft.sources.ColumnStats.ndvEst]], the HLL pass). Feeds
+    * [[MvAdvisor]]'s stats-first estimation tier: a group key's distinct
+    * count is bounded by the product of its columns' NDVs, so an advise()
+    * over stats-covered tables prices candidates with NO data touch.
+    */
+  private val registeredNdv =
+    new ConcurrentHashMap[String, Map[String, Long]]()
+
+  def registerColumnNdv(path: String, ndv: Map[String, Long]): Unit = {
+    registeredNdv.put(MaterializedView.normalize(path),
+      ndv.map { case (c, v) => c.toLowerCase(java.util.Locale.ROOT) -> v })
+    ()
+  }
+
+  def unregisterColumnNdv(path: String): Unit = {
+    registeredNdv.remove(MaterializedView.normalize(path)); ()
+  }
+
+  private[plans] def columnNdv(path: String, column: String): Option[Long] =
+    Option(registeredNdv.get(MaterializedView.normalize(path)))
+      .flatMap(_.get(column.toLowerCase(java.util.Locale.ROOT)))
+
+  private[plans] def clear(): Unit = {
+    registered.clear(); footerCache.clear(); registeredNdv.clear()
+  }
 
   private[plans] def enabled: Boolean =
     SparkSession.active.conf.get("spark.graft.mv.costBased", "true").toBoolean

@@ -64,7 +64,13 @@ final class StarMvMaintainer private (
     * tighter.
     */
   private def publishStats(): Unit = stores.foreach { case (p, s) =>
-    s.stats().foreach(st => MvCost.registerRowCount(p, st.nRows, st.bytes))
+    s.stats().foreach { st =>
+      MvCost.registerRowCount(p, st.nRows, st.bytes)
+      // per-column NDVs ride along — MvAdvisor's stats-first tier prices
+      // future candidates over these tables with no data touch
+      MvCost.registerColumnNdv(p,
+        st.columns.map(c => c.name -> c.ndvEst).toMap)
+    }
   }
   publishStats()
 

@@ -119,6 +119,107 @@ class MvAdvisorSpec extends SparkTestBase {
     spark.catalog.dropTempView("advs_probe")
   }
 
+  test("subtraction: an accepted workload advises empty; a new tree still recommends") {
+    val fact = tmpDir("advsub_fact")
+    val dim = tmpDir("advsub_dim")
+    val dim2 = tmpDir("advsub_dim2")
+    (1L to 400L).map(i => (i, 1L + i % 20, 1L + i % 6, i % 100))
+      .toDF("o_id", "f_cust", "f_reg", "v").write.mode("overwrite").parquet(fact)
+    (1L to 20L).map(c => (c, s"s${c % 5}"))
+      .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
+    (1L to 6L).map(r => (r, s"r${r % 3}"))
+      .toDF("r_id", "reg").write.mode("overwrite").parquet(dim2)
+    def fd = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+    def w0 = fd.groupBy("seg").agg(sum(col("v")).as("s"))
+    def w1 = fd.groupBy("seg", "c_cust").agg(max(col("v")).as("mx"))
+    val recs = MvAdvisor.advise(spark, Seq(w0, w1), k = 2)
+    assert(recs.size === 1)
+    val d = recs.head.buildAs(spark, tmpDir("advsub_sum"))
+    try {
+      // plan-scan subtraction: the members now serve from the summary
+      assert(MvAdvisor.advise(spark, Seq(w0, w1), k = 2).isEmpty,
+        "served members must not be re-recommended")
+      // a COARSER sibling of the served family is covered structurally
+      // (grain subsumption) even though its literal plan also serves
+      def w2 = fd.groupBy("c_cust").agg(sum(col("v")).as("s"))
+      assert(MvAdvisor.advise(spark, Seq(w2), k = 2).isEmpty)
+      // an unrelated join tree in the same log still recommends
+      def w3 = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim2), col("f_reg") === col("r_id"))
+        .groupBy("reg").agg(sum(col("v")).as("s"))
+      val again = MvAdvisor.advise(spark, Seq(w0, w3), k = 2)
+      assert(again.size === 1 && again.head.queryIdx === Seq(1),
+        s"only the new tree recommends: $again")
+    } finally StarMv.unregister(d.summaryPath)
+  }
+
+  test("estimation tiers: registered NDVs price a candidate with no fact probe") {
+    val fact = tmpDir("advt_fact")
+    val dim = tmpDir("advt_dim")
+    (1L to 500L).map(i => (i, 1L + i % 25, i % 100))
+      .toDF("o_id", "f_cust", "v").write.mode("overwrite").parquet(fact)
+    (1L to 25L).map(c => (c, s"s${c % 5}"))
+      .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
+    def w = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+      .groupBy("seg").agg(sum(col("v")).as("s"))
+    // no stats: the small-table fallback is the full ACD probe
+    MvAdvisor.lastEstimateTier = ""
+    val base = MvAdvisor.advise(spark, Seq(w), k = 1)
+    assert(MvAdvisor.lastEstimateTier === "acd")
+    assert(base.size === 1)
+    // registered NDVs: the product bound passes the shrink gate, so the
+    // advisor never touches the data — and the recommendation is the same
+    MvCost.registerColumnNdv(dim, Map("seg" -> 5L, "c_cust" -> 25L))
+    try {
+      MvAdvisor.lastEstimateTier = ""
+      val stats = MvAdvisor.advise(spark, Seq(w), k = 1)
+      assert(MvAdvisor.lastEstimateTier === "stats",
+        s"tier was ${MvAdvisor.lastEstimateTier}")
+      assert(stats.size === 1)
+      assert(stats.head.estSummaryRows === 5L) // the seg NDV bound, exact here
+      assert(stats.head.definition.groupCols.map(_.name) ===
+        base.head.definition.groupCols.map(_.name))
+      assert(stats.head.definition.measureCols.map(_.name) ===
+        base.head.definition.measureCols.map(_.name))
+      // a derived group bounds through its referenced column's NDV
+      def wd = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+        .groupBy(substring(col("seg"), 1, 1).as("s1"))
+        .agg(sum(col("v")).as("s"))
+      MvAdvisor.lastEstimateTier = ""
+      assert(MvAdvisor.advise(spark, Seq(wd), k = 1).size === 1)
+      assert(MvAdvisor.lastEstimateTier === "stats")
+    } finally MvCost.unregisterColumnNdv(dim)
+  }
+
+  test("estimation tiers: the sampled Chao probe reads a pinned row budget") {
+    val fact = tmpDir("advt2_fact")
+    val dim = tmpDir("advt2_dim")
+    (1L to 4000L).map(i => (i, 1L + i % 40, i % 100))
+      .toDF("o_id", "f_cust", "v").write.mode("overwrite").parquet(fact)
+    (1L to 40L).map(c => (c, s"s${c % 8}"))
+      .toDF("c_cust", "seg").write.mode("overwrite").parquet(dim)
+    def w = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_cust") === col("c_cust"))
+      .groupBy("seg", "c_cust").agg(sum(col("v")).as("s"))
+    // force the sample tier: target 500 rows, fact 4000 > 4×500
+    spark.conf.set("spark.graft.advisor.sampleRows", "500")
+    try {
+      MvAdvisor.lastEstimateTier = ""
+      val recs = MvAdvisor.advise(spark, Seq(w), k = 1)
+      assert(MvAdvisor.lastEstimateTier === "sample",
+        s"tier was ${MvAdvisor.lastEstimateTier}")
+      assert(recs.size === 1, "the 40-key rollup must still recommend")
+      // every key repeats ~12× even in the 500-row sample, so Chao sits
+      // at (or within noise of) the true 40 — and far from fact grain
+      assert(recs.head.estSummaryRows >= 30L &&
+        recs.head.estSummaryRows <= 80L,
+        s"Chao estimate off: ${recs.head.estSummaryRows}")
+    } finally spark.conf.unset("spark.graft.advisor.sampleRows")
+  }
+
   test("advisor refuses a near-fact-grain family (no shrink, no recommendation)") {
     val fact = tmpDir("adv2_fact")
     val dim = tmpDir("adv2_dim")
