@@ -33,7 +33,8 @@ object Bench {
     * Order: compute first (largest, most interference-sensitive), then
     * store-lifecycle, streaming, jdbc.
     */
-  private val jdbcFam = Set("q23_cdc_jdbc_e2e", "q225_star_mv_jdbc")
+  private val jdbcFam = Set("q23_cdc_jdbc_e2e", "q225_star_mv_jdbc",
+    "q230_jdbc_string_keys")
   private val streamFam = Set(
     "q16_window_tumbling", "q17_window_sliding", "q18_session_window",
     "q19_stream_watermark", "q49_stream_dedup", "q71_stream_join",
@@ -154,7 +155,7 @@ object Bench {
     val medianOf3 = Set(
       // CDC e2e + JDBC warehouse
       "q20_cdc_compact", "q21_cdc_maxwell_e2e", "q22_cdc_debezium_e2e",
-      "q23_cdc_jdbc_e2e",
+      "q23_cdc_jdbc_e2e", "q230_jdbc_string_keys",
       // versioned/MOR/indexed store e2e
       "q164_time_travel", "q169_retention_sweep", "q170_point_lookup",
       "q171_fast_count", "q174_cdc_mor_e2e", "q176_indexed_lookup",
@@ -164,9 +165,15 @@ object Bench {
       "q216_change_feed", "q217_streaming_mv_loop", "q218_star_mv_cdc",
       "q222_star_mv_boundary", "q223_star_mv_fromquery",
       "q224_star_mv_mor", "q225_star_mv_jdbc",
-      // multi-batch streaming / stateful
+      // the ENTIRE streaming family: every member drains with
+      // processAllAvailable/AvailableNow (no timed trigger waits), yet
+      // same-commit r11 runs still swung 2× (q145 2.0↔4.0 s, q72 1.6↔3.3)
+      // on state-store + checkpoint-dir setup noise — median it all
+      "q16_window_tumbling", "q17_window_sliding", "q18_session_window",
+      "q19_stream_watermark", "q49_stream_dedup", "q84_stream_static",
       "q129_session_window_native", "q136_transform_with_state",
-      "q133_stream_outer_join", "q156_stream_full_outer",
+      "q133_stream_outer_join", "q140_stream_complete", "q145_stream_update",
+      "q156_stream_full_outer",
       "q71_stream_join", "q72_stream_stateful", "q172_stream_available_now",
       // cheap compute queries with recorded ≥2× interference swings
       "q77_cap_per_source", "q56_quality_filter", "q79_kmeans",
@@ -196,7 +203,13 @@ object Bench {
         }
         // family barrier: tear the whole session down (block manager,
         // shuffle dirs, state stores), drop Derby, and collect — the next
-        // family starts from a near-fresh JVM
+        // family starts from a near-fresh JVM. Logging goes dark first:
+        // the async RPC teardown (RpcEndpointVerifier/Inbox) logs a
+        // harmless ERROR stack trace mid-stop that lands as an [error]
+        // block in the driver's captured bench tail and invites
+        // misreading; all measurements for this family are already taken,
+        // and the next family's session restores WARN.
+        spark.sparkContext.setLogLevel("OFF")
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()

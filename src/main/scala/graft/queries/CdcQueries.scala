@@ -783,6 +783,44 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── String-keyed JDBC warehouse + bucketed staged readback (r11
+    // verdict #4): the pk is TEXT, so the keyed pre-image readback cannot
+    // range-partition on it — the staged key table carries a
+    // Spark-computed GRAFT_BKT and the readback runs one disjoint pk-join
+    // per bucket predicate, parallel at any key type. At sf0.01+ the key
+    // set (~90% of customers) exceeds the IN limit, forcing the staged
+    // path. The oracle restates the post-merge state over the same keys.
+    "q230_jdbc_string_keys" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("ck", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      val spec = TableSpec("public.customer_sk", schema, Seq("ck"))
+      val dbUrl = s"jdbc:derby:memory:graft_q230_${System.nanoTime()}"
+      try {
+        val store = new JdbcTableStore(s, dbUrl + ";create=true", spec,
+          snapshotPartitions = 4)
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("k"),
+            format_string("C%08d", col("c_custkey")).as("ck"),
+            col("c_acctbal").cast("double").as("c_acctbal"),
+            col("c_mktsegment"))
+        store.init(c.select("ck", "c_acctbal", "c_mktsegment"))
+        store.merge(graft.operators.CompactedBatch(
+          deletes = c.filter(col("k") % 9 === 4).select("ck"),
+          upserts = c.filter(col("k") % 5 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+            .select("ck", "c_acctbal", "c_mktsegment")))
+        val keys = c.filter(col("k") % 10 =!= 0).select("ck")
+        store.withSnapshotForKeys(keys)(pre =>
+          pre.groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double").as("sum_bal"))
+            .localCheckpoint()) // eager: consumed before the stage drop
+      } finally dropDerby(dbUrl)
+    }),
+
     // ── CDC-maintained STAR summary over MERGE-ON-READ stores: the same
     // maintainer loop as q218, but both tables are MOR (O(batch) writes,
     // read-time newest-wins resolution) with the fact AUTO-COMPACTING by
@@ -1218,6 +1256,23 @@ object CdcQueries {
         |  CAST(min(p) AS DOUBLE) AS min_price,
         |  CAST(max(p) AS DOUBLE) AS max_price
         |FROM ord JOIN cust ON ord.ck = cust.ck
+        |GROUP BY 1""".stripMargin,
+
+    // q230: post-merge state (%9=4 deleted unless re-upserted by %5=0,
+    // %5=0 repriced +100) restricted to the readback key set (%10<>0) —
+    // the key rendering (C%08d) never changes membership, so the oracle
+    // filters on the numeric key directly.
+    "q230_jdbc_string_keys" ->
+      """WITH final AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  WHERE c_custkey % 9 <> 4 OR c_custkey % 5 = 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM final WHERE c_custkey % 10 <> 0
         |GROUP BY 1""".stripMargin,
 
     // q225: both warehouse tables' final states restated (customer:

@@ -475,8 +475,9 @@ final class JdbcTableStore(
   def servingKey: String = s"jdbc::$url::$table"
 
   /** Test-visible record of the last keyed-readback strategy: "in"
-    * (server-side IN pushdown), "staged-exists" (server-side EXISTS
-    * against a staged key table — [[withSnapshotForKeys]] only), or
+    * (server-side IN pushdown), "staged-exists" (server-side semi join
+    * against a staged key table — EXISTS for integral lead keys,
+    * bucketed pk-join for the rest; [[withSnapshotForKeys]] only), or
     * "full" (whole-table read + Spark-side semi join, this lazy API's
     * large-set fallback).
     */
@@ -552,14 +553,46 @@ final class JdbcTableStore(
       val sq = s"${table}_SQ_$token"
       val keyCols = pkFields.map(fd => s"${fd.name} ${sqlType(fd.dataType)}")
         .mkString(", ")
+      val lead = pkFields.head
+      val integral = lead.dataType == IntegerType || lead.dataType == LongType
+      val nParts = if (snapshotPartitions > 0) snapshotPartitions
+                   else spark.sparkContext.defaultParallelism
+      // A non-integral lead key has no JDBC range-partition story, and the
+      // warehouse may lack any portable hash function (Derby has none). But
+      // the key set is STAGED anyway — so Spark computes the partition id
+      // BEFORE staging (pmod(hash(pk…))), the staged table carries it as
+      // GRAFT_BKT, and the readback becomes nParts disjoint pk-joins each
+      // filtered on k.GRAFT_BKT — parallel at any key type, index-probed
+      // server-side. Falls back to the single-partition EXISTS only when
+      // the spec itself claims the GRAFT_BKT name.
+      val bucketed = !integral && nParts > 1 &&
+        !spec.schema.fieldNames.exists(_.equalsIgnoreCase("GRAFT_BKT"))
       try {
-        conn.createStatement().execute(s"CREATE TABLE $sq ($keyCols)")
-        stage(keyDf.distinct(), sq, pkFields)
-        val cond = pk.map(c => s"$sq.$c = t.$c").mkString(" AND ")
-        val sub = s"(SELECT ${spec.schema.fieldNames.map("t." + _).mkString(", ")} " +
-          s"FROM $table t WHERE EXISTS (SELECT 1 FROM $sq WHERE $cond)) GRAFT_KEYED"
-        lastKeyedPath = "staged-exists"
-        f(keyedReader(sub, keyDf))
+        if (bucketed) {
+          conn.createStatement()
+            .execute(s"CREATE TABLE $sq ($keyCols, GRAFT_BKT INTEGER)")
+          import org.apache.spark.sql.functions.{hash, lit, pmod}
+          stage(
+            keyDf.distinct().withColumn("GRAFT_BKT",
+              pmod(hash(pk.map(col): _*), lit(nParts))),
+            sq, pkFields :+ StructField("GRAFT_BKT", IntegerType))
+          // inner join, not EXISTS: staged keys are distinct on the FULL pk,
+          // so multiplicity is exactly 1 and k.GRAFT_BKT rides along as the
+          // partition predicate column
+          val cond = pk.map(c => s"k.$c = t.$c").mkString(" AND ")
+          val sub = s"(SELECT ${spec.schema.fieldNames.map("t." + _).mkString(", ")}, " +
+            s"k.GRAFT_BKT FROM $table t, $sq k WHERE $cond) GRAFT_KEYED"
+          lastKeyedPath = "staged-exists"
+          f(bucketReader(sub, nParts))
+        } else {
+          conn.createStatement().execute(s"CREATE TABLE $sq ($keyCols)")
+          stage(keyDf.distinct(), sq, pkFields)
+          val cond = pk.map(c => s"$sq.$c = t.$c").mkString(" AND ")
+          val sub = s"(SELECT ${spec.schema.fieldNames.map("t." + _).mkString(", ")} " +
+            s"FROM $table t WHERE EXISTS (SELECT 1 FROM $sq WHERE $cond)) GRAFT_KEYED"
+          lastKeyedPath = "staged-exists"
+          f(keyedReader(sub, keyDf))
+        }
       } finally {
         try conn.createStatement().execute(s"DROP TABLE $sq")
         catch { case _: java.sql.SQLException => () } // best-effort cleanup
@@ -596,6 +629,20 @@ final class JdbcTableStore(
           .option("numPartitions", n).load()
       case _ => reader.load()
     }
+  }
+
+  /** JDBC reader over the bucketed staged-join subquery: one partition per
+    * `GRAFT_BKT = i` predicate — disjoint and covering by construction
+    * (the bucket id was computed Spark-side and staged with the keys), so
+    * a string-keyed warehouse reads back through `nParts` connections
+    * instead of one.
+    */
+  private def bucketReader(subquery: String, nParts: Int): DataFrame = {
+    val props = new java.util.Properties()
+    user.foreach(props.setProperty("user", _))
+    passwd.foreach(props.setProperty("password", _))
+    val preds = (0 until nParts).map(i => s"GRAFT_BKT = $i").toArray
+    spark.read.jdbc(url, subquery, preds, props).drop("GRAFT_BKT")
   }
 
   def merge(batch: CompactedBatch): Unit = {

@@ -306,6 +306,34 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(parts == 4, s"staged readback must honor snapshotPartitions, got $parts")
   }
 
+  test("withSnapshotForKeys staged readback parallelizes a STRING lead pk via staged buckets") {
+    // r11 verdict #4: a non-integral lead key has no range-partition story,
+    // so the staged table carries a Spark-computed GRAFT_BKT and the
+    // readback runs one disjoint pk-join per bucket predicate — >1 JDBC
+    // partition instead of the old single-connection read.
+    val strSpec = TableSpec(
+      "public.strkeys",
+      StructType(Seq(StructField("k", StringType), StructField("v", StringType))),
+      Seq("k"))
+    val s = new JdbcTableStore(
+      spark, s"jdbc:derby:memory:strk${System.nanoTime()};create=true", strSpec,
+      snapshotPartitions = 4)
+    s.init((1 to 2000).map(i => (f"key$i%05d", s"v$i")).toDF("k", "v"))
+    val keys = ((200 to 1800).map(i => f"key$i%05d") :+ "absent").toDF("k")
+    val (parts, got) = s.withSnapshotForKeys(keys)(df =>
+      (df.rdd.getNumPartitions,
+        df.collect().map(r => r.getString(0) -> r.getString(1)).toMap))
+    assert(s.lastKeyedPath == "staged-exists")
+    assert(parts == 4, s"string-pk staged readback must bucket-partition, got $parts")
+    assert(got == (200 to 1800).map(i => f"key$i%05d" -> s"v$i").toMap)
+    // stage table dropped on exit; the store still merges normally after
+    s.gcStages()
+    s.merge(CompactedBatch(Seq("key00200").toDF("k"),
+      Seq(("key00201", "z")).toDF("k", "v")))
+    val after = s.snapshot().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!after.contains("key00200") && after.get("key00201").contains("z"))
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
