@@ -152,6 +152,11 @@ object Bench {
     // neighbor's GC debt. The median of 3 runs reports the plan, not the
     // harness; raw spreads land in the detail file's `median3` field so a
     // judge can see the residual noise honestly.
+    // SPARK_GRAFT_MEDIAN3=all: force median-of-3 for EVERY query — the
+    // soak gate's mode (dev/soak_gate.py). A scaling exponent is a ratio
+    // of two measurements, so single-shot noise (±40%) doubles into ±0.3
+    // of exponent — medians bring the gate's margin down to a usable 0.2.
+    val median3All = sys.env.get("SPARK_GRAFT_MEDIAN3").contains("all")
     val medianOf3 = Set(
       // CDC e2e + JDBC warehouse
       "q20_cdc_compact", "q21_cdc_maxwell_e2e", "q22_cdc_debezium_e2e",
@@ -190,7 +195,7 @@ object Bench {
         gated = true
         val rs = qs.map { case (name, fn) =>
           val first = runOnce(spark, name, fn)
-          val r = if (!medianOf3.contains(name) || first._2.isDefined) first
+          val r = if (!(median3All || medianOf3.contains(name)) || first._2.isDefined) first
           else {
             val runs = first +: Seq.fill(2)(runOnce(spark, name, fn))
             runs.find(_._2.isDefined).getOrElse {
