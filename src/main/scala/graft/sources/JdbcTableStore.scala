@@ -576,6 +576,7 @@ final class JdbcTableStore(
             keyDf.distinct().withColumn("GRAFT_BKT",
               pmod(hash(pk.map(col): _*), lit(nParts))),
             sq, pkFields :+ StructField("GRAFT_BKT", IntegerType))
+          indexStage(conn, sq, "GRAFT_BKT" +: pk)
           // inner join, not EXISTS: staged keys are distinct on the FULL pk,
           // so multiplicity is exactly 1 and k.GRAFT_BKT rides along as the
           // partition predicate column
@@ -587,6 +588,7 @@ final class JdbcTableStore(
         } else {
           conn.createStatement().execute(s"CREATE TABLE $sq ($keyCols)")
           stage(keyDf.distinct(), sq, pkFields)
+          if (stringyPk) indexStage(conn, sq, pk)
           val cond = pk.map(c => s"$sq.$c = t.$c").mkString(" AND ")
           val sub = s"(SELECT ${spec.schema.fieldNames.map("t." + _).mkString(", ")} " +
             s"FROM $table t WHERE EXISTS (SELECT 1 FROM $sq WHERE $cond)) GRAFT_KEYED"
@@ -631,6 +633,32 @@ final class JdbcTableStore(
     }
   }
 
+  /** Index a staging table's key columns AFTER its bulk load
+    * (load-then-index is the cheaper order). Without it, a planner that
+    * will not hash-join on wide VARCHAR keys (Derby caps hashable row
+    * width, and every staged string column is VARCHAR(32672)) runs each
+    * semi-join probe — DELETE WHERE EXISTS, the staged readbacks — as an
+    * O(table × batch) nested loop: measured 45 s for a 15k-row / 4.7k-key
+    * string-pk merge that completes in ~1 s indexed. The index costs
+    * O(batch·log batch) once per stage and is dropped with the stage.
+    * Best-effort: an unindexable key (a value beyond the engine's max
+    * index key length) costs speed, never correctness.
+    */
+  /** True when the pk carries a string/binary column — the types whose
+    * staged form is the wide VARCHAR that knocks planners off hash joins.
+    */
+  private def stringyPk: Boolean =
+    pkFields.exists(f => f.dataType == StringType || f.dataType == BinaryType)
+
+  private def indexStage(conn: Connection, stageTable: String,
+      cols: Seq[String]): Unit =
+    try { conn.createStatement().execute(
+      s"CREATE INDEX ${stageTable}_IX ON $stageTable (${cols.mkString(", ")})"); () }
+    catch { case e: java.sql.SQLException =>
+      log.warn(s"could not index stage $stageTable " +
+        s"(SQLState=${e.getSQLState}); proceeding unindexed", e)
+    }
+
   /** JDBC reader over the bucketed staged-join subquery: one partition per
     * `GRAFT_BKT = i` predicate — disjoint and covering by construction
     * (the bucket id was computed Spark-side and staged with the keys), so
@@ -671,6 +699,12 @@ final class JdbcTableStore(
         stage(keyDf, sk, keyFields)
         stage(upserts.select(spec.dataCols.map(col): _*), sr,
           spec.schema.fields.toSeq)
+        // covering for both delete variants: pk probe + the optimistic
+        // GRAFT_DEL=1 filter resolve from the index alone. Only for keys
+        // with a string/binary component — those stage as the wide
+        // VARCHAR that defeats hash-join width caps; numeric-pk merges
+        // hash-join fine and skip the index cost entirely.
+        if (stringyPk) indexStage(conn, sk, pk :+ "GRAFT_DEL")
 
         val cond = pk.map(c => s"$table.$c = $sk.$c").mkString(" AND ")
         // One merge attempt in the given mode (reference executeTask,
