@@ -41,7 +41,8 @@ object Bench {
     "q72_stream_stateful", "q84_stream_static", "q129_session_window_native",
     "q133_stream_outer_join", "q136_transform_with_state",
     "q140_stream_complete", "q145_stream_update", "q156_stream_full_outer",
-    "q172_stream_available_now", "q217_streaming_mv_loop")
+    "q172_stream_available_now", "q217_streaming_mv_loop",
+    "q231_stream_dedup_index")
   private val storeFam = Set(
     "q20_cdc_compact", "q21_cdc_maxwell_e2e", "q22_cdc_debezium_e2e",
     "q164_time_travel", "q169_retention_sweep", "q170_point_lookup",
@@ -180,6 +181,7 @@ object Bench {
       "q133_stream_outer_join", "q140_stream_complete", "q145_stream_update",
       "q156_stream_full_outer",
       "q71_stream_join", "q72_stream_stateful", "q172_stream_available_now",
+      "q231_stream_dedup_index",
       // cheap compute queries with recorded ≥2× interference swings
       "q77_cap_per_source", "q56_quality_filter", "q79_kmeans",
       "q205_mv_month_rollup", "q40_dedup_embed", "q191_mv_derived_day",

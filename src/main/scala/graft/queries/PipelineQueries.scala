@@ -72,7 +72,7 @@ object PipelineQueries {
   /** The 80%-prefix near-copies of every 5th doc (id+10⁶) — the planted
     * delta batch shared by the batch union AND the incremental query.
     */
-  private def nearDupBatch(d: DataFrame): DataFrame =
+  private[queries] def nearDupBatch(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % 5 === 0)
       .withColumn("text", substring(col("text"), lit(1), (col("n_chars") * 4 / 5).cast("int")))
       .withColumn("doc_id", col("doc_id") + 1000000L)

@@ -694,8 +694,63 @@ object StreamingQueries {
     runToMemorySink(spark, agg, "q84_sink", ckpt, in)
     }
 
+  /** Streaming incremental near-dedup against a persisted signature index —
+    * q58's daily-delta cadence as a LIVE stream. The 80%-prefix delta docs
+    * arrive over two micro-batches (file replay, `maxFilesPerTrigger = 1`);
+    * each batch is MinHash-signed ALONE inside `foreachBatch` and banded
+    * against the STATIC index signed once before the stream starts — the
+    * 100 TB posture: the base corpus is never re-signed per delta, and
+    * per-batch work is O(delta) + a semi-join touching only the index
+    * buckets the delta lands in.
+    *
+    * Per-doc independence makes the emission set identical to the one-shot
+    * batch run, so q58's oracle verifies the stream byte-for-byte: every
+    * emitted pair is (new doc × index doc), and the index bucketCap counts
+    * whole index buckets — invariant to how the delta splits into batches
+    * (`minhashPairsAgainstIndex`'s cap note).
+    */
+  private def streamDedupAgainstIndex(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val delta = PipelineQueries.nearDupBatch(d).select("doc_id", "text")
+      val index = graft.operators.Dedup.minhashSignatures(d, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val in = Files.createTempDirectory("graft_q231_in")
+      val out = Files.createTempDirectory("graft_q231_out")
+      val ckpt = Files.createTempDirectory("graft_q231_ckpt")
+      try {
+        index.count() // sign the base corpus ONCE, before any batch arrives
+        val t0 = System.currentTimeMillis() - 120000
+        dumpArrivalFile(delta.filter(col("doc_id") % 2 === 0), in, "a0.json", t0)
+        dumpArrivalFile(delta.filter(col("doc_id") % 2 =!= 0), in, "a1.json",
+          t0 + 60000)
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(in.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.operators.Dedup.minhashPairsAgainstIndex(
+                graft.operators.Dedup.minhashSignatures(b, "doc_id", "text"),
+                index)
+              .write.mode("append").parquet(out.toString)
+          }
+          .start()
+        try q.processAllAvailable()
+        finally { try q.stop() catch { case _: Exception => () } }
+        spark.read.parquet(out.toString)
+          .select("id_a", "id_b", "inter", "uni")
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally {
+        index.unpersist()
+        cleanup(in, out, ckpt)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
+    "q231_stream_dedup_index" -> ((s, dir) => streamDedupAgainstIndex(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
@@ -744,6 +799,10 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "q19_stream_watermark" -> watermarkReplayOracle,
+    // q231: per-doc independence + whole-bucket index caps make the
+    // streamed emission set exactly the one-shot batch run's — the q58
+    // oracle (see streamDedupAgainstIndex's scaladoc).
+    "q231_stream_dedup_index" -> PipelineQueries.oracles("q58_dedup_incremental"),
     // q172: AvailableNow's bounded batches replay the same file sequence,
     // so the emission set is q19's (see watermarkAvailableNow's scaladoc).
     "q172_stream_available_now" -> watermarkReplayOracle,

@@ -334,6 +334,42 @@ class JdbcTableStoreSpec extends SparkTestBase {
     assert(!after.contains("key00200") && after.get("key00201").contains("z"))
   }
 
+  test("withSnapshotForKeys randomized differential: every path == snapshot semi-join, hostile keys included") {
+    // The keyed readback has three strategies (IN pushdown / staged
+    // EXISTS / staged bucketed join) chosen by size and key type; all
+    // three must equal the trivial spec `snapshot() ⋉ keys`. Keys include
+    // SQL-hostile shapes (quotes, spaces, unicode, empty string) — the
+    // staged paths move values via PreparedStatement binds and join
+    // server-side, so nothing may be string-spliced into a predicate.
+    val rnd = new scala.util.Random(2026)
+    val hostile = Seq("o'hara", "", "a b", "Ω≈ç√", "x''; DROP TABLE t--",
+      "tab\tsep", "pct%und_er")
+    val strSpec = TableSpec(
+      "public.fuzzkeys",
+      StructType(Seq(StructField("k", StringType), StructField("v", IntegerType))),
+      Seq("k"))
+    for (round <- 0 until 3) {
+      val s = new JdbcTableStore(
+        spark, s"jdbc:derby:memory:fz$round${System.nanoTime()};create=true",
+        strSpec, snapshotPartitions = 3)
+      val n = 1200 + rnd.nextInt(800) // straddles the 1024 IN limit
+      val all = (0 until n).map(i => (s"k${rnd.nextInt(100000)}%05d-$i", i)) ++
+        hostile.zipWithIndex.map { case (h, i) => (h, 100000 + i) }
+      s.init(all.toDF("k", "v"))
+      // key set: random half + all hostile + some misses
+      val keys = (all.filter(_ => rnd.nextBoolean()).map(_._1) ++
+        hostile ++ Seq("missing1", "missing2")).distinct
+      val inLimit = if (rnd.nextBoolean()) 1024L else keys.size + 10L
+      val got = s.withSnapshotForKeys(keys.toDF("k"), inLimit)(
+        _.collect().map(r => r.getString(0) -> r.getInt(1)).toMap)
+      val want = all.filter { case (k, _) => keys.contains(k) }.toMap
+      assert(got == want,
+        s"round $round path=${s.lastKeyedPath} inLimit=$inLimit: " +
+          s"${(got.keySet diff want.keySet).take(3)} extra, " +
+          s"${(want.keySet diff got.keySet).take(3)} missing")
+    }
+  }
+
   test("parquet and jdbc stores agree on an identical merge sequence") {
     val p = new ParquetTableStore(spark, tmpDir("contract"), spec, 8)
     val j = newStore()
