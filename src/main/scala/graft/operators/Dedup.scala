@@ -90,6 +90,11 @@ object Dedup {
     * the ENTIRE index every run. Exact Jaccard verification re-attaches the
     * shingle sets once per surviving pair, same integer (inter, uni)
     * contract as [[minhashPairs]].
+    *
+    * `budget` gates the CROSS candidate volume Σ n·m over touched buckets
+    * (batch × index postings — [[PairBudget.resolveCapCross]]): the
+    * per-delta form of the self-join gate, measured before the band join
+    * from aggregates bounded by the delta's touched buckets.
     */
   def minhashPairsAgainstIndex(
       newSigs: DataFrame,
@@ -97,7 +102,8 @@ object Dedup {
       thresholdNum: Int = 3,
       thresholdDen: Int = 5,
       bucketCap: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame = {
     // persisted: the batch signatures feed the band explode AND the final
     // hs re-attach — uncached, the per-doc md5 signing pass (the dominant
     // cost of the daily-delta cadence) would run three times
@@ -118,9 +124,27 @@ object Dedup {
     // (whole buckets survive the semi-join, so counts — and the cap —
     // are identical to a full-index count; see ngramJaccardPairs for why
     // an aggregate beats a window here)
-    val smallIxBuckets = touchedIx.groupBy("band", "bkey")
+    val ixCounts0 = touchedIx.groupBy("band", "bkey")
       .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= bucketCap)
+    // With a budget set, the gate needs BOTH sides' posting counts per
+    // touched bucket (candidate volume here is n·m, not c·(c−1)/2 — the
+    // cross-join mass): one extra aggregate over the batch's postings +
+    // a join on the touched buckets, all bounded by the delta. The index
+    // counts feed the gate and the cap filter — persist against rerun.
+    val ixCounts =
+      if (budget == PairBudget.Off) ixCounts0
+      else scope.own(ixCounts0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cap = if (budget == PairBudget.Off) bucketCap else {
+      val crossCounts = ixCounts.select(col("band"), col("bkey"),
+          col("bsize").as("c"))
+        .join(nb.groupBy("band", "bkey").agg(count(lit(1)).as("n")),
+          Seq("band", "bkey"))
+      PairBudget.resolveCapCross(crossCounts, bucketCap, budget,
+        "minhashPairsAgainstIndex")
+    }
+    val smallIxBuckets = ixCounts
+      .filter(col("bsize") <= cap)
       .select("band", "bkey")
     val cappedIx = touchedIx.join(smallIxBuckets, Seq("band", "bkey"))
       .select("band", "bkey", "id_b")

@@ -109,6 +109,59 @@ object PairBudget {
       case Off => configured // unreachable
     }
   }
+
+  /** [[resolveCap]]'s CROSS-join twin, for the batch-against-index
+    * operators ([[Dedup.minhashPairsAgainstIndex]]): there the candidate
+    * volume of a bucket is `n·m` (batch postings × index postings), not
+    * `c·(c−1)/2`, and the skew cap drops whole buckets by their INDEX
+    * size. `counts` carries one row per touched bucket with `c` (index
+    * size) and `n` (batch size); the histogram groups buckets by index
+    * size with Σn per size, so the cumulative window is again bounded by
+    * distinct sizes. Mass is exact decimal(38,0) (no halving — cross
+    * pairs are not double-counted). Semantics mirror [[resolveCap]]:
+    * Off/fits → `configured`; AutoTighten → largest index-size cap whose
+    * cumulative mass fits (≥ 0 — a cap of 0 means even size-1 buckets
+    * blow the budget, and the operator then emits nothing, loudly);
+    * Refuse → throw with the report.
+    */
+  private[graft] def resolveCapCross(counts: DataFrame, configured: Int,
+      budget: PairBudget, op: String): Int = {
+    val limit = budget match {
+      case Off => return configured
+      case Refuse(m) => m
+      case AutoTighten(m) => m
+    }
+    import org.apache.spark.sql.expressions.Window
+    val hist = counts
+      .filter(col("c") >= 1 && col("c") <= configured && col("n") >= 1)
+      .groupBy("c").agg(sum(col("n")).as("sn"))
+    val m1 = hist.withColumn("m",
+      col("sn").cast("decimal(38,0)") * col("c"))
+    val cum = m1.withColumn("cm",
+      sum(col("m")).over(Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val r = cum.agg(
+      sum(col("m")).as("total"),
+      max(when(col("cm") <= lit(limit).cast("decimal(38,0)"), col("c")))
+        .as("fit"),
+      max(col("c")).as("maxc")).head()
+    if (r.isNullAt(0)) return configured // no touched bucket: zero mass
+    val mass = BigInt(r.getDecimal(0).toBigInteger)
+    if (mass <= BigInt(limit)) return configured
+    val tightened = if (r.isNullAt(1)) 0 else r.getLong(1).toInt
+    val maxC = r.getLong(2)
+    budget match {
+      case Refuse(_) =>
+        throw new PairBudgetExceededException(op, mass, limit, configured,
+          maxC, tightened)
+      case AutoTighten(_) =>
+        log.warn(s"[$op] candidate-pair budget (cross): mass $mass under " +
+          s"index-bucket cap $configured exceeds budget $limit (hottest " +
+          s"bucket: $maxC index members) — tightening cap to $tightened")
+        tightened
+      case Off => configured // unreachable
+    }
+  }
 }
 
 /** Thrown by [[PairBudget.Refuse]]: the q227-style report as an error —

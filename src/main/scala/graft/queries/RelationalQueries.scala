@@ -180,6 +180,19 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // ── Exact grouped quantiles over a DISCRETE measure (p25/p50/p90/p99
+    // of l_quantity per returnflag × linestatus): the distinct-value
+    // cumulative-count profile — one combiner-friendly shuffle on
+    // (group, value), the per-group window over ~50 DISTINCT values
+    // regardless of row count, every quantile read off the same profile
+    // with integer ppm arithmetic. Exact at 100 TB where approx_percentile
+    // is approximate and rank-selection sorts every row.
+    "q232_grouped_quantiles" -> ((s, dir) => {
+      graft.operators.Quantiles.groupedDiscrete(
+        t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        "l_quantity", Seq(250000L, 500000L, 900000L, 990000L))
+    }),
+
     // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
     "q12_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1631,6 +1644,25 @@ object RelationalQueries {
     "q11_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // q232: same lower-quantile definition, same integer ppm arithmetic —
+    // smallest v whose cumulative count reaches ceil(q·n) per group.
+    "q232_grouped_quantiles" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT l_returnflag, l_linestatus, v,
+        |    sum(c) OVER (PARTITION BY l_returnflag, l_linestatus
+        |                 ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM vc)
+        |SELECT l_returnflag, l_linestatus, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= n * 250000 THEN v END) AS p25,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS p50,
+        |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS p90,
+        |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
+        |FROM cum GROUP BY 1, 2""".stripMargin,
 
     "q12_setops" ->
       """SELECT o_custkey AS custkey FROM (

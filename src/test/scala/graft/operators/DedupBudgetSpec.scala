@@ -139,6 +139,40 @@ class DedupBudgetSpec extends SparkTestBase {
       budget = PairBudget.Refuse(Long.MaxValue))) === off)
   }
 
+  test("minhashPairsAgainstIndex: cross mass (batch × index) gated; Off byte-identical") {
+    // index = saturated corpus; delta = 60 more docs from the same tiny
+    // vocabulary — every delta band lands in a flood index bucket, so the
+    // cross mass Σ n·m is ~quadratic while the delta is small
+    val delta = (1000L until 1060L).map { i =>
+      val w = Array("aa", "bb", "cc", "dd", "ee", "ff")
+      (i, (0 until 12).map(j => w(((i * 7 + j * j + j) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val scope = new CacheScope
+    try {
+      val index = Dedup.minhashSignatures(saturated, "doc_id", "text")
+      val dsig = Dedup.minhashSignatures(delta, "doc_id", "text")
+      val off = pairs(Dedup.minhashPairsAgainstIndex(dsig, index,
+        scope = scope))
+      val e = intercept[PairBudgetExceededException] {
+        Dedup.minhashPairsAgainstIndex(dsig, index, scope = scope,
+          budget = PairBudget.Refuse(2000L)).count()
+      }
+      assert(e.op === "minhashPairsAgainstIndex")
+      assert(e.pairMass > BigInt(2000), s"cross mass: ${e.pairMass}")
+      // a generous budget gates nothing — byte-identical to Off
+      assert(pairs(Dedup.minhashPairsAgainstIndex(dsig, index, scope = scope,
+        budget = PairBudget.Refuse(Long.MaxValue))) === off)
+      // AutoTighten == explicit run at the reported fitting cap
+      val gated = pairs(Dedup.minhashPairsAgainstIndex(dsig, index,
+        scope = scope, budget = PairBudget.AutoTighten(2000L)))
+      val explicit = pairs(Dedup.minhashPairsAgainstIndex(dsig, index,
+        scope = scope, bucketCap = e.fittingCap))
+      assert(gated === explicit)
+      assert(gated.size < off.size,
+        s"tightening must drop flood-bucket pairs: ${gated.size} vs ${off.size}")
+    } finally scope.release()
+  }
+
   test("cosinePairs: budget gates the hyperplane buckets; cap drops flood pairs") {
     // 60 near-identical vectors (one bucket) + 40 spread vectors
     val vecs = ((0 until 60).map(i =>

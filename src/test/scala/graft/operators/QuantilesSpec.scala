@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[Quantiles.groupedDiscrete]] — the exact lower-quantile contract,
+  * hand-computed and then fuzzed against a plain in-memory sort.
+  */
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference: smallest value at sorted position ⌈q·n⌉ (1-based). */
+  private def lowerQ(sorted: Seq[Double], ppm: Long): Double = {
+    val n = sorted.size.toLong
+    // ceil(n * ppm / 1e6) without floats
+    val rank = ((n * ppm) + 999999L) / 1000000L
+    sorted((rank - 1).toInt.max(0))
+  }
+
+  test("hand case: median/p90 across uneven groups, ties, single-row group") {
+    val df = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 5.0),  // n=4
+      ("b", 7.0),                                       // n=1
+      ("c", 3.0), ("c", 3.0), ("c", 3.0), ("c", 9.0), ("c", 9.0) // n=5
+    ).toDF("g", "v")
+    val out = Quantiles.groupedDiscrete(df, Seq("g"), "v",
+      Seq(500000L, 900000L)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // a: n=4 → p50 rank ceil(2)=2 → 1.0; p90 rank ceil(3.6)=4 → 5.0
+    assert(out("a") == ((4L, 1.0, 5.0)))
+    // b: single row is every quantile
+    assert(out("b") == ((1L, 7.0, 7.0)))
+    // c: n=5 → p50 rank 3 → 3.0; p90 rank ceil(4.5)=5 → 9.0
+    assert(out("c") == ((5L, 3.0, 9.0)))
+  }
+
+  test("fuzz: matches the in-memory sorted reference on random discrete data") {
+    val rnd = new scala.util.Random(232)
+    val qs = Seq(10000L, 250000L, 500000L, 750000L, 990000L, 1000000L)
+    for (_ <- 0 until 3) {
+      val data = for {
+        g <- 'a' to ('a' + rnd.nextInt(4)).toChar
+        _ <- 0 until (1 + rnd.nextInt(200))
+      } yield (g.toString, (rnd.nextInt(15) + 1).toDouble)
+      val out = Quantiles.groupedDiscrete(data.toDF("g", "v"), Seq("g"), "v", qs)
+        .collect().map(r => r.getString(0) -> r).toMap
+      data.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val got = out(g)
+        assert(got.getLong(1) == sorted.size.toLong)
+        qs.zipWithIndex.foreach { case (q, i) =>
+          assert(got.getDouble(2 + i) == lowerQ(sorted, q),
+            s"group $g q=$q: got ${got.getDouble(2 + i)}, " +
+              s"want ${lowerQ(sorted, q)} (n=${sorted.size})")
+        }
+      }
+    }
+  }
+
+  test("column naming and argument validation") {
+    assert(Quantiles.colName(500000L) == "p50")
+    assert(Quantiles.colName(990000L) == "p99")
+    assert(Quantiles.colName(123456L) == "p_123456ppm")
+    intercept[IllegalArgumentException] {
+      Quantiles.groupedDiscrete(Seq(("a", 1.0)).toDF("g", "v"), Seq(), "v")
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.groupedDiscrete(Seq(("a", 1.0)).toDF("g", "v"), Seq("g"), "v",
+        Seq(0L))
+    }
+  }
+}
