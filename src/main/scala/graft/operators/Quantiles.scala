@@ -30,22 +30,61 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** One row per group: `n_rows` + one column per requested quantile,
-    * named `p<ppm/10000>` when the ppm is a whole percent (`p50`, `p99`)
-    * and `p_<ppm>ppm` otherwise.
+  /** The (group…, value, c) frequency profile `groupedDiscrete` reads its
+    * quantiles from — exposed because it is EXACTLY MERGEABLE: profiles
+    * of disjoint row sets union and re-sum into the profile of the whole
+    * (the quantile family's analogue of the repo's HLL-register / CMS
+    * sketch algebra, except nothing here is approximate). A 100 TB
+    * pipeline stores yesterday's profile (distinct-value-count-sized, not
+    * row-count-sized) and folds in each day's delta profile instead of
+    * re-scanning history — [[mergeProfiles]] + [[fromProfile]] then
+    * answer any quantile, exactly, as if the full corpus were scanned.
+    *
+    * `weightCol`: optional row weight (token counts, byte sizes) — `c`
+    * becomes Σweight and quantiles turn volume-weighted ("the value at
+    * which half the corpus BYTES sit", the packing planner's statistic),
+    * with the same exact arithmetic. Weights must be non-negative; long
+    * (integer) by contract so the mergeable sums stay exact.
     */
-  def groupedDiscrete(
+  def valueProfile(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "valueProfile needs ≥1 group column")
+    val gs: Seq[Column] = groupCols.map(col)
+    val w = weightCol.fold(lit(1L))(c => col(c).cast("long"))
+    df.groupBy((gs :+ col(valueCol)): _*).agg(sum(w).as("c"))
+  }
+
+  /** Union profiles of disjoint row sets into the profile of the union —
+    * same schema in, same schema out, exact by construction.
+    */
+  def mergeProfiles(profiles: Seq[DataFrame], groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(profiles.nonEmpty, "mergeProfiles needs ≥1 profile")
+    val gs: Seq[Column] = groupCols.map(col)
+    profiles.reduce(_ unionByName _)
+      .groupBy((gs :+ col(valueCol)): _*).agg(sum(col("c")).as("c"))
+  }
+
+  /** Quantiles off a [[valueProfile]]: the per-group cumulative window
+    * runs over DISTINCT values only; every requested quantile reads the
+    * same profile. One row per group: `n_rows` (Σc — row count, or total
+    * weight under a weighted profile) + one column per quantile, named
+    * `p<ppm/10000>` when the ppm is a whole percent (`p50`, `p99`) and
+    * `p_<ppm>ppm` otherwise.
+    */
+  def fromProfile(
+      profile: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
       qsPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
-    require(groupCols.nonEmpty, "groupedDiscrete needs ≥1 group column")
+    require(groupCols.nonEmpty, "fromProfile needs ≥1 group column")
     require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
       s"quantiles must be in (0, 1000000] ppm: $qsPpm")
     val gs: Seq[Column] = groupCols.map(col)
-    val vc = df.groupBy((gs :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("c"))
-    val cum = vc
+    val cum = profile
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(gs: _*).orderBy(col(valueCol))))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(gs: _*)))
@@ -56,6 +95,16 @@ object Quantiles {
     cum.groupBy(gs: _*)
       .agg(max(col("n")).as("n_rows"), picks: _*)
   }
+
+  /** One-shot form: profile + read-off in a single plan. */
+  def groupedDiscrete(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qsPpm: Seq[Long] = Seq(500000L, 900000L, 990000L),
+      weightCol: Option[String] = None): DataFrame =
+    fromProfile(valueProfile(df, groupCols, valueCol, weightCol),
+      groupCols, valueCol, qsPpm)
 
   private[operators] def colName(ppm: Long): String =
     if (ppm % 10000L == 0) s"p${ppm / 10000L}" else s"p_${ppm}ppm"

@@ -386,6 +386,20 @@ object PipelineQueries {
           expr("rnk * 1000000 div n").as("pct_ppm"))
     }),
 
+    // ── VOLUME-weighted quantiles: per-lang token-count distribution
+    // weighted by n_chars — "the doc size at which half the corpus BYTES
+    // sit", the packing planner's statistic (a by-doc median is blind to
+    // a few huge docs carrying most of the volume). Exact mergeable
+    // profile machinery (Quantiles), weights summed as longs.
+    "q233_weighted_quantiles" -> ((s, dir) => {
+      graft.operators.Quantiles.groupedDiscrete(
+        docs(s, dir).select(col("lang"),
+          TextFunctions.bpeTokenEstimate(col("text")).as("tokens"),
+          col("n_chars")),
+        Seq("lang"), "tokens", Seq(500000L, 900000L),
+        weightCol = Some("n_chars"))
+    }),
+
     // ── BPE merge TRAINER: learn the corpus's top-8 symbol merges — the
     // vocabulary-building pass of tokenizer training, run as N iterations
     // of (pair-count argmax over the CACHED word-frequency table → two-pass
@@ -1893,6 +1907,30 @@ object PipelineQueries {
         |WHERE rk <= 20""".stripMargin,
 
     // q208: q43's token-estimate formula + the same rank/ppm chain.
+    // q233: the q208/q43 token formula, then the same lower-quantile
+    // definition with n_chars as the weight — cum/total are weight sums.
+    "q233_weighted_quantiles" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                  t -> t <> ''),
+        |      t -> (length(t) + 5) // 6)), 0)
+        |      + length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS v,
+        |    n_chars
+        |  FROM documents),
+        |vc AS (SELECT lang, v, sum(n_chars) AS c FROM s GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM vc)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS p50,
+        |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS p90
+        |FROM cum GROUP BY 1""".stripMargin,
+
     "q208_quantile_normalize" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

@@ -193,6 +193,26 @@ object RelationalQueries {
         "l_quantity", Seq(250000L, 500000L, 900000L, 990000L))
     }),
 
+    // ── Exact profile MERGE: the incremental form of q232 — yesterday's
+    // value profile + today's delta profile union-and-resum into the
+    // profile of the whole, and the read-off is EXACT (the quantile
+    // family's sketch algebra, with nothing approximate). A 100 TB
+    // pipeline stores the distinct-value-sized profile, never re-scans
+    // history. The split here is arbitrary (orderkey mod 3); the oracle
+    // is the straight full-table computation — merge correctness IS the
+    // assertion.
+    "q234_quantile_profile_merge" -> ((s, dir) => {
+      import graft.operators.Quantiles
+      val li = t(s, dir, "lineitem")
+      val base = Quantiles.valueProfile(
+        li.filter(col("l_orderkey") % 3 === 0), Seq("l_returnflag"), "l_quantity")
+      val delta = Quantiles.valueProfile(
+        li.filter(col("l_orderkey") % 3 =!= 0), Seq("l_returnflag"), "l_quantity")
+      Quantiles.fromProfile(
+        Quantiles.mergeProfiles(Seq(base, delta), Seq("l_returnflag"), "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", Seq(500000L, 900000L, 990000L))
+    }),
+
     // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
     "q12_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1663,6 +1683,23 @@ object RelationalQueries {
         |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS p90,
         |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
         |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // q234: the oracle never sees the split — exact mergeability means
+    // the merged-profile read-off equals the full-table computation.
+    "q234_quantile_profile_merge" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM vc)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS p50,
+        |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS p90,
+        |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q12_setops" ->
       """SELECT o_custkey AS custkey FROM (

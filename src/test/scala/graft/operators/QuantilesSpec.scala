@@ -57,6 +57,46 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("weighted quantiles == expanding each row weight times") {
+    val rnd = new scala.util.Random(77)
+    val data = (0 until 120).map(i =>
+      ("g" + rnd.nextInt(3), (rnd.nextInt(8) + 1).toDouble, (rnd.nextInt(5) + 1).toLong))
+    val df = data.toDF("g", "v", "w")
+    val qs = Seq(500000L, 900000L)
+    val weighted = Quantiles.groupedDiscrete(df, Seq("g"), "v", qs,
+      weightCol = Some("w")).collect().map(r => r.getString(0) -> r).toMap
+    // reference: physically replicate each row w times, unweighted
+    val expanded = data.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+    val plain = Quantiles.groupedDiscrete(expanded.toDF("g", "v"), Seq("g"), "v", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(weighted.keySet == plain.keySet)
+    weighted.keySet.foreach { g =>
+      assert(weighted(g).getLong(1) == plain(g).getLong(1), s"$g total weight")
+      (0 until qs.size).foreach(i => assert(
+        weighted(g).getDouble(2 + i) == plain(g).getDouble(2 + i), s"$g q#$i"))
+    }
+  }
+
+  test("profile merge of any split == one-shot profile (exact mergeability)") {
+    val rnd = new scala.util.Random(34)
+    val data = (0 until 300).map(i =>
+      ("g" + rnd.nextInt(3), (rnd.nextInt(12) + 1).toDouble))
+    val df = data.toDF("g", "v")
+    val qs = Seq(250000L, 500000L, 990000L)
+    val oneShot = Quantiles.groupedDiscrete(df, Seq("g"), "v", qs)
+      .collect().map(_.toSeq).toSet
+    // three-way random disjoint split, profiled separately, merged
+    val tagged = data.map { case (g, v) => (g, v, rnd.nextInt(3)) }
+    val parts = (0 until 3).map(k =>
+      Quantiles.valueProfile(
+        tagged.filter(_._3 == k).map(t => (t._1, t._2)).toDF("g", "v"),
+        Seq("g"), "v"))
+    val merged = Quantiles.fromProfile(
+      Quantiles.mergeProfiles(parts, Seq("g"), "v"), Seq("g"), "v", qs)
+      .collect().map(_.toSeq).toSet
+    assert(merged == oneShot)
+  }
+
   test("column naming and argument validation") {
     assert(Quantiles.colName(500000L) == "p50")
     assert(Quantiles.colName(990000L) == "p99")
