@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{Funnel, IncrementalAgg, Layout, RobustStats, Rolling, Sessionize, Sharding}
+import graft.plans.LayoutAdvisor
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -503,9 +504,127 @@ object EventQueries {
     "q189_exact_quantiles" -> ((s, dir) => {
       RobustStats.exactQuantilesSelect(RelationalQueries.events(s, dir),
         "value", permilles = Seq(500, 900, 990, 999))
+    }),
+
+    // ── Layout advisor: the storage-side sibling of the q226 MV advisor —
+    // profile a fixed 6-query workload's analyzed plans (3 equality votes
+    // on event_type, range votes on value/event_id, join votes on
+    // user_id), measure exact per-column NDV in one aggregate pass, and
+    // rank partition / z-order / bucket picks by integer rows-skipped ×
+    // hit arithmetic. The oracle re-derives NDVs from the data and replays
+    // the identical scoring, pick gates, and bucket-count rule — a drift
+    // in plan profiling, ranking, or the small-files NDV gate hash-fails.
+    // See [[graft.plans.LayoutAdvisor]].
+    "q237_layout_advisor" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val wl = Seq(
+        ev.filter(col("event_type") === "click").agg(count(lit(1))),
+        ev.filter(col("event_type") === "view" && col("value") > 50.0)
+          .agg(count(lit(1))),
+        ev.filter(col("event_id") > 500000L).agg(count(lit(1))),
+        ev.join(cust, col("user_id") === col("c_custkey")).agg(count(lit(1))),
+        ev.filter(col("event_type").isin("view", "click")
+          && col("event_id") <= 900000L).agg(count(lit(1))),
+        ev.join(ord, col("user_id") === col("o_custkey")).agg(count(lit(1))))
+      LayoutAdvisor.render(s, LayoutAdvisor.advise(ev, wl, exactNdv = true))
+    }),
+
+    // ── Advise → APPLY → query, end to end: the q237 recommendation is
+    // executed (event_type partition directories, event_id/value file-
+    // level clustering) and the advised workload's own filter shape runs
+    // against the rewrite — the equality predicate prunes to ONE
+    // directory, the range predicate prunes row groups via the tight
+    // per-file envelopes the clustered sort produced. The oracle reads
+    // the ORIGINAL table: a re-layout must be lossless.
+    "q238_layout_applied" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wl = Seq(
+        ev.filter(col("event_type") === "click").agg(count(lit(1))),
+        ev.filter(col("event_type") === "view" && col("value") > 50.0)
+          .agg(count(lit(1))),
+        ev.filter(col("event_id") > 500000L).agg(count(lit(1))),
+        ev.join(t(s, dir, "customer"),
+          col("user_id") === col("c_custkey")).agg(count(lit(1))))
+      val rec = LayoutAdvisor.advise(ev, wl, exactNdv = true)
+      val out = java.nio.file.Files.createTempDirectory("graft_q238_layout")
+      try {
+        LayoutAdvisor.applyTo(ev, rec, out.toString)
+        s.read.parquet(out.toString)
+          .filter(col("event_type") === "click" && col("event_id") <= 900000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            RelationalQueries.dsum(col("value")).as("sum_value"))
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally {
+        scala.util.Using.resource(java.nio.file.Files.walk(out)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
     }))
 
   val oracles: Map[String, String] = Map(
+    // q237: hit counts are the workload constants the plan profiler must
+    // extract (a profiling drift changes them and hash-fails); NDVs, the
+    // integer skip-score, the [2, 100000] partition NDV gate, the
+    // (score DESC, column) ranking, and the power-of-two bucket rule are
+    // all re-derived from the data.
+    "q237_layout_advisor" ->
+      """WITH stats AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(DISTINCT event_type) AS ndv_et,
+        |    count(DISTINCT value) AS ndv_v,
+        |    count(DISTINCT event_id) AS ndv_eid,
+        |    count(DISTINCT user_id) AS ndv_uid
+        |  FROM events),
+        |hits(kind, c, h) AS (VALUES
+        |  ('eq', 'event_type', 3), ('range', 'event_id', 2),
+        |  ('range', 'value', 1), ('join', 'user_id', 2)),
+        |sc AS (
+        |  SELECT kind, c, CAST(h AS BIGINT) AS hits,
+        |    CAST(CASE c WHEN 'event_type' THEN s.ndv_et
+        |      WHEN 'value' THEN s.ndv_v WHEN 'event_id' THEN s.ndv_eid
+        |      ELSE s.ndv_uid END AS BIGINT) AS ndv,
+        |    s.n_rows
+        |  FROM hits CROSS JOIN stats s),
+        |sc2 AS (
+        |  SELECT kind, c, hits, ndv,
+        |    hits * (n_rows - n_rows // greatest(ndv, 1)) AS score, n_rows
+        |  FROM sc),
+        |part AS (
+        |  SELECT 'partition' AS role, c, hits, ndv, score, CAST(0 AS BIGINT) AS buckets
+        |  FROM sc2 WHERE kind = 'eq' AND ndv BETWEEN 2 AND 100000
+        |  ORDER BY score DESC, c LIMIT 1),
+        |zord AS (
+        |  SELECT 'zorder' || CAST(row_number() OVER (ORDER BY score DESC, c) AS VARCHAR) AS role,
+        |    c, hits, ndv, score, CAST(0 AS BIGINT) AS buckets
+        |  FROM sc2 WHERE kind = 'range' AND c NOT IN (SELECT c FROM part)
+        |  ORDER BY score DESC, c LIMIT 2),
+        |bk AS (
+        |  SELECT CAST(coalesce((SELECT min(b)
+        |    FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),(4096)) p(b)
+        |    WHERE b >= (SELECT (n_rows + 999999) // 1000000 FROM stats)), 4096) AS BIGINT) AS b),
+        |buck AS (
+        |  SELECT 'bucket' AS role, c, hits, ndv, score, (SELECT b FROM bk) AS buckets
+        |  FROM sc2 WHERE kind = 'join' AND c NOT IN (SELECT c FROM part)
+        |  ORDER BY score DESC, c LIMIT 1)
+        |SELECT role, c AS "column", hits, ndv, score, buckets FROM part
+        |UNION ALL
+        |SELECT role, c AS "column", hits, ndv, score, buckets FROM zord
+        |UNION ALL
+        |SELECT role, c AS "column", hits, ndv, score, buckets FROM buck""".stripMargin,
+
+    // q238: the oracle never sees the rewrite — same rows must come back
+    // through the partitioned + clustered layout.
+    "q238_layout_applied" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'click' AND event_id <= 900000
+        |GROUP BY user_id""".stripMargin,
+
     // q196: the oracle recomputes sessions from scratch over ALL events —
     // the incremental block merge must be indistinguishable from it.
     "q196_session_incremental" ->

@@ -213,6 +213,33 @@ object RelationalQueries {
         Seq("l_returnflag"), "l_quantity", Seq(500000L, 900000L, 990000L))
     }),
 
+    // ── Entity resolution (record linkage): a dirty registry — every
+    // customer gets a hash-derived identity string (md5 keeps distinct
+    // entities ~32 edits apart, so a 2-edit threshold separates true
+    // variants from neighbors — dense sequential names would not), every
+    // 5th entity a typo copy (1 substitution past the block prefix), every
+    // 7th a punctuated "-Co" suffix copy (2 edits after normalization).
+    // Block on the 6-hex name prefix → bounded within-block Levenshtein
+    // match → transitive closure → min-id golden record. See
+    // [[graft.operators.EntityResolution]]; a degenerate block key refuses
+    // before any pair is materialized.
+    "q235_entity_resolution" -> ((s, dir) => {
+      import graft.operators.EntityResolution
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        md5(col("c_custkey").cast("string")).as("name"))
+      val typo = base.filter(col("id") % 5 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 8), lit("z"),
+          substring(col("name"), 10, 32)).as("name"))
+      val sfx = base.filter(col("id") % 7 === 0).select(
+        (col("id") + 20000000L).as("id"),
+        concat(col("name"), lit("-Co")).as("name"))
+      val dirty = base.unionByName(typo).unionByName(sfx)
+      EntityResolution.resolve(dirty, "id", "name",
+        substring(col("name"), 1, 6), maxEditDistance = 2, maxBlockSize = 64)
+    }),
+
     // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
     "q12_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1700,6 +1727,50 @@ object RelationalQueries {
         |  min(CASE WHEN cum * 1000000 >= n * 900000 THEN v END) AS p90,
         |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // q235: the oracle rebuilds the dirty registry, the blocked match, the
+    // recursive-CTE closure, and the min-id election — cluster labels,
+    // golden names, and member counts must all agree bit-for-bit.
+    "q235_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 10000000, substr(name, 1, 8) || 'z' || substr(name, 10)
+        |  FROM base WHERE id % 5 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, name || '-Co' FROM base WHERE id % 7 = 0),
+        |recs AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM dirty),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT r.id, coalesce(cc.cluster_id, r.id) AS cluster_id
+        |  FROM recs r LEFT JOIN cc ON r.id = cc.id),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT l.id, l.cluster_id, l.cluster_id AS canonical_id,
+        |  d.name AS canonical_name, sz.n_members
+        |FROM lab l
+        |JOIN sz ON l.cluster_id = sz.cluster_id
+        |JOIN dirty d ON d.id = l.cluster_id""".stripMargin,
 
     "q12_setops" ->
       """SELECT o_custkey AS custkey FROM (

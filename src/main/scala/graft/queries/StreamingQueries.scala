@@ -748,8 +748,68 @@ object StreamingQueries {
       }
     }
 
+  /** Streaming maintained quantile PROFILE — the q232/q234 exact-quantile
+    * family's sketch algebra run as a live pipeline. The base split's
+    * (group, value, c) profile is computed ONCE into a versioned store
+    * (`v0`); each arriving micro-batch is profiled ALONE inside
+    * `foreachBatch` and folded into the store (`v{b} + delta → v{b+1}`) —
+    * per-batch state and I/O are DISTINCT-VALUE-sized (~50 quantities ×
+    * groups), never history-sized, which is the 100 TB posture: a day's
+    * delta updates a KB-scale profile instead of re-scanning the corpus.
+    * Version-addressed writes make a batch retry idempotent (a re-run of
+    * batch b overwrites `v{b+1}` from the same inputs). The final read-off
+    * answers quantiles EXACTLY as if the full table were scanned — the
+    * oracle is the straight one-shot computation and never sees the split
+    * or the stream.
+    */
+  private def streamQuantileProfile(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+      import graft.operators.Quantiles
+      val groups = Seq("l_returnflag", "l_linestatus")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"))
+      val in = Files.createTempDirectory("graft_q236_in")
+      val store = Files.createTempDirectory("graft_q236_store")
+      val ckpt = Files.createTempDirectory("graft_q236_ckpt")
+      try {
+        Quantiles.valueProfile(li.filter(col("l_orderkey") % 4 === 0),
+            groups, "l_quantity")
+          .write.mode("overwrite").parquet(store.resolve("v0").toString)
+        val t0 = System.currentTimeMillis() - 120000
+        (1 to 3).foreach { m =>
+          dumpArrivalFile(
+            li.filter(col("l_orderkey") % 4 === m)
+              .select("l_returnflag", "l_linestatus", "l_quantity"),
+            in, s"a$m.json", t0 + m * 60000)
+        }
+        val stream = spark.readStream
+          .schema("l_returnflag STRING, l_linestatus STRING, l_quantity DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .json(in.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val prev = spark.read.parquet(store.resolve(s"v$batchId").toString)
+            Quantiles.mergeProfiles(
+                Seq(prev, Quantiles.valueProfile(b, groups, "l_quantity")),
+                groups, "l_quantity")
+              .write.mode("overwrite")
+              .parquet(store.resolve(s"v${batchId + 1}").toString)
+          }
+          .start()
+        try q.processAllAvailable()
+        finally { try q.stop() catch { case _: Exception => () } }
+        Quantiles.fromProfile(
+            spark.read.parquet(store.resolve("v3").toString),
+            groups, "l_quantity", Seq(500000L, 990000L))
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally cleanup(in, store, ckpt)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
+    "q236_stream_quantile_profile" -> ((s, dir) => streamQuantileProfile(s, dir)),
     "q231_stream_dedup_index" -> ((s, dir) => streamDedupAgainstIndex(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
@@ -803,6 +863,23 @@ object StreamingQueries {
     // streamed emission set exactly the one-shot batch run's — the q58
     // oracle (see streamDedupAgainstIndex's scaladoc).
     "q231_stream_dedup_index" -> PipelineQueries.oracles("q58_dedup_incremental"),
+    // q236: exact profile mergeability + effectively-once folding mean the
+    // maintained store answers EXACTLY like a one-shot scan — the oracle
+    // is the full-table computation and never sees the split or stream.
+    "q236_stream_quantile_profile" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT l_returnflag, l_linestatus, v,
+        |    sum(c) OVER (PARTITION BY l_returnflag, l_linestatus
+        |                 ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM vc)
+        |SELECT l_returnflag, l_linestatus, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS p50,
+        |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
+        |FROM cum GROUP BY 1, 2""".stripMargin,
     // q172: AvailableNow's bounded batches replay the same file sequence,
     // so the emission set is q19's (see watermarkAvailableNow's scaladoc).
     "q172_stream_available_now" -> watermarkReplayOracle,

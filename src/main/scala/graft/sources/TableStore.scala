@@ -88,9 +88,47 @@ trait VersionedTableStore extends TableStore {
 /** One column's stats as computed by [[VersionedTableStore.analyze]];
   * min/max ride STRING renderings (None for all-null columns) —
   * optimizer-statistics artifacts, not oracle-compared values.
+  *
+  * `histogramBounds`: equi-depth inner decile boundaries (9 values,
+  * numeric columns only, empty otherwise / for pre-histogram records) —
+  * each of the 10 buckets between min, b1..b9, max holds ~10% of the
+  * non-null rows. Feeds [[selectivityPpm]].
   */
 final case class ColumnStats(name: String, nNonNull: Long, ndvEst: Long,
-    minStr: Option[String], maxStr: Option[String])
+    minStr: Option[String], maxStr: Option[String],
+    histogramBounds: Seq[Double] = Nil) {
+
+  /** Estimated fraction (ppm) of non-null rows with value in [lo, hi] —
+    * equi-depth interpolation: full buckets inside the range count their
+    * whole 10% mass, boundary buckets contribute linearly. None when no
+    * histogram exists or min/max aren't numeric. The uniform-within-
+    * bucket assumption is exactly what equi-depth makes safe: no bucket
+    * hides more than 10% of the mass, so the estimate is within ±1
+    * bucket (±100000 ppm) of truth regardless of skew.
+    */
+  def selectivityPpm(lo: Double, hi: Double): Option[Long] = {
+    def num(s: Option[String]): Option[Double] =
+      s.flatMap(v => scala.util.Try(v.toDouble).toOption)
+    for {
+      mn <- num(minStr); mx <- num(maxStr)
+      if histogramBounds.nonEmpty && hi >= lo
+    } yield {
+      val bounds = (mn +: histogramBounds :+ mx).toArray
+      val perBucket = 1000000.0 / (bounds.length - 1)
+      var ppm = 0.0
+      var i = 0
+      while (i < bounds.length - 1) {
+        val (bl, bh) = (bounds(i), bounds(i + 1))
+        val ol = math.max(bl, lo)
+        val oh = math.min(bh, hi)
+        if (oh > ol) ppm += perBucket * (oh - ol) / math.max(bh - bl, Double.MinPositiveValue)
+        else if (bl == bh && lo <= bl && bl <= hi) ppm += perBucket // zero-width: whole mass inside
+        i += 1
+      }
+      math.min(1000000L, math.max(0L, math.round(ppm)))
+    }
+  }
+}
 
 /** A persisted stats record plus how stale it is: `staleBy` = versions
   * committed since the stats were computed (0 = fresh). The stats
@@ -116,12 +154,22 @@ private[sources] object TableStatsIO {
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   def compute(snap: DataFrame, cols: Seq[String]): (Long, Seq[ColumnStats]) = {
+    import org.apache.spark.sql.types.NumericType
+    val numeric = snap.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val wide = snap.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))): _*).head()
+        max(col(c)).cast("string").as(s"mx_$c")) ++
+        // equi-depth deciles ride the SAME single aggregate pass —
+        // numeric columns only (the selectivity consumer interpolates)
+        (if (numeric(c))
+          Seq(percentile_approx(col(c).cast("double"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000))
+            .as(s"hg_$c"))
+        else Nil)): _*).head()
     val nRows = wide.getLong(0)
     val stacked = snap.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("val"))): _*)).as("kv"))
@@ -129,11 +177,18 @@ private[sources] object TableStatsIO {
       .where(col("val").isNotNull)
     val ndv = graft.operators.Sketches.hllDistinct(stacked, "col_name", "val")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val colStats = cols.zipWithIndex.map { case (c, i) =>
-      val base = 1 + i * 3
+    var idx = 1
+    val colStats = cols.map { c =>
+      val base = idx
+      idx += (if (numeric(c)) 4 else 3)
+      val hist =
+        if (numeric(c) && !wide.isNullAt(base + 3))
+          wide.getSeq[Double](base + 3).toList
+        else Nil
       ColumnStats(c, wide.getLong(base),
         ndv.getOrElse(c, 0L),
-        Option(wide.getString(base + 1)), Option(wide.getString(base + 2)))
+        Option(wide.getString(base + 1)), Option(wide.getString(base + 2)),
+        hist)
     }
     (nRows, colStats)
   }
@@ -142,9 +197,15 @@ private[sources] object TableStatsIO {
       bytes: Option[Long] = None): Array[Byte] =
     ((s"#version=$version\trows=$nRows" +
       bytes.map(b => s"\tbytes=$b").getOrElse("")) +: colStats.map(cs =>
-      Seq(enc(cs.name), cs.nNonNull, cs.ndvEst,
+      (Seq(enc(cs.name), cs.nNonNull, cs.ndvEst,
         cs.minStr.map(enc).getOrElse(" null"),
-        cs.maxStr.map(enc).getOrElse(" null")).mkString("\t")))
+        cs.maxStr.map(enc).getOrElse(" null")) ++
+        // optional 6th field: comma-joined equi-depth decile bounds —
+        // absent entirely for non-numeric columns (old parsers never see it)
+        (if (cs.histogramBounds.nonEmpty)
+          Seq(cs.histogramBounds.map(d => java.lang.Double.toString(d))
+            .mkString(","))
+        else Nil)).mkString("\t")))
       .mkString("\n").getBytes("UTF-8")
 
   def parse(body: String, version: Long, staleBy: Long): TableStats = {
@@ -157,7 +218,9 @@ private[sources] object TableStatsIO {
     val colStats = lines.tail.map { l =>
       val f = l.split("\t", -1)
       def opt(s: String) = if (s == " null") None else Some(dec(s))
-      ColumnStats(dec(f(0)), f(1).toLong, f(2).toLong, opt(f(3)), opt(f(4)))
+      val hist = f.lift(5).filter(_.nonEmpty)
+        .map(_.split(",").map(_.toDouble).toList).getOrElse(Nil)
+      ColumnStats(dec(f(0)), f(1).toLong, f(2).toLong, opt(f(3)), opt(f(4)), hist)
     }.toSeq
     TableStats(version, nRows, colStats, staleBy, bytes)
   }
