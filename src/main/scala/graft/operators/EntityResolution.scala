@@ -47,6 +47,38 @@ object EntityResolution {
 
   final case class Matched(pairs: DataFrame, records: DataFrame)
 
+  /** The (id, blk, norm) match signature projection — what a persisted
+    * entity REGISTRY stores per resolved record so later increments can
+    * match against it without re-normalizing history
+    * (see [[assignAgainst]]).
+    */
+  def signatures(
+      records: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column): DataFrame =
+    records.select(
+      col(idCol).cast("long").as("id"),
+      blockKey.cast("string").as("blk"),
+      normalizeName(col(nameCol)).as("norm"))
+
+  /** Block-size guard BEFORE any join: one combiner-friendly aggregate,
+    * output one row per block — constant-ish, never pair-sized. A null
+    * block key matches nothing deterministic, so it is refused too.
+    */
+  private def guardBlocks(sigs: DataFrame, maxBlockSize: Int, side: String): Unit = {
+    val sizes = sigs.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val bad = sizes.filter(col("blk").isNull || col("n") > maxBlockSize)
+      .orderBy(col("n").desc).limit(1).collect()
+    if (bad.nonEmpty) {
+      val r = bad.head
+      throw new IllegalArgumentException(
+        s"entity-resolution blocking key is degenerate ($side): block '${r.get(0)}' holds " +
+          s"${r.getLong(1)} records (maxBlockSize=$maxBlockSize). A quadratic " +
+          "block would dominate the join at scale; choose a more selective key.")
+    }
+  }
+
   /** Blocked pairwise match (steps 1–3). Returns the match pairs
     * (`id_a < id_b`, with the edit distance) and the (id, block, norm)
     * record projection for reuse.
@@ -67,24 +99,8 @@ object EntityResolution {
       maxBlockSize: Int = 10000): Matched = {
     require(maxEditDistance >= 0, s"maxEditDistance must be >= 0: $maxEditDistance")
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
-    val recs = records.select(
-      col(idCol).cast("long").as("id"),
-      blockKey.cast("string").as("blk"),
-      normalizeName(col(nameCol)).as("norm"))
-
-    // Block-size guard BEFORE the join: one combiner-friendly aggregate,
-    // output one row per block — constant-ish, never pair-sized. A null
-    // block key matches nothing deterministic, so it is refused too.
-    val sizes = recs.groupBy(col("blk")).agg(count(lit(1)).as("n"))
-    val bad = sizes.filter(col("blk").isNull || col("n") > maxBlockSize)
-      .orderBy(col("n").desc).limit(1).collect()
-    if (bad.nonEmpty) {
-      val r = bad.head
-      throw new IllegalArgumentException(
-        s"entity-resolution blocking key is degenerate: block '${r.get(0)}' holds " +
-          s"${r.getLong(1)} records (maxBlockSize=$maxBlockSize). A quadratic " +
-          "block would dominate the join at scale; choose a more selective key.")
-    }
+    val recs = signatures(records, idCol, nameCol, blockKey)
+    guardBlocks(recs, maxBlockSize, "records")
 
     val a = recs.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
     val b = recs.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
@@ -128,5 +144,63 @@ object EntityResolution {
       .join(names, Seq("cluster_id"))
       .select(col("id"), col("cluster_id"), col("cluster_id").as("canonical_id"),
         col("canonical_name"), col("n_members"))
+  }
+
+  /** INCREMENTAL resolution — assign an arriving batch against a persisted
+    * registry instead of re-resolving history (the q58/q231 incremental-
+    * dedup cadence for entities; production MDM shape). `registry` is the
+    * resolved history's signature table: (id, blk, norm, cluster_id) —
+    * [[signatures]] plus the labels a prior [[resolve]] produced.
+    *
+    *  - a new record matching ≥1 registry record (same block, edit
+    *    distance within threshold) ADOPTS the smallest matching
+    *    cluster_id (`src = "assigned"`);
+    *  - the residual (no registry match) is resolved AMONG ITSELF with
+    *    the full blocked pipeline — two spellings of a genuinely new
+    *    entity still land in one fresh cluster (`src = "new"`, labels =
+    *    min new id).
+    *
+    * Assign-only contract: an increment never MERGES two pre-existing
+    * registry clusters (that would rewrite history out from under
+    * concurrent readers); a periodic full [[resolve]] consolidates, the
+    * same way the MOR store's compaction folds its delta stack.
+    *
+    * Scale: per-batch cost is O(increment) + the registry blocks the
+    * increment actually lands in (the blk equi-join probes only those),
+    * never a registry re-scan; both sides ride the same [[guardBlocks]]
+    * refusal, so the cross mass per block is bounded by maxBlockSize².
+    * Output: (id, cluster_id, src).
+    */
+  def assignAgainst(
+      registry: DataFrame,
+      newRecords: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      maxEditDistance: Int,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(maxEditDistance >= 0, s"maxEditDistance must be >= 0: $maxEditDistance")
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
+    val newSigs = signatures(newRecords, idCol, nameCol, blockKey)
+    guardBlocks(newSigs, maxBlockSize, "increment")
+    guardBlocks(registry, maxBlockSize, "registry")
+    val adopted = newSigs
+      .join(registry.select(col("blk"), col("norm").as("norm_r"), col("cluster_id")),
+        Seq("blk"))
+      .filter(levenshtein(col("norm"), col("norm_r")) <= maxEditDistance)
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val residual = newSigs.join(adopted.select("id"), Seq("id"), "left_anti")
+    val a = residual.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
+    val b = residual.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("norm_a"), col("norm_b")) <= maxEditDistance)
+      .select("id_a", "id_b")
+    val fresh = residual.select("id")
+      .join(Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    adopted.withColumn("src", lit("assigned"))
+      .unionByName(fresh.withColumn("src", lit("new")))
   }
 }

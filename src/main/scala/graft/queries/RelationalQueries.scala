@@ -240,6 +240,44 @@ object RelationalQueries {
         substring(col("name"), 1, 6), maxEditDistance = 2, maxBlockSize = 64)
     }),
 
+    // ── INCREMENTAL entity resolution: the q235 registry persisted as a
+    // signature table, then an arriving batch assigned against it — the
+    // q58/q231 incremental-dedup cadence for entities. Every 3rd customer
+    // sends a fresh typo variant (adopts its existing cluster through the
+    // blocked registry probe — history is never re-resolved); every 13th
+    // spawns a genuinely NEW entity in two spellings (no registry match →
+    // the residual self-resolves into one fresh cluster). Assign-only
+    // w.r.t. the registry: see [[graft.operators.EntityResolution.assignAgainst]].
+    "q239_entity_assign" -> ((s, dir) => {
+      import graft.operators.EntityResolution
+      val blockKey = substring(col("name"), 1, 6)
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        md5(col("c_custkey").cast("string")).as("name"))
+      val typo = base.filter(col("id") % 5 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 8), lit("z"),
+          substring(col("name"), 10, 32)).as("name"))
+      val sfx = base.filter(col("id") % 7 === 0).select(
+        (col("id") + 20000000L).as("id"),
+        concat(col("name"), lit("-Co")).as("name"))
+      val dirty = base.unionByName(typo).unionByName(sfx)
+      val resolved = EntityResolution.resolve(dirty, "id", "name", blockKey, 2, 64)
+      val registry = EntityResolution.signatures(dirty, "id", "name", blockKey)
+        .join(resolved.select("id", "cluster_id"), Seq("id"))
+      val nm = md5((col("id") + 7777777L).cast("string"))
+      val incs = base.filter(col("id") % 3 === 0).select(
+          (col("id") + 30000000L).as("id"),
+          concat(substring(col("name"), 1, 10), lit("q"),
+            substring(col("name"), 12, 32)).as("name"))
+        .unionByName(base.filter(col("id") % 13 === 0).select(
+          (col("id") + 40000000L).as("id"), nm.as("name")))
+        .unionByName(base.filter(col("id") % 13 === 0).select(
+          (col("id") + 50000000L).as("id"),
+          concat(substring(nm, 1, 8), lit("z"), substring(nm, 10, 32)).as("name")))
+      EntityResolution.assignAgainst(registry, incs, "id", "name", blockKey, 2, 64)
+    }),
+
     // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
     "q12_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1771,6 +1809,88 @@ object RelationalQueries {
         |FROM lab l
         |JOIN sz ON l.cluster_id = sz.cluster_id
         |JOIN dirty d ON d.id = l.cluster_id""".stripMargin,
+
+    // q239: the oracle rebuilds the registry resolution (the q235 CTEs),
+    // the signature table, the blocked assignment probe, and the residual
+    // closure — adopted labels, fresh labels, and src tags all bit-exact.
+    "q239_entity_assign" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 10000000, substr(name, 1, 8) || 'z' || substr(name, 10)
+        |  FROM base WHERE id % 5 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, name || '-Co' FROM base WHERE id % 7 = 0),
+        |recs AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM dirty),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |reg AS (
+        |  SELECT r.id, r.blk, r.norm, coalesce(cc.cluster_id, r.id) AS cluster_id
+        |  FROM recs r LEFT JOIN cc ON r.id = cc.id),
+        |inc AS (
+        |  SELECT id + 30000000 AS id,
+        |    substr(name, 1, 10) || 'q' || substr(name, 12) AS name
+        |  FROM base WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id + 40000000, md5(CAST(id + 7777777 AS VARCHAR))
+        |  FROM base WHERE id % 13 = 0
+        |  UNION ALL
+        |  SELECT id + 50000000,
+        |    substr(md5(CAST(id + 7777777 AS VARCHAR)), 1, 8) || 'z'
+        |      || substr(md5(CAST(id + 7777777 AS VARCHAR)), 10)
+        |  FROM base WHERE id % 13 = 0),
+        |isig AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM inc),
+        |adopted AS (
+        |  SELECT i.id, min(r.cluster_id) AS cluster_id
+        |  FROM isig i JOIN reg r ON i.blk = r.blk
+        |  WHERE levenshtein(i.norm, r.norm) <= 2
+        |  GROUP BY i.id),
+        |resid AS (
+        |  SELECT * FROM isig WHERE id NOT IN (SELECT id FROM adopted)),
+        |rp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM resid a JOIN resid b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |rnodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM rp UNION ALL SELECT id_b FROM rp)),
+        |rlinks AS (
+        |  SELECT id_a AS a, id_b AS b FROM rp
+        |  UNION ALL SELECT id_b, id_a FROM rp),
+        |rreach AS (
+        |  SELECT id, id AS r FROM rnodes
+        |  UNION
+        |  SELECT l.b AS id, rreach.r FROM rlinks l JOIN rreach ON rreach.id = l.a),
+        |rcc AS (SELECT id, min(r) AS cluster_id FROM rreach GROUP BY id),
+        |fresh AS (
+        |  SELECT s.id, coalesce(rcc.cluster_id, s.id) AS cluster_id
+        |  FROM resid s LEFT JOIN rcc ON s.id = rcc.id)
+        |SELECT id, cluster_id, 'assigned' AS src FROM adopted
+        |UNION ALL
+        |SELECT id, cluster_id, 'new' AS src FROM fresh""".stripMargin,
 
     "q12_setops" ->
       """SELECT o_custkey AS custkey FROM (

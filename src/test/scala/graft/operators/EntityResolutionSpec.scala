@@ -59,6 +59,29 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("assignAgainst adopts existing clusters; the residual self-resolves") {
+    val resolved = EntityResolution.resolve(
+      registry, "id", "name", col("blk"), 2, 10)
+    val regSigs = EntityResolution.signatures(registry, "id", "name", col("blk"))
+      .join(resolved.select("id", "cluster_id"), Seq("id"))
+    val incs = Seq(
+      (10L, "ACME corp!", "a"),  // norm == cluster-1 member → adopt 1
+      (11L, "Bolt Worxs", "b"),  // 1 edit from "Bolt Works" → adopt 4
+      (12L, "Nova Labs", "n"),   // new entity…
+      (13L, "Nova Labz", "n"),   // …second spelling: same FRESH cluster
+      (14L, "Solo Co", "s")      // singleton new entity
+    ).toDF("id", "name", "blk")
+    val out = EntityResolution.assignAgainst(
+        regSigs, incs, "id", "name", col("blk"), 2, 10)
+      .orderBy("id").as[(Long, Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (10L, 1L, "assigned"),
+      (11L, 4L, "assigned"),
+      (12L, 12L, "new"),
+      (13L, 12L, "new"),
+      (14L, 14L, "new")))
+  }
+
   test("normalizeName strips case and punctuation only") {
     val out = registry.select(EntityResolution.normalizeName(col("name")).as("n"))
       .as[String].collect()
