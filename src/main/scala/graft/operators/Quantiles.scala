@@ -108,4 +108,55 @@ object Quantiles {
 
   private[operators] def colName(ppm: Long): String =
     if (ppm % 10000L == 0) s"p${ppm / 10000L}" else s"p_${ppm}ppm"
+
+  /** Binned quantiles for CONTINUOUS measures — the bounded-state path
+    * where [[valueProfile]]'s distinct-value sizing breaks down (a double
+    * measure at 100 TB has ~row-count distinct values; its exact profile
+    * IS the table). Fixed caller-supplied bounds [lo, hi) and `bins`
+    * equal-width buckets: state is EXACTLY `bins` counters per group —
+    * mergeable by addition like the HLL/CMS registers — and the quantile
+    * read-off returns the LOWER EDGE of the bucket where the cumulative
+    * count crosses, so the answer is within one bin width of the true
+    * quantile by construction.
+    *
+    * Determinism contract (what makes the DuckDB oracle exact): the bin
+    * index is the single IEEE sequence `floor((v − lo) · bins / (hi −
+    * lo))` clamped to [0, bins−1] — same fixed op order every engine
+    * rounds alike (the q108 histogram convention); the read-off is pure
+    * integer ppm arithmetic in decimal(38,0). Values outside [lo, hi)
+    * clamp into the edge bins (min/max capture is the bounds-discovery
+    * pass's job, or a domain the caller knows a priori).
+    */
+  def binnedContinuous(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      qsPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    require(groupCols.nonEmpty, "binnedContinuous needs ≥1 group column")
+    require(bins >= 2 && bins <= 1000000, s"bins must be in [2, 1e6]: $bins")
+    require(hi > lo, s"bounds must satisfy hi > lo: [$lo, $hi)")
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be in (0, 1000000] ppm: $qsPpm")
+    val gs: Seq[Column] = groupCols.map(col)
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) * lit(bins.toDouble)
+        / lit(hi - lo)).cast("int"))).as("bin")
+    val counts = df.groupBy((gs :+ bin): _*).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(gs: _*)))
+    // lower edge of the crossing bucket — same fixed IEEE sequence as the
+    // binning expression, so the oracle reproduces the exact double
+    val edge = lit(lo) + col("bin").cast("double") * lit(hi - lo) / lit(bins.toDouble)
+    val picks = qsPpm.map { q =>
+      min(when(col("cum").cast("decimal(38,0)") * 1000000L >=
+        col("n").cast("decimal(38,0)") * q, edge)).as(colName(q))
+    }
+    cum.groupBy(gs: _*)
+      .agg(max(col("n")).as("n_rows"), picks: _*)
+  }
 }

@@ -278,6 +278,19 @@ object RelationalQueries {
       EntityResolution.assignAgainst(registry, incs, "id", "name", blockKey, 2, 64)
     }),
 
+    // ── Binned quantiles over a CONTINUOUS measure (l_extendedprice per
+    // returnflag): bounded state — exactly 1000 counters per group at ANY
+    // row count, where the q232 exact profile would be row-count-sized on
+    // a continuous domain. Answers are bucket lower edges (within one bin
+    // width of truth by construction); binning and read-off are one fixed
+    // IEEE sequence + integer ppm arithmetic, so the oracle reproduces
+    // them bit-for-bit. See [[graft.operators.Quantiles.binnedContinuous]].
+    "q240_binned_quantiles" -> ((s, dir) => {
+      graft.operators.Quantiles.binnedContinuous(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        lo = 0.0, hi = 100000.0, bins = 1000, Seq(500000L, 990000L))
+    }),
+
     // ── Set ops: union ∪, except ∖, intersect ∩ (all distinct semantics).
     "q12_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1891,6 +1904,28 @@ object RelationalQueries {
         |SELECT id, cluster_id, 'assigned' AS src FROM adopted
         |UNION ALL
         |SELECT id, cluster_id, 'new' AS src FROM fresh""".stripMargin,
+
+    // q240: same fixed IEEE binning sequence, same integer ppm crossing,
+    // same lower-edge arithmetic — a drift in op order changes a bin edge
+    // and hash-fails.
+    "q240_binned_quantiles" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    least(999, greatest(0, CAST(floor(
+        |      (l_extendedprice - 0.0) * 1000.0 / 100000.0) AS INTEGER))) AS bin
+        |  FROM lineitem),
+        |bc AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, bin,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM bc)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= n * 500000
+        |    THEN 0.0 + (bin * 100000.0) / 1000.0 END) AS p50,
+        |  min(CASE WHEN cum * 1000000 >= n * 990000
+        |    THEN 0.0 + (bin * 100000.0) / 1000.0 END) AS p99
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q12_setops" ->
       """SELECT o_custkey AS custkey FROM (

@@ -97,6 +97,41 @@ class QuantilesSpec extends SparkTestBase {
     assert(merged == oneShot)
   }
 
+  test("binnedContinuous: hand case, edge clamping, and split-merge invariance") {
+    // 10 values uniform on [0, 100) with bins=10: p50 crosses at bucket 4
+    val df = (0 until 10).map(i => ("g", i * 10.0 + 5.0)).toDF("g", "x")
+    val out = Quantiles.binnedContinuous(df, Seq("g"), "x", 0.0, 100.0, 10,
+        Seq(500000L, 1000000L))
+      .select("g", "n_rows", "p50", "p100").as[(String, Long, Double, Double)]
+      .head()
+    assert(out === (("g", 10L, 40.0, 90.0)))
+    // out-of-bounds values clamp into edge bins instead of vanishing
+    val ob = Seq(("g", -5.0), ("g", 500.0)).toDF("g", "x")
+    val clamped = Quantiles.binnedContinuous(ob, Seq("g"), "x", 0.0, 100.0, 10,
+        Seq(500000L, 1000000L))
+      .select("n_rows", "p50", "p100").as[(Long, Double, Double)].head()
+    assert(clamped === ((2L, 0.0, 90.0)))
+    // bin counts are additive: binning two disjoint splits separately and
+    // merging (union + regroup) answers exactly like one pass
+    val big = (0 until 1000).map(i => ("g", (i * 37 % 997).toDouble)).toDF("g", "x")
+    val whole = Quantiles.binnedContinuous(big, Seq("g"), "x", 0.0, 1000.0, 50)
+      .collect().toSeq
+    val viaUnion = Quantiles.binnedContinuous(
+      big.filter(big("x") < 300.0).unionByName(big.filter(big("x") >= 300.0)),
+      Seq("g"), "x", 0.0, 1000.0, 50).collect().toSeq
+    assert(whole === viaUnion)
+  }
+
+  test("binnedContinuous validates bounds and bin count") {
+    val df = Seq(("g", 1.0)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Quantiles.binnedContinuous(df, Seq("g"), "x", 10.0, 10.0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.binnedContinuous(df, Seq("g"), "x", 0.0, 1.0, 1)
+    }
+  }
+
   test("column naming and argument validation") {
     assert(Quantiles.colName(500000L) == "p50")
     assert(Quantiles.colName(990000L) == "p99")
