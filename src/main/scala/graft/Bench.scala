@@ -42,7 +42,8 @@ object Bench {
     "q133_stream_outer_join", "q136_transform_with_state",
     "q140_stream_complete", "q145_stream_update", "q156_stream_full_outer",
     "q172_stream_available_now", "q217_streaming_mv_loop",
-    "q231_stream_dedup_index", "q236_stream_quantile_profile")
+    "q231_stream_dedup_index", "q236_stream_quantile_profile",
+    "q241_stream_entity_assign")
   private val storeFam = Set(
     "q20_cdc_compact", "q21_cdc_maxwell_e2e", "q22_cdc_debezium_e2e",
     "q164_time_travel", "q169_retention_sweep", "q170_point_lookup",

@@ -807,8 +807,87 @@ object StreamingQueries {
       } finally cleanup(in, store, ckpt)
     }
 
+  /** Streaming incremental entity resolution against a GROWING registry —
+    * q239's assign cadence as a live pipeline, and the stateful step past
+    * q231's static signature index: every micro-batch probes the registry
+    * AS OF its batch id, and the batch's own output (adopted labels +
+    * fresh clusters) is folded back in before the next batch runs. The
+    * second arrival wave contains second spellings of entities whose
+    * FIRST spelling arrived in wave one — they must adopt the fresh
+    * cluster wave one minted, which only works if the registry actually
+    * grew. Versioned registry writes make a batch retry idempotent, same
+    * contract as q236's profile store. Per-batch cost is O(batch) + the
+    * registry blocks the batch lands in; the registry is never re-resolved.
+    */
+  private def streamEntityAssign(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+      import graft.operators.EntityResolution
+      val blockKey = substring(col("name"), 1, 6)
+      val base = spark.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("long").as("id"),
+        md5(col("c_custkey").cast("string")).as("name"))
+      val typo = base.filter(col("id") % 5 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 8), lit("z"),
+          substring(col("name"), 10, 32)).as("name"))
+      val sfx = base.filter(col("id") % 7 === 0).select(
+        (col("id") + 20000000L).as("id"),
+        concat(col("name"), lit("-Co")).as("name"))
+      val dirty = base.unionByName(typo).unionByName(sfx)
+
+      val in = Files.createTempDirectory("graft_q241_in")
+      val store = Files.createTempDirectory("graft_q241_reg")
+      val outDir = Files.createTempDirectory("graft_q241_out")
+      val ckpt = Files.createTempDirectory("graft_q241_ckpt")
+      try {
+        val resolved = EntityResolution.resolve(dirty, "id", "name", blockKey, 2, 64)
+        EntityResolution.signatures(dirty, "id", "name", blockKey)
+          .join(resolved.select("id", "cluster_id"), Seq("id"))
+          .write.mode("overwrite").parquet(store.resolve("v0").toString)
+
+        val nm = md5((col("id") + 7777777L).cast("string"))
+        val wave1 = base.filter(col("id") % 3 === 0).select(
+            (col("id") + 30000000L).as("id"),
+            concat(substring(col("name"), 1, 10), lit("q"),
+              substring(col("name"), 12, 32)).as("name"))
+          .unionByName(base.filter(col("id") % 13 === 0).select(
+            (col("id") + 40000000L).as("id"), nm.as("name")))
+        val wave2 = base.filter(col("id") % 13 === 0).select(
+          (col("id") + 50000000L).as("id"),
+          concat(substring(nm, 1, 8), lit("z"), substring(nm, 10, 32)).as("name"))
+        val t0 = System.currentTimeMillis() - 120000
+        dumpArrivalFile(wave1, in, "a0.json", t0)
+        dumpArrivalFile(wave2, in, "a1.json", t0 + 60000)
+
+        val stream = spark.readStream
+          .schema("id LONG, name STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(in.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            val reg = spark.read.parquet(store.resolve(s"v$batchId").toString)
+            val out = EntityResolution.assignAgainst(
+              reg, b, "id", "name", blockKey, 2, 64)
+            out.write.mode("append").parquet(outDir.toString)
+            reg.unionByName(
+                EntityResolution.signatures(b, "id", "name", blockKey)
+                  .join(out.select("id", "cluster_id"), Seq("id")))
+              .write.mode("overwrite")
+              .parquet(store.resolve(s"v${batchId + 1}").toString)
+          }
+          .start()
+        try q.processAllAvailable()
+        finally { try q.stop() catch { case _: Exception => () } }
+        spark.read.parquet(outDir.toString)
+          .select("id", "cluster_id", "src")
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally cleanup(in, store, outDir, ckpt)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_stream_watermark" -> ((s, dir) => watermarkTumbling(s, dir)),
+    "q241_stream_entity_assign" -> ((s, dir) => streamEntityAssign(s, dir)),
     "q236_stream_quantile_profile" -> ((s, dir) => streamQuantileProfile(s, dir)),
     "q231_stream_dedup_index" -> ((s, dir) => streamDedupAgainstIndex(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
@@ -880,6 +959,123 @@ object StreamingQueries {
         |  min(CASE WHEN cum * 1000000 >= n * 500000 THEN v END) AS p50,
         |  min(CASE WHEN cum * 1000000 >= n * 990000 THEN v END) AS p99
         |FROM cum GROUP BY 1, 2""".stripMargin,
+    // q241: the oracle restates the two arrival waves SEQUENTIALLY — wave
+    // 1 assigned against the base registry, its output folded into the
+    // registry, wave 2 assigned against the GROWN registry (the second
+    // spellings must land in wave 1's fresh clusters). Deterministic file
+    // replay pins the batch split, so the restatement is exact.
+    "q241_stream_entity_assign" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 10000000, substr(name, 1, 8) || 'z' || substr(name, 10)
+        |  FROM base WHERE id % 5 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, name || '-Co' FROM base WHERE id % 7 = 0),
+        |recs AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM dirty),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM recs a JOIN recs b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |links AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |reg0 AS (
+        |  SELECT r.id, r.blk, r.norm, coalesce(cc.cluster_id, r.id) AS cluster_id
+        |  FROM recs r LEFT JOIN cc ON r.id = cc.id),
+        |w1 AS (
+        |  SELECT id + 30000000 AS id,
+        |    substr(name, 1, 10) || 'q' || substr(name, 12) AS name
+        |  FROM base WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id + 40000000, md5(CAST(id + 7777777 AS VARCHAR))
+        |  FROM base WHERE id % 13 = 0),
+        |s1 AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM w1),
+        |a1 AS (
+        |  SELECT i.id, min(r.cluster_id) AS cluster_id
+        |  FROM s1 i JOIN reg0 r ON i.blk = r.blk
+        |  WHERE levenshtein(i.norm, r.norm) <= 2 GROUP BY i.id),
+        |r1 AS (SELECT * FROM s1 WHERE id NOT IN (SELECT id FROM a1)),
+        |p1 AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM r1 a JOIN r1 b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |n1 AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM p1 UNION ALL SELECT id_b FROM p1)),
+        |l1 AS (
+        |  SELECT id_a AS a, id_b AS b FROM p1 UNION ALL SELECT id_b, id_a FROM p1),
+        |re1 AS (
+        |  SELECT id, id AS r FROM n1
+        |  UNION
+        |  SELECT l.b AS id, re1.r FROM l1 l JOIN re1 ON re1.id = l.a),
+        |c1 AS (SELECT id, min(r) AS cluster_id FROM re1 GROUP BY id),
+        |f1 AS (
+        |  SELECT s.id, coalesce(c1.cluster_id, s.id) AS cluster_id
+        |  FROM r1 s LEFT JOIN c1 ON s.id = c1.id),
+        |o1 AS (
+        |  SELECT id, cluster_id, 'assigned' AS src FROM a1
+        |  UNION ALL SELECT id, cluster_id, 'new' AS src FROM f1),
+        |reg1 AS (
+        |  SELECT * FROM reg0
+        |  UNION ALL
+        |  SELECT s.id, s.blk, s.norm, o.cluster_id
+        |  FROM s1 s JOIN o1 o ON s.id = o.id),
+        |w2 AS (
+        |  SELECT id + 50000000 AS id,
+        |    substr(md5(CAST(id + 7777777 AS VARCHAR)), 1, 8) || 'z'
+        |      || substr(md5(CAST(id + 7777777 AS VARCHAR)), 10) AS name
+        |  FROM base WHERE id % 13 = 0),
+        |s2 AS (
+        |  SELECT id, substr(name, 1, 6) AS blk,
+        |    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM w2),
+        |a2 AS (
+        |  SELECT i.id, min(r.cluster_id) AS cluster_id
+        |  FROM s2 i JOIN reg1 r ON i.blk = r.blk
+        |  WHERE levenshtein(i.norm, r.norm) <= 2 GROUP BY i.id),
+        |r2 AS (SELECT * FROM s2 WHERE id NOT IN (SELECT id FROM a2)),
+        |p2 AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM r2 a JOIN r2 b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |n2 AS (
+        |  SELECT DISTINCT id FROM
+        |    (SELECT id_a AS id FROM p2 UNION ALL SELECT id_b FROM p2)),
+        |l2 AS (
+        |  SELECT id_a AS a, id_b AS b FROM p2 UNION ALL SELECT id_b, id_a FROM p2),
+        |re2 AS (
+        |  SELECT id, id AS r FROM n2
+        |  UNION
+        |  SELECT l.b AS id, re2.r FROM l2 l JOIN re2 ON re2.id = l.a),
+        |c2 AS (SELECT id, min(r) AS cluster_id FROM re2 GROUP BY id),
+        |f2 AS (
+        |  SELECT s.id, coalesce(c2.cluster_id, s.id) AS cluster_id
+        |  FROM r2 s LEFT JOIN c2 ON s.id = c2.id),
+        |o2 AS (
+        |  SELECT id, cluster_id, 'assigned' AS src FROM a2
+        |  UNION ALL SELECT id, cluster_id, 'new' AS src FROM f2)
+        |SELECT id, cluster_id, src FROM o1
+        |UNION ALL
+        |SELECT id, cluster_id, src FROM o2""".stripMargin,
     // q172: AvailableNow's bounded batches replay the same file sequence,
     // so the emission set is q19's (see watermarkAvailableNow's scaladoc).
     "q172_stream_available_now" -> watermarkReplayOracle,
