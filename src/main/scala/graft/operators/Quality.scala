@@ -101,6 +101,112 @@ object Quality {
       .withColumn("pass", size(col("violated")) === 0)
   }
 
+  /** One profiled suggestion: the typed [[Rule]] ready for [[check]] /
+    * [[quarantine]], plus the evidence it was derived from.
+    */
+  final case class Suggestion(column: String, rule: Rule, nRows: Long,
+      metric: Long, lo: Option[Double], hi: Option[Double],
+      vals: Option[Seq[String]])
+
+  /** PROFILE → suggest constraints — the step before [[check]] when a
+    * pipeline inherits a table without a contract: derive the rules the
+    * data currently satisfies, review, then enforce. Suggested per
+    * column, from ONE exact stats aggregate (plus one bounded pass
+    * collecting the value sets of low-cardinality string columns):
+    *
+    *  - `not_null` when every row is non-null;
+    *  - `unique` when the column is non-null AND all-distinct (exact
+    *    `count(distinct)`, not the HLL estimate — a suggested PK
+    *    constraint must not be approximately true);
+    *  - `in_range` for every numeric column with data (observed bounds);
+    *  - `in_set` for string columns with 2..`inSetMaxNdv` distinct values
+    *    (sorted, so the suggestion is deterministic at any parallelism).
+    *
+    * By construction [[check]] over the suggestions passes on the
+    * profiled data itself (spec-pinned) — they are a CONTRACT of the
+    * present, to be tightened or relaxed by a human before enforcement.
+    * Scale: the exact-distinct aggregate is the standard mixed-distinct
+    * price ([[Unique]] note above); output is O(cols).
+    */
+  def suggestRules(df: DataFrame, cols: Seq[String],
+      inSetMaxNdv: Int = 8): Seq[Suggestion] = {
+    require(cols.nonEmpty, "suggestRules needs at least one column")
+    require(inSetMaxNdv >= 2, s"inSetMaxNdv must be >= 2: $inSetMaxNdv")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(byName.contains(c), s"no such column: $c"))
+    def numeric(c: String) =
+      byName(c).isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def stringy(c: String) =
+      byName(c) == org.apache.spark.sql.types.StringType
+
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"lo_$c"),
+            max(col(c)).cast("double").as(s"hi_$c"))
+        else Nil)
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    val n = row.getLong(0)
+    var idx = 1
+    val stats = cols.map { c =>
+      val nn = row.getLong(idx); val nd = row.getLong(idx + 1)
+      val (lo, hi) =
+        if (numeric(c))
+          (if (row.isNullAt(idx + 2)) None else Some(row.getDouble(idx + 2)),
+            if (row.isNullAt(idx + 3)) None else Some(row.getDouble(idx + 3)))
+        else (None, None)
+      idx += (if (numeric(c)) 4 else 2)
+      (c, nn, nd, lo, hi)
+    }
+
+    // bounded second pass: the accepted-value sets of low-card string cols
+    val setCols = stats.collect {
+      case (c, _, nd, _, _) if stringy(c) && nd >= 2 && nd <= inSetMaxNdv => c
+    }
+    val sets: Map[String, Seq[String]] =
+      if (setCols.isEmpty) Map.empty
+      else {
+        val r = df.agg(
+          array_sort(collect_set(col(setCols.head))).as(setCols.head),
+          setCols.tail.map(c => array_sort(collect_set(col(c))).as(c)): _*).head()
+        setCols.zipWithIndex.map { case (c, i) => c -> r.getSeq[String](i).toList }.toMap
+      }
+
+    stats.flatMap { case (c, nn, nd, lo, hi) =>
+      val notNull = if (n > 0 && nn == n)
+        Seq(Suggestion(c, NotNull(c), n, nn, None, None, None)) else Nil
+      val uniq = if (n > 0 && nn == n && nd == n)
+        Seq(Suggestion(c, Unique(Seq(c)), n, nd, None, None, None)) else Nil
+      val range = (lo, hi) match {
+        case (Some(l), Some(h)) =>
+          Seq(Suggestion(c, InRange(c, l, h), n, nd, Some(l), Some(h), None))
+        case _ => Nil
+      }
+      val inSet = sets.get(c).map(vs =>
+        Suggestion(c, InSet(c, vs), n, nd, None, None, Some(vs))).toSeq
+      notNull ++ uniq ++ range ++ inSet
+    }
+  }
+
+  /** Suggestions as a DataFrame: (column, rule, n_rows, metric, lo, hi,
+    * vals) — `rule` is the kind slug, `vals` the sorted comma-joined
+    * accepted set (null unless in_set).
+    */
+  def renderSuggestions(spark: org.apache.spark.sql.SparkSession,
+      suggestions: Seq[Suggestion]): DataFrame = {
+    import spark.implicits._
+    suggestions.map { s =>
+      val kind = s.rule match {
+        case _: NotNull => "not_null"
+        case _: Unique => "unique"
+        case _: InRange => "in_range"
+        case _: InSet => "in_set"
+      }
+      (s.column, kind, s.nRows, s.metric, s.lo, s.hi, s.vals.map(_.mkString(",")))
+    }.toDF("column", "rule", "n_rows", "metric", "lo", "hi", "vals")
+  }
+
   /** @return one row per rule: (rule, violations, n_rows, pass). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")

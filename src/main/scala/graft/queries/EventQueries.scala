@@ -563,6 +563,20 @@ object EventQueries {
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
+    }),
+
+    // ── Constraint SUGGESTION: profile → contract — the step before the
+    // q99/q203 rule engine when a table arrives without one. One exact
+    // stats aggregate (count/exact-distinct/min/max) + one bounded pass
+    // for low-cardinality string value sets derives the rules the data
+    // currently satisfies (not_null / unique / in_range / in_set); by
+    // construction Quality.check over the suggestions passes on the data
+    // itself (spec-pinned). The oracle re-derives every gate and bound.
+    // See [[graft.operators.Quality.suggestRules]].
+    "q242_rule_suggestion" -> ((s, dir) => {
+      import graft.operators.Quality
+      Quality.renderSuggestions(s, Quality.suggestRules(
+        t(s, dir, "events"), Seq("event_id", "event_type", "user_id", "value")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -624,6 +638,62 @@ object EventQueries {
         |FROM events
         |WHERE event_type = 'click' AND event_id <= 900000
         |GROUP BY user_id""".stripMargin,
+
+    // q242: every suggestion gate (all-non-null, exact-distinct == rows,
+    // numeric bounds, 2..8-value string sets) re-derived from the data;
+    // the sorted comma-joined value set pins determinism.
+    "q242_rule_suggestion" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    count(event_id) AS nn_eid, count(DISTINCT event_id) AS nd_eid,
+        |    CAST(min(event_id) AS DOUBLE) AS lo_eid,
+        |    CAST(max(event_id) AS DOUBLE) AS hi_eid,
+        |    count(event_type) AS nn_et, count(DISTINCT event_type) AS nd_et,
+        |    count(user_id) AS nn_uid, count(DISTINCT user_id) AS nd_uid,
+        |    CAST(min(user_id) AS DOUBLE) AS lo_uid,
+        |    CAST(max(user_id) AS DOUBLE) AS hi_uid,
+        |    count(value) AS nn_v, count(DISTINCT value) AS nd_v,
+        |    CAST(min(value) AS DOUBLE) AS lo_v, CAST(max(value) AS DOUBLE) AS hi_v
+        |  FROM events),
+        |vs AS (
+        |  SELECT string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS et_vals
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT 'event_id' AS "column", 'not_null' AS rule, n AS n_rows,
+        |  nn_eid AS metric, CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+        |  CAST(NULL AS VARCHAR) AS vals FROM s WHERE n > 0 AND nn_eid = n
+        |UNION ALL
+        |SELECT 'event_id', 'unique', n, nd_eid, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_eid = n AND nd_eid = n
+        |UNION ALL
+        |SELECT 'event_id', 'in_range', n, nd_eid, lo_eid, hi_eid, NULL
+        |FROM s WHERE nn_eid > 0
+        |UNION ALL
+        |SELECT 'event_type', 'not_null', n, nn_et, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_et = n
+        |UNION ALL
+        |SELECT 'event_type', 'unique', n, nd_et, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_et = n AND nd_et = n
+        |UNION ALL
+        |SELECT 'event_type', 'in_set', n, nd_et, NULL, NULL, (SELECT et_vals FROM vs)
+        |FROM s WHERE nd_et BETWEEN 2 AND 8
+        |UNION ALL
+        |SELECT 'user_id', 'not_null', n, nn_uid, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_uid = n
+        |UNION ALL
+        |SELECT 'user_id', 'unique', n, nd_uid, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_uid = n AND nd_uid = n
+        |UNION ALL
+        |SELECT 'user_id', 'in_range', n, nd_uid, lo_uid, hi_uid, NULL
+        |FROM s WHERE nn_uid > 0
+        |UNION ALL
+        |SELECT 'value', 'not_null', n, nn_v, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_v = n
+        |UNION ALL
+        |SELECT 'value', 'unique', n, nd_v, NULL, NULL, NULL
+        |FROM s WHERE n > 0 AND nn_v = n AND nd_v = n
+        |UNION ALL
+        |SELECT 'value', 'in_range', n, nd_v, lo_v, hi_v, NULL
+        |FROM s WHERE nn_v > 0""".stripMargin,
 
     // q196: the oracle recomputes sessions from scratch over ALL events —
     // the incremental block merge must be indistinguishable from it.

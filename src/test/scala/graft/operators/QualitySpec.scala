@@ -98,4 +98,40 @@ class QualitySpec extends SparkTestBase {
         org.apache.spark.sql.functions.col("violated")) > 0).count()
     assert(counted == flagged)
   }
+
+  test("suggestRules derives exactly the constraints the data satisfies") {
+    val df = Seq(
+      (1L, Option(5.0), "a", "x"),
+      (2L, Option(7.0), "b", "x"),
+      (3L, None, "a", "y"),
+      (4L, Option(9.0), "b", "y")
+    ).toDF("id", "v", "tag", "grp")
+    val s = suggestRules(df, Seq("id", "v", "tag", "grp"))
+    val byKey = s.map(x => (x.column, x.rule.getClass.getSimpleName) -> x).toMap
+    // id: all non-null, unique, numeric range
+    assert(byKey.contains(("id", "NotNull")) && byKey.contains(("id", "Unique")))
+    assert(byKey(("id", "InRange")).lo === Some(1.0))
+    assert(byKey(("id", "InRange")).hi === Some(4.0))
+    // v has a NULL: no not_null, no unique, but range over observed values
+    assert(!byKey.contains(("v", "NotNull")) && !byKey.contains(("v", "Unique")))
+    assert(byKey(("v", "InRange")).lo === Some(5.0))
+    assert(byKey(("v", "InRange")).hi === Some(9.0))
+    // tag/grp: low-card strings → sorted accepted sets; not unique
+    assert(byKey(("tag", "InSet")).vals === Some(Seq("a", "b")))
+    assert(byKey(("grp", "InSet")).vals === Some(Seq("x", "y")))
+    assert(!byKey.contains(("tag", "Unique")))
+    // the suggested contract HOLDS on the profiled data by construction
+    val report = check(df, s.map(_.rule)).collect()
+    assert(report.forall(_.getBoolean(3)), report.mkString("; "))
+  }
+
+  test("suggestRules: a high-cardinality string gets no in_set; empty input suggests nothing") {
+    val wide = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val s = suggestRules(wide, Seq("s"), inSetMaxNdv = 8)
+    assert(!s.exists(_.rule.isInstanceOf[InSet]))
+    assert(s.exists(_.rule.isInstanceOf[NotNull])) // still fully non-null
+    val empty = suggestRules(
+      Seq.empty[(Long, String)].toDF("id", "s"), Seq("id", "s"))
+    assert(empty.isEmpty, s"empty table must suggest nothing: $empty")
+  }
 }
