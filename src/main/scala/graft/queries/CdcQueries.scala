@@ -1082,10 +1082,68 @@ object CdcQueries {
           graft.plans.MaterializedView.replaceDirs(dimKey, Nil)
         }
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── Append-log ingest + ZONE-MAP file skipping (AppendLog): the
+    // events table is replayed as ten 3-day ingest batches into the
+    // append-only log, each commit recording a per-directory min/max zone
+    // on `ts`. The 3-day dashboard window then resolves against the tiny
+    // zone manifest DRIVER-side — the require pins that at most 2 of the
+    // 10 directories survive the prune (the window straddles one batch
+    // boundary at most) before any parquet footer is opened; pruning is a
+    // superset filter, the full predicate still runs over the kept dirs.
+    // At 100 TB this is the difference between 10⁵ footer round-trips
+    // and a driver-side manifest read. Oracle: the same window filter
+    // declared over the raw table.
+    "q243_zone_skipping" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_log",
+          schema, zoneCols = Seq("ts"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        // ten 3-day batches (testdata spans 2024-01-01..30); batch ids are
+        // collected bounded (≤10) and appended in calendar order so the
+        // log mirrors a time-ordered ingest
+        val withBatch = ev.withColumn("_b",
+          (datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 3)
+            .cast("int"))
+        val batches = withBatch.select("_b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        batches.foreach(b =>
+          log.append(withBatch.filter(col("_b") === b).drop("_b")))
+        val pred = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-13 00:00:00"))
+        val (kept, total) = log.zonePrune(pred)
+        require(total == batches.length && kept.size <= 2 && kept.nonEmpty,
+          s"zone prune must cut the scan to the window's directories: " +
+            s"kept ${kept.size} of $total")
+        log.scanWhere(pred)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // q243: the same 3-day window declared over the raw events table —
+    // ingest batching and zone pruning must be invisible to the result.
+    "q243_zone_skipping" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

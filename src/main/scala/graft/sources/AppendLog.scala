@@ -1,0 +1,568 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-directory ZONE MAPS (min/max statistics) and the driver-side prune
+  * they enable — the file-skipping tier every lakehouse table format
+  * (Delta/Iceberg/Hudi all publish per-file column ranges in their
+  * manifests) puts BETWEEN partition pruning and parquet row-group
+  * stats. Spark's parquet reader already skips row groups whose footer
+  * stats refute a pushed predicate, but it still LISTS and OPENS every
+  * file to learn that; at 10⁵ append batches that is 10⁵ footer round
+  * trips per query on an object store. A zone manifest moves the first
+  * cut to the driver: a few bytes per (directory, column) decide which
+  * directories can possibly hold a match, and only those are handed to
+  * the scan at all.
+  *
+  * Pruning is strictly a SUPERSET filter — every kept directory is read
+  * under the original predicate, so an imprecise zone (or one the codec
+  * cannot represent, e.g. a NaN-polluted double) costs performance,
+  * never correctness. Conservative rules:
+  *
+  *  - only top-level AND conjuncts of shape `col op literal` / `col IN
+  *    (literals)` participate; anything else (OR trees, expressions over
+  *    the column, UDFs) contributes no pruning;
+  *  - a literal whose kind does not match the column's zone kind is
+  *    ignored (Spark would insert a cast at analysis — the zone layer
+  *    does not second-guess cast semantics);
+  *  - a directory with no zone entry for the column is kept.
+  *
+  * Value domains ("kinds"): all numerics canonicalize to exact
+  * `BigDecimal` (doubles through their exact binary expansion, so the
+  * comparison is the IEEE order wherever both sides are finite); DATE to
+  * epoch days, TIMESTAMP to epoch micros — the same internal forms
+  * Catalyst literals already carry, so probe-side conversion is a field
+  * read, not a parse; strings compare lexicographically (Spark's own
+  * UTF8String binary order agrees with `String.compareTo` for the
+  * testdata's ASCII domain; a deployment storing non-ASCII keeps
+  * correctness regardless — see superset contract above).
+  */
+object ZoneMaps {
+
+  /** Canonical zone value: exact numeric or string. */
+  sealed trait ZV
+  final case class ZN(v: BigDecimal) extends ZV
+  final case class ZS(v: String) extends ZV
+
+  /** None = incomparable (kind mismatch — caller must keep the dir). */
+  private def zcmp(a: ZV, b: ZV): Option[Int] = (a, b) match {
+    case (ZN(x), ZN(y)) => Some(x.compare(y))
+    case (ZS(x), ZS(y)) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** One (column, dir) zone: `allNull` marks a directory whose every row
+    * is NULL in the column — range/equality conjuncts are null-rejecting,
+    * so such a directory is prunable by ANY participating conjunct.
+    */
+  final case class Zone(column: String, kind: String,
+      min: Option[ZV], max: Option[ZV], allNull: Boolean)
+
+  /** Zone kind of a column type; None = type not zone-mappable. */
+  def kindOf(dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => Some("num")
+    case _: DateType => Some("date")
+    case _: TimestampType | _: TimestampNTZType => Some("ts")
+    case _: StringType => Some("str")
+    case _ => None
+  }
+
+  /** External (Row-level) aggregate value → canonical zone value. None for
+    * values outside the canonical domain (NaN/Infinity) — the zone is then
+    * recorded unbounded and the directory never prunes on this column.
+    */
+  def canonExternal(v: Any): Option[ZV] = v match {
+    case null => None
+    case b: java.lang.Byte => Some(ZN(BigDecimal(b.longValue)))
+    case s: java.lang.Short => Some(ZN(BigDecimal(s.longValue)))
+    case i: java.lang.Integer => Some(ZN(BigDecimal(i.longValue)))
+    case l: java.lang.Long => Some(ZN(BigDecimal(l.longValue)))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(ZN(BigDecimal(new java.math.BigDecimal(f.doubleValue))))
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(ZN(BigDecimal(new java.math.BigDecimal(d.doubleValue))))
+    case d: java.math.BigDecimal => Some(ZN(BigDecimal(d)))
+    case d: BigDecimal => Some(ZN(d))
+    case d: java.sql.Date => Some(ZN(BigDecimal(d.toLocalDate.toEpochDay)))
+    case d: java.time.LocalDate => Some(ZN(BigDecimal(d.toEpochDay)))
+    case t: java.sql.Timestamp =>
+      Some(ZN(BigDecimal(DateTimeUtils.fromJavaTimestamp(t))))
+    case t: java.time.Instant =>
+      Some(ZN(BigDecimal(DateTimeUtils.instantToMicros(t))))
+    case t: java.time.LocalDateTime =>
+      Some(ZN(BigDecimal(DateTimeUtils.localDateTimeToMicros(t))))
+    case s: String => Some(ZS(s))
+    case _ => None
+  }
+
+  /** Probe-side literal → canonical zone value, gated on the COLUMN's
+    * kind (a string literal against a numeric column means Spark will
+    * cast — the zone layer stays out of cast semantics and skips it).
+    * Catalyst literals carry dates as epoch-day Int and timestamps as
+    * epoch-micros Long — already canonical.
+    */
+  def canonLiteral(colKind: String, lit: Literal): Option[ZV] =
+    (colKind, lit.dataType, lit.value) match {
+      case (_, _, null) => None
+      case ("num", _: ByteType, v: Byte) => Some(ZN(BigDecimal(v.toLong)))
+      case ("num", _: ShortType, v: Short) => Some(ZN(BigDecimal(v.toLong)))
+      case ("num", _: IntegerType, v: Int) => Some(ZN(BigDecimal(v.toLong)))
+      case ("num", _: LongType, v: Long) => Some(ZN(BigDecimal(v)))
+      case ("num", _: FloatType, v: Float) =>
+        if (v.isNaN || v.isInfinite) None
+        else Some(ZN(BigDecimal(new java.math.BigDecimal(v.toDouble))))
+      case ("num", _: DoubleType, v: Double) =>
+        if (v.isNaN || v.isInfinite) None
+        else Some(ZN(BigDecimal(new java.math.BigDecimal(v))))
+      case ("num", _: DecimalType, v: org.apache.spark.sql.types.Decimal) =>
+        Some(ZN(v.toBigDecimal))
+      case ("date", _: DateType, v: Int) => Some(ZN(BigDecimal(v)))
+      case ("ts", _: TimestampType, v: Long) => Some(ZN(BigDecimal(v)))
+      case ("ts", _: TimestampNTZType, v: Long) => Some(ZN(BigDecimal(v)))
+      case ("str", _: StringType, v) => Some(ZS(v.toString))
+      case _ => None
+    }
+
+  /** Accumulated probe bounds for one column (conjuncts tightened in). */
+  final case class Probe(lo: Option[(ZV, Boolean)] = None,
+      hi: Option[(ZV, Boolean)] = None, eqs: Option[Seq[ZV]] = None) {
+    def isEmpty: Boolean = lo.isEmpty && hi.isEmpty && eqs.isEmpty
+    private def tightLo(n: (ZV, Boolean)) = lo match {
+      case None => Some(n)
+      case Some(c) => zcmp(n._1, c._1) match {
+        case Some(d) if d > 0 || (d == 0 && !n._2) => Some(n)
+        case _ => Some(c)
+      }
+    }
+    private def tightHi(n: (ZV, Boolean)) = hi match {
+      case None => Some(n)
+      case Some(c) => zcmp(n._1, c._1) match {
+        case Some(d) if d < 0 || (d == 0 && !n._2) => Some(n)
+        case _ => Some(c)
+      }
+    }
+    def withLo(v: ZV, inclusive: Boolean): Probe =
+      copy(lo = tightLo((v, inclusive)))
+    def withHi(v: ZV, inclusive: Boolean): Probe =
+      copy(hi = tightHi((v, inclusive)))
+    def withEqs(vs: Seq[ZV]): Probe =
+      copy(eqs = Some(eqs.fold(vs)(prev => prev.intersect(vs))))
+  }
+
+  /** Resolve `pred` against `df`'s schema and return the analyzed filter
+    * condition with literal-side casts constant-folded. The Column DSL
+    * builds UNRESOLVED nodes (Spark 4 wraps them until a plan analyzes
+    * them), so shape extraction must run on the analyzed tree; analysis
+    * also applies type coercion, which wraps mismatched literals in casts
+    * (`v === lit(2)` against a double column → `Cast(2 as double)`) —
+    * folding those recovers the comparable literal. A cast that lands on
+    * the ATTRIBUTE side is left alone and its conjunct contributes no
+    * pruning (the zone layer does not model cast semantics). A cast whose
+    * fold throws (ANSI string→number etc.) is likewise left unfolded.
+    */
+  def resolvedCondition(df: DataFrame, pred: Column): Expression = {
+    val analyzed = df.filter(pred).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(Literal.TrueLiteral)
+    cond.transformUp {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.isInstanceOf[Literal] && c.foldable =>
+        try Literal.create(c.eval(null), c.dataType)
+        catch { case _: Exception => c }
+    }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.name.toLowerCase)
+    case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+      Some(a.name.toLowerCase)
+    case _ => None
+  }
+
+  /** Extract per-column probe bounds from a predicate's AND conjuncts.
+    * `kinds` maps lower-cased zone-column names to their kind.
+    */
+  def probes(pred: Expression, kinds: Map[String, String]): Map[String, Probe] = {
+    def lit(colKind: String, e: Expression): Option[ZV] = e match {
+      case l: Literal => canonLiteral(colKind, l)
+      case _ => None
+    }
+    splitAnd(pred).foldLeft(Map.empty[String, Probe]) { (acc, c) =>
+      def upd(name: String, f: (Probe, ZV) => Probe, v: Expression): Map[String, Probe] =
+        kinds.get(name).flatMap(k => lit(k, v)) match {
+          case Some(z) => acc.updated(name, f(acc.getOrElse(name, Probe()), z))
+          case None => acc
+        }
+      c match {
+        case EqualTo(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withEqs(Seq(z)), v)
+        case EqualTo(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withEqs(Seq(z)), v)
+        case EqualNullSafe(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withEqs(Seq(z)), v)
+        case EqualNullSafe(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withEqs(Seq(z)), v)
+        case GreaterThan(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withLo(z, inclusive = false), v)
+        case GreaterThan(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withHi(z, inclusive = false), v)
+        case GreaterThanOrEqual(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withLo(z, inclusive = true), v)
+        case GreaterThanOrEqual(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withHi(z, inclusive = true), v)
+        case LessThan(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withHi(z, inclusive = false), v)
+        case LessThan(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withLo(z, inclusive = false), v)
+        case LessThanOrEqual(a, v) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withHi(z, inclusive = true), v)
+        case LessThanOrEqual(v, a) if attrName(a).isDefined =>
+          upd(attrName(a).get, (p, z) => p.withLo(z, inclusive = true), v)
+        case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+          attrName(a).flatMap(n => kinds.get(n).map(n -> _)) match {
+            case Some((n, k)) =>
+              val zs = vs.flatMap(v => canonLiteral(k, v.asInstanceOf[Literal]))
+              // a single uncanonical member widens to "no pruning" — the
+              // predicate might match through exactly that member
+              if (zs.size == vs.size)
+                acc.updated(n, acc.getOrElse(n, Probe()).withEqs(zs))
+              else acc
+            case None => acc
+          }
+        case _ => acc
+      }
+    }.filterNot(_._2.isEmpty)
+  }
+
+  /** Can a directory with `zones` possibly satisfy `probes`? Missing
+    * zone entry for a probed column → keep.
+    */
+  def keep(zones: Seq[Zone], probesByCol: Map[String, Probe]): Boolean =
+    probesByCol.forall { case (colName, probe) =>
+      zones.find(_.column.toLowerCase == colName) match {
+        case None => true
+        case Some(z) if z.allNull => false // null rows never satisfy `col op lit`
+        case Some(z) =>
+          val loOk = probe.lo.forall { case (v, incl) =>
+            z.max match {
+              case Some(mx) => zcmp(mx, v).forall(d => d > 0 || (d == 0 && incl))
+              case None => true
+            }
+          }
+          val hiOk = probe.hi.forall { case (v, incl) =>
+            z.min match {
+              case Some(mn) => zcmp(mn, v).forall(d => d < 0 || (d == 0 && incl))
+              case None => true
+            }
+          }
+          // an EMPTY eq set (contradictory conjuncts, e.g. two disjoint INs)
+          // makes the predicate unsatisfiable — pruning every dir is correct
+          val eqOk = probe.eqs.forall(_.exists { v =>
+            val geMin = z.min.forall(mn => zcmp(v, mn).forall(_ >= 0))
+            val leMax = z.max.forall(mx => zcmp(v, mx).forall(_ <= 0))
+            geMin && leMax
+          })
+          loOk && hiOk && eqOk
+      }
+    }
+
+  // ── sidecar codec: one tiny text file per data dir ───────────────────
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def encZ(v: ZV): String = v match {
+    case ZN(n) => "n:" + n.underlying.toPlainString
+    case ZS(s) => "s:" + enc(s)
+  }
+  private def decZ(s: String): ZV =
+    if (s.startsWith("n:")) ZN(BigDecimal(s.drop(2)))
+    else ZS(dec(s.drop(2)))
+
+  /** Render zone entries: `col<TAB>kind<TAB>~` (all-null) or
+    * `col<TAB>kind<TAB>min<TAB>max`. Unbounded zones (NaN-polluted) are
+    * omitted — absence means "no information", which [[keep]] treats as
+    * unprunable.
+    */
+  def render(zones: Seq[Zone]): Array[Byte] =
+    zones.flatMap { z =>
+      if (z.allNull) Some(s"${enc(z.column)}\t${z.kind}\t~")
+      else (z.min, z.max) match {
+        case (Some(mn), Some(mx)) =>
+          Some(s"${enc(z.column)}\t${z.kind}\t${encZ(mn)}\t${encZ(mx)}")
+        case _ => None
+      }
+    }.mkString("\n").getBytes("UTF-8")
+
+  def parse(body: String): Seq[Zone] =
+    body.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val parts = line.split('\t')
+      if (parts.length == 3 && parts(2) == "~")
+        Zone(dec(parts(0)), parts(1), None, None, allNull = true)
+      else
+        Zone(dec(parts(0)), parts(1), Some(decZ(parts(2))),
+          Some(decZ(parts(3))), allNull = false)
+    }
+
+  /** Compute zones for `df` restricted to `cols` — ONE aggregate job,
+    * output one row. Non-zone-mappable columns are silently dropped
+    * (their absence keeps every dir, per the superset contract).
+    */
+  def compute(df: DataFrame, cols: Seq[String]): Seq[Zone] = {
+    val schema = df.schema
+    val usable = cols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(f => kindOf(f.dataType).map(k => (f.name, k)))
+    }
+    if (usable.isEmpty) return Nil
+    val aggs = usable.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    usable.zipWithIndex.map { case ((c, k), i) =>
+      val mn = Option(row.get(2 * i)).flatMap(canonExternal)
+      val mx = Option(row.get(2 * i + 1)).flatMap(canonExternal)
+      val allNull = row.isNullAt(2 * i) && row.isNullAt(2 * i + 1)
+      Zone(c, k, mn, mx, allNull)
+    }
+  }
+}
+
+/** Append-only versioned parquet LOG with per-batch zone maps — the
+  * ingest-side sibling of [[ParquetTableStore]]. The keyed stores serve
+  * point lookups and upserts (hash-bucketed by pk, every bucket spans the
+  * full value range — zone maps cannot prune them); the append log serves
+  * the other half of a CDC/eventing deployment: raw event retention,
+  * time-range scans, and ordered replay. Each [[append]] commits ONE
+  * immutable directory — a micro-batch of ingest covers a narrow slice of
+  * event time, so the per-directory zone on the time column is tight and
+  * [[scanWhere]] prunes a year of 5-minute batches down to the handful a
+  * dashboard window touches, driver-side, before any file is opened.
+  *
+  * Commit protocol mirrors the table store: data staged under a token
+  * dir, renamed immutable, `_current` manifest replaced by atomic rename
+  * (the commit point); the zone sidecar (`_zones/<dir>`) is written
+  * BEFORE the manifest references the dir, so a reader never resolves a
+  * dir whose zones are missing-by-crash (missing zones degrade to
+  * "keep", never to wrong answers). Replaced/orphaned dirs are swept at
+  * the START of the next mutation (one-generation reader retention, same
+  * contract as the table store). Single writer, any number of readers.
+  *
+  * Scale: the manifest is O(#batches) driver-side text — at 10⁶ batches
+  * a deployment shards it by time range (the same evolution Delta's
+  * checkpoint files went through); [[compactRange]] is the bounded-cost
+  * tool that keeps #batches in check by folding adjacent small batches
+  * into one (recomputing their unioned zone), O(selected) work, never a
+  * table rewrite.
+  */
+final class AppendLog(
+    spark: SparkSession,
+    root: String,
+    name: String,
+    schema: StructType,
+    zoneCols: Seq[String] = Nil) {
+
+  require(zoneCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),
+    s"zoneCols ${zoneCols.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))} " +
+      s"are not columns of $name (${schema.fieldNames.mkString(",")})")
+
+  private val tablePath = new Path(root, name.replace('.', '_'))
+  private val dataPath = new Path(tablePath, "data")
+  private val manifestPath = new Path(tablePath, "_current")
+  private val zonesPath = new Path(tablePath, "_zones")
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fs = tablePath.getFileSystem(hadoopConf)
+
+  private def dataCols: Seq[String] = schema.fieldNames.toSeq
+
+  // ── manifest: ordered list of immutable dir names under data/ ─────────
+
+  private def readManifest(): Seq[String] =
+    if (!fs.exists(manifestPath)) Seq.empty
+    else {
+      val in = fs.open(manifestPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally in.close()
+    }
+
+  private def commitManifest(dirs: Seq[String]): Unit =
+    AtomicFiles.write(hadoopConf, manifestPath,
+      ("#appendlog=1" +: dirs).mkString("\n").getBytes("UTF-8"))
+
+  /** Sweep staging leftovers and dirs/zone files no manifest references —
+    * run at the start of every mutation (deferred one generation so lazy
+    * readers of the previous manifest stay evaluable, as in the store).
+    */
+  private def gcUnreferenced(live: Set[String]): Unit = {
+    if (fs.exists(tablePath)) fs.listStatus(tablePath).foreach { st =>
+      if (st.getPath.getName.startsWith(".staging_"))
+        fs.delete(st.getPath, true)
+    }
+    if (fs.exists(dataPath)) fs.listStatus(dataPath).foreach { st =>
+      if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+    if (fs.exists(zonesPath)) fs.listStatus(zonesPath).foreach { st =>
+      if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, false)
+    }
+  }
+
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(dirs.map(d => new Path(dataPath, d).toString): _*)
+
+  /** Write one immutable batch dir + its zone sidecar; returns the dir
+    * name. Rows are sorted within partitions by the zone columns so the
+    * parquet row-group stats inside the batch are tight too (no shuffle —
+    * rides whatever partitioning the batch already has).
+    */
+  private def writeBatchDir(df: DataFrame, seq: Long): String = {
+    val token = System.nanoTime()
+    val staging = new Path(tablePath, s".staging_$token")
+    val dir = s"$seq-$token"
+    val out = df.select(dataCols.map(col): _*)
+    val sorted =
+      if (zoneCols.isEmpty) out
+      else out.sortWithinPartitions(zoneCols.map(col): _*)
+    sorted.write.mode("overwrite").parquet(staging.toString)
+    if (zoneCols.nonEmpty) {
+      // read back the staged files (column-pruned to the zone columns,
+      // O(batch)) so the recorded zone is exactly what was written
+      val zones = ZoneMaps.compute(
+        spark.read.schema(schema).parquet(staging.toString), zoneCols)
+      AtomicFiles.write(hadoopConf, new Path(zonesPath, dir),
+        ZoneMaps.render(zones))
+    }
+    fs.mkdirs(dataPath)
+    require(fs.rename(staging, new Path(dataPath, dir)),
+      s"staging rename failed for batch $dir")
+    dir
+  }
+
+  def exists: Boolean = fs.exists(manifestPath)
+
+  /** Number of committed batches (the replay cursor domain). */
+  def batchCount: Int = readManifest().size
+
+  /** Append one batch; the commit makes it the newest entry of the
+    * ordered log.
+    */
+  def append(df: DataFrame): Unit = {
+    val current = readManifest()
+    gcUnreferenced(current.toSet)
+    val dir = writeBatchDir(df, current.size + 1L)
+    commitManifest(current :+ dir)
+  }
+
+  /** Every committed batch, in append order (a batch-ordering column is
+    * the caller's concern — the log guarantees directory-level order
+    * only, like any queue's per-partition contract).
+    */
+  def scan(): DataFrame = readDirs(readManifest())
+
+  /** Ordered replay from a batch cursor (0-based): the incremental-consumer
+    * read — a downstream that has processed `fromBatch` batches reads only
+    * what arrived since, never rescanning the log.
+    */
+  def scanFrom(fromBatch: Int): DataFrame =
+    readDirs(readManifest().drop(fromBatch))
+
+  /** Zone-prune the current manifest against `pred`: (kept dirs, total).
+    * Driver-side only — reads the tiny sidecars, touches no data file.
+    */
+  def zonePrune(pred: Column): (Seq[String], Int) = {
+    val dirs = readManifest()
+    val kinds: Map[String, String] = zoneCols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(f => ZoneMaps.kindOf(f.dataType).map(f.name.toLowerCase -> _))
+    }.toMap
+    val probesByCol = ZoneMaps.probes(
+      ZoneMaps.resolvedCondition(readDirs(Nil), pred), kinds)
+    if (probesByCol.isEmpty) return (dirs, dirs.size)
+    val kept = dirs.filter { d =>
+      val zp = new Path(zonesPath, d)
+      if (!fs.exists(zp)) true
+      else {
+        val in = fs.open(zp)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        ZoneMaps.keep(ZoneMaps.parse(body), probesByCol)
+      }
+    }
+    (kept, dirs.size)
+  }
+
+  /** Predicate scan with zone pruning: only directories whose zones can
+    * satisfy `pred` are read, and `pred` is applied in full over them
+    * (pruning is a superset filter — correctness never depends on it).
+    */
+  def scanWhere(pred: Column): DataFrame =
+    readDirs(zonePrune(pred)._1).filter(pred)
+
+  /** Current zones as a DataFrame — (batch_dir, column, kind, zmin, zmax,
+    * all_null), for observability and layout-health review (e.g. "are my
+    * batch time ranges overlapping so much that pruning stopped working —
+    * time to compact by range").
+    */
+  def zoneReport(): DataFrame = {
+    val rows = readManifest().flatMap { d =>
+      val zp = new Path(zonesPath, d)
+      if (!fs.exists(zp)) Nil
+      else {
+        val in = fs.open(zp)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        ZoneMaps.parse(body).map { z =>
+          def fmt(v: Option[ZoneMaps.ZV]): String = v match {
+            case Some(ZoneMaps.ZN(n)) => n.underlying.toPlainString
+            case Some(ZoneMaps.ZS(s)) => s
+            case None => null
+          }
+          (d, z.column, z.kind, fmt(z.min), fmt(z.max), z.allNull)
+        }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("batch_dir", "column", "kind", "zmin", "zmax", "all_null")
+  }
+
+  /** Fold the adjacent batches [fromBatch, toBatch) (0-based, end
+    * exclusive) into ONE batch dir with a recomputed (unioned) zone —
+    * the small-files maintenance tool. Cost is O(selected batches);
+    * order of the log is preserved (the folded dir takes the range's
+    * position). A 100 TB deployment runs this over trailing windows
+    * whose batches stopped receiving reads-by-recency, keeping the
+    * manifest short and the zones per surviving dir still tight when
+    * ingest is time-ordered.
+    */
+  def compactRange(fromBatch: Int, toBatch: Int): Unit = {
+    val current = readManifest()
+    require(fromBatch >= 0 && toBatch <= current.size && fromBatch < toBatch,
+      s"compactRange bounds [$fromBatch,$toBatch) out of range for " +
+        s"${current.size} batches")
+    gcUnreferenced(current.toSet)
+    val selected = current.slice(fromBatch, toBatch)
+    val folded = writeBatchDir(readDirs(selected), toBatch.toLong)
+    commitManifest(
+      current.take(fromBatch) ++ Seq(folded) ++ current.drop(toBatch))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AppendLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("kind", StringType),
+    StructField("v", DoubleType)))
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def day(d: Int, n: Int) =
+    (0 until n).map { i =>
+      (d * 100L + i, ts(f"2024-03-$d%02d 10:00:${i % 60}%02d"),
+        if (i % 2 == 0) "click" else "view", d * 1.0 + i)
+    }.toDF("id", "ts", "kind", "v")
+
+  private def newLog(zones: Seq[String] = Seq("ts", "v")) =
+    new AppendLog(spark, tmpDir("alog"), "public.ev", schema, zones)
+
+  test("append + scan round-trips in order, scanFrom replays the tail") {
+    val log = newLog()
+    log.append(day(1, 5))
+    log.append(day(2, 5))
+    log.append(day(3, 5))
+    assert(log.batchCount == 3)
+    assert(log.scan().count() == 15)
+    val tail = log.scanFrom(2)
+    assert(tail.select("id").as[Long].collect().toSet == day(3, 5)
+      .select("id").as[Long].collect().toSet)
+  }
+
+  test("zonePrune keeps only directories whose time range intersects") {
+    val log = newLog()
+    (1 to 9).foreach(d => log.append(day(d, 4)))
+    val pred = col("ts") >= lit(ts("2024-03-03 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-05 00:00:00"))
+    val (kept, total) = log.zonePrune(pred)
+    assert(total == 9)
+    assert(kept.size == 2, s"expected 2 day-dirs kept, got $kept")
+    // result equals the unpruned filter — pruning is a superset filter
+    val expect = log.scan().filter(pred).select("id").as[Long].collect().toSet
+    val got = log.scanWhere(pred).select("id").as[Long].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("numeric, equality and IN probes prune; non-zone conjuncts don't widen wrongly") {
+    val log = newLog()
+    (1 to 6).foreach(d => log.append(day(d, 4)))
+    // v ranges per day-dir: [d, d+3]
+    // v in (4.5,5.5) vs per-dir ranges [d,d+3]: d=1 maxes at 4 (pruned),
+    // d=6 starts at 6 (pruned), d=2..5 intersect
+    val (keptRange, _) = log.zonePrune(col("v") > 4.5 && col("v") < 5.5)
+    assert(keptRange.size == 4)
+    val (keptEq, _) = log.zonePrune(col("v") === lit(2.0))
+    assert(keptEq.size == 2) // d=1 ([1,4]) and d=2 ([2,5])
+    val (keptIn, _) = log.zonePrune(col("v").isin(100.0, 200.0))
+    assert(keptIn.isEmpty)
+    // a conjunct on a non-zone column contributes nothing but doesn't
+    // stop the zone column's conjunct from pruning
+    val (keptMixed, total) = log.zonePrune(
+      col("kind") === "click" && col("v") === lit(2.0))
+    assert(keptMixed.size == 2 && total == 6)
+    // an OR tree is not a conjunct list: no pruning, all dirs kept
+    val (keptOr, _) = log.zonePrune(col("v") === 2.0 || col("v") === 100.0)
+    assert(keptOr.size == 6)
+  }
+
+  test("string zones prune lexicographically; all-null dirs prune under range predicates") {
+    val log = new AppendLog(spark, tmpDir("alog-s"), "public.s", schema,
+      Seq("kind"))
+    log.append(Seq((1L, ts("2024-01-01 00:00:00"), "alpha", 1.0),
+      (2L, ts("2024-01-01 00:00:01"), "beta", 2.0)).toDF("id", "ts", "kind", "v"))
+    log.append(Seq((3L, ts("2024-01-02 00:00:00"), "kappa", 3.0)).toDF("id", "ts", "kind", "v"))
+    log.append(Seq((4L, ts("2024-01-03 00:00:00"), null.asInstanceOf[String], 4.0))
+      .toDF("id", "ts", "kind", "v"))
+    val (kept, total) = log.zonePrune(col("kind") >= "b" && col("kind") < "c")
+    assert(total == 3 && kept.size == 1)
+    assert(log.scanWhere(col("kind") >= "b" && col("kind") < "c")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("compactRange folds adjacent batches, zone recomputed over the union, data preserved") {
+    val log = newLog()
+    (1 to 6).foreach(d => log.append(day(d, 3)))
+    val before = log.scan().select("id").as[Long].collect().toSet
+    log.compactRange(1, 4) // fold days 2,3,4 into one dir
+    assert(log.batchCount == 4)
+    assert(log.scan().select("id").as[Long].collect().toSet == before)
+    // pruning still correct: day-5 query keeps only the day-5 dir
+    val pred = col("ts") >= lit(ts("2024-03-05 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-06 00:00:00"))
+    val (kept, total) = log.zonePrune(pred)
+    assert(total == 4 && kept.size == 1)
+    // and a day-3 query keeps exactly the folded dir
+    val pred3 = col("ts") >= lit(ts("2024-03-03 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-04 00:00:00"))
+    assert(log.zonePrune(pred3)._1.size == 1)
+    assert(log.scanWhere(pred3).count() == 3)
+  }
+
+  test("zoneReport renders ranges; NaN-polluted double zone degrades to keep, never wrong") {
+    val log = newLog(Seq("v"))
+    log.append(Seq((1L, ts("2024-01-01 00:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 00:00:01"), "a", Double.NaN)).toDF("id", "ts", "kind", "v"))
+    log.append(Seq((3L, ts("2024-01-02 00:00:00"), "a", 7.0)).toDF("id", "ts", "kind", "v"))
+    // Spark max() propagates NaN as greater than any double -> the zone
+    // max is NaN, uncanonical -> the dir records no bounded zone and is
+    // always kept
+    val (kept, total) = log.zonePrune(col("v") === 7.0)
+    assert(total == 2 && kept.size == 2)
+    val rep = log.zoneReport().collect()
+    assert(rep.length == 1) // only the bounded dir has a rendered zone
+    assert(rep.head.getString(1) == "v" && rep.head.getString(3) == "7")
+  }
+
+  test("probes extraction: reversed operands, between, contradictory INs") {
+    import graft.sources.ZoneMaps._
+    val xdf = Seq.empty[Int].toDF("x")
+    def ce(c: org.apache.spark.sql.Column) = resolvedCondition(xdf, c)
+    val kinds = Map("x" -> "num")
+    val p1 = probes(ce(lit(5) < col("x")), kinds)("x")
+    assert(p1.lo.exists { case (ZN(v), incl) => v == BigDecimal(5) && !incl case _ => false })
+    val p2 = probes(ce(col("x").between(1, 3)), kinds)("x")
+    assert(p2.lo.exists(_._2) && p2.hi.exists(_._2))
+    val p3 = probes(ce(col("x").isin(1, 2) && col("x").isin(3, 4)), kinds)("x")
+    assert(p3.eqs.exists(_.isEmpty)) // disjoint -> unsatisfiable
+    assert(!keep(Seq(Zone("x", "num", Some(ZN(BigDecimal(0))),
+      Some(ZN(BigDecimal(100))), allNull = false)), Map("x" -> p3)))
+  }
+
+  test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
+    val rootDir = tmpDir("alog-crash")
+    val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
+    log.append(day(1, 3))
+    val base = new org.apache.hadoop.fs.Path(rootDir, "public_c")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash: staging dir + zone sidecar for a never-committed dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".staging_999"))
+    val orphanZone = new org.apache.hadoop.fs.Path(base, "_zones/99-999")
+    AtomicFiles.write(spark.sparkContext.hadoopConfiguration, orphanZone,
+      "v\tnum\tn:0\tn:1".getBytes("UTF-8"))
+    // and a committed dir whose zone file is MISSING (pre-zones writer)
+    val zdir = fs.listStatus(new org.apache.hadoop.fs.Path(base, "_zones"))
+      .map(_.getPath.getName).filterNot(_ == "99-999").head
+    fs.delete(new org.apache.hadoop.fs.Path(base, s"_zones/$zdir"), false)
+    val (kept, total) = log.zonePrune(col("v") === -1.0)
+    assert(total == 1 && kept.size == 1) // missing zone -> keep
+    log.append(day(2, 3)) // mutation sweeps the crash leftovers
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, ".staging_999")))
+    assert(!fs.exists(orphanZone))
+    assert(log.scan().count() == 6)
+  }
+}
