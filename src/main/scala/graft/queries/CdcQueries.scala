@@ -1130,6 +1130,57 @@ object CdcQueries {
             countDistinct(col("user_id")).as("n_users"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── General conditional MERGE INTO over the bucketed store
+    // (MergeInto): the lakehouse statement compiled to the CDC apply
+    // machinery — keyed pre-image read (O(source), bucket-pruned), ONE
+    // classification join, one compacted-batch merge. Clause mix: raise-
+    // only update (t.bal < s.bal), source-flagged delete, conditional
+    // insert of shifted new keys; %4=2 rows are matched but pass no
+    // clause and must stay byte-identical. The per-clause stats are
+    // re-derived and pinned by requires. Oracle: the CASE-reconstructed
+    // final state.
+    "q244_merge_into" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_mi", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val m = col("c_custkey") % 4
+        val source = base.filter(m === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+          .unionByName(base.filter(m === 1)
+            .withColumn("c_mktsegment", lit("DROP")))
+          .unionByName(base.filter(m === 2)
+            .withColumn("c_acctbal", col("c_acctbal") - 100.0))
+          .unionByName(base.filter(m === 3)
+            .withColumn("c_custkey", col("c_custkey") + 400000000L))
+        val stats = graft.operators.MergeInto(store, store.snapshotForKeys(_),
+          source,
+          whenMatchedDelete = Some(col("s.c_mktsegment") === "DROP"),
+          whenMatchedUpdate = Some(graft.operators.MergeInto.Update(
+            col("t.c_acctbal") < col("s.c_acctbal"),
+            Map("c_acctbal" -> col("s.c_acctbal")))),
+          whenNotMatchedInsert = Some(col("s.c_acctbal") > 0))
+        val expect = base.agg(
+          sum(when(m === 1, 1L).otherwise(0L)),
+          sum(when(m === 0, 1L).otherwise(0L)),
+          sum(when(m === 3 && col("c_acctbal") > 0, 1L).otherwise(0L))).head()
+        require(stats.deleted == expect.getLong(0) &&
+          stats.updated == expect.getLong(1) &&
+          stats.inserted == expect.getLong(2),
+          s"merge stats $stats diverge from the source-derived expectation")
+        store.snapshot()
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1144,6 +1195,24 @@ object CdcQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    // q244: the merge's final state reconstructed declaratively — %4=1
+    // deleted, %4=0 repriced +50 (the raise-only clause always fires
+    // there), %4=2 untouched (its lowered source price fails the raise
+    // gate), %4=3 re-inserted at the shifted key when bal > 0.
+    "q244_merge_into" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 4 = 3 AND c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 1""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->
