@@ -1336,6 +1336,30 @@ object PipelineQueries {
           bit_xor(TextFunctions.md5Hash60(concat_ws("|",
             col("event_id"), unix_micros(col("ts")), col("user_id"),
             col("event_type"), col("props")))).as("checksum"))
+    }),
+
+    // ── Provenance funnel (Provenance.funnel): auditable drop attribution
+    // for a 4-stage curation cascade — length gate, language whitelist,
+    // exact prefix-dup rank, decontamination phrase. Attribution is the
+    // FIRST failing stage in declared order (a short zh document counts
+    // as 'len', not 'lang'), so every row lands in exactly one class and
+    // the funnel telescopes: surviving(i) == entering(i+1), total ==
+    // kept + Σ dropped. One projection + one bounded aggregate — no
+    // per-stage rescans. Oracle: the same CASE chain + telescoping
+    // arithmetic in SQL.
+    "q245_provenance_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d = docs.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(substring(col("text"), 1, 32).cast("binary")))
+          .orderBy(col("doc_id"))))
+      graft.operators.Provenance.funnel(d, Seq(
+        graft.operators.Provenance.Stage("len", col("n_chars") >= 60),
+        graft.operators.Provenance.Stage("lang",
+          col("lang").isin("en", "fr", "de", "es")),
+        graft.operators.Provenance.Stage("prefix_dup", col("rn") === 1),
+        graft.operators.Provenance.Stage("decontam",
+          !col("text").contains("customer query"))))
     })
   )
 
@@ -3486,6 +3510,37 @@ object PipelineQueries {
         |  min(us) AS min_us, max(us) AS max_us,
         |  bit_xor(CAST(('0x' || substr(md5(concat_ws('|', event_id, us,
         |    user_id, event_type, props)), 1, 15)) AS BIGINT)) AS checksum
-        |FROM ev GROUP BY event_type""".stripMargin
+        |FROM ev GROUP BY event_type""".stripMargin,
+
+    // q245: the same first-failing-stage attribution in SQL, then the
+    // telescoping funnel derived from the one-hot class counts.
+    "q245_provenance_funnel" ->
+      """WITH d AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(substring(text, 1, 32)) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), attr AS (
+        |  SELECT CASE
+        |    WHEN NOT (n_chars >= 60) THEN 'len'
+        |    WHEN NOT (lang IN ('en','fr','de','es')) THEN 'lang'
+        |    WHEN NOT (rn = 1) THEN 'prefix_dup'
+        |    WHEN NOT (text NOT LIKE '%customer query%') THEN 'decontam'
+        |    ELSE 'kept' END AS d
+        |  FROM d
+        |), c AS (SELECT d AS stage, count(*) AS n FROM attr GROUP BY 1),
+        |s(stage_idx, stage) AS (SELECT * FROM (VALUES
+        |  (0, 'len'), (1, 'lang'), (2, 'prefix_dup'), (3, 'decontam')) v),
+        |t AS (SELECT count(*) AS total FROM attr)
+        |SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx, s.stage,
+        |  CAST(t.total - COALESCE((SELECT sum(c2.n) FROM c c2 JOIN s s2
+        |    ON c2.stage = s2.stage WHERE s2.stage_idx < s.stage_idx), 0)
+        |    AS BIGINT) AS entering,
+        |  CAST(COALESCE((SELECT n FROM c WHERE c.stage = s.stage), 0)
+        |    AS BIGINT) AS dropped,
+        |  CAST(t.total - COALESCE((SELECT sum(c2.n) FROM c c2 JOIN s s2
+        |    ON c2.stage = s2.stage WHERE s2.stage_idx < s.stage_idx), 0)
+        |    - COALESCE((SELECT n FROM c WHERE c.stage = s.stage), 0)
+        |    AS BIGINT) AS surviving
+        |FROM s, t""".stripMargin
   )
 }
