@@ -240,6 +240,35 @@ object RelationalQueries {
         substring(col("name"), 1, 6), maxEditDistance = 2, maxBlockSize = 64)
     }),
 
+    // ── Blocking-QUALITY report (EntityResolution.blockingReport):
+    // evaluate a blocking key BEFORE a linkage campaign spends the match
+    // join — reduction ratio (how much of the all-pairs space the key
+    // eliminates) and pairs completeness (how many true-entity pairs
+    // remain co-blocked). The q235 registry plus a fourth, block-BREAKING
+    // variant family (%11: first character flipped, so its md5-prefix
+    // block diverges) — completeness must come out < 1.0 and the report
+    // quantifies exactly the orphaned pair mass. Three bounded aggregates,
+    // closed-form integer pair counts, never a materialized pair.
+    "q246_blocking_report" -> ((s, dir) => {
+      import graft.operators.EntityResolution
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        md5(col("c_custkey").cast("string")).as("name"))
+      val typo = base.filter(col("id") % 5 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 8), lit("z"),
+          substring(col("name"), 10, 32)).as("name"))
+      val sfx = base.filter(col("id") % 7 === 0).select(
+        (col("id") + 20000000L).as("id"),
+        concat(col("name"), lit("-Co")).as("name"))
+      val pfx = base.filter(col("id") % 11 === 0).select(
+        (col("id") + 30000000L).as("id"),
+        concat(lit("z"), substring(col("name"), 2, 32)).as("name"))
+      val dirty = base.unionByName(typo).unionByName(sfx).unionByName(pfx)
+      EntityResolution.blockingReport(dirty, "id",
+        substring(col("name"), 1, 6), col("id") % 10000000L)
+    }),
+
     // ── INCREMENTAL entity resolution: the q235 registry persisted as a
     // signature table, then an arriving batch assigned against it — the
     // q58/q231 incremental-dedup cadence for entities. Every 3rd customer
@@ -1782,6 +1811,47 @@ object RelationalQueries {
     // q235: the oracle rebuilds the dirty registry, the blocked match, the
     // recursive-CTE closure, and the min-id election — cluster labels,
     // golden names, and member counts must all agree bit-for-bit.
+    // q246: identical dirty registry + the block-breaking %11 family,
+    // re-counted declaratively — all pair masses are the m·(m−1)/2 closed
+    // form over the three grouping grains (block, entity, entity×block).
+    "q246_blocking_report" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |         md5(CAST(c_custkey AS VARCHAR)) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 10000000, substr(name, 1, 8) || 'z' || substr(name, 10)
+        |  FROM base WHERE id % 5 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, name || '-Co' FROM base WHERE id % 7 = 0
+        |  UNION ALL
+        |  SELECT id + 30000000, 'z' || substr(name, 2)
+        |  FROM base WHERE id % 11 = 0),
+        |recs AS (
+        |  SELECT id, substr(name, 1, 6) AS blk, id % 10000000 AS ent
+        |  FROM dirty),
+        |bb AS (SELECT blk, count(*) AS n FROM recs WHERE blk IS NOT NULL GROUP BY 1),
+        |ba AS (SELECT count(*) AS n_blocks, max(n) AS max_block,
+        |         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs FROM bb),
+        |eb AS (SELECT ent, count(*) AS n FROM recs GROUP BY 1),
+        |ea AS (SELECT CAST(sum(n) AS BIGINT) AS n_records,
+        |         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS truth_pairs FROM eb),
+        |cb AS (SELECT ent, blk, count(*) AS n FROM recs
+        |       WHERE blk IS NOT NULL GROUP BY 1, 2),
+        |ca AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS captured_pairs FROM cb)
+        |SELECT n_records, CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(max_block AS BIGINT) AS max_block, candidate_pairs,
+        |  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS all_pairs,
+        |  CAST((n_records * (n_records - 1) // 2 - candidate_pairs) * 1000000
+        |    // greatest(n_records * (n_records - 1) // 2, 1) AS BIGINT)
+        |    AS reduction_ppm,
+        |  truth_pairs, captured_pairs,
+        |  CAST(captured_pairs * 1000000 // greatest(truth_pairs, 1) AS BIGINT)
+        |    AS completeness_ppm
+        |FROM ea, ba, ca""".stripMargin,
+
     "q235_entity_resolution" ->
       """WITH RECURSIVE base AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS id,
