@@ -709,6 +709,85 @@ object StreamingQueries {
     * whole index buckets — invariant to how the delta splits into batches
     * (`minhashPairsAgainstIndex`'s cap note).
     */
+  /** Streaming ingest into the zone-mapped APPEND LOG
+    * ([[graft.sources.AppendLog]]) — the deployment loop the log exists
+    * for: each micro-batch of a time-ordered event stream commits as ONE
+    * immutable directory whose `ts` zone is recorded before the manifest
+    * flip, so the log is range-queryable the moment a batch lands. Three
+    * 10-day arrival waves; after ingest the requires pin the two scale
+    * behaviors at the DIRECTORY level: a 3-day window resolves against
+    * the zone manifest to 1 of 3 dirs (driver-side, no footer reads),
+    * and a "drop before Jan 5" retention sweep rewrites ONLY the wave-1
+    * dir — the wave-2/3 dirs keep their on-disk identity (no rewrite
+    * amplification). Oracle: the post-retention state declared over the
+    * raw table; ingest batching, zones, and the sweep must be invisible
+    * to it.
+    */
+  private def streamZoneIngest(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+      import org.apache.spark.sql.types.StructType
+      val schema = StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      val in = Files.createTempDirectory("graft_q247_in")
+      val logRoot = Files.createTempDirectory("graft_q247_log")
+      val ckpt = Files.createTempDirectory("graft_q247_ckpt")
+      try {
+        def d(s: String) = lit(java.sql.Timestamp.valueOf(s))
+        // the wire format carries epoch MICROS, not a rendered timestamp:
+        // the json codec's default NTZ render truncates to millis (and a
+        // format-string mismatch nulls the column silently) — an integer
+        // survives any codec bit-for-bit, and the batch rebuilds the
+        // typed column on arrival
+        val wire = ev.withColumn("us", unix_micros(col("ts"))).drop("ts")
+        val t0 = System.currentTimeMillis() - 120000
+        dumpArrivalFile(wire.filter(col("us") < unix_micros(d("2024-01-11 00:00:00"))),
+          in, "a0.json", t0)
+        dumpArrivalFile(wire.filter(col("us") >= unix_micros(d("2024-01-11 00:00:00")) &&
+          col("us") < unix_micros(d("2024-01-21 00:00:00"))), in, "a1.json", t0 + 60000)
+        dumpArrivalFile(wire.filter(col("us") >= unix_micros(d("2024-01-21 00:00:00"))),
+          in, "a2.json", t0 + 120000)
+        val log = new graft.sources.AppendLog(spark, logRoot.toString,
+          "public.events_ingest", schema, zoneCols = Seq("ts"))
+        val stream = spark.readStream
+          .schema(StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, us BIGINT"))
+          .option("maxFilesPerTrigger", 1)
+          .json(in.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            log.append(b.withColumn("ts", timestamp_micros(col("us"))))
+          }
+          .start()
+        try q.processAllAvailable()
+        finally { try q.stop() catch { case _: Exception => () } }
+        require(log.batchCount == 3,
+          s"expected 3 ingest dirs, got ${log.batchCount}")
+        // dir-level range pruning: the 3-day window lives inside wave 2
+        val window = col("ts") >= d("2024-01-12 00:00:00") &&
+          col("ts") < d("2024-01-15 00:00:00")
+        val (kept, total) = log.zonePrune(window)
+        require(total == 3 && kept.size == 1,
+          s"zone prune must keep exactly the wave-2 dir: $kept of $total")
+        // retention: only the wave-1 dir may be rewritten
+        val dirsBefore = log.zonePrune(lit(true))._1
+        val removed = log.deleteWhere(col("ts") < d("2024-01-05 00:00:00"))
+        require(removed > 0, "the retention sweep must remove wave-1 rows")
+        val dirsAfter = log.zonePrune(lit(true))._1
+        require(dirsAfter.drop(1) == dirsBefore.drop(1),
+          "retention must not rewrite untouched wave dirs")
+        log.scan()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+            min(unix_micros(col("ts"))).as("min_us"))
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally cleanup(in, logRoot, ckpt)
+    }
+
   private def streamDedupAgainstIndex(spark: SparkSession, dir: String): DataFrame =
     withStreamingShuffle(spark, 8) {
       val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -890,6 +969,7 @@ object StreamingQueries {
     "q241_stream_entity_assign" -> ((s, dir) => streamEntityAssign(s, dir)),
     "q236_stream_quantile_profile" -> ((s, dir) => streamQuantileProfile(s, dir)),
     "q231_stream_dedup_index" -> ((s, dir) => streamDedupAgainstIndex(s, dir)),
+    "q247_stream_zone_ingest" -> ((s, dir) => streamZoneIngest(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
@@ -942,6 +1022,15 @@ object StreamingQueries {
     // streamed emission set exactly the one-shot batch run's — the q58
     // oracle (see streamDedupAgainstIndex's scaladoc).
     "q231_stream_dedup_index" -> PipelineQueries.oracles("q58_dedup_incremental"),
+    // q247: post-retention log state — the micro-batch split, per-dir
+    // zones, and the dir-granular sweep must all be invisible here.
+    "q247_stream_zone_ingest" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(epoch_ns(ts) // 1000) AS min_us
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // q236: exact profile mergeability + effectively-once folding mean the
     // maintained store answers EXACTLY like a one-shot scan — the oracle
     // is the full-table computation and never sees the split or stream.

@@ -545,6 +545,44 @@ final class AppendLog(
     rows.toDF("batch_dir", "column", "kind", "zmin", "zmax", "all_null")
   }
 
+  /** Predicate delete over the log — retention sweeps and erasure on the
+    * EVENT side (the keyed stores' [[ParquetTableStore.deleteWhere]] twin
+    * for data without a primary key). Zone pruning makes the cost
+    * proportional to the directories the predicate can TOUCH, not to the
+    * log: a "drop everything before March" sweep over a year of batches
+    * rewrites the January/February dirs and never opens the rest. Per
+    * touched dir: one counting probe (predicate pushed into the scan),
+    * and a rewrite only when it actually holds matches; dirs emptied by
+    * the delete leave the manifest. Batch order and dir granularity are
+    * preserved (each surviving dir is rewritten in place in the ordered
+    * list — consumers' [[scanFrom]] cursors keep their meaning). NULL
+    * predicate rows are KEPT (SQL DELETE semantics). Returns rows
+    * removed. Commit is one atomic manifest flip after all rewrites.
+    */
+  def deleteWhere(pred: Column): Long = {
+    val current = readManifest()
+    gcUnreferenced(current.toSet)
+    val (candidates, _) = zonePrune(pred)
+    val candidateSet = candidates.toSet
+    val p = coalesce(pred, lit(false))
+    var removed = 0L
+    val next = current.zipWithIndex.flatMap { case (d, i) =>
+      if (!candidateSet(d)) Some(d)
+      else {
+        val counts = readDirs(Seq(d))
+          .agg(sum(when(p, 1L).otherwise(0L)), count(lit(1))).head()
+        val hit = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+        val total = counts.getLong(1)
+        removed += hit
+        if (hit == 0L) Some(d) // zone said "maybe", data said no — keep as-is
+        else if (hit == total) None // emptied: leaves the manifest
+        else Some(writeBatchDir(readDirs(Seq(d)).filter(!p), i + 1L))
+      }
+    }
+    if (removed > 0L) commitManifest(next)
+    removed
+  }
+
   /** Fold the adjacent batches [fromBatch, toBatch) (0-based, end
     * exclusive) into ONE batch dir with a recomputed (unioned) zone —
     * the small-files maintenance tool. Cost is O(selected batches);

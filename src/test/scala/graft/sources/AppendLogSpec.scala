@@ -135,6 +135,36 @@ class AppendLogSpec extends SparkTestBase {
       Some(ZN(BigDecimal(100))), allNull = false)), Map("x" -> p3)))
   }
 
+  test("deleteWhere rewrites only zone-touched dirs, preserves order, keeps NULL rows") {
+    val log = newLog()
+    (1 to 6).foreach(d => log.append(day(d, 4)))
+    val dirsBefore = log.zonePrune(lit(true))._1 // no probe -> all dirs
+    // retention sweep: drop everything before day 3
+    val pred = col("ts") < lit(ts("2024-03-03 00:00:00"))
+    val removed = log.deleteWhere(pred)
+    assert(removed == 8) // days 1,2 fully matched
+    assert(log.batchCount == 4) // their dirs emptied out of the manifest
+    val dirsAfter = log.zonePrune(lit(true))._1
+    // untouched dirs keep their identity (no rewrite amplification)
+    assert(dirsAfter.forall(dirsBefore.contains))
+    assert(log.scan().count() == 16)
+    // partial delete: day-3 "view" rows only; day-3 dir rewritten in place
+    val removed2 = log.deleteWhere(
+      col("ts") < lit(ts("2024-03-04 00:00:00")) && col("kind") === "view")
+    assert(removed2 == 2)
+    assert(log.batchCount == 4)
+    val d3 = log.scanWhere(col("ts") >= lit(ts("2024-03-03 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-04 00:00:00")))
+    assert(d3.count() == 2 &&
+      d3.select("kind").as[String].collect().forall(_ == "click"))
+    // NULL predicate rows are kept: a null-kind row survives a kind sweep
+    log.append(Seq((999L, ts("2024-03-09 00:00:00"),
+      null.asInstanceOf[String], 0.0)).toDF("id", "ts", "kind", "v"))
+    val removed3 = log.deleteWhere(col("kind") === "view")
+    assert(removed3 == 6) // 2 view rows in each of days 4,5,6; day 3's are gone
+    assert(log.scan().filter(col("id") === 999L).count() == 1)
+  }
+
   test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
     val rootDir = tmpDir("alog-crash")
     val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
