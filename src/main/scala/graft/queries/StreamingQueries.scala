@@ -788,6 +788,98 @@ object StreamingQueries {
       } finally cleanup(in, logRoot, ckpt)
     }
 
+  /** Streaming DATA-CONTRACT enforcement: [[graft.operators.Quality]]'s
+    * profile→suggest→enforce loop run live — the contract is DERIVED from
+    * a clean history slice (`suggestRules` over pre-Jan-15 events: the
+    * event-type value set, the observed value range, non-null user),
+    * then every arriving micro-batch is routed through `quarantine`
+    * against it: passing rows land in the MAIN zone-mapped append log,
+    * violating rows in the QUARANTINE log with their sorted violation
+    * list — nothing is dropped, nothing dirty reaches the main table,
+    * and the split reconciles exactly (the oracle re-derives every
+    * verdict class declaratively, bounds included via subqueries against
+    * the same history slice). Arrivals carry injected violations (%97 a
+    * bogus event type, %101 a value spike) PLUS whatever naturally
+    * exceeds the historical range — both classes must land in
+    * quarantine deterministically. Per-batch cost: one codegen'd flag
+    * projection + two O(batch) appends.
+    */
+  private def streamContract(spark: SparkSession, dir: String): DataFrame =
+    withStreamingShuffle(spark, 8) {
+      import graft.operators.Quality
+      import org.apache.spark.sql.types.StructType
+      val schema = StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE")
+      val qschema = StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE, verdict STRING")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      def d(s: String) = lit(java.sql.Timestamp.valueOf(s))
+      val cut = d("2024-01-15 00:00:00")
+      val train = ev.filter(col("ts") < cut)
+      val all = Quality.suggestRules(train,
+        Seq("event_id", "user_id", "event_type", "value"))
+      val wanted = Set("in_set(event_type)", "in_range(value)",
+        "not_null(user_id)")
+      val rules = all.map(_.rule).filter(r => wanted(r.name))
+      require(rules.size == 3,
+        s"expected the 3 reviewed contract rules, suggested: " +
+          all.map(_.rule.name).mkString(","))
+      val in = Files.createTempDirectory("graft_q248_in")
+      val logRoot = Files.createTempDirectory("graft_q248_log")
+      val ckpt = Files.createTempDirectory("graft_q248_ckpt")
+      try {
+        // arrivals with injected violations, shipped as epoch micros
+        val wire = ev.filter(col("ts") >= cut)
+          .withColumn("event_type", when(col("event_id") % 97 === 0,
+            lit("bogus")).otherwise(col("event_type")))
+          .withColumn("value", when(col("event_id") % 101 === 0,
+            col("value") + 10000.0).otherwise(col("value")))
+          .withColumn("us", unix_micros(col("ts"))).drop("ts")
+        val t0 = System.currentTimeMillis() - 120000
+        dumpArrivalFile(wire.filter(col("us") < unix_micros(d("2024-01-20 00:00:00"))),
+          in, "a0.json", t0)
+        dumpArrivalFile(wire.filter(col("us") >= unix_micros(d("2024-01-20 00:00:00")) &&
+          col("us") < unix_micros(d("2024-01-25 00:00:00"))), in, "a1.json", t0 + 60000)
+        dumpArrivalFile(wire.filter(col("us") >= unix_micros(d("2024-01-25 00:00:00"))),
+          in, "a2.json", t0 + 120000)
+        val mainLog = new graft.sources.AppendLog(spark, logRoot.toString,
+          "public.events_main", schema, zoneCols = Seq("ts"))
+        val qLog = new graft.sources.AppendLog(spark, logRoot.toString,
+          "public.events_quarantine", qschema)
+        val stream = spark.readStream
+          .schema(StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, us BIGINT"))
+          .option("maxFilesPerTrigger", 1)
+          .json(in.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val typed = b.withColumn("ts", timestamp_micros(col("us")))
+            val routed = Quality.quarantine(typed, rules)
+              .localCheckpoint() // both splits read it; avoid double flagging
+            mainLog.append(routed.filter(col("pass")))
+            qLog.append(routed.filter(!col("pass"))
+              .withColumn("verdict", concat_ws(",", col("violated"))))
+          }
+          .start()
+        try q.processAllAvailable()
+        finally { try q.stop() catch { case _: Exception => () } }
+        require(mainLog.batchCount == 3 && qLog.batchCount == 3,
+          s"expected 3 routed batches per log, got ${mainLog.batchCount}/${qLog.batchCount}")
+        val qn = qLog.scan().count()
+        require(qn > 0, "the injected violations must reach quarantine")
+        mainLog.scan().withColumn("verdict", lit("pass"))
+          .select("verdict", "value")
+          .unionByName(qLog.scan().select("verdict", "value"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .localCheckpoint() // eager: detached before the finally sweeps
+      } finally cleanup(in, logRoot, ckpt)
+    }
+
   private def streamDedupAgainstIndex(spark: SparkSession, dir: String): DataFrame =
     withStreamingShuffle(spark, 8) {
       val d = spark.read.parquet(s"$dir/documents.parquet")
@@ -970,6 +1062,7 @@ object StreamingQueries {
     "q236_stream_quantile_profile" -> ((s, dir) => streamQuantileProfile(s, dir)),
     "q231_stream_dedup_index" -> ((s, dir) => streamDedupAgainstIndex(s, dir)),
     "q247_stream_zone_ingest" -> ((s, dir) => streamZoneIngest(s, dir)),
+    "q248_stream_contract" -> ((s, dir) => streamContract(s, dir)),
     "q49_stream_dedup" -> ((s, dir) => streamDedup(s, dir)),
     "q71_stream_join" -> ((s, dir) => streamIntervalJoin(s, dir)),
     "q72_stream_stateful" -> ((s, dir) => streamStateful(s, dir)),
@@ -1031,6 +1124,36 @@ object StreamingQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |GROUP BY 1""".stripMargin,
+    // q248: every verdict class re-derived declaratively — the contract
+    // bounds come from the SAME history slice via subqueries, the
+    // violation list is the sorted non-null flag set (list_sort matches
+    // Spark's sort_array lexicographic order on these ASCII names), and
+    // the injected mutations are restated inline.
+    "q248_stream_contract" ->
+      """WITH train AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM train),
+        |arr AS (
+        |  SELECT
+        |    CASE WHEN event_id % 97 = 0 THEN 'bogus' ELSE event_type END AS et,
+        |    CASE WHEN event_id % 101 = 0 THEN value + 10000 ELSE value END AS v,
+        |    user_id
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        |fl AS (
+        |  SELECT v, list_sort(list_filter([
+        |      CASE WHEN v IS NOT NULL AND (v < (SELECT lo FROM b)
+        |        OR v > (SELECT hi FROM b)) THEN 'in_range(value)' END,
+        |      CASE WHEN et IS NOT NULL AND et NOT IN
+        |        ('click','error','purchase','signup','view')
+        |        THEN 'in_set(event_type)' END,
+        |      CASE WHEN user_id IS NULL THEN 'not_null(user_id)' END
+        |    ], x -> x IS NOT NULL)) AS viol
+        |  FROM arr)
+        |SELECT CASE WHEN len(viol) = 0 THEN 'pass'
+        |  ELSE array_to_string(viol, ',') END AS verdict,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM fl GROUP BY 1""".stripMargin,
     // q236: exact profile mergeability + effectively-once folding mean the
     // maintained store answers EXACTLY like a one-shot scan — the oracle
     // is the full-table computation and never sees the split or stream.
