@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.sources.{AppendLog, ParquetTableStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension TYPE 2 maintenance — versioned dimension
+  * rows with validity intervals, maintained incrementally from change
+  * batches. The classic warehouse layout splits naturally onto this
+  * engine's two store families, and the split IS the scale design:
+  *
+  *  - the CURRENT version of every entity lives in a keyed
+  *    [[ParquetTableStore]] (pk = the business key): point lookups and
+  *    the change-batch pre-image read are bucket-pruned O(batch);
+  *  - CLOSED versions are immutable facts and land in a zone-mapped
+  *    [[AppendLog]] (zones on `valid_to_us`): history grows append-only,
+  *    one directory per change wave, and "as-of T" / audit scans prune
+  *    to the directories whose closing window covers T — never a
+  *    rewrite, never a full-history scan.
+  *
+  * Per [[apply]] batch (eff timestamp `effUs`, caller-supplied so replays
+  * are deterministic):
+  *
+  *  1. key-unique guard on the batch (same precondition as
+  *     [[MergeInto]] — two images for one key make the result
+  *     order-dependent);
+  *  2. keyed pre-image of the touched business keys;
+  *  3. classify: CHANGED (any attribute differs, null-safe) → the prior
+  *     current row closes at `effUs` into the history log and the new
+  *     image becomes current with `valid_from_us = effUs`; IDENTICAL →
+  *     no-op (no spurious version — the guard that keeps a chatty
+  *     upstream from exploding the dimension); NEW key → first current
+  *     version; DELETE (separate key frame) → prior row closes into
+  *     history with no successor;
+  *  4. one [[CompactedBatch]] merge applies current-side effects.
+  *
+  * The full SCD2 view is `history.scan() ∪ current.snapshot()` (open
+  * rows carry `valid_to_us` NULL); "as of T" =
+  * `history.scanWhere(valid_from_us <= T < valid_to_us)` ∪ current rows
+  * with `valid_from_us <= T` — the first term rides the zone prune.
+  *
+  * The current store's schema must be business key + attributes +
+  * `valid_from_us BIGINT`; the history log's schema adds
+  * `valid_to_us BIGINT`.
+  */
+object Scd2 {
+
+  final case class Stats(changed: Long, unchanged: Long, created: Long,
+      deleted: Long)
+
+  val ValidFrom = "valid_from_us"
+  val ValidTo = "valid_to_us"
+
+  /** Apply one change wave at `effUs`. `changes` carries the FULL new
+    * image per business key (key + every attribute column); `deletes`
+    * carries business keys only.
+    */
+  def apply(
+      current: ParquetTableStore,
+      history: AppendLog,
+      changes: DataFrame,
+      deletes: DataFrame,
+      effUs: Long): Stats = {
+    val spec = current.spec
+    val nk = spec.pkCols
+    val attrs = spec.dataCols.filterNot(c => nk.contains(c) || c == ValidFrom)
+    require(spec.dataCols.contains(ValidFrom),
+      s"current store ${spec.name} must carry a $ValidFrom column")
+    require(attrs.forall(c => changes.columns.exists(_.equalsIgnoreCase(c))),
+      s"SCD2 change batch must carry every attribute of ${spec.name}; " +
+        s"missing: ${attrs.filterNot(c => changes.columns.exists(_.equalsIgnoreCase(c))).mkString(",")}")
+
+    val src = changes.select((nk ++ attrs).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val del = deletes.select(nk.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dups = src.groupBy(nk.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0L, s"SCD2 change batch has duplicate business keys " +
+        s"on (${nk.mkString(",")}) — one image per key per wave")
+      val overlap = src.join(del, nk, "left_semi").limit(1).count()
+      require(overlap == 0L,
+        "a key cannot be both changed and deleted in one SCD2 wave")
+
+      val touched = src.select(nk.map(col): _*).unionByName(del)
+      val pre = current.snapshotForKeys(touched)
+        .withColumn("_scd_m", lit(1))
+      val joinCond = nk.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
+      val classified = src.alias("s")
+        .join(pre.alias("t"), joinCond, "left")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val matched = col("t._scd_m").isNotNull
+        val differs = attrs.map(c => !(col(s"s.$c") <=> col(s"t.$c")))
+          .reduce(_ || _)
+        val changedC = matched && differs
+        val newC = !matched
+
+        // deletes close their current row with no successor
+        val deletedPre = pre.join(del, nk, "left_semi")
+
+        val stats = {
+          val r = classified.agg(
+            sum(when(changedC, 1L).otherwise(0L)),
+            sum(when(matched && !differs, 1L).otherwise(0L)),
+            sum(when(newC, 1L).otherwise(0L))).head()
+          def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+          Stats(g(0), g(1), g(2), deletedPre.count())
+        }
+
+        // history: prior images of changed keys + deleted keys, closed now
+        val closing = classified.filter(changedC)
+          .select((nk ++ attrs :+ ValidFrom).map(c => col(s"t.$c").as(c)): _*)
+          .unionByName(deletedPre.select((nk ++ attrs :+ ValidFrom).map(col): _*))
+          .withColumn(ValidTo, lit(effUs))
+        // an all-no-op wave commits nothing — no empty history dirs
+        if (stats.changed + stats.deleted > 0L) history.append(closing)
+
+        // current: new versions for changed keys, first versions for new
+        // keys, removal of deleted keys
+        val upserts = classified.filter(changedC || newC)
+          .select((nk ++ attrs).map(c => col(s"s.$c").as(c)): _*)
+          .withColumn(ValidFrom, lit(effUs))
+        current.merge(CompactedBatch(deletes = del, upserts = upserts))
+        stats
+      } finally classified.unpersist(blocking = false)
+    } finally { src.unpersist(blocking = false); del.unpersist(blocking = false) }
+  }
+
+  /** The full versioned view: every closed interval plus the open
+    * current rows (`valid_to_us` NULL).
+    */
+  def fullView(current: ParquetTableStore, history: AppendLog): DataFrame = {
+    val cur = current.snapshot()
+      .withColumn(ValidTo, lit(null).cast("bigint"))
+    history.scan().unionByName(cur)
+  }
+
+  /** Dimension as of `tUs`: closed intervals covering `tUs` (the scan
+    * rides the history log's zone prune on `valid_to_us`) plus current
+    * rows already valid then.
+    */
+  def asOf(current: ParquetTableStore, history: AppendLog, tUs: Long): DataFrame = {
+    val closedAt = history
+      .scanWhere(col(ValidTo) > tUs)
+      .filter(col(ValidFrom) <= tUs)
+    val openAt = current.snapshot().filter(col(ValidFrom) <= tUs)
+      .withColumn(ValidTo, lit(null).cast("bigint"))
+    closedAt.unionByName(openAt)
+  }
+}

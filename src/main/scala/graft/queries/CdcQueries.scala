@@ -1181,6 +1181,70 @@ object CdcQueries {
               .cast("double").as("sum_bal"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── SCD TYPE-2 dimension maintenance (Scd2): current versions in the
+    // keyed store (bucket-pruned pre-image reads), closed versions in the
+    // zone-mapped append log (one immutable dir per change wave, zones on
+    // valid_to_us so as-of reads prune history driver-side). Three waves:
+    // reprice (%3) with no-op copies (%7 — identical images must create
+    // NO version), re-segment (%5, overlapping %15 keys close their
+    // second version), delete (%11, closes with no successor). Per-wave
+    // stats pinned against source-derived expectations. Oracle: the full
+    // interval set reconstructed declaratively.
+    "q249_scd2_dimension" -> ((s, dir) => {
+      import graft.operators.Scd2
+      val curSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("valid_from_us", LongType)))
+      val histSchema = StructType(curSchema.fields :+
+        StructField("valid_to_us", LongType))
+      val rootDir = tempRoot()
+      try {
+        val cur = new ParquetTableStore(s, rootDir,
+          TableSpec("public.dim_cust", curSchema, Seq("c_custkey")), 16)
+        val hist = new graft.sources.AppendLog(s, rootDir,
+          "public.dim_cust_hist", histSchema, zoneCols = Seq("valid_to_us"))
+        val base = s.read.parquet(s"$dir/customer.parquet").select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+        val k = col("c_custkey")
+        cur.init(base.withColumn("valid_from_us", lit(1000000L)))
+        val noDel = base.limit(0).select("c_custkey")
+        val st1 = Scd2(cur, hist,
+          base.filter(k % 3 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+            .unionByName(base.filter(k % 7 === 0 && k % 3 =!= 0)),
+          noDel, effUs = 2000000L)
+        val st2 = Scd2(cur, hist,
+          base.filter(k % 5 === 0)
+            .withColumn("c_acctbal", when(k % 3 === 0,
+              col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+            .withColumn("c_mktsegment", lit("SCD2")),
+          noDel, effUs = 3000000L)
+        val st3 = Scd2(cur, hist, base.limit(0),
+          base.filter(k % 11 === 0).select("c_custkey"), effUs = 4000000L)
+        val exp = base.agg(
+          sum(when(k % 3 === 0, 1L).otherwise(0L)),
+          sum(when(k % 7 === 0 && k % 3 =!= 0, 1L).otherwise(0L)),
+          sum(when(k % 5 === 0, 1L).otherwise(0L)),
+          sum(when(k % 11 === 0, 1L).otherwise(0L))).head()
+        require(st1.changed == exp.getLong(0) && st1.unchanged == exp.getLong(1) &&
+          st2.changed == exp.getLong(2) && st3.deleted == exp.getLong(3) &&
+          st1.created == 0 && st2.unchanged == 0,
+          s"SCD2 wave stats diverge: $st1 $st2 $st3")
+        Scd2.fullView(cur, hist)
+          .groupBy(col("valid_from_us"),
+            coalesce(col("valid_to_us"), lit(-1L)).as("valid_to_key"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"),
+            sum(when(col("c_mktsegment") === "SCD2", 1L).otherwise(0L))
+              .as("n_scd2"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1213,6 +1277,35 @@ object CdcQueries {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q249: every SCD2 interval reconstructed declaratively — v0 closes at
+    // the first wave that really changes the key (reprice beats re-segment
+    // beats delete), the repriced version closes at re-segment or delete,
+    // the SCD2 version at delete; %7 no-op images never version.
+    "q249_scd2_dimension" ->
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |    c_acctbal AS bal FROM customer),
+        |v AS (
+        |  SELECT k, seg, bal, CAST(1000000 AS BIGINT) AS vf,
+        |    CASE WHEN k % 3 = 0 THEN 2000000 WHEN k % 5 = 0 THEN 3000000
+        |         WHEN k % 11 = 0 THEN 4000000 END AS vt
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k, seg, bal + 100, 2000000,
+        |    CASE WHEN k % 5 = 0 THEN 3000000 WHEN k % 11 = 0 THEN 4000000 END
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'SCD2', CASE WHEN k % 3 = 0 THEN bal + 100 ELSE bal END,
+        |    3000000, CASE WHEN k % 11 = 0 THEN 4000000 END
+        |  FROM c WHERE k % 5 = 0)
+        |SELECT vf AS valid_from_us,
+        |  CAST(COALESCE(vt, -1) AS BIGINT) AS valid_to_key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  CAST(sum(CASE WHEN seg = 'SCD2' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scd2
+        |FROM v GROUP BY 1, 2""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

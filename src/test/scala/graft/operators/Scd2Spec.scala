@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.model.TableSpec
+import graft.sources.{AppendLog, ParquetTableStore}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class Scd2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val curSchema = StructType(Seq(
+    StructField("nk", LongType), StructField("seg", StringType),
+    StructField("bal", DoubleType), StructField("valid_from_us", LongType)))
+  private val histSchema = StructType(curSchema.fields :+
+    StructField("valid_to_us", LongType))
+
+  private def build() = {
+    val root = tmpDir("scd2")
+    val cur = new ParquetTableStore(spark, root,
+      TableSpec("public.dim", curSchema, Seq("nk")), 8)
+    val hist = new AppendLog(spark, root, "public.dim_hist", histSchema,
+      zoneCols = Seq("valid_to_us"))
+    cur.init(Seq((1L, "A", 100.0, 10L), (2L, "B", 200.0, 10L),
+      (3L, "A", 300.0, 10L)).toDF("nk", "seg", "bal", "valid_from_us"))
+    (cur, hist)
+  }
+
+  private def emptyDel = Seq.empty[Long].toDF("nk")
+
+  test("change closes the prior version, no-op creates none, new key starts open") {
+    val (cur, hist) = build()
+    val wave = Seq(
+      (1L, "A", 150.0),  // changed: bal moves
+      (2L, "B", 200.0),  // identical image -> no version
+      (9L, "C", 900.0))  // new key
+      .toDF("nk", "seg", "bal")
+    val st = Scd2(cur, hist, wave, emptyDel, effUs = 20L)
+    assert(st == Scd2.Stats(changed = 1, unchanged = 1, created = 1, deleted = 0))
+    val full = Scd2.fullView(cur, hist)
+      .select("nk", "bal", "valid_from_us", "valid_to_us")
+      .as[(Long, Double, Long, Option[Long])].collect().toSet
+    assert(full == Set(
+      (1L, 100.0, 10L, Some(20L)), (1L, 150.0, 20L, None),
+      (2L, 200.0, 10L, None), (3L, 300.0, 10L, None),
+      (9L, 900.0, 20L, None)))
+  }
+
+  test("delete closes with no successor; asOf reconstructs each instant") {
+    val (cur, hist) = build()
+    Scd2(cur, hist, Seq((1L, "A", 150.0)).toDF("nk", "seg", "bal"),
+      emptyDel, effUs = 20L)
+    Scd2(cur, hist, Seq((1L, "Z", 160.0)).toDF("nk", "seg", "bal"),
+      Seq(3L).toDF("nk"), effUs = 30L)
+    def at(t: Long): Map[Long, Double] =
+      Scd2.asOf(cur, hist, t).select("nk", "bal")
+        .as[(Long, Double)].collect().toMap
+    assert(at(15L) == Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0))
+    assert(at(25L) == Map(1L -> 150.0, 2L -> 200.0, 3L -> 300.0))
+    assert(at(35L) == Map(1L -> 160.0, 2L -> 200.0)) // 3 deleted at 30
+    // history zones: as-of 15 prunes to the dirs whose close window covers it
+    val (kept, total) = hist.zonePrune(col("valid_to_us") > 15L)
+    assert(total == 2 && kept.size == 2) // both close waves are after 15
+    val (kept2, _) = hist.zonePrune(col("valid_to_us") > 25L)
+    assert(kept2.size == 1) // only the t=30 wave can cover 25
+  }
+
+  test("a key cannot be changed and deleted in the same wave; duplicate images refused") {
+    val (cur, hist) = build()
+    intercept[IllegalArgumentException] {
+      Scd2(cur, hist, Seq((1L, "A", 1.0)).toDF("nk", "seg", "bal"),
+        Seq(1L).toDF("nk"), effUs = 20L)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2(cur, hist, Seq((1L, "A", 1.0), (1L, "A", 2.0)).toDF("nk", "seg", "bal"),
+        emptyDel, effUs = 20L)
+    }
+    // nothing applied
+    assert(Scd2.fullView(cur, hist).count() == 3)
+  }
+
+  test("null-safe attribute compare: null -> value and value -> null are changes, null -> null is not") {
+    val (cur, hist) = build()
+    Scd2(cur, hist, Seq((1L, null.asInstanceOf[String], 100.0)).toDF("nk", "seg", "bal"),
+      emptyDel, effUs = 20L) // A -> null: change
+    val st = Scd2(cur, hist,
+      Seq((1L, null.asInstanceOf[String], 100.0)).toDF("nk", "seg", "bal"),
+      emptyDel, effUs = 30L) // null -> null: no-op
+    assert(st == Scd2.Stats(0, 1, 0, 0))
+    assert(hist.batchCount == 1)
+  }
+}
