@@ -240,6 +240,26 @@ object RelationalQueries {
         substring(col("name"), 1, 6), maxEditDistance = 2, maxBlockSize = 64)
     }),
 
+    // ── Column-level LINEAGE (plans/Lineage): which base-table columns
+    // each output of a query derives from, extracted by ExprId walk of
+    // the ANALYZED Catalyst plan — zero data touched, O(plan). The probe
+    // query is a 3-table star rollup with an expression measure; the
+    // derived edges (revenue ← price AND discount; filter columns gate
+    // rows, they are not data sources) are pinned by the oracle as the
+    // declared expectation — schema-only, so identical at every sf.
+    "q250_column_lineage" -> ((s, dir) => {
+      val q = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("c_mktsegment").as("segment"),
+          year(col("o_orderdate")).as("order_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          max(col("l_quantity")).as("max_qty"))
+      graft.plans.Lineage.render(s, q)
+    }),
+
     // ── Blocking-QUALITY report (EntityResolution.blockingReport):
     // evaluate a blocking key BEFORE a linkage campaign spends the match
     // join — reduction ratio (how much of the all-pairs space the key
@@ -1811,6 +1831,18 @@ object RelationalQueries {
     // q235: the oracle rebuilds the dirty registry, the blocked match, the
     // recursive-CTE closure, and the min-id election — cluster labels,
     // golden names, and member counts must all agree bit-for-bit.
+    // q250: the declared lineage expectation — the oracle IS the contract
+    // the plan walk must reproduce (values-only; lineage is schema-level,
+    // no table data participates).
+    "q250_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('max_qty', 'lineitem', 'l_quantity'),
+        |  ('order_year', 'orders', 'o_orderdate'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'),
+        |  ('segment', 'customer', 'c_mktsegment'))
+        |AS t(output_col, src_table, src_column)""".stripMargin,
+
     // q246: identical dirty registry + the block-breaking %11 family,
     // re-counted declaratively — all pair masses are the m·(m−1)/2 closed
     // form over the three grouping grains (block, entity, entity×block).

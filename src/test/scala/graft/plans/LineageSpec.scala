@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LineageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeT(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val p = tmpDir("lin") + s"/$name.parquet"
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("expression, join, aggregate and rename lineage") {
+    val li = writeT("li", Seq((1L, 10.0, 0.1, 1L)).toDF("l_ok", "price", "disc", "ck"))
+    val cu = writeT("cu", Seq((1L, "SEG")).toDF("ck", "seg"))
+    val q = spark.read.parquet(li)
+      .join(spark.read.parquet(cu), "ck")
+      .groupBy(col("seg").as("segment"))
+      .agg(sum(col("price") * (lit(1.0) - col("disc"))).as("revenue"),
+        count(lit(1)).as("n"))
+    val e = Lineage.edges(q).map(x => (x.output, x.table, x.column)).toSet
+    assert(e == Set(
+      ("segment", "cu", "seg"),
+      ("revenue", "li", "price"),
+      ("revenue", "li", "disc")))
+    // n = count(1): no base references -> no edges, by design
+    assert(!e.exists(_._1 == "n"))
+  }
+
+  test("self-join: same column name from both sides traces by ExprId, not name") {
+    val t = writeT("t", Seq((1L, 2L)).toDF("id", "parent"))
+    val a = spark.read.parquet(t).select(col("id"), col("parent"))
+    val b = spark.read.parquet(t).select(col("id").as("pid"), col("parent").as("gp"))
+    val q = a.join(b, col("parent") === col("pid"))
+      .select(col("id").as("child"), col("gp").as("grandparent"))
+    val e = Lineage.edges(q).map(x => (x.output, x.column)).toSet
+    assert(e == Set(("child", "id"), ("grandparent", "parent")))
+  }
+
+  test("union merges positional lineage; filter columns are not data lineage") {
+    val x = writeT("x", Seq((1L, "a")).toDF("k", "v"))
+    val y = writeT("y", Seq((2L, "b")).toDF("k2", "v2"))
+    val q = spark.read.parquet(x).filter(col("v") === "a").select(col("k"))
+      .unionByName(spark.read.parquet(y).select(col("k2").as("k")))
+    val e = Lineage.edges(q).map(x0 => (x0.table, x0.column)).toSet
+    assert(e == Set(("x", "k"), ("y", "k2")))
+    // v gates rows but is not a source of k
+    assert(!e.contains(("x", "v")))
+  }
+
+  test("explode: generator outputs trace to the exploded column") {
+    val t = writeT("arr", Seq((1L, Seq("p", "q"))).toDF("id", "toks"))
+    val q = spark.read.parquet(t).select(col("id"), explode(col("toks")).as("tok"))
+    val e = Lineage.edges(q).map(x => (x.output, x.column)).toSet
+    assert(e == Set(("id", "id"), ("tok", "toks")))
+  }
+}
