@@ -43,7 +43,8 @@ object Bench {
     "q140_stream_complete", "q145_stream_update", "q156_stream_full_outer",
     "q172_stream_available_now", "q217_streaming_mv_loop",
     "q231_stream_dedup_index", "q236_stream_quantile_profile",
-    "q241_stream_entity_assign")
+    "q241_stream_entity_assign", "q247_stream_zone_ingest",
+    "q248_stream_contract")
   private val storeFam = Set(
     "q20_cdc_compact", "q21_cdc_maxwell_e2e", "q22_cdc_debezium_e2e",
     "q164_time_travel", "q169_retention_sweep", "q170_point_lookup",
@@ -58,7 +59,11 @@ object Bench {
     "q222_star_mv_boundary", "q223_star_mv_fromquery", "q224_star_mv_mor",
     // installs the MV rewrite rule + performs store-style MV builds —
     // the interference class the per-family split isolates from compute
-    "q226_mv_advisor")
+    "q226_mv_advisor", "q229_advisor_maintained",
+    // round-12 third wave: store-lifecycle loops (append-log ingest +
+    // retention, MERGE INTO, SCD2 waves) — same isolation class
+    "q243_zone_skipping", "q244_merge_into", "q249_scd2_dimension",
+    "q251_scd2_temporal_join")
   private def familyOf(name: String): String =
     if (jdbcFam.contains(name)) "jdbc"
     else if (streamFam.contains(name)) "streaming"

@@ -137,6 +137,38 @@ object Scd2 {
     history.scan().unionByName(cur)
   }
 
+  /** TEMPORAL fact join — each fact row picks the dimension version
+    * valid at ITS OWN timestamp (`vf <= ts < vt`), the read pattern SCD2
+    * exists for (late-arriving facts must see the attributes of their
+    * time, not today's). One equi-join on the business key with the
+    * interval residual as a join filter: Catalyst plans a shuffle/SMJ on
+    * the KEY (never a range cross product), and the per-key version
+    * count bounds the filter work — at 100 TB the shuffle is the same
+    * one a non-versioned dimension join pays. Facts older than the
+    * entity's first version (or keyless) keep a NULL dimension side
+    * (left join) — dropping them silently would unbalance fact counts.
+    *
+    * `factKeys` maps fact column → dimension business-key column; both
+    * sides are exposed under the `f`/`dim` aliases for the caller's
+    * select.
+    */
+  def temporalJoin(
+      current: ParquetTableStore,
+      history: AppendLog,
+      facts: DataFrame,
+      factKeys: Map[String, String],
+      tsUsCol: String): DataFrame = {
+    require(factKeys.nonEmpty, "temporalJoin needs a fact->dimension key map")
+    val dim = fullView(current, history).alias("dim")
+    val f = facts.alias("f")
+    val cond = factKeys.map { case (fc, nc) =>
+      col(s"f.$fc") === col(s"dim.$nc")
+    }.reduce(_ && _) &&
+      col(s"f.$tsUsCol") >= col(s"dim.$ValidFrom") &&
+      (col(s"dim.$ValidTo").isNull || col(s"f.$tsUsCol") < col(s"dim.$ValidTo"))
+    f.join(dim, cond, "left")
+  }
+
   /** Dimension as of `tUs`: closed intervals covering `tUs` (the scan
     * rides the history log's zone prune on `valid_to_us`) plus current
     * rows already valid then.

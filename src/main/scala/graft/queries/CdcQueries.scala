@@ -1245,6 +1245,55 @@ object CdcQueries {
               .as("n_scd2"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── TEMPORAL fact join against the SCD2 dimension (Scd2.temporalJoin):
+    // the read pattern the versioned dimension exists for — every event
+    // joins the user-tier version valid AT ITS OWN timestamp, so events
+    // before a tier upgrade aggregate under the OLD tier even though the
+    // query runs after it. Dimension: all users tier 'T0' from epoch,
+    // %3 upgraded to 'T1' on Jan 10, %5 to 'T2' on Jan 20 (%15 users
+    // carry three versions). One equi-join shuffle on the user key with
+    // the interval residual as a join filter — never a range cross
+    // product. Oracle: per-event tier restated as a CASE over (user, ts).
+    "q251_scd2_temporal_join" -> ((s, dir) => {
+      import graft.operators.Scd2
+      val curSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("tier", StringType),
+        StructField("valid_from_us", LongType)))
+      val histSchema = StructType(curSchema.fields :+
+        StructField("valid_to_us", LongType))
+      val rootDir = tempRoot()
+      try {
+        val cur = new ParquetTableStore(s, rootDir,
+          TableSpec("public.dim_user", curSchema, Seq("user_id")), 16)
+        val hist = new graft.sources.AppendLog(s, rootDir,
+          "public.dim_user_hist", histSchema, zoneCols = Seq("valid_to_us"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val users = ev.select(col("user_id")).distinct()
+        def us(t: String) =
+          java.sql.Timestamp.valueOf(t).getTime * 1000L // UTC JVM (build.sbt)
+        cur.init(users.withColumn("tier", lit("T0"))
+          .withColumn("valid_from_us", lit(0L)))
+        val noDel = users.limit(0).select("user_id")
+        Scd2(cur, hist,
+          users.filter(col("user_id") % 3 === 0).withColumn("tier", lit("T1")),
+          noDel, effUs = us("2024-01-10 00:00:00"))
+        Scd2(cur, hist,
+          users.filter(col("user_id") % 5 === 0).withColumn("tier", lit("T2")),
+          noDel, effUs = us("2024-01-20 00:00:00"))
+        val facts = ev.withColumn("ts_us", unix_micros(col("ts")))
+        Scd2.temporalJoin(cur, hist, facts, Map("user_id" -> "user_id"), "ts_us")
+          .groupBy(col("dim.tier").as("tier"),
+            col("f.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("f.value").cast("decimal(18,6)"))
+              .cast("double").as("sum_value"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1306,6 +1355,20 @@ object CdcQueries {
         |  CAST(sum(CASE WHEN seg = 'SCD2' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_scd2
         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    // q251: each event's tier restated as a CASE over (user, ts) — the
+    // %5 upgrade (Jan 20) outranks %3 (Jan 10) once effective, %15 users
+    // pass through all three tiers.
+    "q251_scd2_temporal_join" ->
+      """SELECT
+        |  CASE WHEN user_id % 5 = 0 AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |         THEN 'T2'
+        |       WHEN user_id % 3 = 0 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |         THEN 'T1'
+        |       ELSE 'T0' END AS tier,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

@@ -79,6 +79,26 @@ class Scd2Spec extends SparkTestBase {
     assert(Scd2.fullView(cur, hist).count() == 3)
   }
 
+  test("temporalJoin: each fact sees the version valid at its own timestamp") {
+    val (cur, hist) = build()
+    Scd2(cur, hist, Seq((1L, "A2", 150.0)).toDF("nk", "seg", "bal"),
+      emptyDel, effUs = 20L)
+    Scd2(cur, hist, Seq((1L, "A3", 160.0)).toDF("nk", "seg", "bal"),
+      Seq(2L).toDF("nk"), effUs = 30L)
+    val facts = Seq(
+      (100L, 1L, 15L),  // sees (A, 100) [10,20)
+      (101L, 1L, 25L),  // sees (A2, 150) [20,30)
+      (102L, 1L, 35L),  // sees (A3, 160) current
+      (103L, 2L, 35L),  // key 2 deleted at 30 -> no valid version
+      (104L, 9L, 15L))  // unknown key -> null dim
+      .toDF("fid", "u", "ts_us")
+    val out = Scd2.temporalJoin(cur, hist, facts, Map("u" -> "nk"), "ts_us")
+      .select(col("f.fid"), col("dim.seg")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(100L -> Some("A"), 101L -> Some("A2"),
+      102L -> Some("A3"), 103L -> None, 104L -> None))
+  }
+
   test("null-safe attribute compare: null -> value and value -> null are changes, null -> null is not") {
     val (cur, hist) = build()
     Scd2(cur, hist, Seq((1L, null.asInstanceOf[String], 100.0)).toDF("nk", "seg", "bal"),
