@@ -1294,6 +1294,41 @@ object CdcQueries {
               .cast("double").as("sum_value"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── Zone-manifest VERIFICATION (AppendLog.zoneReport): the report
+    // exposes every per-directory zone the prune decisions run on, and
+    // this query holds the SIDEcars themselves to the oracle — the
+    // recorded (min, max) epoch-micros of each 3-day ingest batch must
+    // equal SQL's min/max over the same slice of the raw table. A zone
+    // codec bug that still pruned "safely" (superset contract) would
+    // hide from every scan-result oracle; it cannot hide from this one.
+    "q252_zone_report" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_zr",
+          schema, zoneCols = Seq("ts"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val withBatch = ev.withColumn("_b",
+          (datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 3)
+            .cast("int"))
+        val batches = withBatch.select("_b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        batches.foreach(b =>
+          log.append(withBatch.filter(col("_b") === b).drop("_b")))
+        log.zoneReport()
+          .filter(col("column") === "ts")
+          .select(col("batch_idx"),
+            col("zmin").cast("long").as("zmin_us"),
+            col("zmax").cast("long").as("zmax_us"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1369,6 +1404,20 @@ object CdcQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q252: the zone sidecars recomputed from the raw table — batch idx =
+    // dense rank of the 3-day bucket (batches were appended in bucket
+    // order), bounds = exact min/max micros per bucket.
+    "q252_zone_report" ->
+      """WITH b AS (
+        |  SELECT (datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 3)
+        |    AS bkt, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |g AS (SELECT bkt, min(us) AS zmin_us, max(us) AS zmax_us
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(rank() OVER (ORDER BY bkt) - 1 AS BIGINT) AS batch_idx,
+        |  zmin_us, zmax_us
+        |FROM g""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

@@ -518,13 +518,16 @@ final class AppendLog(
   def scanWhere(pred: Column): DataFrame =
     readDirs(zonePrune(pred)._1).filter(pred)
 
-  /** Current zones as a DataFrame — (batch_dir, column, kind, zmin, zmax,
-    * all_null), for observability and layout-health review (e.g. "are my
-    * batch time ranges overlapping so much that pruning stopped working —
-    * time to compact by range").
+  /** Current zones as a DataFrame — (batch_idx, batch_dir, column, kind,
+    * zmin, zmax, all_null) with `batch_idx` the 0-based manifest position —
+    * for observability and layout-health review (e.g. "are my batch time
+    * ranges overlapping so much that pruning stopped working — time to
+    * compact by range"). Numeric zone values render as exact plain
+    * decimal strings (epoch micros/days for time kinds), so a verifier
+    * can recompute them from the raw data.
     */
   def zoneReport(): DataFrame = {
-    val rows = readManifest().flatMap { d =>
+    val rows = readManifest().zipWithIndex.flatMap { case (d, i) =>
       val zp = new Path(zonesPath, d)
       if (!fs.exists(zp)) Nil
       else {
@@ -537,12 +540,13 @@ final class AppendLog(
             case Some(ZoneMaps.ZS(s)) => s
             case None => null
           }
-          (d, z.column, z.kind, fmt(z.min), fmt(z.max), z.allNull)
+          (i.toLong, d, z.column, z.kind, fmt(z.min), fmt(z.max), z.allNull)
         }
       }
     }
     import spark.implicits._
-    rows.toDF("batch_dir", "column", "kind", "zmin", "zmax", "all_null")
+    rows.toDF("batch_idx", "batch_dir", "column", "kind", "zmin", "zmax",
+      "all_null")
   }
 
   /** Predicate delete over the log — retention sweeps and erasure on the

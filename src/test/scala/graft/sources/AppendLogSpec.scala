@@ -117,7 +117,8 @@ class AppendLogSpec extends SparkTestBase {
     assert(total == 2 && kept.size == 2)
     val rep = log.zoneReport().collect()
     assert(rep.length == 1) // only the bounded dir has a rendered zone
-    assert(rep.head.getString(1) == "v" && rep.head.getString(3) == "7")
+    assert(rep.head.getLong(0) == 1L && rep.head.getString(2) == "v" &&
+      rep.head.getString(4) == "7")
   }
 
   test("probes extraction: reversed operands, between, contradictory INs") {
