@@ -758,8 +758,11 @@ object StreamingQueries {
           .json(in.toString)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            log.append(b.withColumn("ts", timestamp_micros(col("us"))))
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            // idempotency key = epoch id: a retried epoch must not
+            // double-append (AppendLog's effectively-once contract)
+            log.append(b.withColumn("ts", timestamp_micros(col("us"))),
+              Some(s"b$batchId"))
           }
           .start()
         try q.processAllAvailable()
@@ -855,13 +858,14 @@ object StreamingQueries {
           .json(in.toString)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt.toString)
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
             val typed = b.withColumn("ts", timestamp_micros(col("us")))
             val routed = Quality.quarantine(typed, rules)
               .localCheckpoint() // both splits read it; avoid double flagging
-            mainLog.append(routed.filter(col("pass")))
+            mainLog.append(routed.filter(col("pass")), Some(s"b$batchId"))
             qLog.append(routed.filter(!col("pass"))
-              .withColumn("verdict", concat_ws(",", col("violated"))))
+              .withColumn("verdict", concat_ws(",", col("violated"))),
+              Some(s"b$batchId"))
           }
           .start()
         try q.processAllAvailable()

@@ -435,10 +435,11 @@ final class AppendLog(
     * parquet row-group stats inside the batch are tight too (no shuffle —
     * rides whatever partitioning the batch already has).
     */
-  private def writeBatchDir(df: DataFrame, seq: Long): String = {
+  private def writeBatchDir(df: DataFrame, seq: Long,
+      suffix: Option[String] = None): String = {
     val token = System.nanoTime()
     val staging = new Path(tablePath, s".staging_$token")
-    val dir = s"$seq-$token"
+    val dir = s"$seq-${suffix.getOrElse(token.toString)}"
     val out = df.select(dataCols.map(col): _*)
     val sorted =
       if (zoneCols.isEmpty) out
@@ -466,10 +467,30 @@ final class AppendLog(
   /** Append one batch; the commit makes it the newest entry of the
     * ordered log.
     */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = append(df, None)
+
+  /** Append with an optional IDEMPOTENCY key — the effectively-once
+    * contract a streaming `foreachBatch` sink needs: a failed epoch is
+    * RETRIED with the same batch id, and a plain append would commit the
+    * batch twice. With a key (e.g. `s"b$batchId"`), a retry that finds
+    * the key already committed is a no-op; the key becomes the dir-name
+    * suffix, so the check is one manifest scan, no extra state. Caveat
+    * (documented, same one-generation spirit as reader retention): a
+    * maintenance fold ([[compactRange]]) or a [[deleteWhere]] rewrite
+    * renames the dir and forgets its key — retries must happen before
+    * maintenance reaches the batch, which any real streaming runtime
+    * guarantees by orders of magnitude.
+    */
+  def append(df: DataFrame, idempotencyKey: Option[String]): Unit = {
+    idempotencyKey.foreach(k => require(k.nonEmpty &&
+      k.forall(c => c.isLetterOrDigit || c == '_'),
+      s"idempotency key must be [A-Za-z0-9_]+, got '$k'"))
     val current = readManifest()
+    def suffixOf(d: String) = d.substring(d.indexOf('-') + 1)
+    if (idempotencyKey.exists(k => current.exists(d => suffixOf(d) == k)))
+      return // retry of a committed epoch: effectively-once
     gcUnreferenced(current.toSet)
-    val dir = writeBatchDir(df, current.size + 1L)
+    val dir = writeBatchDir(df, current.size + 1L, idempotencyKey)
     commitManifest(current :+ dir)
   }
 

@@ -166,6 +166,28 @@ class AppendLogSpec extends SparkTestBase {
     assert(log.scan().filter(col("id") === 999L).count() == 1)
   }
 
+  test("idempotent append: a retried epoch key is a no-op; schema evolution degrades zones safely") {
+    val log = newLog(Seq("v"))
+    log.append(day(1, 3), Some("b0"))
+    log.append(day(1, 3), Some("b0")) // retry of the same epoch
+    log.append(day(2, 3), Some("b1"))
+    assert(log.batchCount == 2 && log.scan().count() == 6)
+    intercept[IllegalArgumentException](log.append(day(3, 1), Some("bad key!")))
+    // a reader with a WIDER schema (evolved: extra column) still scans —
+    // the log's declared schema governs; missing columns read as null via
+    // a fresh log over the same root with the wider schema
+    val wider = new AppendLog(spark, tmpDir("alog-w"), "public.w",
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType)), Seq("v", "extra"))
+    wider.append(day(1, 2).withColumn("extra", lit("x")))
+    wider.append(day(2, 2).withColumn("extra",
+      lit(null).cast("string"))) // evolved-away column: all-null zone
+    assert(wider.scan().count() == 4)
+    val (kept, total) = wider.zonePrune(col("extra") === "x")
+    assert(total == 2 && kept.size == 1) // all-null dir pruned
+  }
+
   test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
     val rootDir = tmpDir("alog-crash")
     val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
