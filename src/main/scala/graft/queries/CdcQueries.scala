@@ -1329,6 +1329,58 @@ object CdcQueries {
             col("zmax").cast("long").as("zmax_us"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── Cursor-paced maintained summary over the append log
+    // (AppendLog.scanRange + IncrementalAgg): the read-side loop of the
+    // ingest story — a consumer folds the log two batches at a time into
+    // a persisted exact-decimal monoid state (each fold scans ONLY its
+    // window; the state is group-count-sized) and the final report
+    // renders from state alone. The oracle is the one-shot full-table
+    // aggregate: cursor pacing, the fold order, and state persistence
+    // must all be invisible to it — exact decimals make the merge
+    // order-independent, which is what lets it hash-verify.
+    "q253_log_cursor_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_cur",
+          schema, zoneCols = Seq("ts"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val withBatch = ev.withColumn("_b",
+          (datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 5)
+            .cast("int"))
+        val batches = withBatch.select("_b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        batches.foreach(b =>
+          log.append(withBatch.filter(col("_b") === b).drop("_b")))
+        val n = log.batchCount
+        val keys = Seq("event_type")
+        var cursor = 0
+        var version = 0
+        while (cursor < n) {
+          val until = math.min(cursor + 2, n)
+          val deltaState = IncrementalAgg.state(
+            log.scanRange(cursor, until).select("event_type", "value"),
+            keys, Seq("value"))
+          val next =
+            if (version == 0) deltaState
+            else IncrementalAgg.merge(Seq(
+              s.read.parquet(s"$rootDir/state_v$version"), deltaState), keys)
+          next.write.mode("overwrite").parquet(s"$rootDir/state_v${version + 1}")
+          version += 1
+          cursor = until
+        }
+        IncrementalAgg.finish(
+            s.read.parquet(s"$rootDir/state_v$version"), keys, Seq("value"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1418,6 +1470,16 @@ object CdcQueries {
         |SELECT CAST(rank() OVER (ORDER BY bkt) - 1 AS BIGINT) AS batch_idx,
         |  zmin_us, zmax_us
         |FROM g""".stripMargin,
+
+    // q253: the one-shot aggregate — cursor pacing and fold order must be
+    // invisible (exact-decimal state; avg = double quotient, the same one
+    // IEEE op on both engines).
+    "q253_log_cursor_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

@@ -507,6 +507,16 @@ final class AppendLog(
   def scanFrom(fromBatch: Int): DataFrame =
     readDirs(readManifest().drop(fromBatch))
 
+  /** Bounded cursor window `[fromBatch, untilBatch)` — what a paced
+    * consumer reads per fold when it does not want to absorb the whole
+    * backlog in one step.
+    */
+  def scanRange(fromBatch: Int, untilBatch: Int): DataFrame = {
+    require(fromBatch >= 0 && fromBatch <= untilBatch,
+      s"scanRange bounds [$fromBatch,$untilBatch) invalid")
+    readDirs(readManifest().slice(fromBatch, untilBatch))
+  }
+
   /** Zone-prune the current manifest against `pred`: (kept dirs, total).
     * Driver-side only — reads the tiny sidecars, touches no data file.
     */
