@@ -1381,6 +1381,58 @@ object CdcQueries {
             s.read.parquet(s"$rootDir/state_v$version"), keys, Seq("value"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── TRANSPARENT zone pruning (ZonePruneRule): the q243 skip, with NO
+    // scanWhere call — the log registers with the optimizer rule and a
+    // PLAIN scan().filter(window) gets its directory list cut at
+    // optimization time (the MV-rewrite service posture applied to data
+    // skipping). The require pins the rewrite: the optimized plan's
+    // relation holds exactly the window's directory. Oracle: the same
+    // declarative window aggregate.
+    "q254_zone_rule" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      val log = new graft.sources.AppendLog(s, rootDir, "public.events_zr2",
+        schema, zoneCols = Seq("ts"))
+      try {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val withBatch = ev.withColumn("_b",
+          (datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 3)
+            .cast("int"))
+        val batches = withBatch.select("_b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        batches.foreach(b =>
+          log.append(withBatch.filter(col("_b") === b).drop("_b")))
+        graft.sources.ZonePrune.install(s)
+        graft.sources.ZonePrune.register(log)
+        val out = log.scan()
+          .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")) &&
+            col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-19 00:00:00")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        val roots = out.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.getName)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(roots.size == 1 && batches.length == 10,
+          s"the rule must cut the scan to the window's directory, got $roots " +
+            s"of ${batches.length}")
+        out.localCheckpoint() // eager: detached before the finally deletes
+      } finally {
+        graft.sources.ZonePrune.unregister(log)
+        deleteDir(s, rootDir)
+      }
     })
   )
 
@@ -1480,6 +1532,16 @@ object CdcQueries {
         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q254: the window aggregate declared over the raw table — the
+    // optimizer-time dir cut must be invisible to the result.
+    "q254_zone_rule" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-19 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->

@@ -517,29 +517,54 @@ final class AppendLog(
     readDirs(readManifest().slice(fromBatch, untilBatch))
   }
 
+  /** Lower-cased zone column name → zone kind (what probe extraction
+    * gates literal conversion on).
+    */
+  private[sources] lazy val zoneKinds: Map[String, String] =
+    zoneCols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(f => ZoneMaps.kindOf(f.dataType).map(f.name.toLowerCase -> _))
+    }.toMap
+
+  /** Data-dir root as a scheme-less URI path — what [[ZonePruneRule]]
+    * matches relation root paths against.
+    */
+  private[sources] def dataPathUri: String = dataPath.toUri.getPath
+
+  // Data dirs are IMMUTABLE (rewrites mint new names), so their zone
+  // sidecars cache forever; bounded by the live dir count.
+  private val zoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ZoneMaps.Zone]]()
+
+  private def zonesOf(dirName: String): Option[Seq[ZoneMaps.Zone]] = {
+    val cached = zoneCache.get(dirName)
+    if (cached != null) return Some(cached)
+    val zp = new Path(zonesPath, dirName)
+    if (!fs.exists(zp)) None
+    else {
+      val in = fs.open(zp)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val zones = ZoneMaps.parse(body)
+      zoneCache.put(dirName, zones)
+      Some(zones)
+    }
+  }
+
+  /** Can the dir possibly satisfy the probes? Missing sidecar → keep. */
+  private[sources] def keepDir(dirName: String,
+      probes: Map[String, ZoneMaps.Probe]): Boolean =
+    zonesOf(dirName).forall(zs => ZoneMaps.keep(zs, probes))
+
   /** Zone-prune the current manifest against `pred`: (kept dirs, total).
     * Driver-side only — reads the tiny sidecars, touches no data file.
     */
   def zonePrune(pred: Column): (Seq[String], Int) = {
     val dirs = readManifest()
-    val kinds: Map[String, String] = zoneCols.flatMap { c =>
-      schema.fields.find(_.name.equalsIgnoreCase(c))
-        .flatMap(f => ZoneMaps.kindOf(f.dataType).map(f.name.toLowerCase -> _))
-    }.toMap
     val probesByCol = ZoneMaps.probes(
-      ZoneMaps.resolvedCondition(readDirs(Nil), pred), kinds)
+      ZoneMaps.resolvedCondition(readDirs(Nil), pred), zoneKinds)
     if (probesByCol.isEmpty) return (dirs, dirs.size)
-    val kept = dirs.filter { d =>
-      val zp = new Path(zonesPath, d)
-      if (!fs.exists(zp)) true
-      else {
-        val in = fs.open(zp)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        ZoneMaps.keep(ZoneMaps.parse(body), probesByCol)
-      }
-    }
-    (kept, dirs.size)
+    (dirs.filter(keepDir(_, probesByCol)), dirs.size)
   }
 
   /** Predicate scan with zone pruning: only directories whose zones can
@@ -637,5 +662,97 @@ final class AppendLog(
     val folded = writeBatchDir(readDirs(selected), toBatch.toLong)
     commitManifest(
       current.take(fromBatch) ++ Seq(folded) ++ current.drop(toBatch))
+  }
+}
+
+/** TRANSPARENT zone pruning — [[ZonePruneRule]] registration. With a log
+  * registered here (and the rule installed via [[graft.GraftExtensions]]
+  * or [[ZonePrune.install]]), a PLAIN `log.scan().filter(...)` — or any
+  * SQL over a view of it — gets its directory list cut by the zone
+  * manifest at OPTIMIZATION time, no `scanWhere` call required. This is
+  * the same service posture as the MV rewrite rule: data skipping is an
+  * optimizer service spanning all queries, not an operator the user must
+  * remember to invoke. Unregistered logs (and every non-log relation)
+  * are untouched.
+  */
+object ZonePrune {
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[AppendLog]()
+
+  def register(log: AppendLog): Unit =
+    if (!registry.contains(log)) registry.add(log)
+  def unregister(log: AppendLog): Unit = { registry.remove(log); () }
+  def clear(): Unit = registry.clear()
+  private[sources] def registered: Seq[AppendLog] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq
+  }
+
+  /** Hook [[ZonePruneRule]] into an existing session (idempotent) — the
+    * extraOptimizations twin of the extensions path, mirroring
+    * [[graft.plans.MaterializedView.install]].
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.exists(_ eq ZonePruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ZonePruneRule
+  }
+}
+
+/** Optimizer rule: `Filter(cond, scan-of-registered-log-dirs)` → the same
+  * filter over a relation whose file index holds ONLY the directories the
+  * zone manifest cannot refute for `cond`. Runs in the user-rule batch
+  * (post constant folding, so literal-side casts are already folded; the
+  * defensive fold below covers stragglers). An all-refuted directory list
+  * collapses the scan to an empty LocalRelation — the filter is
+  * unsatisfiable against this log. Pruning stays a SUPERSET filter:
+  * `cond` is preserved in full above the pruned relation, so an imprecise
+  * zone costs IO, never rows. Streaming relations and relations whose
+  * roots stray outside a registered log's data dir are left untouched.
+  */
+object ZonePruneRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val logs = ZonePrune.registered
+    if (logs.isEmpty) return plan
+    plan.transformUp {
+      case f @ Filter(cond, r: LogicalRelation) if !r.isStreaming =>
+        r.relation match {
+          case h: HadoopFsRelation =>
+            val roots = h.location.rootPaths
+            logs.find { log =>
+              val base = log.dataPathUri + "/"
+              roots.nonEmpty && roots.forall(_.toUri.getPath.startsWith(base))
+            } match {
+              case Some(log) =>
+                val folded = cond.transformUp {
+                  case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+                    try Literal.create(c.eval(null), c.dataType)
+                    catch { case _: Exception => c }
+                }
+                val probes = ZoneMaps.probes(folded, log.zoneKinds)
+                if (probes.isEmpty) f
+                else {
+                  val kept = roots.filter(p =>
+                    log.keepDir(p.getName, probes))
+                  if (kept.size == roots.size) f
+                  else if (kept.isEmpty) LocalRelation(r.output)
+                  else {
+                    val idx = new InMemoryFileIndex(h.sparkSession, kept,
+                      Map.empty[String, String], Some(h.dataSchema))
+                    Filter(cond,
+                      r.copy(relation = h.copy(location = idx)(h.sparkSession)))
+                  }
+                }
+              case None => f
+            }
+          case _ => f
+        }
+    }
   }
 }

@@ -166,6 +166,50 @@ class AppendLogSpec extends SparkTestBase {
     assert(log.scan().filter(col("id") === 999L).count() == 1)
   }
 
+  test("ZonePruneRule: a plain filter over scan() is dir-pruned at optimization time") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val log = newLog()
+    (1 to 6).foreach(d => log.append(day(d, 4)))
+    ZonePrune.register(log)
+    ZonePrune.install(spark)
+    try {
+      val pred = col("ts") >= lit(ts("2024-03-03 00:00:00")) &&
+        col("ts") < lit(ts("2024-03-04 00:00:00"))
+      val q = log.scan().filter(pred).groupBy("kind").count()
+      val roots = q.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths
+          case _ => Nil
+        }
+      }.flatten
+      assert(roots.size == 1, s"expected 1 pruned root, got $roots")
+      // result identical to the unpruned run
+      ZonePrune.unregister(log)
+      val expect = log.scan().filter(pred).groupBy("kind").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ZonePrune.register(log)
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect && got.nonEmpty)
+      // an all-refuted predicate collapses the scan to an empty relation
+      val none = log.scan().filter(col("v") === 99999.0)
+      assert(none.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r }.isEmpty)
+      assert(none.count() == 0)
+      // a query over some OTHER parquet is untouched
+      val other = spark.read.parquet(tmpDirWith(day(9, 2)))
+        .filter(col("v") > 0.0)
+      assert(other.count() == 2)
+    } finally {
+      ZonePrune.unregister(log)
+    }
+  }
+
+  private def tmpDirWith(df: org.apache.spark.sql.DataFrame): String = {
+    val p = tmpDir("alog-other")
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
   test("idempotent append: a retried epoch key is a no-op; schema evolution degrades zones safely") {
     val log = newLog(Seq("v"))
     log.append(day(1, 3), Some("b0"))
