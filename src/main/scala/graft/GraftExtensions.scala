@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.expressions.foreach(extensions.injectFunction)
     extensions.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
+    // data skipping is the same optimizer-service class as the MV
+    // reroute: no-op until a log registers (ZonePrune.register)
+    extensions.injectOptimizerRule(_ => graft.sources.ZonePruneRule)
   }
 }
