@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Differential fuzz for the zone-prune layer: on random batch layouts
+  * and random AND-conjunct predicates, `scanWhere(pred)` must return
+  * EXACTLY `scan().filter(pred)` — pruning is a superset filter, so any
+  * divergence (a dir wrongly pruned) is a correctness bug, and the fuzz
+  * hunts precisely the probe-extraction / bound-comparison edges a
+  * hand-written case list misses (inclusive vs exclusive boundaries at
+  * exact zone edges, empty IN intersections, mixed-kind conjuncts,
+  * all-null dirs, negative/fractional numerics).
+  */
+class ZonePruneFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  test("scanWhere == scan.filter over random layouts and predicates (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { round =>
+      val nBatches = 2 + rnd.nextInt(4)
+      val log = new AppendLog(spark, tmpDir(s"zfuzz$round"), "public.f",
+        schema, Seq("ts", "v", "s"))
+      var nextId = 0L
+      (1 to nBatches).foreach { b =>
+        val rows = (0 until (1 + rnd.nextInt(6))).map { _ =>
+          nextId += 1
+          val day = 1 + rnd.nextInt(9)
+          val ts =
+            if (rnd.nextInt(10) == 0) null
+            else java.sql.Timestamp.valueOf(f"2024-02-0$day%d 0${rnd.nextInt(9)}%d:00:00")
+          val v: java.lang.Double =
+            if (rnd.nextInt(10) == 0) null
+            else Double.box((rnd.nextInt(2001) - 1000) / 8.0)
+          val sv = if (rnd.nextInt(10) == 0) null
+            else ("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3))
+          (nextId, ts, v, sv)
+        }
+        log.append(rows.toDF("id", "ts", "v", "s"))
+      }
+      def randPred(): Column = {
+        def one(): Column = rnd.nextInt(6) match {
+          case 0 => col("v") > ((rnd.nextInt(2001) - 1000) / 8.0)
+          case 1 => col("v") <= ((rnd.nextInt(2001) - 1000) / 8.0)
+          case 2 => col("ts") >= lit(java.sql.Timestamp.valueOf(
+            f"2024-02-0${1 + rnd.nextInt(9)}%d 00:00:00"))
+          case 3 => col("ts") < lit(java.sql.Timestamp.valueOf(
+            f"2024-02-0${1 + rnd.nextInt(9)}%d 12:00:00"))
+          case 4 => col("s") === ("" + ('a' + rnd.nextInt(6)).toChar)
+          case 5 => col("v").isin(
+            (0 until (1 + rnd.nextInt(3))).map(_ =>
+              (rnd.nextInt(2001) - 1000) / 8.0): _*)
+        }
+        (0 until (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
+      }
+      (1 to 12).foreach { _ =>
+        val pred = randPred()
+        val expect = log.scan().filter(pred)
+          .select("id").as[Long].collect().toSet
+        val got = log.scanWhere(pred)
+          .select("id").as[Long].collect().toSet
+        assert(got == expect,
+          s"round $round pred ${pred.toString} pruned wrongly: " +
+            s"missing ${expect -- got}, extra ${got -- expect}")
+      }
+    }
+  }
+}
