@@ -643,6 +643,57 @@ final class AppendLog(
     removed
   }
 
+  /** Positional retention — drop the oldest `untilBatch` batches
+    * wholesale (the Kafka-style cheap retention a log actually runs on a
+    * schedule, vs [[deleteWhere]]'s predicate surgery): one manifest
+    * flip, no data read or rewritten; the dropped dirs are swept by the
+    * next mutation's gc (one-generation reader retention, as
+    * everywhere). Consumers' [[scanFrom]] cursors shift down by the
+    * truncated count — the returned value — so a cursor `c` becomes
+    * `c - truncated` (clamped at 0 by the caller).
+    */
+  def truncateBefore(untilBatch: Int): Int = {
+    val current = readManifest()
+    require(untilBatch >= 0 && untilBatch <= current.size,
+      s"truncateBefore($untilBatch) out of range for ${current.size} batches")
+    if (untilBatch == 0) return 0
+    gcUnreferenced(current.toSet)
+    commitManifest(current.drop(untilBatch))
+    untilBatch
+  }
+
+  /** Human-auditable prune EXPLAIN: one row per directory with the
+    * decision and the refuting evidence — `(batch_idx, batch_dir,
+    * kept, reason)` where reason is `no-zone-info` (kept), `all-null`
+    * / `range-refuted:<col>` (pruned), or `overlaps` (kept). The
+    * operator-facing answer to "why did my query scan 40 dirs" /
+    * "why was this dir skipped" without reading a data file.
+    */
+  def explainPrune(pred: Column): DataFrame = {
+    val dirs = readManifest()
+    val probesByCol = ZoneMaps.probes(
+      ZoneMaps.resolvedCondition(readDirs(Nil), pred), zoneKinds)
+    val rows = dirs.zipWithIndex.map { case (d, i) =>
+      if (probesByCol.isEmpty) (i.toLong, d, true, "no-prunable-conjuncts")
+      else zonesOf(d) match {
+        case None => (i.toLong, d, true, "no-zone-info")
+        case Some(zs) =>
+          // first refuting column names the reason; kept otherwise
+          val refuting = probesByCol.keys.toSeq.sorted.find(c =>
+            !ZoneMaps.keep(zs, Map(c -> probesByCol(c))))
+          refuting match {
+            case Some(c) =>
+              val allNull = zs.exists(z => z.column.toLowerCase == c && z.allNull)
+              (i.toLong, d, false,
+                if (allNull) s"all-null:$c" else s"range-refuted:$c")
+            case None => (i.toLong, d, true, "overlaps")
+          }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("batch_idx", "batch_dir", "kept", "reason")
+  }
+
   /** Fold the adjacent batches [fromBatch, toBatch) (0-based, end
     * exclusive) into ONE batch dir with a recomputed (unioned) zone —
     * the small-files maintenance tool. Cost is O(selected batches);

@@ -232,6 +232,28 @@ class AppendLogSpec extends SparkTestBase {
     assert(total == 2 && kept.size == 1) // all-null dir pruned
   }
 
+  test("truncateBefore drops oldest batches in one manifest flip; explainPrune names the evidence") {
+    val log = newLog()
+    (1 to 5).foreach(d => log.append(day(d, 3)))
+    assert(log.truncateBefore(2) == 2)
+    assert(log.batchCount == 3 && log.scan().count() == 9)
+    // surviving data is days 3..5
+    assert(log.scan().agg(min(col("ts"))).head().getTimestamp(0)
+      .toString.startsWith("2024-03-03"))
+    intercept[IllegalArgumentException](log.truncateBefore(9))
+    assert(log.truncateBefore(0) == 0)
+    // explain: day-4 window keeps exactly the day-4 dir, names the refuter
+    val pred = col("ts") >= lit(ts("2024-03-04 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-05 00:00:00"))
+    val ex = log.explainPrune(pred).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3)))
+    assert(ex.count(_._2) == 1)
+    assert(ex.filter(!_._2).forall(_._3 == "range-refuted:ts"))
+    val noProbe = log.explainPrune(col("kind") === "click").collect()
+    assert(noProbe.forall(r =>
+      r.getBoolean(2) && r.getString(3) == "no-prunable-conjuncts"))
+  }
+
   test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
     val rootDir = tmpDir("alog-crash")
     val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
