@@ -401,9 +401,11 @@ final class AppendLog(
       finally in.close()
     }
 
-  private def commitManifest(dirs: Seq[String]): Unit =
+  private def commitManifest(dirs: Seq[String]): Unit = {
+    if (zoneCols.nonEmpty) writeConsolidated(dirs)
     AtomicFiles.write(hadoopConf, manifestPath,
       ("#appendlog=1" +: dirs).mkString("\n").getBytes("UTF-8"))
+  }
 
   /** Sweep staging leftovers and dirs/zone files no manifest references —
     * run at the start of every mutation (deferred one generation so lazy
@@ -452,6 +454,7 @@ final class AppendLog(
         spark.read.schema(schema).parquet(staging.toString), zoneCols)
       AtomicFiles.write(hadoopConf, new Path(zonesPath, dir),
         ZoneMaps.render(zones))
+      zoneCache.put(dir, zones) // the consolidated write reads it back hot
     }
     fs.mkdirs(dataPath)
     require(fs.rename(staging, new Path(dataPath, dir)),
@@ -535,10 +538,57 @@ final class AppendLog(
   // sidecars cache forever; bounded by the live dir count.
   private val zoneCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ZoneMaps.Zone]]()
+  @volatile private var consolidatedSeeded = false
+
+  /** Consolidated zone INDEX (`_zones_current`): every live dir's zone
+    * lines in ONE file, maintained incrementally beside the manifest. The
+    * per-dir sidecars stay the source of truth (written before the dir is
+    * referenced); the index exists because the FIRST prune of a 10⁵-batch
+    * log would otherwise pay 10⁵ sidecar round-trips on an object store —
+    * with it, planning reads one file once per process and the immutable
+    * per-dir cache serves everything after. Best-effort cache by
+    * construction: a missing/stale index degrades to sidecar reads, never
+    * to wrong pruning.
+    */
+  private def zonesIndexPath = new Path(tablePath, "_zones_current")
+
+  private def seedFromConsolidated(): Unit = {
+    if (consolidatedSeeded) return
+    consolidatedSeeded = true
+    if (!fs.exists(zonesIndexPath)) return
+    val in = fs.open(zonesIndexPath)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split('\n').filter(_.nonEmpty)
+      .groupBy(l => l.takeWhile(_ != '\t'))
+      .foreach { case (dir, lines) =>
+        val stripped = lines.map(_.drop(dir.length + 1)).mkString("\n")
+        zoneCache.putIfAbsent(dir, ZoneMaps.parse(stripped))
+      }
+  }
+
+  /** Rewrite the consolidated index for `live` dirs from the cache (all
+    * hot after seed + this process's own writes; a reopened log pays
+    * sidecar reads once). Written BEFORE the manifest flip so a reader
+    * of the new manifest finds the index current; a crash in between
+    * leaves a superset index (harmless — lookups are by live dir name).
+    */
+  private def writeConsolidated(live: Seq[String]): Unit = {
+    seedFromConsolidated()
+    val body = live.flatMap { d =>
+      zonesOf(d).toSeq.flatMap(zs =>
+        new String(ZoneMaps.render(zs), "UTF-8").split('\n')
+          .filter(_.nonEmpty).map(l => s"$d\t$l"))
+    }.mkString("\n").getBytes("UTF-8")
+    AtomicFiles.write(hadoopConf, zonesIndexPath, body)
+  }
 
   private def zonesOf(dirName: String): Option[Seq[ZoneMaps.Zone]] = {
     val cached = zoneCache.get(dirName)
     if (cached != null) return Some(cached)
+    seedFromConsolidated()
+    val seeded = zoneCache.get(dirName)
+    if (seeded != null) return Some(seeded)
     val zp = new Path(zonesPath, dirName)
     if (!fs.exists(zp)) None
     else {

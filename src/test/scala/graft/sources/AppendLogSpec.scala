@@ -254,6 +254,32 @@ class AppendLogSpec extends SparkTestBase {
       r.getBoolean(2) && r.getString(3) == "no-prunable-conjuncts"))
   }
 
+  test("consolidated zone index: a fresh instance prunes from ONE file; absent index degrades to sidecars") {
+    val rootDir = tmpDir("alog-cons")
+    val log = new AppendLog(spark, rootDir, "public.ci", schema, Seq("ts"))
+    (1 to 5).foreach(d => log.append(day(d, 3)))
+    val base = new org.apache.hadoop.fs.Path(rootDir, "public_ci")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "_zones_current")))
+    // delete every per-dir sidecar: a FRESH instance must still prune —
+    // its zones can only have come from the consolidated index
+    fs.listStatus(new org.apache.hadoop.fs.Path(base, "_zones"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val log2 = new AppendLog(spark, rootDir, "public.ci", schema, Seq("ts"))
+    val pred = col("ts") >= lit(ts("2024-03-02 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-03 00:00:00"))
+    val (kept, total) = log2.zonePrune(pred)
+    assert(total == 5 && kept.size == 1)
+    assert(log2.scanWhere(pred).count() == 3)
+    // index ALSO gone: a third instance degrades to keep-everything —
+    // superset contract, results still exact
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_zones_current"), false)
+    val log3 = new AppendLog(spark, rootDir, "public.ci", schema, Seq("ts"))
+    val (kept3, total3) = log3.zonePrune(pred)
+    assert(total3 == 5 && kept3.size == 5)
+    assert(log3.scanWhere(pred).count() == 3)
+  }
+
   test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
     val rootDir = tmpDir("alog-crash")
     val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
@@ -265,11 +291,16 @@ class AppendLogSpec extends SparkTestBase {
     val orphanZone = new org.apache.hadoop.fs.Path(base, "_zones/99-999")
     AtomicFiles.write(spark.sparkContext.hadoopConfiguration, orphanZone,
       "v\tnum\tn:0\tn:1".getBytes("UTF-8"))
-    // and a committed dir whose zone file is MISSING (pre-zones writer)
+    // and a committed dir with NO zone info anywhere (pre-zones writer):
+    // drop its sidecar AND the consolidated index, probe from a FRESH
+    // instance (the writing instance legitimately serves from its
+    // in-process cache — immutable dirs make that safe)
     val zdir = fs.listStatus(new org.apache.hadoop.fs.Path(base, "_zones"))
       .map(_.getPath.getName).filterNot(_ == "99-999").head
     fs.delete(new org.apache.hadoop.fs.Path(base, s"_zones/$zdir"), false)
-    val (kept, total) = log.zonePrune(col("v") === -1.0)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_zones_current"), false)
+    val fresh = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
+    val (kept, total) = fresh.zonePrune(col("v") === -1.0)
     assert(total == 1 && kept.size == 1) // missing zone -> keep
     log.append(day(2, 3)) // mutation sweeps the crash leftovers
     assert(!fs.exists(new org.apache.hadoop.fs.Path(base, ".staging_999")))
