@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.{AppendLog, ParquetTableStore}
+import graft.sources.{AppendLog, ParquetTableStore, TableStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,21 @@ object Scd2 {
       history: AppendLog,
       changes: DataFrame,
       deletes: DataFrame,
+      effUs: Long): Stats =
+    apply(current, current.snapshotForKeys(_), history, changes, deletes, effUs)
+
+  /** Store-family-agnostic form: `preImage` is the store's keyed read
+    * (MOR `snapshotForKeys`, JDBC `withSnapshotForKeys`-scoped reads, …) —
+    * the same explicit-pre-image contract as [[MergeInto]], because the
+    * keyed-read signatures differ per family while the maintenance logic
+    * does not.
+    */
+  def apply(
+      current: TableStore,
+      preImage: DataFrame => DataFrame,
+      history: AppendLog,
+      changes: DataFrame,
+      deletes: DataFrame,
       effUs: Long): Stats = {
     val spec = current.spec
     val nk = spec.pkCols
@@ -84,7 +99,7 @@ object Scd2 {
         "a key cannot be both changed and deleted in one SCD2 wave")
 
       val touched = src.select(nk.map(col): _*).unionByName(del)
-      val pre = current.snapshotForKeys(touched)
+      val pre = preImage(touched)
         .withColumn("_scd_m", lit(1))
       val joinCond = nk.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
       val classified = src.alias("s")
@@ -131,7 +146,7 @@ object Scd2 {
   /** The full versioned view: every closed interval plus the open
     * current rows (`valid_to_us` NULL).
     */
-  def fullView(current: ParquetTableStore, history: AppendLog): DataFrame = {
+  def fullView(current: TableStore, history: AppendLog): DataFrame = {
     val cur = current.snapshot()
       .withColumn(ValidTo, lit(null).cast("bigint"))
     history.scan().unionByName(cur)
@@ -153,7 +168,7 @@ object Scd2 {
     * select.
     */
   def temporalJoin(
-      current: ParquetTableStore,
+      current: TableStore,
       history: AppendLog,
       facts: DataFrame,
       factKeys: Map[String, String],
@@ -173,7 +188,7 @@ object Scd2 {
     * rides the history log's zone prune on `valid_to_us`) plus current
     * rows already valid then.
     */
-  def asOf(current: ParquetTableStore, history: AppendLog, tUs: Long): DataFrame = {
+  def asOf(current: TableStore, history: AppendLog, tUs: Long): DataFrame = {
     val closedAt = history
       .scanWhere(col(ValidTo) > tUs)
       .filter(col(ValidFrom) <= tUs)

@@ -99,6 +99,26 @@ class Scd2Spec extends SparkTestBase {
       102L -> Some("A3"), 103L -> None, 104L -> None))
   }
 
+  test("store-family-agnostic: the same waves over a MOR current store") {
+    val root = tmpDir("scd2-mor")
+    val cur = new graft.sources.MorTableStore(spark, root,
+      TableSpec("public.dimm", curSchema, Seq("nk")), 8)
+    val hist = new AppendLog(spark, root, "public.dimm_hist", histSchema,
+      zoneCols = Seq("valid_to_us"))
+    cur.init(Seq((1L, "A", 100.0, 10L), (2L, "B", 200.0, 10L))
+      .toDF("nk", "seg", "bal", "valid_from_us"))
+    val st = Scd2(cur, cur.snapshotForKeys(_), hist,
+      Seq((1L, "A", 150.0), (3L, "C", 300.0)).toDF("nk", "seg", "bal"),
+      Seq(2L).toDF("nk"), effUs = 20L)
+    assert(st == Scd2.Stats(changed = 1, unchanged = 0, created = 1, deleted = 1))
+    val full = Scd2.fullView(cur, hist)
+      .select("nk", "bal", "valid_from_us", "valid_to_us")
+      .as[(Long, Double, Long, Option[Long])].collect().toSet
+    assert(full == Set(
+      (1L, 100.0, 10L, Some(20L)), (1L, 150.0, 20L, None),
+      (2L, 200.0, 10L, Some(20L)), (3L, 300.0, 20L, None)))
+  }
+
   test("null-safe attribute compare: null -> value and value -> null are changes, null -> null is not") {
     val (cur, hist) = build()
     Scd2(cur, hist, Seq((1L, null.asInstanceOf[String], 100.0)).toDF("nk", "seg", "bal"),
