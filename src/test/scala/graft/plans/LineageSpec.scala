@@ -50,6 +50,17 @@ class LineageSpec extends SparkTestBase {
     assert(!e.contains(("x", "v")))
   }
 
+  test("window functions: the analytic value traces to partition/order inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val t = writeT("w", Seq((1L, "a", 5.0)).toDF("id", "grp", "score"))
+    val q = spark.read.parquet(t)
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("grp")).orderBy(col("score"))))
+      .select(col("id"), col("rnk"))
+    val e = Lineage.edges(q).map(x => (x.output, x.column)).toSet
+    assert(e == Set(("id", "id"), ("rnk", "grp"), ("rnk", "score")))
+  }
+
   test("explode: generator outputs trace to the exploded column") {
     val t = writeT("arr", Seq((1L, Seq("p", "q"))).toDF("id", "toks"))
     val q = spark.read.parquet(t).select(col("id"), explode(col("toks")).as("tok"))
