@@ -34,7 +34,7 @@ object Bench {
     * store-lifecycle, streaming, jdbc.
     */
   private val jdbcFam = Set("q23_cdc_jdbc_e2e", "q225_star_mv_jdbc",
-    "q230_jdbc_string_keys")
+    "q230_jdbc_string_keys", "q255_merge_into_jdbc")
   private val streamFam = Set(
     "q16_window_tumbling", "q17_window_sliding", "q18_session_window",
     "q19_stream_watermark", "q49_stream_dedup", "q71_stream_join",

@@ -1433,6 +1433,51 @@ object CdcQueries {
         graft.sources.ZonePrune.unregister(log)
         deleteDir(s, rootDir)
       }
+    }),
+
+    // ── MERGE INTO over the JDBC WAREHOUSE sink (MergeInto + JdbcTableStore):
+    // the same clause machine as q244 driven against a live warehouse —
+    // the pre-image resolves through the staged-EXISTS keyed readback
+    // (O(source) server-side), classification is the one s/t join, and
+    // the apply is the warehouse's single-transaction delete+insert. The
+    // cross-family point: MergeInto is store-agnostic because every
+    // family speaks CompactedBatch + a keyed read. Oracle: the q244 CASE
+    // reconstruction (same clause mix, same data).
+    "q255_merge_into_jdbc" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_mij", customerSchema, Seq("c_custkey"))
+      val dbUrl = s"jdbc:derby:memory:graft_q255_${System.nanoTime()}"
+      try {
+        val store = new JdbcTableStore(s, dbUrl + ";create=true", spec,
+          snapshotPartitions = 4)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val m = col("c_custkey") % 4
+        val source = base.filter(m === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+          .unionByName(base.filter(m === 1)
+            .withColumn("c_mktsegment", lit("DROP")))
+          .unionByName(base.filter(m === 2)
+            .withColumn("c_acctbal", col("c_acctbal") - 100.0))
+          .unionByName(base.filter(m === 3)
+            .withColumn("c_custkey", col("c_custkey") + 400000000L))
+        val stats = graft.operators.MergeInto(store,
+          store.snapshotForKeys(_), source,
+          whenMatchedDelete = Some(col("s.c_mktsegment") === "DROP"),
+          whenMatchedUpdate = Some(graft.operators.MergeInto.Update(
+            col("t.c_acctbal") < col("s.c_acctbal"),
+            Map("c_acctbal" -> col("s.c_acctbal")))),
+          whenNotMatchedInsert = Some(col("s.c_acctbal") > 0))
+        require(stats.deleted > 0 && stats.updated > 0 && stats.inserted > 0,
+          s"every clause must fire against the warehouse: $stats")
+        store.snapshot()
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+          .localCheckpoint() // eager: consumed before the db drop
+      } finally dropDerby(dbUrl)
     })
   )
 
@@ -1542,6 +1587,22 @@ object CdcQueries {
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-19 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    // q255: the q244 reconstruction verbatim — the sink family must be
+    // invisible to the merge's result.
+    "q255_merge_into_jdbc" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 4 = 3 AND c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 1""".stripMargin,
     // q222: ONLY the committed round's transforms restated — the torn
     // orders delete (%10=1) must be invisible at the boundary.
     "q222_star_mv_boundary" ->
