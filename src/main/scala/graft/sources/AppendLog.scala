@@ -319,6 +319,33 @@ object ZoneMaps {
           Some(decZ(parts(3))), allNull = false)
     }
 
+  /** Zones per group — ONE grouped aggregate (group count rows out);
+    * the multi-file twin of [[compute]] for maintenance rewrites that
+    * must price every output file before moving any of them.
+    */
+  def computeGrouped(df: DataFrame, groupCol: String,
+      cols: Seq[String]): Map[String, Seq[Zone]] = {
+    val schema = df.schema
+    val usable = cols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(f => kindOf(f.dataType).map(k => (f.name, k)))
+    }
+    if (usable.isEmpty) return Map.empty
+    val aggs = usable.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .collect().map { row =>
+        val key = row.getString(0)
+        key -> usable.zipWithIndex.map { case ((c, k), i) =>
+          val mn = Option(row.get(1 + 2 * i)).flatMap(canonExternal)
+          val mx = Option(row.get(2 + 2 * i)).flatMap(canonExternal)
+          Zone(c, k, mn, mx,
+            row.isNullAt(1 + 2 * i) && row.isNullAt(2 + 2 * i))
+        }
+      }.toMap
+  }
+
   /** Compute zones for `df` restricted to `cols` — ONE aggregate job,
     * output one row. Non-zone-mappable columns are silently dropped
     * (their absence keeps every dir, per the superset contract).
@@ -742,6 +769,74 @@ final class AppendLog(
     }
     import spark.implicits._
     rows.toDF("batch_idx", "batch_dir", "kept", "reason")
+  }
+
+  /** Zone-aware RECLUSTER of the window `[fromBatch, untilBatch)` — the
+    * OPTIMIZE step that REPAIRS pruning after out-of-order ingest: when
+    * late/backfilled batches overlap in their zone ranges, every range
+    * query keeps every directory and the zone manifest stops earning its
+    * keep. This rewrites the window as `targetBatches` directories with
+    * DISJOINT ranges on `byCol`: one range-partitioning shuffle of the
+    * window's rows (`repartitionByRange` computes its bounds by sampling
+    * — no separate quantile pass), a within-partition sort (tight parquet
+    * row-group stats ride along), one staged write, per-directory zones
+    * recomputed, one atomic manifest flip. Cost is O(window), never
+    * O(log); the window's position in the batch order is preserved.
+    *
+    * Directory count is `min(targetBatches, non-empty range partitions)`;
+    * rows with NULL `byCol` sort first and land in the first directory
+    * (its zone records them via min/max of the non-null remainder —
+    * pruning stays a superset filter either way).
+    */
+  def reclusterRange(fromBatch: Int, untilBatch: Int, byCol: String,
+      targetBatches: Int): Unit = {
+    val current = readManifest()
+    require(fromBatch >= 0 && untilBatch <= current.size && fromBatch < untilBatch,
+      s"reclusterRange bounds [$fromBatch,$untilBatch) out of range for " +
+        s"${current.size} batches")
+    require(targetBatches >= 1, s"targetBatches must be >= 1: $targetBatches")
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(byCol)),
+      s"recluster column $byCol is not a column of the log")
+    gcUnreferenced(current.toSet)
+    val selected = current.slice(fromBatch, untilBatch)
+    val token = System.nanoTime()
+    val staging = new Path(tablePath, s".staging_$token")
+    val sortCols =
+      if (zoneCols.exists(_.equalsIgnoreCase(byCol))) zoneCols
+      else byCol +: zoneCols
+    readDirs(selected)
+      .repartitionByRange(targetBatches, col(byCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    // ALL per-partition-file zones in ONE grouped aggregate over the
+    // staging (before any file moves — a per-file pass interleaved with
+    // renames would scan files already moved away)
+    val staged = spark.read.schema(schema)
+      .parquet(staging.toString)
+      .withColumn("_zf", input_file_name())
+    val zonesByFile: Map[String, Seq[ZoneMaps.Zone]] =
+      if (zoneCols.isEmpty) Map.empty
+      else ZoneMaps.computeGrouped(staged, "_zf", zoneCols)
+        .map { case (uri, zs) => new Path(new java.net.URI(uri)).getName -> zs }
+    val files = fs.listStatus(staging)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    fs.mkdirs(dataPath)
+    val newDirs = files.zipWithIndex.map { case (f, i) =>
+      val dir = s"${fromBatch + i + 1}r-$token$i"
+      zonesByFile.get(f).foreach { zones =>
+        AtomicFiles.write(hadoopConf, new Path(zonesPath, dir),
+          ZoneMaps.render(zones))
+        zoneCache.put(dir, zones)
+      }
+      val target = new Path(dataPath, dir)
+      fs.mkdirs(target)
+      require(fs.rename(new Path(staging, f), new Path(target, f)),
+        s"recluster rename failed for $f")
+      dir
+    }.toSeq
+    fs.delete(staging, true)
+    commitManifest(
+      current.take(fromBatch) ++ newDirs ++ current.drop(untilBatch))
   }
 
   /** Fold the adjacent batches [fromBatch, toBatch) (0-based, end

@@ -280,6 +280,44 @@ class AppendLogSpec extends SparkTestBase {
     assert(log3.scanWhere(pred).count() == 3)
   }
 
+  test("reclusterRange repairs pruning after out-of-order ingest") {
+    val log = newLog(Seq("ts"))
+    // interleaved ingest: each batch spans the WHOLE month -> every zone
+    // overlaps every query window, pruning is useless
+    (0 until 4).foreach { i =>
+      val rows = (1 to 8).filter(d => d % 4 == i).flatMap(d =>
+        (0 until 3).map(j => (d * 100L + j,
+          ts(f"2024-03-0$d%d 10:00:0$j%d"), "k", d * 1.0)))
+      log.append(rows.toDF("id", "ts", "kind", "v"))
+    }
+    val window = col("ts") >= lit(ts("2024-03-02 00:00:00")) &&
+      col("ts") < lit(ts("2024-03-04 00:00:00"))
+    val before = log.scan().filter(window).select("id").as[Long].collect().toSet
+    // interleaving defeats pruning: 3 of 4 dirs overlap the 2-day window
+    // (only the {4,8}-day batch starts past it)
+    val (keptBefore, totalBefore) = log.zonePrune(window)
+    assert(totalBefore == 4 && keptBefore.size == 3)
+    log.reclusterRange(0, 4, "ts", targetBatches = 4)
+    assert(log.batchCount == 4)
+    // disjoint ~2-day ranges now: the window touches at most 2 dirs
+    val (keptAfter, totalAfter) = log.zonePrune(window)
+    assert(totalAfter == 4 && keptAfter.size <= 2 && keptAfter.nonEmpty,
+      s"recluster must restore pruning, kept $keptAfter")
+    // data preserved exactly
+    assert(log.scanWhere(window).select("id").as[Long].collect().toSet == before)
+    assert(log.scan().count() == 24)
+    // zones are pairwise disjoint on ts after the recluster
+    val zs = log.zoneReport().filter(col("column") === "ts")
+      .select("zmin", "zmax").collect()
+      .map(r => (BigDecimal(r.getString(0)), BigDecimal(r.getString(1))))
+      .sortBy(_._1)
+    zs.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"ranges overlap after recluster: $zs")
+      case _ => ()
+    }
+  }
+
   test("crash tolerance: a staging leftover and an orphan zone file are swept, missing zones degrade to keep") {
     val rootDir = tmpDir("alog-crash")
     val log = new AppendLog(spark, rootDir, "public.c", schema, Seq("v"))
