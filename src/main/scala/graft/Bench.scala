@@ -64,7 +64,7 @@ object Bench {
     // retention, MERGE INTO, SCD2 waves) — same isolation class
     "q243_zone_skipping", "q244_merge_into", "q249_scd2_dimension",
     "q251_scd2_temporal_join", "q252_zone_report", "q253_log_cursor_agg",
-    "q254_zone_rule")
+    "q254_zone_rule", "q256_zone_recluster")
   private def familyOf(name: String): String =
     if (jdbcFam.contains(name)) "jdbc"
     else if (streamFam.contains(name)) "streaming"

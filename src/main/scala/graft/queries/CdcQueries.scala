@@ -1478,6 +1478,45 @@ object CdcQueries {
               .cast("double").as("sum_bal"))
           .localCheckpoint() // eager: consumed before the db drop
       } finally dropDerby(dbUrl)
+    }),
+
+    // ── Zone RECLUSTER e2e (AppendLog.reclusterRange): ingest events in
+    // five INTERLEAVED batches (event_id % 5 — every batch spans the
+    // whole month, so every zone overlaps every window and pruning is
+    // useless: the require pins kept == all), then OPTIMIZE the window
+    // into ten range-disjoint directories and pin that the same 3-day
+    // query now keeps ≤3 of them. The result must be invariant under the
+    // rewrite — the oracle never sees ingest order or the recluster.
+    "q256_zone_recluster" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_rc",
+          schema, zoneCols = Seq("ts"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        (0L until 5L).foreach(i =>
+          log.append(ev.filter(col("event_id") % 5 === i)))
+        val window = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-13 00:00:00"))
+        val (keptB, totalB) = log.zonePrune(window)
+        require(totalB == 5 && keptB.size == 5,
+          s"interleaved ingest must defeat pruning: kept ${keptB.size} of $totalB")
+        log.reclusterRange(0, 5, "ts", targetBatches = 10)
+        val (keptA, totalA) = log.zonePrune(window)
+        require(totalA >= 8 && keptA.size <= 3 && keptA.nonEmpty,
+          s"recluster must restore pruning: kept ${keptA.size} of $totalA")
+        log.scanWhere(window)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+            max(col("event_id")).as("max_id"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
@@ -1510,6 +1549,17 @@ object CdcQueries {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q256: the window aggregate over the raw table — ingest order and
+    // the recluster rewrite must be invisible.
+    "q256_zone_recluster" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     // q249: every SCD2 interval reconstructed declaratively — v0 closes at
     // the first wave that really changes the key (reprice beats re-segment
