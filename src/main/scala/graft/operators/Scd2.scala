@@ -129,8 +129,22 @@ object Scd2 {
           .select((nk ++ attrs :+ ValidFrom).map(c => col(s"t.$c").as(c)): _*)
           .unionByName(deletedPre.select((nk ++ attrs :+ ValidFrom).map(col): _*))
           .withColumn(ValidTo, lit(effUs))
-        // an all-no-op wave commits nothing — no empty history dirs
-        if (stats.changed + stats.deleted > 0L) history.append(closing)
+        // an all-no-op wave commits nothing — no empty history dirs.
+        // CRASH CONTRACT (the two stores cannot commit atomically):
+        // history commits FIRST, keyed by the wave's effUs, so the whole
+        // wave is RE-RUNNABLE: a crash between the two commits leaves
+        // closed intervals whose keys still hold the old open image
+        // (fullView transiently shows both), and re-running the SAME
+        // wave recomputes the identical closing set against the
+        // unchanged pre-image, the keyed append skips as already
+        // committed, and the current merge completes the wave. A re-run
+        // AFTER both commits is a no-op end-to-end (changed keys now
+        // classify as unchanged, delete keys have no pre-image — empty
+        // closing, idempotent merge). Distinct waves must carry
+        // distinct effUs (already required for interval sanity).
+        if (stats.changed + stats.deleted > 0L)
+          history.append(closing,
+            Some("scd2_" + java.lang.Long.toString(effUs).replace('-', 'n')))
 
         // current: new versions for changed keys, first versions for new
         // keys, removal of deleted keys

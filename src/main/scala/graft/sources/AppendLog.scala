@@ -37,10 +37,13 @@ import org.apache.spark.sql.types._
   * comparison is the IEEE order wherever both sides are finite); DATE to
   * epoch days, TIMESTAMP to epoch micros — the same internal forms
   * Catalyst literals already carry, so probe-side conversion is a field
-  * read, not a parse; strings compare lexicographically (Spark's own
-  * UTF8String binary order agrees with `String.compareTo` for the
-  * testdata's ASCII domain; a deployment storing non-ASCII keeps
-  * correctness regardless — see superset contract above).
+  * read, not a parse; strings compare in UTF-8 BINARY order
+  * (`UTF8String.compareTo`), the SAME comparator Spark's min/max used to
+  * compute the stats. The comparators MUST agree: zone min/max are
+  * UTF8_BINARY byte order, and a probe compared under a different order
+  * (e.g. java.lang.String's UTF-16 code-unit order, which ranks
+  * U+E000..U+FFFF above supplementary-plane characters) could judge an
+  * in-range value out of range and falsely prune a directory holding it.
   */
 object ZoneMaps {
 
@@ -52,7 +55,12 @@ object ZoneMaps {
   /** None = incomparable (kind mismatch — caller must keep the dir). */
   private def zcmp(a: ZV, b: ZV): Option[Int] = (a, b) match {
     case (ZN(x), ZN(y)) => Some(x.compare(y))
-    case (ZS(x), ZS(y)) => Some(x.compareTo(y))
+    case (ZS(x), ZS(y)) =>
+      // UTF-8 binary order — must match the Spark min/max that produced
+      // the zone stats (UTF8_BINARY); String.compareTo (UTF-16 units)
+      // diverges for BMP-vs-supplementary mixes and would misprune.
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case _ => None
   }
 
@@ -468,7 +476,17 @@ final class AppendLog(
       suffix: Option[String] = None): String = {
     val token = System.nanoTime()
     val staging = new Path(tablePath, s".staging_$token")
-    val dir = s"$seq-${suffix.getOrElse(token.toString)}"
+    // Keyed dirs are NAMESPACED: `$seq-${token}k$key`. The literal 'k'
+    // after the all-digit token means an idempotency probe can only ever
+    // match a dir that was itself keyed (a plain nanoTime or recluster
+    // suffix is all digits — no 'k'), so an all-digit user key cannot
+    // collide with an unrelated dir and silently skip an append. The
+    // per-commit token ALSO makes keyed dir names unique forever: after
+    // truncateBefore shrinks the manifest, a later keyed append at a
+    // reused seq can no longer mint a name identical to a swept dir, so
+    // long-lived readers' cached zone sidecars never alias across
+    // generations ("data dirs are immutable" holds for names too).
+    val dir = s"$seq-" + suffix.fold(token.toString)(k => s"${token}k$k")
     val out = df.select(dataCols.map(col): _*)
     val sorted =
       if (zoneCols.isEmpty) out
@@ -503,8 +521,9 @@ final class AppendLog(
     * contract a streaming `foreachBatch` sink needs: a failed epoch is
     * RETRIED with the same batch id, and a plain append would commit the
     * batch twice. With a key (e.g. `s"b$batchId"`), a retry that finds
-    * the key already committed is a no-op; the key becomes the dir-name
-    * suffix, so the check is one manifest scan, no extra state. Caveat
+    * the key already committed is a no-op; the key is embedded in the dir
+    * name (namespaced `$${token}k$$key` — see writeBatchDir), so the
+    * check is one manifest scan, no extra state. Caveat
     * (documented, same one-generation spirit as reader retention): a
     * maintenance fold ([[compactRange]]) or a [[deleteWhere]] rewrite
     * renames the dir and forgets its key — retries must happen before
@@ -516,8 +535,15 @@ final class AppendLog(
       k.forall(c => c.isLetterOrDigit || c == '_'),
       s"idempotency key must be [A-Za-z0-9_]+, got '$k'"))
     val current = readManifest()
-    def suffixOf(d: String) = d.substring(d.indexOf('-') + 1)
-    if (idempotencyKey.exists(k => current.exists(d => suffixOf(d) == k)))
+    // Only KEYED dirs participate: their suffix is `${token}k$key` (see
+    // writeBatchDir) — parse the key component after the first 'k' past
+    // the digit token; all-digit (plain/recluster) suffixes never match.
+    val Keyed = raw"\d+-(\d+)k(.+)".r
+    def keyOf(d: String): Option[String] = d match {
+      case Keyed(_, k) => Some(k)
+      case _ => None
+    }
+    if (idempotencyKey.exists(k => current.exists(d => keyOf(d).contains(k))))
       return // retry of a committed epoch: effectively-once
     gcUnreferenced(current.toSet)
     val dir = writeBatchDir(df, current.size + 1L, idempotencyKey)

@@ -129,4 +129,37 @@ class Scd2Spec extends SparkTestBase {
     assert(st == Scd2.Stats(0, 1, 0, 0))
     assert(hist.batchCount == 1)
   }
+
+  test("crash contract: re-running a wave is idempotent — mid-wave (history committed, current not) and after full commit") {
+    val (cur, hist) = build()
+    val wave = Seq((1L, "A", 150.0), (9L, "C", 900.0)).toDF("nk", "seg", "bal")
+    val del = Seq(3L).toDF("nk")
+    // simulate the crash window: history committed, current merge lost.
+    // The closing set the wave would write is prior images of changed(1)
+    // + deleted(3) keys, closed at effUs — committed with the wave's key.
+    val closing = Seq((1L, "A", 100.0, 10L, 20L), (3L, "A", 300.0, 10L, 20L))
+      .toDF("nk", "seg", "bal", "valid_from_us", "valid_to_us")
+    hist.append(closing, Some("scd2_20"))
+    // transiently both the closed and the open image of nk=1/3 exist
+    assert(Scd2.fullView(cur, hist).filter(col("nk") === 1L).count() == 2)
+    // RE-RUN the identical wave: keyed append skips, merge completes
+    val st = Scd2(cur, hist, wave, del, effUs = 20L)
+    assert(st == Scd2.Stats(changed = 1, unchanged = 0, created = 1, deleted = 1))
+    assert(hist.batchCount == 1) // no duplicate history dir
+    val full = Scd2.fullView(cur, hist)
+      .select("nk", "bal", "valid_from_us", "valid_to_us")
+      .as[(Long, Double, Long, Option[Long])].collect().toSet
+    val expect = Set(
+      (1L, 100.0, 10L, Some(20L)), (1L, 150.0, 20L, None),
+      (2L, 200.0, 10L, None), (3L, 300.0, 10L, Some(20L)),
+      (9L, 900.0, 20L, None))
+    assert(full == expect)
+    // a THIRD run after full commit is a no-op end-to-end
+    val st2 = Scd2(cur, hist, wave, del, effUs = 20L)
+    assert(st2 == Scd2.Stats(0, 2, 0, 0))
+    assert(hist.batchCount == 1)
+    assert(Scd2.fullView(cur, hist)
+      .select("nk", "bal", "valid_from_us", "valid_to_us")
+      .as[(Long, Double, Long, Option[Long])].collect().toSet == expect)
+  }
 }

@@ -345,4 +345,66 @@ class AppendLogSpec extends SparkTestBase {
     assert(!fs.exists(orphanZone))
     assert(log.scan().count() == 6)
   }
+
+  test("string zone probes use UTF-8 binary order — supplementary-plane values are not mispruned") {
+    // U+FFFD (BMP, UTF-8: EF BF BD) vs U+1F600 (supplementary, UTF-8:
+    // F0 9F 98 80): UTF-8 binary ranks U+FFFD < U+1F600, but UTF-16
+    // code-unit order (String.compareTo) ranks the surrogate pair BELOW
+    // U+FFFD. Zone min/max come from Spark's UTF8_BINARY min/max, so a
+    // probe compared under String.compareTo would see U+1F600 < min and
+    // falsely prune the directory that holds it.
+    val emoji = "😀" // U+1F600
+    val log = new AppendLog(spark, tmpDir("alog-u8"), "public.u8", schema,
+      Seq("kind"))
+    log.append(Seq((1L, ts("2024-01-01 00:00:00"), "�", 1.0),
+      (2L, ts("2024-01-01 00:00:01"), emoji, 2.0)).toDF("id", "ts", "kind", "v"))
+    log.append(Seq((3L, ts("2024-01-02 00:00:00"), "ascii", 3.0))
+      .toDF("id", "ts", "kind", "v"))
+    val (kept, total) = log.zonePrune(col("kind") === emoji)
+    assert(total == 2 && kept.size == 1,
+      s"emoji probe must keep exactly the mixed-plane dir, kept=$kept")
+    assert(log.scanWhere(col("kind") === emoji).count() == 1)
+    // and a range straddling the planes keeps the dir too
+    assert(log.scanWhere(col("kind") > "�").count() == 1)
+  }
+
+  test("an all-digit idempotency key cannot collide with a non-keyed dir's nanoTime suffix") {
+    val rootDir = tmpDir("alog-digk")
+    val log = new AppendLog(spark, rootDir, "public.dk", schema, Seq("v"))
+    log.append(day(1, 2)) // plain append: dir suffix is an all-digit token
+    val base = new org.apache.hadoop.fs.Path(rootDir, "public_dk")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plainSuffix = fs.listStatus(new org.apache.hadoop.fs.Path(base, "data"))
+      .map(_.getPath.getName).head.dropWhile(_ != '-').drop(1)
+    assert(plainSuffix.forall(_.isDigit))
+    // an idempotency key equal to that suffix MUST still commit
+    log.append(day(2, 2), Some(plainSuffix))
+    assert(log.batchCount == 2 && log.scan().count() == 4)
+    // while a true retry of the keyed epoch is still a no-op
+    log.append(day(2, 2), Some(plainSuffix))
+    assert(log.batchCount == 2)
+  }
+
+  test("keyed dir names are never reused across truncateBefore generations") {
+    val rootDir = tmpDir("alog-gen")
+    val log = new AppendLog(spark, rootDir, "public.gen", schema, Seq("v"))
+    val base = new org.apache.hadoop.fs.Path(rootDir, "public_gen")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(base, "data"))
+      .map(_.getPath.getName).toSet
+    log.append(day(1, 2), Some("w1"))
+    log.append(day(2, 2), Some("w2"))
+    val gen1 = dirs()
+    assert(log.truncateBefore(2) == 2)
+    // same keys, same seq positions as the swept generation
+    log.append(day(3, 2), Some("w1"))
+    log.append(day(4, 2), Some("w2"))
+    val gen2Names = dirs() // swept dirs are gc'd by the appends
+    assert(gen2Names.intersect(gen1).isEmpty,
+      s"dir names reused across generations: ${gen2Names.intersect(gen1)}")
+    assert(log.batchCount == 2 && log.scan().count() == 4)
+    // and the new generation's keys still dedupe retries
+    log.append(day(3, 2), Some("w1"))
+    assert(log.batchCount == 2)
+  }
 }

@@ -23,6 +23,15 @@ class ZonePruneFuzzSpec extends SparkTestBase {
     StructField("v", DoubleType),
     StructField("s", StringType)))
 
+  // The string alphabet deliberately mixes ASCII, accented BMP, high-BMP
+  // (U+FFFD) and supplementary-plane (emoji) code points: UTF-16
+  // code-unit order and UTF-8 binary order DISAGREE across the
+  // U+E000..U+FFFF vs supplementary boundary, so this domain would catch
+  // a probe comparator that drifts from the UTF8_BINARY order Spark's
+  // min/max used to build the zones.
+  private val strAlphabet =
+    Vector("a", "b", "c", "d", "e", "é", "ß", "中", "�", "😀", "🦄")
+
   test("scanWhere == scan.filter over random layouts and predicates (seeded)") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { round =>
@@ -41,23 +50,25 @@ class ZonePruneFuzzSpec extends SparkTestBase {
             if (rnd.nextInt(10) == 0) null
             else Double.box((rnd.nextInt(2001) - 1000) / 8.0)
           val sv = if (rnd.nextInt(10) == 0) null
-            else ("" + ('a' + rnd.nextInt(5)).toChar) * (1 + rnd.nextInt(3))
+            else strAlphabet(rnd.nextInt(strAlphabet.size)) * (1 + rnd.nextInt(3))
           (nextId, ts, v, sv)
         }
         log.append(rows.toDF("id", "ts", "v", "s"))
       }
       def randPred(): Column = {
-        def one(): Column = rnd.nextInt(6) match {
+        def one(): Column = rnd.nextInt(8) match {
           case 0 => col("v") > ((rnd.nextInt(2001) - 1000) / 8.0)
           case 1 => col("v") <= ((rnd.nextInt(2001) - 1000) / 8.0)
           case 2 => col("ts") >= lit(java.sql.Timestamp.valueOf(
             f"2024-02-0${1 + rnd.nextInt(9)}%d 00:00:00"))
           case 3 => col("ts") < lit(java.sql.Timestamp.valueOf(
             f"2024-02-0${1 + rnd.nextInt(9)}%d 12:00:00"))
-          case 4 => col("s") === ("" + ('a' + rnd.nextInt(6)).toChar)
+          case 4 => col("s") === strAlphabet(rnd.nextInt(strAlphabet.size))
           case 5 => col("v").isin(
             (0 until (1 + rnd.nextInt(3))).map(_ =>
               (rnd.nextInt(2001) - 1000) / 8.0): _*)
+          case 6 => col("s") > strAlphabet(rnd.nextInt(strAlphabet.size))
+          case 7 => col("s") <= strAlphabet(rnd.nextInt(strAlphabet.size))
         }
         (0 until (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
       }
