@@ -86,8 +86,8 @@ def bench(sfdir, detail):
         sys.stderr.write(f"[soak] errored queries at {sfdir}: {bad}\n")
         sys.exit(2)
     # min of the raw triple where available (SPARK_GRAFT_MEDIAN3=all
-    # records every query's runs in median3); reported median otherwise
-    triples = d.get("median3", {})
+    # records every query's runs in runs3); reported min otherwise
+    triples = d.get("runs3", d.get("median3", {}))
     return {k: min(triples.get(k, [v])) for k, v in qs.items()}
 
 
@@ -99,7 +99,7 @@ def main():
         def reread(detail):
             with open(detail) as f:
                 d = json.load(f)
-            triples = d.get("median3", {})
+            triples = d.get("runs3", d.get("median3", {}))
             return {k: min(triples.get(k, [v]))
                     for k, v in d["queries"].items()
                     if isinstance(v, (int, float))}

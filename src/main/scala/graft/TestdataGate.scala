@@ -58,7 +58,10 @@ object TestdataGate {
       if (got == want) None else Some((table, want, got))
     }
     if (drifted.isEmpty)
-      System.err.println(
+      // stdout, not stderr: the driver tags captured stderr as [error],
+      // and the happy-path confirmation must not be the one line keeping
+      // the bench tail noisy. Drift stays on stderr — loud, and genuine.
+      println(
         s"[gate] testdata schemas match expected (${expected.size} tables) at $sfDir")
     else drifted.foreach { case (table, want, got) =>
       System.err.println(
