@@ -73,7 +73,8 @@ object Bench {
     "q226_mv_advisor", "q229_advisor_maintained",
     // round-12 third wave: store-lifecycle loops (append-log ingest +
     // retention, MERGE INTO, SCD2 waves) — same isolation class
-    "q243_zone_skipping", "q244_merge_into", "q249_scd2_dimension",
+    "q243_zone_skipping", "q244_merge_into", "q257_merge_into_sql",
+    "q249_scd2_dimension",
     "q251_scd2_temporal_join", "q252_zone_report", "q253_log_cursor_agg",
     "q254_zone_rule", "q256_zone_recluster")
   private def familyOf(name: String): String =

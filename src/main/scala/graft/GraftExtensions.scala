@@ -23,5 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // data skipping is the same optimizer-service class as the MV
     // reroute: no-op until a log registers (ZonePrune.register)
     extensions.injectOptimizerRule(_ => graft.sources.ZonePruneRule)
+    // SQL MERGE INTO over registered stores: Spark's own grammar parses
+    // the statement; this hook only reroutes a parsed MergeIntoTable
+    // whose target is MergeIntoSql.register'ed — all other SQL (and all
+    // other MERGEs) pass through the delegate untouched
+    extensions.injectParser((_, delegate) =>
+      new graft.operators.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.sources.TableStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.LongType
+
+/** The SQL face of [[MergeInto]]: `spark.sql("MERGE INTO t USING s ON …
+  * WHEN MATCHED … ")` against any registered graft store family. The
+  * reference's real users drive the warehouse with SQL (bireme's whole
+  * load cycle is SQL against Greenplum, reference: README.md:15,
+  * ChangeLoader.java:340-468); this closes the gap between the Scala
+  * clause machine (done since q244) and the statement a warehouse user
+  * actually types.
+  *
+  * Design: Spark's OWN parser already parses MERGE INTO into
+  * [[MergeIntoTable]] — no grammar is re-implemented. A thin
+  * [[GraftSqlParser]] (installed via `GraftExtensions.injectParser`)
+  * intercepts the PARSED plan: when the target table name matches a
+  * [[MergeIntoSql.register]]ed store, the statement compiles to a
+  * [[GraftMergeCommand]] — a leaf command that executes the existing
+  * [[MergeInto]] machinery (keyed pre-image, one classification join,
+  * one compacted-batch commit; cost O(source), never O(table)). Any
+  * other MERGE passes through untouched to Spark's v2 path, so the
+  * extension never captures statements it does not own.
+  *
+  * Supported statement shape (everything else fails with a [GRAFT_MERGE]
+  * error naming the restriction — never a silent semantic drift):
+  *
+  *  - `ON` must be the key equality: a conjunction of `t.pk = s.pk`
+  *    covering exactly the store's primary key (the machinery joins on
+  *    the key; an arbitrary ON would be a different operator);
+  *  - at most one WHEN MATCHED DELETE and one WHEN MATCHED UPDATE; if
+  *    both are present the DELETE clause must be written first (the
+  *    engine evaluates delete-then-update; accepting the other order
+  *    would silently change which clause wins on overlap);
+  *  - `UPDATE SET *`, or explicit SET on non-key columns;
+  *  - `INSERT *`, or an explicit column list that is the identity
+  *    mapping (every target column from its same-named source column);
+  *  - no WHEN NOT MATCHED BY SOURCE (target-only maintenance is
+  *    [[graft.sources.TableStore.deleteWhere]]'s job — it never needs
+  *    the source scan MERGE would pay).
+  *
+  * Sessions built without extensions call [[MergeIntoSql.sql]] — the
+  * same parse → compile → run path, mirroring `MaterializedView.install`
+  * as the no-extensions twin.
+  */
+object MergeIntoSql {
+
+  /** A store under its SQL name, with its keyed read (the same explicit
+    * pre-image contract as [[MergeInto.apply]]).
+    */
+  final case class Registration(store: TableStore,
+      preImage: DataFrame => DataFrame)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Registration]()
+
+  private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Expose `store` to SQL MERGE under `name` (match is exact on the
+    * dotted lowercase name — `MERGE INTO public.customer` needs
+    * `register("public.customer", …)`).
+    */
+  def register(name: String, store: TableStore,
+      preImage: DataFrame => DataFrame): Unit = {
+    registry.put(norm(name), Registration(store, preImage)); ()
+  }
+  def unregister(name: String): Unit = { registry.remove(norm(name)); () }
+  def clear(): Unit = registry.clear()
+
+  private[operators] def lookup(name: String): Option[Registration] =
+    Option(registry.get(norm(name)))
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"[GRAFT_MERGE] $msg")
+
+  /** Unwrap `SubqueryAlias*(UnresolvedRelation)` into (dotted table
+    * name, the qualifier spellings that may prefix its columns).
+    */
+  private def relationOf(plan: LogicalPlan): Option[(String, Set[String])] =
+    plan match {
+      case SubqueryAlias(id, child) =>
+        relationOf(child).map { case (n, q) => (n, q + norm(id.name)) }
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier.map(norm)
+        Some((parts.mkString("."),
+          Set(parts.last, parts.mkString("."))))
+      case _ => None
+    }
+
+  /** Qualifier spellings for the source side: its alias if aliased, its
+    * table-name spellings if it is a plain relation, nothing for a bare
+    * subquery (whose columns must then be referenced unqualified or not
+    * at all on the source side of conditions).
+    */
+  private def sourceQuals(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => sourceQuals(child) + norm(id.name)
+    case r: UnresolvedRelation =>
+      val parts = r.multipartIdentifier.map(norm)
+      Set(parts.last, parts.mkString("."))
+    case _ => Set.empty
+  }
+
+  /** Re-qualify every `alias.col` reference onto the `s`/`t` aliases the
+    * classification join in [[MergeInto]] exposes. Unqualified names are
+    * left for analysis to resolve (ambiguous ones fail there, loudly).
+    */
+  private def requalify(e: Expression, tq: Set[String],
+      sq: Set[String]): Expression = e.transformUp {
+    case a: UnresolvedAttribute if a.nameParts.length >= 2 =>
+      val q = a.nameParts.init.map(norm).mkString(".")
+      if (tq.contains(q)) UnresolvedAttribute(Seq("t", a.nameParts.last))
+      else if (sq.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+      else a
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Compile a parsed MERGE whose target is a registered store; None =
+    * not ours (pass through to Spark untouched).
+    */
+  def compile(m: MergeIntoTable): Option[LogicalPlan] = {
+    val (table, tq) = relationOf(m.targetTable).getOrElse(return None)
+    val reg = lookup(table).getOrElse(return None)
+    val sq = sourceQuals(m.sourceTable)
+    if ((tq & sq).nonEmpty)
+      fail(s"target and source share a qualifier spelling ${(tq & sq).mkString(",")} — alias one side")
+    if (m.withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is not supported; evolve the store spec explicitly")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported — target-only maintenance is deleteWhere's job and never needs the source scan")
+
+    val spec = reg.store.spec
+    val pk = spec.pkCols.map(norm)
+    val dataCols = spec.dataCols
+
+    // ON must be exactly the key equality, one conjunct per key column
+    val covered = conjuncts(m.mergeCondition).map { c =>
+      requalify(c, tq, sq) match {
+        case EqualTo(UnresolvedAttribute(Seq("t", a)), UnresolvedAttribute(Seq("s", b)))
+          if norm(a) == norm(b) && pk.contains(norm(a)) => norm(a)
+        case EqualTo(UnresolvedAttribute(Seq("s", b)), UnresolvedAttribute(Seq("t", a)))
+          if norm(a) == norm(b) && pk.contains(norm(a)) => norm(a)
+        case other => fail(s"ON must be the key equality on (${spec.pkCols.mkString(",")}) " +
+          s"with matching column names; got conjunct: ${other.sql}")
+      }
+    }.toSet
+    if (covered != pk.toSet)
+      fail(s"ON covers (${covered.mkString(",")}) but the key of $table is (${spec.pkCols.mkString(",")})")
+
+    def targetColOf(key: Expression): String = key match {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length >= 2 &&
+          !tq.contains(a.nameParts.init.map(norm).mkString(".")))
+          fail(s"SET/INSERT column ${a.sql} is not a target column")
+        val n = a.nameParts.last
+        dataCols.find(_.equalsIgnoreCase(n)).getOrElse(
+          fail(s"column $n is not a column of $table"))
+      case other => fail(s"assignment key must be a column, got ${other.sql}")
+    }
+
+    var delete: Option[Expression] = None
+    var update: Option[(Expression, Seq[(String, Expression)])] = None
+    m.matchedActions.foreach {
+      case DeleteAction(c) =>
+        if (delete.nonEmpty) fail("at most one WHEN MATCHED … DELETE clause")
+        if (update.nonEmpty)
+          fail("write the DELETE clause before UPDATE: the engine evaluates delete-then-update, and accepting UPDATE-first would silently change which clause wins on overlap")
+        delete = Some(requalify(c.getOrElse(Literal.TrueLiteral), tq, sq))
+      case UpdateAction(c, assigns, _) =>
+        if (update.nonEmpty) fail("at most one WHEN MATCHED … UPDATE clause")
+        val sets = assigns.map { a =>
+          val n = targetColOf(a.key)
+          if (pk.contains(norm(n)))
+            fail(s"UPDATE SET on key column $n — a key change is a delete+insert, not an update")
+          n -> requalify(a.value, tq, sq)
+        }
+        update = Some((requalify(c.getOrElse(Literal.TrueLiteral), tq, sq), sets))
+      case UpdateStarAction(c) =>
+        if (update.nonEmpty) fail("at most one WHEN MATCHED … UPDATE clause")
+        val sets = dataCols.filterNot(dc => pk.contains(norm(dc)))
+          .map(dc => dc -> (UnresolvedAttribute(Seq("s", dc)): Expression))
+        update = Some((requalify(c.getOrElse(Literal.TrueLiteral), tq, sq), sets))
+      case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+
+    var insert: Option[Expression] = None
+    m.notMatchedActions.foreach {
+      case InsertStarAction(c) =>
+        if (insert.nonEmpty) fail("at most one WHEN NOT MATCHED … INSERT clause")
+        insert = Some(requalify(c.getOrElse(Literal.TrueLiteral), tq, sq))
+      case InsertAction(c, assigns) =>
+        if (insert.nonEmpty) fail("at most one WHEN NOT MATCHED … INSERT clause")
+        // only the identity mapping: every target column from its
+        // same-named source column — anything else would not be "insert
+        // the source row", which is what the machinery commits
+        val names = assigns.map { a =>
+          val n = targetColOf(a.key)
+          requalify(a.value, tq, sq) match {
+            case UnresolvedAttribute(parts)
+              if parts.last.equalsIgnoreCase(n) &&
+                (parts.length == 1 || parts.head == "s") => n
+            case v => fail(s"INSERT must be the identity mapping " +
+              s"(INSERT * or col ← source.col); got $n ← ${v.sql}")
+          }
+        }
+        val missing = dataCols.filterNot(dc => names.exists(_.equalsIgnoreCase(dc)))
+        if (missing.nonEmpty)
+          fail(s"INSERT column list must cover every column of $table; missing: ${missing.mkString(",")}")
+        insert = Some(requalify(c.getOrElse(Literal.TrueLiteral), tq, sq))
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    if (delete.isEmpty && update.isEmpty && insert.isEmpty)
+      fail("MERGE with no actionable clause")
+
+    Some(GraftMergeCommand(table,
+      MergeProgram(m.sourceTable, delete, update, insert)))
+  }
+
+  /** Parse → compile → execute for sessions built WITHOUT the
+    * extensions hook (the `install`-style twin). Returns the one-row
+    * stats frame the command produces.
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable =>
+        val cmd = compile(m).getOrElse(fail(
+          s"MERGE target is not a registered graft store — MergeIntoSql.register(name, store, preImage) first"))
+        ColumnBridge.ofRows(spark, cmd)
+      case _ => fail(s"not a MERGE statement: ${sqlText.take(80)}")
+    }
+  }
+}
+
+/** The compiled clause program. Deliberately a plain holder (NOT an
+  * Iterable/Option product element of the command): the expressions are
+  * unresolved `s.`/`t.` references that only make sense against the
+  * classification join [[MergeInto]] builds at run time — exposing them
+  * through `QueryPlan.expressions` would make the analyzer reject the
+  * command as unresolved.
+  */
+final case class MergeProgram(
+    source: LogicalPlan,
+    delete: Option[Expression],
+    update: Option[(Expression, Seq[(String, Expression)])],
+    insert: Option[Expression])
+
+/** Leaf command: `spark.sql("MERGE INTO …")` executes this eagerly (the
+  * standard command contract) and yields the per-clause stats row —
+  * observable effect on the registered store, auditable counts back.
+  */
+final case class GraftMergeCommand(table: String, program: MergeProgram)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("matched", LongType, nullable = false)(),
+    AttributeReference("deleted", LongType, nullable = false)(),
+    AttributeReference("updated", LongType, nullable = false)(),
+    AttributeReference("inserted", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    // re-resolved at run time: the registry is driver-lifecycle state
+    val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+      s"[GRAFT_MERGE] store $table was unregistered between parse and execution"))
+    val col = (e: Expression) => ColumnBridge.column(e)
+    val stats = MergeInto(reg.store, reg.preImage,
+      ColumnBridge.ofRows(sparkSession, program.source),
+      whenMatchedDelete = program.delete.map(col),
+      whenMatchedUpdate = program.update.map { case (c, sets) =>
+        MergeInto.Update(col(c), sets.map { case (n, e) => n -> col(e) }.toMap)
+      },
+      whenNotMatchedInsert = program.insert.map(col))
+    Seq(Row(stats.matched, stats.deleted, stats.updated, stats.inserted))
+  }
+}
+
+/** Delegating parser: everything is the session's own parser except that
+  * a parsed MERGE whose target is a registered graft store compiles to
+  * [[GraftMergeCommand]]. Installed by `GraftExtensions.injectParser`.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def post(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => MergeIntoSql.compile(m).getOrElse(m)
+    case p => p
+  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    post(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    post(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -1517,10 +1517,94 @@ object CdcQueries {
             max(col("event_id")).as("max_id"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── SQL MERGE INTO (MergeIntoSql + GraftSqlParser): the statement a
+    // warehouse user actually types, compiled by the parser hook onto
+    // the SAME clause machine as q244 — Spark's own grammar parses it,
+    // the graft command executes the keyed-pre-image classification
+    // merge. The require pins the SQL face to the Scala API: both stores
+    // must be row-identical after the same clause mix (symmetric
+    // except-count 0 — hash-identical tables), and the returned stats
+    // row must match the API's. Oracle: the q244 CASE reconstruction
+    // (same clauses, same data).
+    "q257_merge_into_sql" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_misql", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val viaSql = new ParquetTableStore(s, rootDir,
+          spec, 16)
+        val viaApi = new ParquetTableStore(s, rootDir,
+          spec.copy(name = "public.customer_miapi"), 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        viaSql.init(base); viaApi.init(base)
+        val m = col("c_custkey") % 4
+        val source = base.filter(m === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+          .unionByName(base.filter(m === 1)
+            .withColumn("c_mktsegment", lit("DROP")))
+          .unionByName(base.filter(m === 2)
+            .withColumn("c_acctbal", col("c_acctbal") - 100.0))
+          .unionByName(base.filter(m === 3)
+            .withColumn("c_custkey", col("c_custkey") + 400000000L))
+        source.createOrReplaceTempView("q257_src")
+        graft.operators.MergeIntoSql.register("public.customer_misql",
+          viaSql, viaSql.snapshotForKeys(_))
+        try {
+          val sqlStats = graft.operators.MergeIntoSql.sql(s,
+            """MERGE INTO public.customer_misql t USING q257_src s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED AND s.c_mktsegment = 'DROP' THEN DELETE
+              |WHEN MATCHED AND t.c_acctbal < s.c_acctbal
+              |  THEN UPDATE SET c_acctbal = s.c_acctbal
+              |WHEN NOT MATCHED AND s.c_acctbal > 0 THEN INSERT *
+              |""".stripMargin).head()
+          val apiStats = graft.operators.MergeInto(viaApi,
+            viaApi.snapshotForKeys(_), source,
+            whenMatchedDelete = Some(col("s.c_mktsegment") === "DROP"),
+            whenMatchedUpdate = Some(graft.operators.MergeInto.Update(
+              col("t.c_acctbal") < col("s.c_acctbal"),
+              Map("c_acctbal" -> col("s.c_acctbal")))),
+            whenNotMatchedInsert = Some(col("s.c_acctbal") > 0))
+          require(sqlStats.getLong(0) == apiStats.matched &&
+            sqlStats.getLong(1) == apiStats.deleted &&
+            sqlStats.getLong(2) == apiStats.updated &&
+            sqlStats.getLong(3) == apiStats.inserted,
+            s"SQL stats row $sqlStats diverges from the API's $apiStats")
+          val diff = viaSql.snapshot().exceptAll(viaApi.snapshot()).count() +
+            viaApi.snapshot().exceptAll(viaSql.snapshot()).count()
+          require(diff == 0L,
+            s"SQL-merged and API-merged stores differ in $diff rows")
+        } finally graft.operators.MergeIntoSql.unregister("public.customer_misql")
+        viaSql.snapshot()
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // q257: same final-state reconstruction as q244 — the SQL face must
+    // be invisible in the result.
+    "q257_merge_into_sql" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 4 = 3 AND c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 1""".stripMargin,
+
     // q243: the same 3-day window declared over the raw events table —
     // ingest batching and zone pruning must be invisible to the result.
     "q243_zone_skipping" ->

@@ -16,6 +16,16 @@ import org.apache.spark.sql.types._
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a logical plan (classic `Dataset.ofRows`, which is
+    * `private[sql]`): how graft's SQL-face commands turn a parsed source
+    * plan into the DataFrame the operator machinery consumes. A command
+    * plan executes eagerly here — the same contract `spark.sql` applies.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
 /** Native codegen'd dot product over two double arrays (SURVEY.md §7.4's
