@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // data skipping is the same optimizer-service class as the MV
     // reroute: no-op until a log registers (ZonePrune.register)
     extensions.injectOptimizerRule(_ => graft.sources.ZonePruneRule)
+    // …and its dynamic (join-key, DPP-style) half: prunes a registered
+    // log's directories from the key domain of a small joined dimension
+    extensions.injectOptimizerRule(_ => graft.sources.ZoneJoinPruneRule)
     // SQL MERGE INTO over registered stores: Spark's own grammar parses
     // the statement; this hook only reroutes a parsed MergeIntoTable
     // whose target is MergeIntoSql.register'ed — all other SQL (and all

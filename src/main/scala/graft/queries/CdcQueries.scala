@@ -1585,10 +1585,92 @@ object CdcQueries {
               .cast("double").as("sum_bal"))
           .localCheckpoint() // eager: detached before the finally deletes
       } finally deleteDir(s, rootDir)
+    }),
+
+    // ── DYNAMIC join-key zone pruning (ZoneJoinPruneRule — DPP for the
+    // log): events ingested in ten user_id-range batches (the zone
+    // layout a recluster/ordered ingest produces), then the star shape
+    // every warehouse hits — fact JOIN small dim — with the dim being
+    // the "recent signups" slice (top ~8% of customer keys, a contiguous
+    // id range). The transparent optimizer rule collects the dim's key
+    // domain (set probe under 256 keys, min/max above — sf0.01 exercises
+    // the set path, sf0.1 the range path) and rebuilds the log's file
+    // index BEFORE the join; the requires pin both the API-level prune
+    // (≤2 of 10 dirs) and that the OPTIMIZED plan scans only surviving
+    // dirs. Superset contract: the join's own condition still applies in
+    // full. Oracle: the plain SQL join.
+    "q258_zone_join_prune" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_jk",
+          schema, zoneCols = Seq("user_id"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val maxU = ev.agg(max("user_id")).head().getLong(0)
+        (0 until 10).foreach { i =>
+          val lo = i * (maxU + 1) / 10
+          val hi = (i + 1) * (maxU + 1) / 10
+          log.append(ev.filter(col("user_id") >= lo && col("user_id") < hi))
+        }
+        val cust = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_mktsegment"))
+        // "recent signups": the top fifth of the ACTIVE user range (the
+        // events user domain is the low tenth of the customer key space
+        // in this corpus — the slice must be taken from the fact side's
+        // domain for the join to select anything)
+        val thr = math.floor(maxU * 0.8).toLong
+        val dim = cust.filter(col("c_custkey") > thr && col("c_custkey") <= maxU)
+        val (kept, total) = log.zonePruneForJoin(dim, "c_custkey", "user_id")
+        require(total == 10 && kept.nonEmpty && kept.size <= 2,
+          s"join-key prune must cut the scan to the dim's key range: " +
+            s"kept ${kept.size} of $total")
+        graft.sources.ZonePrune.register(log)
+        graft.sources.ZonePrune.install(s)
+        try {
+          val joined = log.scan()
+            .join(dim, col("user_id") === col("c_custkey"))
+          // count only the LOG's scanned dirs (the dim's parquet
+          // relation also appears in the plan)
+          val logDirs = joined.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  h.location.rootPaths.count(
+                    _.toUri.getPath.contains("/public_events_jk/data/"))
+                case _ => 0
+              }
+          }.sum
+          require(logDirs == kept.size,
+            s"optimizer must scan only the surviving dirs: $logDirs vs ${kept.size}")
+          joined.groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+              countDistinct(col("user_id")).as("n_users"))
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally graft.sources.ZonePrune.unregister(log)
+      } finally deleteDir(s, rootDir)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // q258: the star join declared flat over the raw tables — ingest
+    // batching, zone probes and the optimizer rewrite must be invisible.
+    "q258_zone_join_prune" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey > CAST(FLOOR((SELECT max(user_id) FROM events) * 0.8) AS BIGINT)
+        |  AND c.c_custkey <= (SELECT max(user_id) FROM events)
+        |GROUP BY 1""".stripMargin,
+
     // q257: same final-state reconstruction as q244 — the SQL face must
     // be invisible in the result.
     "q257_merge_into_sql" ->

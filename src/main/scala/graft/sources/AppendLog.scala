@@ -677,6 +677,75 @@ final class AppendLog(
   def scanWhere(pred: Column): DataFrame =
     readDirs(zonePrune(pred)._1).filter(pred)
 
+  /** DYNAMIC (join-key) probe — the DPP-style half of zone pruning: the
+    * literal rule prunes `WHERE ts BETWEEN …`; this prunes
+    * `fact JOIN dim ON fact.k = dim.k` by collecting the DIMENSION's key
+    * domain first (the star-schema date-dimension pattern every
+    * warehouse hits). Small by precondition (the caller/rule gates on
+    * dim size), the collection is one bounded job: the distinct key set
+    * when it fits `maxValues` (tight — sparse dim keys prune dirs whose
+    * RANGE overlaps but whose values don't), else one min/max aggregate
+    * (coarse but still kills non-overlapping dirs). Returns:
+    * None = not prunable (column not zone-mapped, or the dim's key type
+    * does not canonicalize into the column's zone kind — cast semantics
+    * stay out of the zone layer, same contract as the literal path);
+    * Some(None) = the dim has NO non-null keys, so an equi-join result
+    * is empty on the log side; Some(Some(probes)) = prune with these.
+    * NULL dim keys are dropped first (an equi-join never matches them),
+    * which keeps the superset contract exact.
+    */
+  private[sources] def joinProbe(dim: DataFrame, dimCol: String,
+      logCol: String, maxValues: Int): Option[Option[Map[String, ZoneMaps.Probe]]] = {
+    val name = logCol.toLowerCase
+    val kind = zoneKinds.getOrElse(name, return None)
+    val keys = dim.select(dim(dimCol)).na.drop().distinct()
+    val sample = keys.limit(maxValues + 1).collect()
+    if (sample.isEmpty) return Some(None)
+    if (sample.length <= maxValues) {
+      val zs = sample.toSeq.map(r => ZoneMaps.canonLiteral(kind,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(r.get(0))))
+      if (zs.forall(_.isDefined))
+        return Some(Some(Map(name -> ZoneMaps.Probe().withEqs(zs.flatten))))
+      // non-canonical values (kind mismatch): no pruning, not a guess
+      return None
+    }
+    // too many distinct keys for a set probe: one min/max aggregate
+    val mm = dim.agg(min(dim(dimCol)), max(dim(dimCol))).head()
+    if (mm.isNullAt(0) || mm.isNullAt(1)) return Some(None)
+    val loZ = ZoneMaps.canonLiteral(kind,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(mm.get(0)))
+    val hiZ = ZoneMaps.canonLiteral(kind,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(mm.get(1)))
+    (loZ, hiZ) match {
+      case (Some(lo), Some(hi)) => Some(Some(Map(name ->
+        ZoneMaps.Probe().withLo(lo, inclusive = true).withHi(hi, inclusive = true))))
+      case _ => None
+    }
+  }
+
+  /** Join-key zone prune: (kept dirs, total) for an equi-join of this
+    * log on `logCol` against `dim(dimCol)`. Empty kept = the join result
+    * is empty on the log side (no non-null dim keys).
+    */
+  def zonePruneForJoin(dim: DataFrame, dimCol: String, logCol: String,
+      maxValues: Int = 256): (Seq[String], Int) = {
+    val dirs = readManifest()
+    joinProbe(dim, dimCol, logCol, maxValues) match {
+      case None => (dirs, dirs.size)
+      case Some(None) => (Nil, dirs.size)
+      case Some(Some(p)) => (dirs.filter(keepDir(_, p)), dirs.size)
+    }
+  }
+
+  /** Scan pruned to the directories an equi-join with `dim` can touch —
+    * a SUPERSET of the matching rows (the join's own condition still
+    * applies in full above; imprecision costs IO, never rows):
+    * `log.scanForJoin(dim, "d_key", "k").join(dim, col("k") === col("d_key"))`.
+    */
+  def scanForJoin(dim: DataFrame, dimCol: String, logCol: String,
+      maxValues: Int = 256): DataFrame =
+    readDirs(zonePruneForJoin(dim, dimCol, logCol, maxValues)._1)
+
   /** Current zones as a DataFrame — (batch_idx, batch_dir, column, kind,
     * zmin, zmax, all_null) with `batch_idx` the 0-based manifest position —
     * for observability and layout-health review (e.g. "are my batch time
@@ -918,6 +987,9 @@ object ZonePrune {
     if (!spark.experimental.extraOptimizations.exists(_ eq ZonePruneRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZonePruneRule
+    if (!spark.experimental.extraOptimizations.exists(_ eq ZoneJoinPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ZoneJoinPruneRule
   }
 }
 
@@ -976,5 +1048,155 @@ object ZonePruneRule
           case _ => f
         }
     }
+  }
+}
+
+/** DYNAMIC join-key zone pruning — the DPP-style optimizer half of
+  * [[ZonePruneRule]] (which handles literal predicates only,
+  * r12 verdict finding #3): when a registered zone-mapped log is
+  * equi-joined to a SMALL plan on a zoned column (the star-schema
+  * date-dimension shape), collect the dimension's key domain with one
+  * bounded job ([[AppendLog.joinProbe]]: distinct set under a cap, else
+  * min/max) and rebuild the log's file index with only the directories
+  * those keys can touch — BEFORE the join executes.
+  *
+  * Correctness invariants:
+  *  - pruning only ever drops log rows that cannot equi-match the dim's
+  *    non-null keys, so it is applied only for join types where such
+  *    rows cannot reach the output: Inner either side, LeftSemi when
+  *    the log is the left side, and the OUTER side may be pruned
+  *    (RightOuter prunes left, LeftOuter prunes right) — never LeftAnti
+  *    or FullOuter, where non-matching log rows ARE the output;
+  *  - `EqualNullSafe` join keys are skipped (null <=> null matches, and
+  *    all-null directories would be wrongly refuted);
+  *  - the probe is collected FRESH per optimization — never cached
+  *    across queries, because a dim whose data changed under an
+  *    identical plan would drive stale (falsely pruning) decisions. The
+  *    fixed-point re-run cost is bounded instead by a MARKER index
+  *    ([[ZoneJoinPrunedIndex]]): a relation this rule already rebuilt is
+  *    skipped on every later pass of the batch;
+  *  - a dim with no non-null keys collapses the log side to an empty
+  *    LocalRelation (an equi-join can produce no log-side matches).
+  *
+  * The dim side gates on plan statistics (broadcast-threshold-sized, as
+  * DPP does): at 100 TB the fact log is the side with 10^5 directories
+  * and the dim key scan is milliseconds — the same trade real DPP makes
+  * when build-side reuse fails.
+  */
+object ZoneJoinPruneRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private val maxValues = 256
+
+  /** Marker: this relation was already processed by this rule in this
+    * optimization (prevents fixed-point re-collection of dim keys).
+    */
+  private final class ZoneJoinPrunedIndex(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      roots: Seq[Path],
+      schema: org.apache.spark.sql.types.StructType)
+    extends InMemoryFileIndex(spark, roots, Map.empty[String, String], Some(schema))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (ZonePrune.registered.isEmpty) return plan
+    plan.transformUp { case j: Join => prune(j) }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** The log-side scan below trivially-transparent nodes (a Project that
+    * merely prunes columns, a pushed Filter); an aliased key never maps
+    * back to the relation, which the exprId membership check below
+    * rejects naturally.
+    */
+  private def relationIn(p: LogicalPlan): Option[(LogicalRelation, HadoopFsRelation)] =
+    p match {
+      case r: LogicalRelation if !r.isStreaming => r.relation match {
+        case h: HadoopFsRelation => Some((r, h))
+        case _ => None
+      }
+      case f: Filter => relationIn(f.child)
+      case pr: Project => relationIn(pr.child)
+      case _ => None
+    }
+
+  private def prune(j: Join): LogicalPlan = {
+    val cond = j.condition.getOrElse(return j)
+    val tryLeft = j.joinType == Inner || j.joinType == LeftSemi ||
+      j.joinType == RightOuter
+    val tryRight = j.joinType == Inner || j.joinType == LeftOuter
+    val afterLeft =
+      if (tryLeft) pruneSide(j, cond, logSide = j.left, dimSide = j.right)
+        .map(nl => j.copy(left = nl)).getOrElse(j)
+      else j
+    if (tryRight)
+      pruneSide(afterLeft, cond, logSide = afterLeft.right, dimSide = afterLeft.left)
+        .map(nr => afterLeft.copy(right = nr)).getOrElse(afterLeft)
+    else afterLeft
+  }
+
+  /** Some(new log side) if pruning applied; None = leave the join alone. */
+  private def pruneSide(j: Join, cond: Expression, logSide: LogicalPlan,
+      dimSide: LogicalPlan): Option[LogicalPlan] = {
+    if (dimSide.isStreaming) return None
+    val (r, h) = relationIn(logSide).getOrElse(return None)
+    if (h.location.isInstanceOf[ZoneJoinPrunedIndex]) return None
+    val roots = h.location.rootPaths
+    if (roots.size <= 1) return None
+    val log = ZonePrune.registered.find { l =>
+      val base = l.dataPathUri + "/"
+      roots.forall(_.toUri.getPath.startsWith(base))
+    }.getOrElse(return None)
+    // dim must be small enough that one bounded key-collection job is
+    // cheap relative to the fact scan it can save
+    val cap = math.max(conf.autoBroadcastJoinThreshold, 10L * 1024 * 1024)
+    if (dimSide.stats.sizeInBytes > cap) return None
+
+    // zoned equi-keys crossing the two sides, rooted directly in the scan
+    val logOut = r.outputSet
+    val dimOut = dimSide.outputSet
+    val keyPairs = splitAnd(cond).flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if logOut.contains(a) && dimOut.contains(b) => Some((a, b))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+        if logOut.contains(a) && dimOut.contains(b) => Some((a, b))
+      case _ => None
+    }.filter { case (a, _) => log.zoneKinds.contains(a.name.toLowerCase) }
+    if (keyPairs.isEmpty) return None
+
+    val spark = h.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    var probes = Map.empty[String, ZoneMaps.Probe]
+    var emptyDim = false
+    keyPairs.foreach { case (logAttr, dimAttr) =>
+      if (!emptyDim && !probes.contains(logAttr.name.toLowerCase)) {
+        val dimKeys = ColumnBridge.ofRows(spark, Project(Seq(dimAttr), dimSide))
+        log.joinProbe(dimKeys, dimAttr.name, logAttr.name, maxValues) match {
+          case Some(None) => emptyDim = true
+          case Some(Some(p)) => probes ++= p
+          case None => ()
+        }
+      }
+    }
+    if (emptyDim)
+      return Some(logSide.transformUp { case n if n eq r => LocalRelation(r.output) })
+    if (probes.isEmpty) return None
+    val kept = roots.filter(p => log.keepDir(p.getName, probes))
+    if (kept.isEmpty)
+      return Some(logSide.transformUp { case n if n eq r => LocalRelation(r.output) })
+    // kept == roots still rewraps with the marker index: the fixed-point
+    // batch must not pay the dim job again on its convergence pass
+    val idx = new ZoneJoinPrunedIndex(spark, kept, h.dataSchema)
+    val newRel = r.copy(relation = h.copy(location = idx)(spark))
+    Some(logSide.transformUp { case n if n eq r => newRel })
   }
 }

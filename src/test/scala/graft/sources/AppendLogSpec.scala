@@ -346,6 +346,80 @@ class AppendLogSpec extends SparkTestBase {
     assert(log.scan().count() == 6)
   }
 
+  test("join-key zone prune API: value-set probe beats range probe; superset contract holds") {
+    val log = new AppendLog(spark, tmpDir("alog-jk"), "public.jk", schema,
+      Seq("id"))
+    (1 to 6).foreach(d => log.append(day(d, 4))) // dir d holds ids [d*100, d*100+3]
+    val dim = Seq((101L, "x"), (302L, "y")).toDF("k", "lbl")
+    // sparse keys: the distinct-set probe keeps exactly the 2 hit dirs
+    val (keptSet, total) = log.zonePruneForJoin(dim, "k", "id")
+    assert(total == 6 && keptSet.size == 2, s"set probe kept $keptSet")
+    // forced min/max fallback (maxValues=1): coarser — keeps the covering range
+    val (keptRange, _) = log.zonePruneForJoin(dim, "k", "id", maxValues = 1)
+    assert(keptRange.size == 3, s"range probe kept $keptRange")
+    // pruned scan + join == unpruned scan + join (superset contract)
+    val expect = log.scan().join(dim, col("id") === col("k"))
+      .select("id", "lbl").as[(Long, String)].collect().toSet
+    val got = log.scanForJoin(dim, "k", "id").join(dim, col("id") === col("k"))
+      .select("id", "lbl").as[(Long, String)].collect().toSet
+    assert(got == expect && got == Set((101L, "x"), (302L, "y")))
+    // non-zoned column: no pruning
+    assert(log.zonePruneForJoin(dim, "k", "v")._1.size == 6)
+    // dim with only null keys: empty on the log side
+    val nullDim = Seq(Tuple2(null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("k", "lbl")
+    assert(log.zonePruneForJoin(nullDim, "k", "id")._1.isEmpty)
+  }
+
+  test("ZoneJoinPruneRule: fact-join-dim prunes the log's dirs at optimization time; outer sides are safe") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val log = new AppendLog(spark, tmpDir("alog-jkr"), "public.jkr", schema,
+      Seq("id"))
+    (1 to 6).foreach(d => log.append(day(d, 4)))
+    ZonePrune.register(log)
+    ZonePrune.install(spark)
+    try {
+      val dim = Seq((101L, "x"), (302L, "y")).toDF("k", "lbl")
+      def logRoots(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case r: LogicalRelation => r.relation match {
+            case h: HadoopFsRelation => h.location.rootPaths.size
+            case _ => -1
+          }
+        }.filter(_ >= 2) // the dim side local relation never shows here
+      // inner join: only the 2 key-hit dirs survive in the scan
+      val inner = log.scan().join(dim, col("id") === col("k"))
+      assert(logRoots(inner) == Seq(2), s"inner roots ${logRoots(inner)}")
+      assert(inner.select("id", "lbl").as[(Long, String)].collect().toSet ==
+        Set((101L, "x"), (302L, "y")))
+      // left semi: same pruning
+      val semi = log.scan().join(dim, col("id") === col("k"), "left_semi")
+      assert(logRoots(semi) == Seq(2))
+      assert(semi.select("id").as[Long].collect().toSet == Set(101L, 302L))
+      // LEFT OUTER with the log on the left: non-matching log rows ARE
+      // output — the rule must NOT prune (all 6 dirs stay)
+      val lo = log.scan().join(dim, col("id") === col("k"), "left")
+      assert(logRoots(lo) == Seq(6), s"left-outer roots ${logRoots(lo)}")
+      assert(lo.count() == 24)
+      // LEFT OUTER with the log on the RIGHT: log-side pruning is safe
+      val loR = dim.join(log.scan(), col("id") === col("k"), "left")
+      assert(logRoots(loR) == Seq(2))
+      assert(loR.count() == 2)
+      // a dim with no non-null keys collapses the log side entirely
+      val nullDim = Seq(Tuple2(null.asInstanceOf[java.lang.Long], "z"))
+        .toDF("k", "lbl")
+      val empty = log.scan().join(nullDim, col("id") === col("k"))
+      assert(empty.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r }.isEmpty)
+      assert(empty.count() == 0)
+      // composes with the literal rule: filter + join prunes by both
+      val both = log.scan()
+        .filter(col("ts") >= lit(ts("2024-03-03 00:00:00")))
+        .join(dim, col("id") === col("k")) // hits dirs {1,3} ∩ ts>=d3 = {3}
+      assert(both.select("id").as[Long].collect().toSet == Set(302L))
+    } finally ZonePrune.unregister(log)
+  }
+
   test("string zone probes use UTF-8 binary order — supplementary-plane values are not mispruned") {
     // U+FFFD (BMP, UTF-8: EF BF BD) vs U+1F600 (supplementary, UTF-8:
     // F0 9F 98 80): UTF-8 binary ranks U+FFFD < U+1F600, but UTF-16
