@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, LogicalPlan, Project, Union, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Generate, Join, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** COLUMN-LEVEL LINEAGE from the analyzed Catalyst plan — which base-table
@@ -27,19 +27,30 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - everything else (joins, filters, sorts, limits, subquery aliases)
   *    passes attributes through untouched.
   *
-  * DATA lineage only: columns referenced exclusively in filters/join
-  * conditions do not appear as sources of an output (they gate rows, not
-  * values) — impact analysis for those reads the plan's predicates, a
-  * different question.
+  * Two edge KINDS answer the two governance questions:
+  *
+  *  - `data` (the default walk): the output's VALUE derives from the
+  *    source column — "which outputs carry PII column X";
+  *  - `control` (`edges(df, includeControl = true)`): the source column
+  *    is referenced in a Filter or Join condition anywhere in the plan,
+  *    so it GATES which rows reach every output — "which outputs BREAK
+  *    if column X is dropped/retyped" needs these too, because a query
+  *    whose filter reads the column fails at analysis even when no
+  *    output value derives from it. Control references resolve through
+  *    the same ExprId map (a filter on a derived alias traces to the
+  *    alias's base columns). Boundary: conditions inside scalar/IN
+  *    subqueries are not traversed (the subquery is a different plan;
+  *    its lineage is computed on its own DataFrame).
   */
 object Lineage {
 
-  /** One lineage edge: output column ← (source table, source column).
-    * `table` is the relation's root path basename (stable across
-    * environments; pass-through of the full path is available via
-    * [[edgesFull]]).
+  /** One lineage edge: output column ← (source table, source column),
+    * `kind` ∈ data|control. `table` is the relation's root path basename
+    * (stable across environments; pass-through of the full path is
+    * available via [[edgesFull]]).
     */
-  final case class Edge(output: String, table: String, column: String)
+  final case class Edge(output: String, table: String, column: String,
+      kind: String = "data")
 
   private type Refs = Map[Long, Set[(String, String)]]
 
@@ -107,6 +118,38 @@ object Lineage {
     edgesFull(df).map { case (o, t, c) => Edge(o, baseName(t), c) }
       .distinct.sortBy(e => (e.output, e.table, e.column))
 
+  /** Base columns referenced by Filter/Join conditions anywhere in the
+    * plan, resolved through the same ExprId map (so a condition over a
+    * derived alias traces to the alias's base columns).
+    */
+  private def controlSources(plan: LogicalPlan, refs: Refs): Set[(String, String)] = {
+    val conds = plan.collect {
+      case f: Filter => Seq(f.condition)
+      case j: Join => j.condition.toSeq
+    }.flatten
+    conds.flatMap(_.references.toSeq.flatMap(r =>
+      refs.getOrElse(r.exprId.id, Set.empty[(String, String)]))).toSet
+  }
+
+  /** Data edges plus, when `includeControl`, one `control` edge per
+    * (output, gating source column): every output is row-gated by every
+    * Filter/Join condition in its plan, so "drop column X" breaks
+    * exactly the outputs carrying a control (or data) edge from X. A
+    * column can legitimately carry both kinds (joined AND projected).
+    */
+  def edges(df: DataFrame, includeControl: Boolean): Seq[Edge] = {
+    val data = edges(df)
+    if (!includeControl) return data
+    val plan = df.queryExecution.analyzed
+    val ctrl = controlSources(plan, refsOf(plan))
+    val ctrlEdges = for {
+      a <- plan.output
+      (t, c) <- ctrl.toSeq
+    } yield Edge(a.name, baseName(t), c, "control")
+    (data ++ ctrlEdges.distinct)
+      .sortBy(e => (e.output, e.table, e.column, e.kind))
+  }
+
   /** The edges as a DataFrame (output_col, src_table, src_column) — for
     * catalogs and the driver's oracle gate.
     */
@@ -114,5 +157,15 @@ object Lineage {
     import spark.implicits._
     edges(df).map(e => (e.output, e.table, e.column))
       .toDF("output_col", "src_table", "src_column")
+  }
+
+  /** Data + control edges as a DataFrame (output_col, src_table,
+    * src_column, kind).
+    */
+  def renderWithControl(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges(df, includeControl = true)
+      .map(e => (e.output, e.table, e.column, e.kind))
+      .toDF("output_col", "src_table", "src_column", "kind")
   }
 }

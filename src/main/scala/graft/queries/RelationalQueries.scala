@@ -260,6 +260,27 @@ object RelationalQueries {
       graft.plans.Lineage.render(s, q)
     }),
 
+    // ── CONTROL lineage (Lineage.edges(includeControl)): the other half
+    // of the governance question — "which outputs BREAK if column X is
+    // dropped" needs the columns that GATE rows (filter/join conditions),
+    // not only those whose values flow. Same q250 star rollup; every
+    // output gains one control edge per join-key/filter column, the data
+    // edges are bit-identical to q250's, and a filter-only column
+    // (o_orderstatus) appears ONLY as control. Schema-level: identical at
+    // every sf, zero data touched.
+    "q259_control_lineage" -> ((s, dir) => {
+      val q = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("c_mktsegment").as("segment"),
+          year(col("o_orderdate")).as("order_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          max(col("l_quantity")).as("max_qty"))
+      graft.plans.Lineage.renderWithControl(s, q)
+    }),
+
     // ── Blocking-QUALITY report (EntityResolution.blockingReport):
     // evaluate a blocking key BEFORE a linkage campaign spends the match
     // join — reduction ratio (how much of the all-pairs space the key
@@ -1842,6 +1863,26 @@ object RelationalQueries {
         |  ('revenue', 'lineitem', 'l_extendedprice'),
         |  ('segment', 'customer', 'c_mktsegment'))
         |AS t(output_col, src_table, src_column)""".stripMargin,
+
+    // q259: q250's data edges plus the declared control expectation —
+    // every output × every join-key/filter column, kind 'control'.
+    "q259_control_lineage" ->
+      """WITH d(output_col, src_table, src_column) AS (VALUES
+        |  ('max_qty', 'lineitem', 'l_quantity'),
+        |  ('order_year', 'orders', 'o_orderdate'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'),
+        |  ('segment', 'customer', 'c_mktsegment')),
+        |outs(output_col) AS (VALUES
+        |  ('segment'), ('order_year'), ('revenue'), ('max_qty')),
+        |ctrl(src_table, src_column) AS (VALUES
+        |  ('lineitem', 'l_orderkey'), ('orders', 'o_orderkey'),
+        |  ('orders', 'o_custkey'), ('customer', 'c_custkey'),
+        |  ('orders', 'o_orderstatus'))
+        |SELECT output_col, src_table, src_column, 'data' AS kind FROM d
+        |UNION ALL
+        |SELECT o.output_col, c.src_table, c.src_column, 'control' AS kind
+        |FROM outs o CROSS JOIN ctrl c""".stripMargin,
 
     // q246: identical dirty registry + the block-breaking %11 family,
     // re-counted declaratively — all pair masses are the m·(m−1)/2 closed

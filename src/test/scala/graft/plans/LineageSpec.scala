@@ -67,4 +67,41 @@ class LineageSpec extends SparkTestBase {
     val e = Lineage.edges(q).map(x => (x.output, x.column)).toSet
     assert(e == Set(("id", "id"), ("tok", "toks")))
   }
+
+  test("control lineage: filter-only and join-only columns appear exactly as control edges") {
+    val li = writeT("cli", Seq((1L, 10.0, "F", 1L)).toDF("l_ok", "price", "status", "ck"))
+    val cu = writeT("ccu", Seq((1L, "SEG", 5L)).toDF("ck", "seg", "tier"))
+    val q = spark.read.parquet(li).alias("l")
+      .join(spark.read.parquet(cu).alias("c"), col("l.ck") === col("c.ck"))
+      .filter(col("status") === "F" && col("tier") > 2L)
+      .select(col("seg"), col("price"))
+    // data edges unchanged by the flag being off
+    val data = Lineage.edges(q).map(x => (x.output, x.table, x.column, x.kind)).toSet
+    assert(data == Set(("seg", "ccu", "seg", "data"),
+      ("price", "cli", "price", "data")))
+    val all = Lineage.edges(q, includeControl = true)
+      .map(x => (x.output, x.table, x.column, x.kind)).toSet
+    // every output is gated by every filter/join condition column
+    val ctrlCols = Set(("cli", "status"), ("cli", "ck"), ("ccu", "ck"),
+      ("ccu", "tier"))
+    val expectCtrl = for {
+      o <- Set("seg", "price"); (t, c) <- ctrlCols
+    } yield (o, t, c, "control")
+    assert(all == data ++ expectCtrl)
+    // status is filter-only: control edges, never data
+    assert(!all.exists(x => x._3 == "status" && x._4 == "data"))
+    assert(all.exists(x => x._3 == "status" && x._4 == "control"))
+  }
+
+  test("control lineage: a filter over a derived alias traces to the alias's base columns") {
+    val t = writeT("cderiv", Seq((1L, 10.0, 0.5)).toDF("id", "price", "disc"))
+    val q = spark.read.parquet(t)
+      .withColumn("net", col("price") * (lit(1.0) - col("disc")))
+      .filter(col("net") > 1.0)
+      .select(col("id"))
+    val all = Lineage.edges(q, includeControl = true)
+      .map(x => (x.output, x.column, x.kind)).toSet
+    assert(all == Set(("id", "id", "data"),
+      ("id", "price", "control"), ("id", "disc", "control")))
+  }
 }
