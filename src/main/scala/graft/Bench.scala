@@ -70,7 +70,7 @@ object Bench {
     "q222_star_mv_boundary", "q223_star_mv_fromquery", "q224_star_mv_mor",
     // installs the MV rewrite rule + performs store-style MV builds —
     // the interference class the per-family split isolates from compute
-    "q226_mv_advisor", "q229_advisor_maintained",
+    "q226_mv_advisor", "q229_advisor_maintained", "q260_advisor_drop",
     // round-12 third wave: store-lifecycle loops (append-log ingest +
     // retention, MERGE INTO, SCD2 waves) — same isolation class
     "q243_zone_skipping", "q244_merge_into", "q257_merge_into_sql",

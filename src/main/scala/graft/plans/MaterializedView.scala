@@ -330,6 +330,7 @@ object MaterializedView {
     merged.write.mode("overwrite").parquet(next)
     val nd = d.copy(summaryPath = next)
     register(nd)
+    MvUsage.recordMaintenance(nd.summaryPath)
     nd
   }
 
@@ -508,6 +509,7 @@ object MaterializedView {
     affectedOpt.foreach(_.unpersist())
     val nd = d.copy(summaryPath = next)
     register(nd)
+    MvUsage.recordMaintenance(nd.summaryPath)
     nd
   }
 
@@ -633,7 +635,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       (conds, aliases, leaf) <- strip(agg.child)
       if worthIt(leaf)
       plan <- rewriteWith(agg, conds, aliases, leaf.mv)
-    } yield plan
+    } yield { MvUsage.recordServe(leaf.mv.summaryPath); plan }
   }
 
   /** ROLLUP / CUBE / GROUPING SETS over a registered base: the analyzer
@@ -661,7 +663,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           (conds, aliases, leaf) <- strip(ex.child)
           if worthIt(leaf)
           plan <- rewriteExpandWith(agg, ex, conds, aliases, leaf.mv)
-        } yield plan
+        } yield { MvUsage.recordServe(leaf.mv.summaryPath); plan }
       case _ => None
     }
 

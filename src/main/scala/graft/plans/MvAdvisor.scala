@@ -402,4 +402,73 @@ object MvAdvisor {
     val aa = a.max(1L); val bb = b.max(1L)
     if (aa > Long.MaxValue / bb) Long.MaxValue else aa * bb
   }
+
+  /** Eviction advice for one registered summary (single-table or star).
+    * `hits` = workload queries whose OPTIMIZED plan actually scans the
+    * summary; `maintEvents` = refresh/rebuild waves from the
+    * [[MvUsage]] ledger's current window.
+    */
+  final case class DropAdvice(summaryPath: String, family: String,
+      hits: Long, maintEvents: Long, summaryRows: Option[Long],
+      baseRows: Option[Long], drop: Boolean, reason: String)
+
+  /** The lifecycle closer: [[advise]] says what to CREATE, this says
+    * what to RETIRE — registered summaries whose maintenance cost
+    * exceeded their serving benefit over the observation window. The
+    * workload is probed by OPTIMIZING each query (zero execution) and
+    * checking whether the plan's scan roots land on the summary — the
+    * same evidence a serve is, so a summary outcompeted by a cheaper
+    * sibling ([[MvCost]] ordering) correctly reads as unserving here.
+    * Maintenance events come from the [[MvUsage]] ledger.
+    *
+    * Decision per summary:
+    *  - never hit, but maintained → DROP (pure cost);
+    *  - hit: when both row counts are known, DROP iff
+    *    `hits × (baseRows − summaryRows)` (rows saved serving) is
+    *    below `maintEvents × summaryRows` (rows rewritten maintaining);
+    *    unknown sizes keep (evidence of use, no evidence of waste);
+    *  - neither hit nor maintained → keep (storage-only; retiring idle
+    *    registrations is a policy call, not cost evidence).
+    */
+  def adviseDrop(spark: SparkSession,
+      workload: Seq[DataFrame]): Seq[DropAdvice] = {
+    val singles = MaterializedView.registered.map(d =>
+      (d.summaryPath, Seq(d.basePath), "single"))
+    val stars = StarMv.registered.map(d =>
+      (d.summaryPath, d.tables, "star"))
+    val all = singles ++ stars
+    if (all.isEmpty) return Nil
+    val hitKeys: Seq[String] = workload.flatMap { q =>
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          MaterializedView.fsRoots(r.relation)
+      }.flatten.map(p => MvUsage.key(p)).distinct
+    }
+    val hitCount: Map[String, Long] =
+      hitKeys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    all.map { case (path, bases, family) =>
+      val k = MvUsage.key(path)
+      val hits = hitCount.getOrElse(k, 0L)
+      val maintEvents = MvUsage.usageOf(path).maintEvents
+      val sRows = MvCost.sizeOf(spark, path).rows
+      val bRows = bases.foldLeft(Option(0L)) { (acc, b) =>
+        for (a <- acc; r <- MvCost.sizeOf(spark, b).rows) yield a + r
+      }
+      val (drop, reason) =
+        if (hits == 0L && maintEvents > 0L)
+          (true, s"maintained $maintEvents times, never served this workload")
+        else if (hits == 0L)
+          (false, "neither served nor maintained in the window")
+        else (sRows, bRows) match {
+          case (Some(s), Some(b)) =>
+            val benefit = BigInt(hits) * BigInt(math.max(b - s, 0L))
+            val cost = BigInt(maintEvents) * BigInt(s)
+            if (benefit < cost)
+              (true, s"serving saves $benefit rows, maintenance rewrites $cost")
+            else (false, s"serving saves $benefit rows vs $cost maintained")
+          case _ => (false, s"served $hits queries; sizes unknown")
+        }
+      DropAdvice(path, family, hits, maintEvents, sRows, bRows, drop, reason)
+    }.sortBy(a => (!a.drop, a.summaryPath))
+  }
 }

@@ -385,6 +385,7 @@ object StarMv {
       else base + "_v" + (d.summaryPath.substring(
         d.summaryPath.lastIndexOf("_v") + 2).toInt + 1)
     unregister(d.summaryPath)
+    MvUsage.recordMaintenance(next) // a rebuild is a (full) maintenance wave
     build(spark, d.copy(summaryPath = next))
   }
 
@@ -624,6 +625,7 @@ object StarMv {
     derivedGroupFormCache.remove(d.summaryPath)
     derivedTsCache.remove(d.summaryPath)
     register(nd)
+    MvUsage.recordMaintenance(nd.summaryPath)
     nd
   }
 
@@ -1097,9 +1099,10 @@ object StarMv {
       if pathed.size == flat.leaves.size
       paths = pathed.map(_._2)
       if paths.distinct.size == paths.size // self-joins refuse
-      mv <- servable(pathed).view
-        .flatMap(d => rewriteWith(agg, flat, pathed, d)).headOption
-    } yield mv
+      dp <- servable(pathed).view
+        .flatMap(d => rewriteWith(agg, flat, pathed, d).map(p => (d, p)))
+        .headOption
+    } yield { MvUsage.recordServe(dp._1.summaryPath); dp._2 }
 
   /** Candidates for the query's leaf set, cheapest summary first, with
     * the [[MvCost]] gate applied: a summary no smaller than the leaves'
@@ -1138,10 +1141,11 @@ object StarMv {
           if pathed.size == flat.leaves.size
           paths = pathed.map(_._2)
           if paths.distinct.size == paths.size
-          mv <- servable(pathed).view
-            .flatMap(d => rewriteExpandStar(agg, ex, flat, pathed, d))
+          dp <- servable(pathed).view
+            .flatMap(d => rewriteExpandStar(agg, ex, flat, pathed, d)
+              .map(p => (d, p)))
             .headOption
-        } yield mv
+        } yield { MvUsage.recordServe(dp._1.summaryPath); dp._2 }
       case _ => None
     }
 

@@ -1519,6 +1519,67 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Summary EVICTION advisor (MvAdvisor.adviseDrop + MvUsage): the
+    // lifecycle closer — advise() creates summaries, the maintainers
+    // refresh them, and this retires the ones whose maintenance cost
+    // outran their serving benefit. Two maintained single-table MVs:
+    // one the workload still rolls up through (its optimized plans scan
+    // the summary — requires pin that), one that stopped being queried.
+    // adviseDrop probes the workload's OPTIMIZED plans (zero execution)
+    // and joins the MvUsage maintenance ledger. Oracle: the declared
+    // verdict table — policy output, identical at every sf.
+    "q260_advisor_drop" -> ((s, dir) => {
+      val rootDir = tempRoot()
+      graft.plans.MvUsage.reset()
+      val lakeA = s"$rootDir/lake_a"
+      val lakeB = s"$rootDir/lake_b"
+      try {
+        graft.plans.MaterializedView.install(s)
+        val base = s.read.parquet(s"$dir/orders.parquet")
+          .select((col("o_custkey") % 10).cast("long").as("g"),
+            col("o_totalprice").cast("double").as("price"))
+        base.write.mode("overwrite").parquet(lakeA)
+        base.write.mode("overwrite").parquet(lakeB)
+        graft.plans.MaterializedView.build(s, lakeA, Seq("g"), Seq("price"),
+          s"$rootDir/lake_a_sum")
+        graft.plans.MaterializedView.build(s, lakeB, Seq("g"), Seq("price"),
+          s"$rootDir/lake_b_sum")
+        // one maintenance wave each (CDC keeps flowing to both)
+        import s.implicits._
+        val delta = Seq((3L, 10.0), (4L, 20.0)).toDF("g", "price")
+        graft.plans.MaterializedView.refresh(s, lakeA, delta)
+        graft.plans.MaterializedView.refresh(s, lakeB, delta)
+        // the live workload only ever reads lakeA
+        def q() = s.read.parquet(lakeA).groupBy("g")
+          .agg(sum(col("price")).as("sp"))
+        val workload = Seq(q(), q())
+        val served = workload.head.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(served.nonEmpty && served.forall(_.contains("lake_a_sum")),
+          s"workload must serve from the summary, scanned: $served")
+        val advs = graft.plans.MvAdvisor.adviseDrop(s, workload)
+        require(advs.size == 2, s"two registered summaries expected: $advs")
+        val out = advs.map { a =>
+          val label = if (a.summaryPath.contains("lake_a_sum")) "lake_a_sum"
+            else if (a.summaryPath.contains("lake_b_sum")) "lake_b_sum"
+            else a.summaryPath
+          (label, a.hits, a.maintEvents, a.drop)
+        }.toDF("mv", "hits", "maint_events", "should_drop")
+        out.localCheckpoint()
+      } finally {
+        graft.plans.MaterializedView.unregister(lakeA)
+        graft.plans.MaterializedView.unregister(lakeB)
+        graft.plans.MvUsage.reset()
+        deleteDir(s, rootDir)
+      }
+    }),
+
     // ── SQL MERGE INTO (MergeIntoSql + GraftSqlParser): the statement a
     // warehouse user actually types, compiled by the parser hook onto
     // the SAME clause machine as q244 — Spark's own grammar parses it,
@@ -1670,6 +1731,14 @@ object CdcQueries {
         |WHERE c.c_custkey > CAST(FLOOR((SELECT max(user_id) FROM events) * 0.8) AS BIGINT)
         |  AND c.c_custkey <= (SELECT max(user_id) FROM events)
         |GROUP BY 1""".stripMargin,
+
+    // q260: the declared eviction verdict — the still-served summary
+    // keeps (2 hits amortize its one wave), the unserved one drops.
+    "q260_advisor_drop" ->
+      """SELECT * FROM (VALUES
+        |  ('lake_a_sum', CAST(2 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('lake_b_sum', CAST(0 AS BIGINT), CAST(1 AS BIGINT), true))
+        |AS t(mv, hits, maint_events, should_drop)""".stripMargin,
 
     // q257: same final-state reconstruction as q244 — the SQL face must
     // be invisible in the result.

@@ -234,4 +234,48 @@ class MvAdvisorSpec extends SparkTestBase {
     assert(MvAdvisor.advise(spark, Seq(w, w)).isEmpty,
       "a summary the size of the base must not be recommended")
   }
+
+  test("adviseDrop: unserved-but-maintained drops, still-hit keeps, maintenance-dominated drops") {
+    MvUsage.reset()
+    val mk = (n: String, rows: Long, card: Long) => {
+      val p = tmpDir(s"advd_$n")
+      (1L to rows).map(i => (i % card, i % 100))
+        .toDF("g", "v").write.mode("overwrite").parquet(p)
+      p
+    }
+    val baseA = mk("a", 400L, 10L) // serves a live workload
+    val baseB = mk("b", 400L, 10L) // maintained, never queried
+    val baseC = mk("c", 100L, 50L) // hit once, but maintenance dominates
+    val sumOf = (b: String) => b + "_sum"
+    try {
+      MaterializedView.build(spark, baseA, Seq("g"), Seq("v"), sumOf(baseA))
+      MaterializedView.build(spark, baseB, Seq("g"), Seq("v"), sumOf(baseB))
+      MaterializedView.build(spark, baseC, Seq("g"), Seq("v"), sumOf(baseC))
+      // one maintenance wave on A and B, three on C
+      val delta = Seq((1L, 7L)).toDF("g", "v")
+      MaterializedView.refresh(spark, baseA, delta)
+      MaterializedView.refresh(spark, baseB, delta)
+      (1 to 3).foreach(_ => MaterializedView.refresh(spark, baseC, delta))
+      def q(b: String) = spark.read.parquet(b)
+        .groupBy("g").agg(sum(col("v")).as("s"))
+      val workload = Seq(q(baseA), q(baseA), q(baseC))
+      // sanity: the workload really serves from the summaries
+      assert(scanPaths(workload.head).exists(_.contains("_sum")))
+      val advs = MvAdvisor.adviseDrop(spark, workload)
+        .map(a => MvUsage.key(a.summaryPath) -> a).toMap
+      val (aK, bK, cK) = (MvUsage.key(sumOf(baseA)),
+        MvUsage.key(sumOf(baseB)), MvUsage.key(sumOf(baseC)))
+      assert(advs(aK).hits == 2 && advs(aK).maintEvents == 1 && !advs(aK).drop,
+        s"still-hit summary must keep: ${advs(aK)}")
+      assert(advs(bK).hits == 0 && advs(bK).maintEvents == 1 && advs(bK).drop,
+        s"unserved maintained summary must drop: ${advs(bK)}")
+      // C: base 100 rows, summary 50; benefit = 1×(100−50)=50 <
+      // cost = 3×50=150 — served, but not worth its maintenance
+      assert(advs(cK).hits == 1 && advs(cK).maintEvents == 3 && advs(cK).drop,
+        s"maintenance-dominated summary must drop: ${advs(cK)}")
+    } finally {
+      Seq(baseA, baseB, baseC).foreach(MaterializedView.unregister)
+      MvUsage.reset()
+    }
+  }
 }
