@@ -404,6 +404,32 @@ object ZoneMaps {
   * tool that keeps #batches in check by folding adjacent small batches
   * into one (recomputing their unioned zone), O(selected) work, never a
   * table rewrite.
+  *
+  * SCHEMA EVOLUTION contract (additive — a new instance over the same
+  * root declares the WIDENED schema; era-mixed dirs then coexist):
+  *  - READ: every scan applies the declared schema; dirs written before
+  *    a column existed surface it as NULL — old and new eras union
+  *    transparently.
+  *  - WRITE: a batch missing an added column null-fills it (mixed-era
+  *    producers keep appending); columns outside the declared schema are
+  *    dropped. Renames and type NARROWING are not supported — a rename
+  *    is an add + a retained old column, like every manifest-based
+  *    format.
+  *  - ZONES stay correct on both eras: a pre-widening dir has no zone
+  *    entry for the new column → kept under any probe on it (superset,
+  *    never wrong); a null-filled dir records an all-null zone → pruned
+  *    by null-rejecting predicates. Numeric zone values canonicalize to
+  *    exact decimals ("num" kind), so widening an int column to long
+  *    compares against old sidecars unchanged.
+  *
+  * CONSOLIDATED-INDEX compaction contract under concurrent readers: the
+  * one-file index (`_zones_current`) is REWRITTEN by every commit via
+  * the same atomic-rename primitive as the manifest, and written BEFORE
+  * the manifest flips — a reader therefore sees either the old
+  * (manifest, index) pair or the new one, never a manifest whose dirs
+  * the index predates. An index read that races a swept generation
+  * degrades per-dir to the immutable sidecars, then to "keep" (see
+  * zonesOf) — staleness can cost a prune, never rows.
   */
 final class AppendLog(
     spark: SparkSession,
@@ -487,7 +513,18 @@ final class AppendLog(
     // long-lived readers' cached zone sidecars never alias across
     // generations ("data dirs are immutable" holds for names too).
     val dir = s"$seq-" + suffix.fold(token.toString)(k => s"${token}k$k")
-    val out = df.select(dataCols.map(col): _*)
+    // SCHEMA EVOLUTION (writer half — the reader half is readDirs'
+    // declared-schema read, which nulls columns a pre-widening dir never
+    // wrote): a batch from a producer that predates an ADDED column
+    // null-fills it, so mixed-era producers keep appending through one
+    // widened log. The filled column's zone records all-null — BETTER
+    // than unbounded: null-rejecting predicates prune the whole dir.
+    // Columns outside the declared schema are dropped by the projection
+    // (the log's schema is the contract, not the batch's).
+    val out = df.select(dataCols.map { c =>
+      if (df.columns.exists(_.equalsIgnoreCase(c))) col(c)
+      else lit(null).cast(schema(c).dataType).as(c)
+    }: _*)
     val sorted =
       if (zoneCols.isEmpty) out
       else out.sortWithinPartitions(zoneCols.map(col): _*)

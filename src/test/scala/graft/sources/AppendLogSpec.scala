@@ -346,6 +346,52 @@ class AppendLogSpec extends SparkTestBase {
     assert(log.scan().count() == 6)
   }
 
+  test("schema evolution: era-mixed dirs union with nulls; writers null-fill; zones correct on both eras") {
+    val rootDir = tmpDir("alog-evo")
+    val v1 = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val v2 = StructType(v1.fields :+ StructField("tag", StringType))
+    // era 1: two dirs under the narrow schema
+    val log1 = new AppendLog(spark, rootDir, "public.evo", v1, Seq("v"))
+    log1.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    log1.append(Seq((3L, 3.0)).toDF("id", "v"))
+    // era 2: the WIDENED schema over the same root, zones now include tag
+    val log2 = new AppendLog(spark, rootDir, "public.evo", v2, Seq("v", "tag"))
+    // a new-era batch with the column...
+    log2.append(Seq((4L, 4.0, "x")).toDF("id", "v", "tag"))
+    // ...and an OLD producer's narrow batch: null-filled, not refused
+    log2.append(Seq((5L, 5.0)).toDF("id", "v"))
+    assert(log2.batchCount == 4)
+    // union with nulls: era-1 dirs and the null-filled dir read tag NULL
+    val rows = log2.scan().select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some("x"), 5L -> None))
+    // zone correctness across eras for a probe on the ADDED column:
+    // era-1 dirs have no tag zone entry -> kept (superset, never wrong);
+    // the null-filled dir has an all-null zone -> pruned; dir 3 matches
+    val (kept, total) = log2.zonePrune(col("tag") === "x")
+    assert(total == 4 && kept.size == 3, s"kept $kept")
+    assert(log2.scanWhere(col("tag") === "x").select("id").as[Long]
+      .collect().toSeq == Seq(4L))
+    // prunes on a PRE-EXISTING column ride old sidecars unchanged
+    assert(log2.scanWhere(col("v") <= 2.0).count() == 2)
+    // extra columns beyond the declared schema are dropped, not stored
+    log2.append(Seq((6L, 6.0, "y", 99L)).toDF("id", "v", "tag", "extra"))
+    assert(log2.scan().columns.toSeq == Seq("id", "v", "tag"))
+    // type WIDENING: int-era files scan under a long declaration, and
+    // the "num" zone kind compares width-agnostically
+    val w1 = StructType(Seq(StructField("k", IntegerType)))
+    val wlogNarrow = new AppendLog(spark, rootDir, "public.wide", w1, Seq("k"))
+    wlogNarrow.append(Seq(1, 2, 3).toDF("k"))
+    val w2 = StructType(Seq(StructField("k", LongType)))
+    val wlogWide = new AppendLog(spark, rootDir, "public.wide", w2, Seq("k"))
+    wlogWide.append(Seq(10L).toDF("k"))
+    assert(wlogWide.scan().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 10L))
+    val (keptW, totalW) = wlogWide.zonePrune(col("k") >= 10L)
+    assert(totalW == 2 && keptW.size == 1)
+  }
+
   test("join-key zone prune API: value-set probe beats range probe; superset contract holds") {
     val log = new AppendLog(spark, tmpDir("alog-jk"), "public.jk", schema,
       Seq("id"))
