@@ -226,18 +226,236 @@ object MergeIntoSql {
       MergeProgram(m.sourceTable, delete, update, insert)))
   }
 
+  // ── the rest of the DML face: DELETE FROM / UPDATE / INSERT INTO ────
+  // Same design as MERGE: Spark's grammar parses, the parser hook
+  // reroutes statements whose target is registered, everything else
+  // passes through. Append-only LOGS register separately (they are not
+  // keyed TableStores): DELETE routes to AppendLog.deleteWhere (zone-
+  // pruned dir surgery), INSERT to append; UPDATE on a log is refused —
+  // an event log is immutable by contract.
+
+  private val logRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.AppendLog]()
+
+  /** Expose an append log to SQL DELETE/INSERT under `name`. */
+  def registerLog(name: String, log: graft.sources.AppendLog): Unit = {
+    logRegistry.put(norm(name), log); ()
+  }
+  def unregisterLog(name: String): Unit = { logRegistry.remove(norm(name)); () }
+
+  private[operators] def lookupLog(name: String): Option[graft.sources.AppendLog] =
+    Option(logRegistry.get(norm(name)))
+
+  /** Re-qualify a single-table condition/SET expression: references
+    * qualified by the target's spellings drop to bare names (they
+    * resolve against the snapshot); any OTHER qualifier is a user error
+    * (there is no second relation in a DELETE/UPDATE scope).
+    */
+  private def bare(e: Expression, tq: Set[String]): Expression = e.transformUp {
+    case a: UnresolvedAttribute if a.nameParts.length >= 2 =>
+      val q = a.nameParts.init.map(norm).mkString(".")
+      if (tq.contains(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+      else fail(s"unknown qualifier in ${a.sql} — only the target table is in scope")
+  }
+
+  /** DELETE FROM a registered store (keyed delete through the family's
+    * own path — bucket-pruned rewrite on the CoW store, generic
+    * keys-probe + compacted-batch delete elsewhere) or log (zone-pruned
+    * directory surgery). None = target not registered.
+    */
+  def compileDelete(d: DeleteFromTable): Option[LogicalPlan] = {
+    val (table, tq) = relationOf(d.table).getOrElse(return None)
+    if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
+    Some(GraftDeleteCommand(table, DmlProgram(bare(d.condition, tq))))
+  }
+
+  /** UPDATE a registered store: one snapshot filter for the affected
+    * rows, SET expressions applied (non-key columns only), one
+    * compacted-batch upsert — O(scan probe + affected buckets).
+    */
+  def compileUpdate(u: UpdateTable): Option[LogicalPlan] = {
+    val (table, tq) = relationOf(u.table).getOrElse(return None)
+    if (lookupLog(table).nonEmpty)
+      fail(s"UPDATE on append log $table — an event log is immutable; MERGE/UPDATE belong to the keyed stores")
+    val reg = lookup(table).getOrElse(return None)
+    val spec = reg.store.spec
+    val pk = spec.pkCols.map(norm)
+    val sets = u.assignments.map { a =>
+      val n = a.key match {
+        case attr: UnresolvedAttribute =>
+          spec.dataCols.find(_.equalsIgnoreCase(attr.nameParts.last)).getOrElse(
+            fail(s"SET column ${attr.sql} is not a column of $table"))
+        case other => fail(s"SET key must be a column, got ${other.sql}")
+      }
+      if (pk.contains(norm(n)))
+        fail(s"UPDATE SET on key column $n — a key change is a delete+insert, not an update")
+      n -> bare(a.value, tq)
+    }
+    Some(GraftUpdateCommand(table,
+      DmlProgram(bare(u.condition.getOrElse(Literal.TrueLiteral), tq)), sets.map(_._1),
+      sets.map(s => DmlProgram(s._2))))
+  }
+
+  /** INSERT INTO a registered store (UPSERT-on-key semantics — the same
+    * contract every CDC apply path and the reference's loader enforce;
+    * duplicate keys WITHIN the batch are refused) or log (one appended
+    * batch). Positional column mapping with a cast to the declared
+    * schema, SQL-style; `byName = true` (INSERT ... BY NAME) maps by
+    * name. OVERWRITE/partition clauses are refused.
+    */
+  def compileInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
+    val (table, _) = relationOf(i.table).getOrElse(return None)
+    if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
+    if (i.overwrite)
+      fail("INSERT OVERWRITE is not supported — rebuild the store/log explicitly")
+    if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+      fail("partitioned INSERT clauses are not supported on graft stores")
+    Some(GraftInsertCommand(table, i.query, i.userSpecifiedCols, i.byName))
+  }
+
   /** Parse → compile → execute for sessions built WITHOUT the
-    * extensions hook (the `install`-style twin). Returns the one-row
-    * stats frame the command produces.
+    * extensions hook (the `install`-style twin). Accepts every
+    * statement the parser hook owns: MERGE / DELETE / UPDATE / INSERT.
+    * Returns the one-row stats frame the command produces.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    def req(p: Option[LogicalPlan]): LogicalPlan = p.getOrElse(fail(
+      "statement target is not a registered graft store/log — " +
+        "MergeIntoSql.register / registerLog first"))
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case m: MergeIntoTable =>
-        val cmd = compile(m).getOrElse(fail(
-          s"MERGE target is not a registered graft store — MergeIntoSql.register(name, store, preImage) first"))
-        ColumnBridge.ofRows(spark, cmd)
-      case _ => fail(s"not a MERGE statement: ${sqlText.take(80)}")
+      case m: MergeIntoTable => ColumnBridge.ofRows(spark, req(compile(m)))
+      case d: DeleteFromTable => ColumnBridge.ofRows(spark, req(compileDelete(d)))
+      case u: UpdateTable => ColumnBridge.ofRows(spark, req(compileUpdate(u)))
+      case i: InsertIntoStatement => ColumnBridge.ofRows(spark, req(compileInsert(i)))
+      case _ => fail(s"not a MERGE/DELETE/UPDATE/INSERT statement: ${sqlText.take(80)}")
     }
+  }
+}
+
+/** One hidden unresolved expression (same QueryPlan-shielding rationale
+  * as [[MergeProgram]]).
+  */
+final case class DmlProgram(expr: Expression)
+
+final case class GraftDeleteCommand(table: String, cond: DmlProgram)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val c = ColumnBridge.column(cond.expr)
+    val n = MergeIntoSql.lookupLog(table) match {
+      case Some(log) => log.deleteWhere(c)
+      case None =>
+        val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+          s"[GRAFT_DML] $table was unregistered between parse and execution"))
+        reg.store match {
+          case p: graft.sources.ParquetTableStore => p.deleteWhere(c)
+          case s => // generic family path: keys probe + compacted delete
+            import org.apache.spark.sql.functions.{coalesce, lit}
+            val keys = s.snapshot().filter(coalesce(c, lit(false)))
+              .select(s.spec.pkCols.map(org.apache.spark.sql.functions.col): _*)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val n0 = keys.count()
+              if (n0 > 0L) s.merge(CompactedBatch(deletes = keys,
+                upserts = s.snapshot().limit(0)))
+              n0
+            } finally { keys.unpersist(blocking = false); () }
+        }
+    }
+    Seq(Row(n))
+  }
+}
+
+final case class GraftUpdateCommand(table: String, cond: DmlProgram,
+    setCols: Seq[String], setExprs: Seq[DmlProgram])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+      s"[GRAFT_DML] $table was unregistered between parse and execution"))
+    val sets = setCols.zip(setExprs.map(p => ColumnBridge.column(p.expr))).toMap
+    val affected = reg.store.snapshot()
+      .filter(coalesce(ColumnBridge.column(cond.expr), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = affected.count()
+      if (n > 0L) {
+        val upserts = affected.select(reg.store.spec.dataCols.map { c =>
+          sets.collectFirst { case (k, e) if k.equalsIgnoreCase(c) => e.as(c) }
+            .getOrElse(col(c))
+        }: _*)
+        reg.store.merge(CompactedBatch(
+          deletes = affected.select(reg.store.spec.pkCols.map(col): _*).limit(0),
+          upserts = upserts))
+      }
+      Seq(Row(n))
+    } finally { affected.unpersist(blocking = false); () }
+  }
+}
+
+final case class GraftInsertCommand(table: String, query: LogicalPlan,
+    userCols: Seq[String], byName: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("inserted", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = ColumnBridge.ofRows(sparkSession, query)
+    val (schema, dataCols, pk) = MergeIntoSql.lookupLog(table) match {
+      case Some(log) => (log.schema, log.schema.fieldNames.toSeq, Nil)
+      case None =>
+        val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+          s"[GRAFT_DML] $table was unregistered between parse and execution"))
+        (reg.store.spec.schema, reg.store.spec.dataCols, reg.store.spec.pkCols)
+    }
+    // column mapping: explicit list > BY NAME > positional (SQL default)
+    val targets: Seq[String] =
+      if (userCols.nonEmpty) {
+        val missing = dataCols.filterNot(c => userCols.exists(_.equalsIgnoreCase(c)))
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(s"[GRAFT_DML] INSERT column list " +
+            s"must cover every column of $table; missing: ${missing.mkString(",")}")
+        userCols
+      } else if (byName) dataCols
+      else {
+        if (src.columns.length != dataCols.size)
+          throw new IllegalArgumentException(s"[GRAFT_DML] INSERT arity " +
+            s"${src.columns.length} != ${dataCols.size} columns of $table")
+        dataCols
+      }
+    val renamed =
+      if (byName) src.select(dataCols.map(c => col(c).cast(schema(
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).get).dataType).as(c)): _*)
+      else {
+        // positional under the target order in `targets`
+        val byPos = src.toDF(targets: _*)
+        byPos.select(dataCols.map(c => col(c).cast(schema(
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).get).dataType).as(c)): _*)
+      }
+    val batch = renamed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = batch.count()
+      MergeIntoSql.lookupLog(table) match {
+        case Some(log) => if (n > 0L) log.append(batch)
+        case None =>
+          val reg = MergeIntoSql.lookup(table).get
+          val dups = batch.groupBy(pk.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          if (dups > 0L)
+            throw new IllegalArgumentException(s"[GRAFT_DML] INSERT batch has " +
+              s"duplicate keys on (${pk.mkString(",")}) — the upsert result " +
+              "would depend on row order")
+          if (n > 0L) reg.store.merge(CompactedBatch(
+            deletes = batch.select(pk.map(col): _*).limit(0),
+            upserts = batch))
+      }
+      Seq(Row(n))
+    } finally { batch.unpersist(blocking = false); () }
   }
 }
 
@@ -290,6 +508,9 @@ final case class GraftMergeCommand(table: String, program: MergeProgram)
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def post(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable => MergeIntoSql.compile(m).getOrElse(m)
+    case d: DeleteFromTable => MergeIntoSql.compileDelete(d).getOrElse(d)
+    case u: UpdateTable => MergeIntoSql.compileUpdate(u).getOrElse(u)
+    case i: InsertIntoStatement => MergeIntoSql.compileInsert(i).getOrElse(i)
     case p => p
   }
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -1648,6 +1648,58 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── Full SQL DML lifecycle (MergeIntoSql: DELETE/UPDATE/INSERT —
+    // the statements bireme's warehouse users drive Greenplum with,
+    // reference README.md:15): DELETE routes to the CoW store's
+    // bucket-pruned deleteWhere, UPDATE to a snapshot-filter +
+    // compacted-batch upsert, INSERT to the keyed upsert with in-batch
+    // duplicate refusal. Per-statement counts pinned against
+    // source-derived expectations; oracle reconstructs the final state.
+    "q261_sql_dml" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_dml", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        base.createOrReplaceTempView("q261_src")
+        graft.operators.MergeIntoSql.register("public.customer_dml",
+          store, store.snapshotForKeys(_))
+        try {
+          val del = graft.operators.MergeIntoSql.sql(s,
+            "DELETE FROM public.customer_dml WHERE c_custkey % 7 = 3")
+            .head().getLong(0)
+          val upd = graft.operators.MergeIntoSql.sql(s,
+            """UPDATE public.customer_dml SET c_acctbal = c_acctbal + 100.0
+              |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+            .head().getLong(0)
+          val ins = graft.operators.MergeIntoSql.sql(s,
+            """INSERT INTO public.customer_dml
+              |SELECT c_custkey + 400000000, c_name, c_nationkey,
+              |       c_acctbal, 'NEWSEG'
+              |FROM q261_src WHERE c_custkey % 9 = 0""".stripMargin)
+            .head().getLong(0)
+          val k = col("c_custkey")
+          val exp = base.agg(
+            sum(when(k % 7 === 3, 1L).otherwise(0L)),
+            sum(when(k % 7 =!= 3 && col("c_mktsegment") === "BUILDING", 1L)
+              .otherwise(0L)),
+            sum(when(k % 9 === 0, 1L).otherwise(0L))).head()
+          require(del == exp.getLong(0) && upd == exp.getLong(1) &&
+            ins == exp.getLong(2),
+            s"DML stats ($del,$upd,$ins) diverge from expectation $exp")
+        } finally graft.operators.MergeIntoSql.unregister("public.customer_dml")
+        store.snapshot()
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── DYNAMIC join-key zone pruning (ZoneJoinPruneRule — DPP for the
     // log): events ingested in ten user_id-range batches (the zone
     // layout a recluster/ordered ingest produces), then the star shape
@@ -1720,6 +1772,23 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q261: the DML sequence reconstructed declaratively — %7=3 deleted
+    // first, survivors' BUILDING rows repriced +100, %9=0 re-inserted at
+    // shifted keys under NEWSEG with their original balance.
+    "q261_sql_dml" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT 'NEWSEG' AS c_mktsegment, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 9 = 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 1""".stripMargin,
+
     // q258: the star join declared flat over the raw tables — ingest
     // batching, zone probes and the optimizer rewrite must be invisible.
     "q258_zone_join_prune" ->

@@ -435,7 +435,7 @@ final class AppendLog(
     spark: SparkSession,
     root: String,
     name: String,
-    schema: StructType,
+    val schema: StructType,
     zoneCols: Seq[String] = Nil) {
 
   require(zoneCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),

@@ -106,6 +106,72 @@ class MergeIntoSqlSpec extends SparkTestBase {
     } finally { MergeIntoSql.clear() }
   }
 
+  test("SQL DELETE / UPDATE / INSERT drive the registered store with store-native semantics") {
+    val store = initStore()
+    try {
+      MergeIntoSql.register("public.acct_sql", store, store.snapshotForKeys(_))
+      // DELETE: bucket-pruned CoW deleteWhere; NULL-pred rows kept
+      val del = MergeIntoSql.sql(spark,
+        "DELETE FROM public.acct_sql WHERE seg = 'A' AND bal < 200.0")
+        .as[Long].head()
+      assert(del == 1L)
+      assert(state(store) == Map(2L -> ((200.0, "B")), 3L -> ((300.0, "A")),
+        4L -> ((400.0, "B"))))
+      // UPDATE with SET over the row's own columns and a target-qualified ref
+      val upd = MergeIntoSql.sql(spark,
+        "UPDATE public.acct_sql t SET bal = t.bal + 10.0 WHERE t.seg = 'B'")
+        .as[Long].head()
+      assert(upd == 2L)
+      assert(state(store) == Map(2L -> ((210.0, "B")), 3L -> ((300.0, "A")),
+        4L -> ((410.0, "B"))))
+      // INSERT: positional VALUES; keyed-store semantics are UPSERT
+      val ins = MergeIntoSql.sql(spark,
+        "INSERT INTO public.acct_sql VALUES (9, 900.0, 'C'), (3, 333.0, 'Z')")
+        .as[Long].head()
+      assert(ins == 2L)
+      assert(state(store) == Map(2L -> ((210.0, "B")), 3L -> ((333.0, "Z")),
+        4L -> ((410.0, "B")), 9L -> ((900.0, "C"))))
+      // duplicate keys within one INSERT batch are refused, store untouched
+      val e = intercept[Exception](MergeIntoSql.sql(spark,
+        "INSERT INTO public.acct_sql VALUES (7, 1.0, 'X'), (7, 2.0, 'Y')"))
+      assert(e.getMessage.contains("duplicate keys"))
+      assert(!state(store).contains(7L))
+      // UPDATE SET on the key column is refused at compile time
+      val e2 = intercept[IllegalArgumentException](MergeIntoSql.sql(spark,
+        "UPDATE public.acct_sql SET id = 99 WHERE bal > 0"))
+      assert(e2.getMessage.contains("key column"))
+      // INSERT OVERWRITE refused
+      val e3 = intercept[IllegalArgumentException](MergeIntoSql.sql(spark,
+        "INSERT OVERWRITE TABLE public.acct_sql VALUES (1, 1.0, 'A')"))
+      assert(e3.getMessage.contains("OVERWRITE"))
+    } finally { MergeIntoSql.clear(); MergeIntoSql.unregisterLog("public.acct_sql") }
+  }
+
+  test("SQL DELETE / INSERT on a registered append log; UPDATE on a log is refused") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val log = new graft.sources.AppendLog(spark, tmpDir("sqllog"),
+      "public.ev_sql", schema, Seq("v"))
+    try {
+      log.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+      log.append(Seq((3L, 30.0)).toDF("id", "v"))
+      MergeIntoSql.registerLog("public.ev_sql", log)
+      // INSERT appends ONE new batch
+      val ins = MergeIntoSql.sql(spark,
+        "INSERT INTO public.ev_sql VALUES (4, 40.0)").as[Long].head()
+      assert(ins == 1L && log.batchCount == 3)
+      // DELETE rides the zone-pruned dir surgery
+      val del = MergeIntoSql.sql(spark,
+        "DELETE FROM public.ev_sql WHERE v >= 30.0").as[Long].head()
+      assert(del == 2L)
+      assert(log.scan().select("id").as[Long].collect().toSet == Set(1L, 2L))
+      val e = intercept[IllegalArgumentException](MergeIntoSql.sql(spark,
+        "UPDATE public.ev_sql SET v = 0.0 WHERE id = 1"))
+      assert(e.getMessage.contains("immutable"))
+    } finally MergeIntoSql.unregisterLog("public.ev_sql")
+  }
+
   test("unsupported shapes fail with a clean [GRAFT_MERGE] error") {
     val store = initStore()
     try {
