@@ -313,21 +313,80 @@ object MergeIntoSql {
     Some(GraftInsertCommand(table, i.query, i.userSpecifiedCols, i.byName))
   }
 
+  // ── SELECT face: registered names resolve as relations ──────────────
+  // `SELECT … FROM <registered store>` reads the live snapshot,
+  // `FROM <name> VERSION AS OF n` time-travels a versioned store, and a
+  // registered log's name scans the log. Resolution happens at parse
+  // time by splicing the ANALYZED snapshot plan in place of the
+  // unresolved relation; an existing catalog table or temp view of the
+  // same name WINS (the hook must never shadow what Spark can already
+  // resolve).
+
+  private def catalogHas(spark: SparkSession, name: String): Boolean =
+    try spark.catalog.tableExists(name)
+    catch { case _: Exception => false }
+
+  private[operators] def resolveRelation(r: UnresolvedRelation): Option[LogicalPlan] = {
+    if (r.isStreaming) return None
+    val spark = SparkSession.active
+    val name = r.multipartIdentifier.map(norm).mkString(".")
+    if (lookup(name).isEmpty && lookupLog(name).isEmpty) return None
+    if (catalogHas(spark, r.multipartIdentifier.mkString("."))) return None
+    lookup(name).map(_.store.snapshot())
+      .orElse(lookupLog(name).map(_.scan()))
+      .map(_.queryExecution.analyzed)
+  }
+
+  private[operators] def resolveTimeTravel(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel): Option[LogicalPlan] = {
+    val ur = tt.relation match {
+      case u: UnresolvedRelation => u
+      case _ => return None
+    }
+    val name = ur.multipartIdentifier.map(norm).mkString(".")
+    val reg = lookup(name).getOrElse(return None)
+    reg.store match {
+      case v: graft.sources.VersionedTableStore =>
+        if (tt.timestamp.nonEmpty)
+          fail("TIMESTAMP AS OF is not supported — graft store versions are " +
+            "sequence numbers; use VERSION AS OF <n>")
+        val ver = tt.version.getOrElse(fail("VERSION AS OF requires a version"))
+        val vl = try ver.toLong catch { case _: NumberFormatException =>
+          fail(s"VERSION AS OF must be a number for graft stores, got '$ver'") }
+        Some(v.snapshotAt(vl).queryExecution.analyzed)
+      case _ => fail(s"$name is not a versioned store — time travel unavailable")
+    }
+  }
+
+  /** Registered-name resolution over a whole (sub)plan — applied to
+    * plain queries and to DML source subtrees, never to DML targets.
+    */
+  private[operators] def routeRels(p: LogicalPlan): LogicalPlan = p.transformUp {
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+      resolveTimeTravel(tt).getOrElse(tt)
+    case r: UnresolvedRelation => resolveRelation(r).getOrElse(r)
+  }
+
   /** Parse → compile → execute for sessions built WITHOUT the
     * extensions hook (the `install`-style twin). Accepts every
-    * statement the parser hook owns: MERGE / DELETE / UPDATE / INSERT.
-    * Returns the one-row stats frame the command produces.
+    * statement the parser hook owns — MERGE / DELETE / UPDATE / INSERT
+    * (one-row stats frame back) — plus plain queries over registered
+    * names (the SELECT face).
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     def req(p: Option[LogicalPlan]): LogicalPlan = p.getOrElse(fail(
       "statement target is not a registered graft store/log — " +
         "MergeIntoSql.register / registerLog first"))
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case m: MergeIntoTable => ColumnBridge.ofRows(spark, req(compile(m)))
+      case m: MergeIntoTable =>
+        ColumnBridge.ofRows(spark, req(compile(
+          m.copy(sourceTable = routeRels(m.sourceTable)))))
       case d: DeleteFromTable => ColumnBridge.ofRows(spark, req(compileDelete(d)))
       case u: UpdateTable => ColumnBridge.ofRows(spark, req(compileUpdate(u)))
-      case i: InsertIntoStatement => ColumnBridge.ofRows(spark, req(compileInsert(i)))
-      case _ => fail(s"not a MERGE/DELETE/UPDATE/INSERT statement: ${sqlText.take(80)}")
+      case i: InsertIntoStatement =>
+        ColumnBridge.ofRows(spark, req(compileInsert(
+          i.copy(query = routeRels(i.query)))))
+      case q => ColumnBridge.ofRows(spark, routeRels(q))
     }
   }
 }
@@ -507,11 +566,15 @@ final case class GraftMergeCommand(table: String, program: MergeProgram)
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def post(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable => MergeIntoSql.compile(m).getOrElse(m)
+    case m: MergeIntoTable =>
+      MergeIntoSql.compile(m.copy(
+        sourceTable = MergeIntoSql.routeRels(m.sourceTable))).getOrElse(m)
     case d: DeleteFromTable => MergeIntoSql.compileDelete(d).getOrElse(d)
     case u: UpdateTable => MergeIntoSql.compileUpdate(u).getOrElse(u)
-    case i: InsertIntoStatement => MergeIntoSql.compileInsert(i).getOrElse(i)
-    case p => p
+    case i: InsertIntoStatement =>
+      MergeIntoSql.compileInsert(i.copy(
+        query = MergeIntoSql.routeRels(i.query))).getOrElse(i)
+    case p => MergeIntoSql.routeRels(p)
   }
   override def parsePlan(sqlText: String): LogicalPlan =
     post(delegate.parsePlan(sqlText))

@@ -1700,6 +1700,46 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── SQL SELECT face + time travel (MergeIntoSql.routeRels): a
+    // registered store is QUERYABLE by name — plain SQL reads the live
+    // snapshot, `VERSION AS OF n` splices the retained version's
+    // snapshot in place of the relation at parse time. The lifecycle:
+    // register, mutate via SQL UPDATE, then read BOTH eras in one
+    // statement (a UNION of current and time-traveled aggregates).
+    // Oracle reconstructs both eras from the raw table.
+    "q262_sql_select_travel" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_tt", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16,
+          retainedVersions = 2)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val v0 = store.currentVersion
+        graft.operators.MergeIntoSql.register("public.customer_tt",
+          store, store.snapshotForKeys(_))
+        try {
+          graft.operators.MergeIntoSql.sql(s,
+            """UPDATE public.customer_tt SET c_acctbal = c_acctbal + 100.0
+              |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+          graft.operators.MergeIntoSql.sql(s,
+            s"""SELECT 'current' AS era, c_mktsegment,
+               |  CAST(count(*) AS BIGINT) AS n,
+               |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+               |FROM public.customer_tt GROUP BY 2
+               |UNION ALL
+               |SELECT 'initial' AS era, c_mktsegment,
+               |  CAST(count(*) AS BIGINT) AS n,
+               |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+               |FROM public.customer_tt VERSION AS OF $v0 GROUP BY 2
+               |""".stripMargin)
+            .localCheckpoint() // eager: detached before the finally deletes
+        } finally graft.operators.MergeIntoSql.unregister("public.customer_tt")
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── DYNAMIC join-key zone pruning (ZoneJoinPruneRule — DPP for the
     // log): events ingested in ten user_id-range batches (the zone
     // layout a recluster/ordered ingest produces), then the star shape
@@ -1788,6 +1828,19 @@ object CdcQueries {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q262: both eras reconstructed from the raw table — 'current' with
+    // the BUILDING reprice applied, 'initial' verbatim.
+    "q262_sql_select_travel" ->
+      """SELECT 'current' AS era, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 2
+        |UNION ALL
+        |SELECT 'initial' AS era, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 2""".stripMargin,
 
     // q258: the star join declared flat over the raw tables — ingest
     // batching, zone probes and the optimizer rewrite must be invisible.

@@ -1048,11 +1048,29 @@ object ZonePruneRule
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 
+  /** The filter's scan child: the relation itself, or the relation under
+    * ONE column-pruning Project (all plain attribute references — an
+    * ALIAS could rebind a zone column's name to a different expression,
+    * so aliased projections contribute no pruning). Post-optimizer,
+    * stacked Projects are collapsed, so one level is the real shape.
+    */
+  private object ScanChild {
+    def unapply(p: LogicalPlan): Option[(LogicalRelation, LogicalPlan => LogicalPlan)] =
+      p match {
+        case r: LogicalRelation if !r.isStreaming => Some((r, identity))
+        case pr @ org.apache.spark.sql.catalyst.plans.logical.Project(pl, r: LogicalRelation)
+          if !r.isStreaming && pl.forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+          Some((r, nr => pr.copy(child = nr)))
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val logs = ZonePrune.registered
     if (logs.isEmpty) return plan
     plan.transformUp {
-      case f @ Filter(cond, r: LogicalRelation) if !r.isStreaming =>
+      case f @ Filter(cond, ScanChild(r, rebuild)) =>
         r.relation match {
           case h: HadoopFsRelation =>
             val roots = h.location.rootPaths
@@ -1072,12 +1090,12 @@ object ZonePruneRule
                   val kept = roots.filter(p =>
                     log.keepDir(p.getName, probes))
                   if (kept.size == roots.size) f
-                  else if (kept.isEmpty) LocalRelation(r.output)
+                  else if (kept.isEmpty) LocalRelation(f.output)
                   else {
                     val idx = new InMemoryFileIndex(h.sparkSession, kept,
                       Map.empty[String, String], Some(h.dataSchema))
-                    Filter(cond,
-                      r.copy(relation = h.copy(location = idx)(h.sparkSession)))
+                    Filter(cond, rebuild(
+                      r.copy(relation = h.copy(location = idx)(h.sparkSession))))
                   }
                 }
               case None => f

@@ -172,6 +172,51 @@ class MergeIntoSqlSpec extends SparkTestBase {
     } finally MergeIntoSql.unregisterLog("public.ev_sql")
   }
 
+  test("SELECT face: registered names resolve as relations, VERSION AS OF time-travels, temp views win") {
+    val store = initStore()
+    try {
+      MergeIntoSql.register("public.acct_sql", store, store.snapshotForKeys(_))
+      // live snapshot through plain SQL
+      val live = MergeIntoSql.sql(spark,
+        "SELECT seg, sum(bal) AS s FROM public.acct_sql GROUP BY seg")
+        .as[(String, Double)].collect().toMap
+      assert(live == Map("A" -> 400.0, "B" -> 600.0))
+      // mutate, then time-travel back to the initial version
+      val v0 = store.currentVersion
+      MergeIntoSql.sql(spark,
+        "UPDATE public.acct_sql SET bal = bal + 1000.0 WHERE seg = 'A'")
+      val now = MergeIntoSql.sql(spark,
+        "SELECT sum(bal) AS s FROM public.acct_sql").as[Double].head()
+      assert(now == 3000.0)
+      val back = MergeIntoSql.sql(spark,
+        s"SELECT sum(bal) AS s FROM public.acct_sql VERSION AS OF $v0")
+        .as[Double].head()
+      assert(back == 1000.0)
+      // a registered name also serves as a DML source
+      val store2 = initStore("public.acct_sql2")
+      MergeIntoSql.register("public.acct_sql2", store2, store2.snapshotForKeys(_))
+      MergeIntoSql.sql(spark,
+        """MERGE INTO public.acct_sql2 t USING
+          |  (SELECT id, bal, seg FROM public.acct_sql WHERE seg = 'A') s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET bal = s.bal""".stripMargin)
+      assert(state(store2)(1L)._1 == 1100.0)
+      // an existing temp view of the same name wins over the registration
+      Seq((42L, 1.0, "V")).toDF("id", "bal", "seg")
+        .createOrReplaceTempView("acct_shadow")
+      MergeIntoSql.register("acct_shadow", store, store.snapshotForKeys(_))
+      assert(MergeIntoSql.sql(spark, "SELECT count(*) AS n FROM acct_shadow")
+        .as[Long].head() == 1L)
+      // TIMESTAMP AS OF refused cleanly
+      val e = intercept[IllegalArgumentException](MergeIntoSql.sql(spark,
+        "SELECT * FROM public.acct_sql TIMESTAMP AS OF '2024-01-01'"))
+      assert(e.getMessage.contains("VERSION AS OF"))
+    } finally {
+      spark.catalog.dropTempView("acct_shadow")
+      MergeIntoSql.clear()
+    }
+  }
+
   test("unsupported shapes fail with a clean [GRAFT_MERGE] error") {
     val store = initStore()
     try {

@@ -190,6 +190,20 @@ class AppendLogSpec extends SparkTestBase {
       ZonePrune.register(log)
       val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == expect && got.nonEmpty)
+      // a COLUMN-PRUNING Project between filter and scan keeps pruning
+      // (the optimizer pushes the projection below the filter when only
+      // some columns are selected)
+      val proj = log.scan().select("ts", "kind").filter(pred)
+        .groupBy("kind").count()
+      val projRoots = proj.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths
+          case _ => Nil
+        }
+      }.flatten
+      assert(projRoots.size == 1, s"projected scan must still prune: $projRoots")
+      assert(proj.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == expect)
       // an all-refuted predicate collapses the scan to an empty relation
       val none = log.scan().filter(col("v") === 99999.0)
       assert(none.queryExecution.optimizedPlan.collect {
