@@ -1563,12 +1563,15 @@ object CdcQueries {
         }.flatten
         require(served.nonEmpty && served.forall(_.contains("lake_a_sum")),
           s"workload must serve from the summary, scanned: $served")
+        // the session registry is shared — other queries' registrations
+        // may coexist; judge only the two summaries THIS query created
         val advs = graft.plans.MvAdvisor.adviseDrop(s, workload)
-        require(advs.size == 2, s"two registered summaries expected: $advs")
+          .filter(a => a.summaryPath.contains("lake_a_sum") ||
+            a.summaryPath.contains("lake_b_sum"))
+        require(advs.size == 2, s"this query's two summaries expected: $advs")
         val out = advs.map { a =>
           val label = if (a.summaryPath.contains("lake_a_sum")) "lake_a_sum"
-            else if (a.summaryPath.contains("lake_b_sum")) "lake_b_sum"
-            else a.summaryPath
+            else "lake_b_sum"
           (label, a.hits, a.maintEvents, a.drop)
         }.toDF("mv", "hits", "maint_events", "should_drop")
         out.localCheckpoint()
