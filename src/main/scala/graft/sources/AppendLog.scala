@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   * cannot represent, e.g. a NaN-polluted double) costs performance,
   * never correctness. Conservative rules:
   *
-  *  - only top-level AND conjuncts of shape `col op literal` / `col IN
-  *    (literals)` participate; anything else (OR trees, expressions over
-  *    the column, UDFs) contributes no pruning;
+  *  - AND/OR trees over `col op literal` / `col IN (literals)` leaves
+  *    participate in full (boolean refutation: AND refutes when any
+  *    branch does, OR only when every branch does — see compilePred);
+  *    anything else (NOT, expressions over the column, UDFs) contributes
+  *    no pruning;
   *  - a literal whose kind does not match the column's zone kind is
   *    ignored (Spark would insert a cast at analysis — the zone layer
   *    does not second-guess cast semantics);
@@ -288,6 +290,71 @@ object ZoneMaps {
           loOk && hiOk && eqOk
       }
     }
+
+  // ── boolean refutation tree: OR-aware pruning ───────────────────────
+
+  /** Compiled refutation tree over a WHOLE boolean predicate — the
+    * generalization of the top-level-conjunct probe list to arbitrary
+    * AND/OR shapes (`ts BETWEEN a AND b OR ts BETWEEN c AND d` is the
+    * dashboard predicate the conjunct-only design left unpruned).
+    * Refutation recursion, superset-safe by construction:
+    *  - AND refutes when ANY branch refutes (a conjunct that cannot
+    *    match kills the conjunction);
+    *  - OR refutes only when EVERY branch refutes;
+    *  - a comparison leaf refutes when its probe refutes the zones (the
+    *    existing [[keep]] machinery on a one-leaf probe map);
+    *  - anything else (NOT, UDFs, expressions over the column) never
+    *    refutes.
+    * Compiled ONCE per predicate — literal canonicalization happens at
+    * build; per-directory evaluation is a tree walk over in-memory
+    * probes.
+    */
+  sealed trait PredTree
+  private final case class AndT(kids: Seq[PredTree]) extends PredTree
+  private final case class OrT(kids: Seq[PredTree]) extends PredTree
+  private final case class LeafT(probes: Map[String, Probe]) extends PredTree
+  private case object AnyT extends PredTree // never refutes
+
+  def compilePred(pred: Expression, kinds: Map[String, String]): PredTree =
+    pred match {
+      case a: And =>
+        // ONE combined leaf for all comparison conjuncts (probes()
+        // tightens multi-conjunct bounds per column — contradictory INs
+        // must keep refuting as a unit) + recursion into OR conjuncts
+        val ors = splitAnd(a).collect {
+          case o: org.apache.spark.sql.catalyst.expressions.Or =>
+            compilePred(o, kinds)
+        }
+        val p = probes(a, kinds)
+        val leaf = if (p.isEmpty) Nil else Seq(LeafT(p))
+        val kids = leaf ++ ors
+        if (kids.isEmpty) AnyT
+        else if (kids.size == 1) kids.head
+        else AndT(kids)
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        OrT(Seq(compilePred(l, kinds), compilePred(r, kinds)))
+      case leaf =>
+        val p = probes(leaf, kinds)
+        if (p.isEmpty) AnyT else LeafT(p)
+    }
+
+  /** Can a directory with `zones` possibly satisfy the compiled tree? */
+  def keepTree(zones: Seq[Zone], t: PredTree): Boolean = t match {
+    case AnyT => true
+    case LeafT(p) => keep(zones, p)
+    case AndT(ks) => ks.forall(keepTree(zones, _))
+    case OrT(ks) => ks.exists(keepTree(zones, _))
+  }
+
+  /** Does the tree prune at all? (AnyT everywhere = every dir kept —
+    * callers short-circuit the manifest walk.)
+    */
+  def prunes(t: PredTree): Boolean = t match {
+    case AnyT => false
+    case LeafT(_) => true
+    case AndT(ks) => ks.exists(prunes)
+    case OrT(ks) => ks.forall(prunes) // one open branch keeps every dir
+  }
 
   // ── sidecar codec: one tiny text file per data dir ───────────────────
 
@@ -696,15 +763,21 @@ final class AppendLog(
       probes: Map[String, ZoneMaps.Probe]): Boolean =
     zonesOf(dirName).forall(zs => ZoneMaps.keep(zs, probes))
 
+  /** Tree form of [[keepDir]] — OR-aware boolean refutation. */
+  private[sources] def keepDirTree(dirName: String,
+      tree: ZoneMaps.PredTree): Boolean =
+    zonesOf(dirName).forall(zs => ZoneMaps.keepTree(zs, tree))
+
   /** Zone-prune the current manifest against `pred`: (kept dirs, total).
     * Driver-side only — reads the tiny sidecars, touches no data file.
     */
   def zonePrune(pred: Column): (Seq[String], Int) = {
     val dirs = readManifest()
-    val probesByCol = ZoneMaps.probes(
+    val tree = ZoneMaps.compilePred(
       ZoneMaps.resolvedCondition(readDirs(Nil), pred), zoneKinds)
-    if (probesByCol.isEmpty) return (dirs, dirs.size)
-    (dirs.filter(keepDir(_, probesByCol)), dirs.size)
+    if (!ZoneMaps.prunes(tree)) return (dirs, dirs.size)
+    (dirs.filter(d => zonesOf(d).forall(zs => ZoneMaps.keepTree(zs, tree))),
+      dirs.size)
   }
 
   /** Predicate scan with zone pruning: only directories whose zones can
@@ -880,14 +953,17 @@ final class AppendLog(
     */
   def explainPrune(pred: Column): DataFrame = {
     val dirs = readManifest()
-    val probesByCol = ZoneMaps.probes(
-      ZoneMaps.resolvedCondition(readDirs(Nil), pred), zoneKinds)
+    val resolved = ZoneMaps.resolvedCondition(readDirs(Nil), pred)
+    val probesByCol = ZoneMaps.probes(resolved, zoneKinds)
+    val tree = ZoneMaps.compilePred(resolved, zoneKinds)
     val rows = dirs.zipWithIndex.map { case (d, i) =>
-      if (probesByCol.isEmpty) (i.toLong, d, true, "no-prunable-conjuncts")
+      if (!ZoneMaps.prunes(tree)) (i.toLong, d, true, "no-prunable-conjuncts")
       else zonesOf(d) match {
         case None => (i.toLong, d, true, "no-zone-info")
         case Some(zs) =>
-          // first refuting column names the reason; kept otherwise
+          // first refuting top-level conjunct column names the reason;
+          // an OR-tree refutation (every branch refuted) that no single
+          // conjunct explains reports as boolean-refuted
           val refuting = probesByCol.keys.toSeq.sorted.find(c =>
             !ZoneMaps.keep(zs, Map(c -> probesByCol(c))))
           refuting match {
@@ -895,7 +971,9 @@ final class AppendLog(
               val allNull = zs.exists(z => z.column.toLowerCase == c && z.allNull)
               (i.toLong, d, false,
                 if (allNull) s"all-null:$c" else s"range-refuted:$c")
-            case None => (i.toLong, d, true, "overlaps")
+            case None =>
+              if (ZoneMaps.keepTree(zs, tree)) (i.toLong, d, true, "overlaps")
+              else (i.toLong, d, false, "boolean-refuted")
           }
       }
     }
@@ -1084,11 +1162,11 @@ object ZonePruneRule
                     try Literal.create(c.eval(null), c.dataType)
                     catch { case _: Exception => c }
                 }
-                val probes = ZoneMaps.probes(folded, log.zoneKinds)
-                if (probes.isEmpty) f
+                val tree = ZoneMaps.compilePred(folded, log.zoneKinds)
+                if (!ZoneMaps.prunes(tree)) f
                 else {
                   val kept = roots.filter(p =>
-                    log.keepDir(p.getName, probes))
+                    log.keepDirTree(p.getName, tree))
                   if (kept.size == roots.size) f
                   else if (kept.isEmpty) LocalRelation(f.output)
                   else {

@@ -67,9 +67,22 @@ class AppendLogSpec extends SparkTestBase {
     val (keptMixed, total) = log.zonePrune(
       col("kind") === "click" && col("v") === lit(2.0))
     assert(keptMixed.size == 2 && total == 6)
-    // an OR tree is not a conjunct list: no pruning, all dirs kept
+    // OR trees prune by boolean refutation: a dir is kept when ANY
+    // branch could match — v=2 hits dirs 1..2, v=100 hits none
     val (keptOr, _) = log.zonePrune(col("v") === 2.0 || col("v") === 100.0)
-    assert(keptOr.size == 6)
+    assert(keptOr.size == 2, s"or-tree kept $keptOr")
+    // the dashboard shape: two disjoint ranges OR-ed — [1,2) hits only
+    // dir 1 ([1,4]), (8.5,9) only dir 6 ([6,9]); dir 5 ([5,8]) misses both
+    val (keptOr2, _) = log.zonePrune(
+      (col("v") >= 1.0 && col("v") < 2.0) || (col("v") > 8.5 && col("v") < 9.0))
+    assert(keptOr2.size == 2, s"or-range kept $keptOr2")
+    val orPred = (col("v") >= 1.0 && col("v") < 2.0) ||
+      (col("v") > 8.5 && col("v") < 9.0)
+    assert(log.scanWhere(orPred).select("id").as[Long].collect().toSet ==
+      log.scan().filter(orPred).select("id").as[Long].collect().toSet)
+    // an OR with a non-prunable branch keeps everything (superset)
+    val (keptOr3, _) = log.zonePrune(col("v") === 2.0 || col("kind") === "zz")
+    assert(keptOr3.size == 6)
   }
 
   test("string zones prune lexicographically; all-null dirs prune under range predicates") {

@@ -70,7 +70,16 @@ class ZonePruneFuzzSpec extends SparkTestBase {
           case 6 => col("s") > strAlphabet(rnd.nextInt(strAlphabet.size))
           case 7 => col("s") <= strAlphabet(rnd.nextInt(strAlphabet.size))
         }
-        (0 until (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
+        // AND chains, sometimes OR-ing two of them — the boolean
+        // refutation tree (compilePred) must stay a superset filter on
+        // arbitrary AND/OR mixes, not just conjunct lists
+        def chain(): Column =
+          (0 until (1 + rnd.nextInt(3))).map(_ => one()).reduce(_ && _)
+        rnd.nextInt(3) match {
+          case 0 => chain() || chain()
+          case 1 => chain() && (one() || one())
+          case _ => chain()
+        }
       }
       (1 to 12).foreach { _ =>
         val pred = randPred()
