@@ -75,7 +75,7 @@ object Bench {
     // retention, MERGE INTO, SCD2 waves) — same isolation class
     "q243_zone_skipping", "q244_merge_into", "q257_merge_into_sql",
     "q258_zone_join_prune", "q261_sql_dml", "q262_sql_select_travel",
-    "q249_scd2_dimension",
+    "q263_zone_or_windows", "q249_scd2_dimension",
     "q251_scd2_temporal_join", "q252_zone_report", "q253_log_cursor_agg",
     "q254_zone_rule", "q256_zone_recluster")
   private def familyOf(name: String): String =

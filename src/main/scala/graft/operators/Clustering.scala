@@ -179,6 +179,28 @@ object Clustering {
     * recall trade is the SemDeDup design point, and the deterministic
     * assignment means an external oracle misses exactly the same pairs.
     */
+  /** [[semanticPairs]] with k SCALED TO THE CORPUS — the 100-TB form.
+    * With FIXED k, the expected within-cell pair mass is Σc² ≈ n²/k:
+    * superlinear in n, and measured so by the soak gate (q128's fixed
+    * k=8 exponent rises with scale exactly on the n²/k law). Holding
+    * the expected CELL SIZE constant instead (k = ⌈n / target⌉) bounds
+    * pair mass at ≈ n·target — linear, the shape that survives a 1000×
+    * corpus. One count job prices k; assignment cost n·k dot products
+    * stays bearable because centroids are broadcast driver literals.
+    */
+  def semanticPairsAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      targetCellSize: Long = 250L, iters: Int = 1, threshold: Double = 0.9,
+      clusterCap: Long = 10000L,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(targetCellSize > 0,
+      s"semanticPairsAuto: targetCellSize must be positive, got $targetCellSize")
+    val n = df.count()
+    val k = math.max(8L, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
+    semanticPairs(df, idCol, vecCol, k, iters, threshold, clusterCap, scope)
+  }
+
   def semanticPairs(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, threshold: Double = 0.9,

@@ -1703,6 +1703,53 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── OR-tree zone pruning (ZoneMaps.compilePred): the dashboard
+    // predicate — two disjoint time windows OR-ed — pruned by boolean
+    // refutation (a dir is kept when ANY branch could match; the old
+    // conjunct-only design kept every dir for any OR). Ten 3-day
+    // batches; the two windows land in ≤2 dirs each, so the require
+    // pins kept ≤ 4 of 10 AND that the windows' dirs differ. Oracle:
+    // the flat OR filter over the raw table.
+    "q263_zone_or_windows" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val rootDir = tempRoot()
+      try {
+        val log = new graft.sources.AppendLog(s, rootDir, "public.events_or",
+          schema, zoneCols = Seq("ts"))
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val withBatch = ev.withColumn("_b",
+          (datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 3)
+            .cast("int"))
+        val batches = withBatch.select("_b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        batches.foreach(b =>
+          log.append(withBatch.filter(col("_b") === b).drop("_b")))
+        def w(lo: String, hi: String) =
+          col("ts") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+            col("ts") < lit(java.sql.Timestamp.valueOf(hi))
+        val pred = w("2024-01-04 00:00:00", "2024-01-06 00:00:00") ||
+          w("2024-01-22 00:00:00", "2024-01-24 00:00:00")
+        val (kept, total) = log.zonePrune(pred)
+        require(total == batches.length && kept.nonEmpty && kept.size <= 4,
+          s"OR-of-windows must prune: kept ${kept.size} of $total")
+        val (k1, _) = log.zonePrune(w("2024-01-04 00:00:00", "2024-01-06 00:00:00"))
+        val (k2, _) = log.zonePrune(w("2024-01-22 00:00:00", "2024-01-24 00:00:00"))
+        require(kept.toSet == (k1.toSet ++ k2.toSet) && k1.toSet != k2.toSet,
+          "the OR prune must be exactly the union of the branch prunes")
+        log.scanWhere(pred)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── SQL SELECT face + time travel (MergeIntoSql.routeRels): a
     // registered store is QUERYABLE by name — plain SQL reads the live
     // snapshot, `VERSION AS OF n` splices the retained version's
@@ -1831,6 +1878,19 @@ object CdcQueries {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q263: the flat OR-of-windows filter — batching and the boolean
+    // refutation prune must be invisible.
+    "q263_zone_or_windows" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-06 00:00:00')
+        |   OR (ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-24 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     // q262: both eras reconstructed from the raw table — 'current' with
     // the BUILDING reprice applied, 'initial' verbatim.

@@ -1154,6 +1154,27 @@ object PipelineQueries {
         .groupBy("outcome").agg(count(lit(1)).as("n"))
     }),
 
+    // ── SemDeDup at SCALE shape (Clustering.semanticPairsAuto): q128
+    // with k scaled to the corpus (constant expected cell size) instead
+    // of fixed k=8. Fixed k makes within-cell pair mass n²/k —
+    // superlinear, soak-measured (q128's exponent rises on exactly that
+    // law); constant cell size bounds it at n·cell — linear, the form a
+    // 1000× corpus survives. Same census output; the oracle computes k
+    // from the corpus with the same ceiling formula.
+    "q264_semdedup_auto" -> ((s, dir) => {
+      val corpus = withNearVecs(emb(s, dir))
+      val pairs = graft.operators.Clustering.semanticPairsAuto(corpus,
+        "vec_id", "embedding", targetCellSize = 250L, iters = 1,
+        threshold = 0.9)
+      val clusters = Dedup.connectedComponents(pairs)
+      corpus.select(col("vec_id"))
+        .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(when(col("cluster_id").isNull, lit("unique"))
+          .when(col("vec_id") === col("cluster_id"), lit("representative"))
+          .otherwise(lit("dropped")).as("outcome"))
+        .groupBy("outcome").agg(count(lit(1)).as("n"))
+    }),
+
     // ── Train/val/test split: per-mille hash ranges over the doc key —
     // reproducible, leak-free (a key can never change split), growth-
     // stable, zero shuffle. See [[graft.operators.Sampling.splitByHash]].
@@ -1539,7 +1560,14 @@ object PipelineQueries {
     * coalesce. Requires an `e(id, v DOUBLE[])` CTE from the caller; the
     * final assignment lands in CTE `a<iters>`.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtesK(k.toString, iters)
+
+  /** `kExpr` may be a literal ("8") or a SQL scalar subquery — the
+    * adaptive-k (constant-cell-size) oracles compute k from the corpus
+    * the same way Clustering.semanticPairsAuto does.
+    */
+  private def kmeansCtesK(kExpr: String, iters: Int): String = {
     def assign(name: String, cent: String): String =
       s"""$name AS (
          |  SELECT id, v, ci AS cluster, s FROM (
@@ -1555,7 +1583,7 @@ object PipelineQueries {
          |    ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT),
          |             id) AS rn
          |  FROM e),
-         |c0 AS (SELECT CAST(rn - 1 AS INT) AS ci, v AS cv FROM ranked WHERE rn <= $k)""".stripMargin
+         |c0 AS (SELECT CAST(rn - 1 AS INT) AS ci, v AS cv FROM ranked WHERE rn <= $kExpr)""".stripMargin
     val steps = (1 to iters).map { i =>
       s"""u$i AS (
          |  SELECT cluster AS ci, list(m ORDER BY pos) AS cv FROM (
@@ -2211,6 +2239,37 @@ object PipelineQueries {
     "q128_semdedup_e2e" ->
       s"""WITH RECURSIVE $nearVecsE,
          |${kmeansCtes(k = 8, iters = 1)},
+         |sized AS (SELECT cluster FROM a1 GROUP BY cluster
+         |          HAVING count(*) <= 10000),
+         |kept AS (SELECT a1.id, a1.cluster FROM a1 JOIN sized USING (cluster)),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM kept a JOIN kept b ON a.cluster = b.cluster AND a.id < b.id
+         |  JOIN e ea ON ea.id = a.id
+         |  JOIN e eb ON eb.id = b.id
+         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.9),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)),
+         |links AS (SELECT id_a AS a, id_b AS b FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT l.b AS id, reach.r FROM links l JOIN reach ON reach.id = l.a),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT outcome, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN cl.cluster_id IS NULL THEN 'unique'
+         |              WHEN e.id = cl.cluster_id THEN 'representative'
+         |              ELSE 'dropped' END AS outcome
+         |  FROM e LEFT JOIN cl ON cl.id = e.id)
+         |GROUP BY outcome""".stripMargin,
+
+    // q264: q128's oracle with k computed from the corpus (same ceiling
+    // formula as semanticPairsAuto: max(8, ceil(n / 250))).
+    "q264_semdedup_auto" ->
+      s"""WITH RECURSIVE $nearVecsE,
+         |${kmeansCtesK(
+            "(SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) FROM e)",
+            iters = 1)},
          |sized AS (SELECT cluster FROM a1 GROUP BY cluster
          |          HAVING count(*) <= 10000),
          |kept AS (SELECT a1.id, a1.cluster FROM a1 JOIN sized USING (cluster)),
