@@ -238,7 +238,7 @@ object Bench {
       "q11_topk", "q09_window_rank", "q219_star_mv_rollup",
       "q157_entity_resolution", "q163_dedup_sweep", "q177_containment",
       "q86_block_dedup", "q128_semdedup_e2e", "q123_prefix_jaccard",
-      "q199_bpe_tokens", "q31_dedup_minhash")
+      "q199_bpe_tokens", "q31_dedup_minhash", "q264_semdedup_auto")
     var runs3Raw = Map.empty[String, Seq[Double]]
     val byFam = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
