@@ -338,6 +338,7 @@ object Bench {
       "q122_pagerank", "q123_prefix_jaccard", "q128_semdedup_e2e",
       "q131_hll_distinct", "q146_cms_freq", "q147_ann_rerank",
       "q153_inverted_index", "q157_entity_resolution", "q210_star_mv",
+      "q257_merge_into_sql", "q258_zone_join_prune", "q264_semdedup_auto",
       "q219_star_mv_rollup", "q220_star_mv_subjoin", "q221_star_mv_day",
       "q222_star_mv_boundary", "q223_star_mv_fromquery",
       "q224_star_mv_mor", "q225_star_mv_jdbc")
