@@ -33,8 +33,15 @@ class ZonePruneFuzzSpec extends SparkTestBase {
     Vector("a", "b", "c", "d", "e", "é", "ß", "中", "�", "😀", "🦄")
 
   test("scanWhere == scan.filter over random layouts and predicates (seeded)") {
-    val rnd = new scala.util.Random(42)
-    (1 to 8).foreach { round =>
+    runRounds(new scala.util.Random(42), 8)
+  }
+
+  test("scanWhere == scan.filter, second seed (AND/OR mixes)") {
+    runRounds(new scala.util.Random(20260816L), 6)
+  }
+
+  private def runRounds(rnd: scala.util.Random, nRounds: Int): Unit = {
+    (1 to nRounds).foreach { round =>
       val nBatches = 2 + rnd.nextInt(4)
       val log = new AppendLog(spark, tmpDir(s"zfuzz$round"), "public.f",
         schema, Seq("ts", "v", "s"))
