@@ -58,6 +58,15 @@ object MergeInto {
     * read (pass `store.snapshotForKeys` — kept explicit because the
     * keyed-read signatures differ per store family). `insertWhenNotMatched`
     * None disables inserts; `Some(lit(true))` is the unconditional form.
+    *
+    * `insertSet` (optional): target-column name → expression computing the
+    * INSERTED value from the source row (`s.` references only — a
+    * not-matched pair has no target row to read). Columns absent from the
+    * map insert their same-named source column (the identity mapping, the
+    * pre-r14 behavior). With a non-empty `insertSet`, a target column may
+    * be missing from the source ENTIRELY as long as the map covers it —
+    * the warehouse MERGE shape where the source is not schema-identical
+    * to the target (`INSERT (pk, bal) VALUES (s.pk, s.bal * 1.1)`).
     */
   def apply(
       store: TableStore,
@@ -65,16 +74,33 @@ object MergeInto {
       source: DataFrame,
       whenMatchedDelete: Option[Column] = None,
       whenMatchedUpdate: Option[Update] = None,
-      whenNotMatchedInsert: Option[Column] = None): Stats = {
+      whenNotMatchedInsert: Option[Column] = None,
+      insertSet: Map[String, Column] = Map.empty): Stats = {
     val spec = store.spec
     val pk = spec.pkCols
     val dataCols = spec.dataCols
-    require(dataCols.forall(c => source.columns.exists(_.equalsIgnoreCase(c))),
-      s"MERGE source must carry every column of ${spec.name}; missing: " +
-        dataCols.filterNot(c => source.columns.exists(_.equalsIgnoreCase(c)))
-          .mkString(","))
+    def inSource(c: String) = source.columns.exists(_.equalsIgnoreCase(c))
+    def inSet(c: String) = insertSet.keys.exists(_.equalsIgnoreCase(c))
+    // keys must ride the source as columns (the classification join and
+    // the delete clause read them); non-key columns may instead be
+    // covered by an insertSet expression when inserts are the only
+    // consumer that needs them
+    require(pk.forall(inSource),
+      s"MERGE source must carry the key columns of ${spec.name}; missing: " +
+        pk.filterNot(inSource).mkString(","))
+    // inserted columns take insertSet else s.<c> — only that fallback
+    // requires the source column structurally (UPDATE SET expressions
+    // name their s./t. references explicitly and fail analysis loudly
+    // if the source lacks one; unset columns keep t.<c>)
+    val needed = dataCols.filter(c =>
+      whenNotMatchedInsert.nonEmpty && !inSet(c))
+    require(needed.forall(inSource),
+      s"MERGE source must carry every column of ${spec.name} not covered " +
+        s"by insertSet; missing: ${needed.filterNot(inSource).mkString(",")}")
 
-    val src = source.select(dataCols.map(col): _*)
+    // carry the full source row (insertSet/SET expressions may reference
+    // any source column, not only the target-schema ones)
+    val src = source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dups = src.groupBy(pk.map(col): _*).count()
@@ -113,22 +139,46 @@ object MergeInto {
           Stats(g(0), g(1), g(2), g(3))
         }
 
+        // computed SET/INSERT expressions cast to the DECLARED column
+        // type: the upsert union and the parquet write must carry the
+        // store's schema exactly (an uncast double SET on a decimal
+        // column would otherwise widen the union and drift the files)
+        def declared(c: String) = spec.schema(
+          spec.schema.fieldNames.find(_.equalsIgnoreCase(c)).get).dataType
         val deletes = classified.filter(delC)
           .select(pk.map(k => col(s"s.$k").as(k)): _*)
         val updates = whenMatchedUpdate match {
           case Some(u) => classified.filter(updC).select(dataCols.map { c =>
             u.set.collectFirst {
-              case (n, e) if n.equalsIgnoreCase(c) => e.as(c)
+              case (n, e) if n.equalsIgnoreCase(c) => e.cast(declared(c)).as(c)
             }.getOrElse(col(s"t.$c").as(c))
           }: _*)
           case None => store.snapshot().limit(0).select(dataCols.map(col): _*)
         }
         val inserts = classified.filter(insC)
-          .select(dataCols.map(c => col(s"s.$c").as(c)): _*)
+          .select(dataCols.map { c =>
+            insertSet.collectFirst {
+              case (n, e) if n.equalsIgnoreCase(c) => e.cast(declared(c)).as(c)
+            }.getOrElse(col(s"s.$c").as(c))
+          }: _*)
 
-        store.merge(CompactedBatch(
-          deletes = deletes,
-          upserts = updates.unionByName(inserts)))
+        val upserts = updates.unionByName(inserts)
+        // a computed-KEY insert (insertSet covering a pk column) can map
+        // two distinct source keys onto one inserted key — or onto a
+        // matched-and-updated key — making the upsert order-dependent;
+        // refuse exactly like source duplicates. (An inserted key that
+        // exists in the TARGET outside the matched set upserts over it —
+        // the engine-wide INSERT contract, same as GraftInsertCommand.)
+        // The check is one extra aggregate, paid only in the computed-key
+        // case; identity inserts inherit uniqueness from the source check.
+        if (insertSet.keys.exists(k => pk.exists(_.equalsIgnoreCase(k)))) {
+          val keyDups = upserts.groupBy(pk.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(keyDups == 0L,
+            s"MERGE computed INSERT keys collide on (${pk.mkString(",")}) — " +
+              "the upsert result would depend on row order")
+        }
+        store.merge(CompactedBatch(deletes = deletes, upserts = upserts))
         stats
       } finally classified.unpersist(blocking = false)
     } finally src.unpersist(blocking = false)

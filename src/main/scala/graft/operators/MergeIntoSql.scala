@@ -40,8 +40,10 @@ import org.apache.spark.sql.types.LongType
   *    engine evaluates delete-then-update; accepting the other order
   *    would silently change which clause wins on overlap);
   *  - `UPDATE SET *`, or explicit SET on non-key columns;
-  *  - `INSERT *`, or an explicit column list that is the identity
-  *    mapping (every target column from its same-named source column);
+  *  - `INSERT *`, or an explicit column list with arbitrary SOURCE-side
+  *    VALUES expressions (`INSERT (pk, bal) VALUES (s.pk, s.bal * 1.1)`)
+  *    that covers every target column; `t.` references are refused (a
+  *    NOT MATCHED row has no target image);
   *  - no WHEN NOT MATCHED BY SOURCE (target-only maintenance is
   *    [[graft.sources.TableStore.deleteWhere]]'s job — it never needs
   *    the source scan MERGE would pay).
@@ -125,12 +127,28 @@ object MergeIntoSql {
     case x => Seq(x)
   }
 
+  /** DML-capture precedence guard: SELECT resolution gives an existing
+    * catalog table / temp view of the same name precedence over the
+    * registry (resolveRelation), so a DML capture of that name would
+    * split the statement surface — SELECT reading the view while
+    * DELETE/UPDATE/MERGE mutate the graft store. There is no right guess
+    * on a collision, so it fails loudly instead (rename the view or
+    * unregister the store).
+    */
+  private def guardCatalogCollision(table: String, stmt: String): Unit =
+    if (catalogHas(SparkSession.active, table))
+      fail(s"$stmt target $table resolves through BOTH the Spark catalog " +
+        "(table/temp view — which SELECT over this name reads) and the " +
+        "graft registry; refusing to capture the statement — rename the " +
+        "catalog object or unregister the graft store")
+
   /** Compile a parsed MERGE whose target is a registered store; None =
     * not ours (pass through to Spark untouched).
     */
   def compile(m: MergeIntoTable): Option[LogicalPlan] = {
     val (table, tq) = relationOf(m.targetTable).getOrElse(return None)
     val reg = lookup(table).getOrElse(return None)
+    guardCatalogCollision(table, "MERGE")
     val sq = sourceQuals(m.sourceTable)
     if ((tq & sq).nonEmpty)
       fail(s"target and source share a qualifier spelling ${(tq & sq).mkString(",")} — alias one side")
@@ -194,25 +212,38 @@ object MergeIntoSql {
     }
 
     var insert: Option[Expression] = None
+    var insertSets: Seq[(String, Expression)] = Nil
     m.notMatchedActions.foreach {
       case InsertStarAction(c) =>
         if (insert.nonEmpty) fail("at most one WHEN NOT MATCHED … INSERT clause")
         insert = Some(requalify(c.getOrElse(Literal.TrueLiteral), tq, sq))
       case InsertAction(c, assigns) =>
         if (insert.nonEmpty) fail("at most one WHEN NOT MATCHED … INSERT clause")
-        // only the identity mapping: every target column from its
-        // same-named source column — anything else would not be "insert
-        // the source row", which is what the machinery commits
+        // arbitrary source-side expressions per target column (the same
+        // requalify path UPDATE SET compiles through); `t.` references
+        // are refused — a NOT MATCHED pair has no target row to read.
+        // Identity entries (col ← same-named source col) compile away to
+        // the machinery's default so the plain shape stays the plain plan.
         val names = assigns.map { a =>
           val n = targetColOf(a.key)
-          requalify(a.value, tq, sq) match {
+          val v = requalify(a.value, tq, sq)
+          v.foreach {
+            case UnresolvedAttribute(Seq("t", cName)) =>
+              fail(s"INSERT value for $n reads target column t.$cName — " +
+                "a NOT MATCHED row has no target image")
+            case _ => ()
+          }
+          val identity = v match {
             case UnresolvedAttribute(parts)
               if parts.last.equalsIgnoreCase(n) &&
-                (parts.length == 1 || parts.head == "s") => n
-            case v => fail(s"INSERT must be the identity mapping " +
-              s"(INSERT * or col ← source.col); got $n ← ${v.sql}")
+                (parts.length == 1 || parts.head == "s") => true
+            case _ => false
           }
+          if (!identity) insertSets :+= (n -> v)
+          n
         }
+        if (names.map(norm).distinct.size != names.size)
+          fail(s"INSERT column list assigns a column twice: ${names.mkString(",")}")
         val missing = dataCols.filterNot(dc => names.exists(_.equalsIgnoreCase(dc)))
         if (missing.nonEmpty)
           fail(s"INSERT column list must cover every column of $table; missing: ${missing.mkString(",")}")
@@ -223,7 +254,7 @@ object MergeIntoSql {
       fail("MERGE with no actionable clause")
 
     Some(GraftMergeCommand(table,
-      MergeProgram(m.sourceTable, delete, update, insert)))
+      MergeProgram(m.sourceTable, delete, update, insert, insertSets)))
   }
 
   // ── the rest of the DML face: DELETE FROM / UPDATE / INSERT INTO ────
@@ -266,6 +297,7 @@ object MergeIntoSql {
   def compileDelete(d: DeleteFromTable): Option[LogicalPlan] = {
     val (table, tq) = relationOf(d.table).getOrElse(return None)
     if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
+    guardCatalogCollision(table, "DELETE")
     Some(GraftDeleteCommand(table, DmlProgram(bare(d.condition, tq))))
   }
 
@@ -278,6 +310,7 @@ object MergeIntoSql {
     if (lookupLog(table).nonEmpty)
       fail(s"UPDATE on append log $table — an event log is immutable; MERGE/UPDATE belong to the keyed stores")
     val reg = lookup(table).getOrElse(return None)
+    guardCatalogCollision(table, "UPDATE")
     val spec = reg.store.spec
     val pk = spec.pkCols.map(norm)
     val sets = u.assignments.map { a =>
@@ -306,6 +339,7 @@ object MergeIntoSql {
   def compileInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
     val (table, _) = relationOf(i.table).getOrElse(return None)
     if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
+    guardCatalogCollision(table, "INSERT")
     if (i.overwrite)
       fail("INSERT OVERWRITE is not supported — rebuild the store/log explicitly")
     if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
@@ -529,7 +563,8 @@ final case class MergeProgram(
     source: LogicalPlan,
     delete: Option[Expression],
     update: Option[(Expression, Seq[(String, Expression)])],
-    insert: Option[Expression])
+    insert: Option[Expression],
+    insertSet: Seq[(String, Expression)] = Nil)
 
 /** Leaf command: `spark.sql("MERGE INTO …")` executes this eagerly (the
   * standard command contract) and yields the per-clause stats row —
@@ -555,7 +590,8 @@ final case class GraftMergeCommand(table: String, program: MergeProgram)
       whenMatchedUpdate = program.update.map { case (c, sets) =>
         MergeInto.Update(col(c), sets.map { case (n, e) => n -> col(e) }.toMap)
       },
-      whenNotMatchedInsert = program.insert.map(col))
+      whenNotMatchedInsert = program.insert.map(col),
+      insertSet = program.insertSet.map { case (n, e) => n -> col(e) }.toMap)
     Seq(Row(stats.matched, stats.deleted, stats.updated, stats.inserted))
   }
 }
@@ -566,14 +602,18 @@ final case class GraftMergeCommand(table: String, program: MergeProgram)
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def post(plan: LogicalPlan): LogicalPlan = plan match {
+    // pass-through statements keep their ROUTED source/query subtree: a
+    // MERGE/INSERT into a non-registered target whose source reads a
+    // registered name still needs that name resolved, exactly like the
+    // plain-query branch below
     case m: MergeIntoTable =>
-      MergeIntoSql.compile(m.copy(
-        sourceTable = MergeIntoSql.routeRels(m.sourceTable))).getOrElse(m)
+      val routed = m.copy(sourceTable = MergeIntoSql.routeRels(m.sourceTable))
+      MergeIntoSql.compile(routed).getOrElse(routed)
     case d: DeleteFromTable => MergeIntoSql.compileDelete(d).getOrElse(d)
     case u: UpdateTable => MergeIntoSql.compileUpdate(u).getOrElse(u)
     case i: InsertIntoStatement =>
-      MergeIntoSql.compileInsert(i.copy(
-        query = MergeIntoSql.routeRels(i.query))).getOrElse(i)
+      val routed = i.copy(query = MergeIntoSql.routeRels(i.query))
+      MergeIntoSql.compileInsert(routed).getOrElse(routed)
     case p => MergeIntoSql.routeRels(p)
   }
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -1790,6 +1790,58 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── SQL MERGE with COMPUTED INSERT expressions (MergeIntoSql r14:
+    // arbitrary source-side VALUES, the first non-trivial warehouse
+    // MERGE shape a porting user hits — r13 refused anything beyond the
+    // identity mapping): matched rows reprice from the source, NOT
+    // MATCHED rows insert with computed balance (s.c_acctbal * 2 + 1 —
+    // exact in binary, so Spark and DuckDB agree bit-for-bit) and a
+    // case-folded segment. The require pins the per-clause stats to
+    // source-derived expectations. Oracle reconstructs the final state.
+    "q265_merge_insert_expr" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_ciexpr", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val m = col("c_custkey") % 5
+        val source = base.filter(m === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 25.0)
+          .unionByName(base.filter(m === 2)
+            .withColumn("c_custkey", col("c_custkey") + 400000000L))
+        source.createOrReplaceTempView("q265_src")
+        graft.operators.MergeIntoSql.register("public.customer_ciexpr",
+          store, store.snapshotForKeys(_))
+        try {
+          val stats = graft.operators.MergeIntoSql.sql(s,
+            """MERGE INTO public.customer_ciexpr t USING q265_src s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+              |WHEN NOT MATCHED THEN
+              |  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+              |  VALUES (s.c_custkey, concat('N-', s.c_name), s.c_nationkey,
+              |          s.c_acctbal * 2 + 1, lower(s.c_mktsegment))
+              |""".stripMargin).head()
+          val exp = base.agg(
+            sum(when(m === 0, 1L).otherwise(0L)),
+            sum(when(m === 2, 1L).otherwise(0L))).head()
+          require(stats.getLong(0) == exp.getLong(0) &&
+            stats.getLong(2) == exp.getLong(0) &&
+            stats.getLong(3) == exp.getLong(1),
+            s"computed-insert MERGE stats $stats diverge from expectation $exp")
+        } finally graft.operators.MergeIntoSql.unregister("public.customer_ciexpr")
+        store.snapshot()
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── DYNAMIC join-key zone pruning (ZoneJoinPruneRule — DPP for the
     // log): events ingested in ten user_id-range batches (the zone
     // layout a recluster/ordered ingest produces), then the star shape
@@ -1924,6 +1976,24 @@ object CdcQueries {
         |  ('lake_a_sum', CAST(2 AS BIGINT), CAST(1 AS BIGINT), false),
         |  ('lake_b_sum', CAST(0 AS BIGINT), CAST(1 AS BIGINT), true))
         |AS t(mv, hits, maint_events, should_drop)""".stripMargin,
+
+    // q265: computed-insert MERGE reconstructed — %5=0 repriced +25,
+    // %5=2 additionally inserted at shifted keys with bal*2+1 and a
+    // lower-cased segment (exact binary arithmetic on both engines).
+    "q265_merge_insert_expr" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 25.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT lower(c_mktsegment) AS c_mktsegment,
+        |    c_acctbal * 2 + 1 AS bal
+        |  FROM customer WHERE c_custkey % 5 = 2
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 1""".stripMargin,
 
     // q257: same final-state reconstruction as q244 — the SQL face must
     // be invisible in the result.

@@ -503,7 +503,8 @@ final class AppendLog(
     root: String,
     name: String,
     val schema: StructType,
-    zoneCols: Seq[String] = Nil) {
+    zoneCols: Seq[String] = Nil,
+    allowExtraColumns: Boolean = false) {
 
   require(zoneCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),
     s"zoneCols ${zoneCols.filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))} " +
@@ -586,8 +587,22 @@ final class AppendLog(
     // null-fills it, so mixed-era producers keep appending through one
     // widened log. The filled column's zone records all-null — BETTER
     // than unbounded: null-rejecting predicates prune the whole dir.
-    // Columns outside the declared schema are dropped by the projection
-    // (the log's schema is the contract, not the batch's).
+    // Null-fill is gated on the batch carrying NO unrecognized columns:
+    // a producer typo ('usrid' vs 'userid') looks exactly like a stale
+    // narrow producer plus a junk column, and silently committing nulls
+    // for the real column would lose data with no error. A batch with
+    // columns outside the declared schema therefore fails loudly unless
+    // the log was opened with allowExtraColumns = true (the explicit
+    // opt-in for producers that legitimately carry side-channel fields).
+    val extras = df.columns
+      .filterNot(c => dataCols.exists(_.equalsIgnoreCase(c)))
+    if (extras.nonEmpty && !allowExtraColumns)
+      throw new IllegalArgumentException(
+        s"[GRAFT_LOG] batch for $name carries columns outside the " +
+          s"declared schema: ${extras.mkString(",")} — a typo'd column " +
+          "would otherwise commit null data silently; drop/rename them, " +
+          "widen the declared schema, or open the log with " +
+          "allowExtraColumns = true to drop them deliberately")
     val out = df.select(dataCols.map { c =>
       if (df.columns.exists(_.equalsIgnoreCase(c))) col(c)
       else lit(null).cast(schema(c).dataType).as(c)
@@ -642,9 +657,22 @@ final class AppendLog(
     // Only KEYED dirs participate: their suffix is `${token}k$key` (see
     // writeBatchDir) — parse the key component after the first 'k' past
     // the digit token; all-digit (plain/recluster) suffixes never match.
+    // LEGACY dirs (written before the token namespace, format `$seq-$key`)
+    // are still probed when their suffix is NOT all digits — such a
+    // suffix can only be a key (plain appends minted all-digit nanoTime
+    // suffixes), so a streaming retry against a pre-upgrade log stays a
+    // no-op instead of double-committing the epoch. An all-digit legacy
+    // suffix is inherently ambiguous with a plain token dir and is NOT
+    // treated as a key (the pre-upgrade collision class this namespace
+    // fixed); all-digit keys written under the legacy format must be
+    // compacted/rewritten before relying on retry idempotency. Same
+    // caveat for a legacy key of the shape `<digits>k<rest>`: it parses
+    // as the new format (token + key) and surfaces the wrong key.
     val Keyed = raw"\d+-(\d+)k(.+)".r
+    val Legacy = raw"\d+-([A-Za-z0-9_]+)".r
     def keyOf(d: String): Option[String] = d match {
       case Keyed(_, k) => Some(k)
+      case Legacy(k) if !k.forall(_.isDigit) => Some(k)
       case _ => None
     }
     if (idempotencyKey.exists(k => current.exists(d => keyOf(d).contains(k))))

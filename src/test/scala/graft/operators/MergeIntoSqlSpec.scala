@@ -81,6 +81,32 @@ class MergeIntoSqlSpec extends SparkTestBase {
     } finally { MergeIntoSql.clear() }
   }
 
+  test("computed INSERT expressions: arbitrary source-side VALUES, cast to the declared type") {
+    val store = initStore()
+    try {
+      sourceRows.toDF("id", "bal", "seg").createOrReplaceTempView("mi_srcX")
+      MergeIntoSql.register("public.acct_sql", store, store.snapshotForKeys(_))
+      val stats = MergeIntoSql.sql(spark,
+        """MERGE INTO public.acct_sql t USING mi_srcX s ON t.id = s.id
+          |WHEN NOT MATCHED AND s.bal > 0 THEN
+          |  INSERT (id, bal, seg) VALUES (s.id + 1000, s.bal * 1.1, upper(s.seg))
+          |""".stripMargin).as[(Long, Long, Long, Long)].head()
+      assert(stats == ((3L, 0L, 0L, 1L)))
+      val st = state(store)
+      assert(st(1009L)._2 == "C" && math.abs(st(1009L)._1 - 990.0) < 1e-6)
+      assert(st.keySet == Set(1L, 2L, 3L, 4L, 1009L))
+      // the Scala API twin: insertSet map, source NOT carrying a column
+      // the map covers
+      val store2 = initStore("public.acct_sql_is")
+      val thin = Seq((20L, 5.0)).toDF("id", "bal") // no seg column at all
+      val s2 = MergeInto(store2, store2.snapshotForKeys(_), thin,
+        whenNotMatchedInsert = Some(lit(true)),
+        insertSet = Map("seg" -> lit("NEW"), "bal" -> (col("s.bal") * 2)))
+      assert(s2 == MergeInto.Stats(0L, 0L, 0L, 1L))
+      assert(state(store2)(20L) == ((10.0, "NEW")))
+    } finally { MergeIntoSql.clear() }
+  }
+
   test("GraftExtensions installs the parser: registered target compiles, others pass through") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
@@ -245,10 +271,18 @@ class MergeIntoSqlSpec extends SparkTestBase {
         |WHEN MATCHED THEN DELETE
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
         .contains("NOT MATCHED BY SOURCE"))
-      // non-identity INSERT list
+      // computed INSERT values may not read the target image
       assert(err("""MERGE INTO public.acct_sql t USING mi_src3 s ON t.id = s.id
-        |WHEN NOT MATCHED THEN INSERT (id, bal, seg) VALUES (s.id, s.bal * 2, s.seg)
-        |""".stripMargin).contains("identity mapping"))
+        |WHEN NOT MATCHED THEN INSERT (id, bal, seg) VALUES (s.id, t.bal, s.seg)
+        |""".stripMargin).contains("no target image"))
+      // INSERT list must cover every target column
+      assert(err("""MERGE INTO public.acct_sql t USING mi_src3 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.bal)
+        |""".stripMargin).contains("must cover every column"))
+      // a column assigned twice is ambiguous
+      assert(err("""MERGE INTO public.acct_sql t USING mi_src3 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, bal, bal) VALUES (s.id, s.bal, s.bal * 2)
+        |""".stripMargin).contains("twice"))
       // the store is untouched after every refused statement
       assert(state(store) == Map(
         1L -> ((100.0, "A")), 2L -> ((200.0, "B")), 3L -> ((300.0, "A")),

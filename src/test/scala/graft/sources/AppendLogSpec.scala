@@ -403,9 +403,20 @@ class AppendLogSpec extends SparkTestBase {
       .collect().toSeq == Seq(4L))
     // prunes on a PRE-EXISTING column ride old sidecars unchanged
     assert(log2.scanWhere(col("v") <= 2.0).count() == 2)
-    // extra columns beyond the declared schema are dropped, not stored
-    log2.append(Seq((6L, 6.0, "y", 99L)).toDF("id", "v", "tag", "extra"))
-    assert(log2.scan().columns.toSeq == Seq("id", "v", "tag"))
+    // extra columns beyond the declared schema FAIL LOUDLY by default —
+    // a producer typo ('usrid') would otherwise look like a stale narrow
+    // producer and commit nulls for the real column with no error
+    val typo = intercept[IllegalArgumentException] {
+      log2.append(Seq((6L, 6.0, "y", 99L)).toDF("id", "v", "tag", "extra"))
+    }
+    assert(typo.getMessage.contains("extra"))
+    assert(log2.batchCount == 4) // the refused batch committed nothing
+    // ...and are dropped only under the explicit opt-in
+    val lax = new AppendLog(spark, rootDir, "public.evo", v2, Seq("v", "tag"),
+      allowExtraColumns = true)
+    lax.append(Seq((6L, 6.0, "y", 99L)).toDF("id", "v", "tag", "extra"))
+    assert(lax.scan().columns.toSeq == Seq("id", "v", "tag"))
+    assert(lax.scan().count() == 6)
     // type WIDENING: int-era files scan under a long declaration, and
     // the "num" zone kind compares width-agnostically
     val w1 = StructType(Seq(StructField("k", IntegerType)))
