@@ -93,8 +93,20 @@ def bench(sfdir, detail):
         sys.stderr.write(f"[soak] errored queries at {sfdir}: {bad}\n")
         sys.exit(2)
     # min of the raw triple where available (SPARK_GRAFT_MEDIAN3=all
-    # records every query's runs in runs3); reported min otherwise
+    # records every query's runs in runs3); reported min otherwise.
+    # MIN/MEDIAN DIVERGENCE ALERT (r13 advice): the min policy assumes
+    # contamination is additive; a genuinely bimodal plan regression
+    # inflates the median while one lucky run holds the min down. Surface
+    # every query whose median sits >=1.5x (and >0.5s) above its min so
+    # a masked regression is visible in the gate's own output.
     triples = d.get("runs3", d.get("median3", {}))
+    for k, runs in sorted(triples.items()):
+        srt = sorted(runs)
+        med = srt[len(srt) // 2]
+        if med >= srt[0] * 1.5 and med - srt[0] > 0.5:
+            print(f"[soak] MIN/MEDIAN DIVERGENCE {k} at {sfdir}: "
+                  f"min {srt[0]:.2f}s vs median {med:.2f}s (runs {runs}) — "
+                  f"audit runs3 before trusting the min")
     return {k: min(triples.get(k, [v])) for k, v in qs.items()}
 
 

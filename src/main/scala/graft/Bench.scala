@@ -75,6 +75,7 @@ object Bench {
     // retention, MERGE INTO, SCD2 waves) — same isolation class
     "q243_zone_skipping", "q244_merge_into", "q257_merge_into_sql",
     "q258_zone_join_prune", "q261_sql_dml", "q262_sql_select_travel",
+    "q265_merge_insert_expr", "q266_catalog_sql",
     "q263_zone_or_windows", "q249_scd2_dimension",
     "q251_scd2_temporal_join", "q252_zone_report", "q253_log_cursor_agg",
     "q254_zone_rule", "q256_zone_recluster")
@@ -238,8 +239,26 @@ object Bench {
       "q11_topk", "q09_window_rank", "q219_star_mv_rollup",
       "q157_entity_resolution", "q163_dedup_sweep", "q177_containment",
       "q86_block_dedup", "q128_semdedup_e2e", "q123_prefix_jaccard",
-      "q199_bpe_tokens", "q31_dedup_minhash", "q264_semdedup_auto")
+      "q199_bpe_tokens", "q31_dedup_minhash", "q264_semdedup_auto",
+      // r13 ≥2× single-shot driver/builder offenders outside the old set
+      // (driver window read q198 13.8 s vs 3.0 committed, q238 3.9×,
+      // q07 3.3×, q252 3.1×, q153 3.1×) — the armor now covers them
+      "q198_bpe_train", "q238_layout_applied", "q07_rollup",
+      "q252_zone_report", "q153_inverted_index",
+      "q265_merge_insert_expr", "q266_catalog_sql")
     var runs3Raw = Map.empty[String, Seq[Double]]
+    // WINDOW-NOISE SENTINEL (r13 verdict #3a): one fixed trivial query
+    // timed at the START of every session chunk. Its plan never changes,
+    // so any drift in its time is pure environment (host contention, GC
+    // debt, page-cache state) — a contaminated driver window now indicts
+    // itself in the artifact instead of masquerading as a regression.
+    // noise_index = slowest/fastest sentinel across the run.
+    var sentinelSecs = Vector.empty[(String, Double)]
+    def runSentinel(spark: SparkSession, fam: String): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(5000000L).selectExpr("sum(id * 3)").collect()
+      sentinelSecs :+= (fam -> (System.nanoTime() - t0) / 1e9)
+    }
     val byFam = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .groupBy { case (name, _) => familyOf(name) }
@@ -252,6 +271,7 @@ object Bench {
         qs.grouped(sessionRecycleEvery).toSeq.flatMap { chunk =>
           val spark = newSession(sfDir, cpus, gate = !gated)
           gated = true
+          runSentinel(spark, fam)
           val rs = chunk.map { case (name, fn) =>
             val first = runOnce(spark, name, fn)
             val r = if (!(median3All || medianOf3.contains(name)) || first._2.isDefined) first
@@ -260,6 +280,9 @@ object Bench {
               runs.find(_._2.isDefined).getOrElse {
                 runs3Raw += name -> runs.map(_._1)
                 (runs.map(_._1).min, None) // least-contaminated observation
+                // (which run won, and how far the median sits above the
+                // min, is derived from runs3 at artifact-render time —
+                // the masking-auditability half of the min-of-3 policy)
               }
             }
             name -> r
@@ -310,9 +333,27 @@ object Bench {
         case (k, (v, None)) if familyOf(k) == fam => v }.sum
       "\"" + fam + "\":" + sec(t)
     }.mkString("{", ",", "}")
+    // run provenance for the min-of-3 set: which of the 3 runs won each
+    // min (masking stays auditable), and which queries' median sits ≥1.5×
+    // above their min — the soak gate alerts on these so a genuine
+    // bimodal plan regression cannot hide behind the min policy.
+    val minIdxJson = runs3Raw.toSeq.sortBy(_._1).map { case (k, runs) =>
+      "\"" + k + "\":" + runs.indexOf(runs.min)
+    }.mkString("{", ",", "}")
+    val minMedianFlags = runs3Raw.toSeq.sortBy(_._1).collect {
+      case (k, runs) if runs.sorted.apply(runs.size / 2) >= runs.min * 1.5 &&
+        runs.sorted.apply(runs.size / 2) - runs.min > 0.5 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    val sentinelJson = {
+      val secs = sentinelSecs.map(_._2)
+      val idx = if (secs.size >= 2 && secs.min > 0) secs.max / secs.min else 1.0
+      s"""{"fams":[${sentinelSecs.map(f => "\"" + f._1 + "\"").mkString(",")}],""" +
+        s""""secs":[${secs.map(sec).mkString(",")}],"noise_index":${sec(idx)}}"""
+    }
     val detailJson =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","errors":$errCount,""" +
-        s""""families":$famJson,"runs3":$runs3Json,""" +
+        s""""families":$famJson,"runs3":$runs3Json,"min_idx":$minIdxJson,""" +
+        s""""min_median_flags":$minMedianFlags,"sentinel":$sentinelJson,""" +
         s""""queries":${all.map { case (k, r) => entry(k, r) }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")

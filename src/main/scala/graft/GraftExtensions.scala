@@ -32,5 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // other MERGEs) pass through the delegate untouched
     extensions.injectParser((_, delegate) =>
       new graft.operators.GraftSqlParser(delegate))
+    // `graft` catalog fast path: replace a GraftTable catalog relation
+    // with the store's native snapshot plan at ANALYSIS time, so pushdown
+    // and join planning see the real bucketed parquet relation (sessions
+    // without extensions fall back to the table's V1Scan — correct,
+    // reduced pushdown)
+    extensions.injectResolutionRule(session =>
+      new graft.sources.GraftTableResolveRule(session))
   }
 }

@@ -205,16 +205,29 @@ object Clustering {
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, threshold: Double = 0.9,
       clusterCap: Long = 10000L,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      budget: PairBudget = PairBudget.Off): DataFrame = {
     require(clusterCap > 0, s"semanticPairs: clusterCap must be positive, got $clusterCap")
     // persisted: the (id, cluster) labels feed the cap filter AND both
     // pair-join sides — uncached, each reference would re-run the full
     // k-dot-products assignment scan
     val labels = scope.own(kmeans(df, idCol, vecCol, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the PairBudget gate (same contract as every posting-join dedup
+    // operator): the "posting unit" here is the k-means CELL, and the
+    // within-cell pair mass Σ c·(c−1)/2 is priced from the cluster-size
+    // aggregate the cap filter materializes anyway. Under AutoTighten a
+    // fixed-k run whose cells outgrew the budget (the n²/k law) has its
+    // cluster cap lowered — oversized cells are skipped exactly as if the
+    // caller had configured that cap, and the pair join stays bounded at
+    // any corpus scale. Off (the default) is the pre-r14 behavior.
+    val effectiveCap: Long = PairBudget.resolveCap(
+      labels.groupBy(col("cluster")).count().select(col("count").as("c")),
+      clusterCap.min(Int.MaxValue.toLong).toInt, budget,
+      "semanticPairs").toLong
     val kept = labels.join(
       broadcast(labels.groupBy(col("cluster")).count()
-        .filter(col("count") <= clusterCap).select(col("cluster"))),
+        .filter(col("count") <= effectiveCap).select(col("cluster"))),
       Seq("cluster"))
     val pairs = kept.select(col("cluster"), col(idCol).as("id_a"))
       .join(kept.select(col("cluster"), col(idCol).as("id_b")), Seq("cluster"))

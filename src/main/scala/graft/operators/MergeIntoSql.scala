@@ -82,6 +82,48 @@ object MergeIntoSql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"[GRAFT_MERGE] $msg")
 
+  // ── graft-catalog resolution: durable names, zero register calls ─────
+  // A dotted name whose FIRST part names a configured GraftCatalog
+  // (`spark.sql.catalog.<name> = graft.sources.GraftCatalog`) resolves
+  // through the catalog's on-disk `_spec` records — the session-
+  // independent twin of the registries above. Stateless per statement
+  // (a _spec read is one tiny driver-side file), so nothing leaks across
+  // shared sessions.
+
+  private def graftCatalogOf(spark: SparkSession,
+      catName: String): Option[graft.sources.GraftCatalog] =
+    try spark.sessionState.catalogManager.catalog(catName) match {
+      case g: graft.sources.GraftCatalog => Some(g)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  private[operators] def catalogLoaded(
+      table: String): Option[graft.sources.GraftStoreLoader.Loaded] = {
+    val parts = table.split('.')
+    if (parts.length < 2) return None
+    graftCatalogOf(SparkSession.active, parts.head)
+      .flatMap(_.loadRaw(parts.tail.mkString(".")))
+  }
+
+  /** Registry first (session-local names win within their session), then
+    * the graft catalog (durable names). Catalog stores get the family's
+    * keyed read as the MERGE pre-image — the same contract every
+    * registration supplies by hand.
+    */
+  private[operators] def resolveStore(table: String): Option[Registration] =
+    lookup(table).orElse(catalogLoaded(table).collect {
+      case graft.sources.GraftStoreLoader.LoadedCow(_, s) =>
+        Registration(s, s.snapshotForKeys(_))
+      case graft.sources.GraftStoreLoader.LoadedMor(_, s) =>
+        Registration(s, s.snapshotForKeys(_))
+    })
+
+  private[operators] def resolveLog(
+      table: String): Option[graft.sources.AppendLog] =
+    lookupLog(table).orElse(catalogLoaded(table).collect {
+      case graft.sources.GraftStoreLoader.LoadedLog(_, l) => l
+    })
+
   /** Unwrap `SubqueryAlias*(UnresolvedRelation)` into (dotted table
     * name, the qualifier spellings that may prefix its columns).
     */
@@ -147,8 +189,13 @@ object MergeIntoSql {
     */
   def compile(m: MergeIntoTable): Option[LogicalPlan] = {
     val (table, tq) = relationOf(m.targetTable).getOrElse(return None)
-    val reg = lookup(table).getOrElse(return None)
-    guardCatalogCollision(table, "MERGE")
+    if (lookup(table).nonEmpty) guardCatalogCollision(table, "MERGE")
+    val reg = resolveStore(table).getOrElse {
+      if (resolveLog(table).nonEmpty)
+        fail(s"MERGE INTO append log $table — an event log is not keyed; " +
+          "INSERT/DELETE are the log's statements")
+      return None
+    }
     val sq = sourceQuals(m.sourceTable)
     if ((tq & sq).nonEmpty)
       fail(s"target and source share a qualifier spelling ${(tq & sq).mkString(",")} — alias one side")
@@ -296,8 +343,9 @@ object MergeIntoSql {
     */
   def compileDelete(d: DeleteFromTable): Option[LogicalPlan] = {
     val (table, tq) = relationOf(d.table).getOrElse(return None)
-    if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
-    guardCatalogCollision(table, "DELETE")
+    if (lookup(table).nonEmpty || lookupLog(table).nonEmpty)
+      guardCatalogCollision(table, "DELETE")
+    else if (catalogLoaded(table).isEmpty) return None
     Some(GraftDeleteCommand(table, DmlProgram(bare(d.condition, tq))))
   }
 
@@ -309,8 +357,13 @@ object MergeIntoSql {
     val (table, tq) = relationOf(u.table).getOrElse(return None)
     if (lookupLog(table).nonEmpty)
       fail(s"UPDATE on append log $table — an event log is immutable; MERGE/UPDATE belong to the keyed stores")
-    val reg = lookup(table).getOrElse(return None)
-    guardCatalogCollision(table, "UPDATE")
+    if (lookup(table).nonEmpty) guardCatalogCollision(table, "UPDATE")
+    val reg = resolveStore(table).getOrElse {
+      if (resolveLog(table).nonEmpty)
+        fail(s"UPDATE on append log $table — an event log is immutable; " +
+          "MERGE/UPDATE belong to the keyed stores")
+      return None
+    }
     val spec = reg.store.spec
     val pk = spec.pkCols.map(norm)
     val sets = u.assignments.map { a =>
@@ -338,8 +391,9 @@ object MergeIntoSql {
     */
   def compileInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
     val (table, _) = relationOf(i.table).getOrElse(return None)
-    if (lookup(table).isEmpty && lookupLog(table).isEmpty) return None
-    guardCatalogCollision(table, "INSERT")
+    if (lookup(table).nonEmpty || lookupLog(table).nonEmpty)
+      guardCatalogCollision(table, "INSERT")
+    else if (catalogLoaded(table).isEmpty) return None
     if (i.overwrite)
       fail("INSERT OVERWRITE is not supported — rebuild the store/log explicitly")
     if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
@@ -364,11 +418,41 @@ object MergeIntoSql {
     if (r.isStreaming) return None
     val spark = SparkSession.active
     val name = r.multipartIdentifier.map(norm).mkString(".")
-    if (lookup(name).isEmpty && lookupLog(name).isEmpty) return None
+    // graft-CATALOG names splice here too: the parse-time splice is the
+    // same native snapshot plan the extensions resolution rule produces,
+    // and it cannot shadow anything (a configured GraftCatalog owns its
+    // whole name prefix). Sessions that bypass this parser still resolve
+    // through Spark's own catalog machinery (V1Scan fallback / rule).
+    if (lookup(name).isEmpty && lookupLog(name).isEmpty) {
+      return catalogLoaded(name).map {
+        case graft.sources.GraftStoreLoader.LoadedCow(_, st) => st.snapshot()
+        case graft.sources.GraftStoreLoader.LoadedMor(_, st) => st.snapshot()
+        case graft.sources.GraftStoreLoader.LoadedLog(_, lg) => lg.scan()
+      }.map(_.queryExecution.analyzed)
+    }
     if (catalogHas(spark, r.multipartIdentifier.mkString("."))) return None
     lookup(name).map(_.store.snapshot())
       .orElse(lookupLog(name).map(_.scan()))
       .map(_.queryExecution.analyzed)
+  }
+
+  /** Fold a `TIMESTAMP AS OF` expression to epoch micros (session time
+    * zone, Spark's own cast semantics). Only literal/foldable expressions
+    * qualify — `current_timestamp()`-style travel would re-resolve per
+    * analysis and is refused loudly.
+    */
+  private def tsMicrosOf(e: Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val c = Cast(e, org.apache.spark.sql.types.TimestampType, Option(zone))
+    if (!e.resolved || !c.foldable)
+      fail(s"TIMESTAMP AS OF must be a literal timestamp, got ${e.sql}")
+    (try c.eval(null) catch { case ex: Exception =>
+      fail(s"TIMESTAMP AS OF could not evaluate ${e.sql}: ${ex.getMessage}")
+    }) match {
+      case l: java.lang.Long => l.longValue
+      case _ => fail(s"TIMESTAMP AS OF evaluated to NULL: ${e.sql}")
+    }
   }
 
   private[operators] def resolveTimeTravel(
@@ -378,12 +462,17 @@ object MergeIntoSql {
       case _ => return None
     }
     val name = ur.multipartIdentifier.map(norm).mkString(".")
+    // catalog names pass through: Spark's own analyzer resolves their
+    // time travel via GraftCatalog.loadTable(ident, version/timestamp)
     val reg = lookup(name).getOrElse(return None)
     reg.store match {
+      case v: graft.sources.ParquetTableStore if tt.timestamp.nonEmpty =>
+        Some(v.snapshotAt(v.versionAtTimestamp(tsMicrosOf(tt.timestamp.get)))
+          .queryExecution.analyzed)
+      case _: graft.sources.VersionedTableStore if tt.timestamp.nonEmpty =>
+        fail("TIMESTAMP AS OF needs commit wall-clock records — this store " +
+          "family does not keep them; use VERSION AS OF <n>")
       case v: graft.sources.VersionedTableStore =>
-        if (tt.timestamp.nonEmpty)
-          fail("TIMESTAMP AS OF is not supported — graft store versions are " +
-            "sequence numbers; use VERSION AS OF <n>")
         val ver = tt.version.getOrElse(fail("VERSION AS OF requires a version"))
         val vl = try ver.toLong catch { case _: NumberFormatException =>
           fail(s"VERSION AS OF must be a number for graft stores, got '$ver'") }
@@ -408,6 +497,21 @@ object MergeIntoSql {
     * names (the SELECT face).
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    // pin THIS session active for the whole parse→compile→run span:
+    // catalog resolution (catalogLoaded / resolveRelation) reads the
+    // active session's catalog manager, and a caller driving a sibling
+    // session (spark.newSession with its own catalog conf) must resolve
+    // against THAT session, not whichever was active before
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try sqlImpl(spark, sqlText)
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+
+  private def sqlImpl(spark: SparkSession, sqlText: String): DataFrame = {
     def req(p: Option[LogicalPlan]): LogicalPlan = p.getOrElse(fail(
       "statement target is not a registered graft store/log — " +
         "MergeIntoSql.register / registerLog first"))
@@ -436,10 +540,10 @@ final case class GraftDeleteCommand(table: String, cond: DmlProgram)
     Seq(AttributeReference("deleted", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val c = ColumnBridge.column(cond.expr)
-    val n = MergeIntoSql.lookupLog(table) match {
+    val n = MergeIntoSql.resolveLog(table) match {
       case Some(log) => log.deleteWhere(c)
       case None =>
-        val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+        val reg = MergeIntoSql.resolveStore(table).getOrElse(throw new IllegalStateException(
           s"[GRAFT_DML] $table was unregistered between parse and execution"))
         reg.store match {
           case p: graft.sources.ParquetTableStore => p.deleteWhere(c)
@@ -467,7 +571,7 @@ final case class GraftUpdateCommand(table: String, cond: DmlProgram,
     Seq(AttributeReference("updated", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+    val reg = MergeIntoSql.resolveStore(table).getOrElse(throw new IllegalStateException(
       s"[GRAFT_DML] $table was unregistered between parse and execution"))
     val sets = setCols.zip(setExprs.map(p => ColumnBridge.column(p.expr))).toMap
     val affected = reg.store.snapshot()
@@ -498,10 +602,10 @@ final case class GraftInsertCommand(table: String, query: LogicalPlan,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     val src = ColumnBridge.ofRows(sparkSession, query)
-    val (schema, dataCols, pk) = MergeIntoSql.lookupLog(table) match {
+    val (schema, dataCols, pk) = MergeIntoSql.resolveLog(table) match {
       case Some(log) => (log.schema, log.schema.fieldNames.toSeq, Nil)
       case None =>
-        val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+        val reg = MergeIntoSql.resolveStore(table).getOrElse(throw new IllegalStateException(
           s"[GRAFT_DML] $table was unregistered between parse and execution"))
         (reg.store.spec.schema, reg.store.spec.dataCols, reg.store.spec.pkCols)
     }
@@ -533,10 +637,10 @@ final case class GraftInsertCommand(table: String, query: LogicalPlan,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = batch.count()
-      MergeIntoSql.lookupLog(table) match {
+      MergeIntoSql.resolveLog(table) match {
         case Some(log) => if (n > 0L) log.append(batch)
         case None =>
-          val reg = MergeIntoSql.lookup(table).get
+          val reg = MergeIntoSql.resolveStore(table).get
           val dups = batch.groupBy(pk.map(col): _*).count()
             .filter(col("count") > 1).limit(1).count()
           if (dups > 0L)
@@ -581,7 +685,8 @@ final case class GraftMergeCommand(table: String, program: MergeProgram)
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     // re-resolved at run time: the registry is driver-lifecycle state
-    val reg = MergeIntoSql.lookup(table).getOrElse(throw new IllegalStateException(
+    // (resolveStore also re-reads a catalog name's on-disk _spec)
+    val reg = MergeIntoSql.resolveStore(table).getOrElse(throw new IllegalStateException(
       s"[GRAFT_MERGE] store $table was unregistered between parse and execution"))
     val col = (e: Expression) => ColumnBridge.column(e)
     val stats = MergeInto(reg.store, reg.preImage,

@@ -38,9 +38,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    whose filter reads the column fails at analysis even when no
   *    output value derives from it. Control references resolve through
   *    the same ExprId map (a filter on a derived alias traces to the
-  *    alias's base columns). Boundary: conditions inside scalar/IN
-  *    subqueries are not traversed (the subquery is a different plan;
-  *    its lineage is computed on its own DataFrame).
+  *    alias's base columns), and TRAVERSE scalar/IN/EXISTS subqueries
+  *    found in conditions: the subquery's gating columns anchor to its
+  *    own base relations (see controlSources).
   */
 object Lineage {
 
@@ -121,14 +121,35 @@ object Lineage {
   /** Base columns referenced by Filter/Join conditions anywhere in the
     * plan, resolved through the same ExprId map (so a condition over a
     * derived alias traces to the alias's base columns).
+    *
+    * SUBQUERY conditions traverse too (r14 — the r13-documented
+    * boundary): `WHERE x IN (SELECT k FROM d WHERE d.flag = 1)` gates
+    * every output on `x`, on `d.k` (the compared subquery output) and on
+    * `d.flag` (the inner filter) — dropping ANY of them breaks the query
+    * at analysis. Each [[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]]
+    * found in a condition recurses with the SUBQUERY's own ref map
+    * (anchoring its columns to its own base relations), and the
+    * subquery's output columns join the control set (the values the
+    * IN/scalar comparison consumes). Nested subqueries recurse naturally.
     */
   private def controlSources(plan: LogicalPlan, refs: Refs): Set[(String, String)] = {
     val conds = plan.collect {
       case f: Filter => Seq(f.condition)
       case j: Join => j.condition.toSeq
     }.flatten
-    conds.flatMap(_.references.toSeq.flatMap(r =>
-      refs.getOrElse(r.exprId.id, Set.empty[(String, String)]))).toSet
+    val direct = conds.flatMap(_.references.toSeq.flatMap(r =>
+      refs.getOrElse(r.exprId.id, Set.empty[(String, String)])))
+    val fromSubqueries = conds
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
+      })
+      .flatMap { s =>
+        val subRefs = refsOf(s.plan)
+        val outputRefs = s.plan.output.flatMap(a =>
+          subRefs.getOrElse(a.exprId.id, Set.empty[(String, String)]))
+        controlSources(s.plan, subRefs) ++ outputRefs
+      }
+    (direct ++ fromSubqueries).toSet
   }
 
   /** Data edges plus, when `includeControl`, one `control` edge per

@@ -3,11 +3,11 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-/** Driver-side USAGE ledger for registered summaries — the missing
-  * lifecycle half of the advisor loop: [[MvAdvisor.advise]] creates
-  * summaries, the rewrite serves them, the maintainers refresh them, and
-  * until now nothing ever asked whether a summary still EARNS its
-  * maintenance. Two counters per summary identity:
+/** USAGE ledger for registered summaries — the missing lifecycle half of
+  * the advisor loop: [[MvAdvisor.advise]] creates summaries, the rewrite
+  * serves them, the maintainers refresh them, and this asks whether a
+  * summary still EARNS its maintenance. Two counters per summary
+  * identity:
   *
   *  - `hits`: times the rewrite actually rerouted a query to the summary
   *    (recorded at every serve decision in [[MvRewriteRule]] /
@@ -19,7 +19,21 @@ import java.util.concurrent.atomic.AtomicLong
   * Identity strips the `_vN` version suffix ([[key]]): every refresh
   * retires the old path for a new version, and usage must accumulate
   * across versions or each refresh would zero the evidence.
-  * Constant-size driver state; `reset()` starts a new observation window.
+  *
+  * PERSISTENCE (r14 — the r13 verdict's "observation window should
+  * survive the process"): counters are in-memory for the hot path, but
+  * every record WRITES THROUGH to a tiny `<identity>._usage` file beside
+  * the summary (atomic rename, the same primitive as every manifest), and
+  * the first touch of an identity in a fresh process SEEDS from that file
+  * — so a session restart no longer zeroes the eviction evidence
+  * [[MvAdvisor.adviseDrop]] needs. Write cost: one ~40-byte atomic file
+  * write per serve/maintenance decision — driver-side, orders of
+  * magnitude below the optimize/refresh it annotates. Persistence is
+  * BEST-EFFORT by contract (an unwritable path degrades to the in-memory
+  * window, never to a failed query); JDBC serving identities
+  * (`jdbc::…`, not paths) stay memory-only. `reset()` starts a new
+  * observation window and deletes the files of every identity it has
+  * seen this process.
   */
 object MvUsage {
 
@@ -27,28 +41,102 @@ object MvUsage {
 
   private val hits = new ConcurrentHashMap[String, AtomicLong]()
   private val maint = new ConcurrentHashMap[String, AtomicLong]()
+  private val seeded = ConcurrentHashMap.newKeySet[String]()
 
   /** Version-stripped, normalized summary identity. */
   def key(summaryPath: String): String =
     MaterializedView.normalize(summaryPath).replaceAll("_v\\d+$", "")
 
+  private def persistable(k: String): Boolean = !k.startsWith("jdbc::")
+
+  private def hconf = org.apache.spark.sql.SparkSession.getActiveSession
+    .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    .map(_.sparkContext.hadoopConfiguration)
+    .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def usagePath(k: String) =
+    new org.apache.hadoop.fs.Path(k + "._usage")
+
+  /** First touch per process: fold the persisted window into the
+    * in-memory counters (once — later records only write through).
+    */
+  private def seed(k: String): Unit = {
+    if (!persistable(k) || !seeded.add(k)) return
+    try {
+      val p = usagePath(k)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = body.split('\n').filter(_.contains('=')).map { l =>
+          val Array(a, b) = l.split("=", 2); a -> b.toLong
+        }.toMap
+        kv.get("hits").filter(_ > 0L).foreach(h =>
+          hits.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(h))
+        kv.get("maint").filter(_ > 0L).foreach(m =>
+          maint.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(m))
+      }
+    } catch { case _: Exception => () } // best-effort: memory window stands
+  }
+
+  private def persist(k: String): Unit = {
+    if (!persistable(k)) return
+    try {
+      val u = Usage(Option(hits.get(k)).map(_.get).getOrElse(0L),
+        Option(maint.get(k)).map(_.get).getOrElse(0L))
+      graft.sources.AtomicFiles.write(hconf, usagePath(k),
+        s"hits=${u.hits}\nmaint=${u.maintEvents}".getBytes("UTF-8"))
+    } catch { case _: Exception => () } // best-effort
+  }
+
   private[plans] def recordServe(summaryPath: String): Unit = {
-    hits.computeIfAbsent(key(summaryPath), _ => new AtomicLong())
-      .incrementAndGet(); ()
+    val k = key(summaryPath)
+    seed(k)
+    hits.computeIfAbsent(k, _ => new AtomicLong()).incrementAndGet()
+    persist(k)
   }
 
   private[plans] def recordMaintenance(summaryPath: String): Unit = {
-    maint.computeIfAbsent(key(summaryPath), _ => new AtomicLong())
-      .incrementAndGet(); ()
+    val k = key(summaryPath)
+    seed(k)
+    maint.computeIfAbsent(k, _ => new AtomicLong()).incrementAndGet()
+    persist(k)
   }
 
-  /** Usage for a summary path (any version). */
+  /** Usage for a summary path (any version) — persisted window included. */
   def usageOf(summaryPath: String): Usage = {
     val k = key(summaryPath)
+    seed(k)
     Usage(Option(hits.get(k)).map(_.get).getOrElse(0L),
       Option(maint.get(k)).map(_.get).getOrElse(0L))
   }
 
-  /** Start a new observation window. */
-  def reset(): Unit = { hits.clear(); maint.clear() }
+  /** Test hook: drop the in-memory window WITHOUT touching the persisted
+    * files — simulates a process restart (the scenario the write-through
+    * exists for). Not part of the operational surface; reset() is.
+    */
+  private[plans] def dropInMemoryWindow(): Unit = {
+    hits.clear(); maint.clear(); seeded.clear()
+  }
+
+  /** Start a new observation window: clear the in-memory counters AND
+    * delete the persisted files of every identity this process has seen
+    * (identities never touched here keep their windows — reset is not a
+    * warehouse-wide sweep).
+    */
+  def reset(): Unit = {
+    val known = new java.util.HashSet[String]()
+    known.addAll(hits.keySet); known.addAll(maint.keySet); known.addAll(seeded)
+    known.forEach { k =>
+      if (persistable(k)) {
+        try {
+          val p = usagePath(k)
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) { fs.delete(p, false); () }
+        } catch { case _: Exception => () }
+      }
+    }
+    hits.clear(); maint.clear(); seeded.clear()
+  }
 }

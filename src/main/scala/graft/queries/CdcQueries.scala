@@ -1842,6 +1842,100 @@ object CdcQueries {
       } finally deleteDir(s, rootDir)
     }),
 
+    // ── The `graft` CATALOG (GraftCatalog, DataSourceV2 TableCatalog —
+    // r13 verdict #1): stores resolve as DURABLE WAREHOUSE NAMES in a
+    // FRESH session with ZERO register calls — only the catalog conf
+    // (normally spark-defaults) points at the warehouse root, and every
+    // name loads from its on-disk `_spec` identity record. The whole DML
+    // face (DELETE/UPDATE/INSERT/MERGE) plus SELECT with BOTH time-travel
+    // forms (VERSION AS OF via the catalog; TIMESTAMP AS OF resolved
+    // against the manifest's commit wall-clock) runs against
+    // `graft.public.customer_cat`. Note what is ABSENT: no register, no
+    // finally-unregister — the registry-leak bug class this retires.
+    // Oracle reconstructs both eras.
+    "q266_catalog_sql" -> ((s, dir) => {
+      val spec = TableSpec("public.customer_cat", customerSchema, Seq("c_custkey"))
+      val rootDir = tempRoot()
+      try {
+        val store = new ParquetTableStore(s, rootDir, spec, 16,
+          retainedVersions = 4)
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        store.init(base)
+        val v0 = store.currentVersion
+        val ts0 = store.versionTimestamp(v0).get
+        // the next commit must land on a later wall-clock millisecond or
+        // TIMESTAMP AS OF ts0 could resolve past the initial era
+        while (System.currentTimeMillis() <= ts0) Thread.sleep(2)
+        // FRESH session: catalog conf only — the durability contract
+        val ns = s.newSession()
+        ns.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        ns.conf.set("spark.sql.catalog.graft.root", rootDir)
+        // temp views are session-local: the source view lives on ns
+        ns.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+          .createOrReplaceTempView("q266_src")
+        def g(sql: String): Long =
+          graft.operators.MergeIntoSql.sql(ns, sql).head().getLong(0)
+        val del = g("DELETE FROM graft.public.customer_cat WHERE c_custkey % 7 = 3")
+        val upd = g("""UPDATE graft.public.customer_cat
+          |SET c_acctbal = c_acctbal + 100.0
+          |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+        val ins = g("""INSERT INTO graft.public.customer_cat
+          |SELECT c_custkey + 400000000, c_name, c_nationkey,
+          |       c_acctbal, 'NEWSEG'
+          |FROM q266_src WHERE c_custkey % 9 = 0""".stripMargin)
+        ns.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_custkey").cast("long") % 13 === 1)
+          .select((col("c_custkey").cast("long") + 800000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            lit("MERGESEG").as("c_mktsegment"))
+          .createOrReplaceTempView("q266_merge")
+        val mrg = graft.operators.MergeIntoSql.sql(ns,
+          """MERGE INTO graft.public.customer_cat t USING q266_merge s
+            |ON t.c_custkey = s.c_custkey
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(3)
+        val k = col("c_custkey")
+        val exp = base.agg(
+          sum(when(k % 7 === 3, 1L).otherwise(0L)),
+          sum(when(k % 7 =!= 3 && col("c_mktsegment") === "BUILDING", 1L)
+            .otherwise(0L)),
+          sum(when(k % 9 === 0, 1L).otherwise(0L)),
+          sum(when(k % 13 === 1, 1L).otherwise(0L))).head()
+        require(del == exp.getLong(0) && upd == exp.getLong(1) &&
+          ins == exp.getLong(2) && mrg == exp.getLong(3),
+          s"catalog DML stats ($del,$upd,$ins,$mrg) diverge from $exp")
+        // both travel forms name the INITIAL era; the plain name the head
+        val tsLit = java.time.Instant.ofEpochMilli(ts0)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        val viaVersion = graft.operators.MergeIntoSql.sql(ns,
+          s"SELECT count(*) AS n FROM graft.public.customer_cat VERSION AS OF $v0")
+          .head().getLong(0)
+        val viaTs = graft.operators.MergeIntoSql.sql(ns,
+          s"SELECT count(*) AS n FROM graft.public.customer_cat TIMESTAMP AS OF '$tsLit'")
+          .head().getLong(0)
+        val nBase = base.count()
+        require(viaVersion == nBase && viaTs == nBase,
+          s"time travel must read the initial era: version=$viaVersion ts=$viaTs base=$nBase")
+        graft.operators.MergeIntoSql.sql(ns,
+          s"""SELECT 'current' AS era, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM graft.public.customer_cat GROUP BY 2
+             |UNION ALL
+             |SELECT 'initial' AS era, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM graft.public.customer_cat VERSION AS OF $v0 GROUP BY 2
+             |""".stripMargin)
+          .localCheckpoint() // eager: detached before the finally deletes
+      } finally deleteDir(s, rootDir)
+    }),
+
     // ── DYNAMIC join-key zone pruning (ZoneJoinPruneRule — DPP for the
     // log): events ingested in ten user_id-range batches (the zone
     // layout a recluster/ordered ingest produces), then the star shape
@@ -1994,6 +2088,30 @@ object CdcQueries {
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM fin GROUP BY 1""".stripMargin,
+
+    // q266: both eras reconstructed — 'current' is the full catalog DML
+    // sequence (%7=3 deleted, BUILDING survivors +100, %9=0 re-inserted
+    // as NEWSEG, %13=1 merge-inserted as MERGESEG), 'initial' verbatim.
+    "q266_catalog_sql" ->
+      """WITH fin AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT 'NEWSEG' AS c_mktsegment, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 9 = 0
+        |  UNION ALL
+        |  SELECT 'MERGESEG' AS c_mktsegment, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 13 = 1
+        |)
+        |SELECT 'current' AS era, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY 2
+        |UNION ALL
+        |SELECT 'initial' AS era, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 2""".stripMargin,
 
     // q257: same final-state reconstruction as q244 — the SQL face must
     // be invisible in the result.

@@ -531,10 +531,21 @@ final class AppendLog(
     }
 
   private def commitManifest(dirs: Seq[String]): Unit = {
+    // durable identity record for catalog reopening (see StoreSpecIO) —
+    // ensure() also REWRITES it when this instance declares a widened
+    // schema or new zone columns (additive evolution re-declares identity)
+    StoreSpecIO.ensure(hadoopConf, tablePath, StoreSpecIO.Rec(
+      kind = "log", name = name, schema = schema, zones = zoneCols))
     if (zoneCols.nonEmpty) writeConsolidated(dirs)
     AtomicFiles.write(hadoopConf, manifestPath,
       ("#appendlog=1" +: dirs).mkString("\n").getBytes("UTF-8"))
   }
+
+  /** Materialize an EMPTY log (spec + empty manifest) so the durable name
+    * resolves before its first append — the catalog's CREATE TABLE path.
+    * No-op on an existing log.
+    */
+  def create(): Unit = if (!exists) commitManifest(Nil)
 
   /** Sweep staging leftovers and dirs/zone files no manifest references —
     * run at the start of every mutation (deferred one generation so lazy

@@ -115,6 +115,12 @@ final class MorTableStore(
 
   private def commitManifest(manifest: Map[Int, Seq[String]],
       feedFloor: Long): Unit = {
+    // durable identity record for catalog reopening (see StoreSpecIO);
+    // one exists-probe per commit
+    StoreSpecIO.ensure(hadoopConf, tablePath, StoreSpecIO.Rec(
+      kind = "mor", name = spec.name, schema = spec.schema,
+      pk = spec.pkCols, buckets = numBuckets,
+      compactThreshold = compactThreshold))
     val body = (Seq(s"#buckets=$numBuckets", s"#feedfloor=$feedFloor") ++
       manifest.toSeq.sortBy(_._1)
         .map { case (b, ds) => s"$b\t${ds.mkString(",")}" })

@@ -384,6 +384,42 @@ final class ParquetTableStore(
     throw new IllegalStateException(
       s"table ${spec.name} has no committed version yet — init() first"))
 
+  /** Commit wall-clock of a retained version (epoch millis) as recorded
+    * in its `_v` manifest header; None for versions committed before the
+    * `#ts=` header existed.
+    */
+  def versionTimestamp(version: Long): Option[Long] = {
+    val p = versionPath(version)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
+    finally in.close()
+  }
+
+  /** Resolve `TIMESTAMP AS OF`: the newest RETAINED version whose commit
+    * wall-clock is ≤ `tsMicros` (the DSv2 timestamp unit). Fails loudly
+    * when the timestamp predates every retained commit (the version it
+    * names aged out — or never existed) or when no retained version
+    * carries a recorded clock (pre-feature store). Driver-side cost: one
+    * tiny header read per retained version — bounded by the retention
+    * count, never by data.
+    */
+  def versionAtTimestamp(tsMicros: Long): Long = {
+    val stamped = history().flatMap(v => versionTimestamp(v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"table ${spec.name} has no commit wall-clock records — " +
+        "TIMESTAMP AS OF needs commits made after the #ts manifest header " +
+        "was introduced; use VERSION AS OF")
+    val hits = stamped.filter { case (_, ms) => ms * 1000L <= tsMicros }
+    require(hits.nonEmpty,
+      s"table ${spec.name}: no retained version committed at or before " +
+        s"timestamp ${tsMicros}us (earliest retained: " +
+        s"${stamped.head._2}ms) — the version aged out of retention or " +
+        "the timestamp predates the table")
+    hits.last._1
+  }
+
   /** Time-travel read: the table exactly as committed at `version` (one of
     * [[history]]). Same lazy-evaluation contract as [[snapshot]] — the
     * manifest resolves now, files evaluate at action time; a version aged
@@ -479,9 +515,21 @@ final class ParquetTableStore(
     * two loses that version from [[history]] but never the data — readers
     * of `_current` are unaffected, and the next commit's seq still
     * advances past the gap).
+    *
+    * Each manifest also records the commit WALL-CLOCK (`#ts=<millis>`) —
+    * what `TIMESTAMP AS OF` resolves against ([[versionAtTimestamp]]);
+    * pre-feature manifests parse without it (those versions are simply
+    * not timestamp-addressable). The durable `_spec` identity record
+    * ([[StoreSpecIO]] — what lets a catalog reopen this store in any
+    * session) is ensured on every commit, one exists-probe.
     */
   private def commitManifest(manifest: Map[Int, String]): Unit = {
-    val body = (s"#buckets=$numBuckets" +:
+    StoreSpecIO.ensure(hadoopConf, tablePath, StoreSpecIO.Rec(
+      kind = "cow", name = spec.name, schema = spec.schema,
+      pk = spec.pkCols, buckets = numBuckets, retained = retainedVersions,
+      cluster = clusterCols))
+    val body = (Seq(s"#buckets=$numBuckets",
+      s"#ts=${System.currentTimeMillis()}") ++
       manifest.toSeq.sorted.map { case (b, d) => s"$b\t$d" })
       .mkString("\n").getBytes("UTF-8")
     val nextVersion = history().lastOption.getOrElse(0L) + 1

@@ -233,10 +233,19 @@ class MergeIntoSqlSpec extends SparkTestBase {
       MergeIntoSql.register("acct_shadow", store, store.snapshotForKeys(_))
       assert(MergeIntoSql.sql(spark, "SELECT count(*) AS n FROM acct_shadow")
         .as[Long].head() == 1L)
-      // TIMESTAMP AS OF refused cleanly
+      // TIMESTAMP AS OF resolves against commit wall-clock (r14);
+      // a timestamp predating every retained commit refuses loudly
       val e = intercept[IllegalArgumentException](MergeIntoSql.sql(spark,
         "SELECT * FROM public.acct_sql TIMESTAMP AS OF '2024-01-01'"))
-      assert(e.getMessage.contains("VERSION AS OF"))
+      assert(e.getMessage.contains("predates"))
+      // ...and a current one reads the head era
+      val nowIso = java.time.Instant.now().plusSeconds(1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(MergeIntoSql.sql(spark,
+        s"SELECT sum(bal) AS s FROM public.acct_sql TIMESTAMP AS OF '$nowIso'")
+        .as[Double].head() == now)
     } finally {
       spark.catalog.dropTempView("acct_shadow")
       MergeIntoSql.clear()

@@ -104,4 +104,38 @@ class LineageSpec extends SparkTestBase {
     assert(all == Set(("id", "id", "data"),
       ("id", "price", "control"), ("id", "disc", "control")))
   }
+
+  test("control lineage traverses subquery conditions (IN / EXISTS / scalar, nested)") {
+    val f = writeT("lin_f", Seq((1L, 10.0), (2L, 20.0)).toDF("x", "y"))
+    val d = writeT("lin_d", Seq((1L, 1, 5L)).toDF("k", "flag", "grp"))
+    spark.read.parquet(f).createOrReplaceTempView("lin_f")
+    spark.read.parquet(d).createOrReplaceTempView("lin_d")
+    val q = spark.sql(
+      "SELECT y FROM lin_f WHERE x IN (SELECT k FROM lin_d WHERE flag = 1)")
+    val ctrl = Lineage.edges(q, includeControl = true)
+      .filter(_.kind == "control").map(e => (e.table, e.column)).toSet
+    // the outer probe column, the compared subquery output AND the
+    // subquery's own gating column all gate the result
+    assert(ctrl == Set(("lin_f", "x"), ("lin_d", "k"), ("lin_d", "flag")),
+      s"got $ctrl")
+    // data lineage is untouched by the traversal
+    val data = Lineage.edges(q, includeControl = true)
+      .filter(_.kind == "data").map(e => (e.output, e.table, e.column)).toSet
+    assert(data == Set(("y", "lin_f", "y")))
+    // nested: the inner subquery's gate surfaces too
+    val q2 = spark.sql(
+      """SELECT y FROM lin_f WHERE x IN (
+        |  SELECT k FROM lin_d WHERE grp IN (SELECT grp FROM lin_d WHERE flag = 1))
+        |""".stripMargin)
+    val ctrl2 = Lineage.edges(q2, includeControl = true)
+      .filter(_.kind == "control").map(e => e.column).toSet
+    assert(Set("x", "k", "grp", "flag").subsetOf(ctrl2), s"got $ctrl2")
+    // scalar subquery in a filter gates on its output's sources
+    val q3 = spark.sql(
+      "SELECT y FROM lin_f WHERE y > (SELECT max(k) FROM lin_d WHERE flag = 1)")
+    val ctrl3 = Lineage.edges(q3, includeControl = true)
+      .filter(_.kind == "control").map(e => (e.table, e.column)).toSet
+    assert(ctrl3 == Set(("lin_f", "y"), ("lin_d", "k"), ("lin_d", "flag")),
+      s"got $ctrl3")
+  }
 }

@@ -278,4 +278,31 @@ class MvAdvisorSpec extends SparkTestBase {
       MvUsage.reset()
     }
   }
+
+  test("MvUsage persists across a process restart; versions accumulate; reset deletes the window") {
+    MvUsage.reset()
+    val dir = tmpDir("usage")
+    val v3 = s"$dir/lake_sum_v3"
+    try {
+      MvUsage.recordServe(v3)
+      MvUsage.recordServe(v3)
+      MvUsage.recordMaintenance(v3)
+      assert(MvUsage.usageOf(v3) == MvUsage.Usage(2, 1))
+      // simulated process restart: in-memory window gone, file remains
+      MvUsage.dropInMemoryWindow()
+      assert(MvUsage.usageOf(v3) == MvUsage.Usage(2, 1),
+        "the persisted window must survive a restart")
+      // a later VERSION of the same summary accumulates onto one identity
+      MvUsage.recordServe(s"$dir/lake_sum_v4")
+      assert(MvUsage.usageOf(v3) == MvUsage.Usage(3, 1))
+      // and the accumulated state is itself durable
+      MvUsage.dropInMemoryWindow()
+      assert(MvUsage.usageOf(v3) == MvUsage.Usage(3, 1))
+      // reset ends the observation window on disk too
+      MvUsage.reset()
+      MvUsage.dropInMemoryWindow()
+      assert(MvUsage.usageOf(v3) == MvUsage.Usage(0, 0),
+        "reset must delete the persisted window")
+    } finally MvUsage.reset()
+  }
 }
