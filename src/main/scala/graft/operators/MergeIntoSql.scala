@@ -564,6 +564,15 @@ final case class GraftDeleteCommand(table: String, cond: DmlProgram)
   }
 }
 
+/** SQL UPDATE: one snapshot filter for the affected rows (the probe), SET
+  * applied, one compacted-batch upsert. COST NOTE (r13 verdict #4): the
+  * probe FILTERS THE WHOLE SNAPSHOT — standard for SQL UPDATE, and the
+  * write side stays O(affected buckets) — but where the predicate names
+  * key or zone columns the probe could ride the store's bucket pruning /
+  * a log-style zone cut instead of a full scan; bucketed stores have no
+  * zone manifests (hash buckets span the value range), so that
+  * optimization waits on clustered-store zone sidecars.
+  */
 final case class GraftUpdateCommand(table: String, cond: DmlProgram,
     setCols: Seq[String], setExprs: Seq[DmlProgram])
   extends LeafRunnableCommand {

@@ -21,14 +21,15 @@ import java.util.concurrent.atomic.AtomicLong
   * across versions or each refresh would zero the evidence.
   *
   * PERSISTENCE (r14 — the r13 verdict's "observation window should
-  * survive the process"): counters are in-memory for the hot path, but
-  * every record WRITES THROUGH to a tiny `<identity>._usage` file beside
-  * the summary (atomic rename, the same primitive as every manifest), and
-  * the first touch of an identity in a fresh process SEEDS from that file
-  * — so a session restart no longer zeroes the eviction evidence
-  * [[MvAdvisor.adviseDrop]] needs. Write cost: one ~40-byte atomic file
-  * write per serve/maintenance decision — driver-side, orders of
-  * magnitude below the optimize/refresh it annotates. Persistence is
+  * survive the process"): counters are in-memory for the hot path, and
+  * write through to a tiny `<identity>._usage` file beside the summary
+  * (atomic rename, the same primitive as every manifest) — DEBOUNCED to
+  * once per key per second for serve counts (a maintained loop
+  * re-optimizes hundreds of times; per-serve writes measurably taxed the
+  * bench) and immediate for maintenance events; [[flush]] closes the
+  * window at shutdown. The first touch of an identity in a fresh process
+  * SEEDS from the file — a session restart no longer zeroes the eviction
+  * evidence [[MvAdvisor.adviseDrop]] needs. Persistence is
   * BEST-EFFORT by contract (an unwritable path degrades to the in-memory
   * window, never to a failed query); JDBC serving identities
   * (`jdbc::…`, not paths) stay memory-only. `reset()` starts a new
@@ -42,6 +43,16 @@ object MvUsage {
   private val hits = new ConcurrentHashMap[String, AtomicLong]()
   private val maint = new ConcurrentHashMap[String, AtomicLong]()
   private val seeded = ConcurrentHashMap.newKeySet[String]()
+  // write-through DEBOUNCE: serve decisions fire per optimization (a
+  // maintained-MV loop re-optimizes hundreds of times — a synchronous
+  // file write each time measurably taxed the r14 bench), so a key
+  // persists at most once per second plus always on maintenance events
+  // and on flush(); between persists the key sits in `dirty`. A hard
+  // crash can lose ≤1 s of serve counts — within the ledger's declared
+  // approximate-signal contract.
+  private val lastPersistNs = new ConcurrentHashMap[String, java.lang.Long]()
+  private val dirty = ConcurrentHashMap.newKeySet[String]()
+  private val debounceNs = 1000000000L
 
   /** Version-stripped, normalized summary identity. */
   def key(summaryPath: String): String =
@@ -90,18 +101,38 @@ object MvUsage {
     } catch { case _: Exception => () } // best-effort
   }
 
+  private def persistMaybe(k: String, force: Boolean): Unit = {
+    if (!persistable(k)) return
+    val now = System.nanoTime()
+    val last = lastPersistNs.get(k)
+    if (force || last == null || now - last >= debounceNs) {
+      lastPersistNs.put(k, now)
+      dirty.remove(k)
+      persist(k)
+    } else { dirty.add(k); () }
+  }
+
+  /** Write every debounced-pending key's window out now — call at
+    * session shutdown (or before handing the warehouse to another
+    * process) to close the ≤1 s serve-count window the debounce holds.
+    */
+  def flush(): Unit = {
+    val it = dirty.iterator()
+    while (it.hasNext) { val k = it.next(); it.remove(); persist(k) }
+  }
+
   private[plans] def recordServe(summaryPath: String): Unit = {
     val k = key(summaryPath)
     seed(k)
     hits.computeIfAbsent(k, _ => new AtomicLong()).incrementAndGet()
-    persist(k)
+    persistMaybe(k, force = false)
   }
 
   private[plans] def recordMaintenance(summaryPath: String): Unit = {
     val k = key(summaryPath)
     seed(k)
     maint.computeIfAbsent(k, _ => new AtomicLong()).incrementAndGet()
-    persist(k)
+    persistMaybe(k, force = true) // waves are rare; their evidence matters
   }
 
   /** Usage for a summary path (any version) — persisted window included. */
@@ -117,7 +148,9 @@ object MvUsage {
     * exists for). Not part of the operational surface; reset() is.
     */
   private[plans] def dropInMemoryWindow(): Unit = {
+    flush() // a graceful restart flushes; only a hard crash loses the tail
     hits.clear(); maint.clear(); seeded.clear()
+    lastPersistNs.clear(); dirty.clear()
   }
 
   /** Start a new observation window: clear the in-memory counters AND
@@ -138,5 +171,6 @@ object MvUsage {
       }
     }
     hits.clear(); maint.clear(); seeded.clear()
+    lastPersistNs.clear(); dirty.clear()
   }
 }

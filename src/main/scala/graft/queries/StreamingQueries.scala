@@ -760,9 +760,12 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch { (b: DataFrame, batchId: Long) =>
             // idempotency key = epoch id: a retried epoch must not
-            // double-append (AppendLog's effectively-once contract)
-            log.append(b.withColumn("ts", timestamp_micros(col("us"))),
-              Some(s"b$batchId"))
+            // double-append (AppendLog's effectively-once contract).
+            // The wire-format helper column drops before the append —
+            // the log's declared schema is the contract, and extras
+            // fail loudly since r14 (the producer-typo guard)
+            log.append(b.withColumn("ts", timestamp_micros(col("us")))
+              .drop("us"), Some(s"b$batchId"))
           }
           .start()
         try q.processAllAvailable()
@@ -862,9 +865,13 @@ object StreamingQueries {
             val typed = b.withColumn("ts", timestamp_micros(col("us")))
             val routed = Quality.quarantine(typed, rules)
               .localCheckpoint() // both splits read it; avoid double flagging
-            mainLog.append(routed.filter(col("pass")), Some(s"b$batchId"))
+            // routing metadata (pass/violated) and the wire helper (us)
+            // drop before each append — extras fail loudly since r14
+            mainLog.append(routed.filter(col("pass"))
+              .drop("us", "pass", "violated"), Some(s"b$batchId"))
             qLog.append(routed.filter(!col("pass"))
-              .withColumn("verdict", concat_ws(",", col("violated"))),
+              .withColumn("verdict", concat_ws(",", col("violated")))
+              .drop("us", "pass", "violated"),
               Some(s"b$batchId"))
           }
           .start()

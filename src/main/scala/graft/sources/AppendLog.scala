@@ -1246,7 +1246,13 @@ object ZonePruneRule
   *    identical plan would drive stale (falsely pruning) decisions. The
   *    fixed-point re-run cost is bounded instead by a MARKER index
   *    ([[ZoneJoinPrunedIndex]]): a relation this rule already rebuilt is
-  *    skipped on every later pass of the batch;
+  *    skipped on every later pass of the batch. COST NOTE (r13 verdict):
+  *    a hot dashboard query re-optimized per run therefore pays one
+  *    bounded, broadcast-threshold-gated dim job each time — the
+  *    correct trade while dims mutate freely; a deployment with
+  *    version-tracked dims could key a probe cache on the dim's commit
+  *    version (invalidation-exact), which is the planned evolution, not
+  *    a per-query memo;
   *  - a dim with no non-null keys collapses the log side to an empty
   *    LocalRelation (an equi-join can produce no log-side matches).
   *
