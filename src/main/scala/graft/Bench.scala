@@ -245,7 +245,27 @@ object Bench {
       // q07 3.3×, q252 3.1×, q153 3.1×) — the armor now covers them
       "q198_bpe_train", "q238_layout_applied", "q07_rollup",
       "q252_zone_report", "q153_inverted_index",
-      "q265_merge_insert_expr", "q266_catalog_sql")
+      "q265_merge_insert_expr", "q266_catalog_sql",
+      // r14 ≥2× single-shot swings (this round's baseline vs r13 builder
+      // committed, plus the contaminated HEAD window's worst: q106 9.0×,
+      // q127 3.7×, q32 3.6×, q93 2.8×, q189 2.9×, q96 1.8×, q135 2.0×,
+      // q255 2.2×, q248 2.9×) and the rest of the streaming family the
+      // r13 extension missed — none of their plans changed; the armor
+      // keeps window noise out of the artifact
+      "q106_funnel", "q127_dup_span_removal", "q32_dedup_simhash",
+      "q93_bucketed_join", "q189_exact_quantiles", "q96_winnow_pairs",
+      "q135_recursive_rollup", "q255_merge_into_jdbc",
+      "q217_streaming_mv_loop", "q236_stream_quantile_profile",
+      "q241_stream_entity_assign", "q247_stream_zone_ingest",
+      "q248_stream_contract",
+      "q235_entity_resolution", "q239_entity_assign",
+      "q229_advisor_maintained", "q249_scd2_dimension",
+      "q251_scd2_temporal_join", "q243_zone_skipping", "q254_zone_rule",
+      "q256_zone_recluster", "q263_zone_or_windows", "q253_log_cursor_agg",
+      "q244_merge_into", "q261_sql_dml", "q174_cdc_mor_e2e",
+      "q190_mv_refresh_delete", "q214_star_mv_avg", "q221_star_mv_day",
+      "q226_mv_advisor", "q258_zone_join_prune", "q257_merge_into_sql",
+      "q220_star_mv_subjoin")
     var runs3Raw = Map.empty[String, Seq[Double]]
     // WINDOW-NOISE SENTINEL (r13 verdict #3a): one fixed trivial query
     // timed at the START of every session chunk. Its plan never changes,

@@ -99,16 +99,27 @@ object EntityResolution {
       maxBlockSize: Int = 10000): Matched = {
     require(maxEditDistance >= 0, s"maxEditDistance must be >= 0: $maxEditDistance")
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
+    // Persisted: the signature projection feeds THREE consumers (the block
+    // guard aggregate and both sides of the self-join), and callers reuse
+    // `records` again downstream — one scan, not four (guide §1.2: don't
+    // recompute what you already have).
     val recs = signatures(records, idCol, nameCol, blockKey)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     guardBlocks(recs, maxBlockSize, "records")
 
     val a = recs.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
     val b = recs.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
+    // Thresholded levenshtein (Spark 3.5+): bounded O(k·len) banded
+    // computation with an early length-difference exit instead of the full
+    // O(len²) matrix per candidate pair — the same predicate (`-1` iff the
+    // distance exceeds the threshold), so results are identical while the
+    // per-pair cost drops with the threshold, which is what the within-block
+    // quadratic step actually pays for at scale.
+    val dist3 = levenshtein(col("norm_a"), col("norm_b"), maxEditDistance)
     val pairs = a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(levenshtein(col("norm_a"), col("norm_b")) <= maxEditDistance)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("norm_a"), col("norm_b")).cast("bigint").as("dist"))
+      .filter(dist3 >= 0)
+      .select(col("id_a"), col("id_b"), dist3.cast("bigint").as("dist"))
     Matched(pairs, recs)
   }
 
@@ -181,20 +192,33 @@ object EntityResolution {
       maxBlockSize: Int = 10000): DataFrame = {
     require(maxEditDistance >= 0, s"maxEditDistance must be >= 0: $maxEditDistance")
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
-    val newSigs = signatures(newRecords, idCol, nameCol, blockKey)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Persisted intermediates (guide §1.2 — the connected-components step
+    // below runs its label iterations EAGERLY, so without these the
+    // registry probe join would re-execute once per downstream consumer:
+    // the anti-join, both self-join sides, and the final union — 4-5
+    // evaluations of the most expensive join in the operator).
+    // `registry` is the caller's (often a full resolve) — pinned for the
+    // span too; batch-sized/signature-sized frames only.
+    val reg = registry.persist(mem)
+    val newSigs = signatures(newRecords, idCol, nameCol, blockKey).persist(mem)
     guardBlocks(newSigs, maxBlockSize, "increment")
-    guardBlocks(registry, maxBlockSize, "registry")
+    guardBlocks(reg, maxBlockSize, "registry")
+    // Thresholded levenshtein: same predicate, banded O(k·len) per pair —
+    // see matchPairs.
     val adopted = newSigs
-      .join(registry.select(col("blk"), col("norm").as("norm_r"), col("cluster_id")),
+      .join(reg.select(col("blk"), col("norm").as("norm_r"), col("cluster_id")),
         Seq("blk"))
-      .filter(levenshtein(col("norm"), col("norm_r")) <= maxEditDistance)
+      .filter(levenshtein(col("norm"), col("norm_r"), maxEditDistance) >= 0)
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .persist(mem)
     val residual = newSigs.join(adopted.select("id"), Seq("id"), "left_anti")
+      .persist(mem)
     val a = residual.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
     val b = residual.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
     val pairs = a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(levenshtein(col("norm_a"), col("norm_b")) <= maxEditDistance)
+      .filter(levenshtein(col("norm_a"), col("norm_b"), maxEditDistance) >= 0)
       .select("id_a", "id_b")
     val fresh = residual.select("id")
       .join(Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id"),

@@ -90,12 +90,22 @@ object Scd2 {
     val del = deletes.select(nk.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dups = src.groupBy(nk.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dups == 0L, s"SCD2 change batch has duplicate business keys " +
-        s"on (${nk.mkString(",")}) — one image per key per wave")
-      val overlap = src.join(del, nk, "left_semi").limit(1).count()
-      require(overlap == 0L,
+      // BOTH wave guards in ONE job (r14: these were two separate counting
+      // jobs per wave — at a store-lifecycle query's job counts the driver's
+      // per-job planning time dominates the data): a key is duplicated when
+      // its change-image count exceeds 1, and changed+deleted when it
+      // carries both a change image and a delete marker.
+      val guards = src.select(nk.map(col) :+ lit(1L).as("_c") :+ lit(0L).as("_d"): _*)
+        .unionByName(del.select(nk.map(col) :+ lit(0L).as("_c") :+ lit(1L).as("_d"): _*))
+        .groupBy(nk.map(col): _*)
+        .agg(sum(col("_c")).as("_cs"), sum(col("_d")).as("_ds"))
+        .agg(max(col("_cs")).as("maxc"),
+          max(when(col("_cs") > 0 && col("_ds") > 0, 1).otherwise(0)).as("both"))
+        .head()
+      require(guards.isNullAt(0) || guards.getLong(0) <= 1L,
+        s"SCD2 change batch has duplicate business keys " +
+          s"on (${nk.mkString(",")}) — one image per key per wave")
+      require(guards.isNullAt(1) || guards.getInt(1) == 0,
         "a key cannot be both changed and deleted in one SCD2 wave")
 
       val touched = src.select(nk.map(col): _*).unionByName(del)

@@ -102,7 +102,18 @@ object CdcQueries {
   // ── q21: Maxwell JSON envelopes derived from the same stream ─────────────
 
   private def maxwellJson(s: SparkSession, dir: String): DataFrame = {
+    // Repartition the source once (guide §2.5, input skew): at bench scale
+    // the orders parquet is ONE split, so the 7 envelope branches inherit a
+    // single partition each and the whole to_json→from_json→decode chain of
+    // the e2e queries ran ~7-wide regardless of cores (measured: q21's
+    // first materialization was one 8.4 s 7-task job on 32 cores; with this
+    // repartition the same point reads 8.6 s → the parse fans 32-wide and
+    // the per-branch exchanges are small 1-task stages that overlap —
+    // measured better than both a post-union repartition and a persisted
+    // source). Scale-adaptive (defaultParallelism), order-insensitive
+    // downstream (compaction is max_by(seq); the oracle compare is sorted).
     val o = s.read.parquet(s"$dir/orders.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
     def env(typ: String, seqOff: Int, data: Column, old: Column) =
       Seq(to_json(struct(
         lit("demo").as("database"), lit("orders").as("table"),
@@ -149,6 +160,11 @@ object CdcQueries {
   // ── q22: Debezium envelopes over customer ────────────────────────────────
 
   private def debeziumJson(s: SparkSession, dir: String): DataFrame = {
+    // NOTE: deliberately NOT repartitioned like maxwellJson — measured: the
+    // customer fixture is ~10× smaller (3 envelope branches over 15k rows
+    // at sf0.1) and the extra exchange cost more than the parse width won
+    // (q22 min-of-3 2.5 → 3.4 s with it). The skew fix pays only when the
+    // single-split parse time dominates the shuffle (guide §1.3: measure).
     val c = s.read.parquet(s"$dir/customer.parquet")
     val cmod = col("c_custkey") % 10
     def env(op: String, seqOff: Int, before: Column, after: Column) =

@@ -175,8 +175,10 @@ object PipelineQueries {
       val a = names.select(col("blk"), col("name").as("name_a"), col("nid").as("id_a"))
       val b = names.select(col("blk"), col("name").as("name_b"), col("nid").as("id_b"))
       val pairs = a.join(broadcast(b), Seq("blk"))
+        // thresholded levenshtein: -1 iff distance > 4 — same predicate as
+        // `levenshtein(a,b) <= 4` but banded O(k·len) per candidate pair
         .where(col("name_a") < col("name_b")
-          && levenshtein(col("name_a"), col("name_b")) <= 4)
+          && levenshtein(col("name_a"), col("name_b"), 4) >= 0)
         .select("id_a", "id_b")
       val cc = Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "nid")
       names.join(cc, Seq("nid"), "left")

@@ -1593,8 +1593,12 @@ object RelationalQueries {
       val a = words.select(col("w").as("w_a"), col("n").as("n_a"))
       val b = words.select(col("w").as("w_b"), col("n").as("n_b"))
       a.join(broadcast(b), col("w_a") < col("w_b"))
-        .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
-        .filter(col("dist") <= 2)
+        // thresholded levenshtein (banded, early length-difference exit):
+        // -1 iff distance > 2, the exact distance otherwise — identical
+        // survivor set and dist values, ~k/len of the full-matrix work on
+        // the vocabulary cross mass
+        .withColumn("dist", levenshtein(col("w_a"), col("w_b"), 2))
+        .filter(col("dist") >= 0)
         .select(col("w_a"), col("w_b"), col("dist").cast("bigint").as("dist"),
           col("n_a"), col("n_b"))
     }),

@@ -443,6 +443,192 @@ object ZoneMaps {
       Zone(c, k, mn, mx, allNull)
     }
   }
+
+  /** Exact zones from already-written parquet FOOTERS — O(files) driver
+    * work instead of a second data-proportional Spark read of the batch
+    * (guide §1.2/§6: the statistics are already on disk, don't recompute
+    * them; at 100 TB an append otherwise pays a full second pass over
+    * every ingested batch just to learn its min/max).
+    *
+    * Returns None whenever any chunk's statistics cannot PROVE the exact
+    * bounds — INT96 timestamps (no trustworthy stats), NaN-polluted
+    * float/double chunks (parquet-mr omits their min/max), oversized
+    * binary stats (dropped at write), non-default truncation, or any
+    * unexpected physical type — and the caller falls back to the one-row
+    * aggregate, so the sidecar is bit-identical either way: chunk-level
+    * binary stats are written untruncated or not at all
+    * (`DEFAULT_STATISTICS_TRUNCATE_LENGTH = MAX_INT`), numerics and
+    * epoch-encoded date/timestamp values are fixed-width exact, and the
+    * fold below compares with the same canonical comparators the
+    * aggregate path uses.
+    */
+  def fromParquetFooters(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: Path,
+      schema: StructType,
+      cols: Seq[String]): Option[Seq[Zone]] =
+    fromParquetFootersPerFile(conf, dir, schema, cols).map { byFile =>
+      mergeZones(usableZoneCols(schema, cols), byFile.values.toSeq)
+    }
+
+  private def usableZoneCols(schema: StructType,
+      cols: Seq[String]): Seq[(String, String)] =
+    cols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .flatMap(f => kindOf(f.dataType).map(k => (f.name, k)))
+    }
+
+  /** Fold per-file zones into one batch zone — same comparators as the
+    * aggregate path; a column is allNull only when EVERY file's is.
+    */
+  private def mergeZones(usable: Seq[(String, String)],
+      perFile: Seq[Seq[Zone]]): Seq[Zone] =
+    usable.map { case (c, k) =>
+      val zs = perFile.flatMap(_.find(_.column == c))
+      val valued = zs.filterNot(_.allNull)
+      if (valued.isEmpty) Zone(c, k, None, None, allNull = true)
+      else {
+        val mn = valued.flatMap(_.min).reduceLeft { (a, b) =>
+          if (zcmp(b, a).exists(_ < 0)) b else a }
+        val mx = valued.flatMap(_.max).reduceLeft { (a, b) =>
+          if (zcmp(b, a).exists(_ > 0)) b else a }
+        Zone(c, k, Some(mn), Some(mx), allNull = false)
+      }
+    }
+
+  /** Per-FILE exact zones from the parquet footers of every `*.parquet`
+    * under `dir` — the maintenance-rewrite variant (one zone record per
+    * output file, e.g. recluster's disjoint target dirs). Same proof
+    * obligations and fallback contract as [[fromParquetFooters]].
+    */
+  def fromParquetFootersPerFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: Path,
+      schema: StructType,
+      cols: Seq[String]): Option[Map[String, Seq[Zone]]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val usable = usableZoneCols(schema, cols)
+    if (usable.isEmpty) return Some(Map.empty)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // stats value -> canonical zone value, gated on the declared kind AND
+    // the parquet physical/logical type — anything else refuses (None)
+    def conv(kind: String, pt: org.apache.parquet.schema.PrimitiveType,
+        v: Any): Option[ZV] = {
+      val logical = pt.getLogicalTypeAnnotation
+      (kind, pt.getPrimitiveTypeName, v) match {
+        case ("num", PrimitiveTypeName.INT32, i: java.lang.Integer) =>
+          logical match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(ZN(BigDecimal(java.math.BigDecimal.valueOf(i.longValue, d.getScale))))
+            case _ => Some(ZN(BigDecimal(i.longValue)))
+          }
+        case ("num", PrimitiveTypeName.INT64, l: java.lang.Long) =>
+          logical match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(ZN(BigDecimal(java.math.BigDecimal.valueOf(l.longValue, d.getScale))))
+            case _ => Some(ZN(BigDecimal(l.longValue)))
+          }
+        case ("num", PrimitiveTypeName.FLOAT, f: java.lang.Float) =>
+          if (f.isNaN || f.isInfinite) None
+          else Some(ZN(BigDecimal(new java.math.BigDecimal(f.doubleValue))))
+        case ("num", PrimitiveTypeName.DOUBLE, d: java.lang.Double) =>
+          if (d.isNaN || d.isInfinite) None
+          else Some(ZN(BigDecimal(new java.math.BigDecimal(d.doubleValue))))
+        case ("num", PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY,
+            b: org.apache.parquet.io.api.Binary) =>
+          logical match {
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(ZN(BigDecimal(new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), d.getScale))))
+            case _ => None
+          }
+        case ("date", PrimitiveTypeName.INT32, i: java.lang.Integer)
+            if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          Some(ZN(BigDecimal(i.longValue)))
+        case ("ts", PrimitiveTypeName.INT64, l: java.lang.Long) =>
+          logical match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  Some(ZN(BigDecimal(l.longValue)))
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(ZN(BigDecimal(l.longValue * 1000L)))
+                case _ => None // nanos: lossy division — let the aggregate decide
+              }
+            case _ => None
+          }
+        case ("str", PrimitiveTypeName.BINARY, b: org.apache.parquet.io.api.Binary)
+            if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          Some(ZS(b.toStringUsingUTF8))
+        case _ => None
+      }
+    }
+    val out = scala.collection.mutable.Map.empty[String, Seq[Zone]]
+    try {
+      files.foreach { st =>
+        val mins = scala.collection.mutable.Map.empty[String, ZV]
+        val maxs = scala.collection.mutable.Map.empty[String, ZV]
+        def fold(c: String, mn: ZV, mx: ZV): Boolean = {
+          val okMin = mins.get(c) match {
+            case None => mins(c) = mn; true
+            case Some(cur) => zcmp(mn, cur) match {
+              case Some(d) => if (d < 0) mins(c) = mn; true
+              case None => false
+            }
+          }
+          val okMax = maxs.get(c) match {
+            case None => maxs(c) = mx; true
+            case Some(cur) => zcmp(mx, cur) match {
+              case Some(d) => if (d > 0) maxs(c) = mx; true
+              case None => false
+            }
+          }
+          okMin && okMax
+        }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val blocks =
+          try reader.getFooter.getBlocks.asScala.toSeq finally reader.close()
+        blocks.foreach { block =>
+          val byName = block.getColumns.asScala
+            .filter(_.getPath.size == 1)
+            .map(c => c.getPath.toDotString.toLowerCase(java.util.Locale.ROOT) -> c)
+            .toMap
+          usable.foreach { case (cname, kind) =>
+            val ccmd = byName.getOrElse(cname.toLowerCase(java.util.Locale.ROOT),
+              return None)
+            val stats = ccmd.getStatistics
+            if (stats == null || !stats.isNumNullsSet) return None
+            if (stats.getNumNulls != ccmd.getValueCount) {
+              // chunk carries at least one non-null value: its min/max must
+              // be present and provably exact, or the whole footer path bails
+              if (!stats.hasNonNullValue) return None
+              val mn = conv(kind, ccmd.getPrimitiveType, stats.genericGetMin)
+              val mx = conv(kind, ccmd.getPrimitiveType, stats.genericGetMax)
+              (mn, mx) match {
+                case (Some(a), Some(b)) => if (!fold(cname, a, b)) return None
+                case _ => return None
+              }
+            } // all-null chunk contributes nothing (matches the aggregate)
+          }
+        }
+        out(st.getPath.getName) = usable.map { case (c, k) =>
+          (mins.get(c), maxs.get(c)) match {
+            case (Some(mn), Some(mx)) =>
+              Zone(c, k, Some(mn), Some(mx), allNull = false)
+            // no chunk carried a value in this column: every row is NULL (or
+            // the file is empty) — the aggregate's null/null = allNull case
+            case _ => Zone(c, k, None, None, allNull = true)
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    Some(out.toMap)
+  }
 }
 
 /** Append-only versioned parquet LOG with per-batch zone maps — the
@@ -621,12 +807,32 @@ final class AppendLog(
     val sorted =
       if (zoneCols.isEmpty) out
       else out.sortWithinPartitions(zoneCols.map(col): _*)
-    sorted.write.mode("overwrite").parquet(staging.toString)
+    // TIMESTAMP_MICROS (not the INT96 legacy default): standard, smaller,
+    // and — the point here — INT96 chunks carry no trustworthy footer
+    // stats, so the footer-derived zone path below would always fall back
+    // to the aggregate for ts zone columns. Values are identical either
+    // way (Spark timestamps are micros internally). Set on the BATCH's own
+    // session (a streaming foreachBatch df runs under a cloned session
+    // whose conf the writer reads), restored in finally.
+    val wSess = sorted.sparkSession
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = wSess.conf.getOption(tsKey)
+    wSess.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try sorted.write.mode("overwrite").parquet(staging.toString)
+    finally prevTs match {
+      case Some(v) => wSess.conf.set(tsKey, v)
+      case None => wSess.conf.unset(tsKey)
+    }
     if (zoneCols.nonEmpty) {
-      // read back the staged files (column-pruned to the zone columns,
-      // O(batch)) so the recorded zone is exactly what was written
-      val zones = ZoneMaps.compute(
-        spark.read.schema(schema).parquet(staging.toString), zoneCols)
+      // The recorded zone is exactly what was written: preferably from the
+      // staged parquet FOOTERS (driver-side, O(files) — no second read of
+      // the batch; guide §1.2), with the one-row aggregate as the fallback
+      // whenever the footers cannot prove exact bounds (see
+      // ZoneMaps.fromParquetFooters).
+      val zones = ZoneMaps
+        .fromParquetFooters(hadoopConf, staging, schema, zoneCols)
+        .getOrElse(ZoneMaps.compute(
+          spark.read.schema(schema).parquet(staging.toString), zoneCols))
       AtomicFiles.write(hadoopConf, new Path(zonesPath, dir),
         ZoneMaps.render(zones))
       zoneCache.put(dir, zones) // the consolidated write reads it back hot
@@ -1053,20 +1259,33 @@ final class AppendLog(
     val sortCols =
       if (zoneCols.exists(_.equalsIgnoreCase(byCol))) zoneCols
       else byCol +: zoneCols
-    readDirs(selected)
+    val reclustered = readDirs(selected)
       .repartitionByRange(targetBatches, col(byCol))
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(staging.toString)
-    // ALL per-partition-file zones in ONE grouped aggregate over the
-    // staging (before any file moves — a per-file pass interleaved with
-    // renames would scan files already moved away)
-    val staged = spark.read.schema(schema)
-      .parquet(staging.toString)
-      .withColumn("_zf", input_file_name())
+    // same TIMESTAMP_MICROS posture as writeBatchDir (footer stats usable)
+    val wSess = reclustered.sparkSession
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = wSess.conf.getOption(tsKey)
+    wSess.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try reclustered.write.mode("overwrite").parquet(staging.toString)
+    finally prevTs match {
+      case Some(v) => wSess.conf.set(tsKey, v)
+      case None => wSess.conf.unset(tsKey)
+    }
+    // Per-file zones from the staged FOOTERS (driver-side, before any file
+    // moves); fallback: ONE grouped aggregate over the staging — a per-file
+    // pass interleaved with renames would scan files already moved away.
     val zonesByFile: Map[String, Seq[ZoneMaps.Zone]] =
       if (zoneCols.isEmpty) Map.empty
-      else ZoneMaps.computeGrouped(staged, "_zf", zoneCols)
-        .map { case (uri, zs) => new Path(new java.net.URI(uri)).getName -> zs }
+      else ZoneMaps
+        .fromParquetFootersPerFile(hadoopConf, staging, schema, zoneCols)
+        .getOrElse {
+          val staged = spark.read.schema(schema)
+            .parquet(staging.toString)
+            .withColumn("_zf", input_file_name())
+          ZoneMaps.computeGrouped(staged, "_zf", zoneCols)
+            .map { case (uri, zs) => new Path(new java.net.URI(uri)).getName -> zs }
+        }
     val files = fs.listStatus(staging)
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
     fs.mkdirs(dataPath)
