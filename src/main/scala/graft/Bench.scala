@@ -288,7 +288,31 @@ object Bench {
         // chunked: a fresh session every `sessionRecycleEvery` queries
         // within the family (see the field's scaladoc), full teardown
         // between chunks — same barrier as between families.
-        qs.grouped(sessionRecycleEvery).toSeq.flatMap { chunk =>
+        // Chunk by RUN weight, not query count: a min-of-3 member executes
+        // 3 runs, and after the r14 armor widening a 40-QUERY store chunk
+        // would run ~120 heavy lifecycles before recycling — enough session
+        // debt that even the minima inflated (r14 measured q174's in-suite
+        // triple at [32.8, 14.7, 18.1] s where a short-session run of the
+        // same commit reads 9.1). Weighted packing keeps runs-per-session
+        // at the level the recycle policy was tuned for.
+        def runWeight(name: String): Int =
+          if (median3All || medianOf3.contains(name)) 3 else 1
+        val chunks = {
+          val out = Seq.newBuilder[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]
+          var cur = Seq.newBuilder[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+          var w = 0
+          qs.foreach { q =>
+            val c = runWeight(q._1)
+            if (w > 0 && w + c > sessionRecycleEvery) {
+              out += cur.result(); cur = Seq.newBuilder; w = 0
+            }
+            cur += q; w += c
+          }
+          val last = cur.result()
+          if (last.nonEmpty) out += last
+          out.result()
+        }
+        chunks.flatMap { chunk =>
           val spark = newSession(sfDir, cpus, gate = !gated)
           gated = true
           runSentinel(spark, fam)
