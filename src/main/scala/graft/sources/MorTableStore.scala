@@ -397,9 +397,41 @@ final class MorTableStore(
           StructField("_change", StringType)))
     val stack = readDirs(touched.values.flatten
       .filter(dirSeqOf(_) <= toVersion).toSeq)
-    val pre = resolve(stack.filter(col("_seq") <= fromVersion))
-    val post = resolve(stack)
-    graft.operators.SnapshotDiff.changeFeed(pre, post, spec.pkCols)
+    // ONE scan + ONE pk-keyed aggregate for both images (r14, guide §2.4):
+    // the previous shape resolved the stack twice (two pk-window shuffles
+    // over two full reads of the touched stacks) and netted them with a
+    // third full-outer join shuffle. Per key, the POST image is the row
+    // with the max (_seq, _op) — the same (seq desc, op desc) order the
+    // resolution window uses — and the PRE image the max restricted to
+    // _seq <= fromVersion (max_by skips null ordering values, so keys
+    // with no pre-window row resolve to a null image). Classification and
+    // emitted rows match SnapshotDiff.changeFeed exactly: insert / delete
+    // / update_pre+update_post, unchanged keys emit nothing, values in
+    // declared-schema order.
+    val pk = spec.pkCols
+    val img = struct(col("_op") +: spec.dataCols.map(col): _*)
+    val ord = struct(col("_seq"), col("_op"))
+    val preOrd = when(col("_seq") <= fromVersion, ord)
+    val agg = stack.groupBy(pk.map(col): _*).agg(
+      max_by(img, ord).as("_post"),
+      max_by(when(col("_seq") <= fromVersion, img), preOrd).as("_pre"))
+    val preExists = col("_pre").isNotNull && col("_pre._op") === "u"
+    val postExists = col("_post._op") === "u"
+    def data(side: String) = struct(spec.dataCols.map(c => col(s"$side.$c").as(c)): _*)
+    def tagged(side: String, tag: String) =
+      struct(data(side).as("_row"), lit(tag).as("_change"))
+    val emptyArr = array().cast(org.apache.spark.sql.types.ArrayType(
+      StructType(Seq(
+        StructField("_row", StructType(spec.schema.fields.toSeq)),
+        StructField("_change", StringType)))))
+    val rows = when(!preExists && postExists, array(tagged("_post", "insert")))
+      .when(preExists && !postExists, array(tagged("_pre", "delete")))
+      .when(preExists && postExists && !(data("_pre") <=> data("_post")),
+        array(tagged("_pre", "update_pre"), tagged("_post", "update_post")))
+      .otherwise(emptyArr)
+    agg.select(explode(rows).as("_e"))
+      .select(spec.dataCols.map(c => col(s"_e._row.$c").as(c)) :+
+        col("_e._change").as("_change"): _*)
   }
 
   /** O(batch) write: the batch becomes one delta dir per TOUCHED bucket —
