@@ -45,6 +45,14 @@ object EntityResolution {
   def normalizeName(c: Column): Column =
     regexp_replace(lower(c), "[^a-z0-9]", "")
 
+  /** CALLER-UNPERSIST CONTRACT: `records` (the signature projection) is
+    * persisted by [[matchPairs]] — it feeds the guard aggregate, both
+    * self-join sides, and whatever the caller does next, and the returned
+    * frames are lazy, so the operator cannot release it itself. Call
+    * `records.unpersist()` after the last action over either frame (the
+    * [[resolve]] pipeline does exactly that), or the blocks stay pinned
+    * for the session's life under repeated calls.
+    */
   final case class Matched(pairs: DataFrame, records: DataFrame)
 
   /** The (id, blk, norm) match signature projection — what a persisted
@@ -141,8 +149,16 @@ object EntityResolution {
     // the left join with cluster_id = own id.
     val cc = Dedup.connectedComponents(m.pairs.select("id_a", "id_b"))
       .withColumnRenamed("doc_id", "id")
+    // Eager, narrow (two longs/record): the label table is consumed twice
+    // below (size aggregate + join), and pinning it via localCheckpoint is
+    // what lets the signature persist be RELEASED here instead of living
+    // for the session (r14 advice: matchPairs' persist had no unpersist) —
+    // CC already ran eagerly above, so this adds one cheap join, not a
+    // stage of new eagerness.
     val labeled = m.records.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint()
+    m.records.unpersist(blocking = false)
     // Golden = min id per cluster == the cluster label itself (min-label CC),
     // so the canonical attributes come from ONE equi-join on the label — no
     // per-cluster window.
@@ -199,33 +215,50 @@ object EntityResolution {
     // the anti-join, both self-join sides, and the final union — 4-5
     // evaluations of the most expensive join in the operator).
     // `registry` is the caller's (often a full resolve) — pinned for the
-    // span too; batch-sized/signature-sized frames only.
+    // span too; batch-sized/signature-sized frames only. ALL of them are
+    // released in the finally blocks below: the returned frame is
+    // localCheckpointed (eager, batch-sized — this operator already runs
+    // eagerly through CC), so nothing escapes that still references the
+    // persists, and a long-lived session (q241's per-micro-batch
+    // foreachBatch) no longer accumulates pinned blocks per call. NOTE: a
+    // caller that persisted `registry` itself shares the cache entry —
+    // this releases it.
     val reg = registry.persist(mem)
     val newSigs = signatures(newRecords, idCol, nameCol, blockKey).persist(mem)
-    guardBlocks(newSigs, maxBlockSize, "increment")
-    guardBlocks(reg, maxBlockSize, "registry")
-    // Thresholded levenshtein: same predicate, banded O(k·len) per pair —
-    // see matchPairs.
-    val adopted = newSigs
-      .join(reg.select(col("blk"), col("norm").as("norm_r"), col("cluster_id")),
-        Seq("blk"))
-      .filter(levenshtein(col("norm"), col("norm_r"), maxEditDistance) >= 0)
-      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-      .persist(mem)
-    val residual = newSigs.join(adopted.select("id"), Seq("id"), "left_anti")
-      .persist(mem)
-    val a = residual.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
-    val b = residual.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
-    val pairs = a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(levenshtein(col("norm_a"), col("norm_b"), maxEditDistance) >= 0)
-      .select("id_a", "id_b")
-    val fresh = residual.select("id")
-      .join(Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id"),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-    adopted.withColumn("src", lit("assigned"))
-      .unionByName(fresh.withColumn("src", lit("new")))
+    try {
+      guardBlocks(newSigs, maxBlockSize, "increment")
+      guardBlocks(reg, maxBlockSize, "registry")
+      // Thresholded levenshtein: same predicate, banded O(k·len) per pair —
+      // see matchPairs.
+      val adopted = newSigs
+        .join(reg.select(col("blk"), col("norm").as("norm_r"), col("cluster_id")),
+          Seq("blk"))
+        .filter(levenshtein(col("norm"), col("norm_r"), maxEditDistance) >= 0)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(mem)
+      try {
+        val residual = newSigs.join(adopted.select("id"), Seq("id"), "left_anti")
+          .persist(mem)
+        try {
+          val a = residual.select(col("id").as("id_a"), col("blk"), col("norm").as("norm_a"))
+          val b = residual.select(col("id").as("id_b"), col("blk"), col("norm").as("norm_b"))
+          val pairs = a.join(b, Seq("blk"))
+            .filter(col("id_a") < col("id_b"))
+            .filter(levenshtein(col("norm_a"), col("norm_b"), maxEditDistance) >= 0)
+            .select("id_a", "id_b")
+          val fresh = residual.select("id")
+            .join(Dedup.connectedComponents(pairs).withColumnRenamed("doc_id", "id"),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+          adopted.withColumn("src", lit("assigned"))
+            .unionByName(fresh.withColumn("src", lit("new")))
+            .localCheckpoint()
+        } finally { residual.unpersist(blocking = false); () }
+      } finally { adopted.unpersist(blocking = false); () }
+    } finally {
+      reg.unpersist(blocking = false)
+      newSigs.unpersist(blocking = false); ()
+    }
   }
 
   /** BLOCKING-QUALITY report — the evaluation step record-linkage

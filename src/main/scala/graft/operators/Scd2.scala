@@ -95,6 +95,13 @@ object Scd2 {
       // per-job planning time dominates the data): a key is duplicated when
       // its change-image count exceeds 1, and changed+deleted when it
       // carries both a change image and a delete marker.
+      // NULL business keys: groupBy groups NULLs TOGETHER, so a null-key
+      // change plus a null-key delete (or two null-key changes) now refuse
+      // here — STRICTER than the r13 two-job form, whose left_semi overlap
+      // check never matched NULLs. Deliberate: a NULL key also never
+      // matches the pre-image equi-join below, so it could only ever
+      // insert duplicate "new" rows per wave — refusing the ambiguous
+      // wave up front is the honest contract (r14 advice, documented).
       val guards = src.select(nk.map(col) :+ lit(1L).as("_c") :+ lit(0L).as("_d"): _*)
         .unionByName(del.select(nk.map(col) :+ lit(0L).as("_c") :+ lit(1L).as("_d"): _*))
         .groupBy(nk.map(col): _*)

@@ -49,6 +49,32 @@ import org.apache.spark.sql.types._
   */
 object ZoneMaps {
 
+  /** Serialize the session-conf TIMESTAMP_MICROS flip around a staged
+    * write: `spark.sql.parquet.outputTimestampType` is session-global, so
+    * two writers racing on the SAME session could interleave set/restore —
+    * one write landing INT96, or the conf restored to the wrong prior
+    * value (r14 advice). One lock per session (weak — cloned streaming
+    * sessions come and go) makes set→write→restore atomic; writers on
+    * different sessions never contend. Zone CORRECTNESS never depended on
+    * this (the footer path refuses INT96 and falls back to the aggregate);
+    * the lock pins the stated micros posture itself.
+    */
+  private val tsLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Object])
+  private[sources] def withMicrosTimestamps[A](sess: SparkSession)(write: => A): A = {
+    val lock = tsLocks.computeIfAbsent(sess, _ => new Object)
+    lock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prev = sess.conf.getOption(tsKey)
+      sess.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try write
+      finally prev match {
+        case Some(v) => sess.conf.set(tsKey, v)
+        case None => sess.conf.unset(tsKey)
+      }
+    }
+  }
+
   /** Canonical zone value: exact numeric or string. */
   sealed trait ZV
   final case class ZN(v: BigDecimal) extends ZV
@@ -511,6 +537,15 @@ object ZoneMaps {
     import scala.jdk.CollectionConverters._
     val usable = usableZoneCols(schema, cols)
     if (usable.isEmpty) return Some(Map.empty)
+    // A writer-side truncation setting (parquet.statistics.truncate.length
+    // below its untruncated MAX_INT default) widens binary min/max stats
+    // SILENTLY — bounds stay a valid superset (pruning-safe) but the
+    // documented bit-identical-sidecar contract would break; the footers
+    // cannot prove exact string bounds then, so refuse and let the
+    // aggregate fallback compute them (r14 advice: the doc claimed this
+    // guard, the code must actually check the conf the writer ran under).
+    if (conf.getInt("parquet.statistics.truncate.length",
+        Int.MaxValue) != Int.MaxValue) return None
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -813,15 +848,10 @@ final class AppendLog(
     // to the aggregate for ts zone columns. Values are identical either
     // way (Spark timestamps are micros internally). Set on the BATCH's own
     // session (a streaming foreachBatch df runs under a cloned session
-    // whose conf the writer reads), restored in finally.
-    val wSess = sorted.sparkSession
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = wSess.conf.getOption(tsKey)
-    wSess.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try sorted.write.mode("overwrite").parquet(staging.toString)
-    finally prevTs match {
-      case Some(v) => wSess.conf.set(tsKey, v)
-      case None => wSess.conf.unset(tsKey)
+    // whose conf the writer reads), restored after the write; the whole
+    // section is serialized per session (ZoneMaps.withMicrosTimestamps).
+    ZoneMaps.withMicrosTimestamps(sorted.sparkSession) {
+      sorted.write.mode("overwrite").parquet(staging.toString)
     }
     if (zoneCols.nonEmpty) {
       // The recorded zone is exactly what was written: preferably from the
@@ -1262,15 +1292,10 @@ final class AppendLog(
     val reclustered = readDirs(selected)
       .repartitionByRange(targetBatches, col(byCol))
       .sortWithinPartitions(sortCols.map(col): _*)
-    // same TIMESTAMP_MICROS posture as writeBatchDir (footer stats usable)
-    val wSess = reclustered.sparkSession
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = wSess.conf.getOption(tsKey)
-    wSess.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try reclustered.write.mode("overwrite").parquet(staging.toString)
-    finally prevTs match {
-      case Some(v) => wSess.conf.set(tsKey, v)
-      case None => wSess.conf.unset(tsKey)
+    // same TIMESTAMP_MICROS posture as writeBatchDir (footer stats usable),
+    // same per-session serialization of the conf flip
+    ZoneMaps.withMicrosTimestamps(reclustered.sparkSession) {
+      reclustered.write.mode("overwrite").parquet(staging.toString)
     }
     // Per-file zones from the staged FOOTERS (driver-side, before any file
     // moves); fallback: ONE grouped aggregate over the staging — a per-file

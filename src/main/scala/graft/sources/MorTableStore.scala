@@ -197,6 +197,20 @@ final class MorTableStore(
     * are the upserts. Within one seq a pk appears at most once (the
     * CompactedBatch contract — per-key final action), `_op` desc is a
     * robustness tie-break only.
+    *
+    * SHAPE IS MEASURED-OPTIMAL, do not "upgrade" to a `max_by` aggregate
+    * without new evidence (r15, `plans/r15/mor_resolve_window_vs_maxby.md`,
+    * tool `graft.tools.MorResolveExp`): Spark's InferWindowGroupLimit
+    * already ships at most one candidate row per key per map partition
+    * (WindowGroupLimit Partial BEFORE the exchange — the same pre-shuffle
+    * reduction a partial aggregate would buy), while `max_by`'s
+    * struct/string aggregation buffer refuses HashAggregateExec and lands
+    * on SortAggregateExec: the same two sorts plus per-row buffer updates.
+    * Measured at 2.9M/5M stacked rows, local[32], min of 5: window 1.01 /
+    * 0.99 s vs struct-max_by 1.26 / 1.40 s vs per-column 1.80 / 2.00 s,
+    * identical output. (The r14 change-feed max_by WAS a win because it
+    * removed a second scan and two shuffles, not because aggregates beat
+    * windows per se.)
     */
   private def resolve(stack: DataFrame): DataFrame = {
     val w = Window.partitionBy(spec.pkCols.map(col): _*)

@@ -82,6 +82,27 @@ class EntityResolutionSpec extends SparkTestBase {
       (14L, 14L, "new")))
   }
 
+  test("assignAgainst and resolve leave no pinned cache blocks behind") {
+    // r14 advice: the operator's persisted intermediates had no unpersist —
+    // a long-lived session (q241 assigns once per micro-batch) accumulated
+    // blocks unboundedly. The result frames are eagerly detached
+    // (localCheckpoint), so everything the operators pinned must be GONE
+    // from the CacheManager the moment they return.
+    spark.sharedState.cacheManager.clearCache()
+    val resolved = EntityResolution.resolve(
+      registry, "id", "name", col("blk"), 2, 10)
+    resolved.collect() // drain the lazy tail over the checkpointed labels
+    val regSigs = EntityResolution.signatures(registry, "id", "name", col("blk"))
+      .join(resolved.select("id", "cluster_id"), Seq("id"))
+    val incs = Seq((10L, "ACME corp!", "a"), (12L, "Nova Labs", "n"))
+      .toDF("id", "name", "blk")
+    val out = EntityResolution.assignAgainst(
+      regSigs, incs, "id", "name", col("blk"), 2, 10)
+    assert(out.count() == 2L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "entity-resolution persists must be released when the operators return")
+  }
+
   test("normalizeName strips case and punctuation only") {
     val out = registry.select(EntityResolution.normalizeName(col("name")).as("n"))
       .as[String].collect()
