@@ -430,7 +430,12 @@ object MaterializedView {
           d.groupCols.map(gc => delP(gc) <=> old(gc)).reduce(_ && _), "inner")
         .filter(touched).select(d.groupCols.map(delP(_)): _*).distinct().cache())
     }
-    val nAffected = affectedOpt.map(_.count()).getOrElse(0L) // ≤ delete batch's groups
+    // ONE limited collect instead of count-then-collect (two actions → one,
+    // r15): ≤ cap rows decide both the emptiness check and the IN pushdown
+    // below; cap+1 rows mean "over cap", where the exact count was never
+    // used anyway. ≤ delete batch's groups either way.
+    val keyRowsOpt = affectedOpt.map(_.limit(recomputeKeyCap + 1).collect())
+    val nAffected = keyRowsOpt.map(_.length.toLong).getOrElse(0L)
 
     val repaired = if (nAffected == 0) {
       // no extreme touched — widen with the repair columns finalCols expects
@@ -449,7 +454,7 @@ object MaterializedView {
       var scan = withDerived(base.getOrElse(spark.read.parquet(d.basePath)), d)
         .select((d.groupCols ++ d.measureCols).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
-        val keyRows = affected.collect() // ≤ cap rows of group keys only
+        val keyRows = keyRowsOpt.get // ≤ cap rows of group keys only
         d.groupCols.zipWithIndex.foreach { case (gc, i) =>
           val vals = keyRows.map(_.get(i)).distinct.toSeq
           if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))

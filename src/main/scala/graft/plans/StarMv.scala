@@ -506,18 +506,42 @@ object StarMv {
       (d.derivedMeasures ++ d.derivedGroups).foldLeft(joined) {
         case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
     }
-    val insAggs = allMeasures.flatMap(m => Seq(
-      sum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
-      min(col(m)).as(s"mn_$m"), max(col(m)).as(s"mx_$m"))) :+
-      count(lit(1)).as("cnt")
-    val insP = deltaJoin(inserts).groupBy(g: _*)
-      .agg(insAggs.head, insAggs.tail: _*)
-    val delAggs = allMeasures.flatMap(m => Seq(
-      sum(col(m)).as(s"ds_$m"), count(col(m)).as(s"dc_$m"),
-      min(col(m)).as(s"dmn_$m"), max(col(m)).as(s"dmx_$m"))) :+
-      count(lit(1)).as("dcnt")
-    val delP = deltaJoin(deletes).groupBy(g: _*)
-      .agg(delAggs.head, delAggs.tail: _*)
+    // ONE delta join for BOTH sides (r15, guide §1.2/§2.3): the insert and
+    // delete partials used to be two separate deltaJoin passes — and delP
+    // was consumed twice (affected detection + the merged write), so the
+    // delete-side join ran twice more. On a DIMENSION wave each of those
+    // passes joins the delta against the FULL fact snapshot (Δdim ⋈ fact is
+    // the expensive, unavoidable half of the IVM algebra) — three
+    // fact-sized passes where one suffices. Rows are tagged ±1, joined
+    // once, and ONE conditional aggregate produces both partial sets;
+    // `when(_sgn = ...)` yields NULL for the other side's rows, which
+    // sum/count/min/max skip, so each column equals its old
+    // inserts-only/deletes-only aggregate exactly. Groups present on only
+    // one side now emit an all-null/zero row for the other — the
+    // union+re-aggregate merge below is invariant to those (sum/min/max
+    // ignore NULL, cnt adds 0). The groups-sized result is
+    // localCheckpointed so its three consumers (affected probe, key
+    // collect, merged write) never re-run the join.
+    val sgn = col("_graft_sgn")
+    val both = inserts.withColumn("_graft_sgn", lit(1))
+      .unionByName(deletes.withColumn("_graft_sgn", lit(-1)))
+    def side(m: String, s: Int) = when(sgn === s, col(m))
+    val bothAggs = allMeasures.flatMap(m => Seq(
+      sum(side(m, 1)).as(s"s_$m"), count(side(m, 1)).as(s"c_$m"),
+      min(side(m, 1)).as(s"mn_$m"), max(side(m, 1)).as(s"mx_$m"),
+      sum(side(m, -1)).as(s"ds_$m"), count(side(m, -1)).as(s"dc_$m"),
+      min(side(m, -1)).as(s"dmn_$m"), max(side(m, -1)).as(s"dmx_$m"))) ++ Seq(
+      sum(when(sgn === 1, 1L).otherwise(0L)).as("cnt"),
+      sum(when(sgn === -1, 1L).otherwise(0L)).as("dcnt"))
+    val combined = deltaJoin(both).groupBy(g: _*)
+      .agg(bothAggs.head, bothAggs.tail: _*)
+      .localCheckpoint()
+    val insP = combined.select(gNames.map(col) ++ allMeasures.flatMap(m => Seq(
+      col(s"s_$m"), col(s"c_$m"), col(s"mn_$m"), col(s"mx_$m"))) :+
+      col("cnt"): _*)
+    val delP = combined.select(gNames.map(col) ++ allMeasures.flatMap(m => Seq(
+      col(s"ds_$m"), col(s"dc_$m"), col(s"dmn_$m"), col(s"dmx_$m"))) :+
+      col("dcnt"): _*)
     val delSigned = delP.select(g ++ allMeasures.flatMap(m => Seq(
       (-col(s"ds_$m")).cast(oldTypes(s"s_$m")).as(s"s_$m"),
       (-col(s"dc_$m")).as(s"c_$m"),
@@ -548,7 +572,12 @@ object StarMv {
           gNames.map(n => delP(n) <=> old(n)).reduce(_ && _), "inner")
         .filter(touched).select(gNames.map(delP(_)): _*).distinct().cache())
     }
-    val nAffected = affectedOpt.map(_.count()).getOrElse(0L)
+    // ONE limited collect instead of count-then-collect (two actions → one,
+    // r15): ≤ cap rows decide both the emptiness check and the IN pushdown
+    // below; cap+1 rows mean "over cap", where the exact count was never
+    // used anyway.
+    val keyRowsOpt = affectedOpt.map(_.limit(recomputeKeyCap + 1).collect())
+    val nAffected = keyRowsOpt.map(_.length.toLong).getOrElse(0L)
 
     val repaired = if (nAffected == 0) {
       merged.select(merged.columns.map(col) ++
@@ -563,7 +592,7 @@ object StarMv {
         case (acc, (n, sql)) => acc.withColumn(n, expr(sql)) }
       scan = scan.select((gNames ++ allMeasures).map(col): _*)
       if (nAffected <= recomputeKeyCap) {
-        val keyRows = affected.collect()
+        val keyRows = keyRowsOpt.get
         gNames.zipWithIndex.foreach { case (gc, i) =>
           val vals = keyRows.map(_.get(i)).distinct.toSeq
           if (!vals.contains(null)) scan = scan.filter(col(gc).isin(vals: _*))

@@ -49,7 +49,12 @@ object JobProfile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .filter(_.nonEmpty)
+          // fall back to the result stage's name — the callsite property is
+          // frequently absent on SQL-submitted jobs
+          .orElse(e.stageInfos.sortBy(_.stageId).lastOption.map(_.name))
+          .getOrElse("")
         jobs.put(e.jobId,
           JobRec(e.jobId, desc, site, e.stageInfos.size,
             e.stageInfos.map(_.numTasks).sum, e.time, -1L))
